@@ -1,0 +1,130 @@
+"""Keyspace/table catalog operations — reference DDL operators D1-D5.
+
+Maps the reference's CQL DDL (SURVEY.md §2.1) onto the Spark session
+catalog + a small engine-side registry of key metadata that Spark's
+catalog does not model (partition key vs clustering columns, clustering
+order — ``server.py:178-186``).
+
+- D1 CREATE KEYSPACE (``server.py:76-79``) → CREATE DATABASE IF NOT EXISTS;
+  the replication factor is recorded as a database property (storage
+  concern, SURVEY.md §1.4).
+- D2 DROP KEYSPACE (``server.py:88``)      → DROP DATABASE ... CASCADE.
+- D3 USE keyspace (``server.py:60``)       → setCurrentDatabase.
+- D4/D5 CREATE TABLE (``server.py:178-186``, ``296-304``) → Parquet table
+  registered in the catalog; the physical layout contract (hash
+  partition on the partition key, sort within partitions by clustering
+  columns) is enforced by `cassandrastack_spark.storage.WideColumnTable`.
+
+All DDL is idempotent (IF NOT EXISTS / IF EXISTS), matching the
+reference's use of the same.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+from pyspark.sql.types import StructType
+
+
+@dataclass
+class TableSpec:
+    """Engine-side table metadata: what CQL DDL encodes beyond columns."""
+
+    name: str
+    schema: StructType
+    partition_keys: list[str]
+    clustering_keys: list[str] = field(default_factory=list)
+    clustering_desc: bool = False
+    properties: dict = field(default_factory=dict)
+
+    @property
+    def primary_key(self) -> list[str]:
+        return self.partition_keys + self.clustering_keys
+
+
+class Keyspace:
+    """A namespace of wide-column tables, backed by a warehouse directory.
+
+    Mirrors CREATE KEYSPACE semantics: a named container with
+    replication properties (``server.py:76-79``); here replication is a
+    recorded property (the storage layer — HDFS/S3 — owns replication at
+    scale, SURVEY.md §1.4).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        name: str,
+        warehouse: str,
+        replication_factor: int = 2,
+    ):
+        self.spark = spark
+        self.name = name
+        self.warehouse = warehouse
+        self.replication_factor = replication_factor
+        self.tables: dict[str, TableSpec] = {}
+
+    # D1 — CREATE KEYSPACE IF NOT EXISTS (server.py:76-79)
+    def create(self) -> "Keyspace":
+        os.makedirs(self.path, exist_ok=True)
+        self._save_meta()
+        return self
+
+    # D2 — DROP KEYSPACE IF EXISTS (server.py:88)
+    def drop(self) -> None:
+        import shutil
+
+        if os.path.exists(self.path):
+            shutil.rmtree(self.path)
+        self.tables.clear()
+
+    @property
+    def path(self) -> str:
+        return os.path.join(self.warehouse, self.name)
+
+    def _save_meta(self) -> None:
+        meta = {
+            "keyspace": self.name,
+            "replication": {
+                "class": "SimpleStrategy",
+                "replication_factor": self.replication_factor,
+            },
+        }
+        with open(os.path.join(self.path, "_keyspace.json"), "w") as f:
+            json.dump(meta, f)
+
+    # D4/D5 — CREATE TABLE IF NOT EXISTS (server.py:178-186, 296-304)
+    def create_table(
+        self,
+        name: str,
+        schema: StructType,
+        partition_keys: list[str],
+        clustering_keys: list[str] | None = None,
+        clustering_desc: bool = False,
+    ) -> TableSpec:
+        if name in self.tables:  # IF NOT EXISTS: no-op on re-create
+            return self.tables[name]
+        spec = TableSpec(
+            name=name,
+            schema=schema,
+            partition_keys=list(partition_keys),
+            clustering_keys=list(clustering_keys or []),
+            clustering_desc=clustering_desc,
+        )
+        self.tables[name] = spec
+        os.makedirs(self.table_path(name), exist_ok=True)
+        return spec
+
+    def drop_table(self, name: str) -> None:
+        import shutil
+
+        self.tables.pop(name, None)
+        p = self.table_path(name)
+        if os.path.exists(p):
+            shutil.rmtree(p)
+
+    def table_path(self, name: str) -> str:
+        return os.path.join(self.path, name)

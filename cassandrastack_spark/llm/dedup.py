@@ -1,0 +1,292 @@
+"""Document deduplication: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Scale design (the whole point — a 100 TB corpus cannot be pairwise
+compared):
+
+- **exact**: hash-groupBy on a content digest — one shuffle on the
+  digest, map-side combinable. Never ``dropDuplicates`` on the raw text
+  column (shuffling full documents); shuffle the 32-byte digest instead.
+- **ngram-jaccard**: candidate pairs come from an inverted index
+  (explode shingles → self-join on shingle), so only documents sharing
+  ≥1 shingle ever meet; the join key is a shingle hash, not the text.
+  Exact verification divides intersection by union of distinct-shingle
+  counts — pure integer math, deterministic across engines.
+- **minhash-lsh**: 64 hash functions via ``xxhash64(seed, shingle)``
+  (JVM built-in, no UDF), banded 16×4; candidate pairs join only within
+  (band, signature) buckets — the standard sub-quadratic LSH plan.
+- **simhash**: 64-bit fingerprint via an Arrow-batched pandas UDF
+  (bit-twiddling that Spark expressions can't vectorize well); near-dups
+  via 4×16-bit band buckets (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical
+  band), then exact hamming verification with ``bit_count(a XOR b)``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def with_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Add ``shingles``: distinct k-word shingles of the text (JVM-side).
+
+    Built via an explicit SQL subquery boundary so the ``split`` runs
+    once per row — inlining it into the transform lambda would recompute
+    the full tokenization per shingle (CollapseProject duplicates the
+    alias into the lambda; measured 30x slower at sf0.1).
+    """
+    cols = ", ".join(f"`{c}`" for c in df.columns)
+    df.createOrReplaceTempView("_shingle_in")
+    return df.sparkSession.sql(
+        f"""
+        SELECT {cols},
+               array_distinct(transform(
+                   sequence(0, greatest(size(words) - {k}, 0)),
+                   i -> concat_ws(' ', slice(words, i + 1, {k})))) AS shingles
+        FROM (SELECT {cols}, split(`{{t}}`, ' ') AS words FROM _shingle_in)
+        """.replace("{t}", text_col)
+    )
+
+
+def exploded_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(id, shingle) rows, distinct per document — the inverted-index /
+    signature base. Shingle construction happens exactly once per doc."""
+    return (
+        with_shingles(df.select(id_col, text_col), text_col, k)
+        .select(F.col(id_col).alias("id"), F.explode("shingles").alias("shingle"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Group identical documents by md5 digest; keep the smallest id as
+    canonical. Returns (text_hash, keep_id, n_dups)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, inverted-index candidates)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Pairs (a_id, b_id, jaccard) with shingle-set Jaccard ≥ threshold.
+
+    inverted index: explode distinct shingles → pairs sharing a shingle
+    with shared-count; |A∪B| = |A|+|B|-shared. Join key is the shingle
+    (hash-shuffled); hot shingles (stopword runs) are the skew risk —
+    AQE skew-join splits them.
+    """
+    inv = exploded_shingles(df, id_col, text_col, k)
+    sizes = inv.groupBy("id").agg(F.count("*").alias("n_sh"))
+    pairs = (
+        inv.alias("x")
+        .join(inv.alias("y"), on="shingle")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .groupBy(F.col("x.id").alias("a_id"), F.col("y.id").alias("b_id"))
+        .agg(F.count("*").alias("shared"))
+    )
+    a_sz = sizes.select(F.col("id").alias("a_id"), F.col("n_sh").alias("a_n"))
+    b_sz = sizes.select(F.col("id").alias("b_id"), F.col("n_sh").alias("b_n"))
+    return (
+        pairs.join(a_sz, "a_id")
+        .join(b_sz, "b_id")
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("a_n") + F.col("b_n") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """(id, minhash array<bigint>) — hash family h_s(x) = xxhash64(s, x).
+
+    Formulated as ``num_hashes`` MIN aggregations over the exploded
+    (id, shingle) inverted index: each shingle is hashed exactly once
+    per seed, partial aggregation combines map-side, and no array ever
+    appears inside a lambda (which would make Catalyst re-inline and
+    re-evaluate the shingle construction per seed — measured 30x
+    slower). All JVM expressions, no UDF.
+    """
+    inv = exploded_shingles(df, id_col, text_col, k)
+    mins = [
+        F.min(F.xxhash64(F.lit(s), F.col("shingle"))).alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+    per_doc = inv.groupBy("id").agg(*mins)
+    return per_doc.select(
+        "id", F.array(*[F.col(f"h{s}") for s in range(num_hashes)]).alias("minhash")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash, verified with exact Jaccard.
+
+    bands=16, rows=4 → S-curve threshold ≈ (1/16)^(1/4) ≈ 0.5. Candidate
+    generation joins only within (band, band_signature) buckets — the
+    inverted-index shuffle is on 8-byte signatures, never on documents.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f"struct(b AS band, xxhash64(concat_ws(',', slice(minhash, b * {rows} + 1, {rows}))) AS sig))"
+            )
+        ).alias("bs"),
+    ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), on=["band", "sig"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a_id"), F.col("y.id").alias("b_id"))
+        .distinct()
+    )
+    # exact verification on the candidate set only: semi-join the
+    # inverted index down to candidate docs, count shared shingles.
+    inv = exploded_shingles(df, id_col, text_col, k)
+    cand_docs = cand.select(F.col("a_id").alias("id")).union(
+        cand.select(F.col("b_id").alias("id"))
+    ).distinct()
+    inv_c = inv.join(F.broadcast(cand_docs), "id")
+    sizes = inv_c.groupBy("id").agg(F.count("*").alias("n_sh"))
+    shared = (
+        cand.join(inv_c.select(F.col("id").alias("a_id"), "shingle"), "a_id")
+        .join(inv_c.select(F.col("id").alias("b_id"), "shingle"), ["b_id", "shingle"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("shared"))
+    )
+    a_sz = sizes.select(F.col("id").alias("a_id"), F.col("n_sh").alias("a_n"))
+    b_sz = sizes.select(F.col("id").alias("b_id"), F.col("n_sh").alias("b_n"))
+    return (
+        shared.join(F.broadcast(a_sz), "a_id")
+        .join(F.broadcast(b_sz), "b_id")
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("a_n") + F.col("b_n") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf(LongType())
+def _simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens, md5-based word hashes
+    (deterministic across processes — no PYTHONHASHSEED dependence)."""
+    cache: dict[str, int] = {}
+
+    def word_hash(w: str) -> int:
+        h = cache.get(w)
+        if h is None:
+            h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+            cache[w] = h
+        return h
+
+    out = []
+    for t in texts:
+        counts: dict[str, int] = {}
+        for w in (t or "").split(" "):
+            counts[w] = counts.get(w, 0) + 1
+        acc = [0] * 64
+        for w, c in counts.items():
+            h = word_hash(w)
+            for i in range(64):
+                acc[i] += c if (h >> i) & 1 else -c
+        v = 0
+        for i in range(64):
+            if acc[i] > 0:
+                v |= 1 << i
+        # to signed 64-bit
+        out.append(v - (1 << 64) if v >= (1 << 63) else v)
+    return pd.Series(out, dtype="int64")
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance ≤ max_hamming.
+
+    Pigeonhole banding: split the 64-bit fingerprint into 4 16-bit
+    bands; hamming ≤ 3 ⇒ at least one band identical, so candidates
+    join on (band, band_value) and only candidates pay the exact
+    ``bit_count(xor)`` check.
+    """
+    sigs = df.select(
+        F.col(id_col).alias("id"), _simhash64(F.col(text_col)).alias("sh")
+    )
+    banded = sigs.select(
+        "id",
+        "sh",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), b -> "
+                "struct(b AS band, shiftright(sh, b * 16) & 65535 AS bval))"
+            )
+        ).alias("bb"),
+    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+    x, y = banded.alias("x"), banded.alias("y")
+    return (
+        x.join(y, on=["band", "bval"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("a_id"),
+            F.col("y.id").alias("b_id"),
+            F.bit_count(F.col("x.sh").bitwiseXOR(F.col("y.sh"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

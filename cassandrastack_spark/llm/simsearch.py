@@ -1,0 +1,160 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, per the task's scale ladder:
+
+- **brute-force cosine top-k** — the exact baseline. All math is
+  JVM-side expressions: norms precomputed per row BEFORE the join (so
+  the O(Q·N) pair stage computes only a dot product), dot via
+  ``aggregate(zip_with(...))`` (sequential fold — deterministic),
+  top-k via per-query ``row_number``. No UDF, no driver collect.
+- **LSH (random hyperplane) buckets** — the scale path. P deterministic
+  pseudo-random hyperplanes (components derived from ``xxhash64``, no
+  RNG state to ship) give each vector a P-bit signature; queries probe
+  only their bucket (+ optional multi-probe neighbors). At 100 TB the
+  bucket column is the table's partition key, so a probe is a
+  partition-pruned scan — the ANN analogue of the reference's
+  single-partition read (``server.py:98``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Add ``vec`` (double[]) and its L2 norm (computed once per row)."""
+    as_double = F.expr(f"transform({vec_col}, x -> cast(x AS double))")
+    return (
+        df.withColumn("vec", as_double)
+        .withColumn("norm", F.expr("sqrt(" + DOT.format(a="vec", b="vec") + ")"))
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, cosine, rank). Excludes self-pairs.
+    The corpus side is the big side; the (small) query side is
+    broadcast, so the plan is a broadcast nested-loop with projected
+    vectors — no shuffle of the corpus.
+    """
+    corpus = with_norm(df.select(id_col, vec_col), vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("vec").alias("c_vec"),
+        F.col("norm").alias("c_norm"),
+    )
+    q = with_norm(queries.select(id_col, vec_col), vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("norm").alias("q_norm"),
+    )
+    pairs = corpus.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+    scored = pairs.withColumn(
+        "cosine",
+        F.expr(DOT.format(a="q_vec", b="c_vec")) / (F.col("q_norm") * F.col("c_norm")),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def cosine_pairs_above(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a_id < b_id, cosine ≥ t).
+
+    Quadratic candidate stage — correct baseline for correctness tests;
+    at scale swap the candidate stage for ``lsh_bucket`` equality (same
+    verification tail).
+    """
+    v = with_norm(df.select(id_col, vec_col), vec_col).select(
+        F.col(id_col).alias("id"), "vec", "norm"
+    )
+    a = v.select(F.col("id").alias("a_id"), F.col("vec").alias("a_vec"), F.col("norm").alias("a_norm"))
+    b = v.select(F.col("id").alias("b_id"), F.col("vec").alias("b_vec"), F.col("norm").alias("b_norm"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn(
+            "cosine",
+            F.expr(DOT.format(a="a_vec", b="b_vec")) / (F.col("a_norm") * F.col("b_norm")),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("a_id", "b_id")
+    )
+
+
+def lsh_bucket(df: DataFrame, vec_col: str = "vec", planes: int = 16, dim: int = 64) -> DataFrame:
+    """Add an LSH ``bucket`` column: sign pattern of `planes` fixed
+    pseudo-random hyperplanes.
+
+    Plane p's j-th component is ``(xxhash64(p * dim + j) % 1001 - 500) /
+    500`` — fully deterministic, derivable on any executor with no
+    broadcast state. bucket = Σ_p (dot(vec, plane_p) > 0) << p.
+    """
+    sign = (
+        "transform(sequence(0, {P} - 1), p -> "
+        "CASE WHEN aggregate(zip_with({v}, transform(sequence(0, {D} - 1), "
+        "j -> cast(pmod(xxhash64(p * {D} + j), 1001) - 500 AS double) / 500.0), "
+        "(x, y) -> x * y), 0D, (acc, z) -> acc + z) > 0 THEN 1L ELSE 0L END)"
+    ).format(P=planes, v=vec_col, D=dim)
+    bucket = (
+        "aggregate(zip_with({s}, sequence(0, {P} - 1), (bit, p) -> shiftleft(bit, p)), "
+        "0L, (acc, v) -> acc + v)"
+    ).format(s=sign, P=planes)
+    return df.withColumn("bucket", F.expr(bucket))
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: probe only the query's LSH bucket.
+
+    Recall < 1 by design; the candidate set shrinks ~2^planes-fold. At
+    scale, write the corpus bucketed/partitioned by ``bucket`` so the
+    probe is a pruned scan.
+    """
+    corpus = lsh_bucket(with_norm(df.select(id_col, vec_col), vec_col), "vec", planes, dim).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("vec").alias("c_vec"),
+        F.col("norm").alias("c_norm"),
+        "bucket",
+    )
+    q = lsh_bucket(with_norm(queries.select(id_col, vec_col), vec_col), "vec", planes, dim).select(
+        F.col(id_col).alias("query_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("norm").alias("q_norm"),
+        "bucket",
+    )
+    pairs = corpus.join(F.broadcast(q), on="bucket").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = pairs.withColumn(
+        "cosine",
+        F.expr(DOT.format(a="q_vec", b="c_vec")) / (F.col("q_norm") * F.col("c_norm")),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -119,9 +119,13 @@ class WideColumnTable:
     # ---- read path (R1-R4) -------------------------------------------------
 
     def _raw(self) -> DataFrame:
-        return self.spark.read.schema(
-            self.spec.schema.add(_BUCKET, "int").add(_WRITETIME, "long")
-        ).parquet(self.path)
+        from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+        read_schema = StructType(
+            list(self.spec.schema.fields)
+            + [StructField(_BUCKET, IntegerType()), StructField(_WRITETIME, LongType())]
+        )
+        return self.spark.read.schema(read_schema).parquet(self.path)
 
     def read(self) -> DataFrame:
         """Full table with upsert semantics: newest row per primary key.

@@ -1,0 +1,134 @@
+"""Reference-parity tests for the wide-column storage layer.
+
+Asserts the observable semantics catalogued in SURVEY.md §5.1: seed
+counts, clustering DESC order (server.py:185), single-partition reads
+(server.py:98), upsert on primary key (server.py:307-308), idempotent
+DDL, schema-on-write enforcement.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandrastack_spark import schemas
+from cassandrastack_spark.catalog import Keyspace
+from cassandrastack_spark.storage import WideColumnTable
+
+AUTHOR_A = "a8098c1a-f86e-11da-bd1a-00112444be1e"
+AUTHOR_B = "ab398c12-f86e-23da-bd1a-aabb2233be1e"
+
+
+def seed_messages(spark):
+    """15-row seed mirroring the reference batch shape: channel 1 has 13
+    messages, channels 2 and 3 one each (server.py:192-206), two author
+    uuids, monotonically increasing timestamps."""
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    for i in range(13):
+        rows.append((1, base + dt.timedelta(seconds=i), f"m-ch1-{i:02d}",
+                     AUTHOR_A if i % 2 == 0 else AUTHOR_B, f"channel1 message {i}"))
+    rows.append((2, base + dt.timedelta(seconds=20), "m-ch2-00", AUTHOR_A, "channel2 message"))
+    rows.append((3, base + dt.timedelta(seconds=21), "m-ch3-00", AUTHOR_B, "channel3 message"))
+    return spark.createDataFrame(rows, schemas.MESSAGES)
+
+
+@pytest.fixture()
+def ks(spark, tmp_warehouse):
+    ks = Keyspace(spark, "socialmessage", tmp_warehouse).create()
+    yield ks
+    ks.drop()
+
+
+def make_messages(spark, ks):
+    spec = ks.create_table(
+        "messages", schemas.MESSAGES,
+        partition_keys=["channel_id"],
+        clustering_keys=["message_ts", "message_id"],
+        clustering_desc=True,
+    )
+    return WideColumnTable(spark, ks, spec, n_buckets=4)
+
+
+def make_users(spark, ks):
+    spec = ks.create_table("users", schemas.USERS, partition_keys=["username"])
+    return WideColumnTable(spark, ks, spec, n_buckets=4)
+
+
+def test_seed_counts_and_full_scan(spark, ks):
+    t = make_messages(spark, ks)
+    t.append(seed_messages(spark))
+    assert t.read().count() == 15  # R2: full scan returns all 15
+
+
+def test_single_partition_read_clustering_desc(spark, ks):
+    # R1 (server.py:98): one channel, newest-first (server.py:185)
+    t = make_messages(spark, ks)
+    t.append(seed_messages(spark))
+    rows = t.read_partition(channel_id=1).collect()
+    assert len(rows) == 13
+    ts = [r.message_ts for r in rows]
+    assert ts == sorted(ts, reverse=True), "clustering order must be DESC"
+    assert rows[0].message == "channel1 message 12"
+
+
+def test_partition_read_prunes_to_one_bucket(spark, ks):
+    t = make_messages(spark, ks)
+    t.append(seed_messages(spark))
+    plan = t.read_partition(channel_id=1)._jdf.queryExecution().executedPlan().toString()
+    # Catalyst partition pruning: only one _bucket directory is scanned
+    assert "_bucket" in plan
+
+
+def test_upsert_last_writer_wins(spark, ks):
+    # CQL INSERT is an upsert (server.py:307-308 re-seed overwrites)
+    t = make_users(spark, ks)
+    t.append(spark.createDataFrame(
+        [("Alex", "uuid-1", "a@mail.de", "alex")], schemas.USERS))
+    t.append(spark.createDataFrame(
+        [("Alex", "uuid-2", "a2@mail.de", "alex2"),
+         ("Bianca", "uuid-3", "b@mail.de", "bianca")], schemas.USERS))
+    out = {r.username: r for r in t.read().collect()}
+    assert len(out) == 2, "re-seeding upserts; count stays stable"
+    assert out["Alex"].user_id == "uuid-2", "last writer wins"
+    assert out["Alex"].email == "a2@mail.de"
+
+
+def test_schema_on_write_rejects_mismatch(spark, ks):
+    t = make_users(spark, ks)
+    bad = spark.createDataFrame([("Alex", "x")], "username string, wrong_col string")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(bad)
+
+
+def test_ddl_idempotent(spark, ks):
+    # IF NOT EXISTS semantics: re-create is a no-op, not an error
+    s1 = ks.create_table("users", schemas.USERS, partition_keys=["username"])
+    s2 = ks.create_table("users", schemas.USERS, partition_keys=["username"])
+    assert s1 is s2
+    ks2 = Keyspace(spark, "socialmessage", ks.warehouse).create()  # D1 re-run
+    assert ks2.path == ks.path
+
+
+def test_compact_preserves_current_state(spark, ks):
+    t = make_users(spark, ks)
+    t.append(spark.createDataFrame([("Alex", "u1", "a@x", "p")], schemas.USERS))
+    t.append(spark.createDataFrame([("Alex", "u2", "a@x", "p")], schemas.USERS))
+    t.compact()
+    rows = t.read().collect()
+    assert len(rows) == 1 and rows[0].user_id == "u2"
+
+
+def test_login_flow_point_lookup(spark, ks):
+    # R4 (server.py:250-259) with the empty-result bug fixed: wrong user
+    # or wrong password -> empty result, not an exception
+    t = make_users(spark, ks)
+    t.append(spark.createDataFrame(
+        [("Alex", "u1", "a@mail.de", "alex")], schemas.USERS))
+    users = t.read()
+    ok = users.filter((F.col("username") == "Alex") & (F.col("password") == "alex"))
+    assert ok.select("user_id", "username", "email").count() == 1
+    bad_pw = users.filter((F.col("username") == "Alex") & (F.col("password") == "no"))
+    assert bad_pw.count() == 0
+    unknown = users.filter((F.col("username") == "Zoe") & (F.col("password") == "x"))
+    assert unknown.count() == 0

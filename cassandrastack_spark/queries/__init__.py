@@ -48,6 +48,6 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 def load_all() -> dict[str, QueryDef]:
     """Import every query module so their registrations run."""
-    from cassandrastack_spark.queries import analytics, llm  # noqa: F401
+    from cassandrastack_spark.queries import analytics, llm, streaming  # noqa: F401
 
     return REGISTRY

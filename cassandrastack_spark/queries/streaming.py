@@ -1,0 +1,125 @@
+"""Streaming query catalog (SURVEY.md §2.4 streaming row).
+
+Each query builds a Structured Streaming plan over the events file
+source and runs it to completion with ``run_to_batch`` (availableNow +
+memory sink), so the driver's gate hash-compares streaming output
+against a batch DuckDB oracle. Same-result-as-batch is Structured
+Streaming's contract — these queries assert it end-to-end.
+
+``complete`` output mode is used for the windowed aggregations so every
+window is emitted (append mode would hold back windows the final
+watermark hasn't passed — correct for infinite streams, but the oracle
+covers ALL windows of the finite source).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cassandrastack_spark.queries import register
+from cassandrastack_spark.streaming.ops import (
+    events_stream,
+    run_to_batch,
+    session_window_counts,
+    sliding_window_counts,
+    stateful_user_totals,
+    tumbling_window_counts,
+)
+
+
+def _estream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+@register(
+    "stream_tumbling_hourly",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(value), 2)     AS total_value
+        FROM events
+        GROUP BY date_trunc('hour', ts), event_type
+        ORDER BY window_start, event_type
+    """,
+    doc="Streaming tumbling 1h window x event_type aggregation with "
+        "watermark, run to completion — hash-equal to the batch oracle "
+        "(hour windows are epoch-aligned, so window.start == date_trunc).",
+)
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = run_to_batch(tumbling_window_counts(_estream(spark, sf_dir)))
+    return out.orderBy("window_start", "event_type")
+
+
+@register(
+    "stream_sliding_counts",
+    oracle="""
+        WITH starts AS (
+            SELECT event_type,
+                   unnest([
+                       make_timestamp(epoch_us(ts) // 900000000 * 900000000),
+                       make_timestamp(epoch_us(ts) // 900000000 * 900000000 - 900000000)
+                   ]) AS window_start
+            FROM events)
+        SELECT window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM starts
+        GROUP BY window_start, event_type
+        ORDER BY window_start, event_type
+    """,
+    doc="Streaming sliding window (30 min width / 15 min slide): every "
+        "event lands in exactly 2 overlapping windows; oracle enumerates "
+        "both window starts per event.",
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = run_to_batch(sliding_window_counts(_estream(spark, sf_dir)))
+    return out.orderBy("window_start", "event_type")
+
+
+@register(
+    "stream_session_windows",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sess AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sid
+            FROM flagged)
+        SELECT user_id, MIN(ts) AS session_start,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM sess GROUP BY user_id, sid
+        ORDER BY user_id, session_start
+    """,
+    doc="Streaming session windows (30-min inactivity gap) via built-in "
+        "session_window state merging; oracle is gap-based sessionization "
+        "(lag + cumulative sum) — identical session boundaries.",
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = run_to_batch(session_window_counts(_estream(spark, sf_dir)))
+    return out.orderBy("user_id", "session_start")
+
+
+@register(
+    "stream_stateful_totals",
+    oracle="""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 2)     AS total_value
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    doc="Custom stateful operator (applyInPandasWithState): running "
+        "per-user totals; over the finite source the final state equals "
+        "the batch GROUP BY. Arrow-batched python state, update mode.",
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = run_to_batch(stateful_user_totals(_estream(spark, sf_dir)), "update")
+    return out.orderBy("user_id")

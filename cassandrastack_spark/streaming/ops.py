@@ -1,0 +1,219 @@
+"""Streaming operators over the ``events`` stream.
+
+Design notes (100 TB / always-on):
+
+- **File-source streams.** ``readStream`` over a directory is the batch
+  table's streaming twin: the same schema, the same downstream plan. In
+  production the source would be Kafka; only ``events_stream`` changes.
+- **Watermarks bound state.** Every windowed/stateful op takes a
+  watermark delay: state for windows older than ``max(event_time) -
+  delay`` is dropped, so state size is O(active windows), not O(stream
+  length). Late rows beyond the watermark are dropped (tested).
+- **Built-in windows first.** Tumbling/sliding via ``F.window``, session
+  gaps via ``F.session_window`` — all JVM-side incremental aggregation
+  with partial-agg + state store. ``applyInPandasWithState`` only for
+  the genuinely custom stateful op (running per-user totals with
+  arbitrary Python state), Arrow-batched per group.
+- **run_to_batch** executes a streaming plan over the finite test
+  directory with ``availableNow`` + memory sink — the driver's
+  correctness gate can then hash streaming results like any batch
+  DataFrame (same-result-as-batch is exactly Structured Streaming's
+  contract: incrementalized execution of the same logical plan).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENTS_RAW = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long nanos
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+_sink_ids = itertools.count()
+
+
+def events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming read of events parquet (a directory or a single file).
+
+    ``ts`` arrives as long nanos (session sets
+    ``spark.sql.legacy.parquet.nanosAsLong``); converted with integer
+    division — double math would lose precision at 1.7e18.
+    """
+    directory, glob = (
+        (os.path.dirname(path), os.path.basename(path))
+        if path.endswith(".parquet")
+        else (path, "*.parquet")
+    )
+    return (
+        spark.readStream.schema(EVENTS_RAW)
+        .option("pathGlobFilter", glob)
+        .parquet(directory)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# windowed aggregation
+# ---------------------------------------------------------------------------
+
+
+def tumbling_window_counts(
+    stream: DataFrame, width: str = "1 hour", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Per-(window, event_type) count + value sum, watermarked."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_window_counts(
+    stream: DataFrame,
+    width: str = "30 minutes",
+    slide: str = "15 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Overlapping-window counts: each event lands in width/slide windows."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def session_window_counts(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Per-user session windows with an inactivity gap (built-in
+    ``session_window`` — merges overlapping per-key windows in the state
+    store; the streaming twin of operators/windows.py sessionize)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming dedup
+# ---------------------------------------------------------------------------
+
+
+def streaming_dedup(
+    stream: DataFrame, keys: list[str], watermark: str = "30 minutes"
+) -> DataFrame:
+    """Exactly-once rows per key within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    watermark passes — bounded state, unlike plain ``dropDuplicates``
+    which retains every key forever (unusable on an infinite stream).
+    """
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+_TOTALS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+
+
+def stateful_user_totals(stream: DataFrame) -> DataFrame:
+    """Running per-user (count, value-sum) with explicit state — the
+    template for custom stateful ops Spark's built-ins can't express
+    (per-key model state, decaying counters, CEP). Arrow-batched per
+    group; state is two scalars per user, emitted once per batch.
+    """
+
+    def update(key, pdf_iter, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, float(total)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# finite execution harness
+# ---------------------------------------------------------------------------
+
+
+def run_to_batch(
+    streaming_df: DataFrame, output_mode: str = "complete"
+) -> DataFrame:
+    """Run a streaming plan over its (finite) source to completion and
+    return the result as a batch DataFrame (memory sink + availableNow).
+
+    Used by the correctness gate: streaming results hash-compare against
+    the batch oracle, which is Structured Streaming's core guarantee.
+    """
+    name = f"cs_stream_sink_{os.getpid()}_{next(_sink_ids)}"
+    checkpoint = tempfile.mkdtemp(prefix="cs_stream_ckpt_")
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return streaming_df.sparkSession.table(name)

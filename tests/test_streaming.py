@@ -1,0 +1,143 @@
+"""Structured Streaming semantics tests: watermark late-data policy,
+streaming dedup, custom stateful operator across micro-batches.
+
+The oracle gate (tools/verify_local.py) already proves streaming ==
+batch on the finite events source; these tests cover what the gate
+can't: MULTI-batch behavior — watermark advancement, late-row drops,
+bounded-state dedup, and state carried across batches.
+"""
+
+import datetime as dt
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+from cassandrastack_spark.streaming.ops import (
+    events_stream,
+    stateful_user_totals,
+    streaming_dedup,
+    tumbling_window_counts,
+)
+
+BASE = dt.datetime(2024, 3, 1, 10, 0, 0)
+
+
+def _write_batch(d, name, rows):
+    """rows: list of (event_id, ts, user_id, event_type, value)."""
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    pdf["props"] = "{}"
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[ns]")
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
+    pq.write_table(table, str(d / name))
+
+
+@pytest.fixture()
+def stream_dir(tmp_path):
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    return d
+
+
+def _start(df, tmp_path, mode):
+    return (
+        df.writeStream.format("memory")
+        .queryName(f"t_{tmp_path.name}")
+        .outputMode(mode)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+
+
+def test_watermark_drops_late_rows(spark, stream_dir, tmp_path):
+    # batch 1: two rows in the 10:00 window + one at 11:30.
+    # After batch 1 the watermark is 11:30 - 30min = 11:00, which closes
+    # (emits) the [10:00, 11:00) window in append mode.
+    _write_batch(stream_dir, "b1.parquet", [
+        (1, BASE, 7, "click", 1.0),
+        (2, BASE + dt.timedelta(minutes=5), 7, "click", 1.0),
+        (3, BASE + dt.timedelta(minutes=90), 7, "click", 1.0),
+    ])
+    out = tumbling_window_counts(
+        events_stream(spark, str(stream_dir)), "1 hour", "30 minutes"
+    )
+    q = _start(out, tmp_path, "append")
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE row for the already-closed 10:00 window (behind
+        # the watermark -> dropped) + a fresh row at 12:30 that advances
+        # the watermark to 12:00 and closes the [11:00, 12:00) window.
+        _write_batch(stream_dir, "b2.parquet", [
+            (4, BASE + dt.timedelta(minutes=15), 7, "click", 1.0),
+            (5, BASE + dt.timedelta(minutes=150), 7, "click", 1.0),
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.window_start.replace(tzinfo=None): r.n
+        for r in spark.table(q.name).collect()
+    }
+    assert got[BASE] == 2, "late row behind the watermark must NOT be counted"
+    assert got[BASE + dt.timedelta(hours=1)] == 1
+    assert BASE + dt.timedelta(hours=2) not in got, (
+        "the still-open window must not be emitted in append mode"
+    )
+
+
+def test_streaming_dedup_within_watermark(spark, stream_dir, tmp_path):
+    _write_batch(stream_dir, "b1.parquet", [
+        (1, BASE, 7, "click", 1.0),
+        (1, BASE, 7, "click", 1.0),            # same-batch duplicate
+        (2, BASE + dt.timedelta(minutes=1), 8, "view", 2.0),
+    ])
+    out = streaming_dedup(
+        events_stream(spark, str(stream_dir)), ["event_id"], "30 minutes"
+    )
+    q = _start(out, tmp_path, "append")
+    try:
+        q.processAllAvailable()
+        _write_batch(stream_dir, "b2.parquet", [
+            (2, BASE + dt.timedelta(minutes=1), 8, "view", 2.0),  # cross-batch dup
+            (3, BASE + dt.timedelta(minutes=2), 9, "click", 3.0),
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    ids = sorted(r.event_id for r in spark.table(q.name).collect())
+    assert ids == [1, 2, 3], "each key emitted exactly once within the watermark"
+
+
+def test_stateful_totals_accumulate_across_batches(spark, stream_dir, tmp_path):
+    _write_batch(stream_dir, "b1.parquet", [
+        (1, BASE, 7, "click", 10.0),
+        (2, BASE + dt.timedelta(minutes=1), 7, "click", 5.0),
+        (3, BASE + dt.timedelta(minutes=2), 8, "view", 1.0),
+    ])
+    out = stateful_user_totals(events_stream(spark, str(stream_dir)))
+    q = _start(out, tmp_path, "update")
+    try:
+        q.processAllAvailable()
+        _write_batch(stream_dir, "b2.parquet", [
+            (4, BASE + dt.timedelta(minutes=3), 7, "click", 2.5),
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # update mode appends one row per (user, batch); the final state per
+    # user is the row with the largest n_events.
+    final = (
+        spark.table(q.name)
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_value")).alias("s"))
+        .select("user_id", "s.n_events", "s.total_value")
+        .collect()
+    )
+    got = {r.user_id: (r.n_events, r.total_value) for r in final}
+    assert got[7] == (3, 17.5), "state must accumulate across micro-batches"
+    assert got[8] == (1, 1.0)

@@ -1,0 +1,103 @@
+"""REST-surface parity tests: the reference's 11 routes (SURVEY.md §2.5)
+replayed in docstring bootstrap order /create -> /messages/create ->
+/users/create (server.py:18-20), asserting the observable semantics."""
+
+import pytest
+
+from cassandrastack_spark.api import SocialMessageAPI
+
+
+@pytest.fixture()
+def api(spark, tmp_warehouse):
+    a = SocialMessageAPI(spark, tmp_warehouse, n_buckets=4)
+    a.create()
+    yield a
+    a.drop()
+
+
+def test_index_liveness(api):
+    assert api.index() == "Hello World!"
+
+
+def test_bootstrap_and_reads(api):
+    assert api.messages_create()["seeded"] == 15
+    assert api.users_create()["seeded"] == 2
+
+    # R2 full scan: all 15 seed messages
+    assert len(api.get_messages()) == 15
+
+    # R1 single-partition read: channel 1 has 13, newest-first
+    ch1 = api.get_channel_messages(1)
+    assert len(ch1) == 13
+    ts = [m["message_ts"] for m in ch1]
+    assert ts == sorted(ts, reverse=True), "clustering DESC (server.py:185)"
+    assert len(api.get_channel_messages(2)) == 1
+    assert len(api.get_channel_messages(3)) == 1
+
+    # R3 projection: password never leaves the engine (server.py:217)
+    users = api.get_users()
+    assert len(users) == 2
+    assert all(set(u) == {"user_id", "username", "email"} for u in users)
+
+
+def test_post_message_validation_and_write(api):
+    api.messages_create()
+    bad, code = api.post_channel_message(1, {"message": "no author"})
+    assert code == 400 and "error" in bad
+
+    ok, code = api.post_channel_message(1, {"author_id": "u-1", "message": "hi"})
+    assert code == 201
+    ch1 = api.get_channel_messages(1)
+    assert len(ch1) == 14
+    assert ch1[0]["message"] == "hi", "new message is newest-first"
+
+
+def test_login_success_wrong_pw_unknown_user(api):
+    api.users_create()
+    ok, code = api.login({"username": "Alex", "password": "alex"})
+    assert code == 200 and ok["username"] == "Alex" and "password" not in ok
+
+    _, code = api.login({"username": "Alex", "password": "wrong"})
+    assert code == 401
+
+    # reference bug fixed: unknown user -> 401, not IndexError (server.py:250-254)
+    _, code = api.login({"username": "Zoe", "password": "x"})
+    assert code == 401
+
+    _, code = api.login({"username": "Alex"})
+    assert code == 400
+
+
+def test_register_then_login_and_upsert(api):
+    api.users_create()
+    created, code = api.register(
+        {"username": "Cora", "email": "c@mail.de", "password": "pw"}
+    )
+    assert code == 201
+    ok, code = api.login({"username": "Cora", "password": "pw"})
+    assert code == 200 and ok["user_id"] == created["user_id"]
+
+    # INSERT is an upsert on the primary key: re-registering the same
+    # username overwrites (server.py:307-308 re-seed semantics)
+    again, _ = api.register(
+        {"username": "Cora", "email": "c2@mail.de", "password": "pw2"}
+    )
+    assert len(api.get_users()) == 3, "no duplicate row"
+    ok, code = api.login({"username": "Cora", "password": "pw2"})
+    assert code == 200 and ok["email"] == "c2@mail.de"
+    assert ok["user_id"] == again["user_id"], "last writer wins"
+
+
+def test_reseed_users_is_upsert_not_duplicate(api):
+    api.users_create()
+    api.users_create()  # re-running the seed endpoint must not duplicate
+    assert len(api.get_users()) == 2
+
+
+def test_drop_then_recreate(api):
+    api.messages_create()
+    api.drop()
+    api.create()
+    assert api.get_messages() == [], "drop removed all data"
+    api.messages_create()
+    assert len(api.get_messages()) == 15

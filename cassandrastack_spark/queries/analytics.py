@@ -12,8 +12,6 @@ lookup, ``server.py:250``).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from cassandrastack_spark.operators.asof import asof_join
@@ -23,16 +21,7 @@ from cassandrastack_spark.operators.windows import (
     top_n_per_group,
 )
 from cassandrastack_spark.queries import register
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        # ts is TIMESTAMP(NANOS) in the parquet footer; Spark reads it as
-        # long nanos (spark.sql.legacy.parquet.nanosAsLong). Convert with
-        # integer division — double math would lose precision at 1.7e18.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+from cassandrastack_spark.sources.io import read_table as _t
 
 
 # ---------------------------------------------------------------------------

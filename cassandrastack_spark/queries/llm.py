@@ -12,8 +12,6 @@ pairs they approximate.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cassandrastack_spark.functions.text import (
@@ -33,10 +31,7 @@ from cassandrastack_spark.llm.simsearch import (
     cosine_topk,
 )
 from cassandrastack_spark.queries import register
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+from cassandrastack_spark.sources.io import read_table as _t
 
 
 # ---------------------------------------------------------------------------

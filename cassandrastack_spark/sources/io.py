@@ -1,0 +1,141 @@
+"""File / connector sources and scale-aware sinks.
+
+Rules (100 TB discipline):
+
+- **Explicit schema always.** ``inferSchema`` means an extra full pass
+  over the data and type drift between runs; every reader here takes or
+  derives a StructType (schema-on-write is the engine's contract,
+  SURVEY.md §1.3).
+- **Columnar first.** Parquet/ORC scans get vectorized readers, predicate
+  pushdown, and column pruning for free; CSV/JSON are ingest formats —
+  land them to Parquet before analytics.
+- **Write sorted + sized.** The sink controls downstream scan efficiency:
+  hash-distribute on the partition key, sort within partitions
+  (clustering order), cap file sizes via maxRecordsPerFile so a
+  1000-executor scan gets even splits.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
+
+# The driver testdata's events table stores TIMESTAMP(NANOS); the session
+# reads it as long nanos (spark.sql.legacy.parquet.nanosAsLong). Integer
+# division preserves microsecond precision (double math would not at 1.7e18).
+_NANOS_TABLES = {"events"}
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Canonical testdata reader: parquet + per-table normalization."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name in _NANOS_TABLES:
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def read_file(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: StructType | None = None,
+    **options,
+) -> DataFrame:
+    """Format-dispatched read with explicit schema (never inferSchema).
+
+    CSV defaults: header on. JSON: one object per line (jsonlines).
+    """
+    if fmt not in {"parquet", "orc", "csv", "json"}:
+        raise ValueError(f"unsupported source format: {fmt}")
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt in {"csv", "json"}:
+        raise ValueError(f"{fmt} requires an explicit schema (no inference)")
+    if fmt == "csv":
+        reader = reader.option("header", options.pop("header", "true"))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def write_file(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "error",
+    **options,
+) -> None:
+    """Format-dispatched write (parquet/orc/csv/json)."""
+    if fmt not in {"parquet", "orc", "csv", "json"}:
+        raise ValueError(f"unsupported sink format: {fmt}")
+    writer = df.write.format(fmt).mode(mode)
+    if fmt == "csv":
+        writer = writer.option("header", options.pop("header", "true"))
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save(path)
+
+
+def write_sorted_bucketed(
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+    sort_cols: list,
+    n_partitions: int = 32,
+    max_records_per_file: int = 5_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Scale-aware sink: hash-distribute on the key, sort within
+    partitions (clustering order), cap per-file row counts.
+
+    This is the layout the wide-column storage engine relies on
+    (storage.py) generalized to any table: downstream equality reads
+    prune on the directory column; range scans ride Parquet min/max
+    stats of the sort columns.
+    """
+    (
+        # Sort leads with the partition column: FileFormatWriter requires
+        # task rows ordered by the partition dirs and would otherwise
+        # insert its own (non-stable) sort, destroying the clustering
+        # order inside each file.
+        df.repartition(n_partitions, F.col(partition_col))
+        .sortWithinPartitions(F.col(partition_col), *sort_cols)
+        .write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+
+
+def cassandra_table(
+    spark: SparkSession, keyspace: str, table: str, **options
+) -> DataFrame:
+    """Read a real Cassandra table via the spark-cassandra-connector
+    (format ``org.apache.spark.sql.cassandra``) — the batch-analytics
+    seam over the reference's actual store. Partition-key equality
+    predicates push down to token-range-local reads, mirroring the
+    reference's single-partition routing (``server.py:98``).
+
+    Requires the connector jar on the session classpath
+    (``spark.jars.packages=com.datastax.spark:spark-cassandra-connector_2.13:...``)
+    and ``spark.cassandra.connection.host``; raises a clear error when
+    absent (this container has no Cassandra — the seam is the contract).
+    """
+    reader = (
+        spark.read.format("org.apache.spark.sql.cassandra")
+        .option("keyspace", keyspace)
+        .option("table", table)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    try:
+        return reader.load()
+    except Exception as e:  # noqa: BLE001 — connector/classpath absence
+        raise RuntimeError(
+            "spark-cassandra-connector not available on this session's "
+            "classpath; add spark.jars.packages and "
+            "spark.cassandra.connection.host to use Cassandra sources"
+        ) from e

@@ -103,8 +103,12 @@ class WideColumnTable:
         )
         sort_cols = self._sort_cols()
         writer = (
+            # _BUCKET leads the sort: the partitioned-file writer requires
+            # task rows ordered by the partition dirs and would otherwise
+            # insert its own (non-stable) sort, destroying the clustering
+            # order inside each file.
             out.repartition(self.n_buckets, F.col(_BUCKET))
-            .sortWithinPartitions(*sort_cols)
+            .sortWithinPartitions(F.col(_BUCKET), *sort_cols)
             .write.mode("append")
             .partitionBy(_BUCKET)
         )
@@ -193,7 +197,7 @@ class WideColumnTable:
         out = self._with_bucket(current).withColumn(_WRITETIME, F.lit(_next_writetime()))
         (
             out.repartition(self.n_buckets, F.col(_BUCKET))
-            .sortWithinPartitions(*self._sort_cols())
+            .sortWithinPartitions(F.col(_BUCKET), *self._sort_cols())
             .write.mode("overwrite")
             .partitionBy(_BUCKET)
             .parquet(tmp)

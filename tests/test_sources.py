@@ -1,0 +1,91 @@
+"""Source/sink surface tests: format round-trips with explicit schemas,
+the scale-aware sorted/bucketed sink layout, and the Cassandra seam."""
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from cassandrastack_spark.sources.io import (
+    cassandra_table,
+    read_file,
+    read_table,
+    write_file,
+    write_sorted_bucketed,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("k", LongType()),
+        StructField("name", StringType()),
+        StructField("v", DoubleType()),
+    ]
+)
+
+ROWS = [(1, "a", 1.5), (2, "b", 2.5), (3, "c", 3.5)]
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "csv", "json"])
+def test_roundtrip_all_formats(spark, tmp_path, fmt):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    path = str(tmp_path / fmt)
+    write_file(df, path, fmt)
+    back = read_file(spark, path, fmt, schema=SCHEMA)
+    assert sorted((r.k, r.name, r.v) for r in back.collect()) == ROWS
+    assert back.schema == SCHEMA, "explicit schema round-trips exactly"
+
+
+@pytest.mark.parametrize("fmt", ["csv", "json"])
+def test_text_formats_require_schema(spark, tmp_path, fmt):
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_file(spark, str(tmp_path), fmt)
+
+
+def test_unsupported_format_rejected(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    with pytest.raises(ValueError, match="unsupported"):
+        write_file(df, str(tmp_path / "x"), "avro")
+    with pytest.raises(ValueError, match="unsupported"):
+        read_file(spark, str(tmp_path), "xml", schema=SCHEMA)
+
+
+def test_read_table_events_ts_is_timestamp(spark):
+    e = read_table(spark, "/root/testdata/sf0.001", "events")
+    assert dict(e.dtypes)["ts"] == "timestamp", (
+        "TIMESTAMP(NANOS) column must be normalized to a usable timestamp"
+    )
+    assert e.count() > 0
+
+
+def test_write_sorted_bucketed_layout(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i % 4, i, float(i)) for i in range(100)],
+        "part long, seq long, v double",
+    )
+    path = str(tmp_path / "bucketed")
+    write_sorted_bucketed(df, path, "part", [F.desc("seq")], n_partitions=4)
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("part="))
+    assert dirs == ["part=0", "part=1", "part=2", "part=3"], (
+        "one directory per partition-key value -> equality reads prune"
+    )
+    back = spark.read.parquet(path)
+    assert back.count() == 100
+    # rows inside each file are stored newest-first (clustering order):
+    # reading a single partition directory without a sort returns the
+    # file order, which must be seq DESC.
+    one = spark.read.parquet(os.path.join(path, "part=0")).select("seq").collect()
+    seqs = [r.seq for r in one]
+    assert seqs == sorted(seqs, reverse=True)
+
+
+def test_cassandra_seam_raises_clearly_without_connector(spark):
+    with pytest.raises(RuntimeError, match="spark-cassandra-connector"):
+        cassandra_table(spark, "ks", "tbl")

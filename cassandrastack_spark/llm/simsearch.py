@@ -7,13 +7,13 @@ Two tiers, per the task's scale ladder:
   the O(Q·N) pair stage computes only a dot product), dot via
   ``aggregate(zip_with(...))`` (sequential fold — deterministic),
   top-k via per-query ``row_number``. No UDF, no driver collect.
-- **LSH (random hyperplane) buckets** — the scale path. P deterministic
-  pseudo-random hyperplanes (components derived from ``xxhash64``, no
-  RNG state to ship) give each vector a P-bit signature; queries probe
-  only their bucket (+ optional multi-probe neighbors). At 100 TB the
-  bucket column is the table's partition key, so a probe is a
-  partition-pruned scan — the ANN analogue of the reference's
-  single-partition read (``server.py:98``).
+- **multi-table hyperplane LSH** — the scale path. L independent tables
+  of P deterministic pseudo-random hyperplanes (components derived from
+  ``xxhash64``, no RNG state to ship) give each vector L P-bit bucket
+  signatures; queries probe their bucket in each table and candidates
+  are the union. At 100 TB (table, bucket) is the corpus partition key,
+  so a probe is L partition-pruned scans — the ANN analogue of the
+  reference's single-partition read (``server.py:98``).
 """
 
 from __future__ import annotations
@@ -78,7 +78,7 @@ def cosine_pairs_above(
     """Embedding-cosine near-duplicate pairs (a_id < b_id, cosine ≥ t).
 
     Quadratic candidate stage — correct baseline for correctness tests;
-    at scale swap the candidate stage for ``lsh_bucket`` equality (same
+    at scale swap the candidate stage for ``lsh_buckets`` equality (same
     verification tail).
     """
     v = with_norm(df.select(id_col, vec_col), vec_col).select(
@@ -97,25 +97,42 @@ def cosine_pairs_above(
     )
 
 
-def lsh_bucket(df: DataFrame, vec_col: str = "vec", planes: int = 16, dim: int = 64) -> DataFrame:
-    """Add an LSH ``bucket`` column: sign pattern of `planes` fixed
-    pseudo-random hyperplanes.
+def lsh_buckets(
+    df: DataFrame,
+    vec_col: str = "vec",
+    planes: int = 4,
+    tables: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Explode each vector into ``tables`` (table, bucket) rows — standard
+    multi-table (OR-construction) hyperplane LSH for cosine.
 
-    Plane p's j-th component is ``(xxhash64(p * dim + j) % 1001 - 500) /
-    500`` — fully deterministic, derivable on any executor with no
-    broadcast state. bucket = Σ_p (dot(vec, plane_p) > 0) << p.
+    One table of P hyperplanes finds a pair at angle θ with probability
+    p = (1 - θ/π)^P — too low alone (measured 3% top-5 recall on the
+    fixture corpus with P=8, single table). L independent tables recover
+    1-(1-p)^L. Defaults P=4, L=8 target the fixture's near-random
+    vectors (top-1 cosine ≈ 0.35 → p ≈ 0.14 → recall ≈ 0.7); for real
+    clustered embeddings (neighbor cosine ≥ 0.8) raise P to 8-16 for a
+    much deeper prune at the same recall.
+
+    Plane (t, p)'s j-th component is derived from ``xxhash64`` of the
+    flat index — fully deterministic on any executor, no broadcast state,
+    no RNG to version. bucket = Σ_p (dot(vec, plane_{t,p}) > 0) << p.
     """
     sign = (
         "transform(sequence(0, {P} - 1), p -> "
         "CASE WHEN aggregate(zip_with({v}, transform(sequence(0, {D} - 1), "
-        "j -> cast(pmod(xxhash64(p * {D} + j), 1001) - 500 AS double) / 500.0), "
+        "j -> cast(pmod(xxhash64(t * {T0} + p * {D} + j), 1001) - 500 AS double) / 500.0), "
         "(x, y) -> x * y), 0D, (acc, z) -> acc + z) > 0 THEN 1L ELSE 0L END)"
-    ).format(P=planes, v=vec_col, D=dim)
+    ).format(P=planes, v=vec_col, D=dim, T0=1_000_003)
     bucket = (
         "aggregate(zip_with({s}, sequence(0, {P} - 1), (bit, p) -> shiftleft(bit, p)), "
         "0L, (acc, v) -> acc + v)"
     ).format(s=sign, P=planes)
-    return df.withColumn("bucket", F.expr(bucket))
+    return (
+        df.withColumn("t", F.explode(F.expr(f"sequence(0, {tables - 1})")))
+        .withColumn("bucket", F.expr(bucket))
+    )
 
 
 def ann_lsh_topk(
@@ -124,33 +141,50 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    planes: int = 8,
+    planes: int = 4,
+    tables: int = 8,
     dim: int = 64,
 ) -> DataFrame:
-    """Approximate top-k: probe only the query's LSH bucket.
+    """Approximate top-k: probe the query's bucket in each of L tables.
 
-    Recall < 1 by design; the candidate set shrinks ~2^planes-fold. At
-    scale, write the corpus bucketed/partitioned by ``bucket`` so the
-    probe is a pruned scan.
+    Candidates = union over tables of same-(table, bucket) pairs, scored
+    once (distinct before scoring). At scale, write the corpus
+    partitioned by (table, bucket) so each probe is a pruned scan — the
+    ANN analogue of the reference's single-partition read
+    (``server.py:98``).
     """
-    corpus = lsh_bucket(with_norm(df.select(id_col, vec_col), vec_col), "vec", planes, dim).select(
+    c_normed = with_norm(df.select(id_col, vec_col), vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col("vec").alias("c_vec"),
         F.col("norm").alias("c_norm"),
-        "bucket",
     )
-    q = lsh_bucket(with_norm(queries.select(id_col, vec_col), vec_col), "vec", planes, dim).select(
+    q_normed = with_norm(queries.select(id_col, vec_col), vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col("vec").alias("q_vec"),
         F.col("norm").alias("q_norm"),
-        "bucket",
     )
-    pairs = corpus.join(F.broadcast(q), on="bucket").filter(
-        F.col("neighbor_id") != F.col("query_id")
+    corpus_b = lsh_buckets(c_normed, "c_vec", planes, tables, dim).select(
+        "neighbor_id", "t", "bucket"
     )
-    scored = pairs.withColumn(
-        "cosine",
-        F.expr(DOT.format(a="q_vec", b="c_vec")) / (F.col("q_norm") * F.col("c_norm")),
+    q_b = lsh_buckets(q_normed, "q_vec", planes, tables, dim).select(
+        "query_id", "t", "bucket"
+    )
+    # candidate ids from any table, deduped BEFORE the (expensive) scoring
+    cand = (
+        corpus_b.join(F.broadcast(q_b), on=["t", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    c_side = c_normed
+    q_side = q_normed
+    scored = (
+        cand.join(c_side, "neighbor_id")
+        .join(F.broadcast(q_side), "query_id")
+        .withColumn(
+            "cosine",
+            F.expr(DOT.format(a="q_vec", b="c_vec")) / (F.col("q_norm") * F.col("c_norm")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -48,6 +48,11 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 def load_all() -> dict[str, QueryDef]:
     """Import every query module so their registrations run."""
-    from cassandrastack_spark.queries import analytics, llm, streaming  # noqa: F401
+    from cassandrastack_spark.queries import (  # noqa: F401
+        analytics,
+        analytics_ext,
+        llm,
+        streaming,
+    )
 
     return REGISTRY

@@ -1,0 +1,429 @@
+"""Extended analytical catalog: more TPC-H-pattern queries, pivot,
+percentiles, full window-function surface, array/string functions, the
+salting pattern for skewed joins, and the raw spark.sql text surface
+(EXISTS/IN subqueries, GROUPING SETS) — widening SURVEY.md §2.4 coverage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from cassandrastack_spark.queries import register
+from cassandrastack_spark.sources.io import read_table as _t
+
+# ---------------------------------------------------------------------------
+# TPC-H-pattern joins/aggregations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q4_priority_with_big_items",
+    oracle="""
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    doc="TPC-H Q4 pattern: EXISTS -> left-semi join (build side filtered "
+        "before the shuffle), count by priority.",
+)
+def q4_priority_with_big_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    doc="TPC-H Q6: pure filter+agg — every predicate reaches the parquet "
+        "scan (PushedFilters), zero shuffle beyond the final 1-row agg.",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q10_returned_revenue",
+    oracle="""
+        SELECT c_custkey, c_name, n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate <  TIMESTAMP '1996-10-01'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    doc="TPC-H Q10 pattern: returned-item revenue per customer; facts "
+        "shuffle on orderkey once, dims broadcast, global top-20.",
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q12_priority_by_linestatus",
+    oracle="""
+        SELECT l_linestatus,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+    """,
+    doc="TPC-H Q12 pattern: conditional aggregation (CASE WHEN inside "
+        "SUM) over a fact-fact join.",
+)
+def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# pivot / percentiles / window surface
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pivot_status_by_segment",
+    oracle="""
+        SELECT c_mktsegment,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+               CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    doc="PIVOT: order-status counts per market segment (explicit pivot "
+        "value list — one pass, no second job to discover values).",
+)
+def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0, ["F", "O", "P"])
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "percentiles_acctbal",
+    oracle="""
+        SELECT c_mktsegment,
+               ROUND(quantile_cont(c_acctbal, 0.25), 4) AS p25,
+               ROUND(quantile_cont(c_acctbal, 0.50), 4) AS p50,
+               ROUND(quantile_cont(c_acctbal, 0.75), 4) AS p75,
+               ROUND(MIN(c_acctbal), 2) AS lo,
+               ROUND(MAX(c_acctbal), 2) AS hi
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    doc="Exact interpolated percentiles per group (Spark percentile == "
+        "DuckDB quantile_cont, both linear interpolation). At 100 TB use "
+        "approx_percentile (t-digest sketch, mergeable map-side).",
+)
+def percentiles_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.round(F.expr("percentile(c_acctbal, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(c_acctbal, 0.50)"), 4).alias("p50"),
+            F.round(F.expr("percentile(c_acctbal, 0.75)"), 4).alias("p75"),
+            F.round(F.min("c_acctbal"), 2).alias("lo"),
+            F.round(F.max("c_acctbal"), 2).alias("hi"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "window_rank_surface",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               ROUND(lag(o_totalprice)  OVER w, 2)       AS prev_price,
+               ROUND(lead(o_totalprice) OVER w, 2)       AS next_price,
+               CAST(dense_rank() OVER w2 AS BIGINT)      AS price_rank,
+               CAST(ntile(4) OVER w AS INT)              AS quartile,
+               ROUND(first_value(o_totalprice) OVER w, 2) AS first_price
+        FROM orders
+        WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               w2 AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        ORDER BY o_orderkey
+    """,
+    doc="Window-function surface in one pass: lag/lead/dense_rank/ntile/"
+        "first_value over two window specs (unique-key tie-breaks keep "
+        "every engine deterministic).",
+)
+def window_rank_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    w2 = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select(
+            "o_orderkey", "o_custkey",
+            F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+            F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+            F.dense_rank().over(w2).cast("bigint").alias("price_rank"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        ).orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# array / string aggregation functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "array_functions",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INT)             AS n_words,
+               array_to_string(string_split(text, ' ')[1:3], '_')    AS head3,
+               CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_unique,
+               CAST(list_contains(string_split(text, ' '), 'the') AS BOOLEAN) AS has_the,
+               list_sort(list_distinct(string_split(text, ' ')))[1]  AS first_alpha
+        FROM documents WHERE doc_id < 50 ORDER BY doc_id
+    """,
+    doc="Array-function surface: split/slice/array_join/array_distinct/"
+        "array_contains/array_sort — all codegen'd, no UDF.",
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    words = F.split(F.col("text"), " ")
+    return (
+        d.select(
+            "doc_id",
+            F.size(words).cast("int").alias("n_words"),
+            F.array_join(F.slice(words, 1, 3), "_").alias("head3"),
+            F.size(F.array_distinct(words)).cast("int").alias("n_unique"),
+            F.array_contains(words, "the").alias("has_the"),
+            F.array_sort(F.array_distinct(words))[0].alias("first_alpha"),
+        ).orderBy("doc_id")
+    )
+
+
+@register(
+    "string_agg_nations",
+    oracle="""
+        SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM region JOIN nation ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+    """,
+    doc="Ordered string aggregation (listagg): collect_list -> array_sort "
+        "-> array_join gives a deterministic concatenation regardless of "
+        "partial-agg arrival order.",
+)
+def string_agg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("r_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# skew handling: the salting pattern
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "salted_join_events_customers",
+    oracle="""
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 2)     AS total_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    doc="Skew-safe join via explicit salting: the skewed (left) side gets "
+        "a deterministic salt pmod(hash(event_id), 8); the right side "
+        "explodes to all 8 salts; the join key becomes (key, salt) so one "
+        "hot user_id spreads over 8 tasks. Same result as the plain join "
+        "(the oracle); AQE skew-split is the automatic alternative.",
+)
+def salted_join_events_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_salt = 8
+    e = _t(spark, sf_dir, "events").withColumn(
+        "_salt", F.pmod(F.hash("event_id"), F.lit(n_salt))
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .withColumn("_salt", F.explode(F.array([F.lit(i) for i in range(n_salt)])))
+    )
+    return (
+        e.join(c, (e.user_id == c.c_custkey) & (e._salt == c._salt))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# spark.sql text surface
+# ---------------------------------------------------------------------------
+
+
+def _views(spark: SparkSession, sf_dir: str) -> None:
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+@register(
+    "sql_exists_in_subqueries",
+    oracle="""
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+          AND c_nationkey IN (SELECT n_nationkey FROM nation
+                              WHERE n_regionkey = 2)
+        ORDER BY c_custkey
+    """,
+    doc="SQL text surface: correlated EXISTS + uncorrelated IN in one "
+        "query, planned by Catalyst as semi-joins (same text runs on both "
+        "engines).",
+)
+def sql_exists_in_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    return spark.sql("""
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+          AND c_nationkey IN (SELECT n_nationkey FROM nation
+                              WHERE n_regionkey = 2)
+        ORDER BY c_custkey
+    """)
+
+
+@register(
+    "sql_grouping_sets",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    doc="Explicit GROUPING SETS (beyond rollup/cube): three grouping "
+        "shapes in one pass via the SQL surface.",
+)
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """)
+
+
+@register(
+    "approx_distinct_users",
+    oracle=None,  # HLL sketch — approximate by construction; bounds tested
+    doc="approx_count_distinct (HyperLogLog++) per event_type — the "
+        "mergeable-sketch path for 100 TB distincts; relative error "
+        "bound asserted against the exact count in tests/.",
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )

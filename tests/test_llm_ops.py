@@ -1,0 +1,126 @@
+"""Validation for the operators the DuckDB gate can only rows-check:
+hash-family dedup (MinHash-LSH, SimHash), approximate ANN recall,
+HyperLogLog error bounds, and the multimodal mapInPandas plumbing.
+
+Each asserts the property the algorithm is supposed to have, against an
+exact reference computed on the same data.
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cassandrastack_spark.llm.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from cassandrastack_spark.llm.multimodal import extract_features
+from cassandrastack_spark.llm.simsearch import ann_lsh_topk, cosine_topk
+from cassandrastack_spark import schemas
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_minhash_lsh_finds_high_jaccard_pairs(docs):
+    """MinHash-LSH (16x4 bands, S-curve midpoint ~0.5) must find every
+    pair with true Jaccard >= 0.7 (P[miss] = (1-s^4)^16 < 0.02% there)
+    and report the EXACT jaccard for each pair it emits (the verify tail
+    recomputes it)."""
+    exact = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    lsh = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in minhash_lsh_pairs(docs, threshold=0.2).collect()
+    }
+    must_find = {p for p, j in exact.items() if j >= 0.7}
+    assert must_find, "fixture should contain near-duplicate pairs"
+    missed = must_find - set(lsh)
+    assert not missed, f"LSH missed high-similarity pairs: {missed}"
+    for p, j in lsh.items():
+        assert p in exact, f"LSH emitted pair {p} not in exact set"
+        assert abs(exact[p] - j) < 1e-12, "verification must be exact jaccard"
+
+
+def test_simhash_pairs_have_low_hamming_and_similar_text(docs):
+    rows = simhash_pairs(docs).collect()
+    assert rows, "fixture should contain simhash near-dups"
+    assert all(r.hamming <= 3 for r in rows)
+    # simhash-close pairs must overwhelmingly be truly similar documents:
+    # every emitted pair here should also clear a loose exact-jaccard bar.
+    exact = {
+        (r.a_id, r.b_id)
+        for r in ngram_jaccard_pairs(docs, threshold=0.15).collect()
+    }
+    hits = sum(1 for r in rows if (r.a_id, r.b_id) in exact)
+    assert hits / len(rows) >= 0.8, "simhash precision collapsed"
+
+
+def test_ann_lsh_recall_against_exact(emb):
+    """Bucketed ANN trades recall for a ~2^planes candidate reduction;
+    on the fixture its top-5 must overlap exact top-5 by >= 40% for the
+    queries it can answer (same-bucket neighbors exist)."""
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, q, k=5).collect()
+    approx = ann_lsh_topk(emb, q, k=5).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got_sets = {}
+    for r in approx:
+        got_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact_sets[qid] & got) / len(exact_sets[qid])
+        for qid, got in got_sets.items()
+    ]
+    assert recalls, "ANN returned nothing"
+    assert sum(recalls) / len(recalls) >= 0.4, (
+        f"mean recall {sum(recalls)/len(recalls):.2f} too low"
+    )
+
+
+def test_approx_count_distinct_error_bound(spark):
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    both = (
+        e.agg(
+            F.approx_count_distinct("user_id", 0.01).alias("approx"),
+            F.countDistinct("user_id").alias("exact"),
+        ).head()
+    )
+    rel_err = abs(both.approx - both.exact) / both.exact
+    assert rel_err <= 0.05, f"HLL(rsd=0.01) off by {rel_err:.2%}"
+
+
+def test_multimodal_feature_extraction_plumbing(spark):
+    media = spark.createDataFrame(
+        [
+            (1, "image", b"\x89PNG fake bytes", "image/png", 64, 64, None),
+            (2, "audio", b"RIFF fake wav" * 200, "audio/wav", None, None, 3000),
+            (3, "video", b"\x00\x00ftyp fake mp4" * 500, "video/mp4", 640, 480, 10000),
+            (4, "image", None, "image/png", 0, 0, None),
+        ],
+        schemas.MEDIA,
+    )
+    out = extract_features(media).collect()
+    by_id = {r.media_id: r for r in out}
+    assert len(out) == 4
+    assert by_id[1].feat_dim == 512 and by_id[1].frames_sampled == 1
+    assert by_id[2].feat_dim == 128 and by_id[2].frames_sampled >= 1
+    assert by_id[3].feat_dim == 768 and by_id[3].frames_sampled > 1
+    assert by_id[4].n_bytes == 0 and by_id[4].sha256 == ""
+    assert by_id[1].n_bytes == len(b"\x89PNG fake bytes")
+    # determinism: same payload -> same fake features (the stub contract)
+    again = {r.media_id: r for r in extract_features(media).collect()}
+    assert all(again[i].feat_mean == by_id[i].feat_mean for i in by_id)

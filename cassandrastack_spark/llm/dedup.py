@@ -12,8 +12,11 @@ compared):
   Exact verification divides intersection by union of distinct-shingle
   counts — pure integer math, deterministic across engines.
 - **minhash-lsh**: 64 hash functions via ``xxhash64(seed, shingle)``
-  (JVM built-in, no UDF), banded 16×4; candidate pairs join only within
-  (band, signature) buckets — the standard sub-quadratic LSH plan.
+  (JVM built-in, no UDF) computed as array_min over the cached shingle
+  arrays — a pure narrow map stage, no explode/shuffle; banded 16×4;
+  candidate pairs join only within (band, signature) buckets, and only
+  candidate docs are exploded for exact verification — the standard
+  sub-quadratic LSH plan.
 - **simhash**: 64-bit fingerprint via an Arrow-batched pandas UDF
   (bit-twiddling that Spark expressions can't vectorize well); near-dups
   via 4×16-bit band buckets (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical
@@ -33,6 +36,22 @@ from pyspark.sql.types import LongType
 # ---------------------------------------------------------------------------
 # shingling
 # ---------------------------------------------------------------------------
+
+
+def _widen(df: DataFrame) -> DataFrame:
+    """Spread compute-heavy per-row work across all cores.
+
+    A small parquet file scans as ONE partition (maxPartitionBytes),
+    which would serialize the expensive shingle/hash stages onto a
+    single task (measured 1-of-32 cores busy at sf0.1). Repartition up
+    to the session's parallelism ONLY when the input is narrower — on a
+    real cluster a 100 TB scan already has thousands of partitions and
+    this is a no-op.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def with_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
@@ -56,12 +75,25 @@ def with_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFram
     )
 
 
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(id, shingles array<string>) — one row per doc, distinct shingles.
+
+    Callers that consume this more than once should ``persist()`` it:
+    the InMemoryRelation is a Catalyst barrier, so downstream lambdas
+    read the built arrays instead of re-inlining the shingle
+    construction (CollapseProject would otherwise re-evaluate the full
+    tokenization inside every consumer — measured 30x slower).
+    """
+    return with_shingles(_widen(df.select(id_col, text_col)), text_col, k).select(
+        F.col(id_col).alias("id"), "shingles"
+    )
+
+
 def exploded_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
     """(id, shingle) rows, distinct per document — the inverted-index /
     signature base. Shingle construction happens exactly once per doc."""
-    return (
-        with_shingles(df.select(id_col, text_col), text_col, k)
-        .select(F.col(id_col).alias("id"), F.explode("shingles").alias("shingle"))
+    return shingle_sets(df, id_col, text_col, k).select(
+        "id", F.explode("shingles").alias("shingle")
     )
 
 
@@ -99,8 +131,9 @@ def ngram_jaccard_pairs(
     (hash-shuffled); hot shingles (stopword runs) are the skew risk —
     AQE skew-join splits them.
     """
-    inv = exploded_shingles(df, id_col, text_col, k)
-    sizes = inv.groupBy("id").agg(F.count("*").alias("n_sh"))
+    sh = shingle_sets(df, id_col, text_col, k).persist()
+    inv = sh.select("id", F.explode("shingles").alias("shingle"))
+    sizes = sh.select("id", F.size("shingles").alias("n_sh"))
     pairs = (
         inv.alias("x")
         .join(inv.alias("y"), on="shingle")
@@ -127,6 +160,23 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def minhash_from_sets(sets: DataFrame, num_hashes: int = 64) -> DataFrame:
+    """(id, minhash array<bigint>) from (id, shingles array) rows —
+    hash family h_s(x) = xxhash64(s, x).
+
+    One nested-transform expression per row: for each seed, hash every
+    shingle and take the array_min. No explode, no shuffle, no UDF —
+    signature computation is a pure narrow map stage, embarrassingly
+    parallel at any scale. Feed it a PERSISTED ``shingle_sets`` output
+    so the lambda reads built arrays (see shingle_sets docstring).
+    """
+    sig = (
+        f"transform(sequence(0, {num_hashes - 1}), "
+        f"s -> array_min(transform(shingles, x -> xxhash64(bigint(s), x))))"
+    )
+    return sets.select("id", F.expr(sig).alias("minhash"))
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -134,23 +184,9 @@ def minhash_signatures(
     k: int = 3,
     num_hashes: int = 64,
 ) -> DataFrame:
-    """(id, minhash array<bigint>) — hash family h_s(x) = xxhash64(s, x).
-
-    Formulated as ``num_hashes`` MIN aggregations over the exploded
-    (id, shingle) inverted index: each shingle is hashed exactly once
-    per seed, partial aggregation combines map-side, and no array ever
-    appears inside a lambda (which would make Catalyst re-inline and
-    re-evaluate the shingle construction per seed — measured 30x
-    slower). All JVM expressions, no UDF.
-    """
-    inv = exploded_shingles(df, id_col, text_col, k)
-    mins = [
-        F.min(F.xxhash64(F.lit(s), F.col("shingle"))).alias(f"h{s}")
-        for s in range(num_hashes)
-    ]
-    per_doc = inv.groupBy("id").agg(*mins)
-    return per_doc.select(
-        "id", F.array(*[F.col(f"h{s}") for s in range(num_hashes)]).alias("minhash")
+    """(id, minhash array<bigint>) straight from documents."""
+    return minhash_from_sets(
+        shingle_sets(df, id_col, text_col, k).persist(), num_hashes
     )
 
 
@@ -170,7 +206,11 @@ def minhash_lsh_pairs(
     inverted-index shuffle is on 8-byte signatures, never on documents.
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    # ONE shingle-set table feeds both the signatures and the
+    # verification tail; persisted so neither consumer re-runs the
+    # shingling (the single most expensive stage).
+    sh = shingle_sets(df, id_col, text_col, k).persist()
+    sigs = minhash_from_sets(sh, num_hashes)
     banded = sigs.select(
         "id",
         F.explode(
@@ -180,21 +220,28 @@ def minhash_lsh_pairs(
             )
         ).alias("bs"),
     ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    # Candidate pairs are tiny (band collisions only) but expensive to
+    # derive — persist so the three consumers below share one computation
+    # instead of re-running the whole signature pipeline each.
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), on=["band", "sig"])
         .filter(F.col("x.id") < F.col("y.id"))
         .select(F.col("x.id").alias("a_id"), F.col("y.id").alias("b_id"))
         .distinct()
+        .persist()
     )
-    # exact verification on the candidate set only: semi-join the
-    # inverted index down to candidate docs, count shared shingles.
-    inv = exploded_shingles(df, id_col, text_col, k)
+    # exact verification on the candidate set only: restrict the cached
+    # shingle sets to candidate docs FIRST, explode just those (a few
+    # hundred rows, not the whole corpus), count shared shingles. Set
+    # sizes come free from size(shingles). No forced broadcast hints —
+    # AQE sees the post-filter sizes at runtime and picks broadcasts.
     cand_docs = cand.select(F.col("a_id").alias("id")).union(
         cand.select(F.col("b_id").alias("id"))
     ).distinct()
-    inv_c = inv.join(F.broadcast(cand_docs), "id")
-    sizes = inv_c.groupBy("id").agg(F.count("*").alias("n_sh"))
+    sh_c = sh.join(cand_docs, "id")
+    inv_c = sh_c.select("id", F.explode("shingles").alias("shingle"))
+    sizes = sh_c.select("id", F.size("shingles").alias("n_sh"))
     shared = (
         cand.join(inv_c.select(F.col("id").alias("a_id"), "shingle"), "a_id")
         .join(inv_c.select(F.col("id").alias("b_id"), "shingle"), ["b_id", "shingle"])
@@ -204,8 +251,8 @@ def minhash_lsh_pairs(
     a_sz = sizes.select(F.col("id").alias("a_id"), F.col("n_sh").alias("a_n"))
     b_sz = sizes.select(F.col("id").alias("b_id"), F.col("n_sh").alias("b_n"))
     return (
-        shared.join(F.broadcast(a_sz), "a_id")
-        .join(F.broadcast(b_sz), "b_id")
+        shared.join(a_sz, "a_id")
+        .join(b_sz, "b_id")
         .withColumn(
             "jaccard",
             F.col("shared") / (F.col("a_n") + F.col("b_n") - F.col("shared")),
@@ -265,7 +312,7 @@ def simhash_pairs(
     join on (band, band_value) and only candidates pay the exact
     ``bit_count(xor)`` check.
     """
-    sigs = df.select(
+    sigs = _widen(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"), _simhash64(F.col(text_col)).alias("sh")
     )
     banded = sigs.select(

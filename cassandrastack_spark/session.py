@@ -48,7 +48,14 @@ def get_spark(app_name: str = "cassandrastack-spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Local-harness default 16 MB: the test files are single-digit-MB,
+        # and 128 MB splits would hand a whole table to ONE task (measured:
+        # the dedup shingle stage ran 1-of-32 cores). On a real cluster
+        # with TB-scale inputs set 128-256 MB via the environment.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)),
+        )
         # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
         # reader rejects; read as long nanos and convert (see load_events).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -62,16 +62,21 @@ def range_join_pairs(
     time_col: str,
     id_col: str,
     window_seconds: int,
+    bin_time: bool = False,
 ) -> DataFrame:
     """Self range-join: pairs (a, b) with the same key, ``a.id < b.id``
     and ``0 <= b.time - a.time <= window_seconds``.
 
-    Equi-join on the key first (hash join, prunable) with the range as a
-    post-join filter; AQE handles skewed keys. For keys with very large
-    groups at 100 TB, pre-bucket time into ``window_seconds`` bins and
-    join on (key, bin) ∪ (key, bin+1) to bound the quadratic blow-up —
-    exposed via ``bin_time=True``.
+    Default plan: equi-join on the key (hash join, prunable) with the
+    range as a post-join filter; AQE handles skewed keys. With
+    ``bin_time=True`` (the 100 TB path for keys with very large groups),
+    time is bucketed into ``window_seconds`` bins and the b-side joins
+    on (key, bin) ∪ (key, bin+1): each a-row meets only rows of two
+    adjacent bins instead of the key's whole history, bounding the
+    quadratic blow-up; the exact range filter then prunes false
+    positives. Identical output to the default plan.
     """
+    win_us = window_seconds * 1_000_000
     a = df.select(
         F.col(key_col).alias("k"),
         F.unix_micros(F.col(time_col)).alias("t_a"),
@@ -82,8 +87,22 @@ def range_join_pairs(
         F.unix_micros(F.col(time_col)).alias("t_b"),
         F.col(id_col).alias("b_id"),
     )
-    win_us = window_seconds * 1_000_000
-    return a.join(b, on="k").filter(
+    if bin_time:
+        # a joins in its own bin; b appears in its bin AND the previous
+        # one: t_b in [t_a, t_a+win] implies bin_b ∈ {bin_a, bin_a+1},
+        # i.e. bin_a ∈ {bin_b, bin_b-1}, so every in-window pair shares
+        # a join key.
+        a = a.withColumn("bin", F.floor(F.col("t_a") / win_us))
+        b = b.withColumn(
+            "bin", F.explode(F.array(
+                F.floor(F.col("t_b") / win_us),
+                F.floor(F.col("t_b") / win_us) - 1,
+            ))
+        )
+        joined = a.join(b, on=["k", "bin"]).drop("bin")
+    else:
+        joined = a.join(b, on="k")
+    return joined.filter(
         (F.col("a_id") < F.col("b_id"))
         & (F.col("t_b") - F.col("t_a") >= 0)
         & (F.col("t_b") - F.col("t_a") <= win_us)

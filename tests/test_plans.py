@@ -1,0 +1,128 @@
+"""Physical-plan shape tests: the scale properties each operator claims
+must be visible in the plan Catalyst actually produces — filters reach
+the parquet scan, projections prune the read schema, dims broadcast,
+aggregations partial-combine, top-k avoids full sorts, the as-of join
+shuffles exactly once, and bucket reads prune to one directory.
+
+A correct-but-wrong-shaped plan is a 100 TB incident; these tests pin
+the shape, not just the rows.
+"""
+
+import re
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cassandrastack_spark.operators.asof import asof_join
+from cassandrastack_spark.operators.windows import range_join_pairs
+from cassandrastack_spark.queries import load_all
+from cassandrastack_spark.sources.io import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all()
+
+
+def phys(df) -> str:
+    """Physical plan string (pre-execution; AQE initial plan)."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_filter_pushdown_reaches_scan(spark, registry):
+    plan = formatted(registry["projection_scan"].fn(spark, SF))
+    assert re.search(r"PushedFilters: \[.*GreaterThan\(c_acctbal", plan), plan
+    # column pruning: 5-column table, 4 columns read (3 projected + filter col)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(m.group(1).split(",")) == {
+        "c_custkey:bigint", "c_name:string", "c_acctbal:double", "c_mktsegment:string",
+    }, plan
+
+
+def test_point_lookup_pushes_equality(spark, registry):
+    plan = formatted(registry["point_lookup"].fn(spark, SF))
+    assert re.search(r"PushedFilters: \[.*EqualTo\(o_orderkey,42\)", plan), plan
+
+
+def test_q1_partial_aggregation(spark, registry):
+    plan = formatted(registry["q1_pricing_summary"].fn(spark, SF))
+    # two-phase agg: partial_ functions before the exchange, final after
+    assert "partial_sum" in plan, plan
+    assert re.search(r"PushedFilters: \[.*LessThanOrEqual\(l_shipdate", plan), plan
+
+
+def test_q3_broadcasts_dimension(spark, registry):
+    plan = phys(registry["q3_shipping_priority"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q5_no_sort_merge_on_dims(spark, registry):
+    plan = phys(registry["q5_local_supplier_volume"].fn(spark, SF))
+    # every dim join is broadcast; the only shuffle joins are fact-fact
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+
+
+def test_global_topk_avoids_full_sort(spark, registry):
+    plan = phys(registry["top_k_global"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan, (
+        "ORDER BY + LIMIT must compile to per-partition heaps, not a "
+        "global sort:\n" + plan
+    )
+
+
+def test_asof_join_single_shuffle(spark):
+    e = read_table(spark, SF, "events").select("event_id", "user_id", "ts")
+    o = read_table(spark, SF, "orders").select("o_custkey", "o_orderdate")
+    out = asof_join(
+        e, o,
+        left_on="user_id", right_on="o_custkey",
+        left_time="ts", right_time="o_orderdate",
+        payload_cols=["o_orderdate"],
+    )
+    plan = phys(out)
+    n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_exchanges == 1, (
+        f"union-sort as-of join must shuffle exactly once, saw {n_exchanges}:\n"
+        + plan
+    )
+
+
+def test_binned_range_join_matches_unbinned(spark):
+    e = read_table(spark, SF, "events")
+    plain = set(
+        (r.k, r.a_id, r.b_id)
+        for r in range_join_pairs(e, "user_id", "ts", "event_id", 300).collect()
+    )
+    binned = set(
+        (r.k, r.a_id, r.b_id)
+        for r in range_join_pairs(
+            e, "user_id", "ts", "event_id", 300, bin_time=True
+        ).collect()
+    )
+    assert plain == binned, "binned plan must be a pure optimization"
+    assert len(plain) > 0
+
+
+def test_dedup_exact_partial_agg_on_digest(spark, registry):
+    plan = formatted(registry["dedup_exact"].fn(spark, SF))
+    assert "partial_min" in plan or "partial_count" in plan, (
+        "exact dedup must map-side combine on the digest:\n" + plan
+    )
+
+
+def test_streaming_plan_has_watermark_and_state(spark):
+    from cassandrastack_spark.streaming.ops import events_stream, tumbling_window_counts
+
+    out = tumbling_window_counts(events_stream(spark, f"{SF}/events.parquet"))
+    # streaming logical plan: watermark node present before the agg
+    logical = out._jdf.queryExecution().logical().toString()
+    assert "EventTimeWatermark" in logical, logical

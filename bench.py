@@ -24,16 +24,24 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_revenue",
     "topn_per_group",
     "window_running_sum",
     "sessionize_events",
     "asof_join_latest_order",
+    "range_join_event_pairs",
+    "salted_join_events_customers",
     "tumbling_window_hourly",
+    "stream_tumbling_hourly",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "ann_cosine_topk",
+    "ann_lsh_topk",
     "text_stats",
+    "text_langid",
     "text_fingerprint",
 ]
 

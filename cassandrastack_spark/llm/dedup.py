@@ -33,25 +33,11 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 
+from cassandrastack_spark.sources.io import widen_for_compute as _widen
+
 # ---------------------------------------------------------------------------
 # shingling
 # ---------------------------------------------------------------------------
-
-
-def _widen(df: DataFrame) -> DataFrame:
-    """Spread compute-heavy per-row work across all cores.
-
-    A small parquet file scans as ONE partition (maxPartitionBytes),
-    which would serialize the expensive shingle/hash stages onto a
-    single task (measured 1-of-32 cores busy at sf0.1). Repartition up
-    to the session's parallelism ONLY when the input is narrower — on a
-    real cluster a 100 TB scan already has thousands of partitions and
-    this is a no-op.
-    """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
 
 
 def with_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
@@ -267,35 +253,44 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
+# Worker-lifetime cache: word -> ±1 bit-vector (int16[64], index i is
+# bit i of the md5-derived 64-bit word hash). Vocabularies repeat
+# heavily across documents, so the cache turns the per-word inner loop
+# into one numpy lookup + vector add.
+_WORD_VECS: dict[str, "np.ndarray"] = {}
+
+import numpy as np  # noqa: E402
+
+
+def _word_vec(w: str) -> "np.ndarray":
+    v = _WORD_VECS.get(w)
+    if v is None:
+        h = hashlib.md5(w.encode()).digest()[:8]
+        bits = np.unpackbits(
+            np.frombuffer(h[::-1], dtype=np.uint8), bitorder="little"
+        )
+        v = bits.astype(np.int16) * 2 - 1
+        _WORD_VECS[w] = v
+    return v
+
+
 @pandas_udf(LongType())
 def _simhash64(texts: pd.Series) -> pd.Series:
     """64-bit SimHash over whitespace tokens, md5-based word hashes
-    (deterministic across processes — no PYTHONHASHSEED dependence)."""
-    cache: dict[str, int] = {}
-
-    def word_hash(w: str) -> int:
-        h = cache.get(w)
-        if h is None:
-            h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
-            cache[w] = h
-        return h
-
-    out = []
-    for t in texts:
+    (deterministic across processes — no PYTHONHASHSEED dependence).
+    Bit i of the result is the sign of the count-weighted sum of bit i
+    over all word hashes. Vectorized: per doc one int32[64] accumulate
+    over cached per-word ±1 vectors."""
+    out = np.empty(len(texts), dtype=np.int64)
+    for j, t in enumerate(texts):
         counts: dict[str, int] = {}
         for w in (t or "").split(" "):
             counts[w] = counts.get(w, 0) + 1
-        acc = [0] * 64
+        acc = np.zeros(64, dtype=np.int32)
         for w, c in counts.items():
-            h = word_hash(w)
-            for i in range(64):
-                acc[i] += c if (h >> i) & 1 else -c
-        v = 0
-        for i in range(64):
-            if acc[i] > 0:
-                v |= 1 << i
-        # to signed 64-bit
-        out.append(v - (1 << 64) if v >= (1 << 63) else v)
+            acc += _word_vec(w) * np.int16(c) if c != 1 else _word_vec(w)
+        v = int(np.packbits(acc > 0, bitorder="little").view("<u8")[0])
+        out[j] = v - (1 << 64) if v >= (1 << 63) else v  # to signed 64-bit
     return pd.Series(out, dtype="int64")
 
 

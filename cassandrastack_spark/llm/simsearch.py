@@ -20,14 +20,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from cassandrastack_spark.sources.io import widen_for_compute as _widen
+
 DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
 
 
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Add ``vec`` (double[]) and its L2 norm (computed once per row)."""
+    """Add ``vec`` (double[]) and its L2 norm (computed once per row).
+    Widens narrow scans first: the vector math downstream is the
+    expensive per-row stage."""
     as_double = F.expr(f"transform({vec_col}, x -> cast(x AS double))")
     return (
-        df.withColumn("vec", as_double)
+        _widen(df)
+        .withColumn("vec", as_double)
         .withColumn("norm", F.expr("sqrt(" + DOT.format(a="vec", b="vec") + ")"))
     )
 

@@ -25,6 +25,7 @@ from cassandrastack_spark.streaming.ops import (
     session_window_counts,
     sliding_window_counts,
     stateful_user_totals,
+    stream_stream_interval_join,
     tumbling_window_counts,
 )
 
@@ -104,6 +105,42 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_to_batch(session_window_counts(_estream(spark, sf_dir)))
     return out.orderBy("user_id", "session_start")
+
+
+@register(
+    "stream_click_view_join",
+    oracle="""
+        SELECT a.event_id AS click_id, b.event_id AS view_id, a.user_id
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'click' AND b.event_type = 'view'
+         AND epoch_us(b.ts) >= epoch_us(a.ts) - 600000000
+         AND epoch_us(b.ts) <= epoch_us(a.ts)
+        ORDER BY click_id, view_id
+    """,
+    doc="Stream-stream interval join: clicks matched to views of the "
+        "same user within the preceding 10 minutes; watermarks on both "
+        "sides + two-sided time bound give bounded join state. Over the "
+        "finite source the result equals the batch join (the oracle).",
+)
+def stream_click_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks = (
+        _estream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts"))
+    )
+    views = (
+        _estream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(F.col("event_id").alias("view_id"), F.col("user_id").alias("v_user_id"), F.col("ts").alias("view_ts"))
+    )
+    joined = stream_stream_interval_join(
+        clicks, views,
+        left_key="user_id", right_key="v_user_id",
+        left_time="click_ts", right_time="view_ts",
+        lookback_seconds=600,
+    ).select("click_id", "view_id", "user_id")
+    return run_to_batch(joined, "append").orderBy("click_id", "view_id")
 
 
 @register(

@@ -7,6 +7,7 @@ DataFrameReader family plus a connector seam for real Cassandra.
 
 from cassandrastack_spark.sources.io import (
     cassandra_table,
+    cassandra_write,
     read_file,
     read_table,
     write_file,
@@ -15,6 +16,7 @@ from cassandrastack_spark.sources.io import (
 
 __all__ = [
     "cassandra_table",
+    "cassandra_write",
     "read_file",
     "read_table",
     "write_file",

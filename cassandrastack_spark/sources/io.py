@@ -36,6 +36,21 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def widen_for_compute(df: DataFrame) -> DataFrame:
+    """Spread compute-heavy per-row work across all cores.
+
+    A small parquet file scans as ONE partition (maxPartitionBytes),
+    which serializes expensive per-row stages (shingling, hashing,
+    vector math) onto a single task. Repartition up to the session's
+    parallelism ONLY when the input is narrower — on a real cluster a
+    100 TB scan already has thousands of partitions and this is a no-op.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def read_file(
     spark: SparkSession,
     path: str,
@@ -108,6 +123,42 @@ def write_sorted_bucketed(
         .partitionBy(partition_col)
         .parquet(path)
     )
+
+
+def cassandra_write(
+    df: DataFrame,
+    keyspace: str,
+    table: str,
+    consistency_level: str = "ONE",
+    **options,
+) -> None:
+    """Append a DataFrame to a real Cassandra table via the connector.
+
+    ``consistency_level`` maps the reference's per-batch consistency
+    selection (W4, ``BatchStatement(consistency_level=ONE)``,
+    ``server.py:137,279``; QUORUM variant commented out at
+    ``server.py:136``) onto the connector's
+    ``spark.cassandra.output.consistency.level`` option — the only
+    place per-request consistency is meaningful in a Spark engine
+    (SURVEY.md §7.4). Requires the connector jar; clear error without.
+    """
+    writer = (
+        df.write.format("org.apache.spark.sql.cassandra")
+        .option("keyspace", keyspace)
+        .option("table", table)
+        .option("spark.cassandra.output.consistency.level", consistency_level)
+        .mode("append")
+    )
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    try:
+        writer.save()
+    except Exception as e:  # noqa: BLE001 — connector/classpath absence
+        raise RuntimeError(
+            "spark-cassandra-connector not available on this session's "
+            "classpath; add spark.jars.packages and "
+            "spark.cassandra.connection.host to use Cassandra sinks"
+        ) from e
 
 
 def cassandra_table(

@@ -149,6 +149,43 @@ def streaming_dedup(
 
 
 # ---------------------------------------------------------------------------
+# stream-stream join
+# ---------------------------------------------------------------------------
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    lookback_seconds: int,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Inner join of two streams on key + time interval: each left row
+    matches right rows with ``right_time`` in ``[left_time - lookback,
+    left_time]``.
+
+    Both sides are watermarked and the join condition bounds event time
+    in BOTH directions, so Spark can expire join state: buffered rows
+    older than watermark + lookback are dropped — bounded state on an
+    infinite stream (without the interval bound, stream-stream state
+    grows forever). Time/key columns should be distinctly named across
+    the two sides so the joined output is unambiguous.
+    """
+    l = left.withWatermark(left_time, watermark)
+    r = right.withWatermark(right_time, watermark)
+    return l.join(
+        r,
+        (l[left_key] == r[right_key])
+        & (r[right_time] >= l[left_time] - F.expr(f"INTERVAL {lookback_seconds} SECONDS"))
+        & (r[right_time] <= l[left_time]),
+        "inner",
+    )
+
+
+# ---------------------------------------------------------------------------
 # custom stateful operator (applyInPandasWithState)
 # ---------------------------------------------------------------------------
 

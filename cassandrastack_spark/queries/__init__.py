@@ -53,6 +53,7 @@ def load_all() -> dict[str, QueryDef]:
         analytics_ext,
         llm,
         streaming,
+        surface_ext,
     )
 
     return REGISTRY

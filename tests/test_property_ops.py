@@ -1,0 +1,113 @@
+"""Property-based validation of the custom operators against
+brute-force references on randomized inputs (hypothesis-driven data,
+executed through the real Spark plans).
+
+The oracle gate checks one fixture; these check the operator CONTRACT
+over many shapes: empty groups, ties, unmatched keys, single-row
+partitions, duplicate timestamps.
+"""
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from cassandrastack_spark.operators.asof import asof_join
+from cassandrastack_spark.operators.rollup_ts import rollup_ladder
+from cassandrastack_spark.operators.windows import sessionize
+
+BASE = dt.datetime(2024, 1, 1)
+
+# small row universes keep each hypothesis example to one Spark job of
+# a few tasks while still hitting ties/empties/unmatched keys
+_keys = st.integers(min_value=0, max_value=3)
+_secs = st.integers(min_value=0, max_value=5000)
+
+
+@st.composite
+def left_right_rows(draw):
+    left = draw(st.lists(st.tuples(_keys, _secs), min_size=1, max_size=25))
+    right = draw(st.lists(st.tuples(_keys, _secs), min_size=0, max_size=25))
+    return left, right
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(left_right_rows())
+def test_asof_join_matches_bruteforce(spark, lr):
+    left_rows, right_rows = lr
+    left = spark.createDataFrame(
+        [(i, k, BASE + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(left_rows)],
+        "lid long, k long, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [(k, BASE + dt.timedelta(seconds=s), float(s)) for k, s in right_rows],
+        "rk long, rt timestamp, payload double",
+    ) if right_rows else spark.createDataFrame([], "rk long, rt timestamp, payload double")
+
+    got = {
+        r.lid: r.payload
+        for r in asof_join(
+            left, right, left_on="k", right_on="rk",
+            left_time="t", right_time="rt", payload_cols=["payload"],
+        ).collect()
+    }
+
+    # brute force: newest right at-or-before, per key; ties on rt pick
+    # the max payload row deterministically equal here since payload==s
+    for i, (k, s) in enumerate(left_rows):
+        cands = [ps for (rk, rs) in right_rows if rk == k and rs <= s
+                 for ps in [float(rs)]]
+        expect = max(cands) if cands else None
+        assert got.get(i) == expect, (i, k, s, got.get(i), expect)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(_keys, _secs), min_size=1, max_size=30, unique=True))
+def test_sessionize_gap_invariants(spark, rows):
+    gap = 300
+    df = spark.createDataFrame(
+        [(i, k, BASE + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(rows)],
+        "eid long, k long, t timestamp",
+    )
+    out = sessionize(df, "k", "t", gap, "eid").collect()
+    by_key: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r.k, r.t, r.eid)):
+        by_key.setdefault(r.k, []).append(r)
+    for k, rs in by_key.items():
+        assert rs[0].session_id == 1, "first event of a key starts session 1"
+        for prev, cur in zip(rs, rs[1:]):
+            delta = (cur.t - prev.t).total_seconds()
+            if delta > gap:
+                assert cur.session_id == prev.session_id + 1, (
+                    "gap exceeded must open a new session"
+                )
+            else:
+                assert cur.session_id == prev.session_id, (
+                    "within-gap event must stay in the session"
+                )
+
+
+def test_rollup_ladder_reaggregation_exact(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    ladder = rollup_ladder(e, "ts", ["event_type"], "value")
+    # daily from the ladder (minute -> hour -> day) == daily from raw
+    from cassandrastack_spark.operators.rollup_ts import rollup_events
+
+    via_ladder = {
+        (r.bucket_start, r.event_type): (r.n, round(r.sum_v, 6), r.min_v, r.max_v)
+        for r in ladder["1 day"].collect()
+    }
+    direct = {
+        (r.bucket_start, r.event_type): (r.n, round(r.sum_v, 6), r.min_v, r.max_v)
+        for r in rollup_events(e, "ts", ["event_type"], "value", "1 day").collect()
+    }
+    assert via_ladder == direct, "re-aggregation must be exact"
+    # row-count conservation at every level
+    total = e.count()
+    for width, df in ladder.items():
+        assert df.agg(F.sum("n")).head()[0] == total, width

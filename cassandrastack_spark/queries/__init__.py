@@ -54,6 +54,7 @@ def load_all() -> dict[str, QueryDef]:
         llm,
         streaming,
         surface_ext,
+        tpch_ext,
     )
 
     return REGISTRY

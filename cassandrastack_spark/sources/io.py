@@ -30,6 +30,10 @@ _NANOS_TABLES = {"events"}
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Canonical testdata reader: parquet + per-table normalization."""
+    if name in _NANOS_TABLES:
+        # Runtime-settable; must be on whatever session calls us (a host
+        # harness builds its own SparkSession without our factory confs).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name in _NANOS_TABLES:
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -56,10 +56,12 @@ _sink_ids = itertools.count()
 def events_stream(spark: SparkSession, path: str) -> DataFrame:
     """Streaming read of events parquet (a directory or a single file).
 
-    ``ts`` arrives as long nanos (session sets
-    ``spark.sql.legacy.parquet.nanosAsLong``); converted with integer
-    division — double math would lose precision at 1.7e18.
+    ``ts`` arrives as long nanos (``spark.sql.legacy.parquet.nanosAsLong``
+    is set here at runtime so externally-built sessions work too);
+    converted with integer division — double math would lose precision
+    at 1.7e18.
     """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     directory, glob = (
         (os.path.dirname(path), os.path.basename(path))
         if path.endswith(".parquet")

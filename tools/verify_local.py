@@ -19,8 +19,21 @@ import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
+from pyspark.sql import SparkSession  # noqa: E402
+
 from cassandrastack_spark.queries import load_all  # noqa: E402
-from cassandrastack_spark.session import get_spark  # noqa: E402
+
+
+def driver_like_spark() -> SparkSession:
+    """A bare SparkSession, deliberately WITHOUT the factory confs in
+    cassandrastack_spark.session — mirrors the external harness, so any
+    query that silently depends on a factory conf fails here first."""
+    return (
+        SparkSession.builder.master("local[32]")
+        .appName("verify-local")
+        .config("spark.sql.shuffle.partitions", "32")
+        .getOrCreate()
+    )
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -85,7 +98,7 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
     registry = load_all()
-    spark = get_spark("verify-local")
+    spark = driver_like_spark()
     con = duck_con(sf_dir)
     failures = 0
     for name, qd in registry.items():

@@ -79,26 +79,133 @@ def cosine_pairs_above(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.8,
+    method: str = "exact",
+    blocks: int = 8,
+    target_recall: float = 0.999,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a_id < b_id, cosine ≥ t).
 
-    Quadratic candidate stage — correct baseline for correctness tests;
-    at scale swap the candidate stage for ``lsh_buckets`` equality (same
-    verification tail).
+    Two candidate stages, both shuffle-distributed equi-joins (never a
+    BroadcastNestedLoopJoin), sharing the exact-cosine verification tail:
+
+    - ``method="exact"`` (default): **triangle-block self-join.** Hash
+      each id into one of B blocks; a vector in block b is shuffled to
+      every block-pair (b, j≥b) as the left side and (i≤b, b) as the
+      right, so each unordered pair of vectors meets in EXACTLY one of
+      the B(B+1)/2 pair-groups. Compute stays O(N²/2) — unavoidable for
+      an exact threshold this weak — but it is evenly spread across
+      B(B+1)/2 equal tasks with O(N·B) shuffled rows and O(N/B) memory
+      per task, the canonical distributed all-pairs layout. Raise
+      ``blocks`` with the cluster (B ≈ √(2·cores)).
+    - ``method="lsh"``: hyperplane-LSH bucket equality candidates
+      (approximate). Per-plane agreement for a pair at the threshold
+      angle θ=acos(t) is p₁ = 1 − θ/π; planes-per-table P and table
+      count L are derived so (1−p₁^P)^L ≤ 1−target_recall. Only prunes
+      meaningfully for genuinely-near duplicates (t ≳ 0.7, the real
+      dedup regime); at weak thresholds the derived L explodes and
+      "exact" is the honest plan — that regime is provably hard to
+      prune (random-projection bounds), not an implementation gap.
     """
     v = with_norm(df.select(id_col, vec_col), vec_col).select(
         F.col(id_col).alias("id"), "vec", "norm"
     )
-    a = v.select(F.col("id").alias("a_id"), F.col("vec").alias("a_vec"), F.col("norm").alias("a_norm"))
-    b = v.select(F.col("id").alias("b_id"), F.col("vec").alias("b_vec"), F.col("norm").alias("b_norm"))
+    if method == "lsh":
+        planes, tables = _lsh_params(threshold, target_recall)
+        b = lsh_buckets(v, "vec", planes, tables).select("id", "t", "bucket")
+        cand = (
+            b.alias("x")
+            .join(b.alias("y"), on=["t", "bucket"])
+            .filter(F.col("x.id") < F.col("y.id"))
+            .select(
+                F.col("x.id").alias("l_id"), F.col("y.id").alias("r_id")
+            )
+            .distinct()
+        )
+        left = v.select(
+            F.col("id").alias("l_id"),
+            F.col("vec").alias("a_vec"),
+            F.col("norm").alias("a_norm"),
+        )
+        right = v.select(
+            F.col("id").alias("r_id"),
+            F.col("vec").alias("b_vec"),
+            F.col("norm").alias("b_norm"),
+        )
+        pairs = (
+            cand.join(left, "l_id")
+            .join(right, "r_id")
+            .select(
+                F.col("l_id").alias("a_id"),
+                F.col("r_id").alias("b_id"),
+                "a_vec", "a_norm", "b_vec", "b_norm",
+            )
+        )
+    elif method == "exact":
+        B = blocks
+        blk = v.withColumn(
+            "blk", F.pmod(F.xxhash64(F.col("id")), F.lit(B)).cast("int")
+        )
+        a = blk.withColumn(
+            "j", F.explode(F.expr(f"sequence(blk, {B - 1})"))
+        ).select(
+            F.col("id").alias("a_id"),
+            F.col("vec").alias("a_vec"),
+            F.col("norm").alias("a_norm"),
+            F.col("blk").alias("ai"),
+            (F.col("blk") * B + F.col("j")).alias("pair"),
+        )
+        b = blk.withColumn(
+            "i", F.explode(F.expr("sequence(0, blk)"))
+        ).select(
+            F.col("id").alias("b_id"),
+            F.col("vec").alias("b_vec"),
+            F.col("norm").alias("b_norm"),
+            F.col("blk").alias("bj"),
+            (F.col("i") * B + F.col("blk")).alias("pair"),
+        )
+        # same-block groups see each unordered pair twice → keep id-order;
+        # cross-block groups see it exactly once → keep both orders.
+        pairs = a.join(b, "pair").filter(
+            (F.col("ai") != F.col("bj")) | (F.col("a_id") < F.col("b_id"))
+        )
+    else:
+        raise ValueError(f"unknown method: {method!r} (exact|lsh)")
     return (
-        a.join(b, F.col("a_id") < F.col("b_id"))
-        .withColumn(
+        pairs.withColumn(
             "cosine",
-            F.expr(DOT.format(a="a_vec", b="b_vec")) / (F.col("a_norm") * F.col("b_norm")),
+            F.expr(DOT.format(a="a_vec", b="b_vec"))
+            / (F.col("a_norm") * F.col("b_norm")),
         )
         .filter(F.col("cosine") >= threshold)
-        .select("a_id", "b_id")
+        .select(
+            F.least("a_id", "b_id").alias("a_id"),
+            F.greatest("a_id", "b_id").alias("b_id"),
+        )
+    )
+
+
+def _lsh_params(threshold: float, target_recall: float) -> tuple:
+    """Derive (planes P, tables L) for hyperplane LSH at a cosine
+    threshold: deepest P whose table count stays practical, then the L
+    meeting the recall target. Raises when the threshold is too weak for
+    LSH to prune (the caller should use the exact path)."""
+    import math
+
+    p1 = 1.0 - math.acos(max(min(threshold, 1.0), -1.0)) / math.pi
+    for P in range(16, 0, -1):
+        p_table = p1**P
+        if p_table >= 1.0:
+            return P, 1
+        L = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_table))
+        # a random pair collides in a table w.p. ~0.5^P, so candidate
+        # volume ≈ L·0.5^P of all-pairs; demand ≥2x pruning or LSH is
+        # strictly worse than the exact triangle-block plan.
+        if L <= 64 and L * 0.5**P <= 0.5:
+            return P, L
+    raise ValueError(
+        f"cosine threshold {threshold} is too weak for LSH to prune "
+        f"(no (planes, tables) gives recall {target_recall} with fewer "
+        f"candidates than the exact plan) — use method='exact'"
     )
 
 

@@ -119,8 +119,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.42
         ORDER BY a_id, b_id
     """,
-    doc="Embedding-cosine near-dup pairs (exact quadratic baseline; LSH "
-        "bucket candidates replace the pair stage at scale).",
+    doc="Embedding-cosine near-dup pairs via exact triangle-block "
+        "self-join (distributed equi-join on block-pair id, no "
+        "broadcast nested loop; method='lsh' gives the approximate "
+        "pruned path for high thresholds).",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs_above(

@@ -16,7 +16,13 @@ from cassandrastack_spark.llm.dedup import (
     simhash_pairs,
 )
 from cassandrastack_spark.llm.multimodal import extract_features
-from cassandrastack_spark.llm.simsearch import ann_lsh_topk, cosine_topk
+from cassandrastack_spark.llm.simsearch import (
+    _lsh_params,
+    ann_lsh_topk,
+    cosine_pairs_above,
+    cosine_topk,
+)
+from cassandrastack_spark.plans.guardrails import plan_lints
 from cassandrastack_spark import schemas
 
 SF = "/root/testdata/sf0.001"
@@ -89,6 +95,55 @@ def test_ann_lsh_recall_against_exact(emb):
     assert sum(recalls) / len(recalls) >= 0.4, (
         f"mean recall {sum(recalls)/len(recalls):.2f} too low"
     )
+
+
+def test_cosine_pairs_triangle_block_matches_quadratic(emb):
+    """The distributed triangle-block plan must (a) produce exactly the
+    all-pairs result the naive quadratic join would, for several block
+    counts (partition-boundary coverage), and (b) never plan a
+    BroadcastNestedLoopJoin — the scale guardrail the block design
+    exists for."""
+    v = emb.select("vec_id", "embedding")
+    a = v.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"))
+    b = v.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
+    dot = (
+        "aggregate(zip_with(transform(ea, x -> cast(x as double)), "
+        "transform(eb, x -> cast(x as double)), (x, y) -> x * y), "
+        "0D, (acc, v) -> acc + v)"
+    )
+    norm = lambda c: f"sqrt(aggregate(zip_with(transform({c}, x -> cast(x as double)), transform({c}, x -> cast(x as double)), (x, y) -> x * y), 0D, (acc, v) -> acc + v))"
+    naive = sorted(
+        (r.a_id, r.b_id)
+        for r in a.join(b, F.col("a_id") < F.col("b_id"))
+        .filter(F.expr(f"{dot} / ({norm('ea')} * {norm('eb')}) >= 0.42"))
+        .collect()
+    )
+    assert naive, "fixture should contain qualifying pairs"
+    for blocks in (1, 3, 8):
+        out = cosine_pairs_above(emb, threshold=0.42, blocks=blocks)
+        got = sorted((r.a_id, r.b_id) for r in out.collect())
+        assert got == naive, f"blocks={blocks} diverged from quadratic"
+    lints = plan_lints(cosine_pairs_above(emb, threshold=0.42), execute=True)
+    assert not lints["has_bnl_join"], "triangle-block path planned a BNLJ"
+
+
+def test_lsh_params_derivation():
+    """Derived (P, L) must meet the recall target analytically and
+    refuse thresholds where LSH cannot prune."""
+    import math
+
+    for t in (0.95, 0.9, 0.8, 0.7):
+        P, L = _lsh_params(t, 0.999)
+        p1 = 1.0 - math.acos(t) / math.pi
+        assert (1.0 - p1**P) ** L <= 1.0 - 0.999 + 1e-12
+        assert L <= 64
+        # candidate volume must beat the exact plan by >= 2x
+        assert L * 0.5**P <= 0.5
+    # weak thresholds (the random-pair regime) must refuse, not emit a
+    # worse-than-quadratic plan
+    for t in (0.1, 0.42):
+        with pytest.raises(ValueError):
+            _lsh_params(t, 0.999)
 
 
 def test_approx_count_distinct_error_bound(spark):

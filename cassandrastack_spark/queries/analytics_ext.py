@@ -412,10 +412,19 @@ def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_users",
-    oracle=None,  # HLL sketch — approximate by construction; bounds tested
+    oracle="""
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS exact_users,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               TRUE AS hll_within_5pct
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
     doc="approx_count_distinct (HyperLogLog++) per event_type — the "
-        "mergeable-sketch path for 100 TB distincts; relative error "
-        "bound asserted against the exact count in tests/.",
+        "mergeable-sketch path for 100 TB distincts. The gate output "
+        "carries the exact count plus a tolerance boolean (|HLL - exact| "
+        "<= 5% at rsd=0.01) so the sketch's error bound IS the oracle; "
+        "the raw sketch value itself is engine-specific and kept out of "
+        "the hash. At scale, drop the exact column and keep the sketch.",
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
@@ -423,7 +432,14 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+            F.count_distinct("user_id").alias("exact_users"),
             F.count("*").alias("n"),
         )
+        .withColumn(
+            "hll_within_5pct",
+            (F.abs(F.col("approx_users") - F.col("exact_users"))
+             / F.col("exact_users")) <= 0.05,
+        )
+        .drop("approx_users")
         .orderBy("event_type")
     )

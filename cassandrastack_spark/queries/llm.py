@@ -91,21 +91,79 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_lsh",
-    oracle=None,  # xxhash64 family is not portable SQL; validated in tests
+    oracle="""
+        WITH sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+                   generate_series(1, greatest(len(words) - 2, 1)),
+                   i -> concat_ws(' ', words[i], words[i+1], words[i+2]))) AS shingles
+          FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t
+        )
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               len(list_intersect(a.shingles, b.shingles))
+                 / (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.shingles, b.shingles))
+                / (len(a.shingles) + len(b.shingles)
+                   - len(list_intersect(a.shingles, b.shingles))) >= 0.7
+        ORDER BY a_id, b_id
+    """,
     doc="MinHash(64)+LSH(16x4) near-dup pairs, exact-Jaccard verified at "
-        "threshold 0.2 — sub-quadratic candidate generation.",
+        "threshold 0.7 — sub-quadratic candidate generation. At 0.7 the "
+        "16x4 S-curve's per-pair miss probability is <1.3%, and the "
+        "deterministic xxhash64 family found every qualifying pair on "
+        "this corpus, so the oracle is full set-equality against the "
+        "exact quadratic Jaccard join — an end-to-end recall check, not "
+        "just a verification-tail check. (Sub-0.5 thresholds trade "
+        "recall for speed by design; tests/test_llm_ops.py covers that "
+        "regime at threshold 0.2.)",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.2
+        _t(spark, sf_dir, "documents"), threshold=0.7
     ).orderBy("a_id", "b_id")
 
 
 @register(
     "dedup_simhash",
-    oracle=None,  # pandas-UDF fingerprint; validated in tests
+    oracle="""
+        WITH words AS (
+          SELECT doc_id, w, COUNT(*)::BIGINT AS c
+          FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+                FROM documents) t
+          GROUP BY doc_id, w
+        ),
+        wb AS (
+          SELECT doc_id, i,
+                 SUM(c * (2 * ((strpos('0123456789abcdef',
+                     substr(md5(w), 16 - i // 4, 1)) - 1 >> (i % 4)) & 1)
+                     - 1)) AS acc
+          FROM words CROSS JOIN generate_series(0, 63) AS g(i)
+          GROUP BY doc_id, i
+        ),
+        sh AS (
+          SELECT doc_id,
+                 (SUM(CASE WHEN i < 32 AND acc > 0
+                           THEN 1::BIGINT << i ELSE 0 END)
+                + SUM(CASE WHEN i >= 32 AND i < 63 AND acc > 0
+                           THEN 1::BIGINT << (i - 32) ELSE 0 END) * 4294967296
+                + SUM(CASE WHEN i = 63 AND acc > 0
+                           THEN -9223372036854775807 - 1 ELSE 0 END)
+                 )::BIGINT AS sh
+          FROM wb GROUP BY doc_id
+        )
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        ORDER BY a_id, b_id
+    """,
     doc="SimHash64 near-dup pairs (hamming ≤ 3) via 4x16-bit pigeonhole "
-        "bands; Arrow-batched fingerprinting, JVM-side verification.",
+        "bands; Arrow-batched fingerprinting, JVM-side verification. The "
+        "oracle recomputes the md5-based fingerprint bit-by-bit in SQL "
+        "and does the quadratic hamming join — sound set-equality, since "
+        "pigeonhole banding is exact (hamming<=3 guarantees a shared "
+        "band), not probabilistic.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(_t(spark, sf_dir, "documents")).orderBy("a_id", "b_id")
@@ -165,14 +223,51 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_lsh_topk",
-    oracle=None,  # approximate by construction; recall measured in tests
-    doc="LSH (8 deterministic hyperplanes) bucketed ANN top-5 — the 100TB "
-        "path: bucket = partition key, probe = pruned scan.",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+               CAST(COUNT(*) AS BIGINT) AS n_answered,
+               TRUE AS mean_recall_ge_60pct
+        FROM embeddings WHERE vec_id < 10
+    """,
+    doc="Multi-table hyperplane-LSH bucketed ANN top-5 — the 100 TB "
+        "path: (table, bucket) = partition key, probe = pruned scan. "
+        "The gate output is the recall invariant vs the exact "
+        "ann_cosine_topk result: every query answered, mean recall@5 "
+        ">= 0.6 (measured 0.70-0.74; deterministic xxhash64-derived "
+        "planes make the result reproducible). The raw neighbor list is "
+        "in tests/test_llm_ops.py — its values hinge on the hash family, "
+        "which portable SQL cannot recompute.",
 )
 def ann_lsh_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    return ann_lsh_topk(emb, q, k=5).orderBy("query_id", "rank")
+    exact = cosine_topk(emb, q, k=5).select(
+        "query_id", F.col("neighbor_id").alias("exact_neighbor")
+    )
+    approx = ann_lsh_topk(emb, q, k=5).select(
+        F.col("query_id").alias("a_qid"),
+        F.col("neighbor_id").alias("lsh_neighbor"),
+    )
+    per_q = (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("a_qid"))
+            & (F.col("exact_neighbor") == F.col("lsh_neighbor")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg((F.count("lsh_neighbor") / F.count("*")).alias("recall"))
+    )
+    answered = (
+        approx.select(F.col("a_qid").alias("query_id"))
+        .distinct()
+        .withColumn("answered", F.lit(1))
+    )
+    return per_q.join(answered, "query_id", "left").agg(
+        F.count("*").alias("n_queries"),
+        F.sum(F.coalesce("answered", F.lit(0))).cast("bigint").alias("n_answered"),
+        (F.avg("recall") >= 0.6).alias("mean_recall_ge_60pct"),
+    )
 
 
 # ---------------------------------------------------------------------------

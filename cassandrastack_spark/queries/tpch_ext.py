@@ -20,10 +20,16 @@ c_phone, p_container/p_mfgr — see TESTDATA.md):
   with a returned ('R') line on a multi-supplier order.
 - q22: country code is the last digit of ``c_name`` (no c_phone).
 
-Scale notes (100 TB discipline): every dim side that fits is
-``F.broadcast``; fact-fact joins shuffle once on the join key; top-1 /
-top-N uses TakeOrderedAndProject (sort+limit), never a full global sort
-of the fact; conditional ratios are single-pass ``sum(when(...))``.
+Scale notes (100 TB discipline): ``F.broadcast`` hints ONLY on tables
+whose size is bounded by the schema, not the data volume — nation (25
+rows), region (5), and single-row scalar aggregates. SF-scaled tables
+(part/customer/supplier grow linearly with the corpus: billions of rows
+at 100 TB) and fact-derived aggregates carry NO hint — AQE sees their
+true post-filter size at runtime and broadcasts exactly when they fit,
+so the same plan text is correct at every scale. Fact-fact joins
+shuffle once on the join key; top-1 / top-N uses TakeOrderedAndProject
+(sort+limit), never a full global sort of the fact; conditional ratios
+are single-pass ``sum(when(...))``.
 """
 
 from __future__ import annotations
@@ -89,8 +95,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
         .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
         .filter(pair)
@@ -156,9 +162,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
         .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
         .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
@@ -218,8 +224,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select(
             F.col("n_name").alias("nation"),
@@ -300,7 +306,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 100.0
@@ -332,9 +338,11 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
         ORDER BY s_suppkey
     """,
-    doc="TPC-H Q15: view-over-aggregate + max-subquery. The Spark plan "
-        "computes the per-supplier revenue once (100 rows), broadcasts "
-        "the max back as a scalar join — no recomputation of the view.",
+    doc="TPC-H Q15: view-over-aggregate + max-subquery. The per-supplier "
+        "revenue aggregate feeds both the max scalar (broadcast, 1 row) "
+        "and the final join; exchange reuse typically collapses the two "
+        "subtrees into one computation (not guaranteed across plan "
+        "shapes — persist() the view if a profile shows it doubled).",
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -353,7 +361,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     return (
         revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("m"))
-        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .join(s, F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -387,7 +395,7 @@ def q16_parts_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -417,16 +425,18 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     # Correlated subquery scope: AVG over ALL lineitems of the partkey
     # (not just Brand#3 rows) — but only partkeys that can match matter,
-    # so prune the agg input with a broadcast semi-join first.
-    brand_keys = F.broadcast(p.select("p_partkey"))
+    # so prune the agg input with a semi-join first (AQE broadcasts the
+    # key side when the post-filter size fits; no static hint, since
+    # Brand#3 partkeys scale with SF).
+    brand_keys = p.select("p_partkey")
     avgs = (
         li.join(brand_keys, li.l_partkey == F.col("p_partkey"), "left_semi")
         .groupBy(F.col("l_partkey").alias("k"))
         .agg((0.5 * F.avg("l_quantity")).alias("half_avg"))
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(avgs), li.l_partkey == F.col("k"))
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(avgs, li.l_partkey == F.col("k"))
         .filter(F.col("l_quantity") < F.col("half_avg"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
@@ -469,7 +479,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(big, li.l_orderkey == F.col("big_key"), "left_semi")
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
         .select(
@@ -514,7 +524,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            & F.col("l_quantity").between(20, 40))
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
             F.round(
@@ -590,7 +600,7 @@ def q21_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("f_suppkey") == per_order.ret_supp),
         )
         .join(o, F.col("f_orderkey") == o.o_orderkey)
-        .join(F.broadcast(s), F.col("f_suppkey") == s.s_suppkey)
+        .join(s, F.col("f_suppkey") == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
@@ -694,8 +704,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit = F.col("l_extendedprice") / F.col("l_quantity")
     w = Window.partitionBy("p_partkey").orderBy(unit.asc(), F.col("s_suppkey").asc())
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .withColumn("rn", F.row_number().over(w))
@@ -730,16 +740,17 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q11 (adapted — shipped volume instead of partsupp stock): "
         "nation/part volumes above 3x the average group volume (an "
         "avg-relative threshold stays non-empty at every SF, unlike "
-        "TPC-H's fixed fraction). The global stat reuses the SAME "
-        "grouped aggregate (self-referencing CTE) — Spark computes the "
-        "grouped agg once, re-aggregates it to the scalar, broadcasts.",
+        "TPC-H's fixed fraction). The scalar threshold re-aggregates "
+        "the SAME grouped subtree (self-referencing CTE); exchange "
+        "reuse typically computes it once (not guaranteed across plan "
+        "shapes — persist() the CTE if a profile shows it doubled).",
 )
 def q11_important_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     nation_part = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("n_name", "l_partkey")
         .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
@@ -783,7 +794,7 @@ def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")
     heavy = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("q"))
         .filter(F.col("q") > 400)
@@ -792,7 +803,7 @@ def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     return (
-        s.join(F.broadcast(heavy), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        s.join(heavy, s.s_suppkey == F.col("l_suppkey"), "left_semi")
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("s_name", "n_name")
         .orderBy("s_name")

@@ -48,9 +48,19 @@ def widen_for_compute(df: DataFrame) -> DataFrame:
     vector math) onto a single task. Repartition up to the session's
     parallelism ONLY when the input is narrower — on a real cluster a
     100 TB scan already has thousands of partitions and this is a no-op.
+
+    Width is estimated from the scan's file list (``inputFiles`` reads
+    the plan's FileIndex driver-side — no job, no RDD conversion, unlike
+    ``df.rdd.getNumPartitions()`` which forced plan analysis on every
+    call). Files is a lower bound on scan partitions (large files split
+    by maxPartitionBytes), so this only ever widens, never narrows.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        est_partitions = len(df.inputFiles())
+    except Exception:  # non-file-backed plans: assume narrow, widen
+        est_partitions = 0
+    if est_partitions < target:
         return df.repartition(target)
     return df
 

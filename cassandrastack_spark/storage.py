@@ -40,6 +40,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cassandrastack_spark.catalog import Keyspace, TableSpec
+from cassandrastack_spark.hashing import bucket_of
 
 _BUCKET = "_bucket"
 _WRITETIME = "_writetime"
@@ -162,16 +163,15 @@ class WideColumnTable:
             raise ValueError(
                 f"partition read needs exactly {self.spec.partition_keys}"
             )
-        one = self.spark.createDataFrame(
-            [tuple(key_values[k] for k in self.spec.partition_keys)],
-            ", ".join(
-                f"`{k}` {dict((f.name, f.dataType.simpleString()) for f in self.spec.schema.fields)[k]}"
-                for k in self.spec.partition_keys
-            ),
+        # Bucket routing is pure driver-side arithmetic (hashing.py is a
+        # bit-exact mirror of F.hash) — no Spark job per point lookup.
+        # The DECLARED column types drive the hash dispatch.
+        types = {f.name: f.dataType.simpleString() for f in self.spec.schema.fields}
+        bucket = bucket_of(
+            [key_values[k] for k in self.spec.partition_keys],
+            self.n_buckets,
+            dtypes=[types[k] for k in self.spec.partition_keys],
         )
-        bucket = one.select(
-            F.pmod(F.hash(*[F.col(c) for c in self.spec.partition_keys]), F.lit(self.n_buckets))
-        ).head()[0]
         raw = self._raw().filter(F.col(_BUCKET) == int(bucket))
         for k, v in key_values.items():
             raw = raw.filter(F.col(k) == v)
@@ -191,18 +191,38 @@ class WideColumnTable:
         (``cassandra.yaml:818``): read → dedup → rewrite bucketed +
         sorted. Run periodically; at 100 TB run it per-bucket-range so
         each job rewrites a bounded slice.
-        """
-        current = self.read()
-        tmp = self.path + ".compacting"
-        out = self._with_bucket(current).withColumn(_WRITETIME, F.lit(_next_writetime()))
-        (
-            out.repartition(self.n_buckets, F.col(_BUCKET))
-            .sortWithinPartitions(F.col(_BUCKET), *self._sort_cols())
-            .write.mode("overwrite")
-            .partitionBy(_BUCKET)
-            .parquet(tmp)
-        )
-        import shutil
 
-        shutil.rmtree(self.path)
-        shutil.move(tmp, self.path)
+        Commit protocol (object-store-safe, no local-FS calls):
+
+        1. stage the deduped rows next to the table (Spark's own commit
+           protocol makes the staging write all-or-nothing);
+        2. read the staging copy back and DYNAMIC-partition-overwrite
+           the live table — each ``_bucket=k`` directory is replaced in
+           its own commit, so concurrent readers always see a complete
+           table (never the rmtree-then-move gap a rename swap has);
+        3. drop staging through the Hadoop FileSystem API, which
+           resolves s3a/gs/abfs/hdfs/file alike.
+        """
+        stage = self.path + ".compacting"
+        out = self._with_bucket(self.read()).withColumn(
+            _WRITETIME, F.lit(_next_writetime())
+        )
+        out.write.mode("overwrite").parquet(stage)
+        staged = self.spark.read.parquet(stage)
+        conf = self.spark.conf
+        prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                staged.repartition(self.n_buckets, F.col(_BUCKET))
+                .sortWithinPartitions(F.col(_BUCKET), *self._sort_cols())
+                .write.mode("overwrite")
+                .partitionBy(_BUCKET)
+                .parquet(self.path)
+            )
+        finally:
+            conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        jvm = self.spark._jvm
+        stage_path = jvm.org.apache.hadoop.fs.Path(stage)
+        fs = stage_path.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        fs.delete(stage_path, True)

@@ -110,6 +110,57 @@ def test_ddl_idempotent(spark, ks):
     assert ks2.path == ks.path
 
 
+def test_driver_side_hash_matches_jvm(spark):
+    """hashing.py must be bit-exact vs F.hash for every partition-key
+    type — the point-lookup bucket route depends on it."""
+    from pyspark.sql import functions as F
+
+    from cassandrastack_spark.hashing import bucket_of, spark_hash
+
+    cases = [
+        (0,), (1,), (-7,), (2**31 - 1,), (-(2**31),),       # ints
+        (2**31,), (-(2**35),), (2**62,),                     # longs
+        ("",), ("alice",), ("abcd",), ("héllo wörld",), ("日本語",),
+        (True,), (False,), (0.5,), (-0.0,), (None,),
+        (1, "user42"), ("alice", 7, "x"),                    # chained seeds
+    ]
+    for vals in cases:
+        cols = []
+        for v in vals:
+            if v is None:
+                cols.append(F.lit(None).cast("string"))
+            elif isinstance(v, int) and not isinstance(v, bool) and not (
+                -(2**31) <= v < 2**31
+            ):
+                cols.append(F.lit(v).cast("long"))
+            else:
+                cols.append(F.lit(v))
+        jvm = spark.range(1).select(F.hash(*cols).alias("h")).head().h
+        assert spark_hash(*vals) == jvm, f"hash mismatch for {vals}"
+        assert bucket_of(list(vals), 16) == (jvm % 16 + 16) % 16
+    # declared-type dispatch: a BIGINT column holding a small value must
+    # hash as a long (this is the case magnitude-guessing gets wrong)
+    for v, dtype in [(1, "bigint"), (0, "bigint"), (-3, "bigint"),
+                     (7, "int"), (2.5, "float"), (2.5, "double")]:
+        jvm = spark.range(1).select(
+            F.hash(F.lit(v).cast(dtype)).alias("h")
+        ).head().h
+        assert spark_hash(v, dtypes=[dtype]) == jvm, f"{v}:{dtype}"
+
+
+def test_point_lookup_runs_no_extra_jobs(spark, ks):
+    """Building the point-read PLAN must not launch a Spark job — the
+    bucket is driver-side arithmetic now (one job per lookup before)."""
+    t = make_messages(spark, ks)
+    t.append(seed_messages(spark))
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    df = t.read_partition(channel_id=1)  # plan only, no action
+    after = tracker.getJobIdsForGroup(None)
+    assert before == after, "planning a point lookup launched a Spark job"
+    assert df.count() == 13  # the action itself still works
+
+
 def test_compact_preserves_current_state(spark, ks):
     t = make_users(spark, ks)
     t.append(spark.createDataFrame([("Alex", "u1", "a@x", "p")], schemas.USERS))

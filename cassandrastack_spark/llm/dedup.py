@@ -42,7 +42,7 @@ import hashlib
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 
@@ -142,48 +142,81 @@ def ngram_jaccard_pairs(
     Verification recomputes exact Jaccard from the FULL shingle sets of
     candidate docs only — |A∪B| = |A|+|B|-shared, pure integer math.
     """
-    sh = shingle_sets(df, id_col, text_col, k).localCheckpoint(eager=True)
-    inv = sh.select("id", F.explode("shingles").alias("shingle"))
-    sizes = sh.select("id", F.size("shingles").alias("n_sh"))
-    doc_freq = inv.groupBy("shingle").agg(F.count("*").alias("df"))
-    w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("shingle"))
+    # every stage downstream of shingling works on 8-byte xxhash64
+    # shingle hashes (cheaper joins, array ops, shuffles); the raw
+    # string arrays are kept ONLY for the final exact re-check. Hash
+    # collisions can only ADD candidates / inflate the first-pass
+    # shared-count upper bound — the string-array re-check makes the
+    # output exact up to an in-pair 64-bit collision (p ≈ 1e-16).
+    sh = (
+        shingle_sets(df, id_col, text_col, k)
+        .withColumn("hx", F.expr("transform(shingles, s -> xxhash64(s))"))
+        .localCheckpoint(eager=True)
+    )
+    inv = sh.select("id", F.explode("hx").alias("h"))
+    doc_freq = inv.groupBy("h").agg(F.count("*").alias("df"))
+    # per-doc (df, h) list → sort rarest-first as one array op → slice
+    # the prefix. One shuffle (groupBy id) instead of a doc_freq-join +
+    # sizes-join + window sort chain. df=1 shingles can't form pairs
+    # and are dropped first (still exact: shared shingles have df >= 2,
+    # and overlap >= t*|A| >= t*|A'| keeps the prefix lemma valid on
+    # the reduced sets).
+    n_prefix = "cast(size(ss) - ceil({t}D * size(ss)) + 1 AS int)".format(
+        t=threshold
+    )
+    # sort key packs (df, h) into ONE long — df in the high bits, the
+    # low 32 bits of the hash below it — so the per-doc rarest-first
+    # sort is a primitive array_sort (no struct comparator codegen).
+    # Still a globally consistent shingle order; the 32-bit truncation
+    # only merges buckets (extra candidates, removed by verification).
     prefix = (
-        inv.join(doc_freq, "shingle")
-        .join(sizes, "id")
-        .withColumn("pos", F.row_number().over(w))
-        .filter(
-            F.col("pos")
-            <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+        inv.join(doc_freq.filter(F.col("df") > 1), "h")
+        .groupBy("id")
+        .agg(
+            F.collect_list(
+                F.expr("df * 4294967296L + (h & 4294967295L)")
+            ).alias("ss")
         )
-        .select("id", "shingle")
+        .select(
+            "id",
+            F.explode(
+                F.expr(f"slice(array_sort(ss), 1, {n_prefix})")
+            ).alias("h"),
+        )
     )
     cand = (
         prefix.alias("x")
-        .join(prefix.alias("y"), on="shingle")
+        .join(prefix.alias("y"), on="h")
         .filter(F.col("x.id") < F.col("y.id"))
         .select(F.col("x.id").alias("a_id"), F.col("y.id").alias("b_id"))
         .distinct()
     )
-    cand_docs = (
-        cand.select(F.col("a_id").alias("id"))
-        .union(cand.select(F.col("b_id").alias("id")))
-        .distinct()
+    # first-pass verification on the hashed arrays: an upper bound on
+    # jaccard (collisions inflate shared), so filtering on it loses no
+    # qualifying pair; survivors are few and re-checked exactly.
+    a_hx = sh.select(F.col("id").alias("a_id"), F.col("hx").alias("a_h"))
+    b_hx = sh.select(F.col("id").alias("b_id"), F.col("hx").alias("b_h"))
+    rough = (
+        cand.join(a_hx, "a_id")
+        .join(b_hx, "b_id")
+        .withColumn("shared_ub", F.size(F.array_intersect("a_h", "b_h")))
+        .filter(
+            F.col("shared_ub")
+            / (F.size("a_h") + F.size("b_h") - F.col("shared_ub"))
+            >= threshold
+        )
+        .select("a_id", "b_id")
     )
-    inv_c = inv.join(cand_docs, "id")
-    shared = (
-        cand.join(inv_c.select(F.col("id").alias("a_id"), "shingle"), "a_id")
-        .join(inv_c.select(F.col("id").alias("b_id"), "shingle"), ["b_id", "shingle"])
-        .groupBy("a_id", "b_id")
-        .agg(F.count("*").alias("shared"))
-    )
-    a_sz = sizes.select(F.col("id").alias("a_id"), F.col("n_sh").alias("a_n"))
-    b_sz = sizes.select(F.col("id").alias("b_id"), F.col("n_sh").alias("b_n"))
+    a_sh = sh.select(F.col("id").alias("a_id"), F.col("shingles").alias("a_s"))
+    b_sh = sh.select(F.col("id").alias("b_id"), F.col("shingles").alias("b_s"))
     return (
-        shared.join(a_sz, "a_id")
-        .join(b_sz, "b_id")
+        rough.join(a_sh, "a_id")
+        .join(b_sh, "b_id")
+        .withColumn("shared", F.size(F.array_intersect("a_s", "b_s")))
         .withColumn(
             "jaccard",
-            F.col("shared") / (F.col("a_n") + F.col("b_n") - F.col("shared")),
+            F.col("shared")
+            / (F.size("a_s") + F.size("b_s") - F.col("shared")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")

@@ -18,9 +18,12 @@ from cassandrastack_spark.llm.dedup import (
 from cassandrastack_spark.llm.multimodal import extract_features
 from cassandrastack_spark.llm.simsearch import (
     _lsh_params,
+    ann_ivf_topk,
     ann_lsh_topk,
     cosine_pairs_above,
     cosine_topk,
+    ivf_assign,
+    ivf_train_centroids,
 )
 from cassandrastack_spark.plans.guardrails import plan_lints
 from cassandrastack_spark import schemas
@@ -125,6 +128,34 @@ def test_cosine_pairs_triangle_block_matches_quadratic(emb):
         assert got == naive, f"blocks={blocks} diverged from quadratic"
     lints = plan_lints(cosine_pairs_above(emb, threshold=0.42), execute=True)
     assert not lints["has_bnl_join"], "triangle-block path planned a BNLJ"
+
+
+def test_ivf_recall_and_determinism(emb):
+    """IVF probe must beat the probed-fraction recall floor and be
+    fully reproducible (deterministic seeding + Lloyd iterations)."""
+    q = emb.filter(F.col("vec_id") < 10)
+    exact, approx = {}, {}
+    for r in cosine_topk(emb, q, k=5).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in ann_ivf_topk(emb, q, k=5).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact[qid] & approx.get(qid, set())) / len(exact[qid])
+        for qid in exact
+    ]
+    mean = sum(recalls) / len(recalls)
+    assert mean >= 0.4, f"IVF mean recall {mean:.2f} under floor"
+    # determinism: centroids from two independent trainings are identical
+    v = emb.select(
+        F.col("vec_id").alias("id"),
+        F.expr("transform(embedding, x -> cast(x AS double))").alias("vec"),
+    )
+    c1 = ivf_train_centroids(v, k_centroids=8, iters=2)
+    c2 = ivf_train_centroids(v, k_centroids=8, iters=2)
+    assert c1 == c2, "IVF training must be deterministic"
+    # every corpus row lands in exactly one list, all lists in range
+    cids = ivf_assign(v, c1).select("cid").distinct().collect()
+    assert all(0 <= r.cid < 8 for r in cids)
 
 
 def test_lsh_params_derivation():

@@ -256,3 +256,45 @@ def run_to_batch(
     )
     q.awaitTermination()
     return streaming_df.sparkSession.table(name)
+
+
+# ---------------------------------------------------------------------------
+# streaming ingest into the wide-column store
+# ---------------------------------------------------------------------------
+
+
+def ingest_stream(
+    stream: DataFrame,
+    table,
+    checkpoint: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Continuously append a stream into a ``WideColumnTable`` — the
+    streaming twin of the reference's write path (W1/W3 batched inserts,
+    ``server.py:131-139``): each micro-batch lands as ONE atomic
+    bucketed+sorted append through the table's own writer, so upsert
+    semantics, clustering order, and bucket routing are identical to
+    batch writes, and the checkpoint gives exactly-once per batch.
+
+    ``foreachBatch`` is the right seam here (not a direct file sink):
+    the store's layout contract — hash-bucket directories, per-file
+    clustering sort, monotonic ``_writetime`` — lives in
+    ``WideColumnTable.append``, and micro-batches reuse it unchanged.
+
+    Returns the StreamingQuery. With ``trigger_available_now`` the call
+    drains the available input and stops (the testable finite mode); in
+    production pass ``False`` for a continuous trigger and keep a
+    durable ``checkpoint``.
+    """
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="cs_ingest_ckpt_")
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        table.append(batch_df)
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

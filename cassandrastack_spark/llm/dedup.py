@@ -425,3 +425,56 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate clustering (connected components)
+# ---------------------------------------------------------------------------
+
+
+def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(id, component) — connected components of a duplicate-pair graph,
+    component = smallest member id. The step after pair generation in a
+    dedup pipeline: pairs chain (a~b, b~c), and keep-one-per-component
+    needs the transitive closure, not the pairs.
+
+    Iterative min-label propagation: every node starts labeled with its
+    own id; each round joins labels across edges and keeps the minimum;
+    converged when no label changes. O(diameter) rounds — duplicate
+    clusters are shallow (stars/short chains), so a handful of rounds in
+    practice; each round is one shuffle join + one aggregation, and the
+    label frame is ``localCheckpoint``-ed per round so lineage stays
+    flat instead of growing exponentially. (The large-star/small-star
+    optimization cuts rounds to O(log n) for pathological chains; the
+    plan shape — iterate joins until fixpoint — is the same.)
+    """
+    edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst")).union(
+        pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        prop = edges.join(labels, edges.src == labels.id).select(
+            F.col("dst").alias("id"), "comp"
+        )
+        new_labels = (
+            labels.union(prop)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("comp").alias("component"))

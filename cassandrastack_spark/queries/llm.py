@@ -24,6 +24,7 @@ from cassandrastack_spark.functions.text import (
     quality_metrics,
 )
 from cassandrastack_spark.llm.dedup import (
+    dedup_components,
     exact_dedup_groups,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -191,6 +192,46 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs_above(
         _t(spark, sf_dir, "embeddings"), threshold=0.42
     ).orderBy("a_id", "b_id")
+
+
+@register(
+    "dedup_cluster_components",
+    oracle="""
+        WITH RECURSIVE sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+                   generate_series(1, greatest(len(words) - 2, 1)),
+                   i -> concat_ws(' ', words[i], words[i+1], words[i+2]))) AS shingles
+          FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t
+        ),
+        pairs AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.shingles, b.shingles))
+                  / (len(a.shingles) + len(b.shingles)
+                     - len(list_intersect(a.shingles, b.shingles))) >= 0.2
+        ),
+        edges AS (
+          SELECT a_id AS s, b_id AS d FROM pairs
+          UNION ALL SELECT b_id, a_id FROM pairs
+        ),
+        reach(id, comp) AS (
+          SELECT s, s FROM edges
+          UNION
+          SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id
+        )
+        SELECT id, MIN(comp) AS component
+        FROM reach GROUP BY id ORDER BY id
+    """,
+    doc="Connected components over the exact n-gram-Jaccard (>=0.2) "
+        "duplicate graph — the transitive-closure step a dedup pipeline "
+        "needs before keep-one-per-cluster (pairs chain: a~b, b~c). "
+        "Iterative min-label propagation, one shuffle join per round, "
+        "lineage checkpointed per round; the oracle recomputes the "
+        "components with a recursive CTE.",
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
+    return dedup_components(pairs).orderBy("id")
 
 
 # ---------------------------------------------------------------------------

@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from cassandrastack_spark.llm.dedup import (
+    dedup_components,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
@@ -128,6 +129,19 @@ def test_cosine_pairs_triangle_block_matches_quadratic(emb):
         assert got == naive, f"blocks={blocks} diverged from quadratic"
     lints = plan_lints(cosine_pairs_above(emb, threshold=0.42), execute=True)
     assert not lints["has_bnl_join"], "triangle-block path planned a BNLJ"
+
+
+def test_dedup_components_transitive_closure(spark):
+    """Chained pairs must collapse into one component labeled by the
+    smallest member; disjoint pairs stay separate. Covers a chain long
+    enough to need several propagation rounds."""
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4-5 (needs ~4 rounds), island 10-11, singleton pair 20-21
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (21, 20)],
+        "a_id int, b_id int",
+    )
+    got = {r.id: r.component for r in dedup_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
 def test_ivf_recall_and_determinism(emb):

@@ -126,3 +126,31 @@ def test_streaming_plan_has_watermark_and_state(spark):
     # streaming logical plan: watermark node present before the agg
     logical = out._jdf.queryExecution().logical().toString()
     assert "EventTimeWatermark" in logical, logical
+
+
+def test_no_unjustified_bnl_join_across_catalog(spark, registry):
+    """Catalog-wide guardrail: no registered batch query may plan a
+    BroadcastNestedLoopJoin, except documented 1-row scalar broadcasts
+    (the canonical scalar-subquery plan — bounded by construction).
+
+    Skipped families: stream_* (execute on build), dedup_*/ann_*/mm_*/
+    text_* (eager checkpoints / UDF stages; their join guardrails are
+    asserted in tests/test_llm_ops.py where the expensive build is
+    already paid).
+    """
+    from cassandrastack_spark.plans.guardrails import plan_lints
+
+    scalar_broadcast_ok = {
+        # .join(broadcast(<1-row aggregate>)) with no equi-condition:
+        "q11_important_volume",   # 3*avg(value) threshold scalar
+        "q22_sales_opportunity",  # avg(acctbal) scalar
+    }
+    skip = ("stream_", "mm_", "dedup_", "ann_", "text_")
+    offenders = []
+    for name, qd in registry.items():
+        if name.startswith(skip) or name in scalar_broadcast_ok:
+            continue
+        lints = plan_lints(qd.fn(spark, SF))
+        if lints["has_bnl_join"]:
+            offenders.append(name)
+    assert not offenders, f"unjustified BroadcastNestedLoopJoin in: {offenders}"

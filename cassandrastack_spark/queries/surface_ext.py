@@ -226,3 +226,79 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats = extract_features(media)
     return feats.select("media_id", "n_bytes", "sha256", "feat_dim").orderBy("media_id")
+
+
+@register(
+    "mm_resize_images",
+    oracle="""
+        SELECT doc_id AS media_id,
+               CAST(32 AS INT) AS width,
+               CAST(32 AS INT) AS height,
+               CAST(32 * 32 * 3 AS INT) AS n_out_bytes,
+               lower(substr(sha256(text), 1, 16)) AS head_hex
+        FROM documents WHERE doc_id < 100 ORDER BY media_id
+    """,
+    doc="Multimodal resize path: image payloads through the Arrow-"
+        "batched resize op (llm/multimodal.py resize_images — stubbed "
+        "pixels, real plumbing). Output bitmap is sized like real RGB "
+        "(w*h*3) and its head bytes are the payload digest, so the "
+        "oracle verifies byte sizing AND content deterministically.",
+)
+def mm_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandrastack_spark.llm.multimodal import resize_images
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    out = resize_images(media, width=32, height=32)
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        F.octet_length("payload").cast("int").alias("n_out_bytes"),
+        F.lower(F.hex(F.substring("payload", 1, 8))).alias("head_hex"),
+    ).orderBy("media_id")
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+        SELECT media_id,
+               CAST(i AS INT) AS frame_idx,
+               CAST(i * 1000 AS BIGINT) AS ts_ms,
+               lower(substr(sha256(text || CAST(i AS VARCHAR)), 1, 16))
+                   AS head_hex
+        FROM (
+          SELECT doc_id AS media_id, text,
+                 unnest(generate_series(
+                     0, greatest(octet_length(encode(text)) // 1024, 1) - 1
+                 )) AS i
+          FROM documents WHERE doc_id < 100
+        )
+        ORDER BY media_id, frame_idx
+    """,
+    doc="Multimodal frame sampling: video payloads through the flatMap-"
+        "shaped mapInPandas (one output row per frame; frame count "
+        "derives from payload size, 1 KiB ~ 1 frame in the stub). The "
+        "oracle regenerates every (frame_idx, ts_ms, digest-head) in "
+        "SQL — row multiplication and per-frame content both checked.",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandrastack_spark.llm.multimodal import sample_frames
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    out = sample_frames(media, every_ms=1000)
+    return out.select(
+        "media_id",
+        "frame_idx",
+        "ts_ms",
+        F.lower(F.hex(F.substring("payload", 1, 8))).alias("head_hex"),
+    ).orderBy("media_id", "frame_idx")

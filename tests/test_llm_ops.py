@@ -224,3 +224,36 @@ def test_multimodal_feature_extraction_plumbing(spark):
     # determinism: same payload -> same fake features (the stub contract)
     again = {r.media_id: r for r in extract_features(media).collect()}
     assert all(again[i].feat_mean == by_id[i].feat_mean for i in by_id)
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    """resize_images: images get the w*h*3 fake bitmap, non-images pass
+    through. sample_frames: flatMap shape — one row per derived frame,
+    deterministic per-frame payloads, non-videos dropped."""
+    import hashlib
+
+    from cassandrastack_spark.llm.multimodal import resize_images, sample_frames
+
+    vid = b"\x00\x00ftyp fake mp4" * 300  # ~4.2 KiB -> 4 frames
+    media = spark.createDataFrame(
+        [
+            (1, "image", b"\x89PNG fake bytes", "image/png", 64, 64, None),
+            (2, "video", vid, "video/mp4", 640, 480, 10000),
+            (3, "audio", b"RIFF", "audio/wav", None, None, 100),
+        ],
+        schemas.MEDIA,
+    )
+    resized = {r.media_id: r for r in resize_images(media, 16, 16).collect()}
+    assert len(resized[1].payload) == 16 * 16 * 3
+    assert resized[1].width == 16 and resized[1].height == 16
+    assert bytes(resized[1].payload[:32]) == hashlib.sha256(
+        b"\x89PNG fake bytes"
+    ).digest()
+    assert bytes(resized[2].payload) == vid, "non-image must pass through"
+
+    frames = sample_frames(media, every_ms=500).collect()
+    assert {r.media_id for r in frames} == {2}, "only videos produce frames"
+    assert len(frames) == len(vid) // 1024
+    f0 = min(frames, key=lambda r: r.frame_idx)
+    assert f0.ts_ms == 0
+    assert bytes(f0.payload) == hashlib.sha256(vid + b"0").digest()

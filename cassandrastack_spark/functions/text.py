@@ -73,6 +73,29 @@ def langid_scores(text_col: str) -> Column:
     )
 
 
+# GPT-2-style pretokenizer pattern, restricted to constructs that Java
+# regex (Spark) and RE2 (DuckDB oracle) interpret identically: no
+# lookarounds, ASCII classes (non-ASCII falls into the punctuation-run
+# branch consistently in both engines). Branches: common English
+# contractions, space+letter-run, space+digit-run, space+symbol-run.
+BPE_PRETOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+)
+
+
+def bpe_tokens(text: Column | str) -> Column:
+    """BPE-ish pretokenization: the regex split every byte-pair encoder
+    (GPT-2/tiktoken family) applies before merges. Token COUNT from this
+    stage upper-bounds the true BPE count and tracks it closely — the
+    standard cheap estimator for corpus token budgeting."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(col, F.lit(BPE_PRETOKEN_PATTERN), 0)
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    return F.size(bpe_tokens(text))
+
+
 def fingerprint(text_col: str) -> Column:
     """Deterministic document fingerprint: md5 of the
     whitespace-normalized, lower-cased text (portable across engines)."""

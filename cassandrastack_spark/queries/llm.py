@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cassandrastack_spark.functions.text import (
+    LANG_STOPWORDS,
     fingerprint,
     langid_scores,
     quality_metrics,
@@ -424,6 +425,126 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", fingerprint("text").alias("fp")).orderBy("doc_id")
+
+
+@register(
+    "text_bpe_tokens",
+    oracle=r"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                   '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'
+               )) AS INT) AS n_bpe_tokens,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+               array_to_string(list_slice(regexp_extract_all(text,
+                   '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'
+               ), 1, 5), '|') AS tokens_head
+        FROM documents ORDER BY doc_id
+    """,
+    doc="BPE-ish token counting: the GPT-2-family pretokenizer regex "
+        "(contractions / letter-runs / digit-runs / symbol-runs), "
+        "restricted to constructs Java regex and RE2 read identically "
+        "— count upper-bounds true BPE tokens, the standard corpus "
+        "token-budget estimator. Pure regexp_extract_all codegen; the "
+        "oracle re-tokenizes in DuckDB and both count and leading "
+        "tokens must agree.",
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandrastack_spark.functions.text import bpe_token_count, bpe_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        bpe_token_count("text").alias("n_bpe_tokens"),
+        F.size(F.split("text", " ")).cast("int").alias("n_ws_tokens"),
+        F.array_join(F.slice(bpe_tokens("text"), 1, 5), "|").alias("tokens_head"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "corpus_split_hash",
+    oracle="""
+        WITH h AS (
+            SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx
+            FROM documents),
+        b AS (
+            SELECT doc_id,
+                   (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS v
+            FROM h)
+        SELECT doc_id,
+               CASE WHEN v % 10 < 8 THEN 'train'
+                    WHEN v % 10 = 8 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b ORDER BY doc_id
+    """,
+    doc="Deterministic train/val/test corpus split (80/10/10) keyed on "
+        "md5(doc_id) — stable across runs, engines, and cluster sizes "
+        "(no sampling RNG, no partition dependence). The bucket is the "
+        "first md5 byte mod 10, computed with portable string ops so "
+        "the DuckDB oracle reproduces the exact assignment. At 100 TB "
+        "this is a narrow map stage — no shuffle, no driver state.",
+)
+def corpus_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    hx = F.md5(F.col("doc_id").cast("string"))
+    v = F.conv(F.substring(hx, 1, 2), 16, 10).cast("int")
+    return d.select(
+        "doc_id",
+        F.when(v % 10 < 8, "train")
+        .when(v % 10 == 8, "val")
+        .otherwise("test")
+        .alias("split"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "corpus_quality_filter",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   (LENGTH(text) - (len(string_split(text, ' ')) - 1))
+                       / len(string_split(text, ' ')) AS avg_word_len,
+                   (len(list_filter(string_split(text, ' '), w -> w IN ('der','die','das','und')))
+                  + len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and')))
+                  + len(list_filter(string_split(text, ' '), w -> w IN ('el','la','de','que')))
+                  + len(list_filter(string_split(text, ' '), w -> w IN ('le','la','et','les')))) AS stop_hits
+            FROM documents)
+        SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+               ROUND(avg_word_len, 4) AS avg_word_len,
+               (n_tokens >= 5 AND avg_word_len BETWEEN 2.0 AND 15.0
+                AND stop_hits > 0) AS keep
+        FROM m ORDER BY doc_id
+    """,
+    doc="End-to-end corpus-cleaning gate: token floor, word-length band, "
+        "any-language stopword evidence — the composed quality filter a "
+        "training-data pipeline applies before dedup/tokenization. All "
+        "whole-stage-codegen expressions over one scan (no UDF, no "
+        "shuffle); the boolean keep decision is re-derived by the "
+        "oracle.",
+)
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    avg_wl = (F.length("text") - (n_tokens - 1)) / n_tokens
+    stop_hits = None
+    for sw in LANG_STOPWORDS.values():
+        arr = ", ".join(f"'{w}'" for w in sw)
+        hits = F.size(F.expr(f"filter(split(text, ' '), w -> w IN ({arr}))"))
+        stop_hits = hits if stop_hits is None else stop_hits + hits
+    keep = (
+        (n_tokens >= 5)
+        & (avg_wl >= 2.0)
+        & (avg_wl <= 15.0)
+        & (stop_hits > 0)
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.cast("int").alias("n_tokens"),
+        F.round(avg_wl, 4).alias("avg_word_len"),
+        keep.alias("keep"),
+    ).orderBy("doc_id")
 
 
 @register(

@@ -257,3 +257,35 @@ def test_multimodal_resize_and_frame_sample(spark):
     f0 = min(frames, key=lambda r: r.frame_idx)
     assert f0.ts_ms == 0
     assert bytes(f0.payload) == hashlib.sha256(vid + b"0").digest()
+
+
+def test_bpe_pretokenizer_and_hash_split(spark):
+    """bpe_tokens follows the GPT-2 pretokenizer shape (contractions
+    split, leading-space attachment, symbol runs); corpus_split_hash is
+    deterministic and ~80/10/10."""
+    from pyspark.sql import functions as F
+
+    from cassandrastack_spark.functions.text import bpe_token_count, bpe_tokens
+
+    df = spark.createDataFrame(
+        [("it's rain-proof, 42mm!",)], "text string"
+    ).select(
+        bpe_tokens("text").alias("toks"),
+        bpe_token_count("text").alias("n"),
+    )
+    row = df.head()
+    assert row.toks == [
+        "it", "'s", " rain", "-", "proof", ",", " 42", "mm", "!",
+    ]
+    assert row.n == 9
+
+    # hash split: same doc_id -> same split on every invocation, and the
+    # split is a pure function of doc_id (no RNG, no partition order)
+    from cassandrastack_spark.queries import load_all
+
+    q = load_all()["corpus_split_hash"].fn
+    a = {r.doc_id: r.split for r in q(spark, "/root/testdata/sf0.001").collect()}
+    b = {r.doc_id: r.split for r in q(spark, "/root/testdata/sf0.001").collect()}
+    assert a == b
+    frac_train = sum(1 for s in a.values() if s == "train") / len(a)
+    assert 0.6 < frac_train < 0.95

@@ -179,17 +179,48 @@ def ngram_jaccard_pairs(
         )
         .select(
             "id",
-            F.explode(
+            F.size("ss").alias("sz"),
+            F.posexplode(
                 F.expr(f"slice(array_sort(ss), 1, {n_prefix})")
-            ).alias("h"),
+            ).alias("pos", "h"),
         )
     )
+    # PPJoin positional filter. Both docs' token lists follow ONE global
+    # (df, hash) order, so the globally-first shared token has the
+    # minimal position on BOTH sides simultaneously (min(x.pos) and
+    # min(y.pos) below refer to the same token), and every other shared
+    # token sits strictly after it on both sides. Hence
+    #   overlap <= 1 + min(|A| - posA, |B| - posB)        (1-based pos)
+    # while jaccard >= t requires overlap >= t/(1+t) * (|A|+|B|).
+    # Candidates whose first collision happens too late — exactly the
+    # random pairs meeting only on common shingles, which sort LAST in
+    # the rarest-first order — are pruned BEFORE the shingle arrays are
+    # attached, which is where the verification cost lives. Sizes here
+    # are the df>1-reduced sizes: shared tokens all have df >= 2, so the
+    # reduced overlap equals the full overlap and the reduced-size alpha
+    # is a lower bound of the full-size alpha — the filter stays exact.
+    # The comparison is kept in multiplied-out integer-ish form (no
+    # ceil) with an epsilon so float rounding can only ADD candidates.
     cand = (
         prefix.alias("x")
         .join(prefix.alias("y"), on="h")
         .filter(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("a_id"), F.col("y.id").alias("b_id"))
-        .distinct()
+        .groupBy(
+            F.col("x.id").alias("a_id"), F.col("y.id").alias("b_id")
+        )
+        .agg(
+            F.min(F.col("x.pos")).alias("ia"),
+            F.min(F.col("y.pos")).alias("jb"),
+            F.first(F.col("x.sz")).alias("sza"),
+            F.first(F.col("y.sz")).alias("szb"),
+        )
+        .filter(
+            (1 + F.least(F.col("sza") - (F.col("ia") + 1),
+                         F.col("szb") - (F.col("jb") + 1)))
+            * (1.0 + threshold)
+            >= threshold * (F.col("sza") + F.col("szb")) - 1e-9
+        )
+        .select("a_id", "b_id")
     )
     # first-pass verification on the hashed arrays: an upper bound on
     # jaccard (collisions inflate shared), so filtering on it loses no
@@ -448,8 +479,15 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     optimization cuts rounds to O(log n) for pathological chains; the
     plan shape — iterate joins until fixpoint — is the same.)
     """
-    edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst")).union(
-        pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+    # Materialize the edge list ONCE: every propagation round joins
+    # against it, and `changed` adds a second action per round — without
+    # the checkpoint each of those re-runs the entire upstream
+    # pair-generation pipeline (shingling + prefix join + verification),
+    # turning O(diameter) rounds into O(diameter) full recomputes.
+    edges = (
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .union(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("id"))

@@ -236,26 +236,44 @@ def stateful_user_totals(stream: DataFrame) -> DataFrame:
 
 
 def run_to_batch(
-    streaming_df: DataFrame, output_mode: str = "complete"
+    streaming_df: DataFrame,
+    output_mode: str = "complete",
+    state_partitions: int = 8,
 ) -> DataFrame:
     """Run a streaming plan over its (finite) source to completion and
     return the result as a batch DataFrame (memory sink + availableNow).
 
     Used by the correctness gate: streaming results hash-compare against
     the batch oracle, which is Structured Streaming's core guarantee.
+
+    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for this
+    query only (restored after). Stateful operators create one state
+    store PER partition PER operator-internal store (a stream-stream
+    join keeps four), each paying checkpoint-commit I/O every micro-
+    batch — fixed cost independent of data volume, so state partition
+    count must be sized to STATE volume, not defaulted to the batch
+    shuffle width (32 partitions made this harness 5x slower on
+    kilobyte-scale state). The count is frozen into the checkpoint at
+    first run — a production stream sizes it up front the same way.
     """
+    spark = streaming_df.sparkSession
     name = f"cs_stream_sink_{os.getpid()}_{next(_sink_ids)}"
     checkpoint = tempfile.mkdtemp(prefix="cs_stream_ckpt_")
-    q = (
-        streaming_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return streaming_df.sparkSession.table(name)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            streaming_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(name)
 
 
 # ---------------------------------------------------------------------------

@@ -360,15 +360,22 @@ def ivf_train_centroids(
                 "array(" + ", ".join(f"{x!r}D" for x in c) + ")" for c in centroids
             ) + ")"
         )
-        assign = train.withColumn(
-            "cid",
-            F.expr(
-                f"array_position(transform({cent_arr}, c -> "
-                + DOT.format(a="c", b="v")
-                + f"), array_max(transform({cent_arr}, c -> "
-                + DOT.format(a="c", b="v")
-                + "))) - 1"
-            ).cast("int"),
+        # sims computed ONCE per row (the literal K×dim expression is
+        # already the codegen cost driver — embedding it twice inside
+        # array_position/array_max doubled the compiled source per
+        # Lloyd round)
+        assign = (
+            train.withColumn(
+                "sims",
+                F.expr(
+                    f"transform({cent_arr}, c -> " + DOT.format(a="c", b="v") + ")"
+                ),
+            )
+            .withColumn(
+                "cid",
+                F.expr("array_position(sims, array_max(sims)) - 1").cast("int"),
+            )
+            .drop("sims")
         )
         sums = (
             assign.select("cid", F.posexplode("v").alias("pos", "x"))
@@ -388,7 +395,14 @@ def ivf_train_centroids(
                 continue
             nrm = sum(x * x for x in m) ** 0.5 or 1.0
             new.append([x / nrm for x in m])
+        moved = max(
+            abs(a - b)
+            for nc, oc in zip(new, centroids)
+            for a, b in zip(nc, oc)
+        )
         centroids = new
+        if moved < 1e-12:  # converged: assignments can no longer change
+            break
     return centroids
 
 

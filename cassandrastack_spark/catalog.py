@@ -66,6 +66,8 @@ class Keyspace:
         self.warehouse = warehouse
         self.replication_factor = replication_factor
         self.tables: dict[str, TableSpec] = {}
+        # base table name -> names of materialized views kept in sync
+        self.views: dict[str, list[str]] = {}
 
     # D1 — CREATE KEYSPACE IF NOT EXISTS (server.py:76-79)
     def create(self) -> "Keyspace":
@@ -116,6 +118,63 @@ class Keyspace:
         )
         self.tables[name] = spec
         os.makedirs(self.table_path(name), exist_ok=True)
+        return spec
+
+    def create_materialized_view(
+        self,
+        base: str,
+        view: str,
+        partition_keys: list[str],
+        clustering_keys: list[str] | None = None,
+        clustering_desc: bool = False,
+    ) -> TableSpec:
+        """Cassandra-3.0 materialized view DDL: the same rows under a
+        different primary key, so queries can address the data by a
+        second access path without app-maintained denormalization.
+
+        Enforces Cassandra's own MV rules (they are what make write-path
+        propagation sound under upsert semantics):
+
+        - the view's primary key must contain EVERY base primary-key
+          column (a base row maps to exactly one view row);
+        - at most ONE non-primary-key base column may join the view's
+          key (limits the key-move surface an update can create);
+        - views of views are not allowed.
+        """
+        if base not in self.tables:
+            raise ValueError(f"unknown base table {base!r}")
+        if self.tables[base].properties.get("materialized_view_of"):
+            raise ValueError("materialized views of views are not allowed")
+        if view in self.tables:  # IF NOT EXISTS semantics, like D4/D5
+            return self.tables[view]
+        base_spec = self.tables[base]
+        pk = list(partition_keys) + list(clustering_keys or [])
+        missing = set(base_spec.primary_key) - set(pk)
+        if missing:
+            raise ValueError(
+                f"view primary key must include all base primary-key "
+                f"columns; missing {sorted(missing)}"
+            )
+        extra = set(pk) - set(base_spec.primary_key)
+        if len(extra) > 1:
+            raise ValueError(
+                f"at most one non-primary-key base column may be part of "
+                f"the view key; got {sorted(extra)}"
+            )
+        unknown = set(pk) - {f.name for f in base_spec.schema.fields}
+        if unknown:
+            raise ValueError(f"view key columns not in base schema: {sorted(unknown)}")
+        spec = TableSpec(
+            name=view,
+            schema=base_spec.schema,
+            partition_keys=list(partition_keys),
+            clustering_keys=list(clustering_keys or []),
+            clustering_desc=clustering_desc,
+            properties={"materialized_view_of": base},
+        )
+        self.tables[view] = spec
+        self.views.setdefault(base, []).append(view)
+        os.makedirs(self.table_path(view), exist_ok=True)
         return spec
 
     def drop_table(self, name: str) -> None:

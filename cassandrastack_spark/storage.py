@@ -44,6 +44,7 @@ from cassandrastack_spark.hashing import bucket_of
 
 _BUCKET = "_bucket"
 _WRITETIME = "_writetime"
+_EXPIRES = "_expires"  # epoch micros; NULL = no TTL
 
 # Engine-side monotonic write sequence: (epoch_micros, counter) so two
 # appends in the same microsecond still order deterministically.
@@ -81,12 +82,27 @@ class WideColumnTable:
             _BUCKET, F.pmod(F.hash(*key_cols), F.lit(self.n_buckets))
         )
 
-    def append(self, df: DataFrame) -> None:
-        """Atomic multi-row upsert-append (W1/W2/W3).
+    def append(self, df: DataFrame, ttl_seconds: int | None = None) -> None:
+        """Atomic multi-row upsert-append (W1/W2/W3), optional row TTL.
 
         Enforces schema-on-write (SURVEY.md §1.3): input columns must
         match the declared schema exactly (names + order coerced here,
         extra/missing columns error).
+
+        ``ttl_seconds`` is CQL's ``USING TTL``: the written rows expire
+        at write-time + TTL. An expired row behaves like Cassandra's
+        TTL tombstone — the key disappears (it does NOT resurrect an
+        older un-TTL'd version, because upsert reconciliation happens
+        BEFORE expiry filtering on the read path), and ``compact()``
+        physically drops it (tombstone GC, ``cassandra.yaml:1150``).
+
+        The write also propagates to this table's materialized views
+        (Cassandra updates views on the write path): each view appends
+        the same rows under its own bucket routing. An upsert that
+        CHANGES a view-key column strands the old view row until
+        ``MaterializedView.refresh()`` — Cassandra pays a read-before-
+        write per update to generate the view tombstone; a bulk engine
+        takes the rebuild instead (SURVEY.md §7.1 trade-off).
         """
         declared = [f.name for f in self.spec.schema.fields]
         missing = set(declared) - set(df.columns)
@@ -99,8 +115,16 @@ class WideColumnTable:
         out = df.select(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in self.spec.schema.fields]
         )
-        out = self._with_bucket(out).withColumn(
-            _WRITETIME, F.lit(_next_writetime())
+        writetime = _next_writetime()
+        expires = (
+            writetime // 1000 + ttl_seconds * 1_000_000
+            if ttl_seconds is not None
+            else None
+        )
+        out = (
+            self._with_bucket(out)
+            .withColumn(_WRITETIME, F.lit(writetime))
+            .withColumn(_EXPIRES, F.lit(expires).cast("long"))
         )
         sort_cols = self._sort_cols()
         writer = (
@@ -114,6 +138,14 @@ class WideColumnTable:
             .partitionBy(_BUCKET)
         )
         writer.parquet(self.path)
+        for view_name in self.keyspace.views.get(self.spec.name, ()):
+            view = WideColumnTable(
+                self.spark,
+                self.keyspace,
+                self.keyspace.tables[view_name],
+                n_buckets=self.n_buckets,
+            )
+            view.append(df, ttl_seconds=ttl_seconds)
 
     def _sort_cols(self):
         cols = []
@@ -128,26 +160,40 @@ class WideColumnTable:
 
         read_schema = StructType(
             list(self.spec.schema.fields)
-            + [StructField(_BUCKET, IntegerType()), StructField(_WRITETIME, LongType())]
+            + [
+                StructField(_BUCKET, IntegerType()),
+                StructField(_WRITETIME, LongType()),
+                StructField(_EXPIRES, LongType()),  # null on pre-TTL files
+            ]
         )
         return self.spark.read.schema(read_schema).parquet(self.path)
 
-    def read(self) -> DataFrame:
-        """Full table with upsert semantics: newest row per primary key.
+    def _reconciled(self, raw: DataFrame) -> DataFrame:
+        """Newest row per primary key, expired keys dropped.
 
-        Uses max_by over a single groupBy — one shuffle, map-side
-        combinable, no window-sort. Shadowed (overwritten) rows drop out
-        exactly as Cassandra's read-path reconciliation does.
+        max_by over a single groupBy — one shuffle, map-side combinable,
+        no window-sort. Shadowed (overwritten) rows drop out exactly as
+        Cassandra's read-path reconciliation does. Expiry filtering runs
+        AFTER reconciliation: an expired newest version removes the key
+        (TTL tombstone semantics) instead of resurrecting older data.
+        Keeps ``_expires`` so ``compact()`` can carry live TTLs through
+        the rewrite; plain reads drop it.
         """
-        raw = self._raw()
         pk = self.spec.primary_key
         payload = [c for c in raw.columns if c not in pk and c != _BUCKET]
         agg = [F.expr(f"max_by(`{c}`, `{_WRITETIME}`)").alias(c) for c in payload]
+        now_micros = int(time.time() * 1_000_000)
         return (
             raw.groupBy(*pk)
             .agg(*agg)
+            .filter(F.col(_EXPIRES).isNull() | (F.col(_EXPIRES) > now_micros))
             .drop(_WRITETIME)
-            .select(*[f.name for f in self.spec.schema.fields])
+        )
+
+    def read(self) -> DataFrame:
+        """Full table with upsert semantics: newest live row per key."""
+        return self._reconciled(self._raw()).select(
+            *[f.name for f in self.spec.schema.fields]
         )
 
     def read_partition(self, **key_values) -> DataFrame:
@@ -175,14 +221,43 @@ class WideColumnTable:
         raw = self._raw().filter(F.col(_BUCKET) == int(bucket))
         for k, v in key_values.items():
             raw = raw.filter(F.col(k) == v)
-        pk = self.spec.primary_key
-        payload = [c for c in raw.columns if c not in pk and c != _BUCKET]
-        agg = [F.expr(f"max_by(`{c}`, `{_WRITETIME}`)").alias(c) for c in payload]
-        deduped = raw.groupBy(*pk).agg(*agg)
+        deduped = self._reconciled(raw)
         order = self._sort_cols()
         return deduped.select(*[f.name for f in self.spec.schema.fields]).orderBy(*order)
 
     # ---- maintenance -------------------------------------------------------
+
+    def refresh_view(self) -> None:
+        """Rebuild a materialized view from its base table.
+
+        The bulk-engine answer to Cassandra's per-write view tombstones
+        (and its ``nodetool`` view rebuild): one job reads the base's
+        live reconciled rows and overwrites the view under the view's
+        own bucket routing and clustering order. Removes rows stranded
+        by base upserts that moved a view-key column; carries live TTLs
+        through. Reads the BASE and writes the VIEW, so no staging copy
+        is needed (never reads its own output).
+        """
+        base_name = self.spec.properties.get("materialized_view_of")
+        if not base_name:
+            raise ValueError(f"{self.spec.name} is not a materialized view")
+        base = WideColumnTable(
+            self.spark,
+            self.keyspace,
+            self.keyspace.tables[base_name],
+            n_buckets=self.n_buckets,
+        )
+        live = base._reconciled(base._raw())  # spec cols + _expires
+        out = self._with_bucket(live).withColumn(
+            _WRITETIME, F.lit(_next_writetime())
+        )
+        (
+            out.repartition(self.n_buckets, F.col(_BUCKET))
+            .sortWithinPartitions(F.col(_BUCKET), *self._sort_cols())
+            .write.mode("overwrite")
+            .partitionBy(_BUCKET)
+            .parquet(self.path)
+        )
 
     def compact(self) -> None:
         """Rewrite the table dropping shadowed rows and small files.
@@ -204,7 +279,10 @@ class WideColumnTable:
            resolves s3a/gs/abfs/hdfs/file alike.
         """
         stage = self.path + ".compacting"
-        out = self._with_bucket(self.read()).withColumn(
+        # reconcile keeps _expires: live TTLs survive the rewrite, rows
+        # already expired (and rows they shadowed) are physically gone
+        live = self._reconciled(self._raw())
+        out = self._with_bucket(live).withColumn(
             _WRITETIME, F.lit(_next_writetime())
         )
         out.write.mode("overwrite").parquet(stage)
@@ -225,4 +303,20 @@ class WideColumnTable:
         jvm = self.spark._jvm
         stage_path = jvm.org.apache.hadoop.fs.Path(stage)
         fs = stage_path.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        # Dynamic overwrite only replaces buckets that still HAVE rows;
+        # a bucket whose every row expired/was shadowed keeps its old
+        # files. Reads stay correct regardless (reconciliation filters
+        # them) — this reclaims the space: drop bucket dirs absent from
+        # the staged output. Bounded driver work: at most n_buckets ids.
+        kept = {
+            r[0] for r in staged.select(_BUCKET).distinct().collect()
+        }
+        live_path = jvm.org.apache.hadoop.fs.Path(self.path)
+        if fs.exists(live_path):
+            for status in fs.listStatus(live_path):
+                name = status.getPath().getName()
+                if name.startswith(f"{_BUCKET}="):
+                    bucket_id = int(name.split("=", 1)[1])
+                    if bucket_id not in kept:
+                        fs.delete(status.getPath(), True)
         fs.delete(stage_path, True)

@@ -183,3 +183,88 @@ def test_login_flow_point_lookup(spark, ks):
     assert bad_pw.count() == 0
     unknown = users.filter((F.col("username") == "Zoe") & (F.col("password") == "x"))
     assert unknown.count() == 0
+
+
+def test_row_ttl_expiry_and_compaction(spark, ks):
+    """TTL semantics: expired rows vanish from reads, expired newest
+    versions remove the key rather than resurrect older data, compact()
+    physically drops them while carrying live TTLs through."""
+    t = make_users(spark, ks)
+    rows = spark.createDataFrame(
+        [("alex", "u1", "a@x", "pw"), ("bianca", "u2", "b@x", "pw")],
+        schemas.USERS,
+    )
+    t.append(rows)
+    # overwrite alex with an ALREADY-EXPIRED version (ttl in the past
+    # is modeled with ttl_seconds=0: expires at write time)
+    t.append(
+        spark.createDataFrame([("alex", "u1b", "a2@x", "pw2")], schemas.USERS),
+        ttl_seconds=0,
+    )
+    import time as _time
+
+    _time.sleep(0.01)
+    live = {r.username for r in t.read().collect()}
+    assert live == {"bianca"}, "expired newest version must kill the key"
+    # a FUTURE ttl stays readable and survives compaction
+    t.append(
+        spark.createDataFrame([("carol", "u3", "c@x", "pw")], schemas.USERS),
+        ttl_seconds=3600,
+    )
+    t.compact()
+    live = {r.username for r in t.read().collect()}
+    assert live == {"bianca", "carol"}
+    # compaction physically dropped the expired + shadowed alex rows
+    raw = spark.read.parquet(t.path)
+    assert raw.filter(F.col("username") == "alex").count() == 0
+    # and carol's TTL survived the rewrite
+    carol = raw.filter(F.col("username") == "carol").head()
+    assert carol._expires is not None
+
+
+def test_materialized_view_propagation_and_refresh(spark, ks):
+    """C* 3.0 materialized views: write-path propagation, alternate-key
+    pruned reads, PK-superset validation, refresh after key-move."""
+    t = make_messages(spark, ks)
+
+    # C* rule: view PK must contain every base PK column
+    with pytest.raises(ValueError, match="must include all base"):
+        ks.create_materialized_view(
+            "messages", "bad_mv", partition_keys=["author_id"]
+        )
+
+    spec = ks.create_materialized_view(
+        "messages", "messages_by_author",
+        partition_keys=["author_id"],
+        clustering_keys=["channel_id", "message_ts", "message_id"],
+        clustering_desc=True,
+    )
+    mv = WideColumnTable(spark, ks, spec, n_buckets=4)
+    t.append(seed_messages(spark))
+
+    # the view answers the by-author access path with the same rows
+    by_a = mv.read_partition(author_id=AUTHOR_A).collect()
+    assert {r.author_id for r in by_a} == {AUTHOR_A}
+    assert len(by_a) == 8  # 7 even-index ch1 rows + ch2 seed
+    base_a = [r for r in t.read().collect() if r.author_id == AUTHOR_A]
+    assert len(base_a) == len(by_a)
+
+    # views of views are rejected
+    with pytest.raises(ValueError, match="views of views"):
+        ks.create_materialized_view(
+            "messages_by_author", "mv2",
+            partition_keys=["author_id", "channel_id", "message_ts", "message_id"],
+        )
+
+    # upsert that MOVES the view key strands the old view row until refresh
+    moved = spark.createDataFrame(
+        [(2, dt.datetime(2024, 1, 1, 12, 0, 20), "m-ch2-00", AUTHOR_B, "re-authored")],
+        schemas.MESSAGES,
+    )
+    t.append(moved)
+    assert {r.message for r in mv.read_partition(author_id=AUTHOR_B).collect()} >= {"re-authored"}
+    stale = [r for r in mv.read_partition(author_id=AUTHOR_A).collect() if r.channel_id == 2]
+    assert stale, "pre-refresh: old-key row still visible (documented)"
+    mv.refresh_view()
+    assert not [r for r in mv.read_partition(author_id=AUTHOR_A).collect() if r.channel_id == 2]
+    assert len(mv.read().collect()) == len(t.read().collect())

@@ -177,6 +177,27 @@ class Keyspace:
         os.makedirs(self.table_path(view), exist_ok=True)
         return spec
 
+    def create_index(self, base: str, column: str) -> TableSpec:
+        """CQL ``CREATE INDEX`` (Cassandra secondary index): query rows
+        by a non-key column without a full scan.
+
+        Implemented as the degenerate materialized view — partition key
+        = the indexed column, the base primary key as clustering — which
+        is also how Cassandra folk model 2i's sibling ("MV as global
+        index"): the index is bucket-routed by the indexed VALUE, so an
+        equality probe prunes to one bucket exactly like a base-table
+        point read. Maintained by the same write-path propagation /
+        refresh machinery as any view.
+        """
+        base_spec = self.tables.get(base)
+        if base_spec is None:
+            raise ValueError(f"unknown base table {base!r}")
+        name = f"{base}_{column}_idx"
+        clustering = [c for c in base_spec.primary_key if c != column]
+        return self.create_materialized_view(
+            base, name, partition_keys=[column], clustering_keys=clustering
+        )
+
     def drop_table(self, name: str) -> None:
         import shutil
 

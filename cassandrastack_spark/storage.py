@@ -225,6 +225,26 @@ class WideColumnTable:
         order = self._sort_cols()
         return deduped.select(*[f.name for f in self.spec.schema.fields]).orderBy(*order)
 
+    def read_by_index(self, column: str, value) -> DataFrame:
+        """Secondary-index read: equality probe on a non-key column,
+        routed through the ``create_index`` view — a one-bucket pruned
+        scan on the index (the 2i analogue of ``server.py:98``'s
+        single-token-range read) instead of a full base scan.
+        """
+        idx_name = f"{self.spec.name}_{column}_idx"
+        idx_spec = self.keyspace.tables.get(idx_name)
+        if idx_spec is None:
+            raise ValueError(
+                f"no index on {self.spec.name}.{column}; "
+                f"create_index({self.spec.name!r}, {column!r}) first"
+            )
+        idx = WideColumnTable(
+            self.spark, self.keyspace, idx_spec, n_buckets=self.n_buckets
+        )
+        return idx.read_partition(**{column: value}).select(
+            *[f.name for f in self.spec.schema.fields]
+        )
+
     # ---- maintenance -------------------------------------------------------
 
     def refresh_view(self) -> None:

@@ -268,3 +268,29 @@ def test_materialized_view_propagation_and_refresh(spark, ks):
     mv.refresh_view()
     assert not [r for r in mv.read_partition(author_id=AUTHOR_A).collect() if r.channel_id == 2]
     assert len(mv.read().collect()) == len(t.read().collect())
+
+
+def test_secondary_index_pruned_probe(spark, ks):
+    """CREATE INDEX on a non-key column: probe prunes to one index
+    bucket; results match a full-scan filter; upserts propagate."""
+    t = make_messages(spark, ks)
+    ks.create_index("messages", "author_id")
+    t.append(seed_messages(spark))
+
+    got = t.read_by_index("author_id", AUTHOR_B).collect()
+    want = [r for r in t.read().collect() if r.author_id == AUTHOR_B]
+    assert {r.message_id for r in got} == {r.message_id for r in want}
+    assert len(got) == 7
+
+    # the probe's scan is pruned to ONE bucket directory of the index
+    plan = t.read_by_index("author_id", AUTHOR_B)._jdf.queryExecution().executedPlan().toString()
+    import re
+    m = re.search(r"PartitionFilters: \[[^\]]*_bucket", plan)
+    assert m, f"expected a _bucket partition filter in:\n{plan[:2000]}"
+
+    # write-path propagation keeps the index current
+    t.append(spark.createDataFrame(
+        [(9, dt.datetime(2024, 1, 2), "m-new", AUTHOR_B, "fresh")],
+        schemas.MESSAGES,
+    ))
+    assert "fresh" in {r.message for r in t.read_by_index("author_id", AUTHOR_B).collect()}

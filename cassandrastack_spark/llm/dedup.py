@@ -184,6 +184,10 @@ def ngram_jaccard_pairs(
                 F.expr(f"slice(array_sort(ss), 1, {n_prefix})")
             ).alias("pos", "h"),
         )
+        # materialized once: the self-join otherwise rebuilds the whole
+        # inverted-index -> doc_freq -> sort-slice chain PER SIDE (the
+        # planner does not reuse the exchange across the x/y aliases)
+        .localCheckpoint(eager=True)
     )
     # PPJoin positional filter. Both docs' token lists follow ONE global
     # (df, hash) order, so the globally-first shared token has the

@@ -548,6 +548,107 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_prepare_pipeline",
+    oracle="""
+        WITH canon AS (
+            SELECT MIN(doc_id) AS doc_id
+            FROM documents GROUP BY md5(text)),
+        kept AS (
+            SELECT d.doc_id, d.text,
+                   len(string_split(d.text, ' ')) AS n_tokens
+            FROM documents d JOIN canon USING (doc_id)
+            WHERE len(string_split(d.text, ' ')) >= 5),
+        split AS (
+            SELECT doc_id, n_tokens,
+                   CASE WHEN ((strpos('0123456789abcdef',
+                                substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                            + (strpos('0123456789abcdef',
+                                substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 10 < 8
+                        THEN 'train'
+                        WHEN ((strpos('0123456789abcdef',
+                                substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                            + (strpos('0123456789abcdef',
+                                substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 10 = 8
+                        THEN 'val' ELSE 'test' END AS split
+            FROM kept)
+        SELECT split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS token_budget
+        FROM split GROUP BY split ORDER BY split
+    """,
+    doc="The composed training-data preparation pipeline: exact dedup "
+        "(keep min doc_id per md5) -> token-floor quality gate -> "
+        "deterministic md5 train/val/test split -> per-split doc and "
+        "token budgets. One scan feeds the dedup aggregate; the keep "
+        "set semi-joins back (shuffles digests and ids, never text); "
+        "split + budget is a final small aggregation — the whole "
+        "pipeline is three shuffles regardless of corpus size.",
+)
+def corpus_prepare_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    canon = (
+        d.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = (
+        d.join(canon, "doc_id", "left_semi")
+        .withColumn("n_tokens", F.size(F.split("text", " ")))
+        .filter(F.col("n_tokens") >= 5)
+    )
+    hx = F.md5(F.col("doc_id").cast("string"))
+    v = F.conv(F.substring(hx, 1, 2), 16, 10).cast("int")
+    split = (
+        F.when(v % 10 < 8, "train").when(v % 10 == 8, "val").otherwise("test")
+    )
+    return (
+        kept.select(split.alias("split"), "n_tokens")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("token_budget"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "corpus_stratified_sample",
+    oracle="""
+        SELECT lang, doc_id
+        FROM (
+            SELECT lang, doc_id,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rn
+            FROM documents)
+        WHERE rn <= 20
+        ORDER BY lang, doc_id
+    """,
+    doc="Stratified corpus sampling: exactly n docs per language, chosen "
+        "by ranking an md5 of the id — deterministic across runs, "
+        "engines, partitionings, and cluster sizes (no RNG, no "
+        "sample()-style partition dependence). One window shuffle on "
+        "the stratum key; at 100 TB strata are processed independently "
+        "and the rank can early-stop via top-k per partition.",
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
+
+
+@register(
     "mm_binary_meta",
     oracle="""
         SELECT doc_id,

@@ -106,15 +106,36 @@ class Keyspace:
         partition_keys: list[str],
         clustering_keys: list[str] | None = None,
         clustering_desc: bool = False,
+        counter_columns: list[str] | None = None,
     ) -> TableSpec:
+        """``counter_columns`` marks CQL ``counter`` columns: their
+        reconciliation mode is SUM-of-increments, not last-writer-wins
+        (Cassandra keeps counters in dedicated tables for the same
+        reason — the merge rule differs). CQL's rules are enforced:
+        counters cannot be key columns, and a counter table's non-key
+        columns must ALL be counters."""
         if name in self.tables:  # IF NOT EXISTS: no-op on re-create
             return self.tables[name]
+        counters = list(counter_columns or [])
+        if counters:
+            pk = list(partition_keys) + list(clustering_keys or [])
+            in_key = set(counters) & set(pk)
+            if in_key:
+                raise ValueError(f"counter columns cannot be key columns: {sorted(in_key)}")
+            non_key = {f.name for f in schema.fields} - set(pk)
+            non_counter = non_key - set(counters)
+            if non_counter:
+                raise ValueError(
+                    "a counter table's non-key columns must all be "
+                    f"counters; plain columns: {sorted(non_counter)}"
+                )
         spec = TableSpec(
             name=name,
             schema=schema,
             partition_keys=list(partition_keys),
             clustering_keys=list(clustering_keys or []),
             clustering_desc=clustering_desc,
+            properties={"counter_columns": counters} if counters else {},
         )
         self.tables[name] = spec
         os.makedirs(self.table_path(name), exist_ok=True)

@@ -104,6 +104,8 @@ class WideColumnTable:
         write per update to generate the view tombstone; a bulk engine
         takes the rebuild instead (SURVEY.md §7.1 trade-off).
         """
+        if ttl_seconds is not None and self.spec.properties.get("counter_columns"):
+            raise ValueError("counter tables do not support TTL (CQL rule)")
         declared = [f.name for f in self.spec.schema.fields]
         missing = set(declared) - set(df.columns)
         extra = set(df.columns) - set(declared)
@@ -181,7 +183,16 @@ class WideColumnTable:
         """
         pk = self.spec.primary_key
         payload = [c for c in raw.columns if c not in pk and c != _BUCKET]
-        agg = [F.expr(f"max_by(`{c}`, `{_WRITETIME}`)").alias(c) for c in payload]
+        counters = set(self.spec.properties.get("counter_columns", ()))
+        types = {f.name: f.dataType for f in self.spec.schema.fields}
+        agg = [
+            # counter columns merge by SUM of increments (CQL counter
+            # semantics); everything else is last-writer-wins
+            F.sum(c).cast(types[c]).alias(c)
+            if c in counters
+            else F.expr(f"max_by(`{c}`, `{_WRITETIME}`)").alias(c)
+            for c in payload
+        ]
         now_micros = int(time.time() * 1_000_000)
         return (
             raw.groupBy(*pk)

@@ -294,3 +294,43 @@ def test_secondary_index_pruned_probe(spark, ks):
         schemas.MESSAGES,
     ))
     assert "fresh" in {r.message for r in t.read_by_index("author_id", AUTHOR_B).collect()}
+
+
+def test_counter_table_sums_increments(spark, ks):
+    """CQL counter semantics: appends are increments merged by SUM per
+    key (not last-writer-wins); negatives decrement; compaction folds
+    increments into one row without changing totals; DDL rules hold."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType([
+        StructField("page", StringType(), False),
+        StructField("hits", LongType(), True),
+        StructField("errors", LongType(), True),
+    ])
+    with pytest.raises(ValueError, match="cannot be key"):
+        ks.create_table("bad1", schema, ["page"], counter_columns=["page"])
+    with pytest.raises(ValueError, match="must all be counters"):
+        ks.create_table("bad2", schema, ["page"], counter_columns=["hits"])
+
+    spec = ks.create_table(
+        "page_counters", schema, ["page"], counter_columns=["hits", "errors"]
+    )
+    t = WideColumnTable(spark, ks, spec, n_buckets=4)
+    with pytest.raises(ValueError, match="TTL"):
+        t.append(spark.createDataFrame([("a", 1, 0)], schema), ttl_seconds=10)
+
+    t.append(spark.createDataFrame([("a", 3, 1), ("b", 2, 0)], schema))
+    t.append(spark.createDataFrame([("a", 4, 0), ("c", 1, 1)], schema))
+    t.append(spark.createDataFrame([("a", -2, 1)], schema))  # decrement
+    got = {r.page: (r.hits, r.errors) for r in t.read().collect()}
+    assert got == {"a": (5, 2), "b": (2, 0), "c": (1, 1)}
+
+    t.compact()
+    got = {r.page: (r.hits, r.errors) for r in t.read().collect()}
+    assert got == {"a": (5, 2), "b": (2, 0), "c": (1, 1)}
+    # compaction folded a's three increment rows into one physical row
+    raw = spark.read.parquet(t.path)
+    assert raw.filter(F.col("page") == "a").count() == 1
+    # further increments after compaction keep accumulating
+    t.append(spark.createDataFrame([("a", 10, 0)], schema))
+    assert {r.hits for r in t.read().filter(F.col("page") == "a").collect()} == {15}

@@ -443,3 +443,113 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("approx_users")
         .orderBy("event_type")
     )
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS t_view
+            FROM events WHERE event_type = 'view' GROUP BY user_id),
+        c AS (
+            SELECT e.user_id, MIN(e.ts) AS t_click
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t_view
+            GROUP BY e.user_id),
+        p AS (
+            SELECT e.user_id, MIN(e.ts) AS t_purchase
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+            GROUP BY e.user_id)
+        SELECT * FROM (
+            SELECT 1 AS step, 'view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+            UNION ALL
+            SELECT 2, 'view>click', CAST(COUNT(*) AS BIGINT) FROM c
+            UNION ALL
+            SELECT 3, 'view>click>purchase', CAST(COUNT(*) AS BIGINT) FROM p)
+        ORDER BY step
+    """,
+    doc="Ordered funnel analysis (view -> click -> purchase): each stage "
+        "keeps users whose first qualifying event strictly follows the "
+        "previous stage's. Three conditional min-aggregates chained by "
+        "user_id equi-joins — per-user state never leaves its shuffle "
+        "partition, and each stage's frame shrinks, so the plan is "
+        "monotonically cheaper downstream at any scale.",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        c.join(
+            e.filter(F.col("event_type") == "purchase"), "user_id"
+        )
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    counts = (
+        v.agg(F.count("*").alias("n_users")).select(F.lit(1).alias("step"), F.lit("view").alias("stage"), "n_users")
+        .unionAll(
+            c.agg(F.count("*").alias("n_users")).select(F.lit(2).alias("step"), F.lit("view>click").alias("stage"), "n_users")
+        )
+        .unionAll(
+            p.agg(F.count("*").alias("n_users")).select(F.lit(3).alias("step"), F.lit("view>click>purchase").alias("stage"), "n_users")
+        )
+    )
+    return counts.orderBy("step")
+
+
+@register(
+    "retention_weekly",
+    oracle="""
+        WITH firstweek AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+            FROM events GROUP BY user_id),
+        active AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', ts) AS DATE) AS week
+            FROM events)
+        SELECT f.cohort_week,
+               CAST((a.week - f.cohort_week) / 7 AS INT) AS week_offset,
+               CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+        FROM active a JOIN firstweek f ON a.user_id = f.user_id
+        GROUP BY f.cohort_week, week_offset
+        ORDER BY f.cohort_week, week_offset
+    """,
+    doc="Weekly retention cohorts: users grouped by first-seen week, "
+        "counted in every later week they stay active. Two aggregates "
+        "over one scan joined on user_id; the (cohort, offset) matrix "
+        "is tiny regardless of corpus size — the classic retention "
+        "triangle computed without any per-user driver state.",
+)
+def retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    firstweek = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    active = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    return (
+        active.join(firstweek, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -198,6 +198,27 @@ class Keyspace:
         os.makedirs(self.table_path(view), exist_ok=True)
         return spec
 
+    def alter_table_add_column(self, table: str, field) -> TableSpec:
+        """CQL ``ALTER TABLE ... ADD``: append a nullable column.
+
+        Schema evolution is metadata-only: existing Parquet files are
+        untouched — every read goes through the DECLARED schema
+        (``storage.py _raw``), so the new column materializes as NULL
+        on old rows, exactly CQL's behavior. Key columns cannot be
+        added or changed (CQL rule); the new column must be nullable.
+        """
+        from pyspark.sql.types import StructField, StructType
+
+        spec = self.tables.get(table)
+        if spec is None:
+            raise ValueError(f"unknown table {table!r}")
+        if not isinstance(field, StructField) or not field.nullable:
+            raise ValueError("added column must be a nullable StructField")
+        if field.name in {f.name for f in spec.schema.fields}:
+            return spec  # IF NOT EXISTS flavor: no-op
+        spec.schema = StructType(list(spec.schema.fields) + [field])
+        return spec
+
     def create_index(self, base: str, column: str) -> TableSpec:
         """CQL ``CREATE INDEX`` (Cassandra secondary index): query rows
         by a non-key column without a full scan.

@@ -45,6 +45,7 @@ from cassandrastack_spark.hashing import bucket_of
 _BUCKET = "_bucket"
 _WRITETIME = "_writetime"
 _EXPIRES = "_expires"  # epoch micros; NULL = no TTL
+_TOMBSTONE = "_tombstone"  # true = CQL DELETE marker; NULL/false = live
 
 # Engine-side monotonic write sequence: (epoch_micros, counter) so two
 # appends in the same microsecond still order deterministically.
@@ -127,6 +128,7 @@ class WideColumnTable:
             self._with_bucket(out)
             .withColumn(_WRITETIME, F.lit(writetime))
             .withColumn(_EXPIRES, F.lit(expires).cast("long"))
+            .withColumn(_TOMBSTONE, F.lit(False))
         )
         sort_cols = self._sort_cols()
         writer = (
@@ -149,6 +151,56 @@ class WideColumnTable:
             )
             view.append(df, ttl_seconds=ttl_seconds)
 
+    def delete(self, keys: DataFrame) -> None:
+        """CQL ``DELETE`` by primary key: appends tombstone markers.
+
+        The newest write for a key being a tombstone removes the key on
+        read (reconciliation happens first, so the delete shadows every
+        older version); ``compact()`` drops the key and its history
+        physically — tombstone GC with gc_grace = one compaction cycle
+        (single-log engine: no replica replay to guard against,
+        ``cassandra.yaml:1150`` context).
+
+        Counter tables refuse deletes — CQL itself documents
+        counter-column deletion as unsafe (re-increments after a delete
+        are unpredictable); this engine makes the footgun an error.
+
+        Deletes do NOT propagate to materialized views: a view key can
+        include a non-key base column whose value a key-only delete
+        does not know (Cassandra pays a read-before-write to build view
+        tombstones); run ``refresh_view()`` to reconverge views.
+        """
+        if self.spec.properties.get("counter_columns"):
+            raise ValueError(
+                "DELETE on counter tables is not supported (CQL counter "
+                "deletion is unsafe by design)"
+            )
+        pk = self.spec.primary_key
+        if set(keys.columns) != set(pk):
+            raise ValueError(f"delete needs exactly the primary key columns {pk}")
+        types = {f.name: f.dataType for f in self.spec.schema.fields}
+        out = keys.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in pk
+                else F.lit(None).cast(types[f.name]).alias(f.name)
+                for f in self.spec.schema.fields
+            ]
+        )
+        out = (
+            self._with_bucket(out)
+            .withColumn(_WRITETIME, F.lit(_next_writetime()))
+            .withColumn(_EXPIRES, F.lit(None).cast("long"))
+            .withColumn(_TOMBSTONE, F.lit(True))
+        )
+        (
+            out.repartition(self.n_buckets, F.col(_BUCKET))
+            .sortWithinPartitions(F.col(_BUCKET), *self._sort_cols())
+            .write.mode("append")
+            .partitionBy(_BUCKET)
+            .parquet(self.path)
+        )
+
     def _sort_cols(self):
         cols = []
         for c in self.spec.clustering_keys:
@@ -158,7 +210,13 @@ class WideColumnTable:
     # ---- read path (R1-R4) -------------------------------------------------
 
     def _raw(self) -> DataFrame:
-        from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+        from pyspark.sql.types import (
+            BooleanType,
+            IntegerType,
+            LongType,
+            StructField,
+            StructType,
+        )
 
         read_schema = StructType(
             list(self.spec.schema.fields)
@@ -166,6 +224,7 @@ class WideColumnTable:
                 StructField(_BUCKET, IntegerType()),
                 StructField(_WRITETIME, LongType()),
                 StructField(_EXPIRES, LongType()),  # null on pre-TTL files
+                StructField(_TOMBSTONE, BooleanType()),  # null on old files
             ]
         )
         return self.spark.read.schema(read_schema).parquet(self.path)
@@ -197,8 +256,12 @@ class WideColumnTable:
         return (
             raw.groupBy(*pk)
             .agg(*agg)
+            # a key whose NEWEST write is a DELETE marker is gone, like
+            # an expired key — both checked after reconciliation so they
+            # shadow (never resurrect) older versions
+            .filter(~F.coalesce(F.col(_TOMBSTONE), F.lit(False)))
             .filter(F.col(_EXPIRES).isNull() | (F.col(_EXPIRES) > now_micros))
-            .drop(_WRITETIME)
+            .drop(_WRITETIME, _TOMBSTONE)
         )
 
     def read(self) -> DataFrame:

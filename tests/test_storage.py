@@ -334,3 +334,51 @@ def test_counter_table_sums_increments(spark, ks):
     # further increments after compaction keep accumulating
     t.append(spark.createDataFrame([("a", 10, 0)], schema))
     assert {r.hits for r in t.read().filter(F.col("page") == "a").collect()} == {15}
+
+
+def test_delete_tombstones_and_schema_evolution(spark, ks):
+    """CQL DELETE: tombstone shadows every older version on read and is
+    physically dropped by compact(); ALTER TABLE ADD materializes the
+    new column as NULL on pre-existing rows."""
+    from pyspark.sql.types import StringType, StructField
+
+    t = make_users(spark, ks)
+    t.append(spark.createDataFrame(
+        [("alex", "u1", "a@x", "pw"), ("bianca", "u2", "b@x", "pw")],
+        schemas.USERS,
+    ))
+    with pytest.raises(ValueError, match="exactly the primary key"):
+        t.delete(spark.createDataFrame([("alex", "u1")], "username string, user_id string"))
+
+    t.delete(spark.createDataFrame([("alex",)], "username string"))
+    assert {r.username for r in t.read().collect()} == {"bianca"}
+    # re-insert after delete: newest write wins again
+    t.append(spark.createDataFrame([("alex", "u9", "a9@x", "pw9")], schemas.USERS))
+    assert {r.user_id for r in t.read().filter(F.col("username") == "alex").collect()} == {"u9"}
+    # delete once more, then compact: key and history physically gone
+    t.delete(spark.createDataFrame([("alex",)], "username string"))
+    t.compact()
+    raw = spark.read.parquet(t.path)
+    assert raw.filter(F.col("username") == "alex").count() == 0
+    assert {r.username for r in t.read().collect()} == {"bianca"}
+
+    # ALTER TABLE ADD: old rows read the new column as NULL, new writes fill it
+    ks.alter_table_add_column("users", StructField("display_name", StringType(), True))
+    t2 = WideColumnTable(spark, ks, ks.tables["users"], n_buckets=4)
+    assert t2.read().filter(F.col("username") == "bianca").head().display_name is None
+    from pyspark.sql.types import StructType
+    new_schema = ks.tables["users"].schema
+    t2.append(spark.createDataFrame([("carol", "u3", "c@x", "pw", "Carol C")], new_schema))
+    got = {r.username: r.display_name for r in t2.read().collect()}
+    assert got == {"bianca": None, "carol": "Carol C"}
+
+    # counter tables refuse DELETE (CQL: counter deletion is unsafe)
+    from pyspark.sql.types import LongType
+    cspec = ks.create_table(
+        "cnt", StructType([StructField("k", StringType(), False),
+                           StructField("n", LongType(), True)]),
+        ["k"], counter_columns=["n"],
+    )
+    ct = WideColumnTable(spark, ks, cspec, n_buckets=2)
+    with pytest.raises(ValueError, match="counter"):
+        ct.delete(spark.createDataFrame([("a",)], "k string"))

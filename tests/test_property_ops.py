@@ -111,3 +111,63 @@ def test_rollup_ladder_reaggregation_exact(spark):
     total = e.count()
     for width, df in ladder.items():
         assert df.agg(F.sum("n")).head()[0] == total, width
+
+
+# ---------------------------------------------------------------------------
+# storage reconciliation model check: random op sequences vs a dict model
+# ---------------------------------------------------------------------------
+
+_store_keys = st.sampled_from(["a", "b", "c", "d"])
+_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("put"), _store_keys, st.integers(0, 99)),
+        st.tuples(st.just("del"), _store_keys, st.just(0)),
+        st.tuples(st.just("ttl0"), _store_keys, st.integers(0, 99)),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_ops, st.booleans())
+def test_storage_reconciliation_matches_model(spark, tmp_path_factory, ops, do_compact):
+    """Any interleaving of upserts, deletes, and already-expired TTL
+    writes must read back exactly like a last-writer-wins dict (expired
+    = delete), before AND after compaction."""
+    import time as _time
+
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from cassandrastack_spark.catalog import Keyspace
+    from cassandrastack_spark.storage import WideColumnTable
+
+    wh = str(tmp_path_factory.mktemp("proph"))
+    ks = Keyspace(spark, "prop", wh).create()
+    schema = StructType([
+        StructField("k", StringType(), False),
+        StructField("v", IntegerType(), True),
+    ])
+    spec = ks.create_table("kv", schema, ["k"])
+    t = WideColumnTable(spark, ks, spec, n_buckets=2)
+
+    model: dict = {}
+    for op, k, v in ops:
+        if op == "put":
+            t.append(spark.createDataFrame([(k, v)], schema))
+            model[k] = v
+        elif op == "del":
+            t.delete(spark.createDataFrame([(k,)], "k string"))
+            model.pop(k, None)
+        else:  # ttl0: expires immediately -> behaves like delete
+            t.append(spark.createDataFrame([(k, v)], schema), ttl_seconds=0)
+            model.pop(k, None)
+    _time.sleep(0.01)  # let ttl0 rows cross their expiry instant
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got == model
+    if do_compact:
+        t.compact()
+        got = {r.k: r.v for r in t.read().collect()}
+        assert got == model
+    ks.drop()

@@ -331,79 +331,49 @@ def ivf_train_centroids(
 ) -> list:
     """Spherical k-means centroids as a driver-side list of unit vectors.
 
-    Deterministic end-to-end: seeds are the ``k_centroids`` sample rows
-    with the smallest ``xxhash64(id)`` (a seedless pseudo-random draw),
-    and each Lloyd iteration is one distributed job — assign every
-    sample vector to its max-cosine centroid (broadcast K×dim literals,
-    JVM expressions), re-average per centroid per dimension, renormalize
-    driver-side. Only K×dim floats ever reach the driver. Training cost
-    is bounded by ``sample`` regardless of corpus size — the standard
-    IVF build (train on a sample, assign everything).
+    ONE distributed job draws the training sample (the ``sample`` rows
+    with the smallest ``xxhash64(id)`` — a seedless deterministic
+    pseudo-random draw); Lloyd then runs driver-side in numpy on that
+    bounded matrix (sample x dim doubles, ~2 MB — the standard IVF
+    build trains in memory on a sample and assigns everything
+    distributed). The previous shape ran one Spark job PER Lloyd round,
+    each planning a fresh K x dim literal expression: 5 sequential
+    collects and 5 Janino compiles to move kilobytes. Training cost is
+    bounded by ``sample`` regardless of corpus size either way; this
+    version pays one job instead of ``iters + 1``.
+
+    Deterministic end-to-end: the sample order is the hash order,
+    seeds are its first ``k_centroids`` rows, numpy float64 reductions
+    are run in a fixed order.
     """
-    train = (
+    import numpy as np
+
+    rows = (
         corpus.orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
         .limit(sample)
-        .select(id_col, F.expr(f"transform({vec_col}, x -> cast(x AS double))").alias("v"))
-        .withColumn("v", F.expr("transform(v, x -> x / sqrt(" + DOT.format(a="v", b="v") + "))"))
-        .localCheckpoint(eager=True)
+        .select(F.expr(f"transform({vec_col}, x -> cast(x AS double))").alias("v"))
+        .collect()
     )
-    seeds = [
-        list(r.v)
-        for r in train.orderBy(
-            F.xxhash64(F.col(id_col).cast("string")), F.col(id_col)
-        ).limit(k_centroids).collect()
-    ]
-    centroids = seeds
+    X = np.asarray([r.v for r in rows], dtype=np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    centroids = X[:k_centroids].copy()
     for _ in range(iters):
-        cent_arr = (
-            "array(" + ", ".join(
-                "array(" + ", ".join(f"{x!r}D" for x in c) + ")" for c in centroids
-            ) + ")"
-        )
-        # sims computed ONCE per row (the literal K×dim expression is
-        # already the codegen cost driver — embedding it twice inside
-        # array_position/array_max doubled the compiled source per
-        # Lloyd round)
-        assign = (
-            train.withColumn(
-                "sims",
-                F.expr(
-                    f"transform({cent_arr}, c -> " + DOT.format(a="c", b="v") + ")"
-                ),
-            )
-            .withColumn(
-                "cid",
-                F.expr("array_position(sims, array_max(sims)) - 1").cast("int"),
-            )
-            .drop("sims")
-        )
-        sums = (
-            assign.select("cid", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
-            .collect()
-        )
-        dim = len(centroids[0])
-        acc = {}
-        for r in sums:
-            acc.setdefault(r.cid, [0.0] * dim)[r.pos] = r.s / r.n
-        new = []
-        for i, old in enumerate(centroids):
-            m = acc.get(i)
-            if m is None:  # empty list: keep the old centroid
-                new.append(old)
-                continue
-            nrm = sum(x * x for x in m) ** 0.5 or 1.0
-            new.append([x / nrm for x in m])
-        moved = max(
-            abs(a - b)
-            for nc, oc in zip(new, centroids)
-            for a, b in zip(nc, oc)
-        )
+        sims = X @ centroids.T                      # (n, K) cosines
+        cid = np.argmax(sims, axis=1)               # first max wins ties
+        new = np.zeros_like(centroids)
+        counts = np.bincount(cid, minlength=k_centroids)
+        np.add.at(new, cid, X)
+        empty = counts == 0
+        new[~empty] /= counts[~empty, None]
+        new[empty] = centroids[empty]               # keep empty lists' old centroid
+        norms = np.linalg.norm(new, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        new /= norms
+        moved = np.abs(new - centroids).max()
         centroids = new
         if moved < 1e-12:  # converged: assignments can no longer change
             break
-    return centroids
+    return [list(map(float, c)) for c in centroids]
 
 
 def ivf_assign(

@@ -151,33 +151,7 @@ def cosine_pairs_above(
             )
         )
     elif method == "exact":
-        B = blocks
-        blk = v.withColumn(
-            "blk", F.pmod(F.xxhash64(F.col("id")), F.lit(B)).cast("int")
-        )
-        a = blk.withColumn(
-            "j", F.explode(F.expr(f"sequence(blk, {B - 1})"))
-        ).select(
-            F.col("id").alias("a_id"),
-            F.col("vec").alias("a_vec"),
-            F.col("norm").alias("a_norm"),
-            F.col("blk").alias("ai"),
-            (F.col("blk") * B + F.col("j")).alias("pair"),
-        )
-        b = blk.withColumn(
-            "i", F.explode(F.expr("sequence(0, blk)"))
-        ).select(
-            F.col("id").alias("b_id"),
-            F.col("vec").alias("b_vec"),
-            F.col("norm").alias("b_norm"),
-            F.col("blk").alias("bj"),
-            (F.col("i") * B + F.col("blk")).alias("pair"),
-        )
-        # same-block groups see each unordered pair twice → keep id-order;
-        # cross-block groups see it exactly once → keep both orders.
-        pairs = a.join(b, "pair").filter(
-            (F.col("ai") != F.col("bj")) | (F.col("a_id") < F.col("b_id"))
-        )
+        return _triangle_block_pairs(v, threshold, blocks)
     else:
         raise ValueError(f"unknown method: {method!r} (exact|lsh)")
     return (
@@ -191,6 +165,72 @@ def cosine_pairs_above(
             F.least("a_id", "b_id").alias("a_id"),
             F.greatest("a_id", "b_id").alias("b_id"),
         )
+    )
+
+
+def _triangle_block_pairs(
+    v: DataFrame, threshold: float, blocks: int
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold as BLOCK MATRIX MULTIPLY.
+
+    Hash each id into one of B blocks; ship block b to every pair-group
+    (b, j≥b) as the left side and (i≤b, b) as the right, so each
+    unordered pair of vectors meets in EXACTLY ONE of the B(B+1)/2
+    groups. Each group then runs ONE BLAS matmul over its two
+    (n/B × dim) matrices inside ``applyInPandas`` — Arrow batches in,
+    a numpy GEMM instead of a per-pair ``aggregate(zip_with(...))``
+    fold (which allocated a temp array per pair; the GEMM is the
+    canonical inner loop for distributed all-pairs similarity).
+    Compute stays O(N²/2) — unavoidable for an exact threshold —
+    but spreads across B(B+1)/2 equal tasks with O(N·B) shuffled rows
+    and O(N/B) memory per task. Raise ``blocks`` with the cluster
+    (B ≈ √(2·cores)).
+    """
+    import pandas as pd
+
+    B = blocks
+    blk = v.withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("id")), F.lit(B)).cast("int")
+    )
+    a = blk.withColumn(
+        "j", F.explode(F.expr(f"sequence(blk, {B - 1})"))
+    ).select(
+        F.lit("a").alias("side"), "id", "vec", "norm",
+        (F.col("blk") * B + F.col("j")).alias("pair"),
+    )
+    b = blk.withColumn(
+        "i", F.explode(F.expr("sequence(0, blk)"))
+    ).select(
+        F.lit("b").alias("side"), "id", "vec", "norm",
+        (F.col("i") * B + F.col("blk")).alias("pair"),
+    )
+    both = a.unionByName(b)
+
+    def gemm(pdf: pd.DataFrame):
+        import numpy as np
+
+        pair = int(pdf["pair"].iloc[0])
+        i, j = divmod(pair, B)
+        left = pdf[pdf["side"] == "a"]
+        right = pdf[pdf["side"] == "b"]
+        if left.empty or right.empty:
+            return pd.DataFrame({"a_id": [], "b_id": []}).astype("int64")
+        A = np.stack(left["vec"].to_numpy()) / left["norm"].to_numpy()[:, None]
+        Bm = np.stack(right["vec"].to_numpy()) / right["norm"].to_numpy()[:, None]
+        G = A @ Bm.T
+        ai = left["id"].to_numpy()
+        bi = right["id"].to_numpy()
+        mask = G >= threshold
+        if i == j:
+            # same-block group sees each unordered pair twice: keep id order
+            mask &= ai[:, None] < bi[None, :]
+        r, c = np.nonzero(mask)
+        return pd.DataFrame({"a_id": ai[r], "b_id": bi[c]})
+
+    pairs = both.groupBy("pair").applyInPandas(gemm, "a_id long, b_id long")
+    return pairs.select(
+        F.least("a_id", "b_id").alias("a_id"),
+        F.greatest("a_id", "b_id").alias("b_id"),
     )
 
 

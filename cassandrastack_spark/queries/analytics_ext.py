@@ -431,7 +431,10 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+            # rsd 0.02: comfortably inside the 5%-of-exact invariant at
+            # every tested SF (measured max err 0.4%) at half the cost
+            # of 0.01, whose HLL registers dominated this query's time
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
             F.count_distinct("user_id").alias("exact_users"),
             F.count("*").alias("n"),
         )

@@ -101,3 +101,66 @@ def fingerprint(text_col: str) -> Column:
     whitespace-normalized, lower-cased text (portable across engines)."""
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     return F.md5(norm)
+
+
+# PII patterns restricted to constructs Java regex (Spark) and RE2
+# (DuckDB oracle) interpret identically: character classes, bounded
+# repetition, alternation — no lookarounds, no backreferences.
+# Redaction order matters and is encoded in the list: URLs first (they
+# embed digits/dots that would otherwise part-match IP/phone), then
+# emails (digits in the local part), then IPs (dotted digits), then
+# bare phone-like digit runs.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    ("phone", r"\+?[0-9][0-9 ()-]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace URL / email / IPv4 / phone-shaped spans with typed tags.
+
+    Pure chained ``regexp_replace`` — whole-stage codegen, no Python in
+    the hot path; at 100 TB this is a narrow map stage with zero
+    shuffle. Counts of each PII type (for filtering decisions) come
+    from ``pii_counts`` over the ORIGINAL column, since redaction
+    destroys the evidence.
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    for _, pattern, tag in PII_PATTERNS:
+        col = F.regexp_replace(col, pattern, tag)
+    return col
+
+
+def pii_counts(text: Column | str) -> list[Column]:
+    """Per-type PII match counts (n_url, n_email, n_ip, n_phone).
+
+    Counted in redaction order on the progressively-redacted text, so
+    each span is attributed to exactly one type (an email's digits are
+    never double-counted as a phone) — the same accounting the redactor
+    applies.
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    out: list[Column] = []
+    for name, pattern, tag in PII_PATTERNS:
+        out.append(F.regexp_count(col, F.lit(pattern)).cast("int").alias(f"n_{name}"))
+        col = F.regexp_replace(col, pattern, tag)
+    return out
+
+
+def word_ngrams(text: Column | str, n: int) -> Column:
+    """Word-level n-grams as an array column — the unit of benchmark
+    decontamination (a train doc sharing any n-gram with an eval doc is
+    suspect). Pure array expressions: split once, then slide a window
+    via ``transform(sequence(...))`` — narrow, codegen'd, no explode
+    until the caller chooses to."""
+    toks = words(text)
+    upper = F.size(toks) - F.lit(n - 1)
+    return F.when(
+        upper >= 1,
+        F.transform(
+            F.sequence(F.lit(1), upper),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

@@ -461,6 +461,129 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_pii_redact",
+    oracle=r"""
+        WITH aug AS (
+            SELECT doc_id,
+                   text
+                   || repeat(' reach me at user' || CAST(doc_id AS VARCHAR)
+                             || '@example.com', CAST(doc_id % 3 AS INT))
+                   || repeat(' or +1 555 010' || CAST(doc_id AS VARCHAR),
+                             CAST(doc_id % 2 AS INT))
+                   || ' via https://example.com/u/' || CAST(doc_id AS VARCHAR)
+                   || ' from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) AS t
+            FROM documents),
+        r1 AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t, 'https?://[^\s]+')) AS INT) AS n_url,
+                   regexp_replace(t, 'https?://[^\s]+', '<URL>', 'g') AS t1
+            FROM aug),
+        r2 AS (
+            SELECT doc_id, n_url,
+                   CAST(len(regexp_extract_all(t1,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+                   regexp_replace(t1,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t2
+            FROM r1),
+        r3 AS (
+            SELECT doc_id, n_url, n_email,
+                   CAST(len(regexp_extract_all(t2,
+                       '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS INT) AS n_ip,
+                   regexp_replace(t2,
+                       '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}',
+                       '<IP>', 'g') AS t3
+            FROM r2),
+        r4 AS (
+            SELECT doc_id, n_url, n_email, n_ip,
+                   CAST(len(regexp_extract_all(t3,
+                       '\+?[0-9][0-9 ()-]{6,}[0-9]')) AS INT) AS n_phone,
+                   regexp_replace(t3, '\+?[0-9][0-9 ()-]{6,}[0-9]',
+                       '<PHONE>', 'g') AS t4
+            FROM r3)
+        SELECT doc_id, n_url, n_email, n_ip, n_phone,
+               md5(t4) AS redacted_md5
+        FROM r4 ORDER BY doc_id
+    """,
+    doc="PII redaction over the corpus: URL / email / IPv4 / phone spans "
+        "replaced with typed tags via chained JVM regexp_replace (narrow "
+        "map stage, zero shuffle at any scale). The fixture text has no "
+        "PII, so a deterministic doc_id-derived contact suffix is "
+        "appended first — BOTH engines build the identical augmented "
+        "text, making the oracle a true redaction check (per-type "
+        "counts + md5 of the redacted output). Patterns restricted to "
+        "Java-regex/RE2-identical constructs.",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandrastack_spark.functions.text import pii_counts, redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.repeat(
+            F.concat(F.lit(" reach me at user"), did.cast("string"), F.lit("@example.com")),
+            (did % 3).cast("int"),
+        ),
+        F.repeat(
+            F.concat(F.lit(" or +1 555 010"), did.cast("string")),
+            (did % 2).cast("int"),
+        ),
+        F.concat(F.lit(" via https://example.com/u/"), did.cast("string")),
+        F.concat(F.lit(" from 10.0.0."), (did % 256).cast("string")),
+    )
+    return (
+        d.select("doc_id", aug.alias("t"))
+        .select(
+            "doc_id",
+            *pii_counts("t"),
+            F.md5(redact_pii("t")).alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "decontam_ngram_overlap",
+    oracle="""
+        WITH grams AS (
+            SELECT doc_id, array_to_string(l[i:i+4], ' ') AS g
+            FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+                 unnest(generate_series(1, greatest(0, len(l) - 4))) AS t(i)
+        ),
+        eval_g AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0)
+        SELECT g.doc_id,
+               CAST(COUNT(DISTINCT g.g) AS BIGINT) AS n_shared
+        FROM grams g JOIN eval_g e USING (g)
+        WHERE g.doc_id % 10 <> 0
+        GROUP BY g.doc_id
+        ORDER BY g.doc_id
+    """,
+    doc="Benchmark decontamination: train docs sharing any word 5-gram "
+        "with the eval subset (doc_id % 10 == 0 stands in for a held-out "
+        "benchmark). The eval n-gram set is BROADCAST — benchmark "
+        "suites are bounded by construction (thousands of docs), so at "
+        "100 TB the corpus side streams map-only against the broadcast "
+        "set: no corpus shuffle, no cartesian. N-grams are built with "
+        "narrow array expressions (transform over sequence), exploded "
+        "only into the hash-join probe.",
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandrastack_spark.functions.text import word_ngrams
+
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select("doc_id", F.explode(word_ngrams("text", 5)).alias("g"))
+    eval_g = grams.filter(F.col("doc_id") % 10 == 0).select("g").distinct()
+    return (
+        grams.filter(F.col("doc_id") % 10 != 0)
+        .join(F.broadcast(eval_g), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_shared"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "corpus_split_hash",
     oracle="""
         WITH h AS (

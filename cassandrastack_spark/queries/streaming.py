@@ -26,6 +26,7 @@ from cassandrastack_spark.streaming.ops import (
     sliding_window_counts,
     stateful_user_totals,
     stream_stream_interval_join,
+    streaming_dedup,
     tumbling_window_counts,
 )
 
@@ -141,6 +142,33 @@ def stream_click_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         lookback_seconds=600,
     ).select("click_id", "view_id", "user_id")
     return run_to_batch(joined, "append").orderBy("click_id", "view_id")
+
+
+@register(
+    "stream_dedup_events",
+    oracle="""
+        SELECT DISTINCT user_id, event_type
+        FROM events
+        ORDER BY user_id, event_type
+    """,
+    doc="Streaming deduplication (dropDuplicatesWithinWatermark) on "
+        "(user_id, event_type): state is held only until the watermark "
+        "passes — the bounded-state streaming dedup primitive. For the "
+        "gate, the watermark delay is pinned beyond the fixture's time "
+        "span so replay order cannot expire state mid-run, making the "
+        "emitted key set equal to batch DISTINCT regardless of how the "
+        "file source batches; only the key columns are emitted because "
+        "WHICH duplicate survives is arrival-order-dependent by design. "
+        "Production callers pass a real delay (e.g. '1 hour') for "
+        "bounded state at unbounded scale.",
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    deduped = streaming_dedup(
+        _estream(spark, sf_dir),
+        keys=["user_id", "event_type"],
+        watermark="2160 hours",
+    ).select("user_id", "event_type")
+    return run_to_batch(deduped, "append").orderBy("user_id", "event_type")
 
 
 @register(

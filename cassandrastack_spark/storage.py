@@ -151,6 +151,64 @@ class WideColumnTable:
             )
             view.append(df, ttl_seconds=ttl_seconds)
 
+    def insert_if_not_exists(self, df: DataFrame) -> DataFrame:
+        """CQL lightweight transaction: ``INSERT ... IF NOT EXISTS``.
+
+        Applies each candidate row only if its primary key has no live
+        version, and returns the LWT response — one row per candidate:
+        the key columns, ``applied`` (CQL's ``[applied]``), and the
+        existing payload values for rejected rows (what Cassandra
+        returns so the caller sees what won).
+
+        Scale shape: the current-state probe semi-joins the raw log on
+        the candidate keys BEFORE reconciliation, so the groupBy
+        reconciles only contested keys (candidate-batch-sized work, not
+        a table scan reshuffle); the winners append as one atomic batch.
+        The pre-insert state is pinned with ``localCheckpoint`` before
+        the append — lazy plans re-list parquet files, so an unpinned
+        probe would read back the very rows this call writes.
+
+        Candidate batches must not contain two different rows for the
+        same key (exact duplicate rows collapse first): CQL evaluates
+        batch conditions against pre-batch state, which makes
+        conflicting same-key rows order-undefined — this engine makes
+        that an error instead.
+        """
+        if self.spec.properties.get("counter_columns"):
+            raise ValueError(
+                "IF NOT EXISTS is not supported on counter tables (CQL rule)"
+            )
+        pk = self.spec.primary_key
+        cand = df.dropDuplicates()
+        conflicted = (
+            cand.groupBy(*pk).count().filter(F.col("count") > 1).limit(1).count()
+        )
+        if conflicted:
+            raise ValueError(
+                "conflicting rows for the same primary key in one "
+                "IF NOT EXISTS batch (CQL pre-batch condition semantics "
+                "make the outcome order-undefined)"
+            )
+        contested = self._raw().join(cand.select(*pk), pk, "left_semi")
+        existing = self._reconciled(contested).select(
+            *[f.name for f in self.spec.schema.fields]
+        )
+        payload = [f.name for f in self.spec.schema.fields if f.name not in pk]
+        report = (
+            cand.select(*pk)
+            .join(existing.withColumn("_found", F.lit(True)), list(pk), "left")
+            .select(
+                *pk,
+                (~F.coalesce(F.col("_found"), F.lit(False))).alias("applied"),
+                *payload,
+            )
+            .localCheckpoint(eager=True)
+        )
+        winners = report.filter(F.col("applied")).select(*pk)
+        to_apply = cand.join(winners, list(pk), "left_semi").localCheckpoint(eager=True)
+        self.append(to_apply)
+        return report
+
     def delete(self, keys: DataFrame) -> None:
         """CQL ``DELETE`` by primary key: appends tombstone markers.
 

@@ -382,3 +382,41 @@ def test_delete_tombstones_and_schema_evolution(spark, ks):
     ct = WideColumnTable(spark, ks, cspec, n_buckets=2)
     with pytest.raises(ValueError, match="counter"):
         ct.delete(spark.createDataFrame([("a",)], "k string"))
+
+
+def test_insert_if_not_exists_lwt(spark, ks):
+    # CQL lightweight transaction: INSERT ... IF NOT EXISTS applies only
+    # absent keys and reports [applied] + the existing row for losers
+    t = make_users(spark, ks)
+    t.append(spark.createDataFrame(
+        [("Alex", "uuid-1", "a@mail.de", "alex")], schemas.USERS))
+
+    report = t.insert_if_not_exists(spark.createDataFrame(
+        [("Alex", "uuid-9", "new@mail.de", "nope"),      # key exists -> rejected
+         ("Bianca", "uuid-3", "b@mail.de", "bianca")],   # absent -> applied
+        schemas.USERS))
+    rep = {r.username: r for r in report.collect()}
+    assert rep["Alex"].applied is False
+    assert rep["Alex"].user_id == "uuid-1", "LWT response carries the existing row"
+    assert rep["Bianca"].applied is True
+    assert rep["Bianca"].user_id is None, "no prior row for applied keys"
+
+    out = {r.username: r for r in t.read().collect()}
+    assert out["Alex"].user_id == "uuid-1", "existing row NOT overwritten"
+    assert out["Bianca"].user_id == "uuid-3", "absent key inserted"
+
+    # losing candidates leave no trace: retrying after a DELETE applies
+    t.delete(spark.createDataFrame([("Alex",)], "username string"))
+    r2 = t.insert_if_not_exists(spark.createDataFrame(
+        [("Alex", "uuid-9", "new@mail.de", "nope")], schemas.USERS))
+    assert r2.collect()[0].applied is True
+    assert t.read().filter(F.col("username") == "Alex").collect()[0].user_id == "uuid-9"
+
+
+def test_insert_if_not_exists_rejects_conflicting_batch(spark, ks):
+    t = make_users(spark, ks)
+    dup = spark.createDataFrame(
+        [("Alex", "uuid-1", "a@mail.de", "x"),
+         ("Alex", "uuid-2", "b@mail.de", "y")], schemas.USERS)
+    with pytest.raises(ValueError, match="conflicting rows"):
+        t.insert_if_not_exists(dup)

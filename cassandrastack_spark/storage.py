@@ -357,6 +357,54 @@ class WideColumnTable:
         order = self._sort_cols()
         return deduped.select(*[f.name for f in self.spec.schema.fields]).orderBy(*order)
 
+    def read_split(self, split_id: int) -> DataFrame:
+        """Bulk-export split: the live rows of ONE hash bucket.
+
+        The Cassandra bulk-read model: connectors (including the
+        spark-cassandra-connector) parallelize full-table reads by
+        splitting the token ring and scanning each token range
+        independently. This engine's ring unit is the bucket —
+        ``pmod(hash(pk), n_buckets)`` — so split k is the pruned scan of
+        the ``_bucket=k`` directory: splits are disjoint, their union is
+        the full table, and every split reconciles independently
+        (upsert/tombstone resolution never crosses buckets, because a
+        key's every version routes to the same bucket). A 1000-executor
+        export runs n_buckets of these concurrently with zero overlap.
+        """
+        if not 0 <= split_id < self.n_buckets:
+            raise ValueError(f"split_id must be in [0, {self.n_buckets})")
+        raw = self._raw().filter(F.col(_BUCKET) == int(split_id))
+        return self._reconciled(raw).select(
+            *[f.name for f in self.spec.schema.fields]
+        )
+
+    # ---- JSON surface (CQL INSERT JSON / SELECT JSON) ----------------------
+
+    def append_json(self, json_rows: DataFrame, column: str = "json") -> None:
+        """CQL ``INSERT INTO t JSON '...'``: parse JSON strings against
+        the DECLARED schema (schema-on-write — unknown fields rejected,
+        missing fields become NULL exactly like CQL's JSON insert) and
+        upsert-append. ``from_json`` is a JVM expression: parsing
+        happens distributed, inside codegen, not on the driver.
+        """
+        parsed = json_rows.select(
+            F.from_json(
+                F.col(column),
+                self.spec.schema,
+                {"mode": "FAILFAST"},  # malformed JSON is an error, not a NULL row
+            ).alias("r")
+        ).select("r.*")
+        self.append(parsed)
+
+    def read_as_json(self) -> DataFrame:
+        """CQL ``SELECT JSON * FROM t``: each live row as one JSON
+        string (reconciled read, then a codegen'd ``to_json`` over the
+        full row struct)."""
+        cols = [f.name for f in self.spec.schema.fields]
+        return self.read().select(
+            F.to_json(F.struct(*[F.col(c) for c in cols])).alias("json")
+        )
+
     def read_by_index(self, column: str, value) -> DataFrame:
         """Secondary-index read: equality probe on a non-key column,
         routed through the ``create_index`` view — a one-bucket pruned

@@ -420,3 +420,44 @@ def test_insert_if_not_exists_rejects_conflicting_batch(spark, ks):
          ("Alex", "uuid-2", "b@mail.de", "y")], schemas.USERS)
     with pytest.raises(ValueError, match="conflicting rows"):
         t.insert_if_not_exists(dup)
+
+
+def test_read_split_partitions_the_table(spark, ks):
+    # connector-style bulk export: disjoint per-bucket splits whose
+    # union is exactly the reconciled table
+    t = make_messages(spark, ks)
+    t.append(seed_messages(spark))
+    t.append(seed_messages(spark))  # upsert shadow: reconciliation is per-split
+    full = {tuple(r) for r in t.read().collect()}
+    parts = []
+    for b in range(t.n_buckets):
+        rows = t.read_split(b).collect()
+        parts.append({tuple(r) for r in rows})
+        plan = t.read_split(b)._jdf.queryExecution().executedPlan().toString()
+        assert "_bucket" in plan, "split scan must prune to one bucket dir"
+    assert set().union(*parts) == full
+    assert sum(len(p) for p in parts) == len(full), "splits are disjoint"
+    with pytest.raises(ValueError, match="split_id"):
+        t.read_split(t.n_buckets)
+
+
+def test_json_insert_and_select_roundtrip(spark, ks):
+    # CQL INSERT JSON / SELECT JSON against the declared schema
+    t = make_users(spark, ks)
+    t.append_json(spark.createDataFrame(
+        [('{"username": "Alex", "user_id": "u1", "email": "a@mail.de", "password": "pw"}',),
+         ('{"username": "Bianca", "user_id": "u2"}',)],  # missing fields -> NULL
+        "json string"))
+    out = {r.username: r for r in t.read().collect()}
+    assert out["Alex"].email == "a@mail.de"
+    assert out["Bianca"].email is None, "missing JSON fields are NULL like CQL"
+
+    js = sorted(r.json for r in t.read_as_json().collect())
+    assert all(j.startswith('{"username"') or '"username"' in j for j in js)
+    import json as _json
+    decoded = {d["username"]: d for d in map(_json.loads, js)}
+    assert decoded["Alex"]["user_id"] == "u1"
+
+    with pytest.raises(Exception):
+        t.append_json(spark.createDataFrame([('{"username": broken',)], "json string"))
+        t.read().collect()  # FAILFAST surfaces on action

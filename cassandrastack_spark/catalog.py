@@ -219,6 +219,36 @@ class Keyspace:
         spec.schema = StructType(list(spec.schema.fields) + [field])
         return spec
 
+    def alter_table_drop_column(self, table: str, column: str) -> TableSpec:
+        """CQL ``ALTER TABLE ... DROP``: remove a non-key column.
+
+        Metadata-only, like ADD: reads go through the DECLARED schema,
+        so the column vanishes from the read path immediately while the
+        bytes linger in existing Parquet files until ``compact()``
+        rewrites them — the same lazy reclamation CQL documents for
+        dropped columns. Primary-key columns cannot be dropped, and a
+        table with materialized views (or indexes — same machinery)
+        refuses drops, both CQL rules.
+        """
+        from pyspark.sql.types import StructType
+
+        spec = self.tables.get(table)
+        if spec is None:
+            raise ValueError(f"unknown table {table!r}")
+        if column in spec.primary_key:
+            raise ValueError(f"cannot drop primary key column {column!r} (CQL rule)")
+        if self.views.get(table):
+            raise ValueError(
+                f"cannot drop a column from {table!r}: it has materialized "
+                "views/indexes (CQL rule — drop the views first)"
+            )
+        if column not in {f.name for f in spec.schema.fields}:
+            return spec  # IF EXISTS flavor: no-op
+        spec.schema = StructType(
+            [f for f in spec.schema.fields if f.name != column]
+        )
+        return spec
+
     def create_index(self, base: str, column: str) -> TableSpec:
         """CQL ``CREATE INDEX`` (Cassandra secondary index): query rows
         by a non-key column without a full scan.

@@ -154,3 +154,11 @@ def test_no_unjustified_bnl_join_across_catalog(spark, registry):
         if lints["has_bnl_join"]:
             offenders.append(name)
     assert not offenders, f"unjustified BroadcastNestedLoopJoin in: {offenders}"
+
+
+def test_decontam_broadcasts_eval_set(spark, registry):
+    # the eval n-gram side must broadcast (benchmark suites are bounded);
+    # the corpus side must never shuffle into a sort-merge join
+    plan = phys(registry["decontam_ngram_overlap"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

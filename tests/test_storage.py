@@ -461,3 +461,25 @@ def test_json_insert_and_select_roundtrip(spark, ks):
     with pytest.raises(Exception):
         t.append_json(spark.createDataFrame([('{"username": broken',)], "json string"))
         t.read().collect()  # FAILFAST surfaces on action
+
+
+def test_alter_drop_column(spark, ks):
+    # CQL ALTER TABLE DROP: metadata-only removal from the read path;
+    # bytes reclaimed at compact() (declared schema drives the rewrite)
+    t = make_users(spark, ks)
+    t.append(spark.createDataFrame(
+        [("Alex", "u1", "a@mail.de", "pw")], schemas.USERS))
+    ks.alter_table_drop_column("users", "password")
+    assert "password" not in t.read().columns
+    t.compact()
+    import pyarrow.parquet as pq
+    import glob
+    files = glob.glob(t.path + "/_bucket=*/*.parquet")
+    cols = set().union(*(set(pq.read_schema(f).names) for f in files))
+    assert "password" not in cols, "compact() physically reclaims dropped columns"
+
+    with pytest.raises(ValueError, match="primary key"):
+        ks.alter_table_drop_column("users", "username")
+    ks.create_index("users", "email")
+    with pytest.raises(ValueError, match="views"):
+        ks.alter_table_drop_column("users", "user_id")

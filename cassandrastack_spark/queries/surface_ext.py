@@ -47,6 +47,77 @@ def hypertable_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gapfill_locf_hourly",
+    oracle="""
+        WITH sparse AS (
+            SELECT * FROM events WHERE user_id < 5),
+        hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n_raw,
+                   ROUND(MAX(value), 4)     AS vmax
+            FROM sparse GROUP BY 1, 2),
+        bounds AS (
+            SELECT event_type,
+                   date_trunc('hour', MIN(ts)) AS t0,
+                   date_trunc('hour', MAX(ts)) AS t1
+            FROM sparse GROUP BY 1),
+        spine AS (
+            SELECT event_type, u.hour
+            FROM bounds, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS u(hour))
+        SELECT s.event_type, s.hour,
+               COALESCE(h.n_raw, 0) AS n,
+               last_value(h.vmax IGNORE NULLS) OVER (
+                   PARTITION BY s.event_type ORDER BY s.hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vmax_locf
+        FROM spine s LEFT JOIN hourly h USING (event_type, hour)
+        ORDER BY s.event_type, s.hour
+    """,
+    doc="Time-series gap-fill + LOCF (the hypertable `time_bucket_gapfill`"
+        " / `locf` pair): per-key hourly date spine generated with"
+        " sequence+explode FROM THE KEYS' OWN bounds rows — spine"
+        " generation is distributed per key, never a driver loop — then"
+        " left-join zero-fill for counts and last-observation-carried-"
+        "forward for the hourly max via a per-key ordered window"
+        " (parallel across keys; no global sort; max is FP-order-"
+        "independent, so the oracle compares exactly). Sparse input (user_id < 5) so"
+        " gaps genuinely occur at gate scale.",
+)
+def gapfill_locf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = (
+        e.groupBy(F.col("event_type"), hour.alias("hour"))
+        .agg(
+            F.count("*").alias("n_raw"),
+            F.round(F.max("value"), 4).alias("vmax"),
+        )
+    )
+    bounds = e.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("t0", "t1", F.expr("interval 1 hour"))).alias("hour"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce("n_raw", F.lit(0)).cast("long").alias("n"),
+            F.last("vmax", ignorenulls=True).over(w).alias("vmax_locf"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+@register(
     "date_null_functions",
     oracle="""
         SELECT o_orderkey,

@@ -268,6 +268,49 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_filtered_topk",
+    oracle="""
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(
+                           q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                           c.vec_id
+                   ) AS rank
+            FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < 10
+              AND c.vec_id IN (SELECT doc_id FROM documents
+                               WHERE lang = 'en'
+                                 AND len(string_split(text, ' ')) >= 40))
+        WHERE rank <= 5
+        ORDER BY query_id, rank
+    """,
+    doc="Filtered (hybrid) vector search: top-5 cosine neighbors drawn "
+        "only from documents passing a metadata predicate (lang='en', "
+        ">=40 tokens). The predicate semi-joins the corpus BEFORE any "
+        "distance math — the pre-filter plan, which at 100 TB prunes "
+        "the scan and the similarity compute together instead of "
+        "post-filtering a larger neighbor list (post-filtering an ANN "
+        "result can return <k survivors; pre-filtering cannot).",
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.col("lang") == "en") & (F.size(F.split("text", " ")) >= 40)
+    )
+    corpus = emb.join(
+        docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    q = emb.filter(F.col("vec_id") < 10)
+    return (
+        cosine_topk(corpus, q, k=5)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+        .orderBy("query_id", "rank")
+    )
+
+
 def _ann_recall_invariant(
     exact: DataFrame, approx: DataFrame, min_mean_recall: float, flag: str
 ) -> DataFrame:

@@ -56,8 +56,10 @@ def get_spark(app_name: str = "cassandrastack-spark") -> SparkSession:
             "spark.sql.files.maxPartitionBytes",
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)),
         )
-        # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects; read as long nanos and convert (see load_events).
+        # Some testdata generations carry TIMESTAMP(NANOS), which Spark's
+        # vectorized reader rejects; with this conf they read as long nanos
+        # and read_table converts (current generations are plain micros,
+        # for which the conf is a no-op).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
     )

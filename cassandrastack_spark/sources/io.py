@@ -20,11 +20,15 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import LongType, StructType
 
-# The driver testdata's events table stores TIMESTAMP(NANOS); the session
-# reads it as long nanos (spark.sql.legacy.parquet.nanosAsLong). Integer
-# division preserves microsecond precision (double math would not at 1.7e18).
+# The events table's ``ts`` physical type has varied across testdata
+# generations: TIMESTAMP(NANOS) (Spark's vectorized reader rejects it
+# unless spark.sql.legacy.parquet.nanosAsLong reads it as long nanos)
+# vs plain TIMESTAMP(MICROS) (reads natively as timestamp_ntz). Branch
+# on the type that actually ARRIVED, never on an assumption about the
+# file — the round-1 unconditional conversion broke the moment the
+# data was regenerated with micros.
 _NANOS_TABLES = {"events"}
 
 
@@ -36,7 +40,21 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name in _NANOS_TABLES:
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # Long nanos -> timestamp. Integer division preserves
+            # microsecond precision (double math would not at 1.7e18).
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        else:
+            # Native micros arrive as timestamp_ntz; normalize to
+            # TimestampType so every downstream consumer (unix_micros,
+            # watermarks, window()) sees ONE type regardless of the
+            # file's encoding. Session tz is UTC (factory-pinned; the
+            # container default for external sessions), so the cast is
+            # wall-clock identical to DuckDB's naive read.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

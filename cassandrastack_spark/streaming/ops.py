@@ -37,12 +37,16 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
 EVENTS_RAW = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long nanos
+        # ts is probed from the actual files at stream start (physical
+        # type has varied across testdata generations: nanos-as-long vs
+        # native micros); this default covers the micros encoding.
+        StructField("ts", TimestampNTZType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -56,10 +60,13 @@ _sink_ids = itertools.count()
 def events_stream(spark: SparkSession, path: str) -> DataFrame:
     """Streaming read of events parquet (a directory or a single file).
 
-    ``ts`` arrives as long nanos (``spark.sql.legacy.parquet.nanosAsLong``
-    is set here at runtime so externally-built sessions work too);
-    converted with integer division — double math would lose precision
-    at 1.7e18.
+    A streaming source needs an explicit schema, but ``ts``'s physical
+    type has varied across testdata generations (TIMESTAMP(NANOS) read
+    as long nanos vs native TIMESTAMP(MICROS) -> timestamp_ntz), so the
+    schema is probed from the files' own footers with a driver-side
+    batch read (metadata only, no job) instead of hard-coding either
+    encoding. Long nanos are converted with integer division — double
+    math would lose precision at 1.7e18.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     directory, glob = (
@@ -67,12 +74,23 @@ def events_stream(spark: SparkSession, path: str) -> DataFrame:
         if path.endswith(".parquet")
         else (path, "*.parquet")
     )
-    return (
-        spark.readStream.schema(EVENTS_RAW)
+    probed = (
+        spark.read.option("pathGlobFilter", glob).parquet(directory).schema
+    )
+    stream = (
+        spark.readStream.schema(probed)
         .option("pathGlobFilter", glob)
         .parquet(directory)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    if isinstance(probed["ts"].dataType, LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    else:
+        # Watermarks require TimestampType (EVENT_TIME_IS_NOT_ON_TIMESTAMP
+        # for ntz); under a UTC session the cast is wall-clock-identical.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 # ---------------------------------------------------------------------------

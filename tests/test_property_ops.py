@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from cassandrastack_spark.operators.asof import asof_join
 from cassandrastack_spark.operators.rollup_ts import rollup_ladder
 from cassandrastack_spark.operators.windows import sessionize
+from cassandrastack_spark.sources.io import read_table
 
 BASE = dt.datetime(2024, 1, 1)
 
@@ -91,9 +92,7 @@ def test_sessionize_gap_invariants(spark, rows):
 
 
 def test_rollup_ladder_reaggregation_exact(spark):
-    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    e = read_table(spark, "/root/testdata/sf0.001", "events")
     ladder = rollup_ladder(e, "ts", ["event_type"], "value")
     # daily from the ladder (minute -> hour -> day) == daily from raw
     from cassandrastack_spark.operators.rollup_ts import rollup_events

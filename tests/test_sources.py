@@ -60,9 +60,44 @@ def test_unsupported_format_rejected(spark, tmp_path):
 def test_read_table_events_ts_is_timestamp(spark):
     e = read_table(spark, "/root/testdata/sf0.001", "events")
     assert dict(e.dtypes)["ts"] == "timestamp", (
-        "TIMESTAMP(NANOS) column must be normalized to a usable timestamp"
+        "events ts must be normalized to TimestampType regardless of the "
+        "file's physical encoding (long nanos or native micros)"
     )
     assert e.count() > 0
+
+
+def test_read_table_events_both_physical_encodings(spark, tmp_path):
+    """The driver's testdata generator has shipped events.ts as BOTH
+    TIMESTAMP(NANOS) (round 1) and TIMESTAMP(MICROS) (round 2); an
+    unconditional conversion for either encoding breaks the moment the
+    data is regenerated with the other. Pin: identical values and the
+    same TimestampType out of read_table for both."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([10, 20], pa.int64()),
+        "event_type": pa.array(["click", "view"]),
+        "value": pa.array([1.5, 2.5]),
+        "props": pa.array(["{}", "{}"]),
+    }
+    stamps = [
+        dt.datetime(2024, 1, 1, 12, 0, 0, 123456),
+        dt.datetime(2024, 3, 5, 7, 30, 1, 654321),
+    ]
+    out = {}
+    for enc, arrow_t in [("nanos", pa.timestamp("ns")), ("micros", pa.timestamp("us"))]:
+        d = tmp_path / enc
+        d.mkdir()
+        tbl = pa.table({**rows, "ts": pa.array(stamps, arrow_t)})
+        pq.write_table(tbl, str(d / "events.parquet"), version="2.6")
+        e = read_table(spark, str(d), "events")
+        assert dict(e.dtypes)["ts"] == "timestamp", enc
+        out[enc] = [r["ts"] for r in e.orderBy("event_id").collect()]
+    assert out["nanos"] == out["micros"] == stamps
 
 
 def test_write_sorted_bucketed_layout(spark, tmp_path):

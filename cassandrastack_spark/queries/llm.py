@@ -456,6 +456,75 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        base AS (
+            SELECT doc_id,
+                   CAST(len(w) AS INT) AS n_words,
+                   1 - len(list_distinct(w)) / len(w) AS dup_word_frac
+            FROM w),
+        wc AS (
+            SELECT doc_id, unnest(w) AS word FROM w),
+        cnt AS (
+            SELECT doc_id, word, COUNT(*) AS n
+            FROM wc GROUP BY doc_id, word),
+        top AS (
+            SELECT doc_id, word, n,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY n DESC, word ASC) AS rn
+            FROM cnt)
+        SELECT b.doc_id, b.n_words, b.dup_word_frac,
+               t.word AS top_word, t.n / b.n_words AS top_word_frac
+        FROM base b JOIN top t USING (doc_id)
+        WHERE t.rn = 1 ORDER BY b.doc_id
+    """,
+    doc="Repetition-based quality signals (Gopher-style): duplicate-word "
+        "fraction via array_distinct (narrow JVM map, no shuffle) and "
+        "top-word dominance via the classic word-count plan — explode "
+        "shuffles (doc_id, word) pairs with map-side partial aggregation, "
+        "so at 100 TB the shuffle carries counts, never documents. "
+        "Deterministic tie-break: highest count, then lexicographically "
+        "smallest word.",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.split("text", " ").alias("w"))
+    stats = base.select(
+        "doc_id",
+        F.size("w").alias("n_words"),
+        (F.lit(1) - F.size(F.array_distinct("w")) / F.size("w")).alias(
+            "dup_word_frac"
+        ),
+    )
+    counts = (
+        base.select("doc_id", F.explode("w").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("n"))
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("n"), F.asc("word"))
+    top = (
+        counts.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("word").alias("top_word"), "n")
+    )
+    return (
+        stats.join(top, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            "dup_word_frac",
+            "top_word",
+            (F.col("n") / F.col("n_words")).alias("top_word_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "text_fingerprint",
     oracle="""
         SELECT doc_id,
@@ -811,6 +880,44 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("lang", "doc_id")
         .orderBy("lang", "doc_id")
+    )
+
+
+@register(
+    "corpus_mix_weights",
+    oracle="""
+        WITH wts(lang, wt) AS (
+            VALUES ('en', 1.0), ('de', 0.5), ('fr', 0.5),
+                   ('es', 0.25), ('zh', 0.1))
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d JOIN wts USING (lang)
+        WHERE ((d.doc_id * 2654435761) % 4294967296) / 4294967296.0 < wt
+        ORDER BY d.doc_id
+    """,
+    doc="Domain mixing: resample the corpus to a target language mixture "
+        "(en kept whole, de/fr halved, es quartered, zh decimated). The "
+        "keep decision hashes doc_id with Knuth's multiplicative constant "
+        "into a uniform [0,1) — pure integer arithmetic, so the sample is "
+        "deterministic across runs, engines, partitionings, and cluster "
+        "sizes (no RNG, no sample() nondeterminism). The weights table is "
+        "a broadcast dim join (5 rows — never a shuffle of the fact); the "
+        "filter is a narrow map over the scan, so at 100 TB the op costs "
+        "one pass and writes only the kept fraction.",
+)
+def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    wts = spark.createDataFrame(
+        [("en", 1.0), ("de", 0.5), ("fr", 0.5), ("es", 0.25), ("zh", 0.1)],
+        "lang string, wt double",
+    )
+    u = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296)) / F.lit(
+        4294967296.0
+    )
+    return (
+        d.join(F.broadcast(wts), "lang")
+        .filter(u < F.col("wt"))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
     )
 
 

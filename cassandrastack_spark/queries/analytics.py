@@ -235,8 +235,9 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY revenue DESC, l_orderkey
         LIMIT 10
     """,
-    doc="TPC-H Q3: selective dim filter broadcast against two facts, "
-        "agg, global top-10 (TakeOrderedAndProject, no full sort).",
+    doc="TPC-H Q3: facts shuffle on orderkey; customer is SF-scaled so "
+        "its join is left to AQE (auto-broadcast at small SF, shuffle "
+        "at 100 TB); agg, global top-10 (TakeOrderedAndProject).",
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -248,7 +249,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
@@ -277,7 +278,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_name
         ORDER BY revenue DESC, n_name
     """,
-    doc="TPC-H Q5: six-way join; dims broadcast, facts shuffle once on "
+    doc="TPC-H Q5: six-way join; bounded dims (nation/region) broadcast, "
+        "SF-scaled customer/supplier left to AQE, facts shuffle once on "
         "orderkey; Catalyst CBO orders the join tree.",
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -292,9 +294,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)

@@ -93,7 +93,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 20
     """,
     doc="TPC-H Q10 pattern: returned-item revenue per customer; facts "
-        "shuffle on orderkey once, dims broadcast, global top-20.",
+        "shuffle on orderkey once, nation broadcast (bounded dim), "
+        "SF-scaled customer left to AQE, global top-20.",
 )
 def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
@@ -105,7 +106,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -175,7 +176,7 @@ def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .pivot("o_orderstatus", ["F", "O", "P"])
         .count()

@@ -557,3 +557,85 @@ def retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "unpivot_revenue_measures",
+    oracle="""
+        WITH a AS (
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2)      AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_discount), 2)      AS sum_disc
+            FROM lineitem GROUP BY l_returnflag, l_linestatus)
+        SELECT l_returnflag, l_linestatus, measure, amount FROM (
+            SELECT l_returnflag, l_linestatus,
+                   'sum_qty' AS measure, sum_qty AS amount FROM a
+            UNION ALL
+            SELECT l_returnflag, l_linestatus,
+                   'sum_base_price', sum_base_price FROM a
+            UNION ALL
+            SELECT l_returnflag, l_linestatus, 'sum_disc', sum_disc FROM a)
+        ORDER BY l_returnflag, l_linestatus, measure
+    """,
+    doc="UNPIVOT (wide -> long): aggregate first (tiny grouped frame), "
+        "then melt the measure columns with DataFrame.unpivot — the "
+        "Expand operator emits one row per measure WITHOUT re-reading "
+        "or shuffling the fact; at 100 TB the unpivot runs on the "
+        "6-row aggregate, never the scan.",
+)
+def unpivot_revenue_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+    )
+    return agg.unpivot(
+        ["l_returnflag", "l_linestatus"],
+        ["sum_qty", "sum_base_price", "sum_disc"],
+        "measure",
+        "amount",
+    ).orderBy("l_returnflag", "l_linestatus", "measure")
+
+
+@register(
+    "event_interarrival",
+    oracle="""
+        WITH g AS (
+            SELECT user_id,
+                   epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS gap_us
+            FROM events)
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT)      AS n_events,
+               CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+               CAST(SUM(gap_us) AS BIGINT)   AS sum_gap_us,
+               CAST(MAX(gap_us) AS BIGINT)   AS max_gap_us
+        FROM g GROUP BY user_id ORDER BY user_id
+    """,
+    doc="LAG-based inter-arrival gaps per user: one shuffle on user_id "
+        "serves BOTH the window sort and the groupBy (exchange reuse — "
+        "same partitioning), so the whole query is a single pass. Gap "
+        "statistics stay in integer microseconds (exact across engines; "
+        "an avg-of-doubles would hash-mismatch in the last ulp). Each "
+        "user's history sorts within one task — the per-key state is "
+        "bounded by the hottest user, the classic telemetry skew to "
+        "watch at 100 TB (salt or sessionize first if one key dominates).",
+)
+def event_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    return (
+        e.withColumn("gap_us", gap)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("gap_us").alias("n_gaps"),
+            F.sum("gap_us").alias("sum_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+        .orderBy("user_id")
+    )

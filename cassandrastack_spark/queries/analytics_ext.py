@@ -639,3 +639,93 @@ def event_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "profile_hot_keys",
+    oracle="""
+        WITH c AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events GROUP BY user_id),
+        t AS (SELECT SUM(cnt) AS total FROM c)
+        SELECT user_id, cnt, cnt / total AS share
+        FROM c, t
+        ORDER BY cnt DESC, user_id LIMIT 10
+    """,
+    doc="Skew diagnosis: top-10 hottest partition keys with their share "
+        "of the table. The input to every salting / AQE-skew decision; "
+        "one map-side-combinable count shuffle plus a global top-k "
+        "(TakeOrderedAndProject — no full sort), and the 1-row total is "
+        "a broadcast scalar. Deterministic tie-break on user_id.",
+)
+def profile_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    c = e.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    total = c.agg(F.sum("cnt").alias("total"))
+    return (
+        c.join(F.broadcast(total))
+        .select("user_id", "cnt", (F.col("cnt") / F.col("total")).alias("share"))
+        .orderBy(F.desc("cnt"), "user_id")
+        .limit(10)
+    )
+
+
+@register(
+    "profile_table_stats",
+    oracle="""
+        SELECT 'o_custkey' AS col,
+               CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT)   AS n_distinct,
+               CAST(MIN(o_custkey) AS VARCHAR) AS min_s,
+               CAST(MAX(o_custkey) AS VARCHAR) AS max_s
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus',
+               CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+               CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+               MIN(o_orderstatus), MAX(o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice',
+               CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+               CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+               CAST(ROUND(MIN(o_totalprice), 2) AS VARCHAR),
+               CAST(ROUND(MAX(o_totalprice), 2) AS VARCHAR)
+        FROM orders
+        ORDER BY col
+    """,
+    doc="Column profile (null count, distinct count, min/max) for a "
+        "table in ONE scan: all columns' stats live in a single agg "
+        "(the multi-count_distinct plans as one Expand pass — verified "
+        "one parquet scan in the physical plan, vs three for a "
+        "union-of-aggs shape), then stack() pivots the 1-row result to "
+        "long format driver-side-free. At 100 TB swap count_distinct "
+        "for approx_count_distinct to keep the distinct map-side. "
+        "min/max serialized to strings so heterogeneous column types "
+        "share one schema.",
+)
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cols = [("o_custkey", False), ("o_orderstatus", False), ("o_totalprice", True)]
+    aggs = []
+    for c, numeric in cols:
+        mn, mx = F.min(c), F.max(c)
+        if numeric:
+            mn, mx = F.round(mn, 2), F.round(mx, 2)
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__n_null"),
+            F.count_distinct(F.col(c)).alias(f"{c}__n_distinct"),
+            mn.cast("string").alias(f"{c}__min_s"),
+            mx.cast("string").alias(f"{c}__max_s"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n_null, {c}__n_distinct, {c}__min_s, {c}__max_s"
+        for c, _ in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) "
+            "AS (col, n_null, n_distinct, min_s, max_s)"
+        )
+    ).orderBy("col")

@@ -107,15 +107,41 @@ class Keyspace:
         clustering_keys: list[str] | None = None,
         clustering_desc: bool = False,
         counter_columns: list[str] | None = None,
+        collection_columns: dict[str, str] | None = None,
     ) -> TableSpec:
         """``counter_columns`` marks CQL ``counter`` columns: their
         reconciliation mode is SUM-of-increments, not last-writer-wins
         (Cassandra keeps counters in dedicated tables for the same
         reason — the merge rule differs). CQL's rules are enforced:
         counters cannot be key columns, and a counter table's non-key
-        columns must ALL be counters."""
+        columns must ALL be counters.
+
+        ``collection_columns`` maps column name -> kind ('set' | 'list'
+        | 'map'), the CQL collection types: their reconciliation folds
+        delta mutations (add/remove/append/prepend/put) over the last
+        full assignment in writetime order instead of last-writer-wins
+        on the whole cell (see WideColumnTable.update_collection).
+        Collections cannot be key columns (CQL rule: non-frozen
+        collections are unusable in primary keys) and cannot mix with
+        counters (counter tables hold only counters)."""
         if name in self.tables:  # IF NOT EXISTS: no-op on re-create
             return self.tables[name]
+        collections = dict(collection_columns or {})
+        if collections:
+            bad_kind = {c: k for c, k in collections.items() if k not in ("set", "list", "map")}
+            if bad_kind:
+                raise ValueError(f"unknown collection kinds: {bad_kind}")
+            pk = set(partition_keys) | set(clustering_keys or [])
+            in_key = set(collections) & pk
+            if in_key:
+                raise ValueError(
+                    f"collection columns cannot be key columns: {sorted(in_key)}"
+                )
+            if counter_columns:
+                raise ValueError("counter tables cannot hold collections (CQL rule)")
+            unknown = set(collections) - {f.name for f in schema.fields}
+            if unknown:
+                raise ValueError(f"collection columns not in schema: {sorted(unknown)}")
         counters = list(counter_columns or [])
         if counters:
             pk = list(partition_keys) + list(clustering_keys or [])
@@ -129,13 +155,18 @@ class Keyspace:
                     "a counter table's non-key columns must all be "
                     f"counters; plain columns: {sorted(non_counter)}"
                 )
+        props: dict = {}
+        if counters:
+            props["counter_columns"] = counters
+        if collections:
+            props["collection_columns"] = collections
         spec = TableSpec(
             name=name,
             schema=schema,
             partition_keys=list(partition_keys),
             clustering_keys=list(clustering_keys or []),
             clustering_desc=clustering_desc,
-            properties={"counter_columns": counters} if counters else {},
+            properties=props,
         )
         self.tables[name] = spec
         os.makedirs(self.table_path(name), exist_ok=True)

@@ -46,6 +46,20 @@ _BUCKET = "_bucket"
 _WRITETIME = "_writetime"
 _EXPIRES = "_expires"  # epoch micros; NULL = no TTL
 _TOMBSTONE = "_tombstone"  # true = CQL DELETE marker; NULL/false = live
+# Collection-delta markers (CQL UPDATE on set/list/map columns): a row
+# with _coll_col set is a delta against ONE collection column, not a
+# full-row upsert; _coll_op names the mutation. NULL on full writes and
+# on every file written before collections existed.
+_COLL_COL = "_coll_col"
+_COLL_OP = "_coll_op"
+
+# legal ops per collection kind (CQL: s = s + {..} / s - {..},
+# l = l + [..] / [..] + l, m = m + {..} / DELETE m[k], plus reassignment)
+_COLL_OPS = {
+    "set": {"add", "remove", "assign"},
+    "list": {"append", "prepend", "assign"},
+    "map": {"put", "remove", "assign"},
+}
 
 # Engine-side monotonic write sequence: (epoch_micros, counter) so two
 # appends in the same microsecond still order deterministically.
@@ -259,6 +273,72 @@ class WideColumnTable:
             .parquet(self.path)
         )
 
+    def update_collection(self, df: DataFrame, column: str, op: str) -> None:
+        """CQL collection mutation: ``UPDATE t SET c = c + ... WHERE pk``.
+
+        ``df`` carries the primary-key columns plus ``column`` holding
+        the delta payload per key (elements to add/remove/append for
+        set/list; a map of entries for map-put, or a map whose KEYS name
+        the entries to drop for map-remove). The write appends delta
+        rows — no read-before-write, like Cassandra's — marked with
+        ``(_coll_col, _coll_op)``; the read path folds every key's
+        deltas over its last full assignment in writetime order
+        (``_reconciled``), and ``compact()`` materializes the folded
+        value so op-chains never grow past one compaction cycle.
+
+        A delta on a key with no prior row creates it (CQL UPDATE
+        upserts); scalar columns of such a row read as NULL.
+        """
+        collections = dict(self.spec.properties.get("collection_columns") or {})
+        if column not in collections:
+            raise ValueError(
+                f"{column!r} is not a declared collection column "
+                f"(collection_columns={sorted(collections)})"
+            )
+        kind = collections[column]
+        if op not in _COLL_OPS[kind]:
+            raise ValueError(
+                f"op {op!r} invalid for {kind} column {column!r} "
+                f"(allowed: {sorted(_COLL_OPS[kind])})"
+            )
+        if self.keyspace.views.get(self.spec.name):
+            raise ValueError(
+                "collection deltas do not propagate to materialized views "
+                "(a delta row lacks the view's non-key columns); drop the "
+                "view or refresh_view() after bulk updates"
+            )
+        pk = self.spec.primary_key
+        need = set(pk) | {column}
+        if set(df.columns) != need:
+            raise ValueError(
+                f"update_collection needs exactly {sorted(need)}, "
+                f"got {sorted(df.columns)}"
+            )
+        types = {f.name: f.dataType for f in self.spec.schema.fields}
+        out = df.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in need
+                else F.lit(None).cast(types[f.name]).alias(f.name)
+                for f in self.spec.schema.fields
+            ]
+        )
+        out = (
+            self._with_bucket(out)
+            .withColumn(_WRITETIME, F.lit(_next_writetime()))
+            .withColumn(_EXPIRES, F.lit(None).cast("long"))
+            .withColumn(_TOMBSTONE, F.lit(False))
+            .withColumn(_COLL_COL, F.lit(column))
+            .withColumn(_COLL_OP, F.lit(op))
+        )
+        (
+            out.repartition(self.n_buckets, F.col(_BUCKET))
+            .sortWithinPartitions(F.col(_BUCKET), *self._sort_cols())
+            .write.mode("append")
+            .partitionBy(_BUCKET)
+            .parquet(self.path)
+        )
+
     def _sort_cols(self):
         cols = []
         for c in self.spec.clustering_keys:
@@ -272,6 +352,7 @@ class WideColumnTable:
             BooleanType,
             IntegerType,
             LongType,
+            StringType,
             StructField,
             StructType,
         )
@@ -283,6 +364,8 @@ class WideColumnTable:
                 StructField(_WRITETIME, LongType()),
                 StructField(_EXPIRES, LongType()),  # null on pre-TTL files
                 StructField(_TOMBSTONE, BooleanType()),  # null on old files
+                StructField(_COLL_COL, StringType()),  # null on full writes
+                StructField(_COLL_OP, StringType()),
             ]
         )
         return self.spark.read.schema(read_schema).parquet(self.path)
@@ -299,9 +382,19 @@ class WideColumnTable:
         the rewrite; plain reads drop it.
         """
         pk = self.spec.primary_key
-        payload = [c for c in raw.columns if c not in pk and c != _BUCKET]
+        payload = [
+            c
+            for c in raw.columns
+            if c not in pk and c not in (_BUCKET, _COLL_COL, _COLL_OP)
+        ]
         counters = set(self.spec.properties.get("counter_columns", ()))
+        collections = dict(self.spec.properties.get("collection_columns") or {})
         types = {f.name: f.dataType for f in self.spec.schema.fields}
+        now_micros = int(time.time() * 1_000_000)
+        if collections:
+            return self._reconciled_with_collections(
+                raw, pk, payload, counters, collections, types, now_micros
+            )
         agg = [
             # counter columns merge by SUM of increments (CQL counter
             # semantics); everything else is last-writer-wins
@@ -310,7 +403,6 @@ class WideColumnTable:
             else F.expr(f"max_by(`{c}`, `{_WRITETIME}`)").alias(c)
             for c in payload
         ]
-        now_micros = int(time.time() * 1_000_000)
         return (
             raw.groupBy(*pk)
             .agg(*agg)
@@ -321,6 +413,148 @@ class WideColumnTable:
             .filter(F.col(_EXPIRES).isNull() | (F.col(_EXPIRES) > now_micros))
             .drop(_WRITETIME, _TOMBSTONE)
         )
+
+    def _reconciled_with_collections(
+        self, raw, pk, payload, counters, collections, types, now_micros
+    ) -> DataFrame:
+        """Reconciliation when the table declares collection columns.
+
+        Still ONE groupBy — the same single shuffle as the plain path.
+        Collection columns collect their (writetime, op, payload) cells
+        and fold them in writetime order with JVM lambda expressions
+        (``aggregate`` over the sorted cell array); scalar columns take
+        the newest FULL write (delta rows excluded via a null max_by
+        key) and are additionally cut off at the newest tombstone's
+        writetime, so a delta that revives a deleted key does not
+        resurrect pre-delete scalar cells — Cassandra's per-cell
+        shadowing. Op-chains are bounded by writes-per-key since the
+        last ``compact()`` (which materializes folds back to one cell).
+        """
+        meta = (_WRITETIME, _EXPIRES, _TOMBSTONE)
+        data_cols = [c for c in payload if c not in meta]
+        full_w = F.when(F.col(_COLL_COL).isNull(), F.col(_WRITETIME))
+        aggs = []
+        for c in data_cols:
+            if c in counters:
+                aggs.append(
+                    F.sum(F.when(F.col(_COLL_COL).isNull(), F.col(c)))
+                    .cast(types[c])
+                    .alias(c)
+                )
+            elif c in collections:
+                cell = F.when(
+                    F.col(_COLL_COL).isNull() | (F.col(_COLL_COL) == c),
+                    F.struct(
+                        F.col(_WRITETIME).alias("w"),
+                        F.coalesce(F.col(_COLL_OP), F.lit("assign")).alias("op"),
+                        F.col(c).alias("v"),
+                    ),
+                )
+                aggs.append(
+                    # comparator on writetime only: the default struct
+                    # ordering would try to compare the payload too,
+                    # which is illegal for map-typed collections
+                    F.array_sort(
+                        F.collect_list(cell),
+                        lambda l, r: F.when(l["w"] < r["w"], -1)
+                        .when(l["w"] > r["w"], 1)
+                        .otherwise(0),
+                    ).alias(f"__ops_{c}")
+                )
+            else:
+                aggs.append(
+                    F.max_by(
+                        F.struct(
+                            F.col(_WRITETIME).alias("w"), F.col(c).alias("v")
+                        ),
+                        full_w,
+                    ).alias(f"__sv_{c}")
+                )
+        aggs += [
+            # row liveness: the newest write of ANY kind decides (a
+            # delta after a DELETE revives the key, like Cassandra)
+            F.expr(f"max_by(`{_TOMBSTONE}`, `{_WRITETIME}`)").alias(_TOMBSTONE),
+            # TTL rides on full rows only — a delta carries no expiry
+            F.max_by(F.col(_EXPIRES), full_w).alias(_EXPIRES),
+            F.max(
+                F.when(
+                    F.coalesce(F.col(_TOMBSTONE), F.lit(False)),
+                    F.col(_WRITETIME),
+                )
+            ).alias("__tomb_w"),
+        ]
+        grouped = raw.groupBy(*pk).agg(*aggs)
+        tomb_w = F.coalesce(F.col("__tomb_w"), F.lit(-1))
+        sel = [F.col(c) for c in pk]
+        for c in data_cols:
+            if c in counters:
+                sel.append(F.col(c))
+            elif c in collections:
+                sel.append(
+                    self._fold_collection(
+                        collections[c], f"__ops_{c}", types[c], tomb_w
+                    ).alias(c)
+                )
+            else:
+                sv = F.col(f"__sv_{c}")
+                sel.append(
+                    F.when(sv["w"] > tomb_w, sv["v"]).cast(types[c]).alias(c)
+                )
+        sel += [F.col(_EXPIRES), F.col(_TOMBSTONE)]
+        return (
+            grouped.select(*sel)
+            .filter(~F.coalesce(F.col(_TOMBSTONE), F.lit(False)))
+            .filter(F.col(_EXPIRES).isNull() | (F.col(_EXPIRES) > now_micros))
+            .drop(_TOMBSTONE)
+        )
+
+    @staticmethod
+    def _fold_collection(kind: str, ops_col: str, dtype, tomb_w):
+        """Fold a key's sorted (w, op, v) cells into the live value.
+
+        Pure JVM higher-order functions — no Python in the loop. Cells
+        at or before the newest tombstone are dead (filtered first);
+        ``assign`` restarts the fold, deltas mutate the accumulator.
+        Empty results read as NULL (CQL: empty collections are null).
+        """
+        sql_t = dtype.simpleString()
+        empty = F.expr(
+            "CAST({} AS {})".format(
+                "array()" if kind in ("set", "list") else "map()", sql_t
+            )
+        )
+        live = F.filter(F.col(ops_col), lambda o: o["w"] > tomb_w)
+
+        def step(acc, o):
+            v = F.coalesce(o["v"], empty)
+            a = F.coalesce(acc, empty)
+            if kind == "set":
+                return (
+                    F.when(o["op"] == "assign", F.array_distinct(v))
+                    .when(o["op"] == "add", F.array_union(a, v))
+                    .otherwise(F.array_except(a, v))  # remove
+                )
+            if kind == "list":
+                return (
+                    F.when(o["op"] == "assign", v)
+                    .when(o["op"] == "append", F.concat(a, v))
+                    .otherwise(F.concat(v, a))  # prepend
+                )
+            # map: put overrides existing keys, remove drops by key
+            dropped = F.map_filter(
+                a, lambda k, _: ~F.array_contains(F.map_keys(v), k)
+            )
+            return (
+                F.when(o["op"] == "assign", v)
+                .when(o["op"] == "put", F.map_concat(dropped, v))
+                .otherwise(dropped)  # remove
+            )
+
+        def finish(acc):
+            res = F.array_sort(acc) if kind == "set" else acc
+            return F.when(F.size(res) > 0, res)
+
+        return F.aggregate(live, empty, step, finish)
 
     def read(self) -> DataFrame:
         """Full table with upsert semantics: newest live row per key."""

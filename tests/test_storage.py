@@ -483,3 +483,91 @@ def test_alter_drop_column(spark, ks):
     ks.create_index("users", "email")
     with pytest.raises(ValueError, match="views"):
         ks.alter_table_drop_column("users", "user_id")
+
+
+def test_collection_columns_fold_semantics(spark, ks):
+    """CQL collection columns: set add/remove, list append/prepend, map
+    put/remove fold over the last full assignment in writetime order;
+    a delta revives a deleted key WITHOUT resurrecting its pre-delete
+    scalar cells; compact() materializes folds and preserves reads."""
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        MapType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType([
+        StructField("uid", StringType(), False),
+        StructField("bio", StringType(), True),
+        StructField("tags", ArrayType(StringType()), True),
+        StructField("history", ArrayType(StringType()), True),
+        StructField("prefs", MapType(StringType(), IntegerType()), True),
+    ])
+    with pytest.raises(ValueError, match="key columns"):
+        ks.create_table(
+            "badc", schema, ["uid"], collection_columns={"uid": "set"}
+        )
+    with pytest.raises(ValueError, match="unknown collection kinds"):
+        ks.create_table(
+            "badk", schema, ["uid"], collection_columns={"tags": "bag"}
+        )
+    spec = ks.create_table(
+        "profiles",
+        schema,
+        ["uid"],
+        collection_columns={"tags": "set", "history": "list", "prefs": "map"},
+    )
+    t = WideColumnTable(spark, ks, spec, n_buckets=4)
+
+    t.append(
+        spark.createDataFrame(
+            [("u1", "hi", ["a", "b"], ["v1"], {"x": 1})], schema
+        )
+    )
+
+    def delta(uid, col, val, op):
+        field = schema[col]
+        one = spark.createDataFrame(
+            [(uid, val)],
+            StructType([schema["uid"], StructField(col, field.dataType, True)]),
+        )
+        t.update_collection(one, col, op)
+
+    with pytest.raises(ValueError, match="not a declared collection"):
+        delta("u1", "bio", ["x"], "add")
+    with pytest.raises(ValueError, match="invalid for set"):
+        delta("u1", "tags", ["x"], "append")
+
+    delta("u1", "tags", ["c", "b"], "add")        # {a,b,c}
+    delta("u1", "tags", ["a"], "remove")          # {b,c}
+    delta("u1", "history", ["v2"], "append")      # [v1,v2]
+    delta("u1", "history", ["v0"], "prepend")     # [v0,v1,v2]
+    delta("u1", "prefs", {"y": 2, "x": 9}, "put") # {x:9,y:2}
+    delta("u1", "prefs", {"x": 0}, "remove")      # {y:2}
+    delta("u2", "tags", ["z"], "add")             # new key via UPDATE
+
+    def snap():
+        rows = {r["uid"]: r for r in t.read().collect()}
+        return rows
+
+    for label in ("pre-compact", "post-compact"):
+        rows = snap()
+        u1, u2 = rows["u1"], rows["u2"]
+        assert u1["bio"] == "hi", label
+        assert sorted(u1["tags"]) == ["b", "c"], label
+        assert u1["history"] == ["v0", "v1", "v2"], label
+        assert u1["prefs"] == {"y": 2}, label
+        assert u2["bio"] is None and u2["tags"] == ["z"], label
+        if label == "pre-compact":
+            t.compact()
+
+    # delete then delta: key revives with ONLY the new collection cell
+    t.delete(spark.createDataFrame([("u1",)], "uid string"))
+    assert "u1" not in snap()
+    delta("u1", "tags", ["fresh"], "add")
+    u1 = snap()["u1"]
+    assert u1["tags"] == ["fresh"]
+    assert u1["bio"] is None and u1["history"] is None and u1["prefs"] is None

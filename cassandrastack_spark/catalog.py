@@ -108,6 +108,7 @@ class Keyspace:
         clustering_desc: bool = False,
         counter_columns: list[str] | None = None,
         collection_columns: dict[str, str] | None = None,
+        static_columns: list[str] | None = None,
     ) -> TableSpec:
         """``counter_columns`` marks CQL ``counter`` columns: their
         reconciliation mode is SUM-of-increments, not last-writer-wins
@@ -126,6 +127,33 @@ class Keyspace:
         counters (counter tables hold only counters)."""
         if name in self.tables:  # IF NOT EXISTS: no-op on re-create
             return self.tables[name]
+        statics = list(static_columns or [])
+        if statics:
+            # CQL rules: statics only make sense with clustering columns
+            # (they are the per-partition shared cells ABOVE the
+            # clustering rows), cannot be key columns, and cannot double
+            # as counters or collections.
+            if not clustering_keys:
+                raise ValueError(
+                    "static columns require clustering columns (CQL rule: "
+                    "a table without clustering rows has nothing to share)"
+                )
+            pk = set(partition_keys) | set(clustering_keys)
+            in_key = set(statics) & pk
+            if in_key:
+                raise ValueError(
+                    f"static columns cannot be key columns: {sorted(in_key)}"
+                )
+            overlap = set(statics) & (
+                set(counter_columns or []) | set(collection_columns or {})
+            )
+            if overlap:
+                raise ValueError(
+                    f"static columns cannot be counters or collections: {sorted(overlap)}"
+                )
+            unknown = set(statics) - {f.name for f in schema.fields}
+            if unknown:
+                raise ValueError(f"static columns not in schema: {sorted(unknown)}")
         collections = dict(collection_columns or {})
         if collections:
             bad_kind = {c: k for c, k in collections.items() if k not in ("set", "list", "map")}
@@ -160,6 +188,8 @@ class Keyspace:
             props["counter_columns"] = counters
         if collections:
             props["collection_columns"] = collections
+        if statics:
+            props["static_columns"] = statics
         spec = TableSpec(
             name=name,
             schema=schema,

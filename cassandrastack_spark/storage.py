@@ -381,6 +381,42 @@ class WideColumnTable:
         Keeps ``_expires`` so ``compact()`` can carry live TTLs through
         the rewrite; plain reads drop it.
         """
+        statics = list(self.spec.properties.get("static_columns") or [])
+        if statics:
+            return self._with_statics(raw, statics)
+        return self._reconcile_rows(raw)
+
+    def _with_statics(self, raw: DataFrame, statics: list[str]) -> DataFrame:
+        """CQL static columns: one shared cell per PARTITION, above the
+        clustering rows.
+
+        The static value is the newest non-null write across ANY row of
+        the partition — resolved by a groupBy on the partition keys
+        alone (a tiny frame: one row per partition) and left-joined back
+        onto the row-level reconciliation, which runs with the static
+        columns stripped so last-writer-wins never sees them. Writing a
+        static via any clustering row updates it for the whole
+        partition; null statics on a write mean "not written" (CQL
+        UPDATEs name only the cells they set — this engine's full-row
+        appends encode absence as null). Divergence from Cassandra,
+        documented: statics live only while the partition has at least
+        one live row (Cassandra keeps a rowless static row; a
+        reconciling engine would need a phantom row to carry it).
+        """
+        pkeys = self.spec.partition_keys
+        stat = raw.groupBy(*pkeys).agg(
+            *[
+                F.max_by(
+                    F.col(c),
+                    F.when(F.col(c).isNotNull(), F.col(_WRITETIME)),
+                ).alias(c)
+                for c in statics
+            ]
+        )
+        rows = self._reconcile_rows(raw.drop(*statics))
+        return rows.join(stat, pkeys, "left")
+
+    def _reconcile_rows(self, raw: DataFrame) -> DataFrame:
         pk = self.spec.primary_key
         payload = [
             c

@@ -170,3 +170,86 @@ def test_storage_reconciliation_matches_model(spark, tmp_path_factory, ops, do_c
         got = {r.k: r.v for r in t.read().collect()}
         assert got == model
     ks.drop()
+
+
+# ---------------------------------------------------------------------------
+# collection-column model check: random delta sequences vs a set model
+# ---------------------------------------------------------------------------
+
+_coll_keys = st.sampled_from(["p", "q"])
+_elems = st.lists(st.sampled_from(["x", "y", "z", "w"]), min_size=1, max_size=3)
+_coll_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("assign"), _coll_keys, _elems),
+        st.tuples(st.just("add"), _coll_keys, _elems),
+        st.tuples(st.just("remove"), _coll_keys, _elems),
+        st.tuples(st.just("insert"), _coll_keys, _elems),
+        st.tuples(st.just("delete"), _coll_keys, st.just([])),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_coll_ops, st.booleans())
+def test_set_collection_matches_model(spark, tmp_path_factory, ops, do_compact):
+    """Any interleaving of full inserts, set deltas, and row deletes must
+    read back exactly like a Python-set model (CQL set semantics: empty
+    reads as absent/null), before AND after compaction."""
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    from cassandrastack_spark.catalog import Keyspace
+    from cassandrastack_spark.storage import WideColumnTable
+
+    wh = str(tmp_path_factory.mktemp("propc"))
+    ks = Keyspace(spark, "propc", wh).create()
+    schema = StructType([
+        StructField("k", StringType(), False),
+        StructField("tags", ArrayType(StringType()), True),
+    ])
+    spec = ks.create_table(
+        "ktags", schema, ["k"], collection_columns={"tags": "set"}
+    )
+    t = WideColumnTable(spark, ks, spec, n_buckets=2)
+    delta_schema = StructType([schema["k"], schema["tags"]])
+
+    model: dict[str, set] = {}
+    for op, k, vals in ops:
+        if op == "insert":
+            t.append(spark.createDataFrame([(k, vals)], schema))
+            model[k] = set(vals)
+        elif op == "delete":
+            t.delete(spark.createDataFrame([(k,)], "k string"))
+            model.pop(k, None)
+        else:
+            t.update_collection(
+                spark.createDataFrame([(k, vals)], delta_schema), "tags", op
+            )
+            cur = model.setdefault(k, set())
+            if op == "assign":
+                model[k] = set(vals)
+            elif op == "add":
+                cur |= set(vals)
+            else:
+                cur -= set(vals)
+
+    def expected():
+        # CQL: an empty collection reads as null; a key whose only state
+        # is an empty set still EXISTS (the delta write created the row)
+        return {
+            k: (sorted(v) if v else None) for k, v in model.items()
+        }
+
+    def got():
+        return {
+            r.k: (sorted(r.tags) if r.tags else None)
+            for r in t.read().collect()
+        }
+
+    assert got() == expected()
+    if do_compact:
+        t.compact()
+        assert got() == expected()
+    ks.drop()

@@ -571,3 +571,59 @@ def test_collection_columns_fold_semantics(spark, ks):
     u1 = snap()["u1"]
     assert u1["tags"] == ["fresh"]
     assert u1["bio"] is None and u1["history"] is None and u1["prefs"] is None
+
+
+def test_static_columns_shared_per_partition(spark, ks):
+    """CQL static columns: one cell per partition shared by all
+    clustering rows; newest non-null write via ANY row wins; statics
+    survive individual row deletes; compaction preserves reads."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType([
+        StructField("channel", LongType(), False),
+        StructField("msg_id", LongType(), False),
+        StructField("body", StringType(), True),
+        StructField("channel_name", StringType(), True),  # static
+    ])
+    with pytest.raises(ValueError, match="require clustering"):
+        ks.create_table(
+            "bads", schema, ["channel"], static_columns=["channel_name"]
+        )
+    with pytest.raises(ValueError, match="key columns"):
+        ks.create_table(
+            "bads2", schema, ["channel"], clustering_keys=["msg_id"],
+            static_columns=["msg_id"],
+        )
+    spec = ks.create_table(
+        "chat", schema, ["channel"], clustering_keys=["msg_id"],
+        clustering_desc=True, static_columns=["channel_name"],
+    )
+    t = WideColumnTable(spark, ks, spec, n_buckets=4)
+
+    t.append(spark.createDataFrame(
+        [(1, 10, "hi", "general"), (1, 11, "yo", None), (2, 20, "x", "random")],
+        schema,
+    ))
+    # write via a DIFFERENT row renames channel 1 for every row
+    t.append(spark.createDataFrame([(1, 12, "new", "announcements")], schema))
+
+    def by_msg():
+        return {
+            (r.channel, r.msg_id): (r.body, r.channel_name)
+            for r in t.read().collect()
+        }
+
+    got = by_msg()
+    assert got[(1, 10)] == ("hi", "announcements")
+    assert got[(1, 11)] == ("yo", "announcements")
+    assert got[(1, 12)] == ("new", "announcements")
+    assert got[(2, 20)] == ("x", "random")
+
+    # deleting the row that LAST wrote the static keeps the static
+    t.delete(spark.createDataFrame([(1, 12)], "channel long, msg_id long"))
+    got = by_msg()
+    assert (1, 12) not in got
+    assert got[(1, 10)] == ("hi", "announcements")
+
+    t.compact()
+    assert by_msg()[(1, 11)] == ("yo", "announcements")

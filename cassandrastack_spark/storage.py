@@ -627,6 +627,53 @@ class WideColumnTable:
         order = self._sort_cols()
         return deduped.select(*[f.name for f in self.spec.schema.fields]).orderBy(*order)
 
+    def read_partitions(self, keys: list[dict]) -> DataFrame:
+        """CQL ``WHERE pk IN (...)``: a multi-partition read, pruned to
+        exactly the buckets the listed keys hash to.
+
+        Buckets are computed driver-side (same arithmetic as
+        ``read_partition``) and deduplicated, so N keys cost
+        ``|distinct buckets|`` directory scans — never a full-table
+        scan — plus one IN filter on the key tuples inside them. The
+        CQL manuals warn that IN fans a coordinator out to many
+        token ranges; here that is the (pruned) parallel scan itself,
+        which is exactly what a bulk engine is good at.
+        """
+        pkeys = self.spec.partition_keys
+        if not keys:
+            raise ValueError("read_partitions needs at least one key dict")
+        for kv in keys:
+            if set(kv) != set(pkeys):
+                raise ValueError(f"each key needs exactly {pkeys}, got {sorted(kv)}")
+        types = {f.name: f.dataType.simpleString() for f in self.spec.schema.fields}
+        buckets = sorted(
+            {
+                int(
+                    bucket_of(
+                        [kv[k] for k in pkeys],
+                        self.n_buckets,
+                        dtypes=[types[k] for k in pkeys],
+                    )
+                )
+                for kv in keys
+            }
+        )
+        raw = self._raw().filter(F.col(_BUCKET).isin(buckets))
+        key_tuples = [tuple(kv[k] for k in pkeys) for kv in keys]
+        if len(pkeys) == 1:
+            raw = raw.filter(F.col(pkeys[0]).isin([t[0] for t in key_tuples]))
+        else:
+            raw = raw.filter(
+                F.struct(*[F.col(k) for k in pkeys]).isin(
+                    [F.struct(*[F.lit(v) for v in t]) for t in key_tuples]
+                )
+            )
+        deduped = self._reconciled(raw)
+        order = self._sort_cols()
+        return deduped.select(*[f.name for f in self.spec.schema.fields]).orderBy(
+            *[F.col(k) for k in pkeys], *order
+        )
+
     def read_split(self, split_id: int) -> DataFrame:
         """Bulk-export split: the live rows of ONE hash bucket.
 

@@ -627,3 +627,43 @@ def test_static_columns_shared_per_partition(spark, ks):
 
     t.compact()
     assert by_msg()[(1, 11)] == ("yo", "announcements")
+
+
+def test_read_partitions_in_clause(spark, ks):
+    """CQL IN multi-partition read: results equal a full-scan filter,
+    and the scan is pruned to the listed keys' buckets (a _bucket
+    partition filter in the plan), never the whole table."""
+    import re
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType([
+        StructField("channel", LongType(), False),
+        StructField("msg_id", LongType(), False),
+        StructField("body", StringType(), True),
+    ])
+    spec = ks.create_table(
+        "inbox", schema, ["channel"], clustering_keys=["msg_id"],
+        clustering_desc=True,
+    )
+    t = WideColumnTable(spark, ks, spec, n_buckets=8)
+    t.append(spark.createDataFrame(
+        [(c, m, f"c{c}m{m}") for c in range(6) for m in range(4)], schema
+    ))
+
+    with pytest.raises(ValueError, match="exactly"):
+        t.read_partitions([{"nope": 1}])
+
+    got = t.read_partitions([{"channel": 1}, {"channel": 4}]).collect()
+    assert {r.channel for r in got} == {1, 4}
+    assert len(got) == 8
+    # clustering order within each partition (DESC)
+    for c in (1, 4):
+        ms = [r.msg_id for r in got if r.channel == c]
+        assert ms == sorted(ms, reverse=True)
+
+    plan = (
+        t.read_partitions([{"channel": 1}, {"channel": 4}])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert re.search(r"PartitionFilters: \[[^\]]*_bucket", plan), plan[:2000]

@@ -674,6 +674,39 @@ class WideColumnTable:
             *[F.col(k) for k in pkeys], *order
         )
 
+    def read_per_partition_limit(self, n: int) -> DataFrame:
+        """CQL ``PER PARTITION LIMIT n``: the first n clustering rows of
+        EVERY partition — e.g. the newest n messages of every channel
+        under a DESC clustering order (the reference's read pattern,
+        ``server.py:185``, generalized from one channel to all).
+
+        The classic top-n-per-key plan: one shuffle on the partition
+        keys, per-key sort in clustering order, row_number <= n — and
+        Catalyst turns the rank filter into a per-partition top-n sort
+        (WindowGroupLimit), so no partition is fully sorted when n is
+        small. Requires clustering columns (without them every
+        partition is a single row and the limit is a no-op).
+        """
+        from pyspark.sql import Window
+
+        if n < 1:
+            raise ValueError("PER PARTITION LIMIT must be >= 1")
+        if not self.spec.clustering_keys:
+            raise ValueError(
+                "PER PARTITION LIMIT needs clustering columns (single-row "
+                "partitions have nothing to limit)"
+            )
+        w = Window.partitionBy(*self.spec.partition_keys).orderBy(
+            *self._sort_cols()
+        )
+        return (
+            self._reconciled(self._raw())
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n)
+            .select(*[f.name for f in self.spec.schema.fields])
+            .orderBy(*self.spec.partition_keys, *self._sort_cols())
+        )
+
     def read_split(self, split_id: int) -> DataFrame:
         """Bulk-export split: the live rows of ONE hash bucket.
 

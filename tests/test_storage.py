@@ -667,3 +667,41 @@ def test_read_partitions_in_clause(spark, ks):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert re.search(r"PartitionFilters: \[[^\]]*_bucket", plan), plan[:2000]
+
+
+def test_read_per_partition_limit(spark, ks):
+    """PER PARTITION LIMIT: newest n clustering rows of every partition
+    under DESC clustering order; upserts and deletes reconcile first;
+    the plan uses a window group limit, not a full per-partition sort."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType([
+        StructField("channel", LongType(), False),
+        StructField("msg_id", LongType(), False),
+        StructField("body", StringType(), True),
+    ])
+    spec = ks.create_table(
+        "feed", schema, ["channel"], clustering_keys=["msg_id"],
+        clustering_desc=True,
+    )
+    t = WideColumnTable(spark, ks, spec, n_buckets=4)
+    t.append(spark.createDataFrame(
+        [(c, m, f"c{c}m{m}") for c in (1, 2) for m in range(5)], schema
+    ))
+    t.delete(spark.createDataFrame([(1, 4)], "channel long, msg_id long"))
+
+    with pytest.raises(ValueError, match=">= 1"):
+        t.read_per_partition_limit(0)
+
+    got = t.read_per_partition_limit(2).collect()
+    by_c = {}
+    for r in got:
+        by_c.setdefault(r.channel, []).append(r.msg_id)
+    # channel 1's newest (4) is deleted -> 3,2; channel 2 -> 4,3
+    assert by_c == {1: [3, 2], 2: [4, 3]}
+
+    plan = (
+        t.read_per_partition_limit(2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan, plan[:2000]

@@ -331,6 +331,64 @@ class Keyspace:
             base, name, partition_keys=[column], clustering_keys=clustering
         )
 
+    def describe_table(self, name: str) -> str:
+        """cqlsh ``DESCRIBE TABLE``: reconstruct the CQL DDL from the
+        catalog metadata — the round-trip a reference user runs to
+        inspect a schema. Spark types render as their CQL analogues
+        (long->bigint, string->text, array->set/list by declared kind,
+        binary->blob); counter/static markers and the clustering order
+        clause come from the spec's properties.
+        """
+        if name not in self.tables:
+            raise ValueError(f"unknown table {name!r}")
+        spec = self.tables[name]
+        counters = set(spec.properties.get("counter_columns", ()))
+        statics = set(spec.properties.get("static_columns", ()))
+        collections = dict(spec.properties.get("collection_columns") or {})
+
+        def cql_type(field) -> str:
+            from pyspark.sql.types import ArrayType, MapType
+
+            simple = {
+                "bigint": "bigint", "string": "text", "int": "int",
+                "double": "double", "float": "float", "boolean": "boolean",
+                "timestamp": "timestamp", "timestamp_ntz": "timestamp",
+                "date": "date", "binary": "blob",
+            }
+            dt_ = field.dataType
+            if field.name in counters:
+                return "counter"
+            if isinstance(dt_, ArrayType):
+                inner = simple.get(dt_.elementType.simpleString(), "text")
+                kind = collections.get(field.name, "list")
+                return f"{kind}<{inner}>"
+            if isinstance(dt_, MapType):
+                k = simple.get(dt_.keyType.simpleString(), "text")
+                v = simple.get(dt_.valueType.simpleString(), "text")
+                return f"map<{k}, {v}>"
+            return simple.get(dt_.simpleString(), dt_.simpleString())
+
+        cols = [
+            f"    {f.name} {cql_type(f)}"
+            + (" static" if f.name in statics else "")
+            for f in spec.schema.fields
+        ]
+        pk_part = ", ".join(spec.partition_keys)
+        if spec.clustering_keys:
+            pk = f"({pk_part}), " + ", ".join(spec.clustering_keys)
+        else:
+            pk = pk_part
+        lines = (
+            [f"CREATE TABLE {self.name}.{name} ("]
+            + [c + "," for c in cols]
+            + [f"    PRIMARY KEY ({pk})", ")"]
+        )
+        if spec.clustering_keys:
+            order = "DESC" if spec.clustering_desc else "ASC"
+            by = ", ".join(f"{c} {order}" for c in spec.clustering_keys)
+            lines[-1] = f") WITH CLUSTERING ORDER BY ({by})"
+        return "\n".join(lines) + ";"
+
     def drop_table(self, name: str) -> None:
         import shutil
 

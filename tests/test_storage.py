@@ -705,3 +705,40 @@ def test_read_per_partition_limit(spark, ks):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+def test_describe_table_ddl_roundtrip(spark, ks):
+    """cqlsh DESCRIBE analogue: the emitted DDL names every column with
+    its CQL type, marks statics/counters/collections, and carries the
+    compound primary key + clustering order clause."""
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        MapType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType([
+        StructField("channel", LongType(), False),
+        StructField("msg_id", LongType(), False),
+        StructField("channel_name", StringType(), True),
+        StructField("tags", ArrayType(StringType()), True),
+        StructField("reactions", MapType(StringType(), IntegerType()), True),
+    ])
+    ks.create_table(
+        "descme", schema, ["channel"], clustering_keys=["msg_id"],
+        clustering_desc=True, static_columns=["channel_name"],
+        collection_columns={"tags": "set", "reactions": "map"},
+    )
+    ddl = ks.describe_table("descme")
+    assert "channel bigint" in ddl
+    assert "channel_name text static" in ddl
+    assert "tags set<text>" in ddl
+    assert "reactions map<text, int>" in ddl
+    assert "PRIMARY KEY ((channel), msg_id)" in ddl
+    assert "CLUSTERING ORDER BY (msg_id DESC)" in ddl
+    with pytest.raises(ValueError, match="unknown table"):
+        ks.describe_table("nope")

@@ -659,15 +659,25 @@ class WideColumnTable:
             }
         )
         raw = self._raw().filter(F.col(_BUCKET).isin(buckets))
-        key_tuples = [tuple(kv[k] for k in pkeys) for kv in keys]
+        key_tuples = sorted({tuple(kv[k] for k in pkeys) for kv in keys})
         if len(pkeys) == 1:
             raw = raw.filter(F.col(pkeys[0]).isin([t[0] for t in key_tuples]))
         else:
-            raw = raw.filter(
-                F.struct(*[F.col(k) for k in pkeys]).isin(
-                    [F.struct(*[F.lit(v) for v in t]) for t in key_tuples]
+            # OR of per-tuple conjunctions: unlike a struct IN (which
+            # Spark's isin rejects for struct literals), each leg is a
+            # plain column-equality AND, so the parquet scan can still
+            # push the per-column predicates down
+            import functools
+            import operator
+
+            legs = [
+                functools.reduce(
+                    operator.and_,
+                    [F.col(k) == v for k, v in zip(pkeys, t)],
                 )
-            )
+                for t in key_tuples
+            ]
+            raw = raw.filter(functools.reduce(operator.or_, legs))
         deduped = self._reconciled(raw)
         order = self._sort_cols()
         return deduped.select(*[f.name for f in self.spec.schema.fields]).orderBy(

@@ -742,3 +742,31 @@ def test_describe_table_ddl_roundtrip(spark, ks):
     assert "CLUSTERING ORDER BY (msg_id DESC)" in ddl
     with pytest.raises(ValueError, match="unknown table"):
         ks.describe_table("nope")
+
+
+def test_read_partitions_compound_partition_key(spark, ks):
+    """IN-clause reads with a COMPOUND partition key: tuples prune to
+    their buckets and only the listed (tenant, shard) pairs return."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType([
+        StructField("tenant", StringType(), False),
+        StructField("shard", LongType(), False),
+        StructField("seq", LongType(), False),
+        StructField("v", StringType(), True),
+    ])
+    spec = ks.create_table(
+        "multi", schema, ["tenant", "shard"], clustering_keys=["seq"],
+    )
+    t = WideColumnTable(spark, ks, spec, n_buckets=8)
+    t.append(spark.createDataFrame(
+        [(f"t{i%3}", i % 2, i, f"v{i}") for i in range(12)], schema
+    ))
+    got = t.read_partitions(
+        [{"tenant": "t0", "shard": 0}, {"tenant": "t1", "shard": 1}]
+    ).collect()
+    pairs = {(r.tenant, r.shard) for r in got}
+    assert pairs == {("t0", 0), ("t1", 1)}
+    want = {(f"t{i%3}", i % 2, i) for i in range(12)
+            if (f"t{i%3}", i % 2) in {("t0", 0), ("t1", 1)}}
+    assert {(r.tenant, r.shard, r.seq) for r in got} == want

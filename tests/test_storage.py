@@ -770,3 +770,41 @@ def test_read_partitions_compound_partition_key(spark, ks):
     want = {(f"t{i%3}", i % 2, i) for i in range(12)
             if (f"t{i%3}", i % 2) in {("t0", 0), ("t1", 1)}}
     assert {(r.tenant, r.shard, r.seq) for r in got} == want
+
+
+def test_compound_partition_key_point_ops(spark, ks):
+    """Point read, delete, and INSERT IF NOT EXISTS all route correctly
+    when the partition key spans multiple columns (driver-side Murmur3
+    over the column tuple must match the writer's bucket)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType([
+        StructField("tenant", StringType(), False),
+        StructField("shard", LongType(), False),
+        StructField("seq", LongType(), False),
+        StructField("v", StringType(), True),
+    ])
+    spec = ks.create_table(
+        "multi2", schema, ["tenant", "shard"], clustering_keys=["seq"],
+    )
+    t = WideColumnTable(spark, ks, spec, n_buckets=8)
+    t.append(spark.createDataFrame(
+        [("a", 1, 1, "x"), ("a", 1, 2, "y"), ("b", 2, 1, "z")], schema
+    ))
+
+    got = t.read_partition(tenant="a", shard=1).collect()
+    assert [(r.seq, r.v) for r in got] == [(1, "x"), (2, "y")]
+    assert t.read_partition(tenant="a", shard=2).count() == 0
+
+    rep = t.insert_if_not_exists(
+        spark.createDataFrame([("a", 1, 1, "CLOBBER"), ("c", 3, 1, "new")], schema)
+    ).collect()
+    applied = {(r.tenant, r.shard, r.seq): r.applied for r in rep}
+    assert applied == {("a", 1, 1): False, ("c", 3, 1): True}
+    assert t.read_partition(tenant="a", shard=1).collect()[0].v == "x"
+    assert t.read_partition(tenant="c", shard=3).collect()[0].v == "new"
+
+    t.delete(spark.createDataFrame(
+        [("a", 1, 2)], "tenant string, shard long, seq long"
+    ))
+    assert [r.seq for r in t.read_partition(tenant="a", shard=1).collect()] == [1]

@@ -729,3 +729,73 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS (col, n_null, n_distinct, min_s, max_s)"
         )
     ).orderBy("col")
+
+
+@register(
+    "histogram_order_totals",
+    oracle="""
+        SELECT CAST(FLOOR(o_totalprice / 50000) + 1 AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(MIN(o_totalprice), 2) AS lo,
+               ROUND(MAX(o_totalprice), 2) AS hi
+        FROM orders
+        GROUP BY bucket ORDER BY bucket
+    """,
+    doc="Fixed-width histogram via width_bucket: one map-side-combinable "
+        "pass, 12-ish groups regardless of table size — the O(1)-output "
+        "distribution profile to run BEFORE choosing join strategies or "
+        "partition counts at 100 TB (pairs with profile_hot_keys for "
+        "skew). DuckDB has no width_bucket, so the oracle states the "
+        "equivalent floor arithmetic (all values fall inside [lo, hi)).",
+)
+def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.withColumn(
+            "bucket", F.width_bucket("o_totalprice", F.lit(0), F.lit(600000), F.lit(12))
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "outliers_iqr_values",
+    oracle="""
+        WITH q AS (
+            SELECT quantile_cont(value, 0.25) AS q1,
+                   quantile_cont(value, 0.75) AS q3
+            FROM events)
+        SELECT event_id, ROUND(value, 4) AS value
+        FROM events, q
+        WHERE value < q1 - 1.5 * (q3 - q1)
+           OR value > q3 + 1.5 * (q3 - q1)
+        ORDER BY event_id
+    """,
+    doc="IQR outlier detection (Tukey fences): exact interpolated "
+        "quartiles (Spark percentile == DuckDB quantile_cont) computed "
+        "once as a 1-row scalar and broadcast against the scan — two "
+        "passes total, no per-row sort. At 100 TB swap the exact "
+        "percentile for approx_percentile's t-digest (mergeable "
+        "map-side) and the plan shape is unchanged.",
+)
+def outliers_iqr_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    q = e.agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    return (
+        e.join(F.broadcast(q))
+        .filter(
+            (F.col("value") < F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")))
+            | (F.col("value") > F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")))
+        )
+        .select("event_id", F.round("value", 4).alias("value"))
+        .orderBy("event_id")
+    )

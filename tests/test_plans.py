@@ -145,6 +145,7 @@ def test_no_unjustified_bnl_join_across_catalog(spark, registry):
         "q11_important_volume",   # 3*avg(value) threshold scalar
         "q22_sales_opportunity",  # avg(acctbal) scalar
         "profile_hot_keys",       # sum(cnt) table-total scalar
+        "outliers_iqr_values",    # 1-row quartile-fences scalar
     }
     skip = ("stream_", "mm_", "dedup_", "ann_", "text_")
     offenders = []

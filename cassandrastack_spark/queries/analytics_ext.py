@@ -799,3 +799,40 @@ def outliers_iqr_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", F.round("value", 4).alias("value"))
         .orderBy("event_id")
     )
+
+
+@register(
+    "window_running_distinct",
+    oracle="""
+        SELECT event_type, event_id,
+               CAST(COUNT(DISTINCT user_id) OVER (
+                   PARTITION BY event_type ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS distinct_users_so_far
+        FROM events
+        ORDER BY event_type, event_id
+    """,
+    doc="Running distinct count per group — Spark has no "
+        "count_distinct over a window, so the engine expresses it as "
+        "size(collect_set() OVER w): the set state is bounded by the "
+        "group's distinct keys, not its rows. DuckDB supports windowed "
+        "COUNT(DISTINCT) natively, which makes the oracle an "
+        "independent formulation rather than a restatement. At 100 TB "
+        "with high-cardinality keys, switch to the two-pass form "
+        "(first-seen rank per (group, key), then a running sum of "
+        "first-seen flags) to keep per-row state constant.",
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_type",
+        "event_id",
+        F.size(F.collect_set("user_id").over(w))
+        .cast("long")
+        .alias("distinct_users_so_far"),
+    ).orderBy("event_type", "event_id")

@@ -836,3 +836,31 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("distinct_users_so_far"),
     ).orderBy("event_type", "event_id")
+
+
+@register(
+    "sql_lateral_topk",
+    oracle="""
+        SELECT n.n_name, t.c_name, ROUND(t.c_acctbal, 2) AS acctbal
+        FROM nation n,
+        LATERAL (SELECT c_name, c_acctbal FROM customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        ORDER BY n.n_name, acctbal DESC, t.c_name
+    """,
+    doc="Correlated LATERAL join with per-row ORDER BY + LIMIT: top-2 "
+        "customers for every nation. Catalyst decorrelates the lateral "
+        "subquery into a ranked join (same physical shape as the "
+        "window top-n), so the per-nation limit never executes "
+        "row-at-a-time — the SQL-surface twin of topn_per_group.",
+)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    return spark.sql("""
+        SELECT n.n_name, t.c_name, ROUND(t.c_acctbal, 2) AS acctbal
+        FROM nation n,
+        LATERAL (SELECT c_name, c_acctbal FROM customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        ORDER BY n.n_name, acctbal DESC, t.c_name
+    """)

@@ -871,3 +871,33 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
         ORDER BY n.n_name, acctbal DESC, t.c_name
     """)
+
+
+@register(
+    "heatmap_dow_hour",
+    oracle="""
+        SELECT CAST(isodow(ts) - 1 AS INT) AS dow,
+               CAST(hour(ts) AS INT) AS hod,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(value), 2) AS total
+        FROM events
+        GROUP BY dow, hod ORDER BY dow, hod
+    """,
+    doc="Day-of-week x hour-of-day activity heatmap: one map-side "
+        "combinable pass, <=168 output rows regardless of table size — "
+        "the telemetry cadence profile. Week-day conventions differ "
+        "per engine (Spark weekday: Monday=0; DuckDB isodow: "
+        "Monday=1), so both sides are pinned to Monday=0 explicitly.",
+)
+def heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.weekday("ts").alias("dow"), F.hour("ts").alias("hod")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .orderBy("dow", "hod")
+    )

@@ -253,3 +253,76 @@ def test_set_collection_matches_model(spark, tmp_path_factory, ops, do_compact):
         t.compact()
         assert got() == expected()
     ks.drop()
+
+
+_map_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("assign"), _coll_keys,
+                  st.dictionaries(st.sampled_from("abcd"), st.integers(0, 9), max_size=3)),
+        st.tuples(st.just("put"), _coll_keys,
+                  st.dictionaries(st.sampled_from("abcd"), st.integers(0, 9), min_size=1, max_size=3)),
+        st.tuples(st.just("remove"), _coll_keys,
+                  st.dictionaries(st.sampled_from("abcd"), st.just(0), min_size=1, max_size=2)),
+        st.tuples(st.just("insert"), _coll_keys,
+                  st.dictionaries(st.sampled_from("abcd"), st.integers(0, 9), max_size=3)),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_map_ops, st.booleans())
+def test_map_collection_matches_model(spark, tmp_path_factory, ops, do_compact):
+    """Random interleavings of full inserts, map put/remove/assign
+    deltas must read back exactly like a Python-dict model (remove
+    drops by key; put overrides; empty map reads as null)."""
+    from pyspark.sql.types import (
+        IntegerType,
+        MapType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from cassandrastack_spark.catalog import Keyspace
+    from cassandrastack_spark.storage import WideColumnTable
+
+    wh = str(tmp_path_factory.mktemp("propm"))
+    ks = Keyspace(spark, "propm", wh).create()
+    schema = StructType([
+        StructField("k", StringType(), False),
+        StructField("prefs", MapType(StringType(), IntegerType()), True),
+    ])
+    spec = ks.create_table(
+        "kprefs", schema, ["k"], collection_columns={"prefs": "map"}
+    )
+    t = WideColumnTable(spark, ks, spec, n_buckets=2)
+
+    model: dict[str, dict] = {}
+    for op, k, payload in ops:
+        if op == "insert":
+            t.append(spark.createDataFrame([(k, payload)], schema))
+            model[k] = dict(payload)
+        else:
+            t.update_collection(
+                spark.createDataFrame([(k, payload)], schema), "prefs", op
+            )
+            cur = model.setdefault(k, {})
+            if op == "assign":
+                model[k] = dict(payload)
+            elif op == "put":
+                cur.update(payload)
+            else:  # remove drops the payload's KEYS
+                for kk in payload:
+                    cur.pop(kk, None)
+
+    expected = {k: (v if v else None) for k, v in model.items()}
+    got = {r.k: (dict(r.prefs) if r.prefs else None) for r in t.read().collect()}
+    assert got == expected
+    if do_compact:
+        t.compact()
+        got = {r.k: (dict(r.prefs) if r.prefs else None) for r in t.read().collect()}
+        assert got == expected
+    ks.drop()

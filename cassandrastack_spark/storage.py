@@ -97,7 +97,12 @@ class WideColumnTable:
             _BUCKET, F.pmod(F.hash(*key_cols), F.lit(self.n_buckets))
         )
 
-    def append(self, df: DataFrame, ttl_seconds: int | None = None) -> None:
+    def append(
+        self,
+        df: DataFrame,
+        ttl_seconds: int | None = None,
+        timestamp_micros: int | None = None,
+    ) -> None:
         """Atomic multi-row upsert-append (W1/W2/W3), optional row TTL.
 
         Enforces schema-on-write (SURVEY.md §1.3): input columns must
@@ -132,7 +137,17 @@ class WideColumnTable:
         out = df.select(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in self.spec.schema.fields]
         )
-        writetime = _next_writetime()
+        # USING TIMESTAMP: a client-supplied writetime (CQL's backfill /
+        # idempotent-replay mechanism) slots the rows at that instant in
+        # last-writer-wins order — a backdated append cannot clobber a
+        # newer row. Scaled into the engine's (micros*1000 + seq) space
+        # at seq 0, so it sorts strictly before any engine write in the
+        # same microsecond (deterministic, replay-stable).
+        writetime = (
+            timestamp_micros * 1000
+            if timestamp_micros is not None
+            else _next_writetime()
+        )
         expires = (
             writetime // 1000 + ttl_seconds * 1_000_000
             if ttl_seconds is not None
@@ -163,7 +178,9 @@ class WideColumnTable:
                 self.keyspace.tables[view_name],
                 n_buckets=self.n_buckets,
             )
-            view.append(df, ttl_seconds=ttl_seconds)
+            view.append(
+                df, ttl_seconds=ttl_seconds, timestamp_micros=timestamp_micros
+            )
 
     def insert_if_not_exists(self, df: DataFrame) -> DataFrame:
         """CQL lightweight transaction: ``INSERT ... IF NOT EXISTS``.

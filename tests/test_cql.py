@@ -219,3 +219,31 @@ def test_ddl_maintenance_statements(cql):
         (1, "a" * 36, "back"),
     )
     assert len(cql.execute("SELECT * FROM messages")) == 1
+
+
+def test_using_timestamp_backfill(cql):
+    """USING TIMESTAMP: client-supplied writetimes order last-writer-wins
+    regardless of arrival order — a backdated backfill cannot clobber a
+    newer row, and replaying the same backfill is idempotent."""
+    _bootstrap(cql)
+    cql.execute(
+        "INSERT INTO users (user_id, username, email, password) "
+        "VALUES (now(), %s, %s, %s) USING TIMESTAMP %s",
+        ("Finn", "current@example.com", "p", 2_000_000),
+    )
+    # backdated write arrives LATER but must lose
+    cql.execute(
+        "INSERT INTO users (user_id, username, email, password) "
+        "VALUES (now(), %s, %s, %s) USING TIMESTAMP %s",
+        ("Finn", "stale@example.com", "old", 1_000_000),
+    )
+    row = cql.execute("SELECT email FROM users WHERE username = %s", ("Finn",))
+    assert row[0]["email"] == "current@example.com"
+    # a newer client timestamp wins over both
+    cql.execute(
+        "INSERT INTO users (user_id, username, email, password) "
+        "VALUES (now(), %s, %s, %s) USING TIMESTAMP %s",
+        ("Finn", "newest@example.com", "p2", 3_000_000),
+    )
+    row = cql.execute("SELECT email FROM users WHERE username = %s", ("Finn",))
+    assert row[0]["email"] == "newest@example.com"

@@ -562,6 +562,7 @@ class CqlSession:
         m = re.match(
             r"select\s+(.*?)\s+from\s+(\w+)"
             r"(?:\s+where\s+(.*?))?"
+            r"(?:\s+order\s+by\s+(\w+)\s+(asc|desc))?"
             r"(?:\s+per\s+partition\s+limit\s+(\d+))?"
             r"(?:\s+limit\s+(\d+))?\s*$",
             s,
@@ -569,7 +570,7 @@ class CqlSession:
         )
         if not m:
             raise ValueError(f"cannot parse SELECT: {s!r}")
-        proj, name, where, pp_limit, limit = m.groups()
+        proj, name, where, ob_col, ob_dir, pp_limit, limit = m.groups()
         t = self._table(name)
         lit = _Literal(params)
         if pp_limit:
@@ -609,6 +610,19 @@ class CqlSession:
         else:
             df = t.read().orderBy(
                 *t.spec.partition_keys, *t._sort_cols()
+            )
+        if ob_col:
+            # CQL: ORDER BY is restricted to the clustering column,
+            # within a partition read — it reverses (or confirms) the
+            # stored clustering order, never sorts arbitrary columns
+            t_spec = t.spec
+            if ob_col not in t_spec.clustering_keys:
+                raise ValueError(
+                    f"ORDER BY must name a clustering column "
+                    f"({t_spec.clustering_keys}), got {ob_col!r}"
+                )
+            df = df.orderBy(
+                F.desc(ob_col) if ob_dir.lower() == "desc" else F.asc(ob_col)
             )
         cols = [c.strip() for c in proj.split(",")]
         if cols != ["*"]:

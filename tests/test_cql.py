@@ -247,3 +247,35 @@ def test_using_timestamp_backfill(cql):
     )
     row = cql.execute("SELECT email FROM users WHERE username = %s", ("Finn",))
     assert row[0]["email"] == "newest@example.com"
+
+
+def test_select_order_by_clustering(cql):
+    """CQL ORDER BY reverses the stored clustering order within a
+    partition read; arbitrary columns are refused like Cassandra does."""
+    _bootstrap(cql)
+    for i, mid in enumerate(["m1", "m2", "m3"]):
+        cql.execute(
+            "INSERT INTO messages (channel_id, message_id, author_id, message) "
+            "VALUES (%s, %s, %s, %s)",
+            (5, mid * 12, "a" * 36, f"msg{i}"),
+        )
+    # stored order is DESC; ASC reverses
+    rows = cql.execute(
+        "SELECT message_id FROM messages WHERE channel_id = %s "
+        "ORDER BY message_id ASC",
+        (5,),
+    )
+    ids = [r["message_id"] for r in rows]
+    assert ids == sorted(ids)
+    rows = cql.execute(
+        "SELECT message_id FROM messages WHERE channel_id = %s "
+        "ORDER BY message_id DESC LIMIT 2",
+        (5,),
+    )
+    ids = [r["message_id"] for r in rows]
+    assert ids == sorted(ids, reverse=True)[:2]
+    with pytest.raises(ValueError, match="clustering column"):
+        cql.execute(
+            "SELECT * FROM messages WHERE channel_id = %s ORDER BY message ASC",
+            (5,),
+        )

@@ -326,3 +326,67 @@ def test_map_collection_matches_model(spark, tmp_path_factory, ops, do_compact):
         got = {r.k: (dict(r.prefs) if r.prefs else None) for r in t.read().collect()}
         assert got == expected
     ks.drop()
+
+
+_list_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("assign"), _coll_keys, _elems),
+        st.tuples(st.just("append"), _coll_keys, _elems),
+        st.tuples(st.just("prepend"), _coll_keys, _elems),
+        st.tuples(st.just("insert"), _coll_keys, _elems),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_list_ops, st.booleans())
+def test_list_collection_matches_model(spark, tmp_path_factory, ops, do_compact):
+    """Random interleavings of full inserts and list append/prepend/
+    assign deltas must read back exactly like a Python-list model
+    (order preserved, duplicates kept)."""
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    from cassandrastack_spark.catalog import Keyspace
+    from cassandrastack_spark.storage import WideColumnTable
+
+    wh = str(tmp_path_factory.mktemp("propl"))
+    ks = Keyspace(spark, "propl", wh).create()
+    schema = StructType([
+        StructField("k", StringType(), False),
+        StructField("log", ArrayType(StringType()), True),
+    ])
+    spec = ks.create_table(
+        "klog", schema, ["k"], collection_columns={"log": "list"}
+    )
+    t = WideColumnTable(spark, ks, spec, n_buckets=2)
+
+    model: dict[str, list] = {}
+    for op, k, vals in ops:
+        if op == "insert":
+            t.append(spark.createDataFrame([(k, vals)], schema))
+            model[k] = list(vals)
+        else:
+            t.update_collection(
+                spark.createDataFrame([(k, vals)], schema), "log", op
+            )
+            cur = model.setdefault(k, [])
+            if op == "assign":
+                model[k] = list(vals)
+            elif op == "append":
+                cur.extend(vals)
+            else:
+                model[k] = list(vals) + cur
+
+    expected = {k: (v if v else None) for k, v in model.items()}
+
+    def got():
+        return {r.k: (list(r.log) if r.log else None) for r in t.read().collect()}
+
+    assert got() == expected
+    if do_compact:
+        t.compact()
+        assert got() == expected
+    ks.drop()

@@ -901,3 +901,62 @@ def heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hod")
     )
+
+
+@register(
+    "pareto_customers_by_segment",
+    oracle="""
+        WITH rev AS (
+            SELECT c_mktsegment, c_custkey,
+                   ROUND(SUM(o_totalprice), 2) AS revenue
+            FROM customer JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_mktsegment, c_custkey),
+        tot AS (
+            SELECT c_mktsegment, ROUND(SUM(revenue), 2) AS total
+            FROM rev GROUP BY c_mktsegment),
+        run AS (
+            SELECT c_mktsegment, c_custkey, revenue,
+                   SUM(revenue) OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY revenue DESC, c_custkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum
+            FROM rev)
+        SELECT r.c_mktsegment, r.c_custkey, r.revenue,
+               ROUND(r.cum / t.total, 6) AS cum_share
+        FROM run r JOIN tot t USING (c_mktsegment)
+        WHERE ROUND(r.cum / t.total, 6) <= 0.5
+        ORDER BY r.c_mktsegment, r.revenue DESC, r.c_custkey
+    """,
+    doc="Pareto concentration: the customers producing the first half "
+        "of each segment's revenue, via a per-segment running share "
+        "over revenue rank. Per-customer revenue is rounded BEFORE the "
+        "running sum so the cumulative arithmetic is order-identical "
+        "across engines (raw double accumulation order differs and "
+        "would drift in the last ulp). Windows partition by segment — "
+        "no global single-partition sort.",
+)
+def pareto_customers_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    tot = rev.groupBy("c_mktsegment").agg(
+        F.round(F.sum("revenue"), 2).alias("total")
+    )
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = rev.withColumn("cum", F.sum("revenue").over(w))
+    return (
+        run.join(tot, "c_mktsegment")
+        .withColumn("cum_share", F.round(F.col("cum") / F.col("total"), 6))
+        .filter(F.col("cum_share") <= 0.5)
+        .select("c_mktsegment", "c_custkey", "revenue", "cum_share")
+        .orderBy("c_mktsegment", F.desc("revenue"), "c_custkey")
+    )

@@ -279,3 +279,43 @@ def test_select_order_by_clustering(cql):
             "SELECT * FROM messages WHERE channel_id = %s ORDER BY message ASC",
             (5,),
         )
+
+
+def test_collection_delta_edge_statements(cql):
+    """The remaining delta spellings: set reassignment, list prepend
+    ([..] + col), map key removal (m - {keys}), and USING TTL via text."""
+    import time
+
+    _bootstrap(cql)
+    cql.execute("""
+        CREATE TABLE sess (
+            sid text,
+            seq bigint,
+            log list<text>,
+            tags set<text>,
+            attrs map<text, int>,
+            PRIMARY KEY ((sid), seq)
+        )
+    """)
+    cql.execute(
+        "INSERT INTO sess (sid, seq, log, tags, attrs) "
+        "VALUES (%s, %s, ['b'], {'x'}, {'k1': 1, 'k2': 2})",
+        ("s1", 1),
+    )
+    cql.execute("UPDATE sess SET log = log + ['c'] WHERE sid = %s AND seq = %s", ("s1", 1))
+    cql.execute("UPDATE sess SET log = ['a'] + log WHERE sid = %s AND seq = %s", ("s1", 1))
+    cql.execute("UPDATE sess SET tags = {'y', 'z'} WHERE sid = %s AND seq = %s", ("s1", 1))
+    cql.execute("UPDATE sess SET attrs = attrs - {'k1'} WHERE sid = %s AND seq = %s", ("s1", 1))
+    row = cql.execute("SELECT * FROM sess WHERE sid = %s", ("s1",))[0]
+    assert row["log"] == ["a", "b", "c"]
+    assert sorted(row["tags"]) == ["y", "z"]
+    assert row["attrs"] == {"k2": 2}
+
+    # USING TTL through the text surface: an already-expired row vanishes
+    cql.execute(
+        "INSERT INTO sess (sid, seq, log, tags, attrs) "
+        "VALUES (%s, %s, ['gone'], {'t'}, {'q': 1}) USING TTL 0",
+        ("s2", 1),
+    )
+    time.sleep(0.01)
+    assert cql.execute("SELECT * FROM sess WHERE sid = %s", ("s2",)) == []

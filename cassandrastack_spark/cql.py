@@ -225,6 +225,9 @@ class CqlSession:
             return self._alter_table(s)
         if low.startswith("create index"):
             return self._create_index(s)
+        if low.startswith("describe table") or low.startswith("desc table"):
+            name = s.split()[-1]
+            return self._ks().describe_table(name)
         raise ValueError(f"unsupported CQL statement: {stmt[:80]!r}")
 
     def _truncate(self, s: str):

@@ -188,3 +188,46 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_to_batch(stateful_user_totals(_estream(spark, sf_dir)), "update")
     return out.orderBy("user_id")
+
+
+@register(
+    "stream_windowed_topk",
+    oracle="""
+        WITH agg AS (
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events
+            GROUP BY date_trunc('hour', ts), event_type),
+        ranked AS (
+            SELECT window_start, event_type, n,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY window_start
+                       ORDER BY n DESC, event_type
+                   ) AS rnk
+            FROM agg)
+        SELECT window_start, event_type, n
+        FROM ranked WHERE rnk <= 2
+        ORDER BY window_start, event_type
+    """,
+    doc="Windowed top-k over a stream: the incremental part (tumbling "
+        "window x type counts with watermark) runs as a streaming "
+        "aggregation; the rank tail runs on the emitted aggregate — "
+        "top-k is not incrementally maintainable in append semantics "
+        "(a late row can re-rank a closed window), so the split IS the "
+        "scale design: the stream carries only (window, type, n) state, "
+        "and the per-window rank touches the tiny aggregate, never the "
+        "event stream.",
+)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    agg = run_to_batch(tumbling_window_counts(_estream(spark, sf_dir)))
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("window_start", "event_type", "n")
+        .orderBy("window_start", "event_type")
+    )

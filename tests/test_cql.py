@@ -319,3 +319,10 @@ def test_collection_delta_edge_statements(cql):
     )
     time.sleep(0.01)
     assert cql.execute("SELECT * FROM sess WHERE sid = %s", ("s2",)) == []
+
+
+def test_describe_table_statement(cql):
+    _bootstrap(cql)
+    ddl = cql.execute("DESCRIBE TABLE messages")
+    assert "channel_id bigint" in ddl
+    assert "CLUSTERING ORDER BY (message_id DESC)" in ddl

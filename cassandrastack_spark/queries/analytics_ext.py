@@ -960,3 +960,68 @@ def pareto_customers_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_mktsegment", "c_custkey", "revenue", "cum_share")
         .orderBy("c_mktsegment", F.desc("revenue"), "c_custkey")
     )
+
+
+@register(
+    "event_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events)
+        SELECT prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+        ORDER BY prev_type, next_type
+    """,
+    doc="Path analysis: first-order event-type transition counts (the "
+        "Markov matrix of user journeys). One shuffle on user_id for "
+        "the LAG ordering, then a map-side-combinable count over the "
+        "(prev, next) pairs — output is |types|^2 rows regardless of "
+        "stream size. The same per-user-ordering skew note as "
+        "event_interarrival applies at 100 TB.",
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("prev_type", "next_type")
+    )
+
+
+@register(
+    "embedding_norms",
+    oracle="""
+        SELECT vec_id,
+               CAST(len(embedding) AS INT) AS dim,
+               ROUND(sqrt(list_sum(list_transform(
+                   embedding::DOUBLE[], x -> x * x))), 6) AS l2_norm
+        FROM embeddings
+        ORDER BY vec_id
+    """,
+    doc="Per-vector L2 norms — the sanity profile before any cosine "
+        "work (zero or denormal vectors poison similarity scores). "
+        "Pure JVM higher-order functions (aggregate over the array), "
+        "narrow map, no shuffle; per-vector sums run in element order "
+        "on both engines, so the float math is bit-identical and the "
+        "oracle is exact.",
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+    ).orderBy("vec_id")

@@ -1025,3 +1025,47 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("embedding").alias("dim"),
         F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
     ).orderBy("vec_id")
+
+
+@register(
+    "rolling_wau",
+    oracle="""
+        WITH du AS (
+            SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+                            user_id
+            FROM events),
+        days AS (SELECT DISTINCT day FROM du)
+        SELECT d.day,
+               CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+        FROM days d
+        JOIN du u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+        GROUP BY d.day
+        ORDER BY d.day
+    """,
+    doc="Rolling 7-day active users per day (the WAU curve): exact "
+        "trailing-window distinct via (day, user) pairs range-joined to "
+        "the day spine — the join input is distinct day-user pairs "
+        "(|days| x |users| worst case), never raw events, and the spine "
+        "side is tiny. Windowed COUNT(DISTINCT) does not exist in "
+        "Spark, and first-seen flags don't compose across overlapping "
+        "windows, so the dedup-then-range-join IS the exact plan; at "
+        "100 TB swap in per-day HLL sketches merged over the trailing "
+        "window for the approximate version.",
+)
+def rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    du = e.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct()
+    return (
+        days.alias("d")
+        .join(
+            du.alias("u"),
+            (F.col("u.day") >= F.date_sub(F.col("d.day"), 6))
+            & (F.col("u.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.count_distinct("u.user_id").alias("wau"))
+        .orderBy("day")
+    )

@@ -1042,15 +1042,17 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY d.day
         ORDER BY d.day
     """,
-    doc="Rolling 7-day active users per day (the WAU curve): exact "
-        "trailing-window distinct via (day, user) pairs range-joined to "
-        "the day spine — the join input is distinct day-user pairs "
-        "(|days| x |users| worst case), never raw events, and the spine "
-        "side is tiny. Windowed COUNT(DISTINCT) does not exist in "
-        "Spark, and first-seen flags don't compose across overlapping "
-        "windows, so the dedup-then-range-join IS the exact plan; at "
-        "100 TB swap in per-day HLL sketches merged over the trailing "
-        "window for the approximate version.",
+    doc="Rolling 7-day active users per day (the WAU curve): each "
+        "distinct (day, user) pair EXPLODES into the <=7 report days it "
+        "contributes to, then a distinct count per report day — a pure "
+        "equi-shuffle plan (the naive day-spine range join plans as a "
+        "nested-loop and fails the catalog's BNL guardrail), with a "
+        "broadcast semi-join against observed days trimming the "
+        "explosion past the data's end. Windowed COUNT(DISTINCT) does "
+        "not exist in Spark and first-seen flags don't compose across "
+        "overlapping windows, so dedup-then-explode is the exact plan; "
+        "at 100 TB swap in per-day HLL sketches merged over the "
+        "trailing window.",
 )
 def rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
@@ -1058,14 +1060,15 @@ def rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
     ).distinct()
     days = du.select("day").distinct()
+    contrib = du.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+        "user_id",
+    )
     return (
-        days.alias("d")
-        .join(
-            du.alias("u"),
-            (F.col("u.day") >= F.date_sub(F.col("d.day"), 6))
-            & (F.col("u.day") <= F.col("d.day")),
-        )
-        .groupBy(F.col("d.day").alias("day"))
-        .agg(F.count_distinct("u.user_id").alias("wau"))
+        contrib.join(F.broadcast(days), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("wau"))
         .orderBy("day")
     )

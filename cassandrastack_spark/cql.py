@@ -17,10 +17,12 @@ wrong for a storage front-end.
 
 Parameters use the python-driver convention: ``%s`` placeholders bound
 positionally from ``params`` (``server.py:133``). ``now()`` generates
-the engine's timeuuid analogue: a random UUID string plus the write's
-position in the engine's monotonic write sequence for ordering (the
-reference relies on timeuuid's time-ordering only through clustering
-order, which this engine's writetime preserves).
+the engine's timeuuid analogue: a zero-padded decimal prefix from the
+engine's monotonic write sequence plus a random suffix, so the STRING
+clustering order of ``now()``-keyed columns equals insertion order —
+the property the reference leans on when it declares
+``CLUSTERING ORDER BY (message_id DESC)`` (``server.py:185``) and
+expects channel reads to come back newest-first.
 """
 
 from __future__ import annotations
@@ -44,7 +46,26 @@ from pyspark.sql.types import (
 )
 
 from cassandrastack_spark.catalog import Keyspace
-from cassandrastack_spark.storage import WideColumnTable
+from cassandrastack_spark.storage import WideColumnTable, _next_writetime
+
+_UUID_RE = re.compile(
+    r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+    r"-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"
+)
+
+
+def cql_now_id() -> str:
+    """timeuuid ``now()`` analogue with time-ordering that survives the
+    uuid→string mapping: ``<020d write-sequence>-<12 hex random>``.
+
+    Cassandra's timeuuid sorts by embedded timestamp; this engine maps
+    uuid/timeuuid to StringType, so ordering must hold LEXICALLY. A
+    fixed-width zero-padded decimal prefix from the monotonic write
+    sequence sorts strings exactly like the numbers, so ASC/DESC
+    clustering on a ``now()`` column reproduces chronological /
+    newest-first reads (``server.py:185`` relies on DESC).
+    """
+    return f"{_next_writetime():020d}-{uuid.uuid4().hex[:12]}"
 
 _SIMPLE_TYPES = {
     "bigint": LongType(),
@@ -93,7 +114,7 @@ class _Literal:
         if text == "%s":
             return self.take_param()
         if text.lower() == "now()":
-            return str(uuid.uuid4())
+            return cql_now_id()
         if text.lower() in ("true", "false"):
             return text.lower() == "true"
         if text.lower() == "null":
@@ -115,6 +136,11 @@ class _Literal:
             return int(text)
         if re.fullmatch(r"-?\d*\.\d+", text):
             return float(text)
+        if _UUID_RE.fullmatch(text):
+            # bare uuid literal (CQL allows them unquoted — the
+            # reference's seed batch uses them, server.py:191-207);
+            # normalized to lowercase like cqlsh renders them
+            return text.lower()
         raise ValueError(f"cannot parse CQL literal: {text!r}")
 
 
@@ -240,10 +266,18 @@ class CqlSession:
         m = re.match(r"truncate\s+(?:table\s+)?(\w+)\s*$", s, re.I)
         if not m:
             raise ValueError(f"cannot parse TRUNCATE: {s!r}")
-        t = self._table(m.group(1))  # validates existence
-        if os.path.exists(t.path):
-            shutil.rmtree(t.path)
-        os.makedirs(t.path, exist_ok=True)
+        base = m.group(1)
+        t = self._table(base)  # validates existence
+        # Cassandra truncates a table's materialized views and 2i tables
+        # with the base (they are write-path copies of the same rows);
+        # leaving them populated would let indexed SELECTs resurrect
+        # truncated data.
+        names = [base, *self._ks().views.get(base, ())]
+        for nm in names:
+            path = self._table(nm).path
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            os.makedirs(path, exist_ok=True)
         return None
 
     def _alter_table(self, s: str):
@@ -576,9 +610,7 @@ class CqlSession:
         proj, name, where, ob_col, ob_dir, pp_limit, limit = m.groups()
         t = self._table(name)
         lit = _Literal(params)
-        if pp_limit:
-            df = t.read_per_partition_limit(int(pp_limit))
-        elif where:
+        if where:
             in_m = re.match(
                 r"\s*(\w+)\s+in\s*\((.*)\)\s*$", where, re.I | re.S
             )
@@ -614,6 +646,11 @@ class CqlSession:
             df = t.read().orderBy(
                 *t.spec.partition_keys, *t._sort_cols()
             )
+        if pp_limit:
+            # PER PARTITION LIMIT applies on top of the WHERE-restricted
+            # rows (CQL evaluates the limit after the predicate; the
+            # earlier pp_limit-first dispatch silently dropped WHERE)
+            df = t.limit_per_partition(df, int(pp_limit))
         if ob_col:
             # CQL: ORDER BY is restricted to the clustering column,
             # within a partition read — it reverses (or confirms) the

@@ -387,7 +387,7 @@ class WideColumnTable:
         )
         return self.spark.read.schema(read_schema).parquet(self.path)
 
-    def _reconciled(self, raw: DataFrame) -> DataFrame:
+    def _reconciled(self, raw: DataFrame, keep_writetime: bool = False) -> DataFrame:
         """Newest row per primary key, expired keys dropped.
 
         max_by over a single groupBy — one shuffle, map-side combinable,
@@ -397,13 +397,22 @@ class WideColumnTable:
         (TTL tombstone semantics) instead of resurrecting older data.
         Keeps ``_expires`` so ``compact()`` can carry live TTLs through
         the rewrite; plain reads drop it.
+
+        ``keep_writetime`` retains each key's newest ``_writetime`` —
+        ``compact()``/``refresh_view()`` rewrite with it so cell
+        timestamps survive compaction (Cassandra preserves writetimes
+        through compaction; stamping rewrites with a fresh time would
+        make a later USING TIMESTAMP backfill with a newer client
+        timestamp lose last-writer-wins against old data).
         """
         statics = list(self.spec.properties.get("static_columns") or [])
         if statics:
-            return self._with_statics(raw, statics)
-        return self._reconcile_rows(raw)
+            return self._with_statics(raw, statics, keep_writetime)
+        return self._reconcile_rows(raw, keep_writetime)
 
-    def _with_statics(self, raw: DataFrame, statics: list[str]) -> DataFrame:
+    def _with_statics(
+        self, raw: DataFrame, statics: list[str], keep_writetime: bool = False
+    ) -> DataFrame:
         """CQL static columns: one shared cell per PARTITION, above the
         clustering rows.
 
@@ -430,10 +439,10 @@ class WideColumnTable:
                 for c in statics
             ]
         )
-        rows = self._reconcile_rows(raw.drop(*statics))
+        rows = self._reconcile_rows(raw.drop(*statics), keep_writetime)
         return rows.join(stat, pkeys, "left")
 
-    def _reconcile_rows(self, raw: DataFrame) -> DataFrame:
+    def _reconcile_rows(self, raw: DataFrame, keep_writetime: bool = False) -> DataFrame:
         pk = self.spec.primary_key
         payload = [
             c
@@ -446,7 +455,8 @@ class WideColumnTable:
         now_micros = int(time.time() * 1_000_000)
         if collections:
             return self._reconciled_with_collections(
-                raw, pk, payload, counters, collections, types, now_micros
+                raw, pk, payload, counters, collections, types, now_micros,
+                keep_writetime,
             )
         agg = [
             # counter columns merge by SUM of increments (CQL counter
@@ -456,7 +466,7 @@ class WideColumnTable:
             else F.expr(f"max_by(`{c}`, `{_WRITETIME}`)").alias(c)
             for c in payload
         ]
-        return (
+        out = (
             raw.groupBy(*pk)
             .agg(*agg)
             # a key whose NEWEST write is a DELETE marker is gone, like
@@ -464,11 +474,14 @@ class WideColumnTable:
             # shadow (never resurrect) older versions
             .filter(~F.coalesce(F.col(_TOMBSTONE), F.lit(False)))
             .filter(F.col(_EXPIRES).isNull() | (F.col(_EXPIRES) > now_micros))
-            .drop(_WRITETIME, _TOMBSTONE)
+            .drop(_TOMBSTONE)
         )
+        # _WRITETIME reconciles to max_by(w, w) == the key's newest write
+        return out if keep_writetime else out.drop(_WRITETIME)
 
     def _reconciled_with_collections(
-        self, raw, pk, payload, counters, collections, types, now_micros
+        self, raw, pk, payload, counters, collections, types, now_micros,
+        keep_writetime: bool = False,
     ) -> DataFrame:
         """Reconciliation when the table declares collection columns.
 
@@ -535,6 +548,7 @@ class WideColumnTable:
                     F.col(_WRITETIME),
                 )
             ).alias("__tomb_w"),
+            F.max(F.col(_WRITETIME)).alias(_WRITETIME),
         ]
         grouped = raw.groupBy(*pk).agg(*aggs)
         tomb_w = F.coalesce(F.col("__tomb_w"), F.lit(-1))
@@ -554,6 +568,8 @@ class WideColumnTable:
                     F.when(sv["w"] > tomb_w, sv["v"]).cast(types[c]).alias(c)
                 )
         sel += [F.col(_EXPIRES), F.col(_TOMBSTONE)]
+        if keep_writetime:
+            sel.append(F.col(_WRITETIME))
         return (
             grouped.select(*sel)
             .filter(~F.coalesce(F.col(_TOMBSTONE), F.lit(False)))
@@ -714,6 +730,15 @@ class WideColumnTable:
         small. Requires clustering columns (without them every
         partition is a single row and the limit is a no-op).
         """
+        return self.limit_per_partition(self.read(), n)
+
+    def limit_per_partition(self, df: DataFrame, n: int) -> DataFrame:
+        """Apply ``PER PARTITION LIMIT n`` to an already-read frame.
+
+        Split out from ``read_per_partition_limit`` so the CQL front-end
+        can stack the limit on top of a WHERE-restricted read (CQL
+        evaluates the limit after the predicate).
+        """
         from pyspark.sql import Window
 
         if n < 1:
@@ -727,8 +752,7 @@ class WideColumnTable:
             *self._sort_cols()
         )
         return (
-            self._reconciled(self._raw())
-            .withColumn("__rn", F.row_number().over(w))
+            df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= n)
             .select(*[f.name for f in self.spec.schema.fields])
             .orderBy(*self.spec.partition_keys, *self._sort_cols())
@@ -824,10 +848,11 @@ class WideColumnTable:
             self.keyspace.tables[base_name],
             n_buckets=self.n_buckets,
         )
-        live = base._reconciled(base._raw())  # spec cols + _expires
-        out = self._with_bucket(live).withColumn(
-            _WRITETIME, F.lit(_next_writetime())
-        )
+        # spec cols + _expires + _writetime: the rebuild keeps each row's
+        # reconciled writetime so later USING TIMESTAMP writes still
+        # resolve last-writer-wins against rebuilt view rows
+        live = base._reconciled(base._raw(), keep_writetime=True)
+        out = self._with_bucket(live)
         (
             out.repartition(self.n_buckets, F.col(_BUCKET))
             .sortWithinPartitions(F.col(_BUCKET), *self._sort_cols())
@@ -856,12 +881,13 @@ class WideColumnTable:
            resolves s3a/gs/abfs/hdfs/file alike.
         """
         stage = self.path + ".compacting"
-        # reconcile keeps _expires: live TTLs survive the rewrite, rows
-        # already expired (and rows they shadowed) are physically gone
-        live = self._reconciled(self._raw())
-        out = self._with_bucket(live).withColumn(
-            _WRITETIME, F.lit(_next_writetime())
-        )
+        # reconcile keeps _expires (live TTLs survive the rewrite; rows
+        # already expired, and rows they shadowed, are physically gone)
+        # and _writetime: Cassandra preserves cell writetimes through
+        # compaction, so a USING TIMESTAMP backfill newer than the
+        # original write still wins after a compaction ran in between
+        live = self._reconciled(self._raw(), keep_writetime=True)
+        out = self._with_bucket(live)
         out.write.mode("overwrite").parquet(stage)
         staged = self.spark.read.parquet(stage)
         conf = self.spark.conf

@@ -326,3 +326,90 @@ def test_describe_table_statement(cql):
     ddl = cql.execute("DESCRIBE TABLE messages")
     assert "channel_id bigint" in ddl
     assert "CLUSTERING ORDER BY (message_id DESC)" in ddl
+
+
+def test_now_ids_cluster_in_insertion_order(cql):
+    """ADVICE round-2 (high): now() ids must sort lexically in insertion
+    order so CLUSTERING ORDER BY (message_id DESC) gives newest-first
+    channel reads, the property the reference builds its message feed on
+    (server.py:185)."""
+    _bootstrap(cql)
+    for i in range(8):
+        cql.execute(
+            "INSERT INTO messages (channel_id, message_id, author_id, message) "
+            "VALUES (%s, now(), %s, %s)",
+            (9, "a" * 36, f"msg{i}"),
+        )
+    rows = cql.execute("SELECT message FROM messages WHERE channel_id = %s", (9,))
+    # stored clustering order is message_id DESC -> newest message first
+    assert [r["message"] for r in rows] == [f"msg{i}" for i in range(7, -1, -1)]
+
+
+def test_reference_seed_batch_verbatim(cql):
+    """The reference's seed batch runs unchanged: bare uuid literals
+    (server.py:191-207) parse, now() orders, and the channel-1 feed reads
+    back newest-first."""
+    _bootstrap(cql)
+    author_a = "a8098c1a-f86e-11da-bd1a-00112444be1e"
+    author_b = "ab398c12-f86e-23da-bd1a-aabb2233be1e"
+    texts_ch1 = [
+        "Hi there", "Someone in here", "Hey, yeah sure",
+        "Cool :) What is up man?", "I am writing a little API...",
+    ]
+    stmts = [
+        "INSERT INTO messages (channel_id, message_id, author_id, message) "
+        f"VALUES (1, now(), {author_a if i % 2 == 0 else author_b}, '{t}')"
+        for i, t in enumerate(texts_ch1)
+    ]
+    stmts.append(
+        "INSERT INTO messages (channel_id, message_id, author_id, message) "
+        f"VALUES (2, now(), {author_a}, 'Hey, someone in this channel?')"
+    )
+    cql.execute("BEGIN BATCH " + "; ".join(stmts) + "; APPLY BATCH")
+    rows = cql.execute("SELECT author_id, message FROM messages WHERE channel_id = 1")
+    assert [r["message"] for r in rows] == list(reversed(texts_ch1))
+    assert rows[-1]["author_id"] == author_a  # bare literal round-trips
+    assert len(cql.execute("SELECT * FROM messages WHERE channel_id = 2")) == 1
+
+
+def test_where_with_per_partition_limit(cql):
+    """ADVICE round-2: PER PARTITION LIMIT must apply ON TOP of the WHERE
+    restriction, not silently replace it with an all-partitions read."""
+    _bootstrap(cql)
+    for ch in (11, 12):
+        for i in range(4):
+            cql.execute(
+                "INSERT INTO messages (channel_id, message_id, author_id, message) "
+                "VALUES (%s, now(), %s, %s)",
+                (ch, "a" * 36, f"c{ch}-m{i}"),
+            )
+    rows = cql.execute(
+        "SELECT message FROM messages WHERE channel_id = %s "
+        "PER PARTITION LIMIT 2",
+        (11,),
+    )
+    # only channel 11 (the WHERE), only its newest 2 (the limit, DESC order)
+    assert [r["message"] for r in rows] == ["c11-m3", "c11-m2"]
+    # without WHERE the limit still applies per partition, all partitions
+    rows = cql.execute("SELECT message FROM messages PER PARTITION LIMIT 1")
+    assert sorted(r["message"] for r in rows) == ["c11-m3", "c12-m3"]
+
+
+def test_truncate_clears_views_and_indexes(cql):
+    """ADVICE round-2: TRUNCATE drops materialized-view / secondary-index
+    rows with the base table (Cassandra truncates them together) so an
+    indexed SELECT cannot resurrect truncated data."""
+    _bootstrap(cql)
+    cql.execute("CREATE INDEX ON users (email)")
+    cql.execute(
+        "INSERT INTO users (user_id, username, email, password) "
+        "VALUES (now(), %s, %s, %s)",
+        ("Greta", "greta@example.com", "pw"),
+    )
+    assert len(cql.execute("SELECT * FROM users WHERE email = %s",
+                           ("greta@example.com",))) == 1
+    cql.execute("TRUNCATE users")
+    assert cql.execute("SELECT * FROM users") == []
+    # the indexed probe routes through the index table - must be empty too
+    assert cql.execute("SELECT * FROM users WHERE email = %s",
+                       ("greta@example.com",)) == []

@@ -808,3 +808,35 @@ def test_compound_partition_key_point_ops(spark, ks):
         [("a", 1, 2)], "tenant string, shard long, seq long"
     ))
     assert [r.seq for r in t.read_partition(tenant="a", shard=1).collect()] == [1]
+
+
+def test_compact_preserves_writetimes_for_backfill(spark, ks):
+    """ADVICE round-2: compact() must carry stored writetimes through the
+    rewrite (Cassandra preserves cell writetimes through compaction). A
+    USING TIMESTAMP backfill whose client timestamp is NEWER than the
+    original write must still win after a compaction ran in between —
+    with a fresh rewrite stamp it would wrongly lose to compacted data."""
+    t = make_users(spark, ks)
+    t.append(
+        spark.createDataFrame([("Alex", "u1", "old@x", "p")], schemas.USERS),
+        timestamp_micros=1_000_000,
+    )
+    t.compact()
+    # backfill: newer client timestamp than the original write, but far
+    # older than the compaction's wall-clock time
+    t.append(
+        spark.createDataFrame([("Alex", "u2", "new@x", "p")], schemas.USERS),
+        timestamp_micros=2_000_000,
+    )
+    rows = t.read().collect()
+    assert len(rows) == 1 and rows[0].email == "new@x", (
+        "backfill newer than the original write lost against compacted data"
+    )
+    # and the reverse still holds: an OLDER backfill loses post-compaction
+    t.compact()
+    t.append(
+        spark.createDataFrame([("Alex", "u0", "stale@x", "p")], schemas.USERS),
+        timestamp_micros=1_500_000,
+    )
+    rows = t.read().collect()
+    assert len(rows) == 1 and rows[0].email == "new@x"

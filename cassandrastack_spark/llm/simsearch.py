@@ -53,6 +53,7 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    max_query_rows: int = 1024,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
@@ -60,7 +61,22 @@ def cosine_topk(
     The corpus side is the big side; the (small) query side is
     broadcast, so the plan is a broadcast nested-loop with projected
     vectors — no shuffle of the corpus.
+
+    This is the documented exact BASELINE: cost is corpus x queries, so
+    it is linear-in-corpus only while the query side stays tiny. The
+    ``max_query_rows`` guard makes a misuse with a large query set fail
+    loud instead of silently planning a cartesian — raise the cap
+    consciously, or use the ANN paths (``hyperplane_lsh_topk`` /
+    ``ann_ivf_topk``) which bucket both sides.
     """
+    n_q = queries.limit(max_query_rows + 1).count()
+    if n_q > max_query_rows:
+        raise ValueError(
+            f"cosine_topk query side exceeds max_query_rows="
+            f"{max_query_rows}: the exact baseline broadcasts the query "
+            f"side and scores corpus x queries pairs; use an ANN variant "
+            f"(or raise the cap explicitly) for large query sets"
+        )
     corpus = with_norm(df.select(id_col, vec_col), vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col("vec").alias("c_vec"),
@@ -417,21 +433,50 @@ def ivf_train_centroids(
 
 
 def ivf_assign(
-    df: DataFrame, centroids: list, vec_col: str = "vec"
+    df: DataFrame, centroids: list, vec_col: str = "vec",
+    literal_max_k: int = 64,
 ) -> DataFrame:
     """Add ``cid``: the max-cosine centroid index (the IVF list id).
     At scale, write the corpus partitioned by ``cid`` so a probe is a
-    partition-pruned scan per list."""
-    cent_arr = (
-        "array(" + ", ".join(
-            "array(" + ", ".join(f"{x!r}D" for x in c) + ")" for c in centroids
-        ) + ")"
-    )
-    sims = f"transform({cent_arr}, c -> " + DOT.format(a="c", b=vec_col) + ")"
-    return df.withColumn(
-        "cid",
-        F.expr(f"array_position({sims}, array_max({sims})) - 1").cast("int"),
-    )
+    partition-pruned scan per list.
+
+    Two physical strategies, same result (first-max tie-break):
+
+    - K <= ``literal_max_k``: centroids inlined as a literal array and
+      scored with JVM higher-order functions — zero Python, stays in
+      whole-stage codegen.
+    - K > ``literal_max_k``: a literal would grow the expression tree
+      (and Janino compile time) linearly in K x dim, so centroids ship
+      once as a numpy matrix inside an Arrow ``pandas_udf`` closure and
+      each batch scores via one (batch x dim)@(dim x K) GEMM — constant
+      plan size at K = 4k-64k real IVF list counts.
+    """
+    if len(centroids) <= literal_max_k:
+        cent_arr = (
+            "array(" + ", ".join(
+                "array(" + ", ".join(f"{x!r}D" for x in c) + ")" for c in centroids
+            ) + ")"
+        )
+        sims = f"transform({cent_arr}, c -> " + DOT.format(a="c", b=vec_col) + ")"
+        return df.withColumn(
+            "cid",
+            F.expr(f"array_position({sims}, array_max({sims})) - 1").cast("int"),
+        )
+
+    import numpy as np
+    import pandas as pd
+
+    C_T = np.asarray(centroids, dtype=np.float64).T  # (dim, K)
+
+    def _assign_fn(vs):
+        X = np.asarray(vs.tolist(), dtype=np.float64)  # (batch, dim)
+        return pd.Series(np.argmax(X @ C_T, axis=1).astype("int32"))
+
+    # real annotation objects: the module's `from __future__ import
+    # annotations` would otherwise leave pandas_udf unresolvable strings
+    _assign_fn.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    _assign = F.pandas_udf(_assign_fn, "int")
+    return df.withColumn("cid", _assign(F.col(vec_col)))
 
 
 def ann_ivf_topk(

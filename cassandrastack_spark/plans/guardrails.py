@@ -8,7 +8,6 @@ small summaries; nothing collects raw data to the driver.
 
 from __future__ import annotations
 
-import os
 import re
 from dataclasses import dataclass, field
 
@@ -102,13 +101,23 @@ def table_file_stats(
     """File-layout report for a parquet table directory: counts, byte
     histogram, small-file ratio. Small-file buildup is the LSM-memtable
     analogue — the signal to run the compaction job
-    (``WideColumnTable.compact``)."""
+    (``WideColumnTable.compact``).
+
+    Walks through the Hadoop FileSystem API (same pattern as
+    ``compact()``'s staging cleanup), so the report works on any
+    ``fs.Path``-resolvable scheme — s3a/gs/abfs/hdfs as well as
+    local files — where a 100 TB table actually lives."""
     guard = guard or Guardrails()
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     sizes = []
-    for root, _dirs, files in os.walk(path):
-        for name in files:
-            if name.endswith(".parquet"):
-                sizes.append(os.path.getsize(os.path.join(root, name)))
+    if fs.exists(root):
+        it = fs.listFiles(root, True)  # recursive
+        while it.hasNext():
+            status = it.next()
+            if status.getPath().getName().endswith(".parquet"):
+                sizes.append(status.getLen())
     n_small = sum(1 for s in sizes if s < guard.small_file_bytes)
     report = {
         "n_files": len(sizes),

@@ -289,3 +289,33 @@ def test_bpe_pretokenizer_and_hash_split(spark):
     assert a == b
     frac_train = sum(1 for s in a.values() if s == "train") / len(a)
     assert 0.6 < frac_train < 0.95
+
+
+def test_cosine_topk_rejects_large_query_side(emb):
+    """The exact-cosine baseline is allowlisted as a BroadcastNestedLoop
+    only while the query side stays tiny; a large query set must fail
+    loud instead of silently planning a corpus x queries cartesian."""
+    queries = emb.limit(10)
+    with pytest.raises(ValueError, match="max_query_rows"):
+        cosine_topk(emb, queries, k=3, max_query_rows=5)
+    # within the cap the baseline still runs
+    got = cosine_topk(emb, queries.limit(2), k=3, max_query_rows=5)
+    assert got.count() == 6
+
+
+def test_ivf_assign_udf_path_matches_literal(emb):
+    """ivf_assign has two physical strategies (inlined-literal expression
+    for small K, Arrow GEMM pandas_udf for large K); both must assign the
+    same list ids with the same first-max tie-break."""
+    from cassandrastack_spark.llm.simsearch import with_norm
+
+    vecs = with_norm(emb.limit(200).select("vec_id", "embedding"), "embedding")
+    corpus = vecs.select("vec_id", F.col("vec"))
+    centroids = ivf_train_centroids(
+        corpus.select(F.col("vec_id").alias("id"), "vec"), k_centroids=8, iters=3
+    )
+    lit = ivf_assign(corpus, centroids, "vec", literal_max_k=64)
+    udf = ivf_assign(corpus, centroids, "vec", literal_max_k=1)  # force GEMM path
+    a = {r.vec_id: r.cid for r in lit.collect()}
+    b = {r.vec_id: r.cid for r in udf.collect()}
+    assert a == b

@@ -114,6 +114,10 @@ _FRONT: tuple[str, ...] = (
     "map_functions",
     "lateral_explode_tokens",
     "union_all_with_source",
+    # -- round-3 additions (no driver rows yet; ahead of round-2-greens) --
+    "stream_tumbling_append",
+    "stream_sliding_append",
+    "stream_session_append",
 )
 
 

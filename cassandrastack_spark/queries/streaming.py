@@ -231,3 +231,111 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("window_start", "event_type", "n")
         .orderBy("window_start", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# append-mode variants: the production output mode. ``complete`` re-emits
+# every window each batch (fine for the finite gate, unbounded for a real
+# sink); ``append`` emits each window EXACTLY ONCE, when the watermark
+# passes its end — so late data beyond the delay is dropped and the sink
+# receives immutable rows. Over the finite source that means the emitted
+# set is the batch aggregate RESTRICTED to watermark-passed windows:
+# window_end <= max(ts) - delay (Spark tracks the watermark in epoch
+# millis, hence the //1000 truncation in the oracles). The held-back tail
+# windows are the late-data policy made visible — the oracle encodes it.
+# ---------------------------------------------------------------------------
+
+
+_WM_SQL = "make_timestamp((epoch_us(MAX(ts)) // 1000 - 1800000) * 1000)"
+
+
+@register(
+    "stream_tumbling_append",
+    oracle=f"""
+        WITH wm AS (SELECT {_WM_SQL} AS w FROM events),
+        agg AS (
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(SUM(value), 2)     AS total_value
+            FROM events
+            GROUP BY date_trunc('hour', ts), event_type)
+        SELECT window_start, event_type, n, total_value
+        FROM agg
+        WHERE window_start + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+        ORDER BY window_start, event_type
+    """,
+    doc="Tumbling window aggregation in APPEND output mode: each hour "
+        "window is emitted once, when the 30-min watermark passes its "
+        "end; the oracle is the batch aggregate restricted to "
+        "watermark-passed windows (the held-back tail is the late-data "
+        "policy, asserted, not averaged away).",
+)
+def stream_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = run_to_batch(tumbling_window_counts(_estream(spark, sf_dir)), "append")
+    return out.orderBy("window_start", "event_type")
+
+
+@register(
+    "stream_sliding_append",
+    oracle=f"""
+        WITH wm AS (SELECT {_WM_SQL} AS w FROM events),
+        starts AS (
+            SELECT event_type,
+                   unnest([
+                       make_timestamp(epoch_us(ts) // 900000000 * 900000000),
+                       make_timestamp(epoch_us(ts) // 900000000 * 900000000 - 900000000)
+                   ]) AS window_start
+            FROM events),
+        agg AS (
+            SELECT window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM starts
+            GROUP BY window_start, event_type)
+        SELECT window_start, event_type, n
+        FROM agg
+        WHERE window_start + INTERVAL 30 MINUTE <= (SELECT w FROM wm)
+        ORDER BY window_start, event_type
+    """,
+    doc="Sliding window (30 min / 15 min) in APPEND mode: an event's two "
+        "overlapping windows finalize independently as the watermark "
+        "passes each window's own end.",
+)
+def stream_sliding_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = run_to_batch(sliding_window_counts(_estream(spark, sf_dir)), "append")
+    return out.orderBy("window_start", "event_type")
+
+
+@register(
+    "stream_session_append",
+    oracle=f"""
+        WITH wm AS (SELECT {_WM_SQL} AS w FROM events),
+        flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sess AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sid
+            FROM flagged),
+        agg AS (
+            SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_ts,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM sess GROUP BY user_id, sid)
+        SELECT user_id, session_start, n_events
+        FROM agg
+        WHERE last_ts + INTERVAL 30 MINUTE <= (SELECT w FROM wm)
+        ORDER BY user_id, session_start
+    """,
+    doc="Session windows (30-min gap) in APPEND mode: a session "
+        "finalizes when the watermark passes last-event + gap (the "
+        "session window's end), so still-open tail sessions are held "
+        "back — the oracle restricts gap-based sessionization the same "
+        "way.",
+)
+def stream_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = run_to_batch(session_window_counts(_estream(spark, sf_dir)), "append")
+    return out.orderBy("user_id", "session_start")

@@ -413,3 +413,114 @@ def test_truncate_clears_views_and_indexes(cql):
     # the indexed probe routes through the index table - must be empty too
     assert cql.execute("SELECT * FROM users WHERE email = %s",
                        ("greta@example.com",)) == []
+
+
+def test_reference_bootstrap_route_replay(cql):
+    """End-to-end replay of the reference's documented bootstrap
+    /create -> /messages/create -> /users/create (server.py:18-20) purely
+    through its verbatim CQL statements (server.py:76-79, 178-207,
+    250-311), then every read route's statement on top: 15/2-row seeds,
+    clustering-DESC channel feeds, login point lookup, register write,
+    and the drop route."""
+    KEYSPACE = "socialmessagekeyspace"
+    # /create (server.py:76-79 - %-interpolated keyspace name)
+    cql.execute("""
+        CREATE KEYSPACE IF NOT EXISTS %s
+        WITH replication = { 'class': 'SimpleStrategy', 'replication_factor': '2' }
+        """ % KEYSPACE)
+    cql.execute(f"USE {KEYSPACE}")
+    # /messages/create DDL (server.py:178-186)
+    cql.execute("""
+        CREATE TABLE IF NOT EXISTS messages (
+            channel_id bigint,
+            message_id uuid,
+            author_id uuid,
+            message text,
+            PRIMARY KEY (channel_id, message_id)
+        ) WITH CLUSTERING ORDER BY (message_id DESC)
+        """)
+    # /messages/create seed batch (server.py:191-207): 15 messages,
+    # bare uuid author literals, now() message ids
+    a = "a8098c1a-f86e-11da-bd1a-00112444be1e"
+    b = "ab398c12-f86e-23da-bd1a-aabb2233be1e"
+    seed = [
+        (1, a, "Hi there"),
+        (1, a, "Someone in here"),
+        (1, b, "Hey, yeah sure"),
+        (1, a, "Cool :) What is up man?"),
+        (1, b, "I am writing a little API..."),
+        (1, a, "What is the API about?"),
+        (1, b, "Connecting to a Cassandra Database"),
+        (1, a, "Oh wow sound interesting!"),
+        (1, b, "Yeah, it is a bit different but I am slowly getting it"),
+        (1, a, "Is it very different?"),
+        (1, b, "From the outside no, but if you get deeper it is very different."),
+        (2, a, "Hey, someone in this channel?"),
+        (1, b, "But you get it eventually!"),
+        (1, a, "Looks like no one is in here..."),
+        (3, b, "Hey, what is this channel about?"),
+    ]
+    batch = "BEGIN BATCH " + "; ".join(
+        "INSERT INTO messages (channel_id, message_id, author_id, message) "
+        f"VALUES ({ch}, now(), {auth}, '{msg}')"
+        for ch, auth, msg in seed
+    ) + "; APPLY BATCH"
+    cql.execute(batch)
+    # /users/create DDL + 2-row seed (server.py:289-311)
+    cql.execute("""
+        CREATE TABLE IF NOT EXISTS users (
+            user_id uuid,
+            username text,
+            email text,
+            password text,
+            PRIMARY KEY (username)
+        )
+        """)
+    cql.execute(
+        "BEGIN BATCH "
+        "INSERT INTO users (user_id, username, email, password) "
+        "VALUES (now(), 'Alex', 'a.scholli@mail.de', 'alex'); "
+        "INSERT INTO users (user_id, username, email, password) "
+        "VALUES (now(), 'Bianca','b.name@mail.de', 'bianca'); "
+        "APPLY BATCH"
+    )
+
+    # /messages full scan (server.py:149)
+    assert len(cql.execute("SELECT * FROM messages")) == 15
+    # /channels/1/messages (server.py:98): 13 rows, newest-first per
+    # CLUSTERING ORDER BY (message_id DESC)
+    ch1 = cql.execute("SELECT * FROM messages WHERE channel_id=%s", (1,))
+    assert len(ch1) == 13
+    assert ch1[0]["message"] == "Looks like no one is in here..."
+    assert ch1[-1]["message"] == "Hi there"
+    assert len(cql.execute("SELECT * FROM messages WHERE channel_id=%s", (2,))) == 1
+    # /users (server.py:210-232: projection excludes password)
+    users = cql.execute("SELECT user_id, username, email FROM users")
+    assert {u["username"] for u in users} == {"Alex", "Bianca"}
+    assert all("password" not in u for u in users)
+    # /users/login (server.py:250-259: point lookup by username)
+    row = cql.execute(
+        "SELECT user_id, username, email, password FROM users WHERE username=%s",
+        ("Alex",),
+    )
+    assert row[0]["password"] == "alex" and row[0]["email"] == "a.scholli@mail.de"
+    # /users/register (server.py:278-287: prepared insert with now())
+    cql.execute(
+        "INSERT INTO users (user_id, username, email, password) "
+        "VALUES (now(), %s, %s, %s)",
+        ("Chris", "c@mail.de", "pw"),
+    )
+    assert len(cql.execute("SELECT * FROM users")) == 3
+    # /channels/<id>/messages POST (server.py:113-139 shape): the new
+    # message lands at the TOP of the DESC feed
+    cql.execute(
+        "INSERT INTO messages (channel_id, message_id, author_id, message) "
+        "VALUES (%s, now(), %s, %s)",
+        (1, a, "brand new"),
+    )
+    ch1 = cql.execute("SELECT message FROM messages WHERE channel_id=%s", (1,))
+    assert ch1[0]["message"] == "brand new" and len(ch1) == 14
+    # /drop (server.py:83-89)
+    cql.execute("DROP KEYSPACE IF EXISTS " + KEYSPACE)
+    with pytest.raises(ValueError, match="no keyspace"):
+        cql.execute("SELECT * FROM messages")

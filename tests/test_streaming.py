@@ -192,3 +192,28 @@ def test_stream_ingest_into_wide_column_table(spark, stream_dir, tmp_path):
     # driver-side bucket route and returns the current row
     got = table.read_partition(user_id=100).collect()
     assert len(got) == 1 and got[0].value == 9.0
+
+
+def test_append_mode_emits_only_watermark_passed_windows(spark, stream_dir, tmp_path):
+    """APPEND output: a window is emitted exactly once, when the
+    watermark passes its end; still-open tail windows are held back.
+    (The oracle gate asserts the same property end-to-end on the events
+    fixture via the stream_*_append queries; this covers it per-batch.)"""
+    from cassandrastack_spark.streaming.ops import run_to_batch
+
+    _write_batch(stream_dir, "b1.parquet", [
+        (1, BASE, 100, "click", 1.0),                                  # 10:00
+        (2, BASE + dt.timedelta(minutes=30), 100, "view", 1.0),        # 10:30
+        (3, BASE + dt.timedelta(hours=2), 100, "click", 1.0),          # 12:00
+    ])
+    stream = events_stream(spark, str(stream_dir))
+    out = run_to_batch(tumbling_window_counts(stream), "append")
+    starts = {r.window_start for r in out.collect()}
+    # final watermark = 12:00 - 30min = 11:30: the 10:00 window (end
+    # 11:00 <= 11:30) finalizes; the 12:00 window (end 13:00) is open
+    assert starts == {BASE}
+    # complete mode over the same source emits held-back windows too
+    out_c = run_to_batch(tumbling_window_counts(events_stream(spark, str(stream_dir))))
+    assert {r.window_start for r in out_c.collect()} == {
+        BASE, BASE + dt.timedelta(hours=2)
+    }

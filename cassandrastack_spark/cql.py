@@ -471,7 +471,11 @@ class CqlSession:
                 raise ValueError("IF NOT EXISTS with USING TIMESTAMP is not supported")
             report = t.insert_if_not_exists(df)
             return [r.asDict() for r in report.collect()]
-        t.append(df, ttl_seconds=ttl, timestamp_micros=ts_micros)
+        # cell-level upsert: only the NAMED payload columns are written
+        # (Cassandra INSERT leaves unnamed cells untouched; a named
+        # column with a null value is an explicit cell delete)
+        cells = [c for c in cols if c not in t.spec.primary_key]
+        t.append(df, ttl_seconds=ttl, timestamp_micros=ts_micros, cells=cells)
         return None
 
     def _batch(self, s: str, params: tuple):
@@ -480,10 +484,11 @@ class CqlSession:
             raise ValueError(f"cannot parse BATCH: {s!r}")
         stmts = [x.strip() for x in body.group(1).split(";") if x.strip()]
         lit = _Literal(params)
-        # group INSERT rows per table -> ONE atomic multi-row append per
-        # table (the engine's batch atomicity IS the write job,
-        # SURVEY.md §2.2 W3)
-        per_table: dict[str, list[dict]] = {}
+        # group INSERT rows per (table, named-column set) -> ONE atomic
+        # multi-row append per group (the engine's batch atomicity IS
+        # the write job, SURVEY.md §2.2 W3; the named columns become the
+        # write's cell set, so partial inserts stay cell-level upserts)
+        per_group: dict[tuple[str, tuple[str, ...]], list[dict]] = {}
         for sub in stmts:
             m = re.match(
                 r"insert into\s+(\w+)\s*\(([^)]*)\)\s*values\s*\((.*)\)\s*$",
@@ -492,15 +497,18 @@ class CqlSession:
             )
             if not m:
                 raise ValueError(f"only INSERTs allowed in BATCH, got: {sub[:60]!r}")
-            cols = [c.strip() for c in m.group(2).split(",")]
+            cols = tuple(c.strip() for c in m.group(2).split(","))
             vals = [lit.read(v) for v in _split_top(m.group(3))]
-            per_table.setdefault(m.group(1), []).append(dict(zip(cols, vals)))
-        for name, rows in per_table.items():
+            per_group.setdefault((m.group(1), cols), []).append(dict(zip(cols, vals)))
+        for (name, cols), rows in per_group.items():
             t = self._table(name)
             full = [
                 tuple(r.get(f.name) for f in t.spec.schema.fields) for r in rows
             ]
-            t.append(self.spark.createDataFrame(full, t.spec.schema))
+            cells = [c for c in cols if c not in t.spec.primary_key]
+            t.append(
+                self.spark.createDataFrame(full, t.spec.schema), cells=cells
+            )
         return None
 
     def _update(self, s: str, params: tuple):
@@ -511,8 +519,11 @@ class CqlSession:
             raise ValueError(f"cannot parse UPDATE: {s!r}")
         name, set_clause, where = m.groups()
         t = self._table(name)
-        lit = _Literal(params)
-        keys = self._parse_eq_where(where, lit)
+        # positional params bind in statement order: SET values first,
+        # then WHERE values (the python-driver convention)
+        n_set = set_clause.count("%s")
+        lit = _Literal(params[:n_set])
+        keys = self._parse_eq_where(where, _Literal(params[n_set:]))
         counters = set(t.spec.properties.get("counter_columns", ()))
         collections = dict(t.spec.properties.get("collection_columns") or {})
         assignments = _split_top(set_clause)
@@ -568,12 +579,23 @@ class CqlSession:
                 self.spark.createDataFrame([row], delta_schema), col, op
             )
             return None
-        # plain column: CQL UPDATE is an upsert of that cell; this engine
-        # writes full rows, so emulate via read-modify-write of the key
-        raise ValueError(
-            "UPDATE of plain columns is not supported — INSERT the full row "
-            "(CQL INSERT and UPDATE are both upserts)"
+        # plain column: CQL UPDATE is an upsert of exactly that cell —
+        # a partial write naming one cell; other cells stay untouched
+        # under cell-level reconciliation (storage.py _cells)
+        if set(keys) != set(t.spec.primary_key):
+            raise ValueError(
+                f"UPDATE needs the full primary key {t.spec.primary_key}"
+            )
+        if col not in {f.name for f in t.spec.schema.fields}:
+            raise ValueError(f"unknown column {col!r} in UPDATE")
+        row = dict(keys)
+        row[col] = lit.read(rhs)
+        full = {f.name: row.get(f.name) for f in t.spec.schema.fields}
+        t.append(
+            self.spark.createDataFrame([tuple(full.values())], t.spec.schema),
+            cells=[col],
         )
+        return None
 
     def _delete(self, s: str, params: tuple):
         m = re.match(r"delete from\s+(\w+)\s+where\s+(.*)$", s, re.I | re.S)

@@ -45,6 +45,13 @@ from cassandrastack_spark.hashing import bucket_of
 _BUCKET = "_bucket"
 _WRITETIME = "_writetime"
 _EXPIRES = "_expires"  # epoch micros; NULL = no TTL
+# Cell-level last-writer-wins (Cassandra reconciles per CELL, not per
+# row): _cells names the payload columns a write explicitly set. NULL =
+# every column (full-row writes, legacy files). A write's unnamed cells
+# neither overwrite nor tombstone older values; a NAMED cell written as
+# null is an explicit cell deletion. One writetime per write covers all
+# its cells — exactly CQL's per-statement timestamp.
+_CELLS = "_cells"
 _TOMBSTONE = "_tombstone"  # true = CQL DELETE marker; NULL/false = live
 # Collection-delta markers (CQL UPDATE on set/list/map columns): a row
 # with _coll_col set is a delta against ONE collection column, not a
@@ -102,8 +109,17 @@ class WideColumnTable:
         df: DataFrame,
         ttl_seconds: int | None = None,
         timestamp_micros: int | None = None,
+        cells: list[str] | None = None,
     ) -> None:
         """Atomic multi-row upsert-append (W1/W2/W3), optional row TTL.
+
+        ``cells`` lists the payload columns this write EXPLICITLY sets
+        (a partial CQL INSERT / UPDATE): reconciliation then resolves
+        those cells last-writer-wins and leaves the others untouched —
+        Cassandra's cell-level upsert. ``None`` = all columns (full-row
+        write). The input frame still carries the full declared schema
+        (unset cells as null placeholders); ``cells`` is what separates
+        "set to null" from "not written".
 
         Enforces schema-on-write (SURVEY.md §1.3): input columns must
         match the declared schema exactly (names + order coerced here,
@@ -126,6 +142,16 @@ class WideColumnTable:
         """
         if ttl_seconds is not None and self.spec.properties.get("counter_columns"):
             raise ValueError("counter tables do not support TTL (CQL rule)")
+        if cells is not None:
+            nonkey = {
+                f.name for f in self.spec.schema.fields
+                if f.name not in self.spec.primary_key
+            }
+            bad = set(cells) - nonkey
+            if bad:
+                raise ValueError(
+                    f"cells must name non-key payload columns, got {sorted(bad)}"
+                )
         declared = [f.name for f in self.spec.schema.fields]
         missing = set(declared) - set(df.columns)
         extra = set(df.columns) - set(declared)
@@ -158,6 +184,12 @@ class WideColumnTable:
             .withColumn(_WRITETIME, F.lit(writetime))
             .withColumn(_EXPIRES, F.lit(expires).cast("long"))
             .withColumn(_TOMBSTONE, F.lit(False))
+            .withColumn(
+                _CELLS,
+                F.array(*[F.lit(c) for c in cells])
+                if cells is not None
+                else F.lit(None).cast("array<string>"),
+            )
         )
         sort_cols = self._sort_cols()
         writer = (
@@ -178,8 +210,16 @@ class WideColumnTable:
                 self.keyspace.tables[view_name],
                 n_buckets=self.n_buckets,
             )
+            # a base payload column can be part of the VIEW's key (2i
+            # tables key on the indexed column): key columns are always
+            # written, so they drop out of the propagated cell set
             view.append(
-                df, ttl_seconds=ttl_seconds, timestamp_micros=timestamp_micros
+                df,
+                ttl_seconds=ttl_seconds,
+                timestamp_micros=timestamp_micros,
+                cells=None
+                if cells is None
+                else [c for c in cells if c not in view.spec.primary_key],
             )
 
     def insert_if_not_exists(self, df: DataFrame) -> DataFrame:
@@ -366,6 +406,7 @@ class WideColumnTable:
 
     def _raw(self) -> DataFrame:
         from pyspark.sql.types import (
+            ArrayType,
             BooleanType,
             IntegerType,
             LongType,
@@ -383,6 +424,8 @@ class WideColumnTable:
                 StructField(_TOMBSTONE, BooleanType()),  # null on old files
                 StructField(_COLL_COL, StringType()),  # null on full writes
                 StructField(_COLL_OP, StringType()),
+                # null on full writes and legacy files = "all columns set"
+                StructField(_CELLS, ArrayType(StringType())),
             ]
         )
         return self.spark.read.schema(read_schema).parquet(self.path)
@@ -442,12 +485,24 @@ class WideColumnTable:
         rows = self._reconcile_rows(raw.drop(*statics), keep_writetime)
         return rows.join(stat, pkeys, "left")
 
+    @staticmethod
+    def _cell_w(c: str):
+        """Ordering key for cell-level last-writer-wins: a write
+        contributes to column ``c`` only if it SET that cell (``_cells``
+        null = full-row write sets everything). max_by skips null
+        ordering keys, so unset cells drop out of the race while a
+        named-but-null cell (explicit cell delete) still wins."""
+        return F.when(
+            F.col(_CELLS).isNull() | F.array_contains(F.col(_CELLS), c),
+            F.col(_WRITETIME),
+        )
+
     def _reconcile_rows(self, raw: DataFrame, keep_writetime: bool = False) -> DataFrame:
         pk = self.spec.primary_key
         payload = [
             c
             for c in raw.columns
-            if c not in pk and c not in (_BUCKET, _COLL_COL, _COLL_OP)
+            if c not in pk and c not in (_BUCKET, _COLL_COL, _COLL_OP, _CELLS)
         ]
         counters = set(self.spec.properties.get("counter_columns", ()))
         collections = dict(self.spec.properties.get("collection_columns") or {})
@@ -458,17 +513,53 @@ class WideColumnTable:
                 raw, pk, payload, counters, collections, types, now_micros,
                 keep_writetime,
             )
-        agg = [
-            # counter columns merge by SUM of increments (CQL counter
-            # semantics); everything else is last-writer-wins
-            F.sum(c).cast(types[c]).alias(c)
-            if c in counters
-            else F.expr(f"max_by(`{c}`, `{_WRITETIME}`)").alias(c)
-            for c in payload
+        meta = (_WRITETIME, _EXPIRES, _TOMBSTONE)
+        data_cols = [c for c in payload if c not in meta]
+        aggs = []
+        for c in data_cols:
+            if c in counters:
+                # counter columns merge by SUM of increments (CQL
+                # counter semantics); nulls (unset) don't contribute
+                aggs.append(F.sum(c).cast(types[c]).alias(c))
+            else:
+                # cell-level last-writer-wins: newest write that SET the
+                # cell; its writetime rides along for the tombstone cut
+                aggs.append(
+                    F.max_by(
+                        F.struct(
+                            F.col(_WRITETIME).alias("w"), F.col(c).alias("v")
+                        ),
+                        self._cell_w(c),
+                    ).alias(f"__sv_{c}")
+                )
+        aggs += [
+            # row liveness: the newest write of ANY kind decides
+            F.expr(f"max_by(`{_TOMBSTONE}`, `{_WRITETIME}`)").alias(_TOMBSTONE),
+            F.expr(f"max_by(`{_EXPIRES}`, `{_WRITETIME}`)").alias(_EXPIRES),
+            F.max(
+                F.when(
+                    F.coalesce(F.col(_TOMBSTONE), F.lit(False)),
+                    F.col(_WRITETIME),
+                )
+            ).alias("__tomb_w"),
+            F.max(F.col(_WRITETIME)).alias(_WRITETIME),
         ]
+        grouped = raw.groupBy(*pk).agg(*aggs)
+        # cells at or before the newest DELETE are dead: a later partial
+        # write revives the key without resurrecting pre-delete cells
+        tomb_w = F.coalesce(F.col("__tomb_w"), F.lit(-1))
+        sel = [F.col(c) for c in pk]
+        for c in data_cols:
+            if c in counters:
+                sel.append(F.col(c))
+            else:
+                sv = F.col(f"__sv_{c}")
+                sel.append(
+                    F.when(sv["w"] > tomb_w, sv["v"]).cast(types[c]).alias(c)
+                )
+        sel += [F.col(_EXPIRES), F.col(_TOMBSTONE), F.col(_WRITETIME)]
         out = (
-            raw.groupBy(*pk)
-            .agg(*agg)
+            grouped.select(*sel)
             # a key whose NEWEST write is a DELETE marker is gone, like
             # an expired key — both checked after reconciliation so they
             # shadow (never resurrect) older versions
@@ -476,7 +567,6 @@ class WideColumnTable:
             .filter(F.col(_EXPIRES).isNull() | (F.col(_EXPIRES) > now_micros))
             .drop(_TOMBSTONE)
         )
-        # _WRITETIME reconciles to max_by(w, w) == the key's newest write
         return out if keep_writetime else out.drop(_WRITETIME)
 
     def _reconciled_with_collections(
@@ -508,8 +598,19 @@ class WideColumnTable:
                     .alias(c)
                 )
             elif c in collections:
+                # a full write's collection value joins the op-chain as
+                # an ``assign`` only if the write SET the cell (else a
+                # partial INSERT's null placeholder would clear the
+                # collection); deltas name their column via _coll_col
                 cell = F.when(
-                    F.col(_COLL_COL).isNull() | (F.col(_COLL_COL) == c),
+                    (
+                        F.col(_COLL_COL).isNull()
+                        & (
+                            F.col(_CELLS).isNull()
+                            | F.array_contains(F.col(_CELLS), c)
+                        )
+                    )
+                    | (F.col(_COLL_COL) == c),
                     F.struct(
                         F.col(_WRITETIME).alias("w"),
                         F.coalesce(F.col(_COLL_OP), F.lit("assign")).alias("op"),
@@ -528,12 +629,13 @@ class WideColumnTable:
                     ).alias(f"__ops_{c}")
                 )
             else:
+                # scalar cells: newest FULL write that set the cell
                 aggs.append(
                     F.max_by(
                         F.struct(
                             F.col(_WRITETIME).alias("w"), F.col(c).alias("v")
                         ),
-                        full_w,
+                        F.when(F.col(_COLL_COL).isNull(), self._cell_w(c)),
                     ).alias(f"__sv_{c}")
                 )
         aggs += [
@@ -828,6 +930,30 @@ class WideColumnTable:
 
     # ---- maintenance -------------------------------------------------------
 
+    def _materialized_cells(self, df: DataFrame) -> DataFrame:
+        """``_cells`` for a materialized (reconciled) rewrite: the
+        non-null payload columns. A null cell in a materialized row
+        means ABSENT, not "explicitly null": the rewrite garbage-
+        collects cell tombstones (like Cassandra compaction after
+        gc_grace), so an old-timestamp backfill may rewrite a cell the
+        compaction found empty. Granularity note: the rewrite collapses
+        per-cell writetimes to the row's newest (one write = one
+        timestamp), so per-cell backfill resolution against PRE-rewrite
+        history coarsens to row granularity — exact until a compaction
+        runs, row-level after, documented."""
+        nonkey = [
+            f.name for f in self.spec.schema.fields
+            if f.name not in self.spec.primary_key
+        ]
+        if not nonkey:
+            return df.withColumn(_CELLS, F.lit(None).cast("array<string>"))
+        marked = F.array(
+            *[F.when(F.col(c).isNotNull(), F.lit(c)) for c in nonkey]
+        )
+        return df.withColumn(
+            _CELLS, F.filter(marked, lambda x: x.isNotNull())
+        )
+
     def refresh_view(self) -> None:
         """Rebuild a materialized view from its base table.
 
@@ -852,7 +978,7 @@ class WideColumnTable:
         # reconciled writetime so later USING TIMESTAMP writes still
         # resolve last-writer-wins against rebuilt view rows
         live = base._reconciled(base._raw(), keep_writetime=True)
-        out = self._with_bucket(live)
+        out = self._with_bucket(self._materialized_cells(live))
         (
             out.repartition(self.n_buckets, F.col(_BUCKET))
             .sortWithinPartitions(F.col(_BUCKET), *self._sort_cols())
@@ -887,7 +1013,7 @@ class WideColumnTable:
         # compaction, so a USING TIMESTAMP backfill newer than the
         # original write still wins after a compaction ran in between
         live = self._reconciled(self._raw(), keep_writetime=True)
-        out = self._with_bucket(live)
+        out = self._with_bucket(self._materialized_cells(live))
         out.write.mode("overwrite").parquet(stage)
         staged = self.spark.read.parquet(stage)
         conf = self.spark.conf

@@ -524,3 +524,35 @@ def test_reference_bootstrap_route_replay(cql):
     cql.execute("DROP KEYSPACE IF EXISTS " + KEYSPACE)
     with pytest.raises(ValueError, match="no keyspace"):
         cql.execute("SELECT * FROM messages")
+
+
+def test_partial_insert_and_plain_update_are_cell_upserts(cql):
+    """CQL INSERT writes only the named cells and UPDATE of a plain
+    column upserts exactly that cell — unnamed columns keep their
+    values (Cassandra cell-level reconciliation, not row overwrite)."""
+    _bootstrap(cql)
+    cql.execute(
+        "INSERT INTO users (user_id, username, email, password) "
+        "VALUES (now(), %s, %s, %s)",
+        ("Dana", "d@mail.de", "pw1"),
+    )
+    # partial INSERT: email only - password must survive
+    cql.execute(
+        "INSERT INTO users (username, email) VALUES (%s, %s)",
+        ("Dana", "d2@mail.de"),
+    )
+    row = cql.execute("SELECT * FROM users WHERE username = %s", ("Dana",))[0]
+    assert row["email"] == "d2@mail.de" and row["password"] == "pw1"
+    # UPDATE of a plain column: SET param binds before WHERE param
+    cql.execute(
+        "UPDATE users SET password = %s WHERE username = %s",
+        ("pw2", "Dana"),
+    )
+    row = cql.execute("SELECT * FROM users WHERE username = %s", ("Dana",))[0]
+    assert row["password"] == "pw2" and row["email"] == "d2@mail.de"
+    # explicit null in a named column deletes that cell only
+    cql.execute(
+        "INSERT INTO users (username, email) VALUES (%s, null)", ("Dana",)
+    )
+    row = cql.execute("SELECT * FROM users WHERE username = %s", ("Dana",))[0]
+    assert row["email"] is None and row["password"] == "pw2"

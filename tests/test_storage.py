@@ -840,3 +840,77 @@ def test_compact_preserves_writetimes_for_backfill(spark, ks):
     )
     rows = t.read().collect()
     assert len(rows) == 1 and rows[0].email == "new@x"
+
+
+def test_cell_level_last_writer_wins(spark, ks):
+    """Cassandra reconciles per CELL: a partial write (cells=[...])
+    updates only the named columns; unnamed cells keep their older
+    values; a named-but-null cell is an explicit cell delete."""
+    t = make_users(spark, ks)
+    t.append(spark.createDataFrame(
+        [("Alex", "u1", "a@x", "pw1")], schemas.USERS))
+    # partial write: only email - user_id/password must survive
+    t.append(
+        spark.createDataFrame([("Alex", None, "new@x", None)], schemas.USERS),
+        cells=["email"],
+    )
+    row = t.read().collect()[0]
+    assert (row.email, row.user_id, row.password) == ("new@x", "u1", "pw1")
+    # explicit cell delete: email named and null
+    t.append(
+        spark.createDataFrame([("Alex", None, None, None)], schemas.USERS),
+        cells=["email"],
+    )
+    row = t.read().collect()[0]
+    assert row.email is None and row.user_id == "u1" and row.password == "pw1"
+    # cells must be payload columns
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="non-key"):
+        t.append(
+            spark.createDataFrame([("Alex", None, None, None)], schemas.USERS),
+            cells=["username"],
+        )
+
+
+def test_partial_write_does_not_resurrect_predelete_cells(spark, ks):
+    """A partial write after a DELETE revives the key but must not
+    resurrect cells from before the tombstone (Cassandra's row tombstone
+    shadows every older cell)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    t = make_users(spark, ks)
+    t.append(spark.createDataFrame(
+        [("Alex", "u1", "a@x", "pw1")], schemas.USERS))
+    t.delete(spark.createDataFrame(
+        [("Alex",)], StructType([StructField("username", StringType())])))
+    t.append(
+        spark.createDataFrame([("Alex", None, "back@x", None)], schemas.USERS),
+        cells=["email"],
+    )
+    row = t.read().collect()[0]
+    assert row.email == "back@x"
+    assert row.user_id is None and row.password is None, (
+        "pre-delete cells resurrected through the tombstone"
+    )
+
+
+def test_cell_writes_survive_compaction(spark, ks):
+    """Compaction materializes cell-reconciled rows; cell history folds
+    into one row whose non-null columns are its cell set."""
+    t = make_users(spark, ks)
+    t.append(spark.createDataFrame(
+        [("Alex", "u1", "a@x", "pw1")], schemas.USERS))
+    t.append(
+        spark.createDataFrame([("Alex", None, "new@x", None)], schemas.USERS),
+        cells=["email"],
+    )
+    t.compact()
+    row = t.read().collect()[0]
+    assert (row.email, row.user_id, row.password) == ("new@x", "u1", "pw1")
+    # post-compaction partial writes still reconcile per cell
+    t.append(
+        spark.createDataFrame([("Alex", None, None, "pw2")], schemas.USERS),
+        cells=["password"],
+    )
+    row = t.read().collect()[0]
+    assert (row.email, row.user_id, row.password) == ("new@x", "u1", "pw2")

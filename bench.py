@@ -18,12 +18,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from cassandrastack_spark.queries import load_all  # noqa: E402
+from cassandrastack_spark.queries import REGISTRY, load_all  # noqa: E402
 
 # Every registered query is a headline query: the per-round bench is
 # the regression baseline, so a query missing here is a query whose
 # slowdown nobody notices. (BENCH_r01 covered a 22-query subset.)
-HEADLINE: list = []  # empty = all registered queries, registry order
+HEADLINE: list = []  # empty = all registered queries, REGISTRATION order
 
 
 def main() -> None:
@@ -33,18 +33,36 @@ def main() -> None:
 
     from cassandrastack_spark.session import get_spark
 
-    registry = load_all()
+    load_all()
+    # Measure in REGISTRATION order (module import order: parity →
+    # analytics → LLM → streaming), NOT the registry's presentation
+    # order. Presentation rotates never-driver-verified queries to the
+    # front for the correctness gate; running those heavy unique-plan
+    # queries first on a cold JVM shifts one-time JIT/codegen warmup
+    # onto them and makes round-over-round per-query comparison
+    # meaningless (a round-3 A/B measured a uniform ~1.6x inflation
+    # from order alone). Registration order keeps the measurement
+    # conditions of prior rounds.
+    registry = dict(REGISTRY)
     spark = get_spark("bench")
 
     # warmup: tiny scan to absorb session/codegen startup
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
+    # min-of-N passes: single-shot timings on this host swing up to 2x
+    # between identical runs (virtualized CPU, JIT state, Python-worker
+    # reuse); the min is the stable plan-cost signal the regression
+    # ledger needs. Pass 1 absorbs each plan family's one-time codegen.
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     results: dict[str, float] = {}
-    for name in HEADLINE or list(registry):
-        qd = registry[name]
-        t0 = time.perf_counter()
-        qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        results[name] = round(time.perf_counter() - t0, 3)
+    names = HEADLINE or list(registry)
+    for _ in range(max(1, passes)):
+        for name in names:
+            qd = registry[name]
+            t0 = time.perf_counter()
+            qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            elapsed = round(time.perf_counter() - t0, 3)
+            results[name] = min(results.get(name, elapsed), elapsed)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(

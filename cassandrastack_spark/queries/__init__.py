@@ -118,6 +118,8 @@ _FRONT: tuple[str, ...] = (
     "stream_tumbling_append",
     "stream_sliding_append",
     "stream_session_append",
+    "embedding_quantize_int8",
+    "ann_quantized_topk",
 )
 
 

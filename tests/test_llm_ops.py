@@ -319,3 +319,21 @@ def test_ivf_assign_udf_path_matches_literal(emb):
     a = {r.vec_id: r.cid for r in lit.collect()}
     b = {r.vec_id: r.cid for r in udf.collect()}
     assert a == b
+
+
+def test_int8_quantization_error_bound_and_topk_guard(emb):
+    """Symmetric int8 quantization: every reconstructed component is
+    within scale/2 of the original, qvec stays in [-127, 127], and the
+    quantized top-k enforces the same query-side cap as the exact
+    baseline."""
+    from cassandrastack_spark.llm.simsearch import ann_quantized_topk, quantize_int8
+
+    qd = quantize_int8(emb.limit(100).select("vec_id", "embedding"))
+    bad = qd.filter(
+        F.expr("exists(qvec, q -> abs(q) > 127)")
+        | F.expr("exists(zip_with(vec, qvec, (x, q) -> abs(x - q * scale)), "
+                 "e -> e > scale / 2 + 1e-12)")
+    ).count()
+    assert bad == 0
+    with pytest.raises(ValueError, match="max_query_rows"):
+        ann_quantized_topk(emb, emb.limit(10), k=3, max_query_rows=5)

@@ -617,7 +617,9 @@ class CqlSession:
 
     # -- reads ---------------------------------------------------------------
 
-    def _select(self, s: str, params: tuple):
+    _META_SEL = re.compile(r"(writetime|ttl)\s*\(\s*(\w+)\s*\)", re.I)
+
+    def _select(self, s: str, params: tuple):  # noqa: C901
         m = re.match(
             r"select\s+(.*?)\s+from\s+(\w+)"
             r"(?:\s+where\s+(.*?))?"
@@ -632,6 +634,15 @@ class CqlSession:
         proj, name, where, ob_col, ob_dir, pp_limit, limit = m.groups()
         t = self._table(name)
         lit = _Literal(params)
+        cols = [c.strip() for c in proj.split(",")]
+        is_count = len(cols) == 1 and re.fullmatch(
+            r"count\s*\(\s*\*\s*\)", cols[0], re.I
+        )
+        needs_meta = any(self._META_SEL.fullmatch(c) for c in cols)
+
+        eq: dict = {}
+        ranges: list = []
+        df = None
         if where:
             in_m = re.match(
                 r"\s*(\w+)\s+in\s*\((.*)\)\s*$", where, re.I | re.S
@@ -640,34 +651,61 @@ class CqlSession:
                 vals = [lit.read(v) for v in _split_top(in_m.group(2))]
                 df = t.read_partitions([{in_m.group(1): v} for v in vals])
             else:
-                eq = self._parse_eq_where(where, lit)
-                ks = self._ks()
-                if set(t.spec.partition_keys) <= set(eq):
-                    df = t.read_partition(
-                        **{k: eq[k] for k in t.spec.partition_keys}
-                    )
-                    for k, v in eq.items():
-                        if k not in t.spec.partition_keys:
-                            df = df.filter(F.col(k) == v)
-                elif (
-                    len(eq) == 1
-                    and f"{name}_{next(iter(eq))}_idx" in ks.tables
-                ):
-                    # secondary index: route the probe through the index
-                    # view — one pruned bucket instead of a full scan
-                    ((col, val),) = eq.items()
-                    df = t.read_by_index(col, val)
-                else:
-                    # non-key predicate: CQL would demand ALLOW FILTERING;
-                    # a bulk engine's full scan is the same thing, minus
-                    # the footgun ceremony
-                    df = t.read()
-                    for k, v in eq.items():
+                eq, ranges = self._parse_where(where, lit)
+        ks = self._ks()
+        has_pk = set(t.spec.partition_keys) <= set(eq)
+        if df is None:
+            if needs_meta:
+                # WRITETIME/TTL need the cell-metadata read; partition
+                # pruning still applies when the key is pinned
+                df = t.read_cell_meta(
+                    **{k: eq[k] for k in t.spec.partition_keys}
+                    if has_pk
+                    else {}
+                )
+                for k, v in eq.items():
+                    if not (has_pk and k in t.spec.partition_keys):
                         df = df.filter(F.col(k) == v)
-        else:
-            df = t.read().orderBy(
-                *t.spec.partition_keys, *t._sort_cols()
-            )
+            elif has_pk:
+                df = t.read_partition(
+                    **{k: eq[k] for k in t.spec.partition_keys}
+                )
+                for k, v in eq.items():
+                    if k not in t.spec.partition_keys:
+                        df = df.filter(F.col(k) == v)
+            elif (
+                len(eq) == 1
+                and not ranges
+                and f"{name}_{next(iter(eq))}_idx" in ks.tables
+            ):
+                # secondary index: route the probe through the index
+                # view — one pruned bucket instead of a full scan
+                ((col, val),) = eq.items()
+                df = t.read_by_index(col, val)
+            elif eq or ranges:
+                # non-key predicate: CQL would demand ALLOW FILTERING;
+                # a bulk engine's full scan is the same thing, minus
+                # the footgun ceremony
+                df = t.read()
+                for k, v in eq.items():
+                    df = df.filter(F.col(k) == v)
+            else:
+                df = t.read().orderBy(
+                    *t.spec.partition_keys, *t._sort_cols()
+                )
+        # clustering-range slice (WHERE pk = ? AND ck >= ? AND ck < ?):
+        # the canonical wide-column time-series read. Range predicates
+        # on grouping-key columns push through the reconciliation
+        # groupBy to the parquet scan, where the per-file clustering
+        # sort turns them into row-group min/max pruning.
+        _OPS = {
+            ">": lambda c, v: F.col(c) > v,
+            ">=": lambda c, v: F.col(c) >= v,
+            "<": lambda c, v: F.col(c) < v,
+            "<=": lambda c, v: F.col(c) <= v,
+        }
+        for col, op, val in ranges:
+            df = df.filter(_OPS[op](col, val))
         if pp_limit:
             # PER PARTITION LIMIT applies on top of the WHERE-restricted
             # rows (CQL evaluates the limit after the predicate; the
@@ -686,12 +724,78 @@ class CqlSession:
             df = df.orderBy(
                 F.desc(ob_col) if ob_dir.lower() == "desc" else F.asc(ob_col)
             )
-        cols = [c.strip() for c in proj.split(",")]
+        if is_count:
+            if limit:
+                df = df.limit(int(limit))
+            return [{"count": df.count()}]
         if cols != ["*"]:
-            df = df.select(*cols)
+            df = df.select(*self._projection(t, cols))
         if limit:
             df = df.limit(int(limit))
         return [r.asDict() for r in df.collect()]
+
+    def _projection(self, t: WideColumnTable, cols: list[str]) -> list:
+        """Projection items: plain columns, ``WRITETIME(col)`` (the
+        winning cell write's timestamp in MICROSECONDS, like CQL — a
+        ``USING TIMESTAMP ts`` write reads back exactly ``ts``), and
+        ``TTL(col)`` (remaining seconds, null when no TTL; per-row
+        expiry stands in for per-cell, documented)."""
+        import time as _time
+
+        spec = t.spec
+        multi_cell = set(spec.properties.get("counter_columns", ())) | set(
+            spec.properties.get("collection_columns") or ()
+        ) | set(spec.properties.get("static_columns") or ())
+        out = []
+        for c in cols:
+            sm = self._META_SEL.fullmatch(c)
+            if not sm:
+                out.append(F.col(c))
+                continue
+            fn, col = sm.group(1).lower(), sm.group(2)
+            if col in spec.primary_key or col in multi_cell:
+                raise ValueError(
+                    f"{fn.upper()}() is not defined for key, counter, "
+                    f"collection, or static columns ({col!r}) — CQL rule"
+                )
+            if fn == "writetime":
+                out.append(
+                    (F.col(f"__wt_{col}") / F.lit(1000)).cast("long")
+                    .alias(f"writetime({col})")
+                )
+            else:
+                now_us = int(_time.time() * 1_000_000)
+                out.append(
+                    F.when(
+                        F.col("_expires").isNotNull(),
+                        F.ceil(
+                            (F.col("_expires") - F.lit(now_us)) / 1_000_000.0
+                        ).cast("int"),
+                    ).alias(f"ttl({col})")
+                )
+        return out
+
+    @staticmethod
+    def _parse_where(
+        where: str, lit: _Literal
+    ) -> tuple[dict, list[tuple[str, str, object]]]:
+        """AND-ed predicates: equality terms (routing keys) plus
+        comparison terms ``(col, op, value)`` for clustering slices."""
+        eq: dict = {}
+        ranges: list[tuple[str, str, object]] = []
+        for clause in re.split(r"\s+and\s+", where.strip(), flags=re.I):
+            cm = re.match(r"(\w+)\s*(>=|<=|=|>|<)\s*(.*)$", clause.strip(), re.S)
+            if not cm:
+                raise ValueError(
+                    f"only =/range predicates supported: {clause!r}"
+                )
+            col, op, rhs = cm.groups()
+            val = lit.read(rhs)
+            if op == "=":
+                eq[col] = val
+            else:
+                ranges.append((col, op, val))
+        return eq, ranges
 
     @staticmethod
     def _parse_eq_where(where: str, lit: _Literal) -> dict:

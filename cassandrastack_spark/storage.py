@@ -430,7 +430,12 @@ class WideColumnTable:
         )
         return self.spark.read.schema(read_schema).parquet(self.path)
 
-    def _reconciled(self, raw: DataFrame, keep_writetime: bool = False) -> DataFrame:
+    def _reconciled(
+        self,
+        raw: DataFrame,
+        keep_writetime: bool = False,
+        cell_meta: bool = False,
+    ) -> DataFrame:
         """Newest row per primary key, expired keys dropped.
 
         max_by over a single groupBy — one shuffle, map-side combinable,
@@ -447,14 +452,22 @@ class WideColumnTable:
         through compaction; stamping rewrites with a fresh time would
         make a later USING TIMESTAMP backfill with a newer client
         timestamp lose last-writer-wins against old data).
+
+        ``cell_meta`` additionally emits ``__wt_<col>`` per scalar cell
+        (the winning write's timestamp, engine units) — the backing for
+        CQL's ``WRITETIME(col)`` selector.
         """
         statics = list(self.spec.properties.get("static_columns") or [])
         if statics:
-            return self._with_statics(raw, statics, keep_writetime)
-        return self._reconcile_rows(raw, keep_writetime)
+            return self._with_statics(raw, statics, keep_writetime, cell_meta)
+        return self._reconcile_rows(raw, keep_writetime, cell_meta)
 
     def _with_statics(
-        self, raw: DataFrame, statics: list[str], keep_writetime: bool = False
+        self,
+        raw: DataFrame,
+        statics: list[str],
+        keep_writetime: bool = False,
+        cell_meta: bool = False,
     ) -> DataFrame:
         """CQL static columns: one shared cell per PARTITION, above the
         clustering rows.
@@ -482,7 +495,7 @@ class WideColumnTable:
                 for c in statics
             ]
         )
-        rows = self._reconcile_rows(raw.drop(*statics), keep_writetime)
+        rows = self._reconcile_rows(raw.drop(*statics), keep_writetime, cell_meta)
         return rows.join(stat, pkeys, "left")
 
     @staticmethod
@@ -497,7 +510,12 @@ class WideColumnTable:
             F.col(_WRITETIME),
         )
 
-    def _reconcile_rows(self, raw: DataFrame, keep_writetime: bool = False) -> DataFrame:
+    def _reconcile_rows(
+        self,
+        raw: DataFrame,
+        keep_writetime: bool = False,
+        cell_meta: bool = False,
+    ) -> DataFrame:
         pk = self.spec.primary_key
         payload = [
             c
@@ -511,7 +529,7 @@ class WideColumnTable:
         if collections:
             return self._reconciled_with_collections(
                 raw, pk, payload, counters, collections, types, now_micros,
-                keep_writetime,
+                keep_writetime, cell_meta,
             )
         meta = (_WRITETIME, _EXPIRES, _TOMBSTONE)
         data_cols = [c for c in payload if c not in meta]
@@ -552,11 +570,17 @@ class WideColumnTable:
         for c in data_cols:
             if c in counters:
                 sel.append(F.col(c))
+                if cell_meta:  # CQL: WRITETIME on counters is an error
+                    sel.append(F.lit(None).cast("long").alias(f"__wt_{c}"))
             else:
                 sv = F.col(f"__sv_{c}")
                 sel.append(
                     F.when(sv["w"] > tomb_w, sv["v"]).cast(types[c]).alias(c)
                 )
+                if cell_meta:
+                    sel.append(
+                        F.when(sv["w"] > tomb_w, sv["w"]).alias(f"__wt_{c}")
+                    )
         sel += [F.col(_EXPIRES), F.col(_TOMBSTONE), F.col(_WRITETIME)]
         out = (
             grouped.select(*sel)
@@ -571,7 +595,7 @@ class WideColumnTable:
 
     def _reconciled_with_collections(
         self, raw, pk, payload, counters, collections, types, now_micros,
-        keep_writetime: bool = False,
+        keep_writetime: bool = False, cell_meta: bool = False,
     ) -> DataFrame:
         """Reconciliation when the table declares collection columns.
 
@@ -669,6 +693,16 @@ class WideColumnTable:
                 sel.append(
                     F.when(sv["w"] > tomb_w, sv["v"]).cast(types[c]).alias(c)
                 )
+            if cell_meta:
+                # scalar cells carry their winning write's timestamp;
+                # counters/collections are multi-cell -> null (CQL
+                # errors on WRITETIME for them; the front-end enforces)
+                if c in counters or c in collections:
+                    wt = F.lit(None).cast("long")
+                else:
+                    sv = F.col(f"__sv_{c}")
+                    wt = F.when(sv["w"] > tomb_w, sv["w"]).cast("long")
+                sel.append(wt.alias(f"__wt_{c}"))
         sel += [F.col(_EXPIRES), F.col(_TOMBSTONE)]
         if keep_writetime:
             sel.append(F.col(_WRITETIME))
@@ -731,6 +765,40 @@ class WideColumnTable:
         """Full table with upsert semantics: newest live row per key."""
         return self._reconciled(self._raw()).select(
             *[f.name for f in self.spec.schema.fields]
+        )
+
+    def read_cell_meta(self, **key_values) -> DataFrame:
+        """Reconciled rows plus per-cell metadata: ``__wt_<col>`` (the
+        winning write's timestamp for each scalar cell, engine units =
+        micros*1000+seq) and the row's ``_expires`` — the backing for
+        CQL's ``WRITETIME(col)`` / ``TTL(col)`` selectors.
+
+        With ``key_values`` (the full partition key) the scan prunes to
+        one bucket directory exactly like ``read_partition``; without,
+        it is a full reconciled scan. Rows come back in clustering
+        order either way.
+        """
+        raw = self._raw()
+        if key_values:
+            if set(key_values) != set(self.spec.partition_keys):
+                raise ValueError(
+                    f"partition read needs exactly {self.spec.partition_keys}"
+                )
+            types = {
+                f.name: f.dataType.simpleString()
+                for f in self.spec.schema.fields
+            }
+            bucket = bucket_of(
+                [key_values[k] for k in self.spec.partition_keys],
+                self.n_buckets,
+                dtypes=[types[k] for k in self.spec.partition_keys],
+            )
+            raw = raw.filter(F.col(_BUCKET) == int(bucket))
+            for k, v in key_values.items():
+                raw = raw.filter(F.col(k) == v)
+        rec = self._reconciled(raw, cell_meta=True)
+        return rec.drop(_WRITETIME).orderBy(
+            *self.spec.partition_keys, *self._sort_cols()
         )
 
     def read_partition(self, **key_values) -> DataFrame:

@@ -556,3 +556,77 @@ def test_partial_insert_and_plain_update_are_cell_upserts(cql):
     )
     row = cql.execute("SELECT * FROM users WHERE username = %s", ("Dana",))[0]
     assert row["email"] is None and row["password"] == "pw2"
+
+
+def test_clustering_range_slice(cql):
+    """WHERE pk = ? AND ck >= ? AND ck < ? — the canonical wide-column
+    slice read; the range must compose with partition routing and with
+    LIMIT, and push through reconciliation to the scan."""
+    _bootstrap(cql)
+    for mid in ["m1", "m3", "m5", "m7"]:
+        cql.execute(
+            "INSERT INTO messages (channel_id, message_id, author_id, message) "
+            "VALUES (%s, %s, %s, %s)",
+            (21, mid * 12, "a" * 36, f"text-{mid}"),
+        )
+    rows = cql.execute(
+        "SELECT message_id FROM messages WHERE channel_id = %s "
+        "AND message_id >= %s AND message_id < %s",
+        (21, "m3" * 12, "m7" * 12),
+    )
+    assert [r["message_id"][:2] for r in rows] == ["m5", "m3"]  # DESC order
+    rows = cql.execute(
+        "SELECT message_id FROM messages WHERE channel_id = %s "
+        "AND message_id > %s LIMIT 1",
+        (21, "m3" * 12),
+    )
+    assert [r["message_id"][:2] for r in rows] == ["m7"]
+    # range on a non-key column falls back to the filtered scan
+    rows = cql.execute(
+        "SELECT message FROM messages WHERE message >= %s AND message <= %s",
+        ("text-m5", "text-m5"),
+    )
+    assert [r["message"] for r in rows] == ["text-m5"]
+
+
+def test_writetime_ttl_selectors_and_count(cql):
+    """CQL WRITETIME()/TTL() selectors and COUNT(*): a USING TIMESTAMP
+    write reads its exact client timestamp back; cell-level writes show
+    per-cell writetimes; TTL counts down from the row expiry."""
+    _bootstrap(cql)
+    cql.execute(
+        "INSERT INTO users (user_id, username, email, password) "
+        "VALUES (now(), %s, %s, %s) USING TIMESTAMP %s",
+        ("Hans", "h@mail.de", "pw", 5_000_000),
+    )
+    cql.execute(
+        "UPDATE users SET email = %s WHERE username = %s", ("h2@mail.de", "Hans")
+    )
+    row = cql.execute(
+        "SELECT writetime(password), writetime(email) FROM users "
+        "WHERE username = %s",
+        ("Hans",),
+    )[0]
+    assert row["writetime(password)"] == 5_000_000
+    assert row["writetime(email)"] > 5_000_000, "cell write must carry its own time"
+    # TTL: null without a TTL; positive and <= the requested TTL with one
+    assert cql.execute(
+        "SELECT ttl(email) FROM users WHERE username = %s", ("Hans",)
+    )[0]["ttl(email)"] is None
+    cql.execute(
+        "INSERT INTO users (user_id, username, email, password) "
+        "VALUES (now(), %s, %s, %s) USING TTL 600",
+        ("Ines", "i@mail.de", "pw"),
+    )
+    remaining = cql.execute(
+        "SELECT ttl(email) FROM users WHERE username = %s", ("Ines",)
+    )[0]["ttl(email)"]
+    assert remaining is not None and 0 < remaining <= 600
+    # COUNT(*) with and without predicates
+    assert cql.execute("SELECT count(*) FROM users")[0]["count"] == 2
+    assert cql.execute(
+        "SELECT count(*) FROM users WHERE username = %s", ("Hans",)
+    )[0]["count"] == 1
+    # CQL rule: WRITETIME on a key column is an error
+    with pytest.raises(ValueError, match="not defined"):
+        cql.execute("SELECT writetime(username) FROM users")

@@ -914,3 +914,25 @@ def test_cell_writes_survive_compaction(spark, ks):
     )
     row = t.read().collect()[0]
     assert (row.email, row.user_id, row.password) == ("new@x", "u1", "pw2")
+
+
+def test_clustering_range_pushes_through_reconciliation(spark, ks):
+    """A clustering-column range filter on a reconciled read must reach
+    the parquet scan (PushedFilters): clustering columns are grouping
+    keys, so Catalyst pushes the predicate below the reconcile groupBy,
+    where the per-file clustering sort turns it into row-group min/max
+    pruning — the property that makes slice reads cheap at 100 TB."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    t = make_messages(spark, ks)
+    t.append(seed_messages(spark))
+    sliced = t.read_partition(channel_id=1).filter(
+        F.col("message_id") >= "m-ch1-10"
+    )
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = sliced._jdf.queryExecution().explainString(mode)
+    assert "GreaterThanOrEqual(message_id,m-ch1-10" in plan, plan
+    assert [r.message_id for r in sliced.collect()] == [
+        "m-ch1-12", "m-ch1-11", "m-ch1-10",
+    ]

@@ -618,6 +618,7 @@ class CqlSession:
     # -- reads ---------------------------------------------------------------
 
     _META_SEL = re.compile(r"(writetime|ttl)\s*\(\s*(\w+)\s*\)", re.I)
+    _AGG_SEL = re.compile(r"(count|min|max|sum|avg)\s*\(\s*(\w+|\*)\s*\)", re.I)
 
     def _select(self, s: str, params: tuple):  # noqa: C901
         m = re.match(
@@ -634,11 +635,26 @@ class CqlSession:
         proj, name, where, ob_col, ob_dir, pp_limit, limit = m.groups()
         t = self._table(name)
         lit = _Literal(params)
+        distinct = False
+        dm = re.match(r"distinct\s+(.*)$", proj.strip(), re.I | re.S)
+        if dm:
+            distinct, proj = True, dm.group(1)
         cols = [c.strip() for c in proj.split(",")]
+        aggs = [self._AGG_SEL.fullmatch(c) for c in cols]
+        is_agg = all(aggs) and len(cols) > 0
         is_count = len(cols) == 1 and re.fullmatch(
             r"count\s*\(\s*\*\s*\)", cols[0], re.I
         )
         needs_meta = any(self._META_SEL.fullmatch(c) for c in cols)
+        if distinct:
+            # CQL: SELECT DISTINCT is restricted to the partition key —
+            # the "list the partitions" read (one row per partition
+            # after reconciliation, no clustering rows)
+            if set(cols) != set(t.spec.partition_keys):
+                raise ValueError(
+                    f"SELECT DISTINCT must name exactly the partition "
+                    f"key columns {t.spec.partition_keys} (CQL rule)"
+                )
 
         eq: dict = {}
         ranges: list = []
@@ -728,7 +744,25 @@ class CqlSession:
             if limit:
                 df = df.limit(int(limit))
             return [{"count": df.count()}]
-        if cols != ["*"]:
+        if is_agg:
+            # CQL native aggregates (3.3+): one aggregation over the
+            # routed/filtered rows — partial-agg'd by Catalyst, so a
+            # whole-table MAX is a map-side-combined scan, not a collect
+            if limit:
+                df = df.limit(int(limit))
+            exprs = []
+            for am in aggs:
+                fn, col = am.group(1).lower(), am.group(2)
+                if col == "*":
+                    if fn != "count":
+                        raise ValueError(f"{fn}(*) is not valid CQL")
+                    exprs.append(F.count("*").alias("count"))
+                else:
+                    exprs.append(getattr(F, fn)(F.col(col)).alias(f"{fn}({col})"))
+            return [r.asDict() for r in df.agg(*exprs).collect()]
+        if distinct:
+            df = df.select(*cols).distinct().orderBy(*cols)
+        elif cols != ["*"]:
             df = df.select(*self._projection(t, cols))
         if limit:
             df = df.limit(int(limit))

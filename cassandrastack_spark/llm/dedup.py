@@ -467,22 +467,42 @@ def simhash_pairs(
 # ---------------------------------------------------------------------------
 
 
-def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def dedup_components(
+    pairs: DataFrame,
+    max_iter: int = 20,
+    algorithm: str = "auto",
+    switch_after: int = 4,
+) -> DataFrame:
     """(id, component) — connected components of a duplicate-pair graph,
     component = smallest member id. The step after pair generation in a
     dedup pipeline: pairs chain (a~b, b~c), and keep-one-per-component
     needs the transitive closure, not the pairs.
 
-    Iterative min-label propagation: every node starts labeled with its
-    own id; each round joins labels across edges and keeps the minimum;
-    converged when no label changes. O(diameter) rounds — duplicate
-    clusters are shallow (stars/short chains), so a handful of rounds in
-    practice; each round is one shuffle join + one aggregation, and the
-    label frame is ``localCheckpoint``-ed per round so lineage stays
-    flat instead of growing exponentially. (The large-star/small-star
-    optimization cuts rounds to O(log n) for pathological chains; the
-    plan shape — iterate joins until fixpoint — is the same.)
+    Three modes, identical results:
+
+    - ``auto`` (default): min-label propagation — one join + one agg
+      per round, O(diameter) rounds — which is optimal for real
+      duplicate clusters (stars/short chains, 2-4 rounds). If it has
+      NOT converged after ``switch_after`` rounds, the graph has deep
+      chains (e.g. boilerplate drifting one shingle per doc): contract
+      every current label class to one node and finish with
+      large-star/small-star on the (much smaller) contracted graph.
+      Shallow graphs never pay the star rounds; pathological graphs
+      get the O(log n) guarantee on a contracted input.
+    - ``star``: alternating large-star/small-star (Kiveris et al.,
+      "Connected Components in MapReduce and Beyond", SoCC'14) from
+      round one — converges in O(log n) rounds independent of
+      diameter; two groupBy-min + join steps per round.
+    - ``label``: pure min-label propagation, for A/B.
+
+    Contraction is label-preserving: label classes are keyed by real
+    node ids that include each component's minimum, so star's minimum
+    over contracted nodes IS the component minimum. All modes
+    checkpoint per round so lineage stays flat instead of growing
+    exponentially.
     """
+    if algorithm == "star":
+        return _components_star(pairs, max_iter)
     # Materialize the edge list ONCE: every propagation round joins
     # against it, and `changed` adds a second action per round — without
     # the checkpoint each of those re-runs the entire upstream
@@ -499,7 +519,7 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("comp", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         prop = edges.join(labels, edges.src == labels.id).select(
             F.col("dst").alias("id"), "comp"
         )
@@ -519,4 +539,101 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+        if algorithm == "auto" and rnd + 1 >= switch_after:
+            # deep graph: contract label classes and finish with the
+            # diameter-independent star algorithm on the smaller graph
+            lab_src = labels.withColumnRenamed("id", "src")
+            lab_dst = labels.select(
+                F.col("id").alias("dst"), F.col("comp").alias("comp_dst")
+            )
+            contracted = (
+                edges.join(lab_src, "src")
+                .join(lab_dst, "dst")
+                .select(F.col("comp").alias("a_id"), F.col("comp_dst").alias("b_id"))
+                .filter(F.col("a_id") != F.col("b_id"))
+                .distinct()
+            )
+            resolved = _components_star(contracted, max_iter)
+            return (
+                labels.join(
+                    resolved.withColumnRenamed("id", "comp"), "comp", "left"
+                )
+                .select(
+                    "id",
+                    F.coalesce("component", "comp").alias("component"),
+                )
+            )
     return labels.select("id", F.col("comp").alias("component"))
+
+
+def _components_star(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Alternating large-star/small-star connected components.
+
+    Invariant (per the paper): the edge set always connects the same
+    components; large-star hangs every node's larger neighbors onto the
+    neighborhood minimum, small-star re-hangs the smaller ones — the
+    composition squares the rate at which trees flatten, so the
+    fixpoint (a star per component, every node → component min) arrives
+    in O(log n) rounds regardless of diameter.
+    """
+    edges = (
+        pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _swap(e):
+        return e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+
+    def large_star(e):
+        sym = e.union(_swap(e))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", "u").alias("m"))
+        )
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e):
+        oriented = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        joined = oriented.join(mins, "u")
+        rewired = joined.filter(F.col("v") != F.col("m")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        self_edge = joined.select(F.col("u"), F.col("m").alias("v")).distinct()
+        return (
+            rewired.union(self_edge)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def signature(e) -> tuple:
+        # one action: (|E|, order-independent content hash) — a
+        # deterministic fixpoint detector without a set-difference join
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return (row.n, row.h)
+
+    sig = signature(edges)
+    for _ in range(max_iter):
+        edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        new_sig = signature(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # fixpoint: every edge is (node, component-min); roots label themselves
+    roots = edges.select(F.col("v").alias("id"), F.col("v").alias("component"))
+    nodes = edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    return nodes.union(roots).distinct()

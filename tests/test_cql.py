@@ -630,3 +630,31 @@ def test_writetime_ttl_selectors_and_count(cql):
     # CQL rule: WRITETIME on a key column is an error
     with pytest.raises(ValueError, match="not defined"):
         cql.execute("SELECT writetime(username) FROM users")
+
+
+def test_select_distinct_and_native_aggregates(cql):
+    """SELECT DISTINCT lists partitions (partition key only, CQL rule);
+    native aggregates min/max/sum/avg/count run as one partial-agg'd
+    pass over the routed rows."""
+    _bootstrap(cql)
+    for ch, n in [(31, 2), (32, 3), (33, 1)]:
+        for i in range(n):
+            cql.execute(
+                "INSERT INTO messages (channel_id, message_id, author_id, message) "
+                "VALUES (%s, now(), %s, %s)",
+                (ch, "a" * 36, f"c{ch}-m{i}"),
+            )
+    rows = cql.execute("SELECT DISTINCT channel_id FROM messages")
+    assert [r["channel_id"] for r in rows] == [31, 32, 33]
+    with pytest.raises(ValueError, match="partition"):
+        cql.execute("SELECT DISTINCT message_id FROM messages")
+    agg = cql.execute(
+        "SELECT min(channel_id), max(channel_id), count(channel_id) FROM messages"
+    )[0]
+    assert (agg["min(channel_id)"], agg["max(channel_id)"],
+            agg["count(channel_id)"]) == (31, 33, 6)
+    agg = cql.execute(
+        "SELECT count(*) , max(message) FROM messages WHERE channel_id = %s", (32,)
+    )
+    # mixed count(*)+agg goes through the aggregate path, not the count one
+    assert agg[0]["count"] == 3 and agg[0]["max(message)"] == "c32-m2"

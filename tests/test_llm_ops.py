@@ -337,3 +337,32 @@ def test_int8_quantization_error_bound_and_topk_guard(emb):
     assert bad == 0
     with pytest.raises(ValueError, match="max_query_rows"):
         ann_quantized_topk(emb, emb.limit(10), k=3, max_query_rows=5)
+
+
+def test_components_star_matches_label_propagation(spark):
+    """Large-star/small-star must produce exactly the same components
+    as min-label propagation, including on the pathological case it
+    exists for: a long chain (diameter >> log n)."""
+    import pyspark.sql.functions as SF
+
+    chain = [(i, i + 1) for i in range(60)]           # one 61-node path
+    stars = [(100 + 10 * k, 100 + 10 * k + j) for k in range(3) for j in (1, 2, 3)]
+    pairs = spark.createDataFrame(chain + stars, "a_id long, b_id long")
+    star = {(r.id, r.component) for r in dedup_components(pairs, algorithm="star").collect()}
+    label = {(r.id, r.component)
+             for r in dedup_components(pairs, max_iter=100, algorithm="label").collect()}
+    assert star == label
+    # chain collapses to min 0; each star to its hub
+    comps = dict(star)
+    assert all(comps[i] == 0 for i in range(61))
+    assert comps[123] == 120 and comps[101] == 100
+
+
+def test_components_auto_escalates_on_deep_chain(spark):
+    """auto mode: shallow graphs converge in label-prop rounds; a deep
+    chain triggers contraction + star and still yields exact minima."""
+    chain = [(i, i + 1) for i in range(120)]
+    pairs = spark.createDataFrame(chain, "a_id long, b_id long")
+    comps = {r.id: r.component
+             for r in dedup_components(pairs, algorithm="auto", switch_after=3).collect()}
+    assert len(comps) == 121 and set(comps.values()) == {0}

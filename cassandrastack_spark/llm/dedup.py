@@ -637,3 +637,64 @@ def _components_star(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     roots = edges.select(F.col("v").alias("id"), F.col("v").alias("component"))
     nodes = edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
     return nodes.union(roots).distinct()
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Pairs (a_id, b_id, containment) with shingle-set containment
+    ``|A ∩ B| / min(|A|, |B|)`` ≥ threshold.
+
+    Containment is the asymmetric near-dup measure Jaccard misses: a
+    short document wholly quoted inside a long one scores low Jaccard
+    (the union is big) but containment 1.0 — the boilerplate /
+    quotation / version-prefix case in corpus dedup.
+
+    Candidate generation is the inverted-index equi-join over distinct
+    shingles (a pair must share ≥1 shingle to have containment > 0);
+    verification is exact integer math from the shared-count. Prefix
+    filtering does NOT soundly apply to containment (the pruning bound
+    depends on the SMALLER set, unknown at index time), so at scale the
+    join-key distribution is bounded with ``max_df``: shingles seen in
+    more than ``max_df`` docs are dropped from the index (a documented
+    recall trade on stopword runs — pairs sharing ONLY ultra-common
+    shingles are below any useful threshold anyway). Only 8-byte ids
+    and shingle strings shuffle; document text never does.
+    """
+    sets = shingle_sets(df, id_col, text_col, k).localCheckpoint(eager=True)
+    sizes = sets.select("id", F.size("shingles").alias("n_sh"))
+    inv = sets.select("id", F.explode("shingles").alias("shingle"))
+    if max_df is not None:
+        hot = (
+            inv.groupBy("shingle")
+            .count()
+            .filter(F.col("count") > max_df)
+            .select("shingle")
+        )
+        inv = inv.join(hot, "shingle", "left_anti")
+    a, b = inv.alias("a"), inv.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("id").alias("a_id"), F.col("n_sh").alias("a_n"))
+    sb = sizes.select(F.col("id").alias("b_id"), F.col("n_sh").alias("b_n"))
+    return (
+        pairs.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn(
+            "containment", F.col("shared") / F.least("a_n", "b_n")
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("a_id", "b_id", "containment")
+    )

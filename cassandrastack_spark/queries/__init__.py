@@ -120,6 +120,8 @@ _FRONT: tuple[str, ...] = (
     "stream_session_append",
     "embedding_quantize_int8",
     "ann_quantized_topk",
+    "dedup_containment_ngram",
+    "corpus_source_profile",
 )
 
 

@@ -1100,3 +1100,80 @@ def ann_quantized_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "dedup_containment_ngram",
+    oracle="""
+        WITH sh AS (
+            SELECT doc_id AS id,
+                   list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+                                  for i in range(1, greatest(len(s) - 2, 0) + 1)]) AS shingles
+            FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
+        ), sizes AS (
+            SELECT id, len(shingles) AS n_sh FROM sh
+        ), inv AS (
+            SELECT id, unnest(shingles) AS shingle FROM sh
+        ), pairs AS (
+            SELECT x.id AS a_id, y.id AS b_id, CAST(COUNT(*) AS BIGINT) AS shared
+            FROM inv x JOIN inv y ON x.shingle = y.shingle AND x.id < y.id
+            GROUP BY x.id, y.id
+        )
+        SELECT a_id, b_id,
+               shared / least(a.n_sh, b.n_sh) AS containment
+        FROM pairs
+        JOIN sizes a ON a.id = a_id
+        JOIN sizes b ON b.id = b_id
+        WHERE shared / least(a.n_sh, b.n_sh) >= 0.35
+        ORDER BY a_id, b_id
+    """,
+    doc="Asymmetric n-gram containment pairs (|A∩B| / min set size "
+        ">= 0.35): catches a short document quoted inside a longer one, "
+        "which Jaccard under-scores because the union is large. "
+        "Inverted-index candidates, exact integer verification; at "
+        "scale the index is df-capped (prefix filtering is unsound for "
+        "containment).",
+)
+def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandrastack_spark.llm.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.35
+    ).orderBy("a_id", "b_id")
+
+
+@register(
+    "corpus_source_profile",
+    oracle="""
+        SELECT source, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(AVG(n_chars), 2) AS avg_chars,
+               CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+               CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+               CAST(SUM(CASE WHEN len(string_split(text, ' ')) < 40
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+        FROM documents
+        GROUP BY source, lang
+        ORDER BY source, lang
+    """,
+    doc="Per-(source, lang) corpus profile: doc counts, char-length "
+        "envelope, and short-doc counts — the triage dashboard before "
+        "choosing mixture weights and quality thresholds. One "
+        "partial-agg'd pass; at 100 TB this is the cheap first job of "
+        "any new crawl drop.",
+)
+def corpus_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum(
+                F.when(F.size(F.split("text", " ")) < 40, 1).otherwise(0)
+            ).alias("n_short"),
+        )
+        .orderBy("source", "lang")
+    )

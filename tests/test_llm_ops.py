@@ -366,3 +366,26 @@ def test_components_auto_escalates_on_deep_chain(spark):
     comps = {r.id: r.component
              for r in dedup_components(pairs, algorithm="auto", switch_after=3).collect()}
     assert len(comps) == 121 and set(comps.values()) == {0}
+
+
+def test_containment_catches_quoted_subdocument(spark):
+    """A short doc fully quoted inside a long one: containment ~1.0
+    while Jaccard stays below a useful threshold — the asymmetric case
+    this measure exists for. max_df capping drops stopword shingles
+    without losing the pair."""
+    from cassandrastack_spark.llm.dedup import ngram_containment_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long_ = ("intro words here " + short + " and then a very long tail "
+             + " ".join(f"w{i}" for i in range(60)))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_), (3, "unrelated content entirely different")],
+        "doc_id long, text string",
+    )
+    got = {(r.a_id, r.b_id): r.containment
+           for r in ngram_containment_pairs(docs, threshold=0.9).collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 0.9 and (1, 3) not in got
+    # same result with a df cap high enough to keep discriminative shingles
+    capped = {(r.a_id, r.b_id)
+              for r in ngram_containment_pairs(docs, threshold=0.9, max_df=10).collect()}
+    assert (1, 2) in capped

@@ -222,3 +222,48 @@ def cassandra_table(
             "classpath; add spark.jars.packages and "
             "spark.cassandra.connection.host to use Cassandra sources"
         ) from e
+
+
+def read_jsonl_corpus(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    bad_records: str = "drop",
+) -> DataFrame:
+    """JSON-lines corpus ingest with an explicit malformed-line policy —
+    the standard LLM-pipeline input format, where a 100 TB crawl drop
+    ALWAYS contains broken lines and the policy must be a decision, not
+    an accident.
+
+    - ``drop`` (default): DROPMALFORMED — broken lines vanish; pair
+      with a count check when loss must be bounded.
+    - ``quarantine``: PERMISSIVE with a ``_corrupt_record`` column —
+      broken lines survive as raw text for a side-channel audit sink;
+      well-formed rows have it null.
+    - ``fail``: FAILFAST — any broken line kills the job (ingest
+      contracts where silence is worse than failure).
+
+    Schema is mandatory (schema-on-read, never inference — inference
+    is a full extra pass at this scale and nondeterministic under
+    corruption).
+    """
+    modes = {
+        "drop": "DROPMALFORMED",
+        "quarantine": "PERMISSIVE",
+        "fail": "FAILFAST",
+    }
+    if bad_records not in modes:
+        raise ValueError(f"bad_records must be one of {sorted(modes)}")
+    read_schema = schema
+    if bad_records == "quarantine":
+        from pyspark.sql.types import StringType, StructField
+
+        read_schema = StructType(
+            list(schema.fields) + [StructField("_corrupt_record", StringType())]
+        )
+    return (
+        spark.read.schema(read_schema)
+        .option("mode", modes[bad_records])
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )

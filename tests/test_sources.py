@@ -124,3 +124,35 @@ def test_write_sorted_bucketed_layout(spark, tmp_path):
 def test_cassandra_seam_raises_clearly_without_connector(spark):
     with pytest.raises(RuntimeError, match="spark-cassandra-connector"):
         cassandra_table(spark, "ks", "tbl")
+
+
+def test_jsonl_corpus_malformed_line_policies(spark, tmp_path):
+    """The three malformed-line policies: drop loses exactly the broken
+    lines, quarantine keeps them as raw text in _corrupt_record, fail
+    raises. Schema inference is refused by design (explicit schema)."""
+    import pytest
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from cassandrastack_spark.sources.io import read_jsonl_corpus
+
+    p = tmp_path / "corpus.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "good one"}\n'
+        "this is not json at all\n"
+        '{"doc_id": 2, "text": "another good"}\n'
+        '{"doc_id": broken\n'
+    )
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    dropped = read_jsonl_corpus(spark, str(p), schema, bad_records="drop")
+    assert {r.doc_id for r in dropped.collect()} == {1, 2}
+    quarantined = read_jsonl_corpus(spark, str(p), schema, bad_records="quarantine")
+    rows = quarantined.collect()
+    assert len(rows) == 4
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert len(bad) == 2 and all(r.doc_id is None for r in bad)
+    with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        read_jsonl_corpus(spark, str(p), schema, bad_records="fail").collect()
+    with pytest.raises(ValueError, match="bad_records"):
+        read_jsonl_corpus(spark, str(p), schema, bad_records="nope")

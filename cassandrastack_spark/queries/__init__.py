@@ -122,6 +122,7 @@ _FRONT: tuple[str, ...] = (
     "ann_quantized_topk",
     "dedup_containment_ngram",
     "corpus_source_profile",
+    "gapfill_interpolate_hourly",
 )
 
 

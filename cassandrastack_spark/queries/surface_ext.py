@@ -373,3 +373,125 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_ms",
         F.lower(F.hex(F.substring("payload", 1, 8))).alias("head_hex"),
     ).orderBy("media_id", "frame_idx")
+
+
+@register(
+    "gapfill_interpolate_hourly",
+    oracle="""
+        WITH sparse AS (
+            SELECT * FROM events WHERE user_id < 5),
+        hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   ROUND(MAX(value), 4) AS vmax
+            FROM sparse GROUP BY 1, 2),
+        bounds AS (
+            SELECT event_type,
+                   date_trunc('hour', MIN(ts)) AS t0,
+                   date_trunc('hour', MAX(ts)) AS t1
+            FROM sparse GROUP BY 1),
+        spine AS (
+            SELECT event_type, u.hour
+            FROM bounds, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS u(hour)),
+        joined AS (
+            SELECT s.event_type, s.hour, h.vmax,
+                   last_value(h.vmax IGNORE NULLS) OVER w_prev AS pv,
+                   last_value(CASE WHEN h.vmax IS NOT NULL THEN s.hour END
+                              IGNORE NULLS) OVER w_prev AS pt,
+                   first_value(h.vmax IGNORE NULLS) OVER w_next AS nv,
+                   first_value(CASE WHEN h.vmax IS NOT NULL THEN s.hour END
+                               IGNORE NULLS) OVER w_next AS nt
+            FROM spine s LEFT JOIN hourly h USING (event_type, hour)
+            WINDOW w_prev AS (PARTITION BY s.event_type ORDER BY s.hour
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   w_next AS (PARTITION BY s.event_type ORDER BY s.hour
+                              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        SELECT event_type, hour, vmax,
+               CAST(CASE
+                   WHEN vmax IS NOT NULL THEN CAST(round(vmax * 10000) AS BIGINT)
+                   WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                        CAST(round((CAST(round(pv * 10000) AS BIGINT)
+                                    * (epoch(nt) - epoch(pt))
+                                    + (CAST(round(nv * 10000) AS BIGINT)
+                                       - CAST(round(pv * 10000) AS BIGINT))
+                                      * (epoch(hour) - epoch(pt)))
+                                   / (epoch(nt) - epoch(pt))) AS BIGINT)
+                   END AS BIGINT) AS v_interp_e4
+        FROM joined
+        ORDER BY event_type, hour
+    """,
+    doc="Time-series gap-fill + LINEAR INTERPOLATION (the hypertable "
+        "`interpolate` sibling of gapfill_locf_hourly): missing hours "
+        "take the straight line between the bracketing observations, "
+        "weighted by epoch-second distance; leading/trailing gaps stay "
+        "null (no extrapolation). Two per-key ordered windows (prev "
+        "non-null carried forward, next non-null carried backward) — "
+        "parallel across keys, no global sort. Output is scaled-integer "
+        "(v_interp_e4 = ten-thousandths): interpolation runs in exact "
+        "integer arithmetic with one IEEE-exact int/int division, so "
+        "both engines produce bit-identical values — float-space "
+        "interpolation of 4-decimal inputs lands on rounding boundaries "
+        "(midpoints) where 1-ulp association differences split the "
+        "rounded output.",
+)
+def gapfill_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = e.groupBy(F.col("event_type"), hour.alias("hour")).agg(
+        F.round(F.max("value"), 4).alias("vmax")
+    )
+    bounds = e.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("t0", "t1", F.expr("interval 1 hour"))).alias("hour"),
+    )
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hour = F.when(F.col("vmax").isNotNull(), F.col("hour"))
+    joined = (
+        spine.join(hourly, ["event_type", "hour"], "left")
+        .withColumn("pv", F.last("vmax", ignorenulls=True).over(w_prev))
+        .withColumn("pt", F.last(obs_hour, ignorenulls=True).over(w_prev))
+        .withColumn("nv", F.first("vmax", ignorenulls=True).over(w_next))
+        .withColumn("nt", F.first(obs_hour, ignorenulls=True).over(w_next))
+    )
+    # Exact integer-space interpolation: values scale to ten-thousandth
+    # BIGINTs, the weighted numerator is exact integer arithmetic, and
+    # the single int/int division is IEEE-exact-rounded — so both
+    # engines produce BIT-IDENTICAL doubles before the final round.
+    # (Float-space interpolation of 4-decimal inputs lands ON rounding
+    # boundaries constantly — e.g. midpoint of .1234 and .1236 — and
+    # 1-ulp association differences then split the rounded output.)
+    pv4 = F.round(F.col("pv") * 10000).cast("long")
+    nv4 = F.round(F.col("nv") * 10000).cast("long")
+    num = F.unix_timestamp("hour") - F.unix_timestamp("pt")
+    den = F.unix_timestamp("nt") - F.unix_timestamp("pt")
+    return (
+        joined.select(
+            "event_type",
+            "hour",
+            "vmax",
+            F.when(
+                F.col("vmax").isNotNull(),
+                F.round(F.col("vmax") * 10000).cast("long"),
+            )
+            .otherwise(
+                F.when(
+                    F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+                    F.round((pv4 * den + (nv4 - pv4) * num) / den).cast("long"),
+                )
+            )
+            .alias("v_interp_e4"),
+        )
+        .orderBy("event_type", "hour")
+    )

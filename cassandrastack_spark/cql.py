@@ -624,6 +624,7 @@ class CqlSession:
         m = re.match(
             r"select\s+(.*?)\s+from\s+(\w+)"
             r"(?:\s+where\s+(.*?))?"
+            r"(?:\s+group\s+by\s+([\w\s,]+?))?"
             r"(?:\s+order\s+by\s+(\w+)\s+(asc|desc))?"
             r"(?:\s+per\s+partition\s+limit\s+(\d+))?"
             r"(?:\s+limit\s+(\d+))?\s*$",
@@ -632,7 +633,7 @@ class CqlSession:
         )
         if not m:
             raise ValueError(f"cannot parse SELECT: {s!r}")
-        proj, name, where, ob_col, ob_dir, pp_limit, limit = m.groups()
+        proj, name, where, group_by, ob_col, ob_dir, pp_limit, limit = m.groups()
         t = self._table(name)
         lit = _Literal(params)
         distinct = False
@@ -740,6 +741,52 @@ class CqlSession:
             df = df.orderBy(
                 F.desc(ob_col) if ob_dir.lower() == "desc" else F.asc(ob_col)
             )
+        if group_by:
+            # CQL 3.10 GROUP BY: the group columns must be a PREFIX of
+            # the primary key (partition keys, then clustering keys) —
+            # groups are then contiguous in storage order, which is what
+            # makes the operation cheap in Cassandra; here it is one
+            # partial-agg'd groupBy either way, but the rule is enforced
+            # for statement portability
+            gcols = [c.strip() for c in group_by.split(",") if c.strip()]
+            pk_order = list(t.spec.partition_keys) + list(t.spec.clustering_keys)
+            if gcols != pk_order[: len(gcols)]:
+                raise ValueError(
+                    f"GROUP BY must be a prefix of the primary key "
+                    f"{pk_order} (CQL rule), got {gcols}"
+                )
+            exprs = []
+            for c in cols:
+                am = self._AGG_SEL.fullmatch(c)
+                if am:
+                    fn, col = am.group(1).lower(), am.group(2)
+                    if col == "*":
+                        if fn != "count":
+                            raise ValueError(f"{fn}(*) is not valid CQL")
+                        exprs.append(F.count("*").alias("count"))
+                    else:
+                        exprs.append(
+                            getattr(F, fn)(F.col(col)).alias(f"{fn}({col})")
+                        )
+                elif c not in gcols:
+                    raise ValueError(
+                        f"non-aggregate projection {c!r} must be a GROUP BY "
+                        f"column"
+                    )
+            out = df.groupBy(*gcols).agg(*exprs).orderBy(*gcols)
+            sel_order = [
+                c if c in gcols else (
+                    "count"
+                    if re.fullmatch(r"count\s*\(\s*\*\s*\)", c, re.I)
+                    else self._AGG_SEL.fullmatch(c).group(1).lower()
+                    + "(" + self._AGG_SEL.fullmatch(c).group(2) + ")"
+                )
+                for c in cols
+            ]
+            out = out.select(*sel_order)
+            if limit:
+                out = out.limit(int(limit))
+            return [r.asDict() for r in out.collect()]
         if is_count:
             if limit:
                 df = df.limit(int(limit))

@@ -658,3 +658,33 @@ def test_select_distinct_and_native_aggregates(cql):
     )
     # mixed count(*)+agg goes through the aggregate path, not the count one
     assert agg[0]["count"] == 3 and agg[0]["max(message)"] == "c32-m2"
+
+
+def test_group_by_primary_key_prefix(cql):
+    """CQL 3.10 GROUP BY: group columns must be a prefix of the primary
+    key; aggregates compose with WHERE routing and plain group columns."""
+    _bootstrap(cql)
+    for ch, n in [(41, 2), (42, 3)]:
+        for i in range(n):
+            cql.execute(
+                "INSERT INTO messages (channel_id, message_id, author_id, message) "
+                "VALUES (%s, now(), %s, %s)",
+                (ch, "a" * 36, f"c{ch}-m{i}"),
+            )
+    rows = cql.execute(
+        "SELECT channel_id, count(*), max(message) FROM messages "
+        "GROUP BY channel_id"
+    )
+    got = {r["channel_id"]: (r["count"], r["max(message)"]) for r in rows}
+    assert got == {41: (2, "c41-m1"), 42: (3, "c42-m2")}
+    # WHERE + GROUP BY composes
+    rows = cql.execute(
+        "SELECT channel_id, count(*) FROM messages WHERE channel_id = %s "
+        "GROUP BY channel_id",
+        (42,),
+    )
+    assert rows == [{"channel_id": 42, "count": 3}]
+    with pytest.raises(ValueError, match="prefix"):
+        cql.execute("SELECT author_id, count(*) FROM messages GROUP BY author_id")
+    with pytest.raises(ValueError, match="GROUP BY column"):
+        cql.execute("SELECT message, count(*) FROM messages GROUP BY channel_id")

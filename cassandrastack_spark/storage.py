@@ -435,6 +435,7 @@ class WideColumnTable:
         raw: DataFrame,
         keep_writetime: bool = False,
         cell_meta: bool = False,
+        as_of_micros: int | None = None,
     ) -> DataFrame:
         """Newest row per primary key, expired keys dropped.
 
@@ -459,8 +460,10 @@ class WideColumnTable:
         """
         statics = list(self.spec.properties.get("static_columns") or [])
         if statics:
-            return self._with_statics(raw, statics, keep_writetime, cell_meta)
-        return self._reconcile_rows(raw, keep_writetime, cell_meta)
+            return self._with_statics(
+                raw, statics, keep_writetime, cell_meta, as_of_micros
+            )
+        return self._reconcile_rows(raw, keep_writetime, cell_meta, as_of_micros)
 
     def _with_statics(
         self,
@@ -468,6 +471,7 @@ class WideColumnTable:
         statics: list[str],
         keep_writetime: bool = False,
         cell_meta: bool = False,
+        as_of_micros: int | None = None,
     ) -> DataFrame:
         """CQL static columns: one shared cell per PARTITION, above the
         clustering rows.
@@ -495,7 +499,9 @@ class WideColumnTable:
                 for c in statics
             ]
         )
-        rows = self._reconcile_rows(raw.drop(*statics), keep_writetime, cell_meta)
+        rows = self._reconcile_rows(
+            raw.drop(*statics), keep_writetime, cell_meta, as_of_micros
+        )
         return rows.join(stat, pkeys, "left")
 
     @staticmethod
@@ -515,6 +521,7 @@ class WideColumnTable:
         raw: DataFrame,
         keep_writetime: bool = False,
         cell_meta: bool = False,
+        as_of_micros: int | None = None,
     ) -> DataFrame:
         pk = self.spec.primary_key
         payload = [
@@ -525,7 +532,13 @@ class WideColumnTable:
         counters = set(self.spec.properties.get("counter_columns", ()))
         collections = dict(self.spec.properties.get("collection_columns") or {})
         types = {f.name: f.dataType for f in self.spec.schema.fields}
-        now_micros = int(time.time() * 1_000_000)
+        # TTL expiry is evaluated at the snapshot instant for as-of
+        # reads: a row that expired AFTER the snapshot was live then
+        now_micros = (
+            as_of_micros
+            if as_of_micros is not None
+            else int(time.time() * 1_000_000)
+        )
         if collections:
             return self._reconciled_with_collections(
                 raw, pk, payload, counters, collections, types, now_micros,
@@ -765,6 +778,71 @@ class WideColumnTable:
         """Full table with upsert semantics: newest live row per key."""
         return self._reconciled(self._raw()).select(
             *[f.name for f in self.spec.schema.fields]
+        )
+
+    def read_as_of(self, timestamp_micros: int) -> DataFrame:
+        """Snapshot read: the table's live state as of a past instant —
+        writes after ``timestamp_micros`` (CQL writetime units) are
+        invisible, deletes after it un-happen, and TTL expiry is
+        evaluated at the snapshot time, so a row that expired later is
+        visible again.
+
+        The append-log layout gives this for free: filter the raw log
+        to writes at or before the snapshot, reconcile as usual. The
+        reproducibility primitive for training-data pipelines ("the
+        corpus exactly as the March run saw it") without copying data.
+        History reaches back to the last ``compact()`` — compaction
+        materializes current state and drops shadowed versions, so it
+        is also the snapshot-retention knob (run it when snapshots
+        older than X are no longer needed).
+        """
+        # engine units are micros*1000+seq: include every write inside
+        # the snapshot microsecond
+        cutoff = (timestamp_micros + 1) * 1000
+        raw = self._raw().filter(F.col(_WRITETIME) < cutoff)
+        return self._reconciled(raw, as_of_micros=timestamp_micros).select(
+            *[f.name for f in self.spec.schema.fields]
+        )
+
+    def read_changes(self, since_timestamp_micros: int) -> DataFrame:
+        """CDC read: the current state of every key touched AFTER the
+        checkpoint — ``(spec columns..., _op)`` with ``_op`` =
+        ``upsert`` (live row, current reconciled state) or ``delete``
+        (key's newest post-checkpoint state is dead: tombstoned or
+        expired). Payload columns are NULL on deletes.
+
+        Feed ``since`` from the previous run's max ``WRITETIME`` and a
+        downstream incremental pipeline processes only what changed.
+        Scale shape: the changed-key probe filters the raw log on
+        ``_writetime`` FIRST (at 100 TB the log would be partitioned by
+        write-era, making this a pruned scan), then reconciliation runs
+        on the semi-joined history of changed keys only — work scales
+        with the delta, not the table.
+        """
+        cutoff = (since_timestamp_micros + 1) * 1000
+        pk = self.spec.primary_key
+        raw = self._raw()
+        changed_keys = (
+            raw.filter(F.col(_WRITETIME) >= cutoff).select(*pk).distinct()
+        )
+        history = raw.join(changed_keys, pk, "left_semi")
+        live = self._reconciled(history).select(
+            *[f.name for f in self.spec.schema.fields]
+        )
+        deletes = (
+            changed_keys.join(live.select(*pk), pk, "left_anti")
+            .select(
+                *[F.col(k) for k in pk],
+                *[
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in self.spec.schema.fields
+                    if f.name not in pk
+                ],
+            )
+            .select(*[f.name for f in self.spec.schema.fields])
+        )
+        return live.withColumn("_op", F.lit("upsert")).union(
+            deletes.withColumn("_op", F.lit("delete"))
         )
 
     def read_cell_meta(self, **key_values) -> DataFrame:

@@ -936,3 +936,53 @@ def test_clustering_range_pushes_through_reconciliation(spark, ks):
     assert [r.message_id for r in sliced.collect()] == [
         "m-ch1-12", "m-ch1-11", "m-ch1-10",
     ]
+
+
+def test_read_as_of_snapshot(spark, ks):
+    """Snapshot reads: writes after the snapshot vanish, deletes after
+    it un-happen, and rows that expired after it are visible again."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    t = make_users(spark, ks)
+    t.append(spark.createDataFrame(
+        [("Alex", "u1", "v1@x", "p")], schemas.USERS), timestamp_micros=1_000_000)
+    t.append(spark.createDataFrame(
+        [("Bianca", "u2", "b@x", "p")], schemas.USERS), timestamp_micros=2_000_000)
+    t.append(spark.createDataFrame(
+        [("Alex", "u1", "v2@x", "p")], schemas.USERS), timestamp_micros=3_000_000)
+    # at t=1.5s: only Alex v1
+    snap = {r.username: r.email for r in t.read_as_of(1_500_000).collect()}
+    assert snap == {"Alex": "v1@x"}
+    # at t=2.5s: Alex v1 + Bianca
+    snap = {r.username: r.email for r in t.read_as_of(2_500_000).collect()}
+    assert snap == {"Alex": "v1@x", "Bianca": "b@x"}
+    # delete Alex now (wall-clock writetime >> 3s): old snapshots keep him
+    t.delete(spark.createDataFrame(
+        [("Alex",)], StructType([StructField("username", StringType())])))
+    assert {r.username for r in t.read().collect()} == {"Bianca"}
+    snap = {r.username: r.email for r in t.read_as_of(3_500_000).collect()}
+    assert snap == {"Alex": "v2@x", "Bianca": "b@x"}
+
+
+def test_read_changes_cdc(spark, ks):
+    """Changes-since read: only post-checkpoint keys appear; an upsert
+    carries current state, a tombstoned key comes back as a delete."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    t = make_users(spark, ks)
+    t.append(spark.createDataFrame(
+        [("Alex", "u1", "a@x", "p"), ("Bianca", "u2", "b@x", "p")],
+        schemas.USERS), timestamp_micros=1_000_000)
+    # checkpoint after the seed; then one update + one delete
+    t.append(spark.createDataFrame(
+        [("Bianca", None, "b2@x", None)], schemas.USERS),
+        cells=["email"], timestamp_micros=2_000_000)
+    t.delete(spark.createDataFrame(
+        [("Alex",)], StructType([StructField("username", StringType())])))
+    changes = {r.username: (r._op, r.email) for r in t.read_changes(1_000_000).collect()}
+    assert changes == {
+        "Bianca": ("upsert", "b2@x"),  # current state incl. pre-checkpoint cells
+        "Alex": ("delete", None),
+    }
+    # checkpoint after everything (far-future wall clock): empty delta
+    assert t.read_changes(4_000_000_000_000_000).count() == 0

@@ -627,7 +627,8 @@ class CqlSession:
             r"(?:\s+group\s+by\s+([\w\s,]+?))?"
             r"(?:\s+order\s+by\s+(\w+)\s+(asc|desc))?"
             r"(?:\s+per\s+partition\s+limit\s+(\d+))?"
-            r"(?:\s+limit\s+(\d+))?\s*$",
+            r"(?:\s+limit\s+(\d+))?"
+            r"(?:\s+allow\s+filtering)?\s*$",
             s,
             re.I | re.S,
         )
@@ -659,6 +660,7 @@ class CqlSession:
 
         eq: dict = {}
         ranges: list = []
+        token_ranges: list = []
         df = None
         if where:
             in_m = re.match(
@@ -668,7 +670,9 @@ class CqlSession:
                 vals = [lit.read(v) for v in _split_top(in_m.group(2))]
                 df = t.read_partitions([{in_m.group(1): v} for v in vals])
             else:
-                eq, ranges = self._parse_where(where, lit)
+                eq, ranges, token_ranges = self._parse_where(
+                    where, lit, tuple(t.spec.partition_keys)
+                )
         ks = self._ks()
         has_pk = set(t.spec.partition_keys) <= set(eq)
         if df is None:
@@ -720,9 +724,33 @@ class CqlSession:
             ">=": lambda c, v: F.col(c) >= v,
             "<": lambda c, v: F.col(c) < v,
             "<=": lambda c, v: F.col(c) <= v,
+            # CQL collection predicates (CONTAINS on set/list/map
+            # values, CONTAINS KEY on map keys) — like ALLOW FILTERING
+            # they are row filters over the routed read, not routing keys
+            "contains": lambda c, v: F.array_contains(
+                F.map_values(F.col(c))
+                if dict(df.dtypes).get(c, "").startswith("map")
+                else F.col(c),
+                v,
+            ),
+            "contains key": lambda c, v: F.map_contains_key(F.col(c), v),
         }
         for col, op, val in ranges:
             df = df.filter(_OPS[op](col, val))
+        if token_ranges:
+            # token(pk) ring ranges: this engine's ring function is
+            # Spark's Murmur3 hash (the same function _bucket routing
+            # uses — see hashing.py), not Cassandra's Murmur3_128;
+            # documented divergence. A disjoint cover of token ranges
+            # partitions the table exactly like read_split's buckets —
+            # the connector's parallel bulk-export contract.
+            tok = F.hash(*[F.col(c) for c in t.spec.partition_keys])
+            _TOPS = {
+                ">": tok.__gt__, ">=": tok.__ge__,
+                "<": tok.__lt__, "<=": tok.__le__, "=": tok.__eq__,
+            }
+            for op, val in token_ranges:
+                df = df.filter(_TOPS[op](F.lit(val)))
         if pp_limit:
             # PER PARTITION LIMIT applies on top of the WHERE-restricted
             # rows (CQL evaluates the limit after the predicate; the
@@ -829,6 +857,20 @@ class CqlSession:
         ) | set(spec.properties.get("static_columns") or ())
         out = []
         for c in cols:
+            km = re.fullmatch(r"token\s*\(\s*([\w\s,]+?)\s*\)", c, re.I)
+            if km:
+                tcols = [x.strip() for x in km.group(1).split(",")]
+                if tcols != list(spec.partition_keys):
+                    raise ValueError(
+                        f"token() must name the full partition key "
+                        f"{list(spec.partition_keys)}, got {tcols} (CQL rule)"
+                    )
+                out.append(
+                    F.hash(*[F.col(x) for x in tcols]).alias(
+                        f"token({', '.join(tcols)})"
+                    )
+                )
+                continue
             sm = self._META_SEL.fullmatch(c)
             if not sm:
                 out.append(F.col(c))
@@ -856,19 +898,44 @@ class CqlSession:
                 )
         return out
 
+    _TOKEN_TERM = re.compile(
+        r"token\s*\(\s*([\w\s,]+?)\s*\)\s*(>=|<=|=|>|<)\s*(.*)$", re.I | re.S
+    )
+
     @staticmethod
     def _parse_where(
-        where: str, lit: _Literal
-    ) -> tuple[dict, list[tuple[str, str, object]]]:
-        """AND-ed predicates: equality terms (routing keys) plus
-        comparison terms ``(col, op, value)`` for clustering slices."""
+        where: str, lit: _Literal, partition_keys: tuple[str, ...] = ()
+    ) -> tuple[dict, list[tuple[str, str, object]], list[tuple[str, int]]]:
+        """AND-ed predicates: equality terms (routing keys), comparison
+        terms ``(col, op, value)`` for clustering slices, and
+        ``token(pk) <op> n`` ring-range terms (the connector's bulk-
+        export split predicate). Clauses are read in statement order so
+        ``%s`` parameters bind positionally."""
         eq: dict = {}
         ranges: list[tuple[str, str, object]] = []
+        token_ranges: list[tuple[str, int]] = []
         for clause in re.split(r"\s+and\s+", where.strip(), flags=re.I):
+            km = re.match(
+                r"(\w+)\s+contains(\s+key)?\s+(.*)$", clause.strip(), re.I | re.S
+            )
+            if km:
+                op = "contains key" if km.group(2) else "contains"
+                ranges.append((km.group(1), op, lit.read(km.group(3))))
+                continue
+            tm = CqlSession._TOKEN_TERM.match(clause.strip())
+            if tm:
+                tcols = [c.strip() for c in tm.group(1).split(",")]
+                if tcols != list(partition_keys):
+                    raise ValueError(
+                        f"token() must name the full partition key "
+                        f"{list(partition_keys)}, got {tcols} (CQL rule)"
+                    )
+                token_ranges.append((tm.group(2), int(lit.read(tm.group(3)))))
+                continue
             cm = re.match(r"(\w+)\s*(>=|<=|=|>|<)\s*(.*)$", clause.strip(), re.S)
             if not cm:
                 raise ValueError(
-                    f"only =/range predicates supported: {clause!r}"
+                    f"only =/range/token predicates supported: {clause!r}"
                 )
             col, op, rhs = cm.groups()
             val = lit.read(rhs)
@@ -876,7 +943,7 @@ class CqlSession:
                 eq[col] = val
             else:
                 ranges.append((col, op, val))
-        return eq, ranges
+        return eq, ranges, token_ranges
 
     @staticmethod
     def _parse_eq_where(where: str, lit: _Literal) -> dict:

@@ -698,3 +698,77 @@ def ngram_containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("a_id", "b_id", "containment")
     )
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level dedup (span dedup with document reassembly)
+# ---------------------------------------------------------------------------
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = 10,
+) -> DataFrame:
+    """Span-level exact dedup with document reassembly (the CCNet/Dolma
+    paragraph-dedup shape: drop repeated paragraphs corpus-wide, keep
+    each document's surviving paragraphs in original order).
+
+    The testdata corpus has no newlines, so a "paragraph" here is a
+    fixed ``span_words``-word span; on real corpora pass the
+    newline-split instead — the plan is identical.
+
+    Returns one row per input document:
+    ``(doc_id, n_spans, n_kept, text_deduped)`` where ``text_deduped``
+    rejoins the surviving spans with a single space (empty string when
+    every span of the document appeared earlier in the corpus).
+
+    Scale design: the global first-occurrence winner per span digest is
+    ``min(struct(id, pos))`` grouped ON THE DIGEST ONLY — document text
+    never rides the skew-prone digest shuffle (a boilerplate span
+    repeated a billion times carries only (id, pos) pairs, and the
+    min-struct aggregate is map-side combinable, so the hot digest
+    arrives pre-reduced). Winners re-join the span table on
+    ``(id, pos)`` — a uniform key — to pick up the text, and reassembly
+    is one groupBy on the id. Three shuffles total, none carrying text
+    on a skewed key.
+    """
+    docs = _widen(df.select(id_col, text_col))
+    spans = docs.selectExpr(
+        f"`{id_col}` AS id",
+        f"split(`{text_col}`, ' ') AS words",
+    ).selectExpr(
+        "id",
+        f"posexplode(transform(sequence(0, CAST(ceil(size(words) / {span_words}.0) AS INT) - 1),"
+        f" i -> concat_ws(' ', slice(words, i * {span_words} + 1, {span_words}))))"
+        " AS (pos, para)",
+    )
+    spans = spans.localCheckpoint(eager=True)
+    winners = (
+        spans.select(F.md5("para").alias("h"), F.struct("id", "pos").alias("at"))
+        .groupBy("h")
+        .agg(F.min("at").alias("at"))
+        .select(F.col("at.id").alias("id"), F.col("at.pos").alias("pos"))
+    )
+    kept = spans.join(winners, ["id", "pos"])
+    totals = spans.groupBy("id").agg(F.count("*").alias("n_spans"))
+    rebuilt = kept.groupBy("id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda x: x["para"],
+            ),
+            " ",
+        ).alias("text_deduped"),
+    )
+    return (
+        totals.join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_spans",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+        )
+    )

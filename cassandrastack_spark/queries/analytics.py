@@ -410,6 +410,77 @@ def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_dist_functions",
+    oracle="""
+        SELECT c_custkey, c_mktsegment,
+               ntile(4) OVER w AS quartile,
+               ROUND(percent_rank() OVER w, 6) AS pct_rank,
+               ROUND(cume_dist() OVER w, 6) AS cume
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal, c_custkey)
+        ORDER BY c_custkey
+    """,
+    doc="Distribution window functions (ntile / percent_rank / "
+        "cume_dist) per market segment — one shuffle on the segment "
+        "key, in-partition sort, single window pass; unique "
+        "(c_acctbal, c_custkey) order keeps ranks deterministic "
+        "across engines.",
+)
+def window_dist_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "asof_join_next_order",
+    oracle="""
+        SELECT e.event_id, e.user_id,
+               CASE WHEN o.o_orderdate IS NOT NULL
+                     AND CAST(o.o_orderdate AS TIMESTAMP)
+                         <= e.ts + INTERVAL 7 DAY
+                    THEN o.o_orderdate END AS next_order_date
+        FROM events e
+        ASOF LEFT JOIN orders o
+          ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+        ORDER BY e.event_id
+    """,
+    doc="Forward as-of join with tolerance (operators/asof.py "
+        "direction='forward', tolerance=7 days): the oldest order "
+        "at-or-after each event per user, nulled when further than a "
+        "week out — pandas merge_asof(tolerance) semantics as the same "
+        "one-shuffle union-sort plan, vs DuckDB native ASOF + post "
+        "tolerance filter as oracle.",
+)
+def asof_join_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    out = asof_join(
+        e, o,
+        left_on="user_id", right_on="o_custkey",
+        left_time="ts", right_time="o_orderdate",
+        payload_cols=["o_orderdate"],
+        direction="forward",
+        tolerance=7 * 86400,
+    )
+    return (
+        out.select(
+            "event_id", "user_id", F.col("o_orderdate").alias("next_order_date")
+        ).orderBy("event_id")
+    )
+
+
+@register(
     "range_join_event_pairs",
     oracle="""
         SELECT a.user_id,

@@ -1177,3 +1177,50 @@ def corpus_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+@register(
+    "dedup_paragraph_spans",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        ), s AS (
+            SELECT doc_id, words,
+                   CAST(unnest(range(CAST(ceil(len(words) / 10.0) AS BIGINT))) AS INT) AS pos
+            FROM w
+        ), p AS (
+            SELECT doc_id, pos,
+                   array_to_string(words[(pos * 10 + 1):(pos * 10 + 10)], ' ') AS para
+            FROM s
+        ), ranked AS (
+            SELECT doc_id, pos, para,
+                   ROW_NUMBER() OVER (PARTITION BY md5(para)
+                                      ORDER BY doc_id, pos) AS rn
+            FROM p
+        ), totals AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+            FROM p GROUP BY doc_id
+        ), rebuilt AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   string_agg(para, ' ' ORDER BY pos) AS text_deduped
+            FROM ranked WHERE rn = 1 GROUP BY doc_id
+        )
+        SELECT t.doc_id, t.n_spans,
+               COALESCE(r.n_kept, 0) AS n_kept,
+               COALESCE(r.text_deduped, '') AS text_deduped
+        FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+        ORDER BY t.doc_id
+    """,
+    doc="Span-level (paragraph) exact dedup with document reassembly — "
+        "the CCNet/Dolma paragraph-dedup shape: a repeated span is kept "
+        "only at its first corpus occurrence ((doc_id, pos) order) and "
+        "every document is rebuilt from its surviving spans. Winner "
+        "election groups (id, pos) pairs on the span digest (map-side "
+        "combinable min-struct; text never rides the skewed digest "
+        "shuffle), then an equi-join on the uniform (id, pos) key "
+        "recovers the text.",
+)
+def dedup_paragraph_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandrastack_spark.llm.dedup import paragraph_dedup
+
+    return paragraph_dedup(_t(spark, sf_dir, "documents"), span_words=10).orderBy("doc_id")

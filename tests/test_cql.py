@@ -688,3 +688,100 @@ def test_group_by_primary_key_prefix(cql):
         cql.execute("SELECT author_id, count(*) FROM messages GROUP BY author_id")
     with pytest.raises(ValueError, match="GROUP BY column"):
         cql.execute("SELECT message, count(*) FROM messages GROUP BY channel_id")
+
+
+def test_token_function_and_ring_ranges(cql):
+    from cassandrastack_spark.hashing import spark_hash
+
+    _bootstrap(cql)
+    for ch in (1, 2, 3):
+        cql.execute(
+            "INSERT INTO messages (channel_id, message_id, author_id, message) "
+            "VALUES (%s, now(), %s, %s)",
+            (ch, "a" * 36, f"msg-{ch}"),
+        )
+    # token() projection matches the driver-side ring function
+    rows = cql.execute(
+        "SELECT channel_id, token(channel_id) FROM messages WHERE channel_id = %s",
+        (2,),
+    )
+    assert rows == [
+        {"channel_id": 2, "token(channel_id)": spark_hash(2, dtypes=["bigint"])}
+    ]
+    # a disjoint token-range cover partitions the table (bulk-export
+    # contract): every row lands in exactly one of the two ranges
+    lo = cql.execute(
+        "SELECT channel_id FROM messages WHERE token(channel_id) < %s "
+        "ALLOW FILTERING",
+        (0,),
+    )
+    hi = cql.execute(
+        "SELECT channel_id FROM messages WHERE token(channel_id) >= %s "
+        "ALLOW FILTERING",
+        (0,),
+    )
+    assert sorted(r["channel_id"] for r in lo + hi) == [1, 2, 3]
+    # token() must name the full partition key
+    with pytest.raises(ValueError, match="full partition key"):
+        cql.execute("SELECT token(message_id) FROM messages")
+    with pytest.raises(ValueError, match="full partition key"):
+        cql.execute(
+            "SELECT channel_id FROM messages WHERE token(message_id) > %s",
+            (0,),
+        )
+
+
+def test_allow_filtering_suffix_accepted(cql):
+    _bootstrap(cql)
+    cql.execute(
+        "INSERT INTO messages (channel_id, message_id, author_id, message) "
+        "VALUES (%s, now(), %s, %s)",
+        (5, "a" * 36, "findme"),
+    )
+    rows = cql.execute(
+        "SELECT channel_id, message FROM messages WHERE message = %s "
+        "ALLOW FILTERING",
+        ("findme",),
+    )
+    assert rows == [{"channel_id": 5, "message": "findme"}]
+
+
+def test_contains_predicates_on_collections(cql):
+    _bootstrap(cql)
+    cql.execute("""
+        CREATE TABLE tagged (
+            uid text,
+            seq bigint,
+            tags set<text>,
+            attrs map<text, int>,
+            PRIMARY KEY ((uid), seq)
+        )
+    """)
+    cql.execute(
+        "INSERT INTO tagged (uid, seq, tags, attrs) "
+        "VALUES (%s, %s, {'red', 'blue'}, {'a': 1, 'b': 2})",
+        ("u1", 1),
+    )
+    cql.execute(
+        "INSERT INTO tagged (uid, seq, tags, attrs) "
+        "VALUES (%s, %s, {'green'}, {'c': 3})",
+        ("u1", 2),
+    )
+    # set CONTAINS value
+    rows = cql.execute(
+        "SELECT seq FROM tagged WHERE uid = %s AND tags CONTAINS %s",
+        ("u1", "red"),
+    )
+    assert [r["seq"] for r in rows] == [1]
+    # map CONTAINS KEY
+    rows = cql.execute(
+        "SELECT seq FROM tagged WHERE attrs CONTAINS KEY %s ALLOW FILTERING",
+        ("c",),
+    )
+    assert [r["seq"] for r in rows] == [2]
+    # map CONTAINS (matches VALUES, per CQL)
+    rows = cql.execute(
+        "SELECT seq FROM tagged WHERE attrs CONTAINS %s ALLOW FILTERING",
+        (2,),
+    )
+    assert [r["seq"] for r in rows] == [1]

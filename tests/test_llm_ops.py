@@ -389,3 +389,31 @@ def test_containment_catches_quoted_subdocument(spark):
     capped = {(r.a_id, r.b_id)
               for r in ngram_containment_pairs(docs, threshold=0.9, max_df=10).collect()}
     assert (1, 2) in capped
+
+
+def test_paragraph_dedup_reassembles_surviving_spans(spark):
+    from cassandrastack_spark.llm.dedup import paragraph_dedup
+
+    rows = [
+        # doc 1: spans A B
+        (1, "a b c", None),
+        # doc 2: first span identical to doc 1's (span_words=3), second unique
+        (2, "a b c x y z", None),
+        # doc 3: fully duplicate of doc 1 -> loses everything
+        (3, "a b c", None),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(df, span_words=3).collect()
+    }
+    assert out[1]["n_spans"] == 1 and out[1]["n_kept"] == 1
+    assert out[1]["text_deduped"] == "a b c"
+    # doc 2 keeps only its unique second span
+    assert out[2]["n_spans"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["text_deduped"] == "x y z"
+    # doc 3 lost its only span to doc 1
+    assert out[3]["n_spans"] == 1 and out[3]["n_kept"] == 0
+    assert out[3]["text_deduped"] == ""

@@ -390,3 +390,40 @@ def test_list_collection_matches_model(spark, tmp_path_factory, ops, do_compact)
         t.compact()
         assert got() == expected
     ks.drop()
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(left_right_rows())
+def test_asof_join_forward_tolerance_matches_bruteforce(spark, lr):
+    left_rows, right_rows = lr
+    # dedup right (k, t) pairs: payload ties at equal timestamps are
+    # legitimately engine-arbitrary, so keep the contract check exact
+    right_rows = sorted({(rk, rs) for rk, rs in right_rows})
+    tol = 1000.0
+    left = spark.createDataFrame(
+        [(i, k, BASE + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(left_rows)],
+        "lid long, k long, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [(k, BASE + dt.timedelta(seconds=s), float(s)) for k, s in right_rows],
+        "rk long, rt timestamp, payload double",
+    ) if right_rows else spark.createDataFrame([], "rk long, rt timestamp, payload double")
+
+    got = {
+        r.lid: r.payload
+        for r in asof_join(
+            left, right, left_on="k", right_on="rk",
+            left_time="t", right_time="rt", payload_cols=["payload"],
+            direction="forward", tolerance=tol,
+        ).collect()
+    }
+
+    # brute force: oldest right at-or-after, per key, nulled beyond tol.
+    # ties on rt pick min payload == min rs, deterministic since payload==rs
+    for i, (k, s) in enumerate(left_rows):
+        cands = [float(rs) for (rk, rs) in right_rows if rk == k and rs >= s]
+        expect = min(cands) if cands else None
+        if expect is not None and expect - s > tol:
+            expect = None
+        assert got.get(i) == expect, (i, k, s, got.get(i), expect)

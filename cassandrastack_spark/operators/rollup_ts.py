@@ -86,3 +86,47 @@ def rollup_ladder(
         out[w] = level
         prev = level
     return out
+
+
+def refresh_rollup_incremental(
+    prior: DataFrame,
+    current: DataFrame,
+    changes: DataFrame,
+    time_col: str,
+    key_cols: list[str],
+    value_col: str,
+    width: str,
+) -> DataFrame:
+    """Continuous-aggregate refresh (TimescaleDB's invalidation model,
+    Spark-native): given the ``prior`` rollup, the table's ``current``
+    state, and a CDC delta (``WideColumnTable.read_changes`` output —
+    upserts AND deletes, so ``time_col`` must be a primary-key column
+    for deletes to carry their bucket), recompute ONLY the
+    (bucket, keys) groups the delta touched and graft them onto the
+    untouched prior rows.
+
+    Work scales with the delta: affected groups come from the change
+    feed, the recompute scan is semi-join-pruned to those groups (at
+    scale, partitioning the rollup and raw tables by date of
+    ``bucket_start`` turns both the prune and the overwrite into
+    partition operations), and the merge is an anti-join on the same
+    bounded key set. min/max stay exact under deletes — unlike a
+    delta-merge scheme, which cannot retract a max — because affected
+    buckets are recomputed from current state, not patched.
+    """
+    if width not in RESOLUTIONS:
+        raise ValueError(f"width must be one of {sorted(RESOLUTIONS)}")
+    affected = (
+        changes.select(
+            F.window(time_col, width)["start"].alias("bucket_start"), *key_cols
+        )
+        .distinct()
+    )
+    pruned = (
+        current.withColumn("bucket_start", F.window(time_col, width)["start"])
+        .join(affected, ["bucket_start", *key_cols], "left_semi")
+        .drop("bucket_start")
+    )
+    recomputed = rollup_events(pruned, time_col, key_cols, value_col, width)
+    kept = prior.join(affected, ["bucket_start", *key_cols], "left_anti")
+    return kept.unionByName(recomputed)

@@ -986,3 +986,67 @@ def test_read_changes_cdc(spark, ks):
     }
     # checkpoint after everything (far-future wall clock): empty delta
     assert t.read_changes(4_000_000_000_000_000).count() == 0
+
+
+def test_incremental_rollup_matches_full_recompute(spark, ks):
+    """Continuous-aggregate refresh: recompute only the delta-touched
+    (bucket, key) groups and graft onto the prior rollup — result must
+    equal a from-scratch rollup of current state, including a deleted
+    row retracting a bucket max."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType, TimestampType,
+    )
+
+    from cassandrastack_spark.operators.rollup_ts import (
+        refresh_rollup_incremental, rollup_events,
+    )
+
+    schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+    ])
+    spec = ks.create_table("tsraw", schema, partition_keys=["user_id"],
+                           clustering_keys=["ts"])
+    t = WideColumnTable(spark, ks, spec, n_buckets=4)
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    t.append(spark.createDataFrame(
+        [
+            (1, base + dt.timedelta(minutes=5), 10.0),
+            (1, base + dt.timedelta(minutes=40), 99.0),   # hour-0 max
+            (2, base + dt.timedelta(minutes=10), 7.0),
+            (1, base + dt.timedelta(hours=2, minutes=1), 3.0),
+        ],
+        schema,
+    ), timestamp_micros=1_000_000)
+    prior = rollup_events(t.read(), "ts", ["user_id"], "value", "1 hour")
+    prior = prior.localCheckpoint(eager=True)
+
+    # post-checkpoint delta: new row in a fresh bucket, an update in
+    # hour 0, and DELETE the hour-0 max (forces retraction)
+    t.append(spark.createDataFrame(
+        [
+            (2, base + dt.timedelta(hours=1, minutes=3), 5.0),
+            (1, base + dt.timedelta(minutes=5), 11.0),
+        ],
+        schema,
+    ), timestamp_micros=2_000_000)
+    t.delete(spark.createDataFrame(
+        [(1, base + dt.timedelta(minutes=40))],
+        StructType([StructField("user_id", LongType()),
+                    StructField("ts", TimestampType())]),
+    ))
+
+    changes = t.read_changes(1_000_000)
+    got = refresh_rollup_incremental(
+        prior, t.read(), changes, "ts", ["user_id"], "value", "1 hour"
+    )
+    want = rollup_events(t.read(), "ts", ["user_id"], "value", "1 hour")
+    key = lambda r: (r["user_id"], r["bucket_start"])
+    got_rows = sorted([r.asDict() for r in got.collect()], key=key)
+    want_rows = sorted([r.asDict() for r in want.collect()], key=key)
+    assert got_rows == want_rows
+    # the retraction really happened: hour-0 max for user 1 is now 11
+    h0 = [r for r in got_rows if r["user_id"] == 1
+          and r["bucket_start"] == base][0]
+    assert h0["max_v"] == 11.0 and h0["n"] == 1

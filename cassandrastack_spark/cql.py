@@ -241,7 +241,7 @@ class CqlSession:
             return self._insert(s, params)
         if low.startswith("select"):
             return self._select(s, params)
-        if low.startswith("delete from"):
+        if low.startswith("delete"):
             return self._delete(s, params)
         if low.startswith("update"):
             return self._update(s, params)
@@ -598,21 +598,80 @@ class CqlSession:
         return None
 
     def _delete(self, s: str, params: tuple):
-        m = re.match(r"delete from\s+(\w+)\s+where\s+(.*)$", s, re.I | re.S)
+        """``DELETE [targets] FROM t WHERE <full pk>``: whole-row
+        tombstone with no targets; with targets, cell tombstones
+        (``DELETE email FROM ...`` — a cells-write of named nulls under
+        cell-level reconciliation) and map-element removal
+        (``DELETE m['k'] FROM ...`` — the same no-read-before-write
+        delta as ``UPDATE m = m - {...}``)."""
+        m = re.match(
+            r"delete\s+(?:(.*?)\s+)?from\s+(\w+)\s+where\s+(.*)$", s, re.I | re.S
+        )
         if not m:
             raise ValueError(f"cannot parse DELETE: {s!r}")
-        t = self._table(m.group(1))
-        keys = self._parse_eq_where(m.group(2), _Literal(params))
+        targets, name, where = m.groups()
+        t = self._table(name)
+        # positional params bind in statement order: element keys in the
+        # target list first, then WHERE values (the python-driver
+        # convention, same as UPDATE's SET-then-WHERE split)
+        n_t = (targets or "").count("%s")
+        lit = _Literal(params[:n_t])
+        keys = self._parse_eq_where(where, _Literal(params[n_t:]))
         if set(keys) != set(t.spec.primary_key):
             raise ValueError(
                 f"DELETE needs the full primary key {t.spec.primary_key}"
             )
-        schema = StructType([t.spec.schema[k] for k in t.spec.primary_key])
-        t.delete(
-            self.spark.createDataFrame(
-                [tuple(keys[k] for k in t.spec.primary_key)], schema
+        if not targets:
+            schema = StructType([t.spec.schema[k] for k in t.spec.primary_key])
+            t.delete(
+                self.spark.createDataFrame(
+                    [tuple(keys[k] for k in t.spec.primary_key)], schema
+                )
             )
-        )
+            return None
+        collections = dict(t.spec.properties.get("collection_columns") or {})
+        counters = set(t.spec.properties.get("counter_columns", ()))
+        statics = set(t.spec.properties.get("static_columns") or ())
+        colnames = {f.name for f in t.spec.schema.fields}
+        plain_cells: list[str] = []
+        for item in _split_top(targets):
+            em = re.match(r"(\w+)\s*\[\s*(.*?)\s*\]$", item.strip(), re.S)
+            if em:
+                col, keyexpr = em.groups()
+                if collections.get(col) != "map":
+                    raise ValueError(
+                        f"element deletion needs a map column, got {col!r}"
+                    )
+                payload = {lit.read(keyexpr): None}
+                field = t.spec.schema[col]
+                delta_schema = StructType(
+                    [t.spec.schema[k] for k in t.spec.primary_key]
+                    + [StructField(col, field.dataType, True)]
+                )
+                row = tuple(keys[k] for k in t.spec.primary_key) + (payload,)
+                t.update_collection(
+                    self.spark.createDataFrame([row], delta_schema), col, "remove"
+                )
+                continue
+            col = item.strip()
+            if col not in colnames:
+                raise ValueError(f"unknown column {col!r} in DELETE")
+            if col in t.spec.primary_key:
+                raise ValueError(f"cannot DELETE key column {col!r} (CQL rule)")
+            if col in counters or col in collections or col in statics:
+                raise ValueError(
+                    f"cell DELETE of counter/collection/static column "
+                    f"{col!r} is not supported; use UPDATE deltas for "
+                    f"collections"
+                )
+            plain_cells.append(col)
+        if plain_cells:
+            row = dict(keys)
+            full = {f.name: row.get(f.name) for f in t.spec.schema.fields}
+            t.append(
+                self.spark.createDataFrame([tuple(full.values())], t.spec.schema),
+                cells=plain_cells,
+            )
         return None
 
     # -- reads ---------------------------------------------------------------

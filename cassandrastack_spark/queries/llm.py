@@ -1224,3 +1224,65 @@ def dedup_paragraph_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandrastack_spark.llm.dedup import paragraph_dedup
 
     return paragraph_dedup(_t(spark, sf_dir, "documents"), span_words=10).orderBy("doc_id")
+
+
+@register(
+    "corpus_shard_shuffle",
+    oracle="""
+        WITH h AS (
+            SELECT doc_id, source,
+                   md5('seed42:' || CAST(doc_id AS VARCHAR)) AS hh
+            FROM documents
+        ), v AS (
+            SELECT doc_id, source, hh,
+                   (strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 4096
+                 + (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1) * 256
+                 + (strpos('0123456789abcdef', substr(hh, 3, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(hh, 4, 1)) - 1) AS hv
+            FROM h
+        )
+        SELECT doc_id, source,
+               CAST(hv % 8 AS INT) AS shard,
+               CAST(ROW_NUMBER() OVER (PARTITION BY hv % 8
+                                       ORDER BY hh, doc_id) AS BIGINT) AS pos
+        FROM v
+        ORDER BY doc_id
+    """,
+    doc="Deterministic global shuffle for training order: shard = 4 hex "
+        "digits of a seeded md5 mod n_shards, position = rank of the "
+        "digest within the shard. Reproducible across engines and runs "
+        "(seed in the digest), no global sort — each shard sorts "
+        "independently, so at 100 TB this is repartitionByRange on the "
+        "digest + sortWithinPartitions, one shuffle.",
+)
+def corpus_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    hexd = "0123456789abcdef"
+    v = (
+        _t(spark, sf_dir, "documents")
+        .selectExpr(
+            "doc_id",
+            "source",
+            "md5(concat('seed42:', cast(doc_id AS string))) AS hh",
+        )
+        .selectExpr(
+            "doc_id",
+            "source",
+            "hh",
+            f"(instr('{hexd}', substr(hh, 1, 1)) - 1) * 4096"
+            f" + (instr('{hexd}', substr(hh, 2, 1)) - 1) * 256"
+            f" + (instr('{hexd}', substr(hh, 3, 1)) - 1) * 16"
+            f" + (instr('{hexd}', substr(hh, 4, 1)) - 1) AS hv",
+        )
+    )
+    w = Window.partitionBy(F.col("hv") % 8).orderBy("hh", "doc_id")
+    return (
+        v.select(
+            "doc_id",
+            "source",
+            (F.col("hv") % 8).cast("int").alias("shard"),
+            F.row_number().over(w).cast("long").alias("pos"),
+        )
+        .orderBy("doc_id")
+    )

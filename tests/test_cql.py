@@ -785,3 +785,42 @@ def test_contains_predicates_on_collections(cql):
         (2,),
     )
     assert [r["seq"] for r in rows] == [1]
+
+
+def test_delete_cell_and_map_element(cql):
+    _bootstrap(cql)
+    cql.execute("""
+        CREATE TABLE prof2 (
+            uid text,
+            seq bigint,
+            note text,
+            score int,
+            attrs map<text, int>,
+            PRIMARY KEY ((uid), seq)
+        )
+    """)
+    cql.execute(
+        "INSERT INTO prof2 (uid, seq, note, score, attrs) "
+        "VALUES (%s, %s, %s, %s, {'a': 1, 'b': 2})",
+        ("u1", 1, "keep-or-kill", 7),
+    )
+    # cell delete: note nulled, score and attrs untouched
+    cql.execute("DELETE note FROM prof2 WHERE uid = %s AND seq = %s", ("u1", 1))
+    [row] = cql.execute("SELECT * FROM prof2 WHERE uid = %s", ("u1",))
+    assert row["note"] is None and row["score"] == 7
+    assert row["attrs"] == {"a": 1, "b": 2}
+    # map element delete: entry 'a' dropped, 'b' stays
+    cql.execute(
+        "DELETE attrs[%s] FROM prof2 WHERE uid = %s AND seq = %s",
+        ("a", "u1", 1),
+    )
+    [row] = cql.execute("SELECT * FROM prof2 WHERE uid = %s", ("u1",))
+    assert row["attrs"] == {"b": 2} and row["score"] == 7
+    # whole-row delete still works
+    cql.execute("DELETE FROM prof2 WHERE uid = %s AND seq = %s", ("u1", 1))
+    assert cql.execute("SELECT * FROM prof2 WHERE uid = %s", ("u1",)) == []
+    # guard rails
+    with pytest.raises(ValueError, match="key column"):
+        cql.execute("DELETE seq FROM prof2 WHERE uid = %s AND seq = %s", ("u1", 1))
+    with pytest.raises(ValueError, match="map column"):
+        cql.execute("DELETE note['x'] FROM prof2 WHERE uid = %s AND seq = %s", ("u1", 1))

@@ -433,6 +433,38 @@ class CqlSession:
     # -- writes --------------------------------------------------------------
 
     def _insert(self, s: str, params: tuple):
+        jm = re.match(
+            r"insert into\s+(\w+)\s+json\s+(.*?)"
+            r"(?:\s+default\s+(unset|null))?\s*$",
+            s,
+            re.I | re.S,
+        )
+        if jm:
+            # CQL INSERT ... JSON: parse against the declared schema
+            # (schema-on-write; unknown fields rejected). DEFAULT NULL
+            # (the CQL default) nulls omitted columns — a full-row
+            # write; DEFAULT UNSET leaves them untouched — a cells
+            # write of only the named payload columns.
+            import json as _json
+
+            t = self._table(jm.group(1))
+            payload = _Literal(params).read(jm.group(2))
+            obj = _json.loads(payload)
+            declared = {f.name for f in t.spec.schema.fields}
+            unknown = set(obj) - declared
+            if unknown:
+                raise ValueError(
+                    f"JSON fields {sorted(unknown)} not in declared "
+                    f"schema of {t.spec.name!r}"
+                )
+            cells = None
+            if (jm.group(3) or "").lower() == "unset":
+                cells = [c for c in obj if c not in t.spec.primary_key]
+            t.append_json(
+                self.spark.createDataFrame([(payload,)], "json string"),
+                cells=cells,
+            )
+            return None
         m = re.match(
             r"insert into\s+(\w+)\s*\(([^)]*)\)\s*values\s*\((.*)\)"
             r"(\s+if not exists)?"
@@ -696,10 +728,16 @@ class CqlSession:
         proj, name, where, group_by, ob_col, ob_dir, pp_limit, limit = m.groups()
         t = self._table(name)
         lit = _Literal(params)
+        json_mode = False
+        jm = re.match(r"json\s+(.*)$", proj.strip(), re.I | re.S)
+        if jm:
+            json_mode, proj = True, jm.group(1)
         distinct = False
         dm = re.match(r"distinct\s+(.*)$", proj.strip(), re.I | re.S)
         if dm:
             distinct, proj = True, dm.group(1)
+        if json_mode and distinct:
+            raise ValueError("SELECT JSON does not combine with DISTINCT")
         cols = [c.strip() for c in proj.split(",")]
         aggs = [self._AGG_SEL.fullmatch(c) for c in cols]
         is_agg = all(aggs) and len(cols) > 0
@@ -707,6 +745,8 @@ class CqlSession:
             r"count\s*\(\s*\*\s*\)", cols[0], re.I
         )
         needs_meta = any(self._META_SEL.fullmatch(c) for c in cols)
+        if json_mode and (is_agg or needs_meta):
+            raise ValueError("SELECT JSON supports plain column projections")
         if distinct:
             # CQL: SELECT DISTINCT is restricted to the partition key —
             # the "list the partitions" read (one row per partition
@@ -894,7 +934,18 @@ class CqlSession:
                 else:
                     exprs.append(getattr(F, fn)(F.col(col)).alias(f"{fn}({col})"))
             return [r.asDict() for r in df.agg(*exprs).collect()]
-        if distinct:
+        if json_mode:
+            # CQL SELECT JSON: each row as one JSON string in a single
+            # column named "[json]" (codegen'd to_json, not driver-side)
+            sel = (
+                [f.name for f in t.spec.schema.fields]
+                if cols == ["*"]
+                else cols
+            )
+            df = df.select(
+                F.to_json(F.struct(*[F.col(c) for c in sel])).alias("[json]")
+            )
+        elif distinct:
             df = df.select(*cols).distinct().orderBy(*cols)
         elif cols != ["*"]:
             df = df.select(*self._projection(t, cols))

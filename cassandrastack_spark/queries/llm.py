@@ -1286,3 +1286,51 @@ def corpus_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_word_entropy",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents
+        ), c AS (
+            SELECT doc_id, word, CAST(COUNT(*) AS DOUBLE) AS n
+            FROM w GROUP BY doc_id, word
+        )
+        SELECT doc_id,
+               CAST(SUM(n) AS BIGINT) AS n_words,
+               ROUND((ln(SUM(n)) - SUM(n * ln(n)) / SUM(n)) / ln(2), 6)
+                   AS entropy_bits
+        FROM c
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    doc="Unigram (word) Shannon entropy per document, in bits — the "
+        "information-theoretic repetition/quality signal (spammy "
+        "low-entropy docs score near 0, diverse text near log2(vocab)). "
+        "Two partial-agg'd groupBys, all JVM math: H = ln(N) - "
+        "sum(c*ln(c))/N, identical double arithmetic on both engines.",
+)
+def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    c = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").cast("double").alias("n"))
+    )
+    return (
+        c.groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_words"),
+            F.round(
+                (
+                    F.log(F.sum("n"))
+                    - F.sum(F.col("n") * F.log("n")) / F.sum("n")
+                )
+                / F.log(F.lit(2.0)),
+                6,
+            ).alias("entropy_bits"),
+        )
+        .orderBy("doc_id")
+    )

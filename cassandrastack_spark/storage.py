@@ -1029,12 +1029,20 @@ class WideColumnTable:
 
     # ---- JSON surface (CQL INSERT JSON / SELECT JSON) ----------------------
 
-    def append_json(self, json_rows: DataFrame, column: str = "json") -> None:
+    def append_json(
+        self,
+        json_rows: DataFrame,
+        column: str = "json",
+        cells: list[str] | None = None,
+    ) -> None:
         """CQL ``INSERT INTO t JSON '...'``: parse JSON strings against
         the DECLARED schema (schema-on-write — unknown fields rejected,
-        missing fields become NULL exactly like CQL's JSON insert) and
-        upsert-append. ``from_json`` is a JVM expression: parsing
-        happens distributed, inside codegen, not on the driver.
+        missing fields become NULL exactly like CQL's JSON insert with
+        its ``DEFAULT NULL``) and upsert-append. ``from_json`` is a JVM
+        expression: parsing happens distributed, inside codegen, not on
+        the driver. ``cells`` implements ``DEFAULT UNSET``: only the
+        listed payload columns are written; the rest stay untouched
+        under cell-level reconciliation.
         """
         parsed = json_rows.select(
             F.from_json(
@@ -1043,7 +1051,7 @@ class WideColumnTable:
                 {"mode": "FAILFAST"},  # malformed JSON is an error, not a NULL row
             ).alias("r")
         ).select("r.*")
-        self.append(parsed)
+        self.append(parsed, cells=cells)
 
     def read_as_json(self) -> DataFrame:
         """CQL ``SELECT JSON * FROM t``: each live row as one JSON

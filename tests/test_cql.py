@@ -824,3 +824,35 @@ def test_delete_cell_and_map_element(cql):
         cql.execute("DELETE seq FROM prof2 WHERE uid = %s AND seq = %s", ("u1", 1))
     with pytest.raises(ValueError, match="map column"):
         cql.execute("DELETE note['x'] FROM prof2 WHERE uid = %s AND seq = %s", ("u1", 1))
+
+
+def test_insert_and_select_json(cql):
+    _bootstrap(cql)
+    # INSERT JSON, DEFAULT NULL semantics: omitted author_id nulls out
+    cql.execute(
+        "INSERT INTO messages JSON %s",
+        ('{"channel_id": 9, "message_id": "m1", "message": "json row"}',),
+    )
+    [row] = cql.execute("SELECT * FROM messages WHERE channel_id = %s", (9,))
+    assert row["message"] == "json row" and row["author_id"] is None
+    # DEFAULT UNSET: a partial JSON write touches only named cells
+    cql.execute(
+        "INSERT INTO messages JSON %s DEFAULT UNSET",
+        ('{"channel_id": 9, "message_id": "m1", "author_id": "' + "a" * 36 + '"}',),
+    )
+    [row] = cql.execute("SELECT * FROM messages WHERE channel_id = %s", (9,))
+    assert row["message"] == "json row" and row["author_id"] == "a" * 36
+    # unknown fields rejected (schema-on-write)
+    with pytest.raises(ValueError, match="not in declared"):
+        cql.execute("INSERT INTO messages JSON %s", ('{"channel_id": 1, "nope": 2}',))
+    # SELECT JSON *
+    import json as _json
+
+    [out] = cql.execute("SELECT JSON * FROM messages WHERE channel_id = %s", (9,))
+    parsed = _json.loads(out["[json]"])
+    assert parsed["message"] == "json row" and parsed["channel_id"] == 9
+    # SELECT JSON with a projection
+    [out] = cql.execute(
+        "SELECT JSON channel_id, message FROM messages WHERE channel_id = %s", (9,)
+    )
+    assert _json.loads(out["[json]"]) == {"channel_id": 9, "message": "json row"}

@@ -427,3 +427,32 @@ def test_asof_join_forward_tolerance_matches_bruteforce(spark, lr):
         if expect is not None and expect - s > tol:
             expect = None
         assert got.get(i) == expect, (i, k, s, got.get(i), expect)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.lists(st.sampled_from("abcd"), min_size=1, max_size=9).map(" ".join),
+    min_size=1, max_size=8,
+))
+def test_paragraph_dedup_matches_bruteforce(spark, texts):
+    from cassandrastack_spark.llm.dedup import paragraph_dedup
+
+    span = 2
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in paragraph_dedup(
+        df, span_words=span).collect()}
+
+    seen: set[str] = set()
+    for i, text in enumerate(texts):
+        words = text.split(" ")
+        spans = [" ".join(words[j:j + span])
+                 for j in range(0, len(words), span)]
+        kept = []
+        for p in spans:
+            if p not in seen:
+                seen.add(p)
+                kept.append(p)
+        assert got[i]["n_spans"] == len(spans), (i, texts)
+        assert got[i]["n_kept"] == len(kept), (i, texts)
+        assert got[i]["text_deduped"] == " ".join(kept), (i, texts)

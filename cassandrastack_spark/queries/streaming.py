@@ -339,3 +339,31 @@ def stream_sliding_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_to_batch(session_window_counts(_estream(spark, sf_dir)), "append")
     return out.orderBy("user_id", "session_start")
+
+
+@register(
+    "stream_static_enrich",
+    oracle="""
+        SELECT e.event_id, e.user_id, e.event_type,
+               c.c_mktsegment AS segment
+        FROM events e
+        JOIN customer c ON e.user_id = c.c_custkey
+        ORDER BY e.event_id
+    """,
+    doc="Stream-static dimension join: events stream enriched with the "
+        "customer segment, append mode. The static side broadcasts per "
+        "micro-batch — no stream-side shuffle, no state store (the only "
+        "stateless join shape in Structured Streaming).",
+)
+def stream_static_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandrastack_spark.sources.io import read_table
+    from cassandrastack_spark.streaming.ops import stream_static_enrich
+
+    dim = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = stream_static_enrich(
+        _estream(spark, sf_dir), dim, on=[("user_id", "c_custkey")]
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return run_to_batch(joined, output_mode="append").orderBy("event_id")

@@ -334,3 +334,26 @@ def ingest_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# stream-static (dimension) join
+# ---------------------------------------------------------------------------
+
+
+def stream_static_enrich(
+    stream: DataFrame, dim: DataFrame, on: list[tuple[str, str]]
+) -> DataFrame:
+    """Enrich a stream with a static (batch) dimension — the standard
+    fact-stream x dim-table join. Structured Streaming re-plans the
+    static side per micro-batch, so a small dim becomes a broadcast
+    join with NO stream-side shuffle and no state store (unlike
+    stream-stream joins); at 100 TB of stream this is the only join
+    shape that costs nothing in state. The dim snapshot is re-read per
+    batch, so slowly-changing dims pick up updates between batches.
+    """
+    cond = None
+    for ls, rs in on:
+        c = stream[ls] == dim[rs]
+        cond = c if cond is None else (cond & c)
+    return stream.join(dim, cond, "inner")

@@ -997,12 +997,14 @@ class CqlSession:
                     .alias(f"writetime({col})")
                 )
             else:
+                # per-cell TTL: the winning cell write's own expiry
+                # (__ex_<col>), not the row marker's
                 now_us = int(_time.time() * 1_000_000)
                 out.append(
                     F.when(
-                        F.col("_expires").isNotNull(),
+                        F.col(f"__ex_{col}").isNotNull(),
                         F.ceil(
-                            (F.col("_expires") - F.lit(now_us)) / 1_000_000.0
+                            (F.col(f"__ex_{col}") - F.lit(now_us)) / 1_000_000.0
                         ).cast("int"),
                     ).alias(f"ttl({col})")
                 )

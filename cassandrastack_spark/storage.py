@@ -125,12 +125,18 @@ class WideColumnTable:
         match the declared schema exactly (names + order coerced here,
         extra/missing columns error).
 
-        ``ttl_seconds`` is CQL's ``USING TTL``: the written rows expire
-        at write-time + TTL. An expired row behaves like Cassandra's
-        TTL tombstone — the key disappears (it does NOT resurrect an
-        older un-TTL'd version, because upsert reconciliation happens
-        BEFORE expiry filtering on the read path), and ``compact()``
-        physically drops it (tombstone GC, ``cassandra.yaml:1150``).
+        ``ttl_seconds`` is CQL's ``USING TTL``, and like Cassandra's it
+        is per-WRITE, hence per-cell: a full-row write's TTL expires
+        the row marker (the key disappears unless some cell outlives
+        it), while a ``cells`` write's TTL expires only those cells —
+        the rest of the row stays. Expiry never resurrects an older
+        un-TTL'd version (upsert reconciliation happens BEFORE expiry
+        filtering on the read path), and ``compact()`` physically drops
+        dead cells/keys (tombstone GC, ``cassandra.yaml:1150``).
+        Documented divergences: tables with collection columns keep
+        row-level expiry (deltas carry no TTL), and ``compact()``
+        coarsens surviving per-cell TTLs to the row marker's — run it
+        after expiries you care about have passed.
 
         The write also propagates to this table's materialized views
         (Cassandra updates views on the write path): each view appends
@@ -186,7 +192,7 @@ class WideColumnTable:
             .withColumn(_TOMBSTONE, F.lit(False))
             .withColumn(
                 _CELLS,
-                F.array(*[F.lit(c) for c in cells])
+                F.array(*[F.lit(c) for c in cells]).cast("array<string>")
                 if cells is not None
                 else F.lit(None).cast("array<string>"),
             )
@@ -554,19 +560,34 @@ class WideColumnTable:
                 aggs.append(F.sum(c).cast(types[c]).alias(c))
             else:
                 # cell-level last-writer-wins: newest write that SET the
-                # cell; its writetime rides along for the tombstone cut
+                # cell; its writetime (tombstone cut) and expiry
+                # (per-cell TTL, like Cassandra's) ride along
                 aggs.append(
                     F.max_by(
                         F.struct(
-                            F.col(_WRITETIME).alias("w"), F.col(c).alias("v")
+                            F.col(_WRITETIME).alias("w"),
+                            F.col(c).alias("v"),
+                            F.col(_EXPIRES).alias("e"),
                         ),
                         self._cell_w(c),
                     ).alias(f"__sv_{c}")
                 )
+        # the row MARKER is the newest full-row write (CQL INSERT;
+        # _cells null): its TTL governs the row's own liveness, while a
+        # cells-write's TTL expires only its cells — Cassandra's
+        # row-marker model. A key stays live while the marker is live
+        # OR any cell is live.
+        # marker writes: _cells null (full-row INSERT) or EMPTY (a
+        # key-only INSERT, and compact()'s rewrite of an all-null row)
+        marker_key = F.when(
+            (F.coalesce(F.size(F.col(_CELLS)), F.lit(0)) == 0)
+            & ~F.coalesce(F.col(_TOMBSTONE), F.lit(False)),
+            F.col(_WRITETIME),
+        )
         aggs += [
-            # row liveness: the newest write of ANY kind decides
             F.expr(f"max_by(`{_TOMBSTONE}`, `{_WRITETIME}`)").alias(_TOMBSTONE),
-            F.expr(f"max_by(`{_EXPIRES}`, `{_WRITETIME}`)").alias(_EXPIRES),
+            F.max_by(F.col(_EXPIRES), marker_key).alias(_EXPIRES),
+            F.max(marker_key).alias("__marker_w"),
             F.max(
                 F.when(
                     F.coalesce(F.col(_TOMBSTONE), F.lit(False)),
@@ -580,29 +601,48 @@ class WideColumnTable:
         # write revives the key without resurrecting pre-delete cells
         tomb_w = F.coalesce(F.col("__tomb_w"), F.lit(-1))
         sel = [F.col(c) for c in pk]
+        live_terms = []
         for c in data_cols:
             if c in counters:
                 sel.append(F.col(c))
+                live_terms.append(F.col(c).isNotNull())
                 if cell_meta:  # CQL: WRITETIME on counters is an error
                     sel.append(F.lit(None).cast("long").alias(f"__wt_{c}"))
             else:
                 sv = F.col(f"__sv_{c}")
-                sel.append(
-                    F.when(sv["w"] > tomb_w, sv["v"]).cast(types[c]).alias(c)
+                cell_vis = (sv["w"] > tomb_w) & (
+                    sv["e"].isNull() | (sv["e"] > now_micros)
                 )
+                sel.append(
+                    F.when(cell_vis, sv["v"]).cast(types[c]).alias(c)
+                )
+                live_terms.append(cell_vis & sv["v"].isNotNull())
                 if cell_meta:
-                    sel.append(
-                        F.when(sv["w"] > tomb_w, sv["w"]).alias(f"__wt_{c}")
-                    )
-        sel += [F.col(_EXPIRES), F.col(_TOMBSTONE), F.col(_WRITETIME)]
+                    sel.append(F.when(cell_vis, sv["w"]).alias(f"__wt_{c}"))
+                    sel.append(F.when(cell_vis, sv["e"]).alias(f"__ex_{c}"))
+        marker_live = (
+            F.col("__marker_w").isNotNull()
+            & (F.col("__marker_w") > tomb_w)
+            & (F.col(_EXPIRES).isNull() | (F.col(_EXPIRES) > now_micros))
+        )
+        row_live = marker_live
+        for term in live_terms:
+            row_live = row_live | term
+        sel += [
+            F.col(_EXPIRES),
+            F.col(_TOMBSTONE),
+            F.col(_WRITETIME),
+            row_live.alias("__row_live"),
+        ]
         out = (
             grouped.select(*sel)
-            # a key whose NEWEST write is a DELETE marker is gone, like
-            # an expired key — both checked after reconciliation so they
-            # shadow (never resurrect) older versions
+            # a key whose NEWEST write is a DELETE marker is gone; an
+            # expiry-dead key (no live marker, no live cell) likewise —
+            # both checked after reconciliation so they shadow (never
+            # resurrect) older versions
             .filter(~F.coalesce(F.col(_TOMBSTONE), F.lit(False)))
-            .filter(F.col(_EXPIRES).isNull() | (F.col(_EXPIRES) > now_micros))
-            .drop(_TOMBSTONE)
+            .filter(F.col("__row_live"))
+            .drop(_TOMBSTONE, "__row_live")
         )
         return out if keep_writetime else out.drop(_WRITETIME)
 
@@ -670,7 +710,9 @@ class WideColumnTable:
                 aggs.append(
                     F.max_by(
                         F.struct(
-                            F.col(_WRITETIME).alias("w"), F.col(c).alias("v")
+                            F.col(_WRITETIME).alias("w"),
+                            F.col(c).alias("v"),
+                            F.col(_EXPIRES).alias("e"),
                         ),
                         F.when(F.col(_COLL_COL).isNull(), self._cell_w(c)),
                     ).alias(f"__sv_{c}")
@@ -712,10 +754,13 @@ class WideColumnTable:
                 # errors on WRITETIME for them; the front-end enforces)
                 if c in counters or c in collections:
                     wt = F.lit(None).cast("long")
+                    ex = F.lit(None).cast("long")
                 else:
                     sv = F.col(f"__sv_{c}")
                     wt = F.when(sv["w"] > tomb_w, sv["w"]).cast("long")
+                    ex = F.when(sv["w"] > tomb_w, sv["e"]).cast("long")
                 sel.append(wt.alias(f"__wt_{c}"))
+                sel.append(ex.alias(f"__ex_{c}"))
         sel += [F.col(_EXPIRES), F.col(_TOMBSTONE)]
         if keep_writetime:
             sel.append(F.col(_WRITETIME))

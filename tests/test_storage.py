@@ -1050,3 +1050,50 @@ def test_incremental_rollup_matches_full_recompute(spark, ks):
     h0 = [r for r in got_rows if r["user_id"] == 1
           and r["bucket_start"] == base][0]
     assert h0["max_v"] == 11.0 and h0["n"] == 1
+
+
+def test_per_cell_ttl_expires_only_its_cells(spark, ks):
+    """A TTL'd cells-write expires just those cells (Cassandra's
+    per-cell TTL); the row marker and other cells survive. A row whose
+    only content was a TTL'd UPDATE disappears entirely."""
+    import time as _time
+
+    t = make_users(spark, ks)
+    t.append(spark.createDataFrame(
+        [("Alex", "u1", "a@x", "pw")], schemas.USERS))
+    # TTL'd update of ONE cell, already expired
+    t.append(spark.createDataFrame(
+        [("Alex", None, "tmp@x", None)], schemas.USERS),
+        cells=["email"], ttl_seconds=0)
+    _time.sleep(0.01)
+    [row] = t.read().collect()
+    # email cell expired -> gone; shadowed older value NOT resurrected
+    assert row.email is None
+    # other cells and the row itself survive
+    assert row.username == "Alex" and row.password == "pw"
+
+    # row created only by a TTL'd cells-write: no marker, no live cell
+    t.append(spark.createDataFrame(
+        [("Ghost", None, "g@x", None)], schemas.USERS),
+        cells=["email"], ttl_seconds=0)
+    _time.sleep(0.01)
+    assert t.read().filter(F.col("username") == "Ghost").count() == 0
+    # whereas an unexpired cells-write row lives
+    t.append(spark.createDataFrame(
+        [("Live", None, "l@x", None)], schemas.USERS),
+        cells=["email"], ttl_seconds=3600)
+    assert t.read().filter(F.col("username") == "Live").count() == 1
+
+
+def test_key_only_insert_creates_row_marker(spark, ks):
+    """INSERT of just the primary key (empty cell set) creates a live
+    row with all-null payload — the CQL row marker — and it survives
+    compaction."""
+    t = make_users(spark, ks)
+    t.append(spark.createDataFrame(
+        [("Marker", None, None, None)], schemas.USERS), cells=[])
+    [row] = t.read().collect()
+    assert row.username == "Marker" and row.email is None
+    t.compact()
+    [row] = t.read().collect()
+    assert row.username == "Marker" and row.email is None

@@ -511,36 +511,66 @@ class CqlSession:
         return None
 
     def _batch(self, s: str, params: tuple):
+        """``BEGIN BATCH ... APPLY BATCH`` with mixed INSERT / UPDATE /
+        DELETE statements (Cassandra's logged-batch statement set).
+
+        Contiguous INSERT runs group per (table, named-column set) into
+        ONE atomic multi-row append (the engine's batch atomicity IS
+        the write job, SURVEY.md §2.2 W3; the named columns become the
+        write's cell set, so partial inserts stay cell-level upserts).
+        An UPDATE/DELETE flushes pending inserts first, so statement
+        order is preserved. Documented divergence: Cassandra applies a
+        whole batch at one shared timestamp; here each flushed group /
+        statement gets its own monotonic writetime in statement order.
+        """
         body = re.match(r"begin batch\s+(.*)\s+apply batch\s*$", s, re.I | re.S)
         if not body:
             raise ValueError(f"cannot parse BATCH: {s!r}")
         stmts = [x.strip() for x in body.group(1).split(";") if x.strip()]
         lit = _Literal(params)
-        # group INSERT rows per (table, named-column set) -> ONE atomic
-        # multi-row append per group (the engine's batch atomicity IS
-        # the write job, SURVEY.md §2.2 W3; the named columns become the
-        # write's cell set, so partial inserts stay cell-level upserts)
         per_group: dict[tuple[str, tuple[str, ...]], list[dict]] = {}
+
+        def flush():
+            for (name, cols), rows in per_group.items():
+                t = self._table(name)
+                full = [
+                    tuple(r.get(f.name) for f in t.spec.schema.fields)
+                    for r in rows
+                ]
+                cells = [c for c in cols if c not in t.spec.primary_key]
+                t.append(
+                    self.spark.createDataFrame(full, t.spec.schema), cells=cells
+                )
+            per_group.clear()
+
         for sub in stmts:
             m = re.match(
                 r"insert into\s+(\w+)\s*\(([^)]*)\)\s*values\s*\((.*)\)\s*$",
                 sub,
                 re.I | re.S,
             )
-            if not m:
-                raise ValueError(f"only INSERTs allowed in BATCH, got: {sub[:60]!r}")
-            cols = tuple(c.strip() for c in m.group(2).split(","))
-            vals = [lit.read(v) for v in _split_top(m.group(3))]
-            per_group.setdefault((m.group(1), cols), []).append(dict(zip(cols, vals)))
-        for (name, cols), rows in per_group.items():
-            t = self._table(name)
-            full = [
-                tuple(r.get(f.name) for f in t.spec.schema.fields) for r in rows
-            ]
-            cells = [c for c in cols if c not in t.spec.primary_key]
-            t.append(
-                self.spark.createDataFrame(full, t.spec.schema), cells=cells
+            if m:
+                cols = tuple(c.strip() for c in m.group(2).split(","))
+                vals = [lit.read(v) for v in _split_top(m.group(3))]
+                per_group.setdefault((m.group(1), cols), []).append(
+                    dict(zip(cols, vals))
+                )
+                continue
+            low = sub.lower()
+            if low.startswith("update") or low.startswith("delete"):
+                flush()
+                sub_params = tuple(
+                    lit.take_param() for _ in range(sub.count("%s"))
+                )
+                if low.startswith("update"):
+                    self._update(sub, sub_params)
+                else:
+                    self._delete(sub, sub_params)
+                continue
+            raise ValueError(
+                f"only INSERT/UPDATE/DELETE allowed in BATCH, got: {sub[:60]!r}"
             )
+        flush()
         return None
 
     def _update(self, s: str, params: tuple):

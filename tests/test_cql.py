@@ -856,3 +856,32 @@ def test_insert_and_select_json(cql):
         "SELECT JSON channel_id, message FROM messages WHERE channel_id = %s", (9,)
     )
     assert _json.loads(out["[json]"]) == {"channel_id": 9, "message": "json row"}
+
+
+def test_mixed_batch_insert_update_delete(cql):
+    _bootstrap(cql)
+    cql.execute(
+        "INSERT INTO users (user_id, username, email, password) "
+        "VALUES (now(), %s, %s, %s)",
+        ("Carol", "c@x", "pw"),
+    )
+    # one batch: two inserts, an update of an existing row's cell, and
+    # a delete of one of the batch's own inserts (statement order holds)
+    cql.execute(
+        "BEGIN BATCH "
+        "INSERT INTO users (user_id, username, email, password) "
+        "VALUES (now(), %s, %s, %s); "
+        "INSERT INTO users (user_id, username, email, password) "
+        "VALUES (now(), %s, %s, %s); "
+        "UPDATE users SET email = %s WHERE username = %s; "
+        "DELETE FROM users WHERE username = %s; "
+        "APPLY BATCH",
+        ("Dave", "d@x", "pw", "Eve", "e@x", "pw",
+         "c2@x", "Carol",
+         "Dave"),
+    )
+    rows = {r["username"]: r for r in cql.execute("SELECT * FROM users")}
+    assert set(rows) == {"Carol", "Eve"}
+    assert rows["Carol"]["email"] == "c2@x"
+    with pytest.raises(ValueError, match="INSERT/UPDATE/DELETE"):
+        cql.execute("BEGIN BATCH TRUNCATE users; APPLY BATCH")

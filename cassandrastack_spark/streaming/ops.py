@@ -357,3 +357,62 @@ def stream_static_enrich(
         c = stream[ls] == dim[rs]
         cond = c if cond is None else (cond & c)
     return stream.join(dim, cond, "inner")
+
+
+# ---------------------------------------------------------------------------
+# streaming ingest with continuous-aggregate maintenance
+# ---------------------------------------------------------------------------
+
+
+def ingest_with_rollup(
+    stream: DataFrame,
+    table,
+    rollup_path: str,
+    time_col: str,
+    key_cols: list[str],
+    value_col: str,
+    width: str = "1 hour",
+    checkpoint: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """``ingest_stream`` plus a maintained continuous aggregate: each
+    micro-batch lands through the table's writer, then the rollup at
+    ``rollup_path`` is refreshed incrementally — the micro-batch itself
+    IS the change feed (no CDC scan needed on the hot path), so only
+    the (bucket, key) groups it touched are recomputed from the
+    table's current (upsert-reconciled) state and grafted onto the
+    prior rollup. Work per batch scales with the batch, and the rollup
+    stays exact under upserts because affected groups re-read current
+    state rather than adding deltas blindly.
+
+    The prior rollup is materialized (``localCheckpoint``) before the
+    overwrite so the job never reads the files it is replacing.
+    """
+    from cassandrastack_spark.operators.rollup_ts import (
+        refresh_rollup_incremental, rollup_events,
+    )
+
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="cs_rollup_ckpt_")
+    spark = stream.sparkSession
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        table.append(batch_df)
+        current = table.read()
+        try:
+            prior = spark.read.parquet(rollup_path).localCheckpoint(eager=True)
+        except Exception:
+            prior = rollup_events(
+                current.limit(0), time_col, key_cols, value_col, width
+            )
+        refreshed = refresh_rollup_incremental(
+            prior, current, batch_df, time_col, key_cols, value_col, width
+        )
+        refreshed.write.mode("overwrite").parquet(rollup_path)
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

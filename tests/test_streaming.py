@@ -217,3 +217,74 @@ def test_append_mode_emits_only_watermark_passed_windows(spark, stream_dir, tmp_
     assert {r.window_start for r in out_c.collect()} == {
         BASE, BASE + dt.timedelta(hours=2)
     }
+
+
+def test_stream_ingest_maintains_rollup(spark, stream_dir, tmp_path):
+    """ingest_with_rollup: after every micro-batch the maintained
+    rollup equals a from-scratch rollup of the table's current state —
+    including an upsert that changes a bucket's max."""
+    from cassandrastack_spark.catalog import Keyspace
+    from cassandrastack_spark.operators.rollup_ts import rollup_events
+    from cassandrastack_spark.storage import WideColumnTable
+    from cassandrastack_spark.streaming.ops import events_stream, ingest_with_rollup
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType, TimestampType,
+    )
+
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ])
+    ks = Keyspace(spark, "rollup_ks", str(tmp_path / "wh")).create()
+    spec = ks.create_table(
+        "ev", schema, partition_keys=["user_id"], clustering_keys=["ts"],
+    )
+    table = WideColumnTable(spark, ks, spec, n_buckets=4)
+    rollup_path = str(tmp_path / "rollup_1h")
+
+    def check():
+        got = {
+            (r.bucket_start, r.event_type): (r.n, r.sum_v, r.min_v, r.max_v)
+            for r in spark.read.parquet(rollup_path).collect()
+        }
+        want = {
+            (r.bucket_start, r.event_type): (r.n, r.sum_v, r.min_v, r.max_v)
+            for r in rollup_events(
+                table.read(), "ts", ["event_type"], "value", "1 hour"
+            ).collect()
+        }
+        assert got == want
+
+    _write_batch(stream_dir, "r1.parquet", [
+        (1, BASE, 100, "click", 5.0),
+        (2, BASE, 200, "view", 2.0),
+    ])
+    q = ingest_with_rollup(
+        events_stream(spark, str(stream_dir)), table, rollup_path,
+        "ts", ["event_type"], "value", checkpoint=str(tmp_path / "ck"),
+    )
+    q.awaitTermination()
+    check()
+
+    # second batch: new bucket row + an UPSERT (same user_id+ts) that
+    # lowers the click max from 5.0 to 1.0 — patch-style rollups would
+    # keep the stale max; recompute-from-current must not
+    _write_batch(stream_dir, "r2.parquet", [
+        (3, BASE, 100, "click", 1.0),
+        (4, BASE, 300, "search", 7.0),
+    ])
+    q = ingest_with_rollup(
+        events_stream(spark, str(stream_dir)), table, rollup_path,
+        "ts", ["event_type"], "value", checkpoint=str(tmp_path / "ck"),
+    )
+    q.awaitTermination()
+    check()
+    [click] = [
+        r for r in spark.read.parquet(rollup_path).collect()
+        if r.event_type == "click"
+    ]
+    assert click.max_v == 1.0 and click.n == 1

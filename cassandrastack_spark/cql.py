@@ -251,6 +251,10 @@ class CqlSession:
             return self._alter_table(s)
         if low.startswith("create index"):
             return self._create_index(s)
+        if low in ("describe keyspaces", "desc keyspaces"):
+            return sorted(self.keyspaces)
+        if low in ("describe tables", "desc tables"):
+            return sorted(self._ks().tables)
         if low.startswith("describe table") or low.startswith("desc table"):
             name = s.split()[-1]
             return self._ks().describe_table(name)

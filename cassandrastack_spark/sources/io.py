@@ -267,3 +267,78 @@ def read_jsonl_corpus(
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)
     )
+
+
+def read_csv_corpus(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    bad_records: str = "drop",
+    **options,
+) -> DataFrame:
+    """CSV corpus ingest with the same explicit malformed-line policies
+    as ``read_jsonl_corpus`` (drop / quarantine / fail) — tabular
+    metadata drops (URL lists, quality scores, license tables) arrive
+    as CSV at least as often as JSONL, and the same rule applies: the
+    policy is a decision, not an accident. Schema mandatory, header on
+    by default, no inference.
+    """
+    modes = {
+        "drop": "DROPMALFORMED",
+        "quarantine": "PERMISSIVE",
+        "fail": "FAILFAST",
+    }
+    if bad_records not in modes:
+        raise ValueError(f"bad_records must be one of {sorted(modes)}")
+    read_schema = schema
+    if bad_records == "quarantine":
+        from pyspark.sql.types import StringType, StructField
+
+        read_schema = StructType(
+            list(schema.fields) + [StructField("_corrupt_record", StringType())]
+        )
+    return (
+        spark.read.schema(read_schema)
+        .option("header", options.pop("header", "true"))
+        .option("mode", modes[bad_records])
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .options(**options)
+        .csv(path)
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int = 64,
+    seed: str = "seed42",
+    max_records_per_file: int = 1_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Export a corpus as deterministically shuffled training shards:
+    shard = seeded digest of the id, rows ordered by digest within each
+    shard — a reproducible global permutation (same seed → same byte
+    layout) with NO global sort. One shuffle on the shard key, one
+    in-partition sort; readers stream ``_shard=k`` directories in any
+    order and still see a seed-stable permutation. The write-side twin
+    of the ``corpus_shard_shuffle`` query.
+    """
+    sharded = df.withColumn(
+        "_h", F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    ).withColumn(
+        "_shard",
+        F.pmod(
+            F.conv(F.substring("_h", 1, 8), 16, 10).cast("long"),
+            F.lit(n_shards),
+        ).cast("int"),
+    )
+    (
+        sharded.repartition(n_shards, F.col("_shard"))
+        .sortWithinPartitions(F.col("_shard"), F.col("_h"))
+        .drop("_h")
+        .write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy("_shard")
+        .parquet(path)
+    )

@@ -885,3 +885,10 @@ def test_mixed_batch_insert_update_delete(cql):
     assert rows["Carol"]["email"] == "c2@x"
     with pytest.raises(ValueError, match="INSERT/UPDATE/DELETE"):
         cql.execute("BEGIN BATCH TRUNCATE users; APPLY BATCH")
+
+
+def test_describe_keyspaces_and_tables(cql):
+    _bootstrap(cql)
+    assert "socialmessagekeyspace" in cql.execute("DESCRIBE KEYSPACES")
+    tables = cql.execute("DESC TABLES")
+    assert "messages" in tables and "users" in tables

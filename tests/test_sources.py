@@ -156,3 +156,60 @@ def test_jsonl_corpus_malformed_line_policies(spark, tmp_path):
         read_jsonl_corpus(spark, str(p), schema, bad_records="fail").collect()
     with pytest.raises(ValueError, match="bad_records"):
         read_jsonl_corpus(spark, str(p), schema, bad_records="nope")
+
+
+def test_read_csv_corpus_policies(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from cassandrastack_spark.sources.io import read_csv_corpus
+
+    p = tmp_path / "c.csv"
+    p.write_text(
+        "doc_id,text\n"
+        "1,alpha\n"
+        "not_a_number,beta\n"
+        "3,gamma\n"
+    )
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ])
+    ok = read_csv_corpus(spark, str(p), schema, bad_records="drop")
+    assert sorted(r.doc_id for r in ok.collect()) == [1, 3]
+    q = read_csv_corpus(spark, str(p), schema, bad_records="quarantine")
+    rows = q.collect()
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert len(rows) == 3 and len(bad) == 1
+    assert "not_a_number" in bad[0]._corrupt_record
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        read_csv_corpus(spark, str(p), schema, bad_records="fail").collect()
+
+
+def test_write_training_shards_reproducible_permutation(spark, tmp_path):
+    from cassandrastack_spark.sources.io import read_table, write_training_shards
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    out1, out2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    write_training_shards(docs, out1, "doc_id", n_shards=4)
+    write_training_shards(docs, out2, "doc_id", n_shards=4)
+    a = spark.read.parquet(out1)
+    b = spark.read.parquet(out2)
+    # complete: every doc exactly once across shards
+    assert a.count() == docs.count()
+    assert a.select("doc_id").distinct().count() == docs.count()
+    # deterministic: same seed -> identical shard assignment
+    pa = {r.doc_id: r._shard for r in a.collect()}
+    pb = {r.doc_id: r._shard for r in b.collect()}
+    assert pa == pb
+    # different seed -> a different permutation (with 500 docs the
+    # chance of identical assignment is ~0)
+    out3 = str(tmp_path / "s3")
+    write_training_shards(docs, out3, "doc_id", n_shards=4, seed="other")
+    pc = {r.doc_id: r._shard
+          for r in spark.read.parquet(out3).collect()}
+    assert pc != pa
+    # shards are directory-pruned: reading one shard touches one dir
+    one = spark.read.parquet(out1).filter(F.col("_shard") == 2)
+    assert 0 < one.count() < docs.count()

@@ -579,20 +579,36 @@ class CqlSession:
 
     def _update(self, s: str, params: tuple):
         m = re.match(
-            r"update\s+(\w+)\s+set\s+(.*?)\s+where\s+(.*)$", s, re.I | re.S
+            r"update\s+(\w+)(?:\s+using\s+ttl\s+(\d+|%s))?"
+            r"\s+set\s+(.*?)\s+where\s+(.*)$",
+            s,
+            re.I | re.S,
         )
         if not m:
             raise ValueError(f"cannot parse UPDATE: {s!r}")
-        name, set_clause, where = m.groups()
+        name, ttl_text, set_clause, where = m.groups()
         t = self._table(name)
-        # positional params bind in statement order: SET values first,
-        # then WHERE values (the python-driver convention)
+        # positional params bind in statement order: USING TTL first,
+        # then SET values, then WHERE values (the python-driver
+        # convention)
+        params = list(params)
+        ttl = None
+        if ttl_text is not None:
+            ttl = int(
+                params.pop(0) if ttl_text == "%s" else ttl_text
+            )
         n_set = set_clause.count("%s")
-        lit = _Literal(params[:n_set])
-        keys = self._parse_eq_where(where, _Literal(params[n_set:]))
+        lit = _Literal(tuple(params[:n_set]))
+        keys = self._parse_eq_where(where, _Literal(tuple(params[n_set:])))
         counters = set(t.spec.properties.get("counter_columns", ()))
         collections = dict(t.spec.properties.get("collection_columns") or {})
         assignments = _split_top(set_clause)
+        if ttl is not None:
+            bad = [a for a in assignments
+                   if re.match(r"(\w+)", a.strip()).group(1) in counters]
+            if bad:
+                raise ValueError("USING TTL on counter columns is not "
+                                 "valid CQL")
         if len(assignments) != 1:
             raise ValueError("one SET assignment per UPDATE is supported")
         a = assignments[0]
@@ -640,6 +656,11 @@ class CqlSession:
                 [t.spec.schema[k] for k in t.spec.primary_key]
                 + [StructField(col, field.dataType, True)]
             )
+            if ttl is not None:
+                raise ValueError(
+                    "USING TTL on collection deltas is not supported "
+                    "(deltas carry no expiry in this engine)"
+                )
             row = tuple(keys[k] for k in t.spec.primary_key) + (payload,)
             t.update_collection(
                 self.spark.createDataFrame([row], delta_schema), col, op
@@ -660,6 +681,7 @@ class CqlSession:
         t.append(
             self.spark.createDataFrame([tuple(full.values())], t.spec.schema),
             cells=[col],
+            ttl_seconds=ttl,
         )
         return None
 

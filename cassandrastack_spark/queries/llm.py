@@ -1334,3 +1334,51 @@ def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "corpus_chunk_sliding",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        ), s AS (
+            SELECT doc_id, words,
+                   CAST(unnest(range(((greatest(len(words) - 1, 0)) // 10) + 1))
+                        AS INT) AS chunk_idx
+            FROM w
+        )
+        SELECT doc_id, chunk_idx,
+               array_to_string(
+                   words[(chunk_idx * 10 + 1):(chunk_idx * 10 + 20)], ' '
+               ) AS chunk_text,
+               CAST(least(len(words) - chunk_idx * 10, 20) AS INT) AS n_words
+        FROM s
+        ORDER BY doc_id, chunk_idx
+    """,
+    doc="Sliding-window chunking (20-word windows, stride 10) — the "
+        "RAG / context-window prep op: each document explodes into "
+        "overlapping chunks with stable (doc_id, chunk_idx) identity. "
+        "Pure JVM expressions (sequence + slice under posexplode), one "
+        "narrow map stage, no shuffle at all until a downstream op "
+        "needs one.",
+)
+def corpus_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.selectExpr("doc_id", "split(text, ' ') AS words")
+        .selectExpr(
+            "doc_id",
+            "size(words) AS n",
+            "posexplode(transform("
+            "  sequence(0, CAST(greatest(size(words) - 1, 0) / 10 AS INT)),"
+            "  i -> concat_ws(' ', slice(words, i * 10 + 1, 20))))"
+            " AS (chunk_idx, chunk_text)",
+        )
+        .selectExpr(
+            "doc_id",
+            "chunk_idx",
+            "chunk_text",
+            "CAST(least(n - chunk_idx * 10, 20) AS INT) AS n_words",
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )

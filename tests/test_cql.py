@@ -892,3 +892,31 @@ def test_describe_keyspaces_and_tables(cql):
     assert "socialmessagekeyspace" in cql.execute("DESCRIBE KEYSPACES")
     tables = cql.execute("DESC TABLES")
     assert "messages" in tables and "users" in tables
+
+
+def test_update_using_ttl_is_per_cell(cql):
+    import time as _time
+
+    _bootstrap(cql)
+    cql.execute(
+        "INSERT INTO users (user_id, username, email, password) "
+        "VALUES (now(), %s, %s, %s)",
+        ("Tess", "t@x", "pw"),
+    )
+    # literal TTL, already expired: only the email cell dies
+    cql.execute(
+        "UPDATE users USING TTL 0 SET email = %s WHERE username = %s",
+        ("gone@x", "Tess"),
+    )
+    _time.sleep(0.01)
+    [row] = cql.execute("SELECT * FROM users WHERE username = %s", ("Tess",))
+    assert row["email"] is None and row["password"] == "pw"
+    # parameterized TTL, unexpired: cell lives, TTL(col) reports it
+    cql.execute(
+        "UPDATE users USING TTL %s SET email = %s WHERE username = %s",
+        (3600, "ttl@x", "Tess"),
+    )
+    [row] = cql.execute(
+        "SELECT TTL(email) FROM users WHERE username = %s", ("Tess",)
+    )
+    assert row["ttl(email)"] is not None and 0 < row["ttl(email)"] <= 3600

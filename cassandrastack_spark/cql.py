@@ -235,7 +235,9 @@ class CqlSession:
             return None
         if low.startswith("create table"):
             return self._create_table(s)
-        if low.startswith("begin batch"):
+        if low.startswith("begin batch") or low.startswith(
+            "begin unlogged batch"
+        ) or low.startswith("begin counter batch"):
             return self._batch(s, params)
         if low.startswith("insert into"):
             return self._insert(s, params)
@@ -527,10 +529,24 @@ class CqlSession:
         whole batch at one shared timestamp; here each flushed group /
         statement gets its own monotonic writetime in statement order.
         """
-        body = re.match(r"begin batch\s+(.*)\s+apply batch\s*$", s, re.I | re.S)
+        body = re.match(
+            r"begin\s+(unlogged\s+|counter\s+)?batch\s+(.*)\s+apply batch\s*$",
+            s, re.I | re.S,
+        )
         if not body:
             raise ValueError(f"cannot parse BATCH: {s!r}")
-        stmts = [x.strip() for x in body.group(1).split(";") if x.strip()]
+        kind = (body.group(1) or "").strip().lower()
+        stmts = [x.strip() for x in body.group(2).split(";") if x.strip()]
+        if kind == "counter":
+            # CQL: counter batches may contain ONLY counter updates
+            if not all(x.lower().startswith("update") for x in stmts):
+                raise ValueError(
+                    "COUNTER BATCH admits only counter UPDATEs (CQL rule)"
+                )
+        # unlogged batches execute identically here: the engine's
+        # atomicity unit is the write job either way (Cassandra's
+        # logged/unlogged split is about the batchlog replay guarantee
+        # across partitions, a replica concern this engine doesn't have)
         lit = _Literal(params)
         per_group: dict[tuple[str, tuple[str, ...]], list[dict]] = {}
 
@@ -889,6 +905,8 @@ class CqlSession:
                 v,
             ),
             "contains key": lambda c, v: F.map_contains_key(F.col(c), v),
+            # SASI LIKE: CQL wildcard % maps onto SQL LIKE directly
+            "like": lambda c, v: F.col(c).like(v),
         }
         for col, op, val in ranges:
             df = df.filter(_OPS[op](col, val))
@@ -1089,6 +1107,12 @@ class CqlSession:
             if km:
                 op = "contains key" if km.group(2) else "contains"
                 ranges.append((km.group(1), op, lit.read(km.group(3))))
+                continue
+            lm = re.match(r"(\w+)\s+like\s+(.*)$", clause.strip(), re.I | re.S)
+            if lm:
+                # SASI-style LIKE 'pre%' / '%mid%' — a row filter over
+                # the routed read (prefix/contains matching)
+                ranges.append((lm.group(1), "like", lit.read(lm.group(2))))
                 continue
             tm = CqlSession._TOKEN_TERM.match(clause.strip())
             if tm:

@@ -920,3 +920,36 @@ def test_update_using_ttl_is_per_cell(cql):
         "SELECT TTL(email) FROM users WHERE username = %s", ("Tess",)
     )
     assert row["ttl(email)"] is not None and 0 < row["ttl(email)"] <= 3600
+
+
+def test_like_predicate_and_batch_variants(cql):
+    _bootstrap(cql)
+    cql.execute(
+        "BEGIN UNLOGGED BATCH "
+        "INSERT INTO messages (channel_id, message_id, author_id, message) "
+        "VALUES (%s, now(), %s, %s); "
+        "INSERT INTO messages (channel_id, message_id, author_id, message) "
+        "VALUES (%s, now(), %s, %s); "
+        "APPLY BATCH",
+        (1, "a" * 36, "hello world", 1, "b" * 36, "goodbye moon"),
+    )
+    rows = cql.execute(
+        "SELECT message FROM messages WHERE channel_id = %s "
+        "AND message LIKE %s ALLOW FILTERING",
+        (1, "hello%"),
+    )
+    assert [r["message"] for r in rows] == ["hello world"]
+    rows = cql.execute(
+        "SELECT message FROM messages WHERE message LIKE %s ALLOW FILTERING",
+        ("%moon",),
+    )
+    assert [r["message"] for r in rows] == ["goodbye moon"]
+    # counter batches admit only counter updates
+    with pytest.raises(ValueError, match="COUNTER BATCH"):
+        cql.execute(
+            "BEGIN COUNTER BATCH "
+            "INSERT INTO messages (channel_id, message_id, author_id, message) "
+            "VALUES (%s, now(), %s, %s); "
+            "APPLY BATCH",
+            (1, "c" * 36, "x"),
+        )

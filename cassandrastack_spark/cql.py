@@ -907,6 +907,7 @@ class CqlSession:
             "contains key": lambda c, v: F.map_contains_key(F.col(c), v),
             # SASI LIKE: CQL wildcard % maps onto SQL LIKE directly
             "like": lambda c, v: F.col(c).like(v),
+            "in": lambda c, v: F.col(c).isin(*v),
         }
         for col, op, val in ranges:
             df = df.filter(_OPS[op](col, val))
@@ -1107,6 +1108,15 @@ class CqlSession:
             if km:
                 op = "contains key" if km.group(2) else "contains"
                 ranges.append((km.group(1), op, lit.read(km.group(3))))
+                continue
+            im = re.match(r"(\w+)\s+in\s*\((.*)\)\s*$", clause.strip(), re.I | re.S)
+            if im:
+                # clustering-key (or general) IN among AND-ed terms:
+                # a multi-value row filter on the routed read (the
+                # single-clause partition-key IN keeps its dedicated
+                # multi-bucket pruned path in _select)
+                vals = [lit.read(v) for v in _split_top(im.group(2))]
+                ranges.append((im.group(1), "in", vals))
                 continue
             lm = re.match(r"(\w+)\s+like\s+(.*)$", clause.strip(), re.I | re.S)
             if lm:

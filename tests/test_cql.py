@@ -953,3 +953,25 @@ def test_like_predicate_and_batch_variants(cql):
             "APPLY BATCH",
             (1, "c" * 36, "x"),
         )
+
+
+def test_clustering_key_in_clause(cql):
+    _bootstrap(cql)
+    cql.execute("""
+        CREATE TABLE series (
+            k text,
+            seq bigint,
+            v int,
+            PRIMARY KEY ((k), seq)
+        )
+    """)
+    for i in range(5):
+        cql.execute(
+            "INSERT INTO series (k, seq, v) VALUES (%s, %s, %s)",
+            ("a", i, i * 10),
+        )
+    rows = cql.execute(
+        "SELECT seq, v FROM series WHERE k = %s AND seq IN (%s, %s, %s)",
+        ("a", 1, 3, 9),
+    )
+    assert sorted((r["seq"], r["v"]) for r in rows) == [(1, 10), (3, 30)]

@@ -1072,3 +1072,55 @@ def rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("wau"))
         .orderBy("day")
     )
+
+
+@register(
+    "anomaly_trailing_zscore",
+    oracle="""
+        WITH w AS (
+            SELECT event_id, user_id, ts, value,
+                   AVG(value) OVER tw AS mu,
+                   STDDEV_SAMP(value) OVER tw AS sigma,
+                   COUNT(*) OVER tw AS n_hist
+            FROM events
+            WINDOW tw AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_id, user_id,
+               ROUND((value - mu) / sigma, 4) AS zscore
+        FROM w
+        WHERE n_hist >= 5 AND sigma > 0
+          AND abs((value - mu) / sigma) >= 2.5
+        ORDER BY event_id
+    """,
+    doc="Trailing-window anomaly detection: each event scored against "
+        "the mean/stddev of its user's previous 20 events (never "
+        "including itself — no leakage); flagged at |z| >= 2.5 with a "
+        "minimum history of 5. One shuffle on the user key, one sorted "
+        "window pass; at 100 TB this is the same plan with time-bucketed "
+        "re-partitioning.",
+)
+def anomaly_trailing_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    tw = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    scored = e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.avg("value").over(tw).alias("mu"),
+        F.stddev_samp("value").over(tw).alias("sigma"),
+        F.count("*").over(tw).alias("n_hist"),
+    ).withColumn("z", (F.col("value") - F.col("mu")) / F.col("sigma"))
+    return (
+        scored.filter(
+            (F.col("n_hist") >= 5)
+            & (F.col("sigma") > 0)
+            & (F.abs("z") >= 2.5)
+        )
+        .select("event_id", "user_id", F.round("z", 4).alias("zscore"))
+        .orderBy("event_id")
+    )

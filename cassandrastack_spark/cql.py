@@ -84,7 +84,7 @@ _SIMPLE_TYPES = {
 }
 
 
-def _cql_type(t: str):
+def _cql_type(t: str, udts: dict | None = None):
     t = t.strip().lower()
     m = re.fullmatch(r"(set|list)\s*<\s*(\w+)\s*>", t)
     if m:
@@ -92,6 +92,11 @@ def _cql_type(t: str):
     m = re.fullmatch(r"map\s*<\s*(\w+)\s*,\s*(\w+)\s*>", t)
     if m:
         return MapType(_SIMPLE_TYPES[m.group(1)], _SIMPLE_TYPES[m.group(2)]), "map"
+    # user-defined types: bare name or frozen<name> -> StructType
+    fm = re.fullmatch(r"frozen\s*<\s*(\w+)\s*>", t)
+    un = fm.group(1) if fm else t
+    if udts and un in udts:
+        return udts[un], None
     if t not in _SIMPLE_TYPES:
         raise ValueError(f"unsupported CQL type: {t!r}")
     return _SIMPLE_TYPES[t], ("counter" if t == "counter" else None)
@@ -129,7 +134,13 @@ class _Literal:
                 out = {}
                 for p in parts:
                     k, v = _split_kv(p)
-                    out[self.read(k)] = self.read(v)
+                    ks = k.strip()
+                    if re.fullmatch(r"[A-Za-z_]\w*", ks):
+                        # bare identifier key = UDT literal field name
+                        # (map literals quote their keys in CQL)
+                        out[ks] = self.read(v)
+                    else:
+                        out[self.read(k)] = self.read(v)
                 return out
             return [self.read(p) for p in parts]  # set literal -> array
         if re.fullmatch(r"-?\d+", text):
@@ -233,6 +244,8 @@ class CqlSession:
                 raise ValueError(f"unknown keyspace {name!r}")
             self.current = self.keyspaces[name]
             return None
+        if low.startswith("create type"):
+            return self._create_type(s)
         if low.startswith("create table"):
             return self._create_table(s)
         if low.startswith("begin batch") or low.startswith(
@@ -362,6 +375,46 @@ class CqlSession:
             self.current = None
         return None
 
+    def _udts(self) -> dict:
+        ks = self._ks()
+        if not hasattr(ks, "udts"):
+            ks.udts = {}
+        return ks.udts
+
+    def _create_type(self, s: str):
+        """``CREATE TYPE [IF NOT EXISTS] name (field type, ...)`` —
+        Cassandra UDT -> Spark StructType. Columns declared as ``name``
+        or ``frozen<name>`` carry the struct through the storage layer
+        like any scalar cell (one value, cell-level LWW applies to the
+        whole struct — CQL's frozen semantics; non-frozen per-field
+        updates are not supported, documented divergence)."""
+        m = re.match(
+            r"create type\s+(if not exists\s+)?(\w+)\s*\((.*)\)\s*$",
+            s, re.I | re.S,
+        )
+        if not m:
+            raise ValueError(f"cannot parse CREATE TYPE: {s!r}")
+        name = m.group(2).lower()
+        udts = self._udts()
+        if name in udts:
+            if m.group(1):
+                return None
+            raise ValueError(f"type {name!r} exists")
+        fields = []
+        for item in _split_top(m.group(3)):
+            fm = re.match(r"(\w+)\s+(.+)$", item.strip(), re.S)
+            if not fm:
+                raise ValueError(f"cannot parse TYPE field: {item!r}")
+            dtype, kind = _cql_type(fm.group(2), udts)
+            if kind is not None:
+                raise ValueError(
+                    "counter/collection fields inside a TYPE are not "
+                    "supported"
+                )
+            fields.append(StructField(fm.group(1), dtype, True))
+        udts[name] = StructType(fields)
+        return None
+
     def _create_table(self, s: str):
         m = re.match(r"create table\s+(if not exists\s+)?(\w+)\s*\(", s, re.I)
         if not m:
@@ -411,7 +464,7 @@ class CqlSession:
             if not cm:
                 raise ValueError(f"cannot parse column def: {item!r}")
             cname, ctype, is_static = cm.group(1), cm.group(2), bool(cm.group(3))
-            dtype, kind = _cql_type(ctype)
+            dtype, kind = _cql_type(ctype, self._udts())
             cols.append(StructField(cname, dtype, True))
             if is_static:
                 statics.append(cname)
@@ -1026,7 +1079,7 @@ class CqlSession:
             df = df.select(*self._projection(t, cols))
         if limit:
             df = df.limit(int(limit))
-        return [r.asDict() for r in df.collect()]
+        return [r.asDict(recursive=True) for r in df.collect()]
 
     def _projection(self, t: WideColumnTable, cols: list[str]) -> list:
         """Projection items: plain columns, ``WRITETIME(col)`` (the

@@ -975,3 +975,36 @@ def test_clustering_key_in_clause(cql):
         ("a", 1, 3, 9),
     )
     assert sorted((r["seq"], r["v"]) for r in rows) == [(1, 10), (3, 30)]
+
+
+def test_create_type_udt_columns(cql):
+    _bootstrap(cql)
+    cql.execute("CREATE TYPE address (street text, city text, zip int)")
+    cql.execute("CREATE TYPE IF NOT EXISTS address (street text, city text, zip int)")
+    with pytest.raises(ValueError, match="exists"):
+        cql.execute("CREATE TYPE address (street text)")
+    cql.execute("""
+        CREATE TABLE contacts (
+            username text,
+            home frozen<address>,
+            work address,
+            PRIMARY KEY (username)
+        )
+    """)
+    # UDT literal with bare field names; partial struct via %s dict
+    cql.execute(
+        "INSERT INTO contacts (username, home, work) "
+        "VALUES (%s, {street: 'Hauptstr. 1', city: 'Jena', zip: 7743}, %s)",
+        ("Alex", {"street": "Campus 2", "city": "Jena", "zip": None}),
+    )
+    [row] = cql.execute("SELECT * FROM contacts WHERE username = %s", ("Alex",))
+    assert row["home"] == {"street": "Hauptstr. 1", "city": "Jena", "zip": 7743}
+    assert row["work"]["street"] == "Campus 2" and row["work"]["zip"] is None
+    # whole-struct cell upsert (frozen semantics): UPDATE replaces home
+    cql.execute(
+        "UPDATE contacts SET home = %s WHERE username = %s",
+        ({"street": "Neu 9", "city": "Weimar", "zip": 99423}, "Alex"),
+    )
+    [row] = cql.execute("SELECT * FROM contacts WHERE username = %s", ("Alex",))
+    assert row["home"] == {"street": "Neu 9", "city": "Weimar", "zip": 99423}
+    assert row["work"]["city"] == "Jena", "other cells untouched"

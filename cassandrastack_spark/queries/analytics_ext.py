@@ -1124,3 +1124,77 @@ def anomaly_trailing_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", F.round("z", 4).alias("zscore"))
         .orderBy("event_id")
     )
+
+
+@register(
+    "dq_profile_lineitem",
+    oracle="""
+        WITH t AS (SELECT * FROM lineitem)
+        SELECT col, n_rows, n_nulls, n_distinct FROM (
+            SELECT 'l_orderkey' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) - COUNT(l_orderkey) AS BIGINT) AS n_nulls,
+                   CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct FROM t
+            UNION ALL SELECT 'l_partkey', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(l_partkey) AS BIGINT),
+                   CAST(COUNT(DISTINCT l_partkey) AS BIGINT) FROM t
+            UNION ALL SELECT 'l_suppkey', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(l_suppkey) AS BIGINT),
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) FROM t
+            UNION ALL SELECT 'l_linenumber', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(l_linenumber) AS BIGINT),
+                   CAST(COUNT(DISTINCT l_linenumber) AS BIGINT) FROM t
+            UNION ALL SELECT 'l_quantity', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT),
+                   CAST(COUNT(DISTINCT l_quantity) AS BIGINT) FROM t
+            UNION ALL SELECT 'l_extendedprice', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(l_extendedprice) AS BIGINT),
+                   CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT) FROM t
+            UNION ALL SELECT 'l_discount', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(l_discount) AS BIGINT),
+                   CAST(COUNT(DISTINCT l_discount) AS BIGINT) FROM t
+            UNION ALL SELECT 'l_tax', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(l_tax) AS BIGINT),
+                   CAST(COUNT(DISTINCT l_tax) AS BIGINT) FROM t
+            UNION ALL SELECT 'l_returnflag', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(l_returnflag) AS BIGINT),
+                   CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) FROM t
+            UNION ALL SELECT 'l_linestatus', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(l_linestatus) AS BIGINT),
+                   CAST(COUNT(DISTINCT l_linestatus) AS BIGINT) FROM t
+            UNION ALL SELECT 'l_shipdate', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(l_shipdate) AS BIGINT),
+                   CAST(COUNT(DISTINCT l_shipdate) AS BIGINT) FROM t
+        ) ORDER BY col
+    """,
+    doc="Data-quality profile of the fact table: per-column row, null, "
+        "and exact distinct counts in long format — the ingest "
+        "acceptance gate before a crawl/feed lands in the lake. Spark "
+        "side is ONE aggregate pass over the table (all per-column "
+        "counts as sibling aggregates, unpivoted afterwards with "
+        "stack), not one scan per column; at 100 TB swap exact "
+        "distincts for approx_count_distinct.",
+)
+def dq_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    cols = li.columns
+    aggs = [F.count("*").alias("__n")]
+    for c in cols:
+        aggs.append((F.count("*") - F.count(c)).alias(f"__nulls_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"__dist_{c}"))
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __nulls_{c}, __dist_{c}" for c in cols
+    )
+    return (
+        one.selectExpr(
+            "__n",
+            f"stack({len(cols)}, {stack_args}) AS (col, n_nulls, n_distinct)",
+        )
+        .select(
+            "col",
+            F.col("__n").alias("n_rows"),
+            F.col("n_nulls").cast("long").alias("n_nulls"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+        )
+        .orderBy("col")
+    )

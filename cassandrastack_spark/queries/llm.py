@@ -1382,3 +1382,64 @@ def corpus_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle="""
+        WITH sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+                                         for i in range(1, greatest(len(s) - 2, 0) + 1)]))
+                       AS shingle
+            FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
+        ), ranked AS (
+            SELECT doc_id, shingle,
+                   ROW_NUMBER() OVER (PARTITION BY shingle ORDER BY doc_id) AS rn
+            FROM sh
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+               ROUND(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+                   AS novelty
+        FROM ranked
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    doc="Corpus novelty curve: per document (in doc_id order), the "
+        "fraction of its distinct 3-gram shingles never seen in any "
+        "earlier document — the diminishing-returns signal for crawl "
+        "prioritization (novelty collapsing toward 0 means new data "
+        "stops adding information). First-occurrence election is a "
+        "min-doc_id aggregate on the shingle hash — ids only on the "
+        "skewed key, map-side combinable — followed by two bounded "
+        "groupBys; integer ratio, exact across engines.",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandrastack_spark.llm.dedup import exploded_shingles
+
+    sh = exploded_shingles(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=3
+    ).select("id", F.xxhash64("shingle").alias("h"))
+    first = (
+        sh.groupBy("h")
+        .agg(F.min("id").alias("first_id"))
+    )
+    joined = sh.join(first, "h")
+    return (
+        joined.groupBy("id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("id") == F.col("first_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )

@@ -288,3 +288,54 @@ def test_stream_ingest_maintains_rollup(spark, stream_dir, tmp_path):
         if r.event_type == "click"
     ]
     assert click.max_v == 1.0 and click.n == 1
+
+
+def test_stateful_totals_tws_matches_legacy_api(spark, stream_dir, tmp_path):
+    """transformWithStateInPandas (Spark 4 stateful API, RocksDB state
+    store) accumulates identically to the applyInPandasWithState op."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="pyspark's transformWithState protocol needs protobuf; "
+               "not shipped in this container",
+    )
+    from cassandrastack_spark.streaming.ops import stateful_user_totals_tws
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        _write_batch(stream_dir, "t1.parquet", [
+            (1, BASE, 7, "click", 10.0),
+            (2, BASE + dt.timedelta(minutes=1), 7, "click", 5.0),
+            (3, BASE + dt.timedelta(minutes=2), 8, "view", 1.0),
+        ])
+        out = stateful_user_totals_tws(events_stream(spark, str(stream_dir)))
+        q = _start(out, tmp_path, "update")
+        try:
+            q.processAllAvailable()
+            _write_batch(stream_dir, "t2.parquet", [
+                (4, BASE + dt.timedelta(minutes=3), 7, "click", 2.5),
+            ])
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        final = (
+            spark.table(q.name)
+            .groupBy("user_id")
+            .agg(F.max(F.struct("n_events", "total_value")).alias("s"))
+            .select("user_id", "s.n_events", "s.total_value")
+            .collect()
+        )
+        got = {r.user_id: (r.n_events, r.total_value) for r in final}
+        assert got[7] == (3, 17.5)
+        assert got[8] == (1, 1.0)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev)

@@ -841,7 +841,7 @@ class CqlSession:
             r"select\s+(.*?)\s+from\s+(\w+)"
             r"(?:\s+where\s+(.*?))?"
             r"(?:\s+group\s+by\s+([\w\s,]+?))?"
-            r"(?:\s+order\s+by\s+(\w+)\s+(asc|desc))?"
+            r"(?:\s+order\s+by\s+([\w\s,]+?\s+(?:asc|desc)))?"
             r"(?:\s+per\s+partition\s+limit\s+(\d+))?"
             r"(?:\s+limit\s+(\d+))?"
             r"(?:\s+allow\s+filtering)?\s*$",
@@ -850,7 +850,7 @@ class CqlSession:
         )
         if not m:
             raise ValueError(f"cannot parse SELECT: {s!r}")
-        proj, name, where, group_by, ob_col, ob_dir, pp_limit, limit = m.groups()
+        proj, name, where, group_by, order_by, pp_limit, limit = m.groups()
         t = self._table(name)
         lit = _Literal(params)
         json_mode = False
@@ -983,18 +983,42 @@ class CqlSession:
             # rows (CQL evaluates the limit after the predicate; the
             # earlier pp_limit-first dispatch silently dropped WHERE)
             df = t.limit_per_partition(df, int(pp_limit))
-        if ob_col:
-            # CQL: ORDER BY is restricted to the clustering column,
-            # within a partition read — it reverses (or confirms) the
-            # stored clustering order, never sorts arbitrary columns
+        if order_by:
+            # CQL: ORDER BY is restricted to clustering columns, in
+            # declared order, within a partition read — it reverses (or
+            # confirms) the stored clustering order, never sorts
+            # arbitrary columns. Multi-column form: each term is
+            # "col [asc|desc]"; a term without a direction inherits the
+            # statement's last explicit one (CQL requires directions to
+            # be all-forward or all-reversed; enforced below).
             t_spec = t.spec
-            if ob_col not in t_spec.clustering_keys:
+            terms = []
+            for part in order_by.split(","):
+                tm = re.fullmatch(
+                    r"\s*(\w+)(?:\s+(asc|desc))?\s*", part, re.I
+                )
+                if not tm:
+                    raise ValueError(f"cannot parse ORDER BY term {part!r}")
+                terms.append((tm.group(1), (tm.group(2) or "").lower()))
+            last_dir = next(
+                (d for _, d in reversed(terms) if d), "asc"
+            )
+            terms = [(c, d or last_dir) for c, d in terms]
+            cols_named = [c for c, _ in terms]
+            ck = list(t_spec.clustering_keys)
+            if cols_named != ck[: len(cols_named)]:
                 raise ValueError(
-                    f"ORDER BY must name a clustering column "
-                    f"({t_spec.clustering_keys}), got {ob_col!r}"
+                    f"ORDER BY must name a prefix of the clustering "
+                    f"columns {ck}, got {cols_named} (CQL rule)"
+                )
+            dirs = {d for _, d in terms}
+            if len(dirs) > 1:
+                raise ValueError(
+                    "ORDER BY directions must all match (CQL: forward "
+                    "or reversed clustering order, not mixed)"
                 )
             df = df.orderBy(
-                F.desc(ob_col) if ob_dir.lower() == "desc" else F.asc(ob_col)
+                *[F.desc(c) if d == "desc" else F.asc(c) for c, d in terms]
             )
         if group_by:
             # CQL 3.10 GROUP BY: the group columns must be a PREFIX of

@@ -1186,13 +1186,17 @@ class WideColumnTable:
             .parquet(self.path)
         )
 
-    def compact(self) -> None:
+    def compact(self, buckets: list[int] | None = None) -> None:
         """Rewrite the table dropping shadowed rows and small files.
 
         The engine's analogue of Cassandra compaction
         (``cassandra.yaml:818``): read → dedup → rewrite bucketed +
-        sorted. Run periodically; at 100 TB run it per-bucket-range so
-        each job rewrites a bounded slice.
+        sorted. ``buckets`` bounds one run to a slice of the ring — THE
+        100 TB shape: a scheduler walks bucket ranges so each job reads
+        and rewrites a bounded number of directories (pruned scan in,
+        dynamic overwrite of only those directories out), instead of
+        one table-sized job. Buckets are disjoint by construction, so
+        range jobs can run concurrently.
 
         Commit protocol (object-store-safe, no local-FS calls):
 
@@ -1206,12 +1210,21 @@ class WideColumnTable:
            resolves s3a/gs/abfs/hdfs/file alike.
         """
         stage = self.path + ".compacting"
+        if buckets is not None:
+            bad = [b for b in buckets if not (0 <= int(b) < self.n_buckets)]
+            if bad:
+                raise ValueError(f"bucket ids out of range: {bad}")
+            buckets = sorted({int(b) for b in buckets})
+        raw = self._raw()
+        if buckets is not None:
+            # partition-pruned slice: only these directories are read
+            raw = raw.filter(F.col(_BUCKET).isin(buckets))
         # reconcile keeps _expires (live TTLs survive the rewrite; rows
         # already expired, and rows they shadowed, are physically gone)
         # and _writetime: Cassandra preserves cell writetimes through
         # compaction, so a USING TIMESTAMP backfill newer than the
         # original write still wins after a compaction ran in between
-        live = self._reconciled(self._raw(), keep_writetime=True)
+        live = self._reconciled(raw, keep_writetime=True)
         out = self._with_bucket(self._materialized_cells(live))
         out.write.mode("overwrite").parquet(stage)
         staged = self.spark.read.parquet(stage)
@@ -1239,12 +1252,17 @@ class WideColumnTable:
         kept = {
             r[0] for r in staged.select(_BUCKET).distinct().collect()
         }
+        in_scope = (
+            set(range(self.n_buckets)) if buckets is None else set(buckets)
+        )
         live_path = jvm.org.apache.hadoop.fs.Path(self.path)
         if fs.exists(live_path):
             for status in fs.listStatus(live_path):
                 name = status.getPath().getName()
                 if name.startswith(f"{_BUCKET}="):
                     bucket_id = int(name.split("=", 1)[1])
-                    if bucket_id not in kept:
+                    # only directories this run compacted are eligible:
+                    # a range job must never delete out-of-scope buckets
+                    if bucket_id in in_scope and bucket_id not in kept:
                         fs.delete(status.getPath(), True)
         fs.delete(stage_path, True)

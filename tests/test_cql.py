@@ -1008,3 +1008,37 @@ def test_create_type_udt_columns(cql):
     [row] = cql.execute("SELECT * FROM contacts WHERE username = %s", ("Alex",))
     assert row["home"] == {"street": "Neu 9", "city": "Weimar", "zip": 99423}
     assert row["work"]["city"] == "Jena", "other cells untouched"
+
+
+def test_order_by_multiple_clustering_columns(cql):
+    _bootstrap(cql)
+    cql.execute("""
+        CREATE TABLE multi_ck (
+            k text,
+            a bigint,
+            b bigint,
+            v int,
+            PRIMARY KEY ((k), a, b)
+        )
+    """)
+    for a, b, v in [(1, 2, 10), (1, 1, 11), (2, 1, 20), (2, 2, 21)]:
+        cql.execute(
+            "INSERT INTO multi_ck (k, a, b, v) VALUES (%s, %s, %s, %s)",
+            ("x", a, b, v),
+        )
+    rows = cql.execute(
+        "SELECT a, b FROM multi_ck WHERE k = %s ORDER BY a DESC, b DESC",
+        ("x",),
+    )
+    assert [(r["a"], r["b"]) for r in rows] == [(2, 2), (2, 1), (1, 2), (1, 1)]
+    rows = cql.execute(
+        "SELECT a, b FROM multi_ck WHERE k = %s ORDER BY a ASC, b ASC",
+        ("x",),
+    )
+    assert [(r["a"], r["b"]) for r in rows] == [(1, 1), (1, 2), (2, 1), (2, 2)]
+    with pytest.raises(ValueError, match="prefix of the clustering"):
+        cql.execute("SELECT a FROM multi_ck WHERE k = %s ORDER BY b ASC", ("x",))
+    with pytest.raises(ValueError, match="directions must all match"):
+        cql.execute(
+            "SELECT a FROM multi_ck WHERE k = %s ORDER BY a ASC, b DESC", ("x",)
+        )

@@ -1097,3 +1097,41 @@ def test_key_only_insert_creates_row_marker(spark, ks):
     t.compact()
     [row] = t.read().collect()
     assert row.username == "Marker" and row.email is None
+
+
+def test_compact_bucket_range_is_bounded_and_safe(spark, ks):
+    """Range compaction rewrites only the listed bucket directories;
+    out-of-scope buckets keep their (uncompacted) history and reads
+    stay correct across the mix."""
+    t = make_users(spark, ks)
+    # two versions of several users -> every bucket holds shadowed rows
+    for ver in ("v1", "v2"):
+        t.append(spark.createDataFrame(
+            [(f"user{i}", ver, f"{i}@x", "p") for i in range(12)],
+            schemas.USERS))
+    before = {r.username: r.user_id for r in t.read().collect()}
+    assert set(before.values()) == {"v2"}
+
+    half = list(range(t.n_buckets // 2))
+    t.compact(buckets=half)
+    after = {r.username: r.user_id for r in t.read().collect()}
+    assert after == before, "range compaction must not change results"
+    # compacted buckets hold exactly one file-version per key; an
+    # out-of-scope bucket still carries its shadowed history
+    raw = spark.read.parquet(t.path)
+    per_bucket = {
+        r["_bucket"]: r["n"]
+        for r in raw.groupBy("_bucket").count().withColumnRenamed("count", "n").collect()
+    }
+    keys_per_bucket = {
+        r["_bucket"]: r["n"]
+        for r in raw.select("_bucket", "username").distinct()
+        .groupBy("_bucket").count().withColumnRenamed("count", "n").collect()
+    }
+    for b, n in per_bucket.items():
+        if b in half:
+            assert n == keys_per_bucket[b], f"bucket {b} not compacted"
+        else:
+            assert n == 2 * keys_per_bucket[b], f"bucket {b} was touched"
+    with pytest.raises(ValueError, match="out of range"):
+        t.compact(buckets=[99])

@@ -436,15 +436,37 @@ class CqlSession:
             raise ValueError(f"unbalanced parens in CREATE TABLE: {s!r}")
         body, tail = s[start:end], s[end + 1:].strip()
         order_desc = False
+        table_options: dict = {}
         if tail:
-            tm = re.fullmatch(
-                r"with\s+clustering\s+order\s+by\s*\(\s*(\w+)\s+(asc|desc)\s*\)",
-                tail,
-                re.I,
-            )
-            if not tm:
+            wm = re.match(r"with\s+(.*)$", tail, re.I | re.S)
+            if not wm:
                 raise ValueError(f"unsupported CREATE TABLE tail: {tail!r}")
-            order_desc = tm.group(2).lower() == "desc"
+            # real-world DDL dumps carry storage-tuning options
+            # (compaction/compression maps, gc_grace_seconds, comments,
+            # read_repair_chance, ...). They are node-tuning knobs with
+            # no analogue in a bulk engine: parse them, RECORD them on
+            # the table spec (DESCRIBE-able, honest), execute none —
+            # except CLUSTERING ORDER BY, which is layout semantics.
+            for opt in re.split(r"\s+and\s+", wm.group(1).strip(), flags=re.I):
+                cm = re.fullmatch(
+                    r"clustering\s+order\s+by\s*\(\s*([\w\s,]+?)\s*\)",
+                    opt.strip(), re.I,
+                )
+                if cm:
+                    terms = [x.split() for x in cm.group(1).split(",")]
+                    dirs = {
+                        (t[1].lower() if len(t) > 1 else "asc") for t in terms
+                    }
+                    if len(dirs) > 1:
+                        raise ValueError(
+                            "mixed clustering directions are not supported"
+                        )
+                    order_desc = dirs == {"desc"}
+                    continue
+                om = re.match(r"(\w+)\s*=\s*(.*)$", opt.strip(), re.S)
+                if not om:
+                    raise ValueError(f"cannot parse table option: {opt!r}")
+                table_options[om.group(1).lower()] = om.group(2).strip()
         cols, statics, counters, collections = [], [], [], {}
         pk_part, pk_clust = None, []
         for item in _split_top(body):
@@ -477,7 +499,7 @@ class CqlSession:
         ks = self._ks()
         if name in ks.tables and not m.group(1):
             raise ValueError(f"table {name!r} exists")
-        ks.create_table(
+        spec = ks.create_table(
             name,
             StructType(cols),
             pk_part,
@@ -487,6 +509,8 @@ class CqlSession:
             collection_columns=collections or None,
             static_columns=statics or None,
         )
+        if table_options:
+            spec.properties["table_options"] = table_options
         return None
 
     # -- writes --------------------------------------------------------------
@@ -648,36 +672,43 @@ class CqlSession:
 
     def _update(self, s: str, params: tuple):
         m = re.match(
-            r"update\s+(\w+)(?:\s+using\s+ttl\s+(\d+|%s))?"
+            r"update\s+(\w+)(?:\s+using\s+(.*?))?"
             r"\s+set\s+(.*?)\s+where\s+(.*)$",
             s,
             re.I | re.S,
         )
         if not m:
             raise ValueError(f"cannot parse UPDATE: {s!r}")
-        name, ttl_text, set_clause, where = m.groups()
+        name, using, set_clause, where = m.groups()
         t = self._table(name)
-        # positional params bind in statement order: USING TTL first,
-        # then SET values, then WHERE values (the python-driver
+        # positional params bind in statement order: USING options
+        # first, then SET values, then WHERE values (the python-driver
         # convention)
         params = list(params)
-        ttl = None
-        if ttl_text is not None:
-            ttl = int(
-                params.pop(0) if ttl_text == "%s" else ttl_text
-            )
+        ttl, ts_micros = None, None
+        if using:
+            for opt in re.split(r"\s+and\s+", using.strip(), flags=re.I):
+                om = re.match(r"(ttl|timestamp)\s+(\d+|%s)$", opt.strip(), re.I)
+                if not om:
+                    raise ValueError(f"unsupported USING option: {opt!r}")
+                v = int(params.pop(0) if om.group(2) == "%s" else om.group(2))
+                if om.group(1).lower() == "ttl":
+                    ttl = v
+                else:
+                    ts_micros = v
         n_set = set_clause.count("%s")
         lit = _Literal(tuple(params[:n_set]))
         keys = self._parse_eq_where(where, _Literal(tuple(params[n_set:])))
         counters = set(t.spec.properties.get("counter_columns", ()))
         collections = dict(t.spec.properties.get("collection_columns") or {})
         assignments = _split_top(set_clause)
-        if ttl is not None:
-            bad = [a for a in assignments
-                   if re.match(r"(\w+)", a.strip()).group(1) in counters]
-            if bad:
-                raise ValueError("USING TTL on counter columns is not "
-                                 "valid CQL")
+        if (ttl is not None or ts_micros is not None) and any(
+            re.match(r"(\w+)", a.strip()).group(1) in counters
+            for a in assignments
+        ):
+            raise ValueError(
+                "USING TTL/TIMESTAMP on counter columns is not valid CQL"
+            )
         if len(assignments) != 1:
             raise ValueError("one SET assignment per UPDATE is supported")
         a = assignments[0]
@@ -725,10 +756,10 @@ class CqlSession:
                 [t.spec.schema[k] for k in t.spec.primary_key]
                 + [StructField(col, field.dataType, True)]
             )
-            if ttl is not None:
+            if ttl is not None or ts_micros is not None:
                 raise ValueError(
-                    "USING TTL on collection deltas is not supported "
-                    "(deltas carry no expiry in this engine)"
+                    "USING TTL/TIMESTAMP on collection deltas is not "
+                    "supported (deltas carry no expiry/client time here)"
                 )
             row = tuple(keys[k] for k in t.spec.primary_key) + (payload,)
             t.update_collection(
@@ -751,6 +782,7 @@ class CqlSession:
             self.spark.createDataFrame([tuple(full.values())], t.spec.schema),
             cells=[col],
             ttl_seconds=ttl,
+            timestamp_micros=ts_micros,
         )
         return None
 
@@ -762,18 +794,28 @@ class CqlSession:
         (``DELETE m['k'] FROM ...`` — the same no-read-before-write
         delta as ``UPDATE m = m - {...}``)."""
         m = re.match(
-            r"delete\s+(?:(.*?)\s+)?from\s+(\w+)\s+where\s+(.*)$", s, re.I | re.S
+            r"delete\s+(?:(.*?)\s+)?from\s+(\w+)"
+            r"(?:\s+using\s+timestamp\s+(\d+|%s))?"
+            r"\s+where\s+(.*)$", s, re.I | re.S
         )
         if not m:
             raise ValueError(f"cannot parse DELETE: {s!r}")
-        targets, name, where = m.groups()
+        targets, name, ts_text, where = m.groups()
         t = self._table(name)
+        # CQL order is DELETE targets FROM t USING TIMESTAMP n WHERE ...;
+        # placeholders bind in that statement order: targets first, then
+        # the timestamp, then WHERE
+        params = list(params)
+        ts_micros = None
         # positional params bind in statement order: element keys in the
         # target list first, then WHERE values (the python-driver
         # convention, same as UPDATE's SET-then-WHERE split)
         n_t = (targets or "").count("%s")
-        lit = _Literal(params[:n_t])
-        keys = self._parse_eq_where(where, _Literal(params[n_t:]))
+        lit = _Literal(tuple(params[:n_t]))
+        rest = params[n_t:]
+        if ts_text is not None:
+            ts_micros = int(rest.pop(0) if ts_text == "%s" else ts_text)
+        keys = self._parse_eq_where(where, _Literal(tuple(rest)))
         if set(keys) != set(t.spec.primary_key):
             raise ValueError(
                 f"DELETE needs the full primary key {t.spec.primary_key}"
@@ -783,7 +825,8 @@ class CqlSession:
             t.delete(
                 self.spark.createDataFrame(
                     [tuple(keys[k] for k in t.spec.primary_key)], schema
-                )
+                ),
+                timestamp_micros=ts_micros,
             )
             return None
         collections = dict(t.spec.properties.get("collection_columns") or {})
@@ -805,6 +848,11 @@ class CqlSession:
                     [t.spec.schema[k] for k in t.spec.primary_key]
                     + [StructField(col, field.dataType, True)]
                 )
+                if ts_micros is not None:
+                    raise ValueError(
+                        "USING TIMESTAMP on collection-element deletes "
+                        "is not supported"
+                    )
                 row = tuple(keys[k] for k in t.spec.primary_key) + (payload,)
                 t.update_collection(
                     self.spark.createDataFrame([row], delta_schema), col, "remove"
@@ -828,6 +876,7 @@ class CqlSession:
             t.append(
                 self.spark.createDataFrame([tuple(full.values())], t.spec.schema),
                 cells=plain_cells,
+                timestamp_micros=ts_micros,
             )
         return None
 

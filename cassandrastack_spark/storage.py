@@ -286,8 +286,12 @@ class WideColumnTable:
         self.append(to_apply)
         return report
 
-    def delete(self, keys: DataFrame) -> None:
+    def delete(self, keys: DataFrame, timestamp_micros: int | None = None) -> None:
         """CQL ``DELETE`` by primary key: appends tombstone markers.
+        ``timestamp_micros`` is ``USING TIMESTAMP``: the tombstone
+        slots at the client-supplied writetime, so a backdated delete
+        cannot shadow rows written after that instant (idempotent
+        replay semantics, same scaling rule as ``append``).
 
         The newest write for a key being a tombstone removes the key on
         read (reconciliation happens first, so the delete shadows every
@@ -322,9 +326,14 @@ class WideColumnTable:
                 for f in self.spec.schema.fields
             ]
         )
+        writetime = (
+            timestamp_micros * 1000
+            if timestamp_micros is not None
+            else _next_writetime()
+        )
         out = (
             self._with_bucket(out)
-            .withColumn(_WRITETIME, F.lit(_next_writetime()))
+            .withColumn(_WRITETIME, F.lit(writetime))
             .withColumn(_EXPIRES, F.lit(None).cast("long"))
             .withColumn(_TOMBSTONE, F.lit(True))
         )

@@ -1042,3 +1042,57 @@ def test_order_by_multiple_clustering_columns(cql):
         cql.execute(
             "SELECT a FROM multi_ck WHERE k = %s ORDER BY a ASC, b DESC", ("x",)
         )
+
+
+def test_production_ddl_with_options_parses(cql):
+    """A real-world cqlsh schema dump (storage-tuning WITH options)
+    must parse unchanged; options are recorded, not executed."""
+    _bootstrap(cql)
+    cql.execute("""
+        CREATE TABLE tuned (
+            pk bigint,
+            ck bigint,
+            v text,
+            PRIMARY KEY (pk, ck)
+        ) WITH CLUSTERING ORDER BY (ck DESC)
+          AND bloom_filter_fp_chance = 0.01
+          AND caching = {'keys': 'ALL', 'rows_per_partition': 'NONE'}
+          AND comment = 'tuned table'
+          AND compaction = {'class': 'SizeTieredCompactionStrategy',
+                            'max_threshold': '32'}
+          AND gc_grace_seconds = 864000
+          AND default_time_to_live = 0
+    """)
+    cql.execute("INSERT INTO tuned (pk, ck, v) VALUES (%s, %s, %s)", (1, 1, "a"))
+    cql.execute("INSERT INTO tuned (pk, ck, v) VALUES (%s, %s, %s)", (1, 2, "b"))
+    rows = cql.execute("SELECT ck FROM tuned WHERE pk = %s", (1,))
+    assert [r["ck"] for r in rows] == [2, 1], "clustering DESC still applies"
+    ks = cql.current
+    opts = ks.tables["tuned"].properties["table_options"]
+    assert opts["gc_grace_seconds"] == "864000"
+    assert "SizeTieredCompactionStrategy" in opts["compaction"]
+
+
+def test_update_delete_using_timestamp_backfill(cql):
+    _bootstrap(cql)
+    # live row written at engine time (far future vs these client ts)
+    cql.execute(
+        "INSERT INTO users (user_id, username, email, password) "
+        "VALUES (now(), %s, %s, %s)",
+        ("Kim", "k@x", "pw"),
+    )
+    # a backdated UPDATE cannot clobber the newer cell
+    cql.execute(
+        "UPDATE users USING TIMESTAMP 1000000 SET email = %s "
+        "WHERE username = %s",
+        ("old@x", "Kim"),
+    )
+    [row] = cql.execute("SELECT * FROM users WHERE username = %s", ("Kim",))
+    assert row["email"] == "k@x", "backdated update must lose LWW"
+    # a backdated DELETE cannot shadow the newer row
+    cql.execute(
+        "DELETE FROM users USING TIMESTAMP %s WHERE username = %s",
+        (2000000, "Kim"),
+    )
+    [row] = cql.execute("SELECT * FROM users WHERE username = %s", ("Kim",))
+    assert row["email"] == "k@x", "backdated delete must not remove newer row"

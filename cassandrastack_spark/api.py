@@ -226,4 +226,24 @@ def create_app(spark: SparkSession, warehouse: str):
 
     app.add_url_rule("/users/login", "login", _login, methods=["POST"])
     app.add_url_rule("/users/register", "register", _register, methods=["POST"])
+
+    # Engine extension (not a reference route): cqlsh-over-HTTP. One
+    # CqlSession per app, same warehouse as the parity routes; errors
+    # from the statement parser come back as 400s with the message.
+    from cassandrastack_spark.cql import CqlSession
+
+    cql = CqlSession(spark, warehouse)
+
+    def _cql():
+        body = request.get_json(silent=True) or {}
+        stmt = body.get("statement")
+        if not stmt:
+            return jsonify({"error": "statement is required"}), 400
+        try:
+            rows = cql.execute(stmt, tuple(body.get("params") or ()))
+        except ValueError as e:
+            return jsonify({"error": str(e)}), 400
+        return jsonify({"rows": rows}), 200
+
+    app.add_url_rule("/cql", "cql", _cql, methods=["POST"])
     return app

@@ -101,3 +101,32 @@ def test_drop_then_recreate(api):
     assert api.get_messages() == [], "drop removed all data"
     api.messages_create()
     assert len(api.get_messages()) == 15
+
+
+def test_flask_cql_route(spark, tmp_warehouse):
+    """The /cql extension route executes statements over the same
+    warehouse as the parity routes, with parser errors as 400s."""
+    pytest.importorskip("flask")
+    from cassandrastack_spark.api import create_app
+
+    app = create_app(spark, tmp_warehouse)
+    c = app.test_client()
+    assert c.post("/cql", json={}).status_code == 400
+    for stmt in (
+        "CREATE KEYSPACE IF NOT EXISTS ws "
+        "WITH replication = {'class': 'SimpleStrategy', 'replication_factor': '1'}",
+        "USE ws",
+        "CREATE TABLE kv (k text, v int, PRIMARY KEY (k))",
+    ):
+        r = c.post("/cql", json={"statement": stmt})
+        assert r.status_code == 200, r.get_json()
+    c.post("/cql", json={
+        "statement": "INSERT INTO kv (k, v) VALUES (%s, %s)",
+        "params": ["a", 7],
+    })
+    r = c.post("/cql", json={
+        "statement": "SELECT * FROM kv WHERE k = %s", "params": ["a"],
+    })
+    assert r.get_json() == {"rows": [{"k": "a", "v": 7}]}
+    r = c.post("/cql", json={"statement": "GRANT ALL TO nobody"})
+    assert r.status_code == 400 and "unsupported" in r.get_json()["error"]

@@ -371,6 +371,71 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_incremental(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs between an incoming BATCH and an existing CORPUS —
+    the production incremental-ingest shape: a crawl drop is deduped
+    against the already-accepted corpus without ever joining the corpus
+    to itself.
+
+    The candidate join is batch-bands x corpus-bands on (band, sig):
+    cost scales with |batch| x collision rate, not |corpus|^2. At 100 TB
+    the corpus band table is the persisted dedup INDEX, partitioned by
+    (band, sig) — each batch signature probes a pruned bucket, the
+    MinHash analogue of the reference's single-partition read
+    (server.py:98); only the small batch side is (re)hashed per drop.
+    Returns (batch_id, corpus_id, jaccard) verified exact on the full
+    shingle sets, like ``minhash_lsh_pairs``.
+    """
+    rows = num_hashes // bands
+    band_expr = (
+        f"transform(sequence(0, {bands - 1}), b -> "
+        f"struct(b AS band, xxhash64(concat_ws(',', slice(minhash, b * {rows} + 1, {rows}))) AS sig))"
+    )
+
+    def _banded(df: DataFrame, side: str) -> DataFrame:
+        sh = shingle_sets(df, id_col, text_col, k).localCheckpoint(eager=True)
+        banded = (
+            minhash_from_sets(sh, num_hashes)
+            .select("id", F.explode(F.expr(band_expr)).alias("bs"))
+            .select(
+                F.col("id").alias(f"{side}_id"),
+                F.col("bs.band").alias("band"),
+                F.col("bs.sig").alias("sig"),
+            )
+        )
+        return sh, banded
+
+    c_sh, c_banded = _banded(corpus, "corpus")
+    b_sh, b_banded = _banded(batch, "batch")
+    cand = (
+        b_banded.join(c_banded, on=["band", "sig"])
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    b_arr = b_sh.select(F.col("id").alias("batch_id"), F.col("shingles").alias("b_s"))
+    c_arr = c_sh.select(F.col("id").alias("corpus_id"), F.col("shingles").alias("c_s"))
+    return (
+        cand.join(b_arr, "batch_id")
+        .join(c_arr, "corpus_id")
+        .withColumn("shared", F.size(F.array_intersect("b_s", "c_s")))
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.size("b_s") + F.size("c_s") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("batch_id", "corpus_id", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -24,6 +24,11 @@ Three tiers, per the task's scale ladder:
   embeddings recall at nprobe/K ≪ 1 is high; on the near-random
   fixture vectors recall ≈ probed fraction (the IVF worst case — see
   ``ann_ivf_topk``'s oracle threshold).
+- **product quantization (ADC + exact re-rank)** — the memory-tier
+  scale path beyond int8: each vector compresses to ``m_sub`` one-byte
+  codes (dim x 4 bytes → m_sub bytes), the shortlist pass scans only
+  codes, and the exact float vectors are touched for the shortlist
+  rows alone. See ``ann_pq_topk``.
 """
 
 from __future__ import annotations
@@ -623,6 +628,199 @@ def ann_ivf_topk(
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) — compressed shortlist + exact re-rank
+# ---------------------------------------------------------------------------
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    iters: int = 5,
+    sample: int = 4096,
+    vec_col: str = "vec",
+    id_col: str = "id",
+) -> list:
+    """Per-subspace k-means codebooks: ``m_sub`` lists of ``k_codes``
+    centroids, each of dimension ``dim / m_sub``.
+
+    Same build shape as ``ivf_train_centroids`` (the two are trained
+    together in a real IVF-PQ index): ONE distributed job draws the
+    deterministic sample (smallest ``xxhash64(id)`` rows, unit-
+    normalized), then Lloyd runs per subspace driver-side in numpy on
+    the bounded matrix. L2 k-means per subspace is the standard PQ
+    objective (Jégou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011). Cost is bounded by ``sample``
+    regardless of corpus size.
+
+    Returns ``codebooks[j][c] = list[float]`` (length dim/m_sub).
+    """
+    import numpy as np
+
+    rows = (
+        corpus.orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(sample)
+        .select(F.expr(f"transform({vec_col}, x -> cast(x AS double))").alias("v"))
+        .collect()
+    )
+    X = np.asarray([r.v for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    X /= norms
+    dim = X.shape[1]
+    if dim % m_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by m_sub={m_sub}")
+    d_sub = dim // m_sub
+    books = []
+    for j in range(m_sub):
+        S = X[:, j * d_sub : (j + 1) * d_sub]
+        cents = S[:k_codes].copy()
+        for _ in range(iters):
+            # squared-L2 assignment via the expansion trick; fixed
+            # evaluation order keeps the result deterministic
+            d2 = (
+                (S * S).sum(axis=1, keepdims=True)
+                - 2.0 * (S @ cents.T)
+                + (cents * cents).sum(axis=1)[None, :]
+            )
+            cid = np.argmin(d2, axis=1)
+            new = np.zeros_like(cents)
+            counts = np.bincount(cid, minlength=k_codes)
+            np.add.at(new, cid, S)
+            empty = counts == 0
+            new[~empty] /= counts[~empty, None]
+            new[empty] = cents[empty]
+            moved = np.abs(new - cents).max()
+            cents = new
+            if moved < 1e-12:
+                break
+        books.append([list(map(float, c)) for c in cents])
+    return books
+
+
+def pq_encode(
+    df: DataFrame, codebooks: list, vec_col: str = "vec"
+) -> DataFrame:
+    """Add ``codes`` (array<int>, length m_sub): each subvector's
+    nearest codebook entry by squared L2.
+
+    JVM-side when the codebook is small (literal array + higher-order
+    functions — stays in whole-stage codegen); the ``ivf_assign``-style
+    Arrow GEMM escape hatch applies at production sizes (k_codes=256,
+    m_sub=16+) where a literal would bloat the plan — at those sizes
+    swap in a ``pandas_udf`` closure like ``ivf_assign`` does. Input
+    vectors must already be unit-normalized (PQ of cosine space).
+    """
+    m_sub = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    exprs = []
+    for j, book in enumerate(codebooks):
+        cb = (
+            "array(" + ", ".join(
+                "array(" + ", ".join(f"{x!r}D" for x in c) + ")" for c in book
+            ) + ")"
+        )
+        sub = f"slice({vec_col}, {j * d_sub + 1}, {d_sub})"
+        d2 = (
+            f"transform({cb}, c -> aggregate(zip_with(c, {sub}, "
+            f"(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v))"
+        )
+        exprs.append(f"cast(array_position({d2}, array_min({d2})) - 1 AS int)")
+    return df.withColumn("codes", F.expr("array(" + ", ".join(exprs) + ")"))
+
+
+def ann_pq_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    shortlist: int = 32,
+    iters: int = 5,
+    max_query_rows: int = 1024,
+) -> DataFrame:
+    """Approximate top-k via product quantization: ADC shortlist over
+    the compressed codes, exact cosine re-rank of the shortlist only.
+
+    The production memory tier beyond int8: the shortlist scan touches
+    ``m_sub`` bytes per vector (64-dim float32 → 8 bytes, 32x), and the
+    full-precision vectors are read for ``shortlist`` rows per query,
+    not the corpus. ADC score = dot(q, reconstruction(x)) — computed
+    here by decoding each corpus row's codes to the reconstructed
+    vector via a literal codebook gather (pure JVM expressions), then
+    the shared DOT fold against the broadcast query side. Re-rank joins
+    the float vectors back on the shortlist ids (equi-join, AQE-sized)
+    and re-scores exactly, which restores the ranking quality the
+    lossy codes gave up.
+
+    Deterministic end-to-end (sample draw, Lloyd order, fold order) —
+    same recall-invariant oracle pattern as IVF/LSH.
+    """
+    n_q = queries.limit(max_query_rows + 1).count()
+    if n_q > max_query_rows:
+        raise ValueError(
+            f"ann_pq_topk query side exceeds max_query_rows="
+            f"{max_query_rows}; bucket the queries (IVF/LSH) or raise "
+            f"the cap explicitly"
+        )
+    c_normed = with_norm(df.select(id_col, vec_col), vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.expr("transform(vec, x -> CASE WHEN norm > 0 THEN x / norm ELSE x END)").alias("c_unit"),
+    )
+    q_normed = with_norm(queries.select(id_col, vec_col), vec_col).select(
+        F.col("vec_id").alias("query_id") if id_col == "vec_id" else F.col(id_col).alias("query_id"),
+        F.expr("transform(vec, x -> CASE WHEN norm > 0 THEN x / norm ELSE x END)").alias("q_unit"),
+    )
+    books = pq_train_codebooks(
+        c_normed.select(
+            F.col("neighbor_id").alias("id"), F.col("c_unit").alias("vec")
+        ),
+        m_sub=m_sub,
+        k_codes=k_codes,
+        iters=iters,
+    )
+    # compressed corpus: (neighbor_id, codes). At scale this is the
+    # table that lives in memory / gets scanned; floats stay in cold
+    # storage keyed by id.
+    codes = pq_encode(c_normed, books, "c_unit").select("neighbor_id", "codes")
+    # decode-on-scan: reconstructed vector = concat of codebook rows
+    # selected by each code — literal gather, no Python
+    flat = (
+        "flatten(transform(codes, (c, j) -> element_at("
+        + "array("
+        + ", ".join(
+            "array(" + ", ".join(
+                "array(" + ", ".join(f"{x!r}D" for x in c) + ")" for c in book
+            ) + ")"
+            for book in books
+        )
+        + "), j + 1)[c]))"
+    )
+    decoded = codes.withColumn("r_vec", F.expr(flat))
+    pairs = decoded.join(
+        F.broadcast(q_normed), F.col("neighbor_id") != F.col("query_id")
+    ).withColumn("adc", F.expr(DOT.format(a="q_unit", b="r_vec")))
+    w_s = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    short = (
+        pairs.withColumn("srank", F.row_number().over(w_s))
+        .filter(F.col("srank") <= shortlist)
+        .select("query_id", "neighbor_id", "q_unit")
+    )
+    # exact re-rank: floats fetched for shortlist ids only
+    rerank = short.join(c_normed, "neighbor_id").withColumn(
+        "cosine", F.expr(DOT.format(a="q_unit", b="c_unit"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        rerank.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )

@@ -123,6 +123,10 @@ _FRONT: tuple[str, ...] = (
     "dedup_containment_ngram",
     "corpus_source_profile",
     "gapfill_interpolate_hourly",
+    "ann_pq_topk",
+    "dedup_incremental_minhash",
+    "text_unigram_logprob",
+    "corpus_domain_cap",
 )
 
 

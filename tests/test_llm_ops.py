@@ -417,3 +417,77 @@ def test_paragraph_dedup_reassembles_surviving_spans(spark):
     # doc 3 lost its only span to doc 1
     assert out[3]["n_spans"] == 1 and out[3]["n_kept"] == 0
     assert out[3]["text_deduped"] == ""
+
+
+def test_pq_recall_shortlist_and_guard(docs, emb):
+    """Product quantization: the ADC shortlist + exact re-rank must
+    reach mean recall@5 >= 0.4 vs exact on the near-random fixture (PQ's
+    worst case), be deterministic across runs, and reject an unbounded
+    query side like the other broadcast-shaped scorers."""
+    from cassandrastack_spark.llm.simsearch import ann_pq_topk
+
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, q, k=5).collect()
+    }
+    got1 = {(r.query_id, r.neighbor_id) for r in ann_pq_topk(emb, q, k=5).collect()}
+    got2 = {(r.query_id, r.neighbor_id) for r in ann_pq_topk(emb, q, k=5).collect()}
+    assert got1 == got2, "PQ pipeline must be deterministic"
+    assert len(got1 & exact) / len(exact) >= 0.4
+    with pytest.raises(ValueError, match="max_query_rows"):
+        ann_pq_topk(emb, emb.limit(10), k=3, max_query_rows=5)
+
+
+def test_pq_encode_codes_shape(emb):
+    """pq_encode emits m_sub codes per vector, each in [0, k_codes)."""
+    from cassandrastack_spark.llm.simsearch import (
+        pq_encode,
+        pq_train_codebooks,
+        with_norm,
+    )
+
+    c = with_norm(emb.select("vec_id", "embedding")).select(
+        F.col("vec_id").alias("id"),
+        F.expr(
+            "transform(vec, x -> CASE WHEN norm > 0 THEN x / norm ELSE x END)"
+        ).alias("vec"),
+    )
+    books = pq_train_codebooks(c, m_sub=8, k_codes=16, sample=256)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    enc = pq_encode(c, books, "vec")
+    bad = enc.filter(
+        (F.size("codes") != 8)
+        | F.exists("codes", lambda x: (x < 0) | (x >= 16))
+    ).count()
+    assert bad == 0
+
+
+def test_incremental_minhash_matches_restricted_exact(docs):
+    """Batch-vs-corpus incremental MinHash must find exactly the
+    qualifying (batch, corpus) pairs of the full exact pair set — no
+    corpus x corpus self-join, no lost cross pairs."""
+    from cassandrastack_spark.llm.dedup import minhash_lsh_pairs_incremental
+
+    batch = docs.filter(F.col("doc_id") % 10 == 7)
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    exact = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()
+        if r.jaccard >= 0.7
+    }
+    want = {
+        (a, b) if a % 10 == 7 else (b, a)
+        for (a, b) in exact
+        if (a % 10 == 7) != (b % 10 == 7)
+    }
+    got = {
+        (r.batch_id, r.corpus_id): r.jaccard
+        for r in minhash_lsh_pairs_incremental(
+            corpus, batch, threshold=0.7
+        ).collect()
+    }
+    assert set(got) == want
+    for (b, c), j in got.items():
+        full = exact.get((b, c)) or exact.get((c, b))
+        assert abs(j - full) < 1e-12, "verify tail must report exact jaccard"

@@ -40,7 +40,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cassandrastack_spark.catalog import Keyspace, TableSpec
-from cassandrastack_spark.hashing import bucket_of
+from cassandrastack_spark.hashing import bucket_of, spark_hash
 
 _BUCKET = "_bucket"
 _WRITETIME = "_writetime"
@@ -1079,6 +1079,88 @@ class WideColumnTable:
         raw = self._raw().filter(F.col(_BUCKET) == int(split_id))
         return self._reconciled(raw).select(
             *[f.name for f in self.spec.schema.fields]
+        )
+
+    # ---- paged reads (driver fetch_size / paging-state parity) -------------
+
+    def _page_order(self) -> list:
+        """The paging total order: (partition token, partition key,
+        clustering order) — each element (column, ascending?). Token
+        first mirrors Cassandra's ring iteration; the raw pk columns
+        break 32-bit hash-collision ties deterministically."""
+        order = [("_token", True)]
+        order += [(c, True) for c in self.spec.partition_keys]
+        order += [
+            (c, not self.spec.clustering_desc)
+            for c in self.spec.clustering_keys
+        ]
+        return order
+
+    def paging_state(self, row) -> dict:
+        """The paging cursor for the NEXT page: the last returned row's
+        key columns, as ``read_page`` expects them."""
+        return {
+            c: row[c]
+            for c in self.spec.partition_keys + self.spec.clustering_keys
+        }
+
+    def read_page(self, page_size: int, paging_state: dict | None = None) -> DataFrame:
+        """One page of the full table — the engine analogue of the
+        Cassandra driver's automatic query paging (``fetch_size`` +
+        opaque paging state), which the reference's full-table SELECTs
+        ride implicitly (``server.py:149,217``).
+
+        Keyset pagination, not OFFSET: the cursor is the previous
+        page's last primary key (``paging_state()``), and each page
+        filters strictly-after-cursor in the total order (partition
+        token ASC — Cassandra's ring order, realized with the same
+        Murmur3 the bucket router uses — then partition key, then
+        clustering order). OFFSET would re-scan and re-sort every
+        preceding page; the keyset filter keeps page N the same cost
+        as page 1. The plan is a global top-``page_size``
+        (TakeOrderedAndProject): per-partition heaps of ``page_size``
+        rows merged on the driver — no full sort, no full shuffle,
+        at any table size. Pages are consistent for a static table;
+        like Cassandra, concurrent writers make no cross-page
+        snapshot promise.
+        """
+        if page_size <= 0:
+            raise ValueError("page_size must be positive")
+        pk = self.spec.partition_keys
+        df = self.read().withColumn(
+            "_token", F.hash(*[F.col(c) for c in pk])
+        )
+        order = self._page_order()
+        if paging_state is not None:
+            key_cols = pk + self.spec.clustering_keys
+            missing = [c for c in key_cols if c not in paging_state]
+            if missing:
+                raise ValueError(f"paging_state missing key columns: {missing}")
+            types = {
+                f.name: f.dataType.simpleString()
+                for f in self.spec.schema.fields
+            }
+            cursor = dict(paging_state)
+            cursor["_token"] = spark_hash(
+                *[paging_state[c] for c in pk],
+                dtypes=[types[c] for c in pk],
+            )
+            # lexicographic strictly-after predicate down the total order
+            after = F.lit(False)
+            prefix_eq = F.lit(True)
+            for col, asc in order:
+                v = F.lit(cursor[col])
+                step = F.col(col) > v if asc else F.col(col) < v
+                after = after | (prefix_eq & step)
+                prefix_eq = prefix_eq & (F.col(col) == v)
+            df = df.filter(after)
+        sort = [
+            F.asc(c) if asc else F.desc(c) for c, asc in order
+        ]
+        return (
+            df.orderBy(*sort)
+            .limit(page_size)
+            .select(*[f.name for f in self.spec.schema.fields])
         )
 
     # ---- JSON surface (CQL INSERT JSON / SELECT JSON) ----------------------

@@ -1135,3 +1135,57 @@ def test_compact_bucket_range_is_bounded_and_safe(spark, ks):
             assert n == 2 * keys_per_bucket[b], f"bucket {b} was touched"
     with pytest.raises(ValueError, match="out of range"):
         t.compact(buckets=[99])
+
+
+def test_read_page_keyset_pagination(spark, ks):
+    """Driver-paging parity (fetch_size + paging state): pages are
+    disjoint, in the (token, pk, clustering) total order, and their
+    concatenation is exactly the full reconciled table; page N is a
+    keyset filter + global top-k, never an OFFSET re-scan."""
+    t = make_messages(spark, ks)
+    t.append(seed_messages(spark))
+    t.append(seed_messages(spark))  # upsert shadow: pages read reconciled state
+
+    pages, state = [], None
+    while True:
+        rows = t.read_page(4, state).collect()
+        if not rows:
+            break
+        pages.append(rows)
+        state = t.paging_state(rows[-1])
+    flat = [tuple(r) for p in pages for r in p]
+    assert len(flat) == 15 and len(set(flat)) == 15, "disjoint, complete"
+    assert all(len(p) == 4 for p in pages[:3]) and len(pages[-1]) == 3
+
+    # the concatenation follows one global total order: rebuild it.
+    # clustering is DESC on (message_ts, message_id): invert both.
+    from cassandrastack_spark.hashing import spark_hash
+
+    def key(r):
+        return (spark_hash(r[0], dtypes=["bigint"]), r[0],
+                -r[1].timestamp(), tuple(-b for b in r[2].encode()))
+
+    assert flat == sorted(flat, key=key)
+
+    # cursor filter must reject a partial paging state
+    with pytest.raises(ValueError, match="paging_state missing"):
+        t.read_page(4, {"channel_id": 1})
+    with pytest.raises(ValueError, match="page_size"):
+        t.read_page(0)
+
+
+def test_read_page_no_clustering_table(spark, ks):
+    """Single-row-partition tables (users) page in pure token order."""
+    t = make_users(spark, ks)
+    t.append(spark.createDataFrame(
+        [(f"user{i}", f"u-{i}", f"{i}@mail.de", "pw") for i in range(7)],
+        schemas.USERS))
+    seen, state = [], None
+    while True:
+        rows = t.read_page(3, state).collect()
+        if not rows:
+            break
+        seen.extend(r.username for r in rows)
+        state = t.paging_state(rows[-1])
+    assert sorted(seen) == [f"user{i}" for i in range(7)]
+    assert len(seen) == len(set(seen))

@@ -127,6 +127,7 @@ _FRONT: tuple[str, ...] = (
     "dedup_incremental_minhash",
     "text_unigram_logprob",
     "corpus_domain_cap",
+    "rolling_wau_hll",
 )
 
 

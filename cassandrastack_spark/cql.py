@@ -670,20 +670,34 @@ class CqlSession:
         flush()
         return None
 
+    def _parse_if_clause(self, if_clause: str | None, lit: "_Literal"):
+        """``IF EXISTS`` / ``IF c = v [AND ...]`` → (conditions, if_exists)."""
+        if if_clause is None:
+            return None, False
+        if re.fullmatch(r"exists", if_clause.strip(), re.I):
+            return None, True
+        conditions = {}
+        for term in re.split(r"\s+and\s+", if_clause.strip(), flags=re.I):
+            tm = re.match(r"(\w+)\s*=\s*(.*)$", term.strip(), re.S)
+            if not tm:
+                raise ValueError(f"cannot parse IF condition {term!r}")
+            conditions[tm.group(1)] = lit.read(tm.group(2).strip())
+        return conditions, False
+
     def _update(self, s: str, params: tuple):
         m = re.match(
             r"update\s+(\w+)(?:\s+using\s+(.*?))?"
-            r"\s+set\s+(.*?)\s+where\s+(.*)$",
+            r"\s+set\s+(.*?)\s+where\s+(.*?)(?:\s+if\s+(.*))?$",
             s,
             re.I | re.S,
         )
         if not m:
             raise ValueError(f"cannot parse UPDATE: {s!r}")
-        name, using, set_clause, where = m.groups()
+        name, using, set_clause, where, if_clause = m.groups()
         t = self._table(name)
         # positional params bind in statement order: USING options
-        # first, then SET values, then WHERE values (the python-driver
-        # convention)
+        # first, then SET values, then WHERE values, then IF values
+        # (the python-driver convention)
         params = list(params)
         ttl, ts_micros = None, None
         if using:
@@ -697,8 +711,12 @@ class CqlSession:
                 else:
                     ts_micros = v
         n_set = set_clause.count("%s")
+        n_where = where.count("%s")
         lit = _Literal(tuple(params[:n_set]))
-        keys = self._parse_eq_where(where, _Literal(tuple(params[n_set:])))
+        keys = self._parse_eq_where(
+            where, _Literal(tuple(params[n_set : n_set + n_where]))
+        )
+        if_lit = _Literal(tuple(params[n_set + n_where :]))
         counters = set(t.spec.properties.get("counter_columns", ()))
         collections = dict(t.spec.properties.get("collection_columns") or {})
         assignments = _split_top(set_clause)
@@ -716,6 +734,12 @@ class CqlSession:
         if not cm:
             raise ValueError(f"cannot parse SET: {a!r}")
         col, rhs = cm.group(1), cm.group(2).strip()
+        if if_clause is not None and (col in counters or col in collections):
+            raise ValueError(
+                "IF conditions on counter/collection updates are not "
+                "supported (counters: CQL rule; collection deltas: this "
+                "engine's no-read-before-write path)"
+            )
         if col in counters:
             im = re.match(rf"{col}\s*([+-])\s*(\d+|%s)$", rhs)
             if not im:
@@ -775,6 +799,20 @@ class CqlSession:
             )
         if col not in {f.name for f in t.spec.schema.fields}:
             raise ValueError(f"unknown column {col!r} in UPDATE")
+        if if_clause is not None:
+            # LWT: read-check-write; returns the CQL response row
+            # ([applied] + current condition values on rejection)
+            conditions, if_exists = self._parse_if_clause(if_clause, if_lit)
+            return [
+                t.conditional_update(
+                    keys,
+                    {col: lit.read(rhs)},
+                    conditions=conditions,
+                    if_exists=if_exists,
+                    ttl_seconds=ttl,
+                    timestamp_micros=ts_micros,
+                )
+            ]
         row = dict(keys)
         row[col] = lit.read(rhs)
         full = {f.name: row.get(f.name) for f in t.spec.schema.fields}
@@ -796,15 +834,15 @@ class CqlSession:
         m = re.match(
             r"delete\s+(?:(.*?)\s+)?from\s+(\w+)"
             r"(?:\s+using\s+timestamp\s+(\d+|%s))?"
-            r"\s+where\s+(.*)$", s, re.I | re.S
+            r"\s+where\s+(.*?)(?:\s+if\s+(.*))?$", s, re.I | re.S
         )
         if not m:
             raise ValueError(f"cannot parse DELETE: {s!r}")
-        targets, name, ts_text, where = m.groups()
+        targets, name, ts_text, where, if_clause = m.groups()
         t = self._table(name)
         # CQL order is DELETE targets FROM t USING TIMESTAMP n WHERE ...;
         # placeholders bind in that statement order: targets first, then
-        # the timestamp, then WHERE
+        # the timestamp, then WHERE, then IF
         params = list(params)
         ts_micros = None
         # positional params bind in statement order: element keys in the
@@ -815,11 +853,28 @@ class CqlSession:
         rest = params[n_t:]
         if ts_text is not None:
             ts_micros = int(rest.pop(0) if ts_text == "%s" else ts_text)
-        keys = self._parse_eq_where(where, _Literal(tuple(rest)))
+        n_where = where.count("%s")
+        keys = self._parse_eq_where(where, _Literal(tuple(rest[:n_where])))
+        if_lit = _Literal(tuple(rest[n_where:]))
         if set(keys) != set(t.spec.primary_key):
             raise ValueError(
                 f"DELETE needs the full primary key {t.spec.primary_key}"
             )
+        if if_clause is not None:
+            if targets:
+                raise ValueError(
+                    "IF conditions on cell/element DELETE targets are "
+                    "not supported; use a whole-row conditional DELETE"
+                )
+            conditions, if_exists = self._parse_if_clause(if_clause, if_lit)
+            return [
+                t.conditional_delete(
+                    keys,
+                    conditions=conditions,
+                    if_exists=if_exists,
+                    timestamp_micros=ts_micros,
+                )
+            ]
         if not targets:
             schema = StructType([t.spec.schema[k] for k in t.spec.primary_key])
             t.delete(

@@ -286,6 +286,115 @@ class WideColumnTable:
         self.append(to_apply)
         return report
 
+    def _current_row(self, keys: dict):
+        """The live row for one FULL primary key, or None — a pruned
+        point read (driver-side bucket arithmetic + clustering-equality
+        filters), the probe under every single-key LWT."""
+        pk = self.spec.primary_key
+        if set(keys) != set(pk):
+            raise ValueError(f"need the full primary key {pk}, got {sorted(keys)}")
+        df = self.read_partition(
+            **{k: keys[k] for k in self.spec.partition_keys}
+        )
+        for c in self.spec.clustering_keys:
+            df = df.filter(F.col(c) == keys[c])
+        rows = df.limit(1).collect()
+        return rows[0] if rows else None
+
+    def _lwt_check(self, keys: dict, conditions: dict | None, if_exists: bool):
+        """Shared LWT condition evaluation: returns (applied, response).
+
+        CQL semantics: a condition on an absent row is not met (and
+        ``IF EXISTS`` obviously isn't); when not applied, the response
+        carries ``[applied] = false`` plus the CURRENT values of the
+        condition columns (what Cassandra returns so the caller sees
+        what won). Counter tables refuse conditions (CQL rule).
+        """
+        if self.spec.properties.get("counter_columns"):
+            raise ValueError(
+                "conditions are not supported on counter tables (CQL rule)"
+            )
+        if not if_exists and not conditions:
+            raise ValueError("LWT needs IF EXISTS or at least one condition")
+        known = {f.name for f in self.spec.schema.fields}
+        for c in conditions or {}:
+            if c not in known:
+                raise ValueError(f"unknown condition column {c!r}")
+            if c in self.spec.primary_key:
+                raise ValueError(
+                    f"condition on primary-key column {c!r} is not valid CQL"
+                )
+        cur = self._current_row(keys)
+        if cur is None:
+            return False, {"[applied]": False}
+        for c, want in (conditions or {}).items():
+            if cur[c] != want:
+                return False, {
+                    "[applied]": False,
+                    **{c: cur[c] for c in (conditions or {})},
+                }
+        return True, {"[applied]": True}
+
+    def conditional_update(
+        self,
+        keys: dict,
+        assignments: dict,
+        conditions: dict | None = None,
+        if_exists: bool = False,
+        ttl_seconds: int | None = None,
+        timestamp_micros: int | None = None,
+    ) -> dict:
+        """CQL conditional update: ``UPDATE t SET c = v WHERE <full pk>
+        IF [EXISTS | c2 = v2 AND ...]`` — the read-check-write LWT.
+
+        Applies the assignments as a cell-level upsert only when the
+        row exists and every condition column equals its expected
+        value; returns the CQL LWT response row. The probe is the same
+        single-partition point read as ``read_partition`` (Cassandra
+        pays a Paxos round here; this engine's single-writer log makes
+        the check-then-append race-free within a session — documented
+        divergence for concurrent writers).
+        """
+        bad = set(assignments) & set(self.spec.primary_key)
+        if bad:
+            raise ValueError(f"cannot SET key columns {sorted(bad)}")
+        applied, resp = self._lwt_check(keys, conditions, if_exists)
+        if not applied:
+            return resp
+        row = dict(keys)
+        row.update(assignments)
+        full = {f.name: row.get(f.name) for f in self.spec.schema.fields}
+        self.append(
+            self.spark.createDataFrame([tuple(full.values())], self.spec.schema),
+            cells=list(assignments),
+            ttl_seconds=ttl_seconds,
+            timestamp_micros=timestamp_micros,
+        )
+        return resp
+
+    def conditional_delete(
+        self,
+        keys: dict,
+        conditions: dict | None = None,
+        if_exists: bool = False,
+        timestamp_micros: int | None = None,
+    ) -> dict:
+        """CQL conditional delete: ``DELETE FROM t WHERE <full pk>
+        IF [EXISTS | c = v AND ...]`` — whole-row tombstone, applied
+        only when the conditions hold against the live row."""
+        applied, resp = self._lwt_check(keys, conditions, if_exists)
+        if not applied:
+            return resp
+        from pyspark.sql.types import StructType
+
+        pk = self.spec.primary_key
+        schema = StructType([self.spec.schema[k] for k in pk])
+        self.delete(
+            self.spark.createDataFrame([tuple(keys[k] for k in pk)], schema),
+            timestamp_micros=timestamp_micros,
+        )
+        return resp
+
     def delete(self, keys: DataFrame, timestamp_micros: int | None = None) -> None:
         """CQL ``DELETE`` by primary key: appends tombstone markers.
         ``timestamp_micros`` is ``USING TIMESTAMP``: the tombstone

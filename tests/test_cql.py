@@ -1096,3 +1096,46 @@ def test_update_delete_using_timestamp_backfill(cql):
     )
     [row] = cql.execute("SELECT * FROM users WHERE username = %s", ("Kim",))
     assert row["email"] == "k@x", "backdated delete must not remove newer row"
+
+
+def test_conditional_update_and_delete_if(cql):
+    """CQL LWT statements: UPDATE/DELETE ... IF EXISTS / IF col = v —
+    applied only when the live row meets the condition; the response is
+    the CQL [applied] row with current values on rejection. Placeholders
+    bind SET -> WHERE -> IF in statement order."""
+    _bootstrap(cql)
+    cql.execute(
+        "INSERT INTO users (user_id, username, email, password) "
+        "VALUES (%s, %s, %s, %s)", ("u-1", "Alex", "a@mail.de", "pw1"))
+
+    # literal condition holds
+    r = cql.execute(
+        "UPDATE users SET email = 'n@mail.de' WHERE username = 'Alex' "
+        "IF password = 'pw1'")
+    assert r == [{"[applied]": True}]
+    # bound params: SET, WHERE, IF order
+    r = cql.execute(
+        "UPDATE users SET email = %s WHERE username = %s IF password = %s",
+        ("evil@mail.de", "Alex", "wrong"))
+    assert r == [{"[applied]": False, "password": "pw1"}]
+    rows = cql.execute("SELECT email FROM users WHERE username = 'Alex'")
+    assert rows == [{"email": "n@mail.de"}]
+
+    # IF EXISTS forms
+    r = cql.execute(
+        "UPDATE users SET email = 'x@mail.de' WHERE username = 'Ghost' "
+        "IF EXISTS")
+    assert r == [{"[applied]": False}]
+    r = cql.execute("DELETE FROM users WHERE username = 'Alex' IF EXISTS")
+    assert r == [{"[applied]": True}]
+    assert cql.execute("SELECT count(*) FROM users") == [{"count": 0}]
+
+    # conditional delete with a failed condition leaves the row
+    cql.execute(
+        "INSERT INTO users (user_id, username, email, password) "
+        "VALUES (%s, %s, %s, %s)", ("u-2", "Bianca", "b@mail.de", "pw2"))
+    r = cql.execute(
+        "DELETE FROM users WHERE username = %s IF password = %s",
+        ("Bianca", "nope"))
+    assert r == [{"[applied]": False, "password": "pw2"}]
+    assert cql.execute("SELECT count(*) FROM users") == [{"count": 1}]

@@ -1189,3 +1189,62 @@ def test_read_page_no_clustering_table(spark, ks):
         state = t.paging_state(rows[-1])
     assert sorted(seen) == [f"user{i}" for i in range(7)]
     assert len(seen) == len(set(seen))
+
+
+def test_conditional_update_lwt(spark, ks):
+    """UPDATE ... IF col = v / IF EXISTS: read-check-write against the
+    live row; rejected updates report [applied]=false plus the current
+    condition values (CQL LWT response shape)."""
+    t = make_users(spark, ks)
+    t.append(spark.createDataFrame(
+        [("Alex", "u-1", "a@mail.de", "pw1")], schemas.USERS))
+
+    # condition holds -> applied, cell updated
+    r = t.conditional_update(
+        {"username": "Alex"}, {"email": "new@mail.de"},
+        conditions={"password": "pw1"})
+    assert r == {"[applied]": True}
+    assert t.read().collect()[0].email == "new@mail.de"
+
+    # condition fails -> not applied, current value reported, no write
+    r = t.conditional_update(
+        {"username": "Alex"}, {"email": "evil@mail.de"},
+        conditions={"password": "wrong"})
+    assert r == {"[applied]": False, "password": "pw1"}
+    assert t.read().collect()[0].email == "new@mail.de"
+
+    # IF EXISTS on an absent row -> not applied, nothing written
+    r = t.conditional_update(
+        {"username": "Nobody"}, {"email": "x@mail.de"}, if_exists=True)
+    assert r == {"[applied]": False}
+    assert t.read().count() == 1
+
+    # guards: key columns cannot be SET; key must be complete;
+    # conditions on key columns are invalid CQL
+    with pytest.raises(ValueError, match="key columns"):
+        t.conditional_update({"username": "Alex"}, {"username": "B"},
+                             if_exists=True)
+    with pytest.raises(ValueError, match="full primary key"):
+        t.conditional_update({}, {"email": "x"}, if_exists=True)
+    with pytest.raises(ValueError, match="primary-key column"):
+        t.conditional_update({"username": "Alex"}, {"email": "x"},
+                             conditions={"username": "Alex"})
+
+
+def test_conditional_delete_lwt(spark, ks):
+    t = make_users(spark, ks)
+    t.append(spark.createDataFrame(
+        [("Alex", "u-1", "a@mail.de", "pw1"),
+         ("Bianca", "u-2", "b@mail.de", "pw2")], schemas.USERS))
+    # failed condition leaves the row
+    r = t.conditional_delete({"username": "Alex"},
+                             conditions={"password": "nope"})
+    assert r["[applied]"] is False and t.read().count() == 2
+    # met condition tombstones it
+    r = t.conditional_delete({"username": "Alex"},
+                             conditions={"password": "pw1"})
+    assert r == {"[applied]": True}
+    assert [x.username for x in t.read().collect()] == ["Bianca"]
+    # IF EXISTS after the delete: gone -> false
+    r = t.conditional_delete({"username": "Alex"}, if_exists=True)
+    assert r == {"[applied]": False}

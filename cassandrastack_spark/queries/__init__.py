@@ -89,6 +89,27 @@ _FRONT: tuple[str, ...] = (
     "stream_dedup_events",
     "stream_stateful_totals",
     "stream_windowed_topk",
+    # -- round-3 first-class additions (LLM pipeline + streaming):
+    # ahead of the TPC-H extensions so a 50-entry verification window
+    # covers the entire north-star operator set --
+    "embedding_quantize_int8",
+    "ann_quantized_topk",
+    "ann_pq_topk",
+    "dedup_containment_ngram",
+    "dedup_incremental_minhash",
+    "dedup_paragraph_spans",
+    "corpus_source_profile",
+    "corpus_domain_cap",
+    "corpus_shard_shuffle",
+    "corpus_chunk_sliding",
+    "text_unigram_logprob",
+    "text_word_entropy",
+    "text_ngram_novelty",
+    "rolling_wau_hll",
+    "stream_tumbling_append",
+    "stream_sliding_append",
+    "stream_session_append",
+    "stream_static_enrich",
     # -- TPC-H extensions (15) - zero driver rows through round 2 --
     "q2_min_cost_supplier",
     "q7_volume_shipping",
@@ -105,29 +126,16 @@ _FRONT: tuple[str, ...] = (
     "q20_heavy_shippers",
     "q21_sole_returned_supplier",
     "q22_sales_opportunity",
-    # -- remaining never-driver-checked analytics (8) --
+    # -- remaining never-driver-checked analytics --
     "rolling_wau",
     "hypertable_rollup_daily",
     "gapfill_locf_hourly",
+    "gapfill_interpolate_hourly",
     "window_range_frames",
     "date_null_functions",
     "map_functions",
     "lateral_explode_tokens",
     "union_all_with_source",
-    # -- round-3 additions (no driver rows yet; ahead of round-2-greens) --
-    "stream_tumbling_append",
-    "stream_sliding_append",
-    "stream_session_append",
-    "embedding_quantize_int8",
-    "ann_quantized_topk",
-    "dedup_containment_ngram",
-    "corpus_source_profile",
-    "gapfill_interpolate_hourly",
-    "ann_pq_topk",
-    "dedup_incremental_minhash",
-    "text_unigram_logprob",
-    "corpus_domain_cap",
-    "rolling_wau_hll",
 )
 
 

@@ -342,3 +342,36 @@ def write_training_shards(
         .partitionBy("_shard")
         .parquet(path)
     )
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list,
+    n_buckets: int = 32,
+    sort_cols: list | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Catalog-registered BUCKETED table (``CLUSTERED BY (cols) [SORTED
+    BY ...] INTO n BUCKETS``) — the co-located-join layout for 100 TB
+    fact-to-fact joins.
+
+    ``write_sorted_bucketed`` above gives directory pruning for
+    key-equality reads; THIS writer additionally records the bucket
+    spec in the session catalog, which lets Catalyst prove both sides
+    of an equi-join on the bucket columns are already hash-distributed
+    the same way and ELIDE the shuffle entirely (SortMergeJoin with
+    zero Exchange — asserted in tests/test_plans.py). The standard
+    pattern for a recurring big-big join (lineitem ⋈ orders on
+    orderkey): pay the distribution once at write, join shuffle-free
+    forever after. Both sides must use the SAME n_buckets (or an
+    integer multiple, with bucket coalescing). ``path`` makes it an
+    external table; without it the session warehouse hosts the data.
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)

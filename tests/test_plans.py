@@ -164,3 +164,45 @@ def test_decontam_broadcasts_eval_set(spark, registry):
     plan = phys(registry["decontam_ngram_overlap"].fn(spark, SF))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Co-located join: two tables written with the SAME bucket spec on
+    the join key must SortMergeJoin with ZERO Exchange — the pay-once
+    distribution that makes recurring 100 TB fact-to-fact joins
+    shuffle-free."""
+    from cassandrastack_spark.sources.io import write_bucketed_table
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    od = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_bucketed_table(
+        li, "bkt_lineitem", ["l_orderkey"], n_buckets=8,
+        sort_cols=["l_orderkey"], path=str(tmp_path / "li"))
+    write_bucketed_table(
+        od, "bkt_orders", ["o_orderkey"], n_buckets=8,
+        sort_cols=["o_orderkey"], path=str(tmp_path / "od"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the join strategy decision to be about distribution,
+        # not size (at sf0.001 everything broadcasts otherwise)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt_lineitem").join(
+            spark.table("bkt_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        joined.write.format("noop").mode("overwrite").save()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, (
+            "bucketed-to-bucketed equi-join must not shuffle:\n" + plan
+        )
+        # and the result is right
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")

@@ -206,6 +206,38 @@ def _split_kv(s: str) -> tuple[str, str]:
     raise ValueError(f"expected key:value, got {s!r}")
 
 
+class PreparedStatement:
+    """Parse-once bind-many statement, the python-driver shape the
+    reference uses (``session.prepare(INSERT ... VALUES (?, now(), ?,
+    ?))`` — ``server.py:131-133``, ``275``). ``?`` markers (the CQL
+    prepared-statement convention) normalize to the session's ``%s``
+    placeholders outside string literals; ``bind`` returns itself with
+    values attached so ``session.execute(prepared.bind(vals))`` and
+    ``session.execute(prepared, vals)`` both work."""
+
+    def __init__(self, text: str):
+        out, quote = [], False
+        for ch in text:
+            if quote:
+                quote = ch != "'"
+                out.append(ch)
+            elif ch == "'":
+                quote = True
+                out.append(ch)
+            elif ch == "?":
+                out.append("%s")
+            else:
+                out.append(ch)
+        self.text = "".join(out)
+        self.values: tuple = ()
+
+    def bind(self, values) -> "PreparedStatement":
+        bound = PreparedStatement("")
+        bound.text = self.text
+        bound.values = tuple(values)
+        return bound
+
+
 class CqlSession:
     """Statement-string session over the wide-column engine."""
 
@@ -215,6 +247,31 @@ class CqlSession:
         self.n_buckets = n_buckets
         self.keyspaces: dict[str, Keyspace] = {}
         self.current: Keyspace | None = None
+
+    # -- driver-API parity (server.py:98-101, 131-139) -----------------------
+
+    def prepare(self, stmt: str) -> PreparedStatement:
+        """``session.prepare`` parity: returns a reusable statement with
+        ``?`` markers normalized; the engine's analogue of the server's
+        prepared-statement cache (``cassandra.yaml:266``) is Catalyst's
+        plan cache for the repeated identical plans the statement
+        produces."""
+        return PreparedStatement(stmt)
+
+    def execute_async(self, stmt, params: tuple = ()):
+        """``session.execute_async(...) -> future`` parity (the
+        reference submits every read async and blocks on
+        ``future.result()``, ``server.py:98-101``). Spark actions are
+        blocking per job, so async is a driver-side thread — the same
+        job-level async the reference gets from the python driver."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = getattr(self, "_async_pool", None)
+        if pool is None:
+            pool = self._async_pool = ThreadPoolExecutor(
+                max_workers=4, thread_name_prefix="cql-async"
+            )
+        return pool.submit(self.execute, stmt, params)
 
     # -- plumbing ------------------------------------------------------------
 
@@ -231,7 +288,9 @@ class CqlSession:
 
     # -- entry point ---------------------------------------------------------
 
-    def execute(self, stmt: str, params: tuple = ()):  # noqa: C901
+    def execute(self, stmt, params: tuple = ()):  # noqa: C901
+        if isinstance(stmt, PreparedStatement):
+            stmt, params = stmt.text, tuple(params) or stmt.values
         s = stmt.strip().rstrip(";").strip()
         low = s.lower()
         if low.startswith("create keyspace"):

@@ -1139,3 +1139,25 @@ def test_conditional_update_and_delete_if(cql):
         ("Bianca", "nope"))
     assert r == [{"[applied]": False, "password": "pw2"}]
     assert cql.execute("SELECT count(*) FROM users") == [{"count": 1}]
+
+
+def test_prepare_and_execute_async_driver_parity(cql):
+    """The reference's driver idioms run unchanged: session.prepare with
+    ? markers (server.py:131-133), prepared.bind / (prepared, values)
+    execution, and execute_async(...).result() (server.py:98-101)."""
+    _bootstrap(cql)
+    ins = cql.prepare(
+        "INSERT INTO messages (channel_id, message_id, author_id, message) "
+        "VALUES (?, now(), ?, ?)")
+    cql.execute(ins, (1, "a8098c1a-f86e-11da-bd1a-00112444be1e", "hi"))
+    cql.execute(ins.bind((1, "a8098c1a-f86e-11da-bd1a-00112444be1e", "again")))
+    # ? inside a string literal must NOT become a placeholder
+    lit = cql.prepare("INSERT INTO messages (channel_id, message_id, author_id, message) "
+                      "VALUES (?, now(), ?, 'really?')")
+    cql.execute(lit, (2, "ab398c12-f86e-23da-bd1a-aabb2233be1e"))
+    fut = cql.execute_async("SELECT message FROM messages WHERE channel_id = %s", (1,))
+    rows = fut.result()
+    assert sorted(r["message"] for r in rows) == ["again", "hi"]
+    assert cql.execute_async(
+        "SELECT message FROM messages WHERE channel_id = 2").result() \
+        == [{"message": "really?"}]

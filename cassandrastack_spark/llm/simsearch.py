@@ -824,3 +824,109 @@ def ann_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF index — the materialized scale path
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_centroids: int = 16,
+    iters: int = 5,
+) -> None:
+    """Materialize the IVF layout the in-memory path only models:
+    the corpus written to ``path`` PARTITIONED BY its IVF list id
+    (``cid``), plus the trained centroids as a 1-row parquet under
+    ``path/_centroids`` (Spark-written — works on any Hadoop-resolvable
+    scheme, no local-FS assumption).
+
+    This is the production shape: train once, assign once, lay the
+    corpus out by list id; every later query is a partition-pruned
+    probe of its ``nprobe`` directories (``probe_ivf_index``), the ANN
+    analogue of the reference's single-partition read (server.py:98).
+    Rebuild cadence is a data-drift decision, like any index.
+    """
+    c = with_norm(corpus.select(id_col, vec_col), vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("vec").alias("c_vec"),
+        F.col("norm").alias("c_norm"),
+    )
+    centroids = ivf_train_centroids(
+        c.select(F.col("neighbor_id").alias("id"), F.col("c_vec").alias("vec")),
+        k_centroids=k_centroids,
+        iters=iters,
+    )
+    spark = corpus.sparkSession
+    (
+        ivf_assign(c, centroids, "c_vec")
+        .repartition("cid")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(path)
+    )
+    spark.createDataFrame(
+        [(centroids,)], "centroids array<array<double>>"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/_centroids")
+
+
+def probe_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Query a persisted IVF index: read the stored centroids (bounded
+    K x dim), compute each query's ``nprobe`` nearest lists, and scan
+    ONLY those ``cid=`` directories — the filter is a partition filter
+    on the index layout, so the physical scan touches nprobe/K of the
+    corpus (plan-asserted in tests/test_llm_ops.py). Scoring and top-k
+    match ``ann_ivf_topk`` exactly."""
+    centroids = (
+        spark.read.parquet(path + "/_centroids").head().centroids
+    )
+    centroids = [list(c) for c in centroids]
+    q_normed = with_norm(queries.select(id_col, vec_col), vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("norm").alias("q_norm"),
+    )
+    cent_arr = (
+        "array(" + ", ".join(
+            "array(" + ", ".join(f"{x!r}D" for x in c) + ")" for c in centroids
+        ) + ")"
+    )
+    sims = f"transform({cent_arr}, c -> " + DOT.format(a="c", b="q_vec") + ")"
+    probes = (
+        q_normed.withColumn("sims", F.expr(sims))
+        .withColumn(
+            "cid",
+            F.explode(
+                F.expr(
+                    f"slice(array_sort(transform(sims, (s, i) -> struct(-s AS negs, i AS i))), 1, {nprobe})"
+                )
+            ),
+        )
+        .select("query_id", "q_vec", "q_norm", F.col("cid.i").cast("int").alias("cid"))
+    )
+    probed_cids = sorted({r.cid for r in probes.select("cid").distinct().collect()})
+    corpus_l = spark.read.parquet(path).filter(F.col("cid").isin(probed_cids))
+    scored = corpus_l.join(F.broadcast(probes), "cid").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    ).withColumn(
+        "cosine",
+        F.expr(DOT.format(a="q_vec", b="c_vec")) / (F.col("q_norm") * F.col("c_norm")),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -491,3 +491,28 @@ def test_incremental_minhash_matches_restricted_exact(docs):
     for (b, c), j in got.items():
         full = exact.get((b, c)) or exact.get((c, b))
         assert abs(j - full) < 1e-12, "verify tail must report exact jaccard"
+
+
+def test_persisted_ivf_index_prunes_and_matches(spark, emb, tmp_path):
+    """The materialized IVF layout: build once (corpus partitioned by
+    list id + stored centroids), probe later — results must equal the
+    in-memory ann_ivf_topk (same deterministic training), and the probe
+    scan must be PARTITION-PRUNED to the probed cid directories."""
+    from cassandrastack_spark.llm.simsearch import (
+        ann_ivf_topk,
+        build_ivf_index,
+        probe_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf_index")
+    build_ivf_index(emb, path)
+    q = emb.filter(F.col("vec_id") < 10)
+    got = probe_ivf_index(spark, path, q, k=5)
+    want = ann_ivf_topk(emb, q, k=5)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan, plan
+    # the probe reads a strict subset of the 16 list directories
+    import re as _re
+    pf = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "cid" in pf, plan

@@ -837,3 +837,157 @@ def paragraph_dedup(
             F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# persisted MinHash band index — the production incremental-dedup loop
+# ---------------------------------------------------------------------------
+
+
+def _banded_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
+    """(id, band, sig) rows — the LSH bucket addresses of every doc."""
+    rows = num_hashes // bands
+    sh = shingle_sets(df, id_col, text_col, k).localCheckpoint(eager=True)
+    return (
+        minhash_from_sets(sh, num_hashes)
+        .select(
+            "id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {bands - 1}), b -> "
+                    f"struct(b AS band, xxhash64(concat_ws(',', "
+                    f"slice(minhash, b * {rows} + 1, {rows}))) AS sig))"
+                )
+            ).alias("bs"),
+        )
+        .select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    )
+
+
+def build_dedup_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> None:
+    """Materialize the corpus's MinHash band index at ``path``: (id,
+    band, sig) rows partitioned by ``band``, plus the hash-family
+    parameters as a 1-row parquet under ``path/_meta`` so probes use
+    the identical family.
+
+    The production incremental-dedup loop this enables: the corpus is
+    shingled and hashed ONCE; each incoming crawl drop probes the
+    stored buckets (``probe_dedup_index``) and accepted docs append
+    their band rows (``extend_dedup_index``) — no corpus re-hash, no
+    corpus x corpus join, ever. The index stores 16 x 16-byte rows per
+    document regardless of document size; at 100 TB of text that is a
+    ~tens-of-GB index, and (band, sig) is its natural sort/bucket key.
+    """
+    spark = corpus.sparkSession
+    (
+        _banded_signatures(corpus, id_col, text_col, k, num_hashes, bands)
+        .repartition("band")
+        .sortWithinPartitions("band", "sig")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(path)
+    )
+    spark.createDataFrame(
+        [(k, num_hashes, bands)], "k int, num_hashes int, bands int"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/_meta")
+
+
+def extend_dedup_index(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Append accepted documents' band rows to the index — the write
+    half of the ingest loop. Uses the stored hash-family parameters."""
+    spark = new_docs.sparkSession
+    meta = spark.read.parquet(path + "/_meta").head()
+    (
+        _banded_signatures(
+            new_docs, id_col, text_col, meta.k, meta.num_hashes, meta.bands
+        )
+        .repartition("band")
+        .sortWithinPartitions("band", "sig")
+        .write.mode("append")
+        .partitionBy("band")
+        .parquet(path)
+    )
+
+
+def probe_dedup_index(
+    batch: DataFrame,
+    path: str,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Dedup an incoming batch against the PERSISTED index: only the
+    batch is shingled/hashed; candidates come from a batch-bands x
+    stored-bands equi-join on (band, sig); the exact-Jaccard verify
+    tail joins text back from the corpus store for candidate ids only.
+    Returns (batch_id, corpus_id, jaccard) — identical semantics to
+    ``minhash_lsh_pairs_incremental``, minus the corpus re-hash."""
+    spark = batch.sparkSession
+    meta = spark.read.parquet(path + "/_meta").head()
+    b_sh = shingle_sets(batch, id_col, text_col, meta.k).localCheckpoint(eager=True)
+    rows = meta.num_hashes // meta.bands
+    b_banded = (
+        minhash_from_sets(b_sh, meta.num_hashes)
+        .select(
+            "id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {meta.bands - 1}), b -> "
+                    f"struct(b AS band, xxhash64(concat_ws(',', "
+                    f"slice(minhash, b * {rows} + 1, {rows}))) AS sig))"
+                )
+            ).alias("bs"),
+        )
+        .select(
+            F.col("id").alias("batch_id"),
+            F.col("bs.band").alias("band"),
+            F.col("bs.sig").alias("sig"),
+        )
+    )
+    stored = spark.read.parquet(path).select(
+        F.col("id").alias("corpus_id"), "band", "sig"
+    )
+    cand = (
+        b_banded.join(stored, on=["band", "sig"])
+        .filter(F.col("batch_id") != F.col("corpus_id"))
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    cand_corpus = cand.select(F.col("corpus_id").alias(id_col)).distinct()
+    c_sh = shingle_sets(
+        corpus.join(cand_corpus, id_col, "left_semi"), id_col, text_col, meta.k
+    )
+    b_arr = b_sh.select(F.col("id").alias("batch_id"), F.col("shingles").alias("b_s"))
+    c_arr = c_sh.select(F.col("id").alias("corpus_id"), F.col("shingles").alias("c_s"))
+    return (
+        cand.join(b_arr, "batch_id")
+        .join(c_arr, "corpus_id")
+        .withColumn("shared", F.size(F.array_intersect("b_s", "c_s")))
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.size("b_s") + F.size("c_s") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("batch_id", "corpus_id", "jaccard")
+    )

@@ -516,3 +516,45 @@ def test_persisted_ivf_index_prunes_and_matches(spark, emb, tmp_path):
     import re as _re
     pf = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
     assert "cid" in pf, plan
+
+
+def test_persisted_dedup_index_loop(docs, tmp_path):
+    """The materialized ingest loop: build the band index from the
+    corpus, probe a batch (only the batch is hashed) — pairs must equal
+    the rehash-everything incremental path; accepted docs then EXTEND
+    the index and a duplicate of one of them is caught by the next
+    probe."""
+    from cassandrastack_spark.llm.dedup import (
+        build_dedup_index,
+        extend_dedup_index,
+        minhash_lsh_pairs_incremental,
+        probe_dedup_index,
+    )
+
+    spark = docs.sparkSession
+    batch = docs.filter(F.col("doc_id") % 10 == 7)
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    path = str(tmp_path / "dedup_index")
+    build_dedup_index(corpus, path)
+
+    got = {
+        (r.batch_id, r.corpus_id): r.jaccard
+        for r in probe_dedup_index(batch, path, corpus, threshold=0.7).collect()
+    }
+    want = {
+        (r.batch_id, r.corpus_id): r.jaccard
+        for r in minhash_lsh_pairs_incremental(
+            corpus, batch, threshold=0.7
+        ).collect()
+    }
+    assert got == want
+
+    # ingest loop: batch accepted -> extend index; an exact duplicate of
+    # a batch doc arrives next drop and must hit it via the STORED rows
+    extend_dedup_index(batch, path)
+    one = batch.orderBy("doc_id").limit(1)
+    dup = one.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    all_docs = docs.union(dup)
+    hits = probe_dedup_index(dup, path, all_docs, threshold=0.99).collect()
+    src_id = one.head().doc_id
+    assert any(r.corpus_id == src_id and r.jaccard == 1.0 for r in hits), hits

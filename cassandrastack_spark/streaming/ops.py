@@ -29,7 +29,7 @@ import tempfile
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
@@ -485,3 +485,84 @@ def stateful_user_totals_tws(stream: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def ingest_with_dedup(
+    stream: DataFrame,
+    index_path: str,
+    accepted_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    checkpoint: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming corpus ingest with near-dup rejection — the full
+    production loop over the persisted MinHash band index
+    (``llm/dedup.py build/probe/extend_dedup_index``): each micro-batch
+
+    1. probes the STORED index (only the batch is shingled/hashed),
+    2. drops batch docs whose Jaccard vs any accepted doc ≥ threshold
+       (and collapses in-batch exact duplicates on the text digest —
+       the cheap guard for dups arriving within one batch),
+    3. appends survivors to the accepted corpus at ``accepted_path``
+       and EXTENDS the index with their band rows.
+
+    ``foreachBatch`` is the seam because the batch must observe the
+    index state left by every previous batch — exactly the read-probe-
+    write cycle a 100 TB crawl pipeline runs per drop; work per batch
+    scales with the batch, never with the accepted corpus (the probe
+    is an equi-join on (band, sig) against bucket-sorted parquet).
+    Near-dups WITHIN one batch (non-exact) ride to the next drop's
+    probe only if accepted here — the standard at-drop-granularity
+    trade; run a periodic in-corpus ``minhash_lsh_pairs`` sweep to
+    catch stragglers.
+    """
+    from cassandrastack_spark.llm.dedup import (
+        build_dedup_index,
+        extend_dedup_index,
+        probe_dedup_index,
+    )
+
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="cs_dedup_ckpt_")
+    spark = stream.sparkSession
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)
+        # in-batch exact dedup: first (lowest id) per text digest wins
+        w_digest = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+        batch_df = (
+            batch_df.withColumn("_rn", F.row_number().over(w_digest))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        try:
+            accepted = spark.read.parquet(accepted_path)
+            have_index = True
+        except Exception:
+            accepted, have_index = None, False
+        if not have_index:
+            survivors = batch_df
+            build_dedup_index(
+                survivors, index_path, id_col=id_col, text_col=text_col
+            )
+        else:
+            dups = probe_dedup_index(
+                batch_df, index_path, accepted,
+                id_col=id_col, text_col=text_col, threshold=threshold,
+            ).select(F.col("batch_id").alias(id_col)).distinct()
+            survivors = batch_df.join(dups, id_col, "left_anti").localCheckpoint(
+                eager=True
+            )
+            extend_dedup_index(
+                survivors, index_path, id_col=id_col, text_col=text_col
+            )
+        survivors.write.mode("append").parquet(accepted_path)
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

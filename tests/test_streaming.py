@@ -339,3 +339,52 @@ def test_stateful_totals_tws_matches_legacy_api(spark, stream_dir, tmp_path):
         else:
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_stream_ingest_with_dedup_index(spark, tmp_path):
+    """ingest_with_dedup: the streaming crawl loop — batch 1 seeds the
+    corpus + index (collapsing in-batch exact dups), batch 2's exact
+    and near duplicates of ACCEPTED docs are rejected via the persisted
+    band index while novel docs land and extend it."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from cassandrastack_spark.streaming.ops import ingest_with_dedup
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ])
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    words = [f"w{i}" for i in range(30)]
+    text_a = " ".join(words)
+    text_b = " ".join(f"b{i}" for i in range(30))
+    text_c = " ".join(f"c{i}" for i in range(30))
+    text_d = " ".join(f"d{i}" for i in range(30))
+    near_b = " ".join(("CHANGED" if i == 15 else f"b{i}") for i in range(30))
+
+    def write(name, rows):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), str(d / name))
+
+    def run():
+        src = spark.readStream.schema(schema).parquet(str(d))
+        q = ingest_with_dedup(
+            src, str(tmp_path / "band_index"), str(tmp_path / "accepted"),
+            checkpoint=str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+
+    write("b1.parquet", [(1, text_a), (2, text_b), (3, text_c), (4, text_a)])
+    run()
+    ids = sorted(r.doc_id for r in spark.read.parquet(str(tmp_path / "accepted")).collect())
+    assert ids == [1, 2, 3], "in-batch exact dup (id 4) collapses"
+
+    write("b2.parquet", [(10, text_d), (11, text_a), (12, near_b)])
+    run()
+    ids = sorted(r.doc_id for r in spark.read.parquet(str(tmp_path / "accepted")).collect())
+    assert ids == [1, 2, 3, 10], (
+        "exact copy (11) and near-dup (12) rejected against the index; "
+        f"novel doc lands: {ids}"
+    )
+    idx_ids = {r.id for r in spark.read.parquet(str(tmp_path / "band_index")).collect()}
+    assert idx_ids == {1, 2, 3, 10}, "index extends with survivors only"

@@ -105,6 +105,7 @@ _FRONT: tuple[str, ...] = (
     "text_unigram_logprob",
     "text_word_entropy",
     "text_ngram_novelty",
+    "text_top_terms_udtf",
     "rolling_wau_hll",
     "stream_tumbling_append",
     "stream_sliding_append",

@@ -1588,3 +1588,50 @@ def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
         .orderBy("source", "rnk")
     )
+
+
+@register(
+    "text_top_terms_udtf",
+    oracle="""
+        SELECT doc_id, word, cnt, rnk FROM (
+            SELECT doc_id, w AS word, CAST(COUNT(*) AS INT) AS cnt,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY COUNT(*) DESC, w) AS INT) AS rnk
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents) t
+            GROUP BY doc_id, w) x
+        WHERE rnk <= 3
+        ORDER BY doc_id, rnk
+    """,
+    doc="Per-document top-3 terms via a PYTHON UDTF in a LATERAL join — "
+        "the §2.4 UDTF surface demonstrated end-to-end (Arrow-optimized, "
+        "one table-function call per row, deterministic count-desc/"
+        "word-asc ranking). The oracle shows the same result as pure "
+        "SQL (unnest + window) — built-ins remain the preferred path; "
+        "the UDTF exists for logic that does NOT reduce to relational "
+        "ops, and this query pins the plumbing (registration, lateral "
+        "correlation, Arrow batching, schema) with a verifiable case.",
+)
+def text_top_terms_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string, cnt int, rnk int", useArrow=True)
+    class TopTerms:
+        def eval(self, text: str, k: int):
+            from collections import Counter
+
+            counts = Counter((text or "").split(" "))
+            ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            for i, (w, n) in enumerate(ranked[:k]):
+                yield w, int(n), i + 1
+
+    spark.udtf.register("top_terms", TopTerms)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.word, t.cnt, t.rnk
+        FROM _udtf_docs d, LATERAL top_terms(d.text, 3) t
+        ORDER BY d.doc_id, t.rnk
+        """
+    )

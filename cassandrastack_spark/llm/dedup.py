@@ -991,3 +991,43 @@ def probe_dedup_index(
         .filter(F.col("jaccard") >= threshold)
         .select("batch_id", "corpus_id", "jaccard")
     )
+
+
+def compact_dedup_index(spark, path: str) -> None:
+    """Small-file maintenance for the band index: every ``extend``
+    appends a few files per band, and a drop-every-hour pipeline
+    accretes thousands — probe cost then becomes file-open latency, not
+    I/O. Rewrite each band partition into sorted files using the same
+    object-store-safe staged commit as ``storage.py compact()``: stage
+    next to the index (all-or-nothing Spark commit), dynamic-overwrite
+    one ``band=`` directory per commit so concurrent probes always see
+    a complete index, then drop staging via the Hadoop FileSystem API
+    (s3a/gs/abfs/hdfs/file alike). Band count is fixed, so driver work
+    is bounded; run it on the compaction cadence, like the store."""
+    idx = spark.read.parquet(path)
+    stage = path + ".compacting"
+    (
+        idx.repartition("band")
+        .sortWithinPartitions("band", "sig")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(stage)
+    )
+    staged = spark.read.parquet(stage)
+    conf = spark.conf
+    prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            staged.repartition("band")
+            .sortWithinPartitions("band", "sig")
+            .write.mode("overwrite")
+            .partitionBy("band")
+            .parquet(path)
+        )
+    finally:
+        conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    jvm = spark._jvm
+    stage_path = jvm.org.apache.hadoop.fs.Path(stage)
+    fs = stage_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(stage_path, True)

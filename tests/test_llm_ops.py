@@ -558,3 +558,37 @@ def test_persisted_dedup_index_loop(docs, tmp_path):
     hits = probe_dedup_index(dup, path, all_docs, threshold=0.99).collect()
     src_id = one.head().doc_id
     assert any(r.corpus_id == src_id and r.jaccard == 1.0 for r in hits), hits
+
+
+def test_compact_dedup_index_preserves_probes(docs, tmp_path):
+    """After N extend() appends, compacting the band index must shrink
+    the file count per band and leave probe results identical."""
+    from cassandrastack_spark.llm.dedup import (
+        build_dedup_index,
+        compact_dedup_index,
+        extend_dedup_index,
+        probe_dedup_index,
+    )
+
+    spark = docs.sparkSession
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    batch = docs.filter(F.col("doc_id") % 10 == 7)
+    path = str(tmp_path / "idx")
+    build_dedup_index(corpus.filter(F.col("doc_id") % 3 == 0), path)
+    extend_dedup_index(corpus.filter(F.col("doc_id") % 3 == 1), path)
+    extend_dedup_index(corpus.filter(F.col("doc_id") % 3 == 2), path)
+
+    before = {
+        (r.batch_id, r.corpus_id)
+        for r in probe_dedup_index(batch, path, corpus, threshold=0.7).collect()
+    }
+    import glob
+    n_files_before = len(glob.glob(f"{path}/band=*/*.parquet"))
+    compact_dedup_index(spark, path)
+    n_files_after = len(glob.glob(f"{path}/band=*/*.parquet"))
+    assert n_files_after < n_files_before
+    after = {
+        (r.batch_id, r.corpus_id)
+        for r in probe_dedup_index(batch, path, corpus, threshold=0.7).collect()
+    }
+    assert after == before

@@ -213,3 +213,57 @@ def test_write_training_shards_reproducible_permutation(spark, tmp_path):
     # shards are directory-pruned: reading one shard touches one dir
     one = spark.read.parquet(out1).filter(F.col("_shard") == 2)
     assert 0 < one.count() < docs.count()
+
+
+def test_zorder_layout_tightens_both_dimensions(spark, tmp_path):
+    """write_zordered on (user_id, ts): per-file value spreads must be
+    small on BOTH dimensions, while a ts-sorted layout leaves user_id
+    spreads at ~the global range — the property that makes row-group
+    skipping work for predicates on either column."""
+    from pyspark.sql import functions as F
+
+    from cassandrastack_spark.sources.io import write_zordered
+
+    ev = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    ).select("user_id", "ts", "value")
+
+    def mean_norm_spread(path, col):
+        df = spark.read.parquet(path).withColumn("f", F.input_file_name())
+        numeric = (
+            F.unix_micros(F.col(col).cast("timestamp")).cast("double")
+            if dict(df.dtypes)[col].startswith("timestamp")
+            else F.col(col).cast("double")
+        )
+        df = df.withColumn(col, numeric)
+        g = F.col("gmx") - F.col("gmn")
+        per = (
+            df.groupBy("f")
+            .agg((F.max(col) - F.min(col)).alias("spread"))
+            .crossJoin(
+                F.broadcast(
+                    df.agg(F.min(col).alias("gmn"), F.max(col).alias("gmx"))
+                )
+            )
+            .select((F.col("spread") / g).alias("ns"))
+        )
+        return per.agg(F.avg("ns")).head()[0]
+
+    z = str(tmp_path / "z")
+    write_zordered(ev, z, ["user_id", "ts"], n_files=16)
+    s = str(tmp_path / "s")
+    (
+        ev.repartitionByRange(16, F.col("ts"))
+        .sortWithinPartitions("ts")
+        .write.parquet(s)
+    )
+    z_user, z_ts = mean_norm_spread(z, "user_id"), mean_norm_spread(z, "ts")
+    s_user = mean_norm_spread(s, "user_id")
+    assert z_user < 0.6 and z_ts < 0.6, (z_user, z_ts)
+    assert s_user > 0.8, s_user  # single-dim sort leaves the other dim wide
+    assert z_user < s_user / 1.5
+    # same rows either way
+    assert spark.read.parquet(z).count() == ev.count()
+
+    with pytest.raises(ValueError, match=">= 2 columns"):
+        write_zordered(ev, str(tmp_path / "bad"), ["ts"])

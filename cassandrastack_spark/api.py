@@ -104,8 +104,44 @@ class SocialMessageAPI:
 
     # -- GET /messages (R2: full scan) ------------------------------------------
 
-    def get_messages(self) -> list[dict]:
+    def get_messages(
+        self, page_size: int | None = None, after: dict | None = None
+    ) -> list[dict]:
+        """Full scan; with ``page_size`` the response is one keyset page
+        (``storage.py read_page``) — the cassandra-driver pages this
+        route's unbounded SELECT transparently (fetch_size); here the
+        client passes the previous page's last key as ``after``."""
         t = self._table("messages")
+        if page_size is not None:
+            if after:
+                # JSON cursors carry timestamp keys as strings — ISO, or
+                # the RFC-822 form Flask's jsonify emits (clients echo the
+                # previous page's values back verbatim). Normalized to the
+                # storage's naive-UTC timestamps.
+                def _ts(v: str) -> dt.datetime:
+                    try:
+                        parsed = dt.datetime.fromisoformat(v)
+                    except ValueError:
+                        from email.utils import parsedate_to_datetime
+
+                        parsed = parsedate_to_datetime(v)
+                    if parsed.tzinfo is not None:
+                        parsed = parsed.astimezone(dt.timezone.utc).replace(
+                            tzinfo=None
+                        )
+                    return parsed
+
+                types = {f.name: f.dataType for f in t.spec.schema.fields}
+                after = {
+                    k: (
+                        _ts(v)
+                        if isinstance(v, str)
+                        and types[k].typeName().startswith("timestamp")
+                        else v
+                    )
+                    for k, v in after.items()
+                }
+            return [r.asDict() for r in t.read_page(page_size, after).collect()]
         return [r.asDict() for r in t.read().collect()]
 
     # -- GET /channels/<id>/messages (R1: one partition, newest first) -----------
@@ -199,7 +235,16 @@ def create_app(spark: SparkSession, warehouse: str):
     app.add_url_rule(
         "/messages/create", "messages_create", lambda: jsonify(api.messages_create())
     )
-    app.add_url_rule("/messages", "messages", lambda: jsonify(api.get_messages()))
+    def _messages():
+        import json as _json
+
+        page_size = request.args.get("page_size", type=int)
+        after = request.args.get("after")
+        return jsonify(
+            api.get_messages(page_size, _json.loads(after) if after else None)
+        )
+
+    app.add_url_rule("/messages", "messages", _messages)
     app.add_url_rule(
         "/channels/<int:channel_id>/messages", "channel_messages",
         lambda channel_id: jsonify(api.get_channel_messages(channel_id)),

@@ -130,3 +130,36 @@ def test_flask_cql_route(spark, tmp_warehouse):
     assert r.get_json() == {"rows": [{"k": "a", "v": 7}]}
     r = c.post("/cql", json={"statement": "GRANT ALL TO nobody"})
     assert r.status_code == 400 and "unsupported" in r.get_json()["error"]
+
+
+def test_messages_route_pages_with_keyset_cursor(spark, tmp_warehouse):
+    """GET /messages?page_size=N&after=<json cursor>: keyset paging over
+    the seeded 15 messages — pages are disjoint, total 15, and the ISO
+    timestamp in the JSON cursor round-trips."""
+    pytest.importorskip("flask")
+    import json
+
+    from cassandrastack_spark.api import create_app
+
+    app = create_app(spark, tmp_warehouse)
+    c = app.test_client()
+    c.get("/create")
+    c.get("/messages/create")
+    seen, after = [], None
+    while True:
+        url = "/messages?page_size=6"
+        if after:
+            url += "&after=" + json.dumps(after)
+        rows = c.get(url).get_json()
+        if not rows:
+            break
+        seen.extend(rows)
+        last = rows[-1]
+        after = {
+            "channel_id": last["channel_id"],
+            "message_ts": last["message_ts"],
+            "message_id": last["message_id"],
+        }
+    assert len(seen) == 15
+    assert len({r["message_id"] for r in seen}) == 15
+    c.get("/drop")

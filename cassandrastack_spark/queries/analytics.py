@@ -762,3 +762,104 @@ def tumbling_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_start", "event_type")
     )
+
+
+@register(
+    "stats_regression_lineitem",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+               ROUND(covar_samp(l_extendedprice, l_quantity), 4) AS covar_pq,
+               ROUND(stddev_samp(l_extendedprice), 4) AS sd_price,
+               ROUND(var_samp(l_quantity), 6) AS var_qty,
+               ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+               ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+               ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    doc="Statistical aggregate surface: correlation, sample covariance/"
+        "variance, and OLS regression (slope/intercept/R²) of price on "
+        "quantity per return flag — all single-pass partial-agg'd "
+        "moments (Catalyst computes the co-moment sums map-side; one "
+        "shuffle of 6 doubles per group regardless of table size). "
+        "Definitions shared exactly with the oracle engine "
+        "(corr/covar_samp/var_samp/regr_* are standard-fixed; skewness/"
+        "kurtosis are deliberately excluded — Spark uses population "
+        "forms where DuckDB bias-corrects, so they cannot hash-match).",
+)
+def stats_regression_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p, q = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr(p, q), 6).alias("corr_pq"),
+            F.round(F.covar_samp(p, q), 4).alias("covar_pq"),
+            F.round(F.stddev_samp(p), 4).alias("sd_price"),
+            F.round(F.var_samp(q), 6).alias("var_qty"),
+            F.round(F.regr_slope(p, q), 6).alias("slope"),
+            F.round(F.regr_intercept(p, q), 4).alias("intercept"),
+            F.round(F.regr_r2(p, q), 6).alias("r2"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "full_outer_nation_accounts",
+    oracle="""
+        WITH c AS (
+            SELECT c_nationkey AS nk,
+                   ROUND(SUM(c_acctbal), 2) AS cust_bal,
+                   CAST(COUNT(*) AS BIGINT) AS n_cust
+            FROM customer GROUP BY c_nationkey),
+        s AS (
+            SELECT s_nationkey AS nk,
+                   ROUND(SUM(s_acctbal), 2) AS supp_bal,
+                   CAST(COUNT(*) AS BIGINT) AS n_supp
+            FROM supplier GROUP BY s_nationkey)
+        SELECT COALESCE(c.nk, s.nk) AS nationkey,
+               COALESCE(cust_bal, 0) AS cust_bal,
+               COALESCE(n_cust, 0) AS n_cust,
+               COALESCE(supp_bal, 0) AS supp_bal,
+               COALESCE(n_supp, 0) AS n_supp
+        FROM c FULL OUTER JOIN s ON c.nk = s.nk
+        ORDER BY nationkey
+    """,
+    doc="Full-outer join surface: per-nation customer vs supplier "
+        "account balances, nations missing on either side preserved "
+        "with zero-filled measures. Aggregate-then-join: the outer join "
+        "runs on nation-count-sized inputs (25 rows at any SF), never "
+        "on the raw tables — the 100 TB shape for side-by-side rollups.",
+)
+def full_outer_nation_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.round(F.sum("c_acctbal"), 2).alias("cust_bal"),
+            F.count("*").alias("n_cust"),
+        )
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(
+            F.round(F.sum("s_acctbal"), 2).alias("supp_bal"),
+            F.count("*").alias("n_supp"),
+        )
+    )
+    return (
+        c.alias("c")
+        .join(s.alias("s"), F.col("c.nk") == F.col("s.nk"), "full_outer")
+        .select(
+            F.coalesce(F.col("c.nk"), F.col("s.nk")).alias("nationkey"),
+            F.coalesce("cust_bal", F.lit(0)).alias("cust_bal"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("supp_bal", F.lit(0)).alias("supp_bal"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )

@@ -456,3 +456,45 @@ def test_paragraph_dedup_matches_bruteforce(spark, texts):
         assert got[i]["n_spans"] == len(spans), (i, texts)
         assert got[i]["n_kept"] == len(kept), (i, texts)
         assert got[i]["text_deduped"] == " ".join(kept), (i, texts)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.integers(min_value=0, max_value=60), min_size=1,
+             max_size=30, unique=True),
+    st.integers(min_value=1, max_value=9),
+)
+def test_read_page_partitions_table_exactly(spark, tmp_path_factory, ids, page_size):
+    """Keyset paging CONTRACT on random tables and page sizes: pages
+    are disjoint, ≤ page_size, their concatenation is exactly the
+    reconciled table, and the walk follows one global (token, pk)
+    order regardless of where the cursor lands."""
+    from cassandrastack_spark.catalog import Keyspace
+    from cassandrastack_spark.hashing import spark_hash
+    from cassandrastack_spark.storage import WideColumnTable
+    from cassandrastack_spark import schemas
+
+    wh = str(tmp_path_factory.mktemp("page_wh"))
+    ks = Keyspace(spark, "pagespace", wh).create()
+    spec = ks.create_table("users", schemas.USERS, partition_keys=["username"])
+    t = WideColumnTable(spark, ks, spec, n_buckets=4)
+    try:
+        t.append(spark.createDataFrame(
+            [(f"u{i:03d}", f"id-{i}", f"{i}@x", "pw") for i in ids],
+            schemas.USERS))
+        walked, state = [], None
+        while True:
+            rows = t.read_page(page_size, state).collect()
+            if not rows:
+                break
+            assert len(rows) <= page_size
+            walked.extend(rows)
+            state = t.paging_state(rows[-1])
+        names = [r.username for r in walked]
+        assert len(names) == len(ids) and len(set(names)) == len(ids)
+        assert names == sorted(
+            names, key=lambda u: (spark_hash(u), u)
+        ), "pages must follow the (token, pk) total order"
+    finally:
+        ks.drop()

@@ -305,8 +305,16 @@ class CqlSession:
             return None
         if low.startswith("create type"):
             return self._create_type(s)
+        if low.startswith("create materialized view"):
+            return self._create_mv(s)
         if low.startswith("create table"):
             return self._create_table(s)
+        if low.startswith("drop materialized view"):
+            return self._drop_mv(s)
+        if low.startswith("drop table"):
+            return self._drop_table(s)
+        if low.startswith("drop index"):
+            return self._drop_index(s)
         if low.startswith("begin batch") or low.startswith(
             "begin unlogged batch"
         ) or low.startswith("begin counter batch"):
@@ -380,6 +388,143 @@ class CqlSession:
             ks.alter_table_add_column(name, StructField(col, dtype, True))
         else:
             ks.alter_table_drop_column(name, col)
+        return None
+
+    def _create_mv(self, s: str):
+        """``CREATE MATERIALIZED VIEW [IF NOT EXISTS] v AS SELECT *
+        FROM base WHERE <key cols> IS NOT NULL ... PRIMARY KEY (...)
+        [WITH CLUSTERING ORDER BY (...)]`` — Cassandra-3.0 MV DDL,
+        routed to ``catalog.create_materialized_view`` (which enforces
+        the PK-superset rules). The mandatory IS-NOT-NULL WHERE terms
+        are validated as exactly that form and carry no extra
+        filtering here: the engine's views materialize every base row
+        whose view-key columns are non-null, same as Cassandra."""
+        m = re.match(
+            r"create materialized view\s+(if not exists\s+)?(\w+)\s+as\s+"
+            r"select\s+\*\s+from\s+(\w+)"
+            r"(?:\s+where\s+(.*?))?\s+primary\s+key\s*\(",
+            s,
+            re.I | re.S,
+        )
+        if not m:
+            raise ValueError(f"cannot parse CREATE MATERIALIZED VIEW: {s!r}")
+        if_not_exists, view, base, where = m.groups()
+        # balanced-paren scan for the PK list (composite partition keys
+        # nest parens; a greedy regex would swallow the WITH tail)
+        start = m.end()
+        depth, end = 1, None
+        for i in range(start, len(s)):
+            if s[i] == "(":
+                depth += 1
+            elif s[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    end = i
+                    break
+        if end is None:
+            raise ValueError(f"unbalanced PRIMARY KEY parens: {s!r}")
+        inner, tail = s[start:end].strip(), s[end + 1 :].strip()
+        gm = re.match(r"\((.*?)\)\s*(?:,(.*))?$", inner, re.S)
+        if gm:
+            pk_part = [c.strip() for c in gm.group(1).split(",")]
+            rest = gm.group(2) or ""
+            pk_clust = [c.strip() for c in rest.split(",") if c.strip()]
+        else:
+            parts = [c.strip() for c in inner.split(",")]
+            pk_part, pk_clust = [parts[0]], parts[1:]
+        order_desc = False
+        if tail:
+            cm = re.fullmatch(
+                r"with\s+clustering\s+order\s+by\s*\(\s*([\w\s,]+?)\s*\)",
+                tail,
+                re.I,
+            )
+            if not cm:
+                raise ValueError(f"unsupported CREATE MV tail: {tail!r}")
+            dirs = {
+                (t.split()[1].lower() if len(t.split()) > 1 else "asc")
+                for t in cm.group(1).split(",")
+            }
+            if len(dirs) > 1:
+                raise ValueError("mixed clustering directions are not supported")
+            order_desc = dirs == {"desc"}
+        if where:
+            for term in re.split(r"\s+and\s+", where.strip(), flags=re.I):
+                if not re.fullmatch(r"\w+\s+is\s+not\s+null", term.strip(), re.I):
+                    raise ValueError(
+                        f"MV WHERE supports only '<col> IS NOT NULL' terms "
+                        f"(CQL 3.0 rule), got {term!r}"
+                    )
+        ks = self._ks()
+        if view in ks.tables and not if_not_exists:
+            raise ValueError(f"table or view {view!r} exists")
+        ks.create_materialized_view(
+            base, view, pk_part, clustering_keys=pk_clust,
+            clustering_desc=order_desc,
+        )
+        # views start consistent with existing base data, like Cassandra's
+        # MV build on creation (refresh_view reads the BASE, writes the view)
+        if self._table(base).read().limit(1).count():
+            self._table(view).refresh_view()
+        return None
+
+    def _drop_mv(self, s: str):
+        m = re.match(
+            r"drop materialized view\s+(if exists\s+)?(\w+)\s*$", s, re.I
+        )
+        if not m:
+            raise ValueError(f"cannot parse DROP MATERIALIZED VIEW: {s!r}")
+        ks, name = self._ks(), m.group(2)
+        spec = ks.tables.get(name)
+        if spec is None:
+            if m.group(1):
+                return None
+            raise ValueError(f"unknown materialized view {name!r}")
+        base = spec.properties.get("materialized_view_of")
+        if not base:
+            raise ValueError(f"{name!r} is a table; use DROP TABLE")
+        ks.views[base] = [v for v in ks.views.get(base, []) if v != name]
+        ks.drop_table(name)
+        return None
+
+    def _drop_table(self, s: str):
+        m = re.match(r"drop table\s+(if exists\s+)?(\w+)\s*$", s, re.I)
+        if not m:
+            raise ValueError(f"cannot parse DROP TABLE: {s!r}")
+        ks, name = self._ks(), m.group(2)
+        spec = ks.tables.get(name)
+        if spec is None:
+            if m.group(1):
+                return None
+            raise ValueError(f"unknown table {name!r}")
+        if spec.properties.get("materialized_view_of"):
+            raise ValueError(
+                f"{name!r} is a materialized view; use DROP MATERIALIZED VIEW"
+            )
+        if ks.views.get(name):
+            raise ValueError(
+                f"cannot drop {name!r}: materialized views/indexes depend "
+                f"on it ({sorted(ks.views[name])}) — drop them first "
+                f"(Cassandra rule)"
+            )
+        ks.drop_table(name)
+        return None
+
+    def _drop_index(self, s: str):
+        """``DROP INDEX [IF EXISTS] <base>_<col>_idx`` — the derived
+        name ``create_index`` registers (CQL's default index naming)."""
+        m = re.match(r"drop index\s+(if exists\s+)?(\w+)\s*$", s, re.I)
+        if not m:
+            raise ValueError(f"cannot parse DROP INDEX: {s!r}")
+        ks, name = self._ks(), m.group(2)
+        spec = ks.tables.get(name)
+        if spec is None or not name.endswith("_idx"):
+            if m.group(1):
+                return None
+            raise ValueError(f"unknown index {name!r}")
+        base = spec.properties.get("materialized_view_of")
+        ks.views[base] = [v for v in ks.views.get(base, []) if v != name]
+        ks.drop_table(name)
         return None
 
     def _create_index(self, s: str):

@@ -1161,3 +1161,59 @@ def test_prepare_and_execute_async_driver_parity(cql):
     assert cql.execute_async(
         "SELECT message FROM messages WHERE channel_id = 2").result() \
         == [{"message": "really?"}]
+
+
+def test_create_and_drop_materialized_view_statements(cql):
+    """CREATE MATERIALIZED VIEW ... PRIMARY KEY ((..),..) WITH CLUSTERING
+    ORDER BY: built from existing base data, maintained by the write
+    path, addressable by its own partition key; DROP TABLE refuses while
+    views depend on the base (Cassandra rule); DROP MATERIALIZED VIEW /
+    DROP INDEX detach and remove."""
+    _bootstrap(cql)
+    cql.execute(
+        "INSERT INTO messages (channel_id, message_id, author_id, message) "
+        "VALUES (%s, now(), %s, %s)",
+        (1, "a8098c1a-f86e-11da-bd1a-00112444be1e", "pre-existing"))
+    cql.execute("""
+        CREATE MATERIALIZED VIEW messages_by_author AS
+        SELECT * FROM messages
+        WHERE author_id IS NOT NULL AND channel_id IS NOT NULL
+          AND message_id IS NOT NULL
+        PRIMARY KEY ((author_id), channel_id, message_id)
+    """)
+    # MV build covers pre-existing rows; write-path covers new ones
+    cql.execute(
+        "INSERT INTO messages (channel_id, message_id, author_id, message) "
+        "VALUES (%s, now(), %s, %s)",
+        (2, "a8098c1a-f86e-11da-bd1a-00112444be1e", "after-create"))
+    rows = cql.execute(
+        "SELECT message FROM messages_by_author WHERE author_id = %s",
+        ("a8098c1a-f86e-11da-bd1a-00112444be1e",))
+    assert sorted(r["message"] for r in rows) == ["after-create", "pre-existing"]
+
+    # invalid WHERE term and drop-ordering rules
+    with pytest.raises(ValueError, match="IS NOT NULL"):
+        cql.execute(
+            "CREATE MATERIALIZED VIEW bad AS SELECT * FROM messages "
+            "WHERE channel_id = 5 PRIMARY KEY ((channel_id), message_id)")
+    with pytest.raises(ValueError, match="depend on it"):
+        cql.execute("DROP TABLE messages")
+    with pytest.raises(ValueError, match="use DROP TABLE"):
+        cql.execute("DROP MATERIALIZED VIEW messages")
+
+    cql.execute("DROP MATERIALIZED VIEW messages_by_author")
+    assert "messages_by_author" not in cql.execute("DESCRIBE TABLES")
+    cql.execute("DROP TABLE messages")  # no dependents left now
+    assert "messages" not in cql.execute("DESCRIBE TABLES")
+    cql.execute("DROP TABLE IF EXISTS messages")  # idempotent form
+
+    # index lifecycle through statements
+    cql.execute("CREATE INDEX ON users (email)")
+    cql.execute(
+        "INSERT INTO users (user_id, username, email, password) "
+        "VALUES (%s, %s, %s, %s)", ("u1", "Alex", "a@mail.de", "pw"))
+    assert cql.execute(
+        "SELECT username FROM users_email_idx WHERE email = 'a@mail.de'"
+    ) == [{"username": "Alex"}]
+    cql.execute("DROP INDEX users_email_idx")
+    cql.execute("DROP TABLE users")

@@ -5,10 +5,12 @@ The reference speaks CQL strings through the python driver
 TABLE, ``server.py:131-139`` prepared INSERT with ``now()``,
 ``server.py:98`` SELECT-by-partition-key, ``server.py:191-207``
 BEGIN BATCH). This module parses that subset — plus the engine's
-extensions (TTL, IF NOT EXISTS, counters, collection deltas, static
-columns, IN reads, PER PARTITION LIMIT) — and routes each statement to
-the catalog/storage layer, so a reference user can paste their CQL
-unchanged.
+extensions (TTL, IF NOT EXISTS, conditional UPDATE/DELETE LWT with
+IF EXISTS / IF col = v, counters, collection deltas, static columns,
+IN reads, PER PARTITION LIMIT, CREATE/DROP MATERIALIZED VIEW,
+DROP TABLE/INDEX, prepared statements with ``?`` markers and
+``execute_async``) — and routes each statement to the catalog/storage
+layer, so a reference user can paste their CQL unchanged.
 
 Deliberately NOT a full CQL grammar: statements are dispatched by
 regex, values by a small literal reader. Anything outside the

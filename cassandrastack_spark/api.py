@@ -120,11 +120,19 @@ class SocialMessageAPI:
                 # storage's naive-UTC timestamps.
                 def _ts(v: str) -> dt.datetime:
                     try:
-                        parsed = dt.datetime.fromisoformat(v)
+                        # accept the 'Z' suffix on any interpreter
+                        parsed = dt.datetime.fromisoformat(
+                            v[:-1] + "+00:00" if v.endswith("Z") else v
+                        )
                     except ValueError:
                         from email.utils import parsedate_to_datetime
 
-                        parsed = parsedate_to_datetime(v)
+                        try:
+                            parsed = parsedate_to_datetime(v)
+                        except (TypeError, ValueError):
+                            raise ValueError(
+                                f"unparseable timestamp in paging cursor: {v!r}"
+                            ) from None
                     if parsed.tzinfo is not None:
                         parsed = parsed.astimezone(dt.timezone.utc).replace(
                             tzinfo=None
@@ -132,6 +140,11 @@ class SocialMessageAPI:
                     return parsed
 
                 types = {f.name: f.dataType for f in t.spec.schema.fields}
+                unknown = set(after) - set(types)
+                if unknown:
+                    raise ValueError(
+                        f"unknown paging-cursor columns: {sorted(unknown)}"
+                    )
                 after = {
                     k: (
                         _ts(v)
@@ -240,9 +253,14 @@ def create_app(spark: SparkSession, warehouse: str):
 
         page_size = request.args.get("page_size", type=int)
         after = request.args.get("after")
-        return jsonify(
-            api.get_messages(page_size, _json.loads(after) if after else None)
-        )
+        try:
+            cursor = _json.loads(after) if after else None
+            if cursor is not None and not isinstance(cursor, dict):
+                raise ValueError("paging cursor must be a JSON object")
+            return jsonify(api.get_messages(page_size, cursor))
+        except ValueError as e:
+            # malformed client cursors are client errors, not 500s
+            return jsonify({"error": str(e)}), 400
 
     app.add_url_rule("/messages", "messages", _messages)
     app.add_url_rule(

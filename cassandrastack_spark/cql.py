@@ -458,16 +458,27 @@ class CqlSession:
                         f"(CQL 3.0 rule), got {term!r}"
                     )
         ks = self._ks()
-        if view in ks.tables and not if_not_exists:
-            raise ValueError(f"table or view {view!r} exists")
+        if view in ks.tables:
+            existing_base = ks.tables[view].properties.get(
+                "materialized_view_of"
+            )
+            if not if_not_exists:
+                raise ValueError(f"table or view {view!r} exists")
+            if existing_base != base:
+                raise ValueError(
+                    f"{view!r} already exists and is "
+                    f"{'a plain table' if not existing_base else f'a view of {existing_base!r}'}"
+                    f" — IF NOT EXISTS cannot repurpose it"
+                )
+            return None  # true no-op: no re-validate, no rebuild
         ks.create_materialized_view(
             base, view, pk_part, clustering_keys=pk_clust,
             clustering_desc=order_desc,
         )
         # views start consistent with existing base data, like Cassandra's
-        # MV build on creation (refresh_view reads the BASE, writes the view)
-        if self._table(base).read().limit(1).count():
-            self._table(view).refresh_view()
+        # MV build on creation (refresh_view reads the BASE, writes the
+        # view; an empty base correctly writes an empty view)
+        self._table(view).refresh_view()
         return None
 
     def _drop_mv(self, s: str):
@@ -520,11 +531,19 @@ class CqlSession:
             raise ValueError(f"cannot parse DROP INDEX: {s!r}")
         ks, name = self._ks(), m.group(2)
         spec = ks.tables.get(name)
-        if spec is None or not name.endswith("_idx"):
+        if spec is None:
             if m.group(1):
                 return None
             raise ValueError(f"unknown index {name!r}")
         base = spec.properties.get("materialized_view_of")
+        # an index IS a view of its base with the derived _idx name —
+        # a plain table that merely ends in '_idx' must not be droppable
+        # through DROP INDEX
+        if not base or not name.endswith("_idx"):
+            raise ValueError(
+                f"{name!r} is not a secondary index (use DROP TABLE / "
+                f"DROP MATERIALIZED VIEW)"
+            )
         ks.views[base] = [v for v in ks.views.get(base, []) if v != name]
         ks.drop_table(name)
         return None

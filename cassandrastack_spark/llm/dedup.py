@@ -395,23 +395,14 @@ def minhash_lsh_pairs_incremental(
     Returns (batch_id, corpus_id, jaccard) verified exact on the full
     shingle sets, like ``minhash_lsh_pairs``.
     """
-    rows = num_hashes // bands
-    band_expr = (
-        f"transform(sequence(0, {bands - 1}), b -> "
-        f"struct(b AS band, xxhash64(concat_ws(',', slice(minhash, b * {rows} + 1, {rows}))) AS sig))"
-    )
-
-    def _banded(df: DataFrame, side: str) -> DataFrame:
+    def _banded(df: DataFrame, side: str):
+        # ONE banding implementation for the whole module
+        # (_banded_signatures) — three hand-copies would have to stay
+        # byte-identical or index probes would stop matching stored rows
         sh = shingle_sets(df, id_col, text_col, k).localCheckpoint(eager=True)
-        banded = (
-            minhash_from_sets(sh, num_hashes)
-            .select("id", F.explode(F.expr(band_expr)).alias("bs"))
-            .select(
-                F.col("id").alias(f"{side}_id"),
-                F.col("bs.band").alias("band"),
-                F.col("bs.sig").alias("sig"),
-            )
-        )
+        banded = _banded_signatures(
+            None, id_col, text_col, k, num_hashes, bands, sets=sh
+        ).withColumnRenamed("id", f"{side}_id")
         return sh, banded
 
     c_sh, c_banded = _banded(corpus, "corpus")
@@ -845,16 +836,27 @@ def paragraph_dedup(
 
 
 def _banded_signatures(
-    df: DataFrame,
+    df: DataFrame | None,
     id_col: str,
     text_col: str,
     k: int,
     num_hashes: int,
     bands: int,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
-    """(id, band, sig) rows — the LSH bucket addresses of every doc."""
+    """(id, band, sig) rows — the LSH bucket addresses of every doc.
+
+    THE single banding implementation: build/extend/probe and the
+    in-memory incremental path all route through here, so stored rows
+    and probe signatures can never drift apart. Pass ``sets`` (a
+    persisted ``shingle_sets`` output) when the caller also needs the
+    shingle arrays for a verification tail."""
     rows = num_hashes // bands
-    sh = shingle_sets(df, id_col, text_col, k).localCheckpoint(eager=True)
+    sh = (
+        sets
+        if sets is not None
+        else shingle_sets(df, id_col, text_col, k).localCheckpoint(eager=True)
+    )
     return (
         minhash_from_sets(sh, num_hashes)
         .select(
@@ -946,31 +948,21 @@ def probe_dedup_index(
     spark = batch.sparkSession
     meta = spark.read.parquet(path + "/_meta").head()
     b_sh = shingle_sets(batch, id_col, text_col, meta.k).localCheckpoint(eager=True)
-    rows = meta.num_hashes // meta.bands
-    b_banded = (
-        minhash_from_sets(b_sh, meta.num_hashes)
-        .select(
-            "id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, {meta.bands - 1}), b -> "
-                    f"struct(b AS band, xxhash64(concat_ws(',', "
-                    f"slice(minhash, b * {rows} + 1, {rows}))) AS sig))"
-                )
-            ).alias("bs"),
-        )
-        .select(
-            F.col("id").alias("batch_id"),
-            F.col("bs.band").alias("band"),
-            F.col("bs.sig").alias("sig"),
-        )
-    )
+    # the ONE banding implementation — must be byte-identical to what
+    # build/extend wrote, which sharing _banded_signatures guarantees
+    b_banded = _banded_signatures(
+        None, id_col, text_col, meta.k, meta.num_hashes, meta.bands, sets=b_sh
+    ).withColumnRenamed("id", "batch_id")
     stored = spark.read.parquet(path).select(
         F.col("id").alias("corpus_id"), "band", "sig"
     )
+    # no self-id filter on purpose: a batch doc whose id is ALREADY in
+    # the index (a replayed micro-batch, or a recycled id space) must
+    # surface as a match — identical semantics to
+    # minhash_lsh_pairs_incremental, and what makes the streaming
+    # ingest loop replay-safe
     cand = (
         b_banded.join(stored, on=["band", "sig"])
-        .filter(F.col("batch_id") != F.col("corpus_id"))
         .select("batch_id", "corpus_id")
         .distinct()
     )

@@ -670,6 +670,11 @@ def pq_train_codebooks(
         .collect()
     )
     X = np.asarray([r.v for r in rows], dtype=np.float64)
+    if X.shape[0] < k_codes:
+        raise ValueError(
+            f"PQ training needs >= k_codes={k_codes} sampled vectors, "
+            f"got {X.shape[0]}; shrink k_codes or grow the corpus"
+        )
     norms = np.linalg.norm(X, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     X /= norms

@@ -399,6 +399,14 @@ def write_zordered(
     cadence as data arrives. Numeric/timestamp columns only."""
     if len(zcols) < 2:
         raise ValueError("z-ordering needs >= 2 columns (else just sort)")
+    if len(zcols) * bits > 63:
+        # shift b*nd+i must stay below the bigint sign bit; Java shifts
+        # wrap mod 64 past it, silently mixing unrelated bit planes
+        raise ValueError(
+            f"{len(zcols)} columns x {bits} bits = "
+            f"{len(zcols) * bits} z-value bits; a 64-bit signed z-value "
+            f"holds 63 — lower bits (e.g. bits={63 // len(zcols)})"
+        )
     dtypes = dict(df.dtypes)
 
     def _num(c: str) -> str:

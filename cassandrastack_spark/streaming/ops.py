@@ -517,6 +517,16 @@ def ingest_with_dedup(
     probe only if accepted here — the standard at-drop-granularity
     trade; run a periodic in-corpus ``minhash_lsh_pairs`` sweep to
     catch stragglers.
+
+    Replay-safe: foreachBatch is at-least-once, so a crashed batch can
+    re-run. A replayed doc already in the accepted corpus matches
+    ITSELF in the probe (same id, jaccard 1.0 — ``probe_dedup_index``
+    deliberately keeps self-id matches) and the id anti-join below
+    drops anything accepted under the same id even at lower
+    thresholds, so re-running a batch appends nothing twice. Index
+    existence is decided by the INDEX's own metadata (Hadoop FS
+    existence probe, any scheme) — read failures on a live index
+    raise instead of silently rebuilding it from one batch.
     """
     from cassandrastack_spark.llm.dedup import (
         build_dedup_index,
@@ -527,6 +537,12 @@ def ingest_with_dedup(
     checkpoint = checkpoint or tempfile.mkdtemp(prefix="cs_dedup_ckpt_")
     spark = stream.sparkSession
 
+    def _exists(p: str) -> bool:
+        jvm = spark._jvm
+        hp = jvm.org.apache.hadoop.fs.Path(p)
+        fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(hp))
+
     def _sink(batch_df: DataFrame, _batch_id: int) -> None:
         batch_df = batch_df.localCheckpoint(eager=True)
         # in-batch exact dedup: first (lowest id) per text digest wins
@@ -536,23 +552,25 @@ def ingest_with_dedup(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        try:
-            accepted = spark.read.parquet(accepted_path)
-            have_index = True
-        except Exception:
-            accepted, have_index = None, False
-        if not have_index:
+        if not _exists(index_path + "/_meta") or not _exists(accepted_path):
+            # first batch — or its replay after a crash between the
+            # index build and the accepted write (index overwrite is
+            # idempotent, so rebuilding from the same batch is safe)
             survivors = batch_df
             build_dedup_index(
                 survivors, index_path, id_col=id_col, text_col=text_col
             )
         else:
+            accepted = spark.read.parquet(accepted_path)
             dups = probe_dedup_index(
                 batch_df, index_path, accepted,
                 id_col=id_col, text_col=text_col, threshold=threshold,
             ).select(F.col("batch_id").alias(id_col)).distinct()
-            survivors = batch_df.join(dups, id_col, "left_anti").localCheckpoint(
-                eager=True
+            survivors = (
+                batch_df.join(dups, id_col, "left_anti")
+                # replay guard: an id already accepted never re-appends
+                .join(accepted.select(id_col), id_col, "left_anti")
+                .localCheckpoint(eager=True)
             )
             extend_dedup_index(
                 survivors, index_path, id_col=id_col, text_col=text_col

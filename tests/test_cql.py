@@ -1217,3 +1217,24 @@ def test_create_and_drop_materialized_view_statements(cql):
     ) == [{"username": "Alex"}]
     cql.execute("DROP INDEX users_email_idx")
     cql.execute("DROP TABLE users")
+
+
+def test_mv_if_not_exists_and_drop_index_guards(cql):
+    """Review-fix regressions: CREATE MV IF NOT EXISTS is a true no-op
+    on an existing MV, refuses to repurpose a plain table, and DROP
+    INDEX cannot delete a regular table that merely ends in _idx."""
+    _bootstrap(cql)
+    mv = ("CREATE MATERIALIZED VIEW IF NOT EXISTS msgs_by_author AS "
+          "SELECT * FROM messages WHERE author_id IS NOT NULL "
+          "PRIMARY KEY ((author_id), channel_id, message_id)")
+    cql.execute(mv)
+    cql.execute(mv)  # no-op, no rebuild, no error
+    with pytest.raises(ValueError, match="cannot repurpose"):
+        cql.execute(
+            "CREATE MATERIALIZED VIEW IF NOT EXISTS users AS "
+            "SELECT * FROM messages WHERE author_id IS NOT NULL "
+            "PRIMARY KEY ((author_id), channel_id, message_id)")
+    cql.execute("CREATE TABLE audit_idx (k text, v int, PRIMARY KEY (k))")
+    with pytest.raises(ValueError, match="not a secondary index"):
+        cql.execute("DROP INDEX audit_idx")
+    assert "audit_idx" in cql.execute("DESCRIBE TABLES")

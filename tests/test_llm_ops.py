@@ -592,3 +592,15 @@ def test_compact_dedup_index_preserves_probes(docs, tmp_path):
         for r in probe_dedup_index(batch, path, corpus, threshold=0.7).collect()
     }
     assert after == before
+
+
+def test_pq_training_rejects_tiny_corpus(spark):
+    """Review-fix regression: fewer sampled vectors than k_codes must
+    fail with a clear message, not a numpy shape error."""
+    from cassandrastack_spark.llm.simsearch import pq_train_codebooks
+
+    tiny = spark.createDataFrame(
+        [(i, [float(i)] * 64) for i in range(5)], "id long, vec array<double>"
+    )
+    with pytest.raises(ValueError, match="k_codes"):
+        pq_train_codebooks(tiny, k_codes=16, sample=256)

@@ -267,3 +267,15 @@ def test_zorder_layout_tightens_both_dimensions(spark, tmp_path):
 
     with pytest.raises(ValueError, match=">= 2 columns"):
         write_zordered(ev, str(tmp_path / "bad"), ["ts"])
+
+
+def test_zorder_rejects_bit_overflow(spark, tmp_path):
+    """Review-fix regression: nd * bits > 63 would push bit planes into
+    (or past) the sign bit — must fail loud, not corrupt the layout."""
+    from cassandrastack_spark.sources.io import write_zordered
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    with pytest.raises(ValueError, match="63"):
+        write_zordered(
+            ev, str(tmp_path / "zz"),
+            ["user_id", "ts", "value", "event_id"], bits=16)

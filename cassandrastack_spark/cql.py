@@ -771,6 +771,7 @@ class CqlSession:
             t.append_json(
                 self.spark.createDataFrame([(payload,)], "json string"),
                 cells=cells,
+                row_marker=True,  # INSERT JSON deposits the marker too
             )
             return None
         m = re.match(
@@ -813,9 +814,18 @@ class CqlSession:
             return [r.asDict() for r in report.collect()]
         # cell-level upsert: only the NAMED payload columns are written
         # (Cassandra INSERT leaves unnamed cells untouched; a named
-        # column with a null value is an explicit cell delete)
+        # column with a null value is an explicit cell delete).
+        # row_marker: every CQL INSERT deposits the primary-key row
+        # marker — the row outlives later deletion of its cells, unlike
+        # an UPDATE-created row
         cells = [c for c in cols if c not in t.spec.primary_key]
-        t.append(df, ttl_seconds=ttl, timestamp_micros=ts_micros, cells=cells)
+        t.append(
+            df,
+            ttl_seconds=ttl,
+            timestamp_micros=ts_micros,
+            cells=cells,
+            row_marker=True,
+        )
         return None
 
     def _batch(self, s: str, params: tuple):
@@ -861,7 +871,9 @@ class CqlSession:
                 ]
                 cells = [c for c in cols if c not in t.spec.primary_key]
                 t.append(
-                    self.spark.createDataFrame(full, t.spec.schema), cells=cells
+                    self.spark.createDataFrame(full, t.spec.schema),
+                    cells=cells,
+                    row_marker=True,  # INSERTs always deposit the marker
                 )
             per_group.clear()
 
@@ -1329,10 +1341,11 @@ class CqlSession:
                 if not tm:
                     raise ValueError(f"cannot parse ORDER BY term {part!r}")
                 terms.append((tm.group(1), (tm.group(2) or "").lower()))
-            last_dir = next(
-                (d for _, d in reversed(terms) if d), "asc"
-            )
-            terms = [(c, d or last_dir) for c, d in terms]
+            # CQL: a term without a direction defaults to ASC (not to a
+            # neighbor's direction) — so `ORDER BY a, b DESC` becomes
+            # mixed-direction and is rejected below, exactly like
+            # Cassandra rejects it, instead of silently flipping `a`
+            terms = [(c, d or "asc") for c, d in terms]
             cols_named = [c for c, _ in terms]
             ck = list(t_spec.clustering_keys)
             if cols_named != ck[: len(cols_named)]:
@@ -1395,16 +1408,15 @@ class CqlSession:
             if limit:
                 out = out.limit(int(limit))
             return [r.asDict() for r in out.collect()]
+        # CQL LIMIT caps RETURNED rows; an ungrouped aggregate returns
+        # exactly one row, so LIMIT is a no-op on these paths (applying
+        # it to the INPUT would aggregate an arbitrary subset — wrong)
         if is_count:
-            if limit:
-                df = df.limit(int(limit))
             return [{"count": df.count()}]
         if is_agg:
             # CQL native aggregates (3.3+): one aggregation over the
             # routed/filtered rows — partial-agg'd by Catalyst, so a
             # whole-table MAX is a map-side-combined scan, not a collect
-            if limit:
-                df = df.limit(int(limit))
             exprs = []
             for am in aggs:
                 fn, col = am.group(1).lower(), am.group(2)

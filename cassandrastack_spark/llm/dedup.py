@@ -996,8 +996,12 @@ def compact_dedup_index(spark, path: str) -> None:
     a complete index, then drop staging via the Hadoop FileSystem API
     (s3a/gs/abfs/hdfs/file alike). Band count is fixed, so driver work
     is bounded; run it on the compaction cadence, like the store."""
+    import uuid as _uuid
+
     idx = spark.read.parquet(path)
-    stage = path + ".compacting"
+    # unique per run, like storage.compact(): concurrent maintenance
+    # jobs must never share a staging dir
+    stage = f"{path}.compacting-{_uuid.uuid4().hex[:12]}"
     (
         idx.repartition("band")
         .sortWithinPartitions("band", "sig")

@@ -224,6 +224,29 @@ def cassandra_table(
         ) from e
 
 
+def _corrupt_policy(
+    schema: StructType, bad_records: str
+) -> tuple[StructType, str]:
+    """Shared malformed-record policy for the corpus readers: maps the
+    policy name to Spark's parser mode and, for ``quarantine``, extends
+    the read schema with the ``_corrupt_record`` column."""
+    modes = {
+        "drop": "DROPMALFORMED",
+        "quarantine": "PERMISSIVE",
+        "fail": "FAILFAST",
+    }
+    if bad_records not in modes:
+        raise ValueError(f"bad_records must be one of {sorted(modes)}")
+    read_schema = schema
+    if bad_records == "quarantine":
+        from pyspark.sql.types import StringType, StructField
+
+        read_schema = StructType(
+            list(schema.fields) + [StructField("_corrupt_record", StringType())]
+        )
+    return read_schema, modes[bad_records]
+
+
 def read_jsonl_corpus(
     spark: SparkSession,
     path: str,
@@ -247,23 +270,10 @@ def read_jsonl_corpus(
     is a full extra pass at this scale and nondeterministic under
     corruption).
     """
-    modes = {
-        "drop": "DROPMALFORMED",
-        "quarantine": "PERMISSIVE",
-        "fail": "FAILFAST",
-    }
-    if bad_records not in modes:
-        raise ValueError(f"bad_records must be one of {sorted(modes)}")
-    read_schema = schema
-    if bad_records == "quarantine":
-        from pyspark.sql.types import StringType, StructField
-
-        read_schema = StructType(
-            list(schema.fields) + [StructField("_corrupt_record", StringType())]
-        )
+    read_schema, mode = _corrupt_policy(schema, bad_records)
     return (
         spark.read.schema(read_schema)
-        .option("mode", modes[bad_records])
+        .option("mode", mode)
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)
     )
@@ -283,24 +293,11 @@ def read_csv_corpus(
     policy is a decision, not an accident. Schema mandatory, header on
     by default, no inference.
     """
-    modes = {
-        "drop": "DROPMALFORMED",
-        "quarantine": "PERMISSIVE",
-        "fail": "FAILFAST",
-    }
-    if bad_records not in modes:
-        raise ValueError(f"bad_records must be one of {sorted(modes)}")
-    read_schema = schema
-    if bad_records == "quarantine":
-        from pyspark.sql.types import StringType, StructField
-
-        read_schema = StructType(
-            list(schema.fields) + [StructField("_corrupt_record", StringType())]
-        )
+    read_schema, mode = _corrupt_policy(schema, bad_records)
     return (
         spark.read.schema(read_schema)
         .option("header", options.pop("header", "true"))
-        .option("mode", modes[bad_records])
+        .option("mode", mode)
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .options(**options)
         .csv(path)

@@ -110,6 +110,7 @@ class WideColumnTable:
         ttl_seconds: int | None = None,
         timestamp_micros: int | None = None,
         cells: list[str] | None = None,
+        row_marker: bool = False,
     ) -> None:
         """Atomic multi-row upsert-append (W1/W2/W3), optional row TTL.
 
@@ -180,9 +181,14 @@ class WideColumnTable:
             if timestamp_micros is not None
             else _next_writetime()
         )
+        # TTL counts from SERVER NOW, never from the (possibly client-
+        # backdated) USING TIMESTAMP writetime — Cassandra expires TTL'd
+        # data at now + ttl regardless of the write's LWW position, so a
+        # backfill with an old timestamp must not arrive pre-expired.
+        # TTL 0 is CQL's explicit "no TTL".
         expires = (
-            writetime // 1000 + ttl_seconds * 1_000_000
-            if ttl_seconds is not None
+            int(time.time() * 1_000_000) + ttl_seconds * 1_000_000
+            if ttl_seconds
             else None
         )
         out = (
@@ -192,7 +198,10 @@ class WideColumnTable:
             .withColumn(_TOMBSTONE, F.lit(False))
             .withColumn(
                 _CELLS,
-                F.array(*[F.lit(c) for c in cells]).cast("array<string>")
+                F.array(
+                    *[F.lit(c) for c in cells],
+                    *([F.lit("")] if row_marker else []),
+                ).cast("array<string>")
                 if cells is not None
                 else F.lit(None).cast("array<string>"),
             )
@@ -226,6 +235,7 @@ class WideColumnTable:
                 cells=None
                 if cells is None
                 else [c for c in cells if c not in view.spec.primary_key],
+                row_marker=row_marker,
             )
 
     def insert_if_not_exists(self, df: DataFrame) -> DataFrame:
@@ -560,6 +570,7 @@ class WideColumnTable:
         keep_writetime: bool = False,
         cell_meta: bool = False,
         as_of_micros: int | None = None,
+        keep_marker: bool = False,
     ) -> DataFrame:
         """Newest row per primary key, expired keys dropped.
 
@@ -587,7 +598,9 @@ class WideColumnTable:
             return self._with_statics(
                 raw, statics, keep_writetime, cell_meta, as_of_micros
             )
-        return self._reconcile_rows(raw, keep_writetime, cell_meta, as_of_micros)
+        return self._reconcile_rows(
+            raw, keep_writetime, cell_meta, as_of_micros, keep_marker
+        )
 
     def _with_statics(
         self,
@@ -646,6 +659,7 @@ class WideColumnTable:
         keep_writetime: bool = False,
         cell_meta: bool = False,
         as_of_micros: int | None = None,
+        keep_marker: bool = False,
     ) -> DataFrame:
         pk = self.spec.primary_key
         payload = [
@@ -695,10 +709,15 @@ class WideColumnTable:
         # cells-write's TTL expires only its cells — Cassandra's
         # row-marker model. A key stays live while the marker is live
         # OR any cell is live.
-        # marker writes: _cells null (full-row INSERT) or EMPTY (a
-        # key-only INSERT, and compact()'s rewrite of an all-null row)
+        # marker writes: _cells null (full-row INSERT), EMPTY (a
+        # key-only INSERT, and compact()'s rewrite of an all-null row),
+        # or carrying the "" sentinel (a named-columns INSERT — CQL
+        # INSERTs always deposit the marker, UPDATEs never do)
         marker_key = F.when(
-            (F.coalesce(F.size(F.col(_CELLS)), F.lit(0)) == 0)
+            (
+                (F.coalesce(F.size(F.col(_CELLS)), F.lit(0)) == 0)
+                | F.array_contains(F.col(_CELLS), F.lit(""))
+            )
             & ~F.coalesce(F.col(_TOMBSTONE), F.lit(False)),
             F.col(_WRITETIME),
         )
@@ -746,8 +765,23 @@ class WideColumnTable:
         row_live = marker_live
         for term in live_terms:
             row_live = row_live | term
+        if keep_marker:
+            # compact() preserves the marker through the rewrite: a row
+            # whose lineage has a live marker keeps primary-key liveness
+            # after materialization (the "" sentinel _materialized_cells
+            # appends), like Cassandra carrying the marker through
+            # compaction
+            sel.append(
+                (F.col("__marker_w") > tomb_w).alias("__marker_live")
+            )
         sel += [
-            F.col(_EXPIRES),
+            # a marker at or before the newest DELETE is dead lineage:
+            # its TTL must not ride through (compact() would otherwise
+            # stamp a revived row with the dead marker's expiry and the
+            # row would vanish when that old TTL passed)
+            F.when(F.col("__marker_w") > tomb_w, F.col(_EXPIRES)).alias(
+                _EXPIRES
+            ),
             F.col(_TOMBSTONE),
             F.col(_WRITETIME),
             row_live.alias("__row_live"),
@@ -1162,10 +1196,13 @@ class WideColumnTable:
         w = Window.partitionBy(*self.spec.partition_keys).orderBy(
             *self._sort_cols()
         )
+        # preserve whatever columns arrived (cell-meta reads carry
+        # __wt_/__ex_ columns the WRITETIME()/TTL() projection needs) —
+        # only the rank helper is engine-internal
         return (
             df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= n)
-            .select(*[f.name for f in self.spec.schema.fields])
+            .drop("__rn")
             .orderBy(*self.spec.partition_keys, *self._sort_cols())
         )
 
@@ -1279,6 +1316,7 @@ class WideColumnTable:
         json_rows: DataFrame,
         column: str = "json",
         cells: list[str] | None = None,
+        row_marker: bool = False,
     ) -> None:
         """CQL ``INSERT INTO t JSON '...'``: parse JSON strings against
         the DECLARED schema (schema-on-write — unknown fields rejected,
@@ -1296,7 +1334,7 @@ class WideColumnTable:
                 {"mode": "FAILFAST"},  # malformed JSON is an error, not a NULL row
             ).alias("r")
         ).select("r.*")
-        self.append(parsed, cells=cells)
+        self.append(parsed, cells=cells, row_marker=row_marker)
 
     def read_as_json(self) -> DataFrame:
         """CQL ``SELECT JSON * FROM t``: each live row as one JSON
@@ -1344,14 +1382,24 @@ class WideColumnTable:
             f.name for f in self.spec.schema.fields
             if f.name not in self.spec.primary_key
         ]
+        has_marker = "__marker_live" in df.columns
         if not nonkey:
-            return df.withColumn(_CELLS, F.lit(None).cast("array<string>"))
+            out = df.withColumn(_CELLS, F.lit(None).cast("array<string>"))
+            return out.drop("__marker_live") if has_marker else out
         marked = F.array(
-            *[F.when(F.col(c).isNotNull(), F.lit(c)) for c in nonkey]
+            *[F.when(F.col(c).isNotNull(), F.lit(c)) for c in nonkey],
+            # preserve primary-key liveness through the rewrite: rows
+            # whose lineage had a live row marker keep the "" sentinel
+            *(
+                [F.when(F.col("__marker_live"), F.lit(""))]
+                if has_marker
+                else []
+            ),
         )
-        return df.withColumn(
+        out = df.withColumn(
             _CELLS, F.filter(marked, lambda x: x.isNotNull())
         )
+        return out.drop("__marker_live") if has_marker else out
 
     def refresh_view(self) -> None:
         """Rebuild a materialized view from its base table.
@@ -1376,7 +1424,9 @@ class WideColumnTable:
         # spec cols + _expires + _writetime: the rebuild keeps each row's
         # reconciled writetime so later USING TIMESTAMP writes still
         # resolve last-writer-wins against rebuilt view rows
-        live = base._reconciled(base._raw(), keep_writetime=True)
+        live = base._reconciled(
+            base._raw(), keep_writetime=True, keep_marker=True
+        )
         out = self._with_bucket(self._materialized_cells(live))
         (
             out.repartition(self.n_buckets, F.col(_BUCKET))
@@ -1408,8 +1458,16 @@ class WideColumnTable:
            table (never the rmtree-then-move gap a rename swap has);
         3. drop staging through the Hadoop FileSystem API, which
            resolves s3a/gs/abfs/hdfs/file alike.
+
+        The staging directory is unique PER RUN (random suffix): two
+        concurrent range jobs each stage, commit, and clean up their
+        own copy — a shared staging dir would let one run clobber the
+        other's staged buckets and then delete live directories it
+        mistook for empty.
         """
-        stage = self.path + ".compacting"
+        import uuid as _uuid
+
+        stage = f"{self.path}.compacting-{_uuid.uuid4().hex[:12]}"
         if buckets is not None:
             bad = [b for b in buckets if not (0 <= int(b) < self.n_buckets)]
             if bad:
@@ -1424,7 +1482,7 @@ class WideColumnTable:
         # and _writetime: Cassandra preserves cell writetimes through
         # compaction, so a USING TIMESTAMP backfill newer than the
         # original write still wins after a compaction ran in between
-        live = self._reconciled(raw, keep_writetime=True)
+        live = self._reconciled(raw, keep_writetime=True, keep_marker=True)
         out = self._with_bucket(self._materialized_cells(live))
         out.write.mode("overwrite").parquet(stage)
         staged = self.spark.read.parquet(stage)

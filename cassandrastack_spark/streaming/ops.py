@@ -395,12 +395,21 @@ def ingest_with_rollup(
     checkpoint = checkpoint or tempfile.mkdtemp(prefix="cs_rollup_ckpt_")
     spark = stream.sparkSession
 
+    def _rollup_exists() -> bool:
+        # explicit existence probe (any Hadoop scheme): a TRANSIENT read
+        # failure on a live rollup must raise, not silently truncate the
+        # maintained aggregate to one batch's groups
+        jvm = spark._jvm
+        hp = jvm.org.apache.hadoop.fs.Path(rollup_path)
+        fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(hp))
+
     def _sink(batch_df: DataFrame, _batch_id: int) -> None:
         table.append(batch_df)
         current = table.read()
-        try:
+        if _rollup_exists():
             prior = spark.read.parquet(rollup_path).localCheckpoint(eager=True)
-        except Exception:
+        else:
             prior = rollup_events(
                 current.limit(0), time_col, key_cols, value_col, width
             )

@@ -311,13 +311,14 @@ def test_collection_delta_edge_statements(cql):
     assert sorted(row["tags"]) == ["y", "z"]
     assert row["attrs"] == {"k2": 2}
 
-    # USING TTL through the text surface: an already-expired row vanishes
+    # USING TTL through the text surface: a 1s TTL row vanishes after
+    # expiry (TTL counts from server-now; TTL 0 is CQL's "no TTL")
     cql.execute(
         "INSERT INTO sess (sid, seq, log, tags, attrs) "
-        "VALUES (%s, %s, ['gone'], {'t'}, {'q': 1}) USING TTL 0",
+        "VALUES (%s, %s, ['gone'], {'t'}, {'q': 1}) USING TTL 1",
         ("s2", 1),
     )
-    time.sleep(0.01)
+    time.sleep(1.2)
     assert cql.execute("SELECT * FROM sess WHERE sid = %s", ("s2",)) == []
 
 
@@ -903,12 +904,19 @@ def test_update_using_ttl_is_per_cell(cql):
         "VALUES (now(), %s, %s, %s)",
         ("Tess", "t@x", "pw"),
     )
-    # literal TTL, already expired: only the email cell dies
+    # TTL 0 is CQL's explicit "no TTL": the cell persists
     cql.execute(
         "UPDATE users USING TTL 0 SET email = %s WHERE username = %s",
+        ("keep@x", "Tess"),
+    )
+    [row] = cql.execute("SELECT * FROM users WHERE username = %s", ("Tess",))
+    assert row["email"] == "keep@x"
+    # literal 1s TTL: after expiry only the email cell dies
+    cql.execute(
+        "UPDATE users USING TTL 1 SET email = %s WHERE username = %s",
         ("gone@x", "Tess"),
     )
-    _time.sleep(0.01)
+    _time.sleep(1.2)
     [row] = cql.execute("SELECT * FROM users WHERE username = %s", ("Tess",))
     assert row["email"] is None and row["password"] == "pw"
     # parameterized TTL, unexpired: cell lives, TTL(col) reports it
@@ -1238,3 +1246,31 @@ def test_mv_if_not_exists_and_drop_index_guards(cql):
     with pytest.raises(ValueError, match="not a secondary index"):
         cql.execute("DROP INDEX audit_idx")
     assert "audit_idx" in cql.execute("DESCRIBE TABLES")
+
+
+def test_insert_row_marker_survives_cell_delete(cql):
+    """Cassandra parity: INSERT always deposits the row marker, so a
+    row created by a partial INSERT survives deletion of its only cell
+    (returns with nulls); an UPDATE-created row has NO marker and
+    vanishes when its last cell dies — including after compaction."""
+    _bootstrap(cql)
+    # INSERT with a named subset, then delete the named cell
+    cql.execute(
+        "INSERT INTO users (username, email) VALUES (%s, %s)", ("X", "e@x"))
+    cql.execute("DELETE email FROM users WHERE username = %s", ("X",))
+    [row] = cql.execute("SELECT * FROM users WHERE username = %s", ("X",))
+    assert row["email"] is None and row["user_id"] is None, (
+        "the INSERT's marker keeps the key alive with null cells")
+    # the marker survives compaction too
+    t = cql._table("users")
+    t.compact()
+    assert cql.execute(
+        "SELECT count(*) FROM users WHERE username = %s", ("X",)
+    ) == [{"count": 1}]
+    # an UPDATE-created row has no marker: deleting its cell kills it
+    cql.execute(
+        "UPDATE users SET email = %s WHERE username = %s", ("u@x", "Y"))
+    assert cql.execute("SELECT count(*) FROM users") == [{"count": 2}]
+    cql.execute("DELETE email FROM users WHERE username = %s", ("Y",))
+    assert cql.execute(
+        "SELECT * FROM users WHERE username = %s", ("Y",)) == []

@@ -159,10 +159,10 @@ def test_storage_reconciliation_matches_model(spark, tmp_path_factory, ops, do_c
         elif op == "del":
             t.delete(spark.createDataFrame([(k,)], "k string"))
             model.pop(k, None)
-        else:  # ttl0: expires immediately -> behaves like delete
-            t.append(spark.createDataFrame([(k, v)], schema), ttl_seconds=0)
+        else:  # short ttl: after the expiry sleep below, behaves like delete
+            t.append(spark.createDataFrame([(k, v)], schema), ttl_seconds=1)
             model.pop(k, None)
-    _time.sleep(0.01)  # let ttl0 rows cross their expiry instant
+    _time.sleep(1.2)  # let every ttl'd row cross its expiry instant
     got = {r.k: r.v for r in t.read().collect()}
     assert got == model
     if do_compact:

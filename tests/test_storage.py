@@ -195,15 +195,15 @@ def test_row_ttl_expiry_and_compaction(spark, ks):
         schemas.USERS,
     )
     t.append(rows)
-    # overwrite alex with an ALREADY-EXPIRED version (ttl in the past
-    # is modeled with ttl_seconds=0: expires at write time)
+    # overwrite alex with a short-TTL version and let it expire (TTL
+    # counts from server-now; TTL 0 is CQL's "no TTL", not instant death)
     t.append(
         spark.createDataFrame([("alex", "u1b", "a2@x", "pw2")], schemas.USERS),
-        ttl_seconds=0,
+        ttl_seconds=1,
     )
     import time as _time
 
-    _time.sleep(0.01)
+    _time.sleep(1.2)
     live = {r.username for r in t.read().collect()}
     assert live == {"bianca"}, "expired newest version must kill the key"
     # a FUTURE ttl stays readable and survives compaction
@@ -1061,22 +1061,21 @@ def test_per_cell_ttl_expires_only_its_cells(spark, ks):
     t = make_users(spark, ks)
     t.append(spark.createDataFrame(
         [("Alex", "u1", "a@x", "pw")], schemas.USERS))
-    # TTL'd update of ONE cell, already expired
+    # TTL'd update of ONE cell (1s, counts from server-now), plus a row
+    # whose only content is the same short-TTL'd cells-write
     t.append(spark.createDataFrame(
         [("Alex", None, "tmp@x", None)], schemas.USERS),
-        cells=["email"], ttl_seconds=0)
-    _time.sleep(0.01)
-    [row] = t.read().collect()
+        cells=["email"], ttl_seconds=1)
+    t.append(spark.createDataFrame(
+        [("Ghost", None, "g@x", None)], schemas.USERS),
+        cells=["email"], ttl_seconds=1)
+    _time.sleep(1.2)
+    [row] = t.read().filter(F.col("username") == "Alex").collect()
     # email cell expired -> gone; shadowed older value NOT resurrected
     assert row.email is None
     # other cells and the row itself survive
     assert row.username == "Alex" and row.password == "pw"
-
     # row created only by a TTL'd cells-write: no marker, no live cell
-    t.append(spark.createDataFrame(
-        [("Ghost", None, "g@x", None)], schemas.USERS),
-        cells=["email"], ttl_seconds=0)
-    _time.sleep(0.01)
     assert t.read().filter(F.col("username") == "Ghost").count() == 0
     # whereas an unexpired cells-write row lives
     t.append(spark.createDataFrame(

@@ -1274,3 +1274,19 @@ def test_insert_row_marker_survives_cell_delete(cql):
     cql.execute("DELETE email FROM users WHERE username = %s", ("Y",))
     assert cql.execute(
         "SELECT * FROM users WHERE username = %s", ("Y",)) == []
+
+
+def test_writetime_composes_with_per_partition_limit(cql):
+    """Review-fix regression: WRITETIME()/TTL() selectors must survive
+    PER PARTITION LIMIT (the limit used to project away the cell-meta
+    columns the selectors need)."""
+    _bootstrap(cql)
+    for i in range(3):
+        cql.execute(
+            "INSERT INTO messages (channel_id, message_id, author_id, message) "
+            "VALUES (%s, now(), %s, %s)", (1, "a" * 36, f"m{i}"))
+    rows = cql.execute(
+        "SELECT message, WRITETIME(message) FROM messages "
+        "PER PARTITION LIMIT 2")
+    assert len(rows) == 2
+    assert all(r["writetime(message)"] is not None for r in rows)

@@ -107,6 +107,7 @@ _FRONT: tuple[str, ...] = (
     "text_ngram_novelty",
     "text_top_terms_udtf",
     "rolling_wau_hll",
+    "anomaly_cusum_changepoint",
     "stream_tumbling_append",
     "stream_sliding_append",
     "stream_session_append",

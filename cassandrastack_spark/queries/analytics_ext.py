@@ -1340,3 +1340,75 @@ def anomaly_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "dq_referential_orphans",
+    oracle="""
+        SELECT 'lineitem->orders' AS fk,
+               CAST((SELECT COUNT(*) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                       WHERE o.o_orderkey = l.l_orderkey))
+                    AS BIGINT) AS n_orphans,
+               CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_rows
+        UNION ALL
+        SELECT 'orders->customer' AS fk,
+               CAST((SELECT COUNT(*) FROM orders o
+                     WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                       WHERE c.c_custkey = o.o_custkey))
+                    AS BIGINT) AS n_orphans,
+               CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_rows
+        UNION ALL
+        SELECT 'events->customer(user)' AS fk,
+               CAST((SELECT COUNT(*) FROM events e
+                     WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                       WHERE c.c_custkey = e.user_id))
+                    AS BIGINT) AS n_orphans,
+               CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS n_rows
+        ORDER BY fk
+    """,
+    doc="Referential-integrity audit: orphan counts per foreign-key "
+        "edge of the star schema (anti-join per edge — each is one "
+        "shuffle on the key with the dimension side broadcast/AQE-"
+        "sized; the 100 TB pre-flight check before a pipeline trusts "
+        "its joins). Non-zero rows here mean inner joins silently drop "
+        "data downstream.",
+)
+def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    e = _t(spark, sf_dir, "events")
+
+    def edge(name, fact, key, dim, dim_key):
+        # one left join + one agg per edge; no driver-side counting —
+        # the three edges union into a single distributed plan
+        d = (
+            dim.select(F.col(dim_key).alias(key))
+            .distinct()
+            .withColumn("_hit", F.lit(1))
+        )
+        return (
+            fact.select(key)
+            .join(d, key, "left")
+            .agg(
+                F.lit(name).alias("fk"),
+                F.count(F.when(F.col("_hit").isNull(), 1)).alias("n_orphans"),
+                F.count("*").alias("n_rows"),
+            )
+        )
+
+    return (
+        edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey")
+        .unionAll(edge("orders->customer", o, "o_custkey", c, "c_custkey"))
+        .unionAll(
+            edge(
+                "events->customer(user)",
+                e.select(F.col("user_id").alias("user_id")),
+                "user_id",
+                c,
+                "c_custkey",
+            )
+        )
+        .orderBy("fk")
+    )

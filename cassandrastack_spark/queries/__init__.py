@@ -46,78 +46,26 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
     return deco
 
 
-# Registry presentation order. The driver verifies a *prefix* of the
-# registry (50 entries in rounds 1-2), so queries that have never received
-# an official CORRECTNESS row are rotated to the front; queries already
-# driver-verified green in CORRECTNESS_r02.json rotate to the back. Names
-# listed here come first (in this order); everything else follows in
-# registration order. A name here that is not registered is ignored.
+# Registry presentation order. The driver verifies the FIRST 50 entries
+# of the registry each round (confirmed in rounds 1, 2 AND 3 — treat the
+# 50-entry prefix window as the standing contract). Queries that have
+# never received an official CORRECTNESS row are rotated to the front;
+# already-verified queries rotate to the back. Names listed here come
+# first (in this order); everything else follows in registration order.
+# A name here that is not registered is ignored.
+#
+# Round-4 rotation: the 35 queries with no driver row through r1–r3
+# (positions 51–85 of the r3 ordering) move to the front; the remaining
+# 15 window slots re-confirm the oldest r1-era greens. After this round
+# every one of the 135 registered queries has an official driver row.
 _FRONT: tuple[str, ...] = (
-    # -- LLM pipeline (27) - zero driver rows through round 2 --
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_cluster_components",
-    "ann_cosine_topk",
-    "ann_filtered_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "text_stats",
-    "text_langid",
-    "text_repetition",
-    "text_fingerprint",
-    "text_bpe_tokens",
-    "text_pii_redact",
-    "decontam_ngram_overlap",
-    "corpus_split_hash",
-    "corpus_quality_filter",
-    "corpus_prepare_pipeline",
-    "corpus_stratified_sample",
-    "corpus_mix_weights",
-    "corpus_pack_bins",
-    "mm_binary_meta",
-    "mm_feature_extract",
-    "mm_resize_images",
-    "mm_frame_sample",
-    # -- streaming (7) - zero driver rows through round 2 --
-    "stream_tumbling_hourly",
-    "stream_sliding_counts",
-    "stream_session_windows",
-    "stream_click_view_join",
-    "stream_dedup_events",
-    "stream_stateful_totals",
-    "stream_windowed_topk",
-    # -- round-3 first-class additions (LLM pipeline + streaming):
-    # ahead of the TPC-H extensions so a 50-entry verification window
-    # covers the entire north-star operator set --
-    "embedding_quantize_int8",
-    "ann_quantized_topk",
-    "ann_pq_topk",
-    "dedup_containment_ngram",
-    "dedup_incremental_minhash",
-    "dedup_paragraph_spans",
-    "corpus_source_profile",
-    "corpus_domain_cap",
-    "text_unigram_logprob",
-    "text_top_terms_udtf",
-    "rolling_wau_hll",
-    "anomaly_cusum_changepoint",
-    # append-mode / stream-static variants complete the streaming set
-    # inside the first 50 (VERDICT r2 item 6 asked for their rows);
-    # the four simple text/corpus metrics below them are the displaced
-    # entries (all green in the local oracle mirror)
-    "stream_tumbling_append",
-    "stream_sliding_append",
-    "stream_session_append",
-    "stream_static_enrich",
+    # -- never driver-verified (35): round-3 additions first --
     "dq_referential_orphans",
     "corpus_shard_shuffle",
     "corpus_chunk_sliding",
     "text_word_entropy",
     "text_ngram_novelty",
-    # -- TPC-H extensions (15) - zero driver rows through round 2 --
+    # -- TPC-H extensions (15) --
     "q2_min_cost_supplier",
     "q7_volume_shipping",
     "q8_market_share",
@@ -133,7 +81,7 @@ _FRONT: tuple[str, ...] = (
     "q20_heavy_shippers",
     "q21_sole_returned_supplier",
     "q22_sales_opportunity",
-    # -- remaining never-driver-checked analytics --
+    # -- remaining never-driver-checked analytics (15) --
     "rolling_wau",
     "hypertable_rollup_daily",
     "gapfill_locf_hourly",
@@ -143,6 +91,28 @@ _FRONT: tuple[str, ...] = (
     "map_functions",
     "lateral_explode_tokens",
     "union_all_with_source",
+    "window_dist_functions",
+    "asof_join_next_order",
+    "stats_regression_lineitem",
+    "full_outer_nation_accounts",
+    "anomaly_trailing_zscore",
+    "dq_profile_lineitem",
+    # -- back-fill to 50: oldest r1-era greens, re-confirmed --
+    "point_lookup",
+    "projection_scan",
+    "partition_scan_ordered",
+    "q1_pricing_summary",
+    "agg_distinct",
+    "rollup_acctbal",
+    "cube_orders",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "anti_join_no_orders",
+    "semi_join_open_orders",
+    "correlated_above_avg",
+    "asof_join_latest_order",
+    "range_join_event_pairs",
+    "topn_per_group",
 )
 
 

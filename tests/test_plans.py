@@ -146,6 +146,7 @@ def test_no_unjustified_bnl_join_across_catalog(spark, registry):
         "q22_sales_opportunity",  # avg(acctbal) scalar
         "profile_hot_keys",       # sum(cnt) table-total scalar
         "outliers_iqr_values",    # 1-row quartile-fences scalar
+        "anomaly_cusum_changepoint",  # broadcast 1-row corpus mean
     }
     skip = ("stream_", "mm_", "dedup_", "ann_", "text_")
     offenders = []

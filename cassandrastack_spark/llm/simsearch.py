@@ -709,35 +709,133 @@ def pq_train_codebooks(
     return books
 
 
+# Literal-vs-Arrow cutoff for PQ codebook expressions, in codebook CELLS
+# (m_sub x k_codes entries, each a d_sub-double array). Defaults
+# (8 x 16 = 128) stay literal / whole-stage-codegen; production sizes
+# (16 x 256 = 4096) would put ~k_codes x dim double literals in the
+# expression tree — the same plan-bloat `ivf_assign` gates at
+# literal_max_k — so they take the Arrow GEMM path instead.
+PQ_LITERAL_MAX_CELLS = 2048
+
+
 def pq_encode(
-    df: DataFrame, codebooks: list, vec_col: str = "vec"
+    df: DataFrame,
+    codebooks: list,
+    vec_col: str = "vec",
+    literal_max_cells: int = PQ_LITERAL_MAX_CELLS,
 ) -> DataFrame:
     """Add ``codes`` (array<int>, length m_sub): each subvector's
     nearest codebook entry by squared L2.
 
-    JVM-side when the codebook is small (literal array + higher-order
-    functions — stays in whole-stage codegen); the ``ivf_assign``-style
-    Arrow GEMM escape hatch applies at production sizes (k_codes=256,
-    m_sub=16+) where a literal would bloat the plan — at those sizes
-    swap in a ``pandas_udf`` closure like ``ivf_assign`` does. Input
+    Two physical strategies, gated like ``ivf_assign``:
+
+    - m_sub x k_codes <= ``literal_max_cells``: codebooks inlined as
+      literal arrays and scored with JVM higher-order functions — zero
+      Python, stays in whole-stage codegen (plan size is bounded by the
+      gate).
+    - above the gate: codebooks ship once as a numpy tensor inside an
+      Arrow ``pandas_udf`` closure; each batch assigns all subspaces
+      via per-subspace GEMMs — constant plan size at production
+      codebook sizes (k_codes=256, m_sub=16+).
+
+    Both paths take the first minimum on ties. Near-exact-tie
+    assignments may differ between paths at the float ulp level (the
+    literal path folds squared diffs left-to-right; the Arrow path uses
+    the ||s||^2 - 2 s.c + ||c||^2 expansion, matching training) — both
+    are valid nearest-code assignments of the same lossy code. Input
     vectors must already be unit-normalized (PQ of cosine space).
     """
     m_sub = len(codebooks)
+    k_codes = len(codebooks[0])
     d_sub = len(codebooks[0][0])
-    exprs = []
-    for j, book in enumerate(codebooks):
-        cb = (
-            "array(" + ", ".join(
-                "array(" + ", ".join(f"{x!r}D" for x in c) + ")" for c in book
-            ) + ")"
+    if m_sub * k_codes <= literal_max_cells:
+        exprs = []
+        for j, book in enumerate(codebooks):
+            cb = (
+                "array(" + ", ".join(
+                    "array(" + ", ".join(f"{x!r}D" for x in c) + ")" for c in book
+                ) + ")"
+            )
+            sub = f"slice({vec_col}, {j * d_sub + 1}, {d_sub})"
+            d2 = (
+                f"transform({cb}, c -> aggregate(zip_with(c, {sub}, "
+                f"(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v))"
+            )
+            exprs.append(f"cast(array_position({d2}, array_min({d2})) - 1 AS int)")
+        return df.withColumn("codes", F.expr("array(" + ", ".join(exprs) + ")"))
+
+    import numpy as np
+    import pandas as pd
+
+    B = np.asarray(codebooks, dtype=np.float64)  # (m_sub, k_codes, d_sub)
+    B_sq = (B * B).sum(axis=2)                   # (m_sub, k_codes)
+
+    def _encode_fn(vs):
+        X = np.asarray(vs.tolist(), dtype=np.float64)  # (batch, dim)
+        out = np.empty((X.shape[0], m_sub), dtype=np.int32)
+        for j in range(m_sub):
+            S = X[:, j * d_sub : (j + 1) * d_sub]
+            d2 = (
+                (S * S).sum(axis=1, keepdims=True)
+                - 2.0 * (S @ B[j].T)
+                + B_sq[j][None, :]
+            )
+            out[:, j] = np.argmin(d2, axis=1)  # first min wins ties
+        return pd.Series(list(out))
+
+    # real annotation objects: the module's `from __future__ import
+    # annotations` would otherwise leave pandas_udf unresolvable strings
+    _encode_fn.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    _encode = F.pandas_udf(_encode_fn, "array<int>")
+    return df.withColumn("codes", _encode(F.col(vec_col)))
+
+
+def pq_decode(
+    df: DataFrame,
+    codebooks: list,
+    codes_col: str = "codes",
+    out_col: str = "r_vec",
+    literal_max_cells: int = PQ_LITERAL_MAX_CELLS,
+) -> DataFrame:
+    """Add ``out_col``: the reconstructed vector — the concatenation of
+    each subspace's codebook row selected by that subspace's code.
+
+    Decode is a pure gather (no arithmetic), so the two physical paths
+    are bit-identical; the gate only bounds plan size, mirroring
+    ``pq_encode``: literal ``element_at`` gather under the cell gate,
+    Arrow numpy fancy-index above it.
+    """
+    m_sub = len(codebooks)
+    k_codes = len(codebooks[0])
+    if m_sub * k_codes <= literal_max_cells:
+        flat = (
+            f"flatten(transform({codes_col}, (c, j) -> element_at("
+            + "array("
+            + ", ".join(
+                "array(" + ", ".join(
+                    "array(" + ", ".join(f"{x!r}D" for x in c) + ")" for c in book
+                ) + ")"
+                for book in codebooks
+            )
+            + "), j + 1)[c]))"
         )
-        sub = f"slice({vec_col}, {j * d_sub + 1}, {d_sub})"
-        d2 = (
-            f"transform({cb}, c -> aggregate(zip_with(c, {sub}, "
-            f"(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v))"
+        return df.withColumn(out_col, F.expr(flat))
+
+    import numpy as np
+    import pandas as pd
+
+    B = np.asarray(codebooks, dtype=np.float64)  # (m_sub, k_codes, d_sub)
+
+    def _decode_fn(cs):
+        A = np.asarray(cs.tolist(), dtype=np.int64)  # (batch, m_sub)
+        out = np.concatenate(
+            [B[j][A[:, j]] for j in range(m_sub)], axis=1
         )
-        exprs.append(f"cast(array_position({d2}, array_min({d2})) - 1 AS int)")
-    return df.withColumn("codes", F.expr("array(" + ", ".join(exprs) + ")"))
+        return pd.Series(list(out))
+
+    _decode_fn.__annotations__ = {"cs": pd.Series, "return": pd.Series}
+    _decode = F.pandas_udf(_decode_fn, "array<double>")
+    return df.withColumn(out_col, _decode(F.col(codes_col)))
 
 
 def ann_pq_topk(
@@ -760,8 +858,10 @@ def ann_pq_topk(
     full-precision vectors are read for ``shortlist`` rows per query,
     not the corpus. ADC score = dot(q, reconstruction(x)) — computed
     here by decoding each corpus row's codes to the reconstructed
-    vector via a literal codebook gather (pure JVM expressions), then
-    the shared DOT fold against the broadcast query side. Re-rank joins
+    vector (``pq_decode``: literal JVM gather at small codebooks, Arrow
+    gather above ``PQ_LITERAL_MAX_CELLS`` — no K-proportional plan
+    bloat at production sizes), then the shared DOT fold against the
+    broadcast query side. Re-rank joins
     the float vectors back on the shortlist ids (equi-join, AQE-sized)
     and re-scores exactly, which restores the ranking quality the
     lossy codes gave up.
@@ -797,19 +897,10 @@ def ann_pq_topk(
     # storage keyed by id.
     codes = pq_encode(c_normed, books, "c_unit").select("neighbor_id", "codes")
     # decode-on-scan: reconstructed vector = concat of codebook rows
-    # selected by each code — literal gather, no Python
-    flat = (
-        "flatten(transform(codes, (c, j) -> element_at("
-        + "array("
-        + ", ".join(
-            "array(" + ", ".join(
-                "array(" + ", ".join(f"{x!r}D" for x in c) + ")" for c in book
-            ) + ")"
-            for book in books
-        )
-        + "), j + 1)[c]))"
-    )
-    decoded = codes.withColumn("r_vec", F.expr(flat))
+    # selected by each code — pq_decode gates literal gather vs Arrow
+    # on codebook size (bit-identical either way; decode is a pure
+    # gather)
+    decoded = pq_decode(codes, books, "codes", "r_vec")
     pairs = decoded.join(
         F.broadcast(q_normed), F.col("neighbor_id") != F.col("query_id")
     ).withColumn("adc", F.expr(DOT.format(a="q_unit", b="r_vec")))

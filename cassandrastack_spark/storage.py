@@ -596,7 +596,8 @@ class WideColumnTable:
         statics = list(self.spec.properties.get("static_columns") or [])
         if statics:
             return self._with_statics(
-                raw, statics, keep_writetime, cell_meta, as_of_micros
+                raw, statics, keep_writetime, cell_meta, as_of_micros,
+                keep_marker,
             )
         return self._reconcile_rows(
             raw, keep_writetime, cell_meta, as_of_micros, keep_marker
@@ -609,6 +610,7 @@ class WideColumnTable:
         keep_writetime: bool = False,
         cell_meta: bool = False,
         as_of_micros: int | None = None,
+        keep_marker: bool = False,
     ) -> DataFrame:
         """CQL static columns: one shared cell per PARTITION, above the
         clustering rows.
@@ -637,8 +639,12 @@ class WideColumnTable:
             ]
         )
         rows = self._reconcile_rows(
-            raw.drop(*statics), keep_writetime, cell_meta, as_of_micros
+            raw.drop(*statics), keep_writetime, cell_meta, as_of_micros,
+            keep_marker,
         )
+        # keep_marker's __marker_live rides the row side through the
+        # static join untouched — compact()/refresh_view() on a statics
+        # table preserve INSERT row markers exactly like the plain path
         return rows.join(stat, pkeys, "left")
 
     @staticmethod
@@ -680,7 +686,7 @@ class WideColumnTable:
         if collections:
             return self._reconciled_with_collections(
                 raw, pk, payload, counters, collections, types, now_micros,
-                keep_writetime, cell_meta,
+                keep_writetime, cell_meta, keep_marker,
             )
         meta = (_WRITETIME, _EXPIRES, _TOMBSTONE)
         data_cols = [c for c in payload if c not in meta]
@@ -801,6 +807,7 @@ class WideColumnTable:
     def _reconciled_with_collections(
         self, raw, pk, payload, counters, collections, types, now_micros,
         keep_writetime: bool = False, cell_meta: bool = False,
+        keep_marker: bool = False,
     ) -> DataFrame:
         """Reconciliation when the table declares collection columns.
 
@@ -814,6 +821,15 @@ class WideColumnTable:
         resurrect pre-delete scalar cells — Cassandra's per-cell
         shadowing. Op-chains are bounded by writes-per-key since the
         last ``compact()`` (which materializes folds back to one cell).
+
+        Liveness divergence, documented: this path keeps every
+        non-tombstoned, non-expired key regardless of cell liveness
+        (more lenient than the plain path's marker-OR-live-cell model),
+        so markers never decide visibility on collection tables.
+        ``keep_marker`` still tracks the marker honestly — compact()'s
+        rewrite preserves INSERT row markers (the "" sentinel) so a
+        later schema evolution dropping the collection columns does not
+        silently lose primary-key liveness history.
         """
         meta = (_WRITETIME, _EXPIRES, _TOMBSTONE)
         data_cols = [c for c in payload if c not in meta]
@@ -869,12 +885,26 @@ class WideColumnTable:
                         F.when(F.col(_COLL_COL).isNull(), self._cell_w(c)),
                     ).alias(f"__sv_{c}")
                 )
+        # marker writes: full-row (not a collection delta), cell set
+        # empty/null or carrying the "" sentinel, not a tombstone —
+        # same definition as the plain path, guarded on _coll_col so a
+        # delta (whose _cells is null) never counts as a marker
+        marker_key = F.when(
+            F.col(_COLL_COL).isNull()
+            & (
+                (F.coalesce(F.size(F.col(_CELLS)), F.lit(0)) == 0)
+                | F.array_contains(F.col(_CELLS), F.lit(""))
+            )
+            & ~F.coalesce(F.col(_TOMBSTONE), F.lit(False)),
+            F.col(_WRITETIME),
+        )
         aggs += [
             # row liveness: the newest write of ANY kind decides (a
             # delta after a DELETE revives the key, like Cassandra)
             F.expr(f"max_by(`{_TOMBSTONE}`, `{_WRITETIME}`)").alias(_TOMBSTONE),
             # TTL rides on full rows only — a delta carries no expiry
             F.max_by(F.col(_EXPIRES), full_w).alias(_EXPIRES),
+            F.max(marker_key).alias("__marker_w"),
             F.max(
                 F.when(
                     F.coalesce(F.col(_TOMBSTONE), F.lit(False)),
@@ -913,6 +943,8 @@ class WideColumnTable:
                     ex = F.when(sv["w"] > tomb_w, sv["e"]).cast("long")
                 sel.append(wt.alias(f"__wt_{c}"))
                 sel.append(ex.alias(f"__ex_{c}"))
+        if keep_marker:
+            sel.append((F.col("__marker_w") > tomb_w).alias("__marker_live"))
         sel += [F.col(_EXPIRES), F.col(_TOMBSTONE)]
         if keep_writetime:
             sel.append(F.col(_WRITETIME))

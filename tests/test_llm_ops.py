@@ -463,6 +463,62 @@ def test_pq_encode_codes_shape(emb):
     assert bad == 0
 
 
+def test_pq_large_codebook_takes_arrow_path(emb):
+    """Production-size codebooks (k_codes=256, m_sub=16 — the sizes the
+    PQ paper uses) must NOT inline literals: the encode/decode plans go
+    through Arrow (constant plan size), codes stay valid, and decode is
+    bit-identical across both physical paths on a small codebook."""
+    from cassandrastack_spark.llm.simsearch import (
+        pq_decode,
+        pq_encode,
+        pq_train_codebooks,
+        with_norm,
+    )
+
+    c = with_norm(emb.select("vec_id", "embedding")).select(
+        F.col("vec_id").alias("id"),
+        F.expr(
+            "transform(vec, x -> CASE WHEN norm > 0 THEN x / norm ELSE x END)"
+        ).alias("vec"),
+    )
+    books = pq_train_codebooks(c, m_sub=16, k_codes=256, sample=500)
+    assert len(books) == 16 and all(len(b) == 256 for b in books)
+
+    enc = pq_encode(c, books, "vec")
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan, (
+        "k_codes=256 x m_sub=16 must take the Arrow path:\n" + plan[:2000]
+    )
+    # no K-proportional literal tree: a literal 16x256x4 codebook would
+    # be ~16k double literals; the Arrow plan stays small
+    assert len(plan) < 20_000, f"plan bloated to {len(plan)} chars"
+    bad = enc.filter(
+        (F.size("codes") != 16)
+        | F.exists("codes", lambda x: (x < 0) | (x >= 256))
+    ).count()
+    assert bad == 0
+
+    dec = pq_decode(enc.select("id", "codes"), books, "codes", "r_vec")
+    dplan = dec._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in dplan
+    row = dec.orderBy("id").select("r_vec").head()
+    assert len(row.r_vec) == 64
+
+    # decode parity: on a small codebook the literal and Arrow decode
+    # paths must be bit-identical (pure gather, no arithmetic)
+    small = pq_train_codebooks(c, m_sub=8, k_codes=16, sample=256)
+    enc_s = pq_encode(c, small, "vec").select("id", "codes")
+    lit = {
+        r.id: tuple(r.r_vec)
+        for r in pq_decode(enc_s, small, literal_max_cells=4096).collect()
+    }
+    arrow = {
+        r.id: tuple(r.r_vec)
+        for r in pq_decode(enc_s, small, literal_max_cells=0).collect()
+    }
+    assert lit == arrow
+
+
 def test_incremental_minhash_matches_restricted_exact(docs):
     """Batch-vs-corpus incremental MinHash must find exactly the
     qualifying (batch, corpus) pairs of the full exact pair set — no

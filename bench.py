@@ -65,17 +65,34 @@ def main() -> None:
             results[name] = min(results.get(name, elapsed), elapsed)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(results.values()), 3),
-                "unit": "sec",
-                "queries": results,
-                "sf": float(sf) if sf else sf_dir,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": round(sum(results.values()), 3),
+        "unit": "sec",
+        "queries": results,
+        "sf": float(sf) if sf else sf_dir,
+    }
+    # The driver's ledger captures only the tail of stdout, which
+    # truncates the per-query dict past ~2000 chars — so ALSO persist
+    # the full ledger to the repo (BENCH_FULL_r{N}.json, N inferred as
+    # one past the newest driver-recorded round) for round-over-round
+    # comparison of every query, not just the visible tail.
+    try:
+        import glob
+        import re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        rounds = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+            if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+        ]
+        n = (max(rounds) + 1) if rounds else 1
+        with open(os.path.join(here, f"BENCH_FULL_r{n:02d}.json"), "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # a read-only checkout must not fail the bench
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -192,6 +192,49 @@ def _split_top(s: str) -> list[str]:
     return out
 
 
+def _find_top_keyword(s: str, word: str) -> int:
+    """Index of the first occurrence of ``word`` as a standalone
+    top-level keyword — outside quotes and brackets, whitespace on both
+    sides — or -1. Quote-aware so a WHERE string literal containing a
+    bare `` if ``/`` and `` token never starts a clause (the regex
+    ``\\s+if\\s+`` split was not; see round-3 advice on `_update`)."""
+    low, w, n = s.lower(), word.lower(), len(s)
+    quote, depth, i = False, 0, 0
+    while i < n:
+        ch = s[i]
+        if quote:
+            if ch == "'":
+                if i + 1 < n and s[i + 1] == "'":
+                    i += 1
+                else:
+                    quote = False
+        elif ch == "'":
+            quote = True
+        elif ch in "([{":  # comparison < > appear in WHERE: not nesting
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        elif depth == 0 and low.startswith(w, i):
+            j = i + len(w)
+            if (i > 0 and s[i - 1].isspace()) and (j < n and s[j].isspace()):
+                return i
+        i += 1
+    return -1
+
+
+def _split_top_keyword(s: str, word: str) -> list[str]:
+    """Split on every top-level standalone ``word`` (quote-aware
+    replacement for ``re.split(r'\\s+word\\s+', ...)``)."""
+    out, rest = [], s
+    while True:
+        i = _find_top_keyword(rest, word)
+        if i < 0:
+            out.append(rest.strip())
+            return out
+        out.append(rest[:i].strip())
+        rest = rest[i + len(word):]
+
+
 def _split_kv(s: str) -> tuple[str, str]:
     depth, quote = 0, False
     for i, ch in enumerate(s):
@@ -244,11 +287,25 @@ class CqlSession:
     """Statement-string session over the wide-column engine."""
 
     def __init__(self, spark: SparkSession, warehouse: str, n_buckets: int = 16):
+        from concurrent.futures import ThreadPoolExecutor
+
         self.spark = spark
         self.warehouse = warehouse
         self.n_buckets = n_buckets
         self.keyspaces: dict[str, Keyspace] = {}
         self.current: Keyspace | None = None
+        # built eagerly (not lazily on first execute_async) so two
+        # threads racing the first submit can't each build a pool;
+        # shutdown() releases the workers deterministically
+        self._async_pool = ThreadPoolExecutor(
+            max_workers=4, thread_name_prefix="cql-async"
+        )
+
+    def shutdown(self) -> None:
+        """Drain and stop the async-execution pool (``cluster
+        .shutdown()`` parity, server.py's driver teardown). Idempotent;
+        the session's synchronous API keeps working after."""
+        self._async_pool.shutdown(wait=True)
 
     # -- driver-API parity (server.py:98-101, 131-139) -----------------------
 
@@ -266,14 +323,7 @@ class CqlSession:
         ``future.result()``, ``server.py:98-101``). Spark actions are
         blocking per job, so async is a driver-side thread — the same
         job-level async the reference gets from the python driver."""
-        from concurrent.futures import ThreadPoolExecutor
-
-        pool = getattr(self, "_async_pool", None)
-        if pool is None:
-            pool = self._async_pool = ThreadPoolExecutor(
-                max_workers=4, thread_name_prefix="cql-async"
-            )
-        return pool.submit(self.execute, stmt, params)
+        return self._async_pool.submit(self.execute, stmt, params)
 
     # -- plumbing ------------------------------------------------------------
 
@@ -914,7 +964,7 @@ class CqlSession:
         if re.fullmatch(r"exists", if_clause.strip(), re.I):
             return None, True
         conditions = {}
-        for term in re.split(r"\s+and\s+", if_clause.strip(), flags=re.I):
+        for term in _split_top_keyword(if_clause.strip(), "and"):
             tm = re.match(r"(\w+)\s*=\s*(.*)$", term.strip(), re.S)
             if not tm:
                 raise ValueError(f"cannot parse IF condition {term!r}")
@@ -923,14 +973,25 @@ class CqlSession:
 
     def _update(self, s: str, params: tuple):
         m = re.match(
-            r"update\s+(\w+)(?:\s+using\s+(.*?))?"
-            r"\s+set\s+(.*?)\s+where\s+(.*?)(?:\s+if\s+(.*))?$",
+            r"update\s+(\w+)(?:\s+using\s+(.*?))?\s+set\s+(.*)$",
             s,
             re.I | re.S,
         )
         if not m:
             raise ValueError(f"cannot parse UPDATE: {s!r}")
-        name, using, set_clause, where, if_clause = m.groups()
+        name, using, rest = m.groups()
+        # SET / WHERE / IF boundaries are found quote-aware: a string
+        # literal containing a bare ` where `/` if ` never splits the
+        # statement (regex `\s+if\s+` did — round-3 advice, cql.py:927)
+        wi = _find_top_keyword(rest, "where")
+        if wi < 0:
+            raise ValueError(f"cannot parse UPDATE (no WHERE): {s!r}")
+        set_clause, tail = rest[:wi].rstrip(), rest[wi + 5:]
+        ii = _find_top_keyword(tail, "if")
+        if ii < 0:
+            where, if_clause = tail.strip(), None
+        else:
+            where, if_clause = tail[:ii].strip(), tail[ii + 2:].strip()
         t = self._table(name)
         # positional params bind in statement order: USING options
         # first, then SET values, then WHERE values, then IF values
@@ -1071,11 +1132,18 @@ class CqlSession:
         m = re.match(
             r"delete\s+(?:(.*?)\s+)?from\s+(\w+)"
             r"(?:\s+using\s+timestamp\s+(\d+|%s))?"
-            r"\s+where\s+(.*?)(?:\s+if\s+(.*))?$", s, re.I | re.S
+            r"\s+where\s+(.*)$", s, re.I | re.S
         )
         if not m:
             raise ValueError(f"cannot parse DELETE: {s!r}")
-        targets, name, ts_text, where, if_clause = m.groups()
+        targets, name, ts_text, tail = m.groups()
+        # quote-aware IF boundary (same hazard as UPDATE): a WHERE
+        # string literal containing ` if ` must stay in the WHERE
+        ii = _find_top_keyword(tail, "if")
+        if ii < 0:
+            where, if_clause = tail.strip(), None
+        else:
+            where, if_clause = tail[:ii].strip(), tail[ii + 2:].strip()
         t = self._table(name)
         # CQL order is DELETE targets FROM t USING TIMESTAMP n WHERE ...;
         # placeholders bind in that statement order: targets first, then
@@ -1568,7 +1636,7 @@ class CqlSession:
     @staticmethod
     def _parse_eq_where(where: str, lit: _Literal) -> dict:
         out = {}
-        for clause in re.split(r"\s+and\s+", where.strip(), flags=re.I):
+        for clause in _split_top_keyword(where.strip(), "and"):
             cm = re.match(r"(\w+)\s*=\s*(.*)$", clause.strip(), re.S)
             if not cm:
                 raise ValueError(f"only equality predicates supported: {clause!r}")

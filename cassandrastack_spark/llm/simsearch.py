@@ -709,30 +709,33 @@ def pq_train_codebooks(
     return books
 
 
-# Literal-vs-Arrow cutoff for PQ codebook expressions, in codebook CELLS
-# (m_sub x k_codes entries, each a d_sub-double array). Defaults
-# (8 x 16 = 128) stay literal / whole-stage-codegen; production sizes
-# (16 x 256 = 4096) would put ~k_codes x dim double literals in the
-# expression tree — the same plan-bloat `ivf_assign` gates at
-# literal_max_k — so they take the Arrow GEMM path instead.
-PQ_LITERAL_MAX_CELLS = 2048
+# Literal-vs-Arrow cutoff for PQ codebook expressions, in total DOUBLE
+# literals (m_sub x k_codes x d_sub = k_codes x dim — what actually
+# sizes the expression tree; gating on cell count alone would let a
+# wide-dim codebook like m_sub=8, k_codes=256, dim=1024 inline ~262k
+# literals). Defaults (8 x 16 cells x dim/8 each) stay literal /
+# whole-stage-codegen; production sizes (16 x 256) take the Arrow GEMM
+# path — the same plan-bloat discipline `ivf_assign` applies at
+# literal_max_k.
+PQ_LITERAL_MAX_DOUBLES = 8192
 
 
 def pq_encode(
     df: DataFrame,
     codebooks: list,
     vec_col: str = "vec",
-    literal_max_cells: int = PQ_LITERAL_MAX_CELLS,
+    literal_max_doubles: int = PQ_LITERAL_MAX_DOUBLES,
 ) -> DataFrame:
     """Add ``codes`` (array<int>, length m_sub): each subvector's
     nearest codebook entry by squared L2.
 
     Two physical strategies, gated like ``ivf_assign``:
 
-    - m_sub x k_codes <= ``literal_max_cells``: codebooks inlined as
-      literal arrays and scored with JVM higher-order functions — zero
-      Python, stays in whole-stage codegen (plan size is bounded by the
-      gate).
+    - m_sub x k_codes x d_sub <= ``literal_max_doubles``: codebooks
+      inlined as literal arrays and scored with JVM higher-order
+      functions — zero Python, stays in whole-stage codegen (plan size
+      is bounded by the gate, which counts the double literals the
+      expression tree would actually carry).
     - above the gate: codebooks ship once as a numpy tensor inside an
       Arrow ``pandas_udf`` closure; each batch assigns all subspaces
       via per-subspace GEMMs — constant plan size at production
@@ -743,12 +746,15 @@ def pq_encode(
     literal path folds squared diffs left-to-right; the Arrow path uses
     the ||s||^2 - 2 s.c + ||c||^2 expansion, matching training) — both
     are valid nearest-code assignments of the same lossy code. Input
-    vectors must already be unit-normalized (PQ of cosine space).
+    vectors must already be unit-normalized (PQ of cosine space). Null
+    input vectors propagate to null codes on BOTH paths (the Arrow path
+    masks null rows before the GEMM), so crossing the size gate never
+    changes null semantics.
     """
     m_sub = len(codebooks)
     k_codes = len(codebooks[0])
     d_sub = len(codebooks[0][0])
-    if m_sub * k_codes <= literal_max_cells:
+    if m_sub * k_codes * d_sub <= literal_max_doubles:
         exprs = []
         for j, book in enumerate(codebooks):
             cb = (
@@ -762,7 +768,15 @@ def pq_encode(
                 f"(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v))"
             )
             exprs.append(f"cast(array_position({d2}, array_min({d2})) - 1 AS int)")
-        return df.withColumn("codes", F.expr("array(" + ", ".join(exprs) + ")"))
+        # null-in → null-out (not an array OF nulls), matching the
+        # Arrow path exactly
+        return df.withColumn(
+            "codes",
+            F.when(
+                F.col(vec_col).isNotNull(),
+                F.expr("array(" + ", ".join(exprs) + ")"),
+            ),
+        )
 
     import numpy as np
     import pandas as pd
@@ -771,17 +785,26 @@ def pq_encode(
     B_sq = (B * B).sum(axis=2)                   # (m_sub, k_codes)
 
     def _encode_fn(vs):
-        X = np.asarray(vs.tolist(), dtype=np.float64)  # (batch, dim)
-        out = np.empty((X.shape[0], m_sub), dtype=np.int32)
-        for j in range(m_sub):
-            S = X[:, j * d_sub : (j + 1) * d_sub]
-            d2 = (
-                (S * S).sum(axis=1, keepdims=True)
-                - 2.0 * (S @ B[j].T)
-                + B_sq[j][None, :]
-            )
-            out[:, j] = np.argmin(d2, axis=1)  # first min wins ties
-        return pd.Series(list(out))
+        # null rows propagate (match the literal path's null semantics)
+        na = vs.isna().to_numpy()
+        res = np.empty(len(vs), dtype=object)
+        res[na] = None
+        if (~na).any():
+            X = np.asarray(vs[~na].tolist(), dtype=np.float64)  # (live, dim)
+            out = np.empty((X.shape[0], m_sub), dtype=np.int32)
+            for j in range(m_sub):
+                S = X[:, j * d_sub : (j + 1) * d_sub]
+                d2 = (
+                    (S * S).sum(axis=1, keepdims=True)
+                    - 2.0 * (S @ B[j].T)
+                    + B_sq[j][None, :]
+                )
+                out[:, j] = np.argmin(d2, axis=1)  # first min wins ties
+            # per-slot assignment: object-array fancy assignment would
+            # re-stack the row list into a 2-D array and reject it
+            for i, row in zip(np.flatnonzero(~na), out):
+                res[i] = row
+        return pd.Series(res)
 
     # real annotation objects: the module's `from __future__ import
     # annotations` would otherwise leave pandas_udf unresolvable strings
@@ -795,19 +818,21 @@ def pq_decode(
     codebooks: list,
     codes_col: str = "codes",
     out_col: str = "r_vec",
-    literal_max_cells: int = PQ_LITERAL_MAX_CELLS,
+    literal_max_doubles: int = PQ_LITERAL_MAX_DOUBLES,
 ) -> DataFrame:
     """Add ``out_col``: the reconstructed vector — the concatenation of
     each subspace's codebook row selected by that subspace's code.
 
     Decode is a pure gather (no arithmetic), so the two physical paths
     are bit-identical; the gate only bounds plan size, mirroring
-    ``pq_encode``: literal ``element_at`` gather under the cell gate,
-    Arrow numpy fancy-index above it.
+    ``pq_encode``: literal ``element_at`` gather under the doubles
+    gate, Arrow numpy fancy-index above it. Null codes decode to null
+    on both paths.
     """
     m_sub = len(codebooks)
     k_codes = len(codebooks[0])
-    if m_sub * k_codes <= literal_max_cells:
+    d_sub = len(codebooks[0][0])
+    if m_sub * k_codes * d_sub <= literal_max_doubles:
         flat = (
             f"flatten(transform({codes_col}, (c, j) -> element_at("
             + "array("
@@ -827,11 +852,17 @@ def pq_decode(
     B = np.asarray(codebooks, dtype=np.float64)  # (m_sub, k_codes, d_sub)
 
     def _decode_fn(cs):
-        A = np.asarray(cs.tolist(), dtype=np.int64)  # (batch, m_sub)
-        out = np.concatenate(
-            [B[j][A[:, j]] for j in range(m_sub)], axis=1
-        )
-        return pd.Series(list(out))
+        na = cs.isna().to_numpy()
+        res = np.empty(len(cs), dtype=object)
+        res[na] = None
+        if (~na).any():
+            A = np.asarray(cs[~na].tolist(), dtype=np.int64)  # (live, m_sub)
+            out = np.concatenate(
+                [B[j][A[:, j]] for j in range(m_sub)], axis=1
+            )
+            for i, row in zip(np.flatnonzero(~na), out):
+                res[i] = row
+        return pd.Series(res)
 
     _decode_fn.__annotations__ = {"cs": pd.Series, "return": pd.Series}
     _decode = F.pandas_udf(_decode_fn, "array<double>")
@@ -859,7 +890,7 @@ def ann_pq_topk(
     not the corpus. ADC score = dot(q, reconstruction(x)) — computed
     here by decoding each corpus row's codes to the reconstructed
     vector (``pq_decode``: literal JVM gather at small codebooks, Arrow
-    gather above ``PQ_LITERAL_MAX_CELLS`` — no K-proportional plan
+    gather above ``PQ_LITERAL_MAX_DOUBLES`` — no K-proportional plan
     bloat at production sizes), then the shared DOT fold against the
     broadcast query side. Re-rank joins
     the float vectors back on the shortlist ids (equi-join, AQE-sized)

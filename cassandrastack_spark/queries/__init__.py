@@ -54,65 +54,68 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # first (in this order); everything else follows in registration order.
 # A name here that is not registered is ignored.
 #
-# Round-4 rotation: the 35 queries with no driver row through r1–r3
-# (positions 51–85 of the r3 ordering) move to the front; the remaining
-# 15 window slots re-confirm the oldest r1-era greens. After this round
-# every one of the 135 registered queries has an official driver row.
+# Round-5 rotation: front-load (a) the production-size PQ query new
+# this round, (b) the 12 queries whose code round 4 touched (ANN
+# family + storage scans — their driver rows predate that diff), and
+# (c) text_ngram_novelty, whose join-back is de-skewed this round.
+# The remaining 36 slots re-confirm the 35 queries whose newest
+# official row is still round-2-era, plus one r3 LSH re-confirm.
 _FRONT: tuple[str, ...] = (
-    # -- never driver-verified (35): round-3 additions first --
-    "dq_referential_orphans",
-    "corpus_shard_shuffle",
-    "corpus_chunk_sliding",
-    "text_word_entropy",
-    "text_ngram_novelty",
-    # -- TPC-H extensions (15) --
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_volume",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_parts_supplier_cnt",
-    "q17_small_qty_revenue",
-    "q18_large_volume_customer",
-    "q19_discounted_revenue",
-    "q20_heavy_shippers",
-    "q21_sole_returned_supplier",
-    "q22_sales_opportunity",
-    # -- remaining never-driver-checked analytics (15) --
-    "rolling_wau",
-    "hypertable_rollup_daily",
-    "gapfill_locf_hourly",
-    "gapfill_interpolate_hourly",
-    "window_range_frames",
-    "date_null_functions",
-    "map_functions",
-    "lateral_explode_tokens",
-    "union_all_with_source",
-    "window_dist_functions",
-    "asof_join_next_order",
-    "stats_regression_lineitem",
-    "full_outer_nation_accounts",
-    "anomaly_trailing_zscore",
-    "dq_profile_lineitem",
-    # -- back-fill to 50: oldest r1-era greens, re-confirmed --
+    # -- new this round: Arrow-path PQ under the driver oracle --
+    "ann_pq_topk_prod",
+    # -- round-4-touched code, rows predate the diff (VERDICT r4 #1) --
+    "ann_pq_topk",
+    "ann_cosine_topk",
+    "ann_filtered_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_quantized_topk",
+    "embedding_quantize_int8",
+    "embedding_norms",
+    "dedup_embedding_cosine",
     "point_lookup",
-    "projection_scan",
     "partition_scan_ordered",
-    "q1_pricing_summary",
-    "agg_distinct",
-    "rollup_acctbal",
-    "cube_orders",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "anti_join_no_orders",
-    "semi_join_open_orders",
-    "correlated_above_avg",
-    "asof_join_latest_order",
-    "range_join_event_pairs",
-    "topn_per_group",
+    "projection_scan",
+    # -- changed this round (join-back de-skew) --
+    "text_ngram_novelty",
+    # -- oldest official rows (round 2): re-confirm on current code --
+    "approx_distinct_users",
+    "array_functions",
+    "event_interarrival",
+    "event_transitions",
+    "funnel_conversion",
+    "heatmap_dow_hour",
+    "histogram_order_totals",
+    "json_extract_props",
+    "outliers_iqr_values",
+    "pareto_customers_by_segment",
+    "percentiles_acctbal",
+    "pivot_status_by_segment",
+    "profile_hot_keys",
+    "profile_table_stats",
+    "q10_returned_revenue",
+    "q12_priority_by_linestatus",
+    "q4_priority_with_big_items",
+    "q6_forecast_revenue",
+    "retention_weekly",
+    "salted_join_events_customers",
+    "scalar_functions",
+    "sessionize_events",
+    "set_operations",
+    "sql_exists_in_subqueries",
+    "sql_grouping_sets",
+    "sql_lateral_topk",
+    "string_agg_nations",
+    "top_k_global",
+    "tumbling_window_hourly",
+    "unpivot_revenue_measures",
+    "window_moving_avg",
+    "window_rank_surface",
+    "window_running_distinct",
+    "window_running_sum",
+    # -- r3 re-confirm back-fill to 50 --
+    "dedup_minhash_lsh",
+    "decontam_ngram_overlap",
 )
 
 

@@ -435,6 +435,37 @@ def ann_pq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_pq_topk_prod",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+               CAST(COUNT(*) AS BIGINT) AS n_answered,
+               TRUE AS mean_recall_ge_40pct
+        FROM embeddings WHERE vec_id < 10
+    """,
+    doc="PQ ANN at PRODUCTION codebook size (m_sub=16, k_codes=256 — "
+        "the canonical Jégou et al. configuration): 16 x 256 x 4 = "
+        "16384 codebook doubles crosses PQ_LITERAL_MAX_DOUBLES, so "
+        "encode/decode take the Arrow GEMM/gather path (constant plan "
+        "size — no codebook-proportional literal tree) instead of the "
+        "inlined-literal JVM path the small-codebook ann_pq_topk "
+        "exercises. Same recall invariant vs exact top-k (>= 0.4; the "
+        "finer codes make it near-exact on the fixture), same "
+        "deterministic training — this row is the driver-oracle "
+        "evidence that the production-size physical path, not just the "
+        "literal one, is correct end-to-end.",
+)
+def ann_pq_topk_prod_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return _ann_recall_invariant(
+        cosine_topk(emb, q, k=5),
+        ann_pq_topk(emb, q, k=5, m_sub=16, k_codes=256),
+        0.4,
+        "mean_recall_ge_40pct",
+    )
+
+
+@register(
     "dedup_incremental_minhash",
     oracle="""
         WITH sh AS (
@@ -1482,10 +1513,17 @@ def corpus_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fraction of its distinct 3-gram shingles never seen in any "
         "earlier document — the diminishing-returns signal for crawl "
         "prioritization (novelty collapsing toward 0 means new data "
-        "stops adding information). First-occurrence election is a "
-        "min-doc_id aggregate on the shingle hash — ids only on the "
-        "skewed key, map-side combinable — followed by two bounded "
-        "groupBys; integer ratio, exact across engines.",
+        "stops adding information). Skew-proof by construction (round-4 "
+        "verdict item 5): the old plan joined the exploded shingles "
+        "BACK onto the min-id table on the shingle hash, so one hot "
+        "shingle (a stopword run) rode a shuffle join unprefixed. "
+        "Rewritten as pure aggregates: n_novel(doc) is just the count "
+        "of hashes whose min-id election the doc WON — a groupBy over "
+        "the (already one-row-per-hash) election output — and "
+        "n_shingles is a per-doc count, both map-side combinable, "
+        "stitched by an equi-join on the uniform doc_id key. A hot "
+        "shingle now collapses map-side in the min() partial aggregate; "
+        "no shuffle carries a skewed key to a single reducer.",
 )
 def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandrastack_spark.llm.dedup import exploded_shingles
@@ -1493,24 +1531,24 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = exploded_shingles(
         _t(spark, sf_dir, "documents"), "doc_id", "text", k=3
     ).select("id", F.xxhash64("shingle").alias("h"))
-    first = (
+    per_doc = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    # first-occurrence election, then per-winner count: each distinct
+    # hash contributes exactly one row to exactly one doc's n_novel
+    novel = (
         sh.groupBy("h")
         .agg(F.min("id").alias("first_id"))
+        .groupBy("first_id")
+        .agg(F.count("*").alias("n_novel"))
     )
-    joined = sh.join(first, "h")
     return (
-        joined.groupBy("id")
-        .agg(
-            F.count("*").alias("n_shingles"),
-            F.sum(
-                F.when(F.col("id") == F.col("first_id"), 1).otherwise(0)
-            ).alias("n_novel"),
-        )
+        per_doc.join(novel, per_doc["id"] == novel["first_id"], "left")
         .select(
             F.col("id").alias("doc_id"),
             "n_shingles",
-            "n_novel",
-            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("bigint").alias("n_novel"),
+            F.round(
+                F.coalesce(F.col("n_novel"), F.lit(0)) / F.col("n_shingles"), 6
+            ).alias("novelty"),
         )
         .orderBy("doc_id")
     )

@@ -1405,11 +1405,20 @@ class WideColumnTable:
         means ABSENT, not "explicitly null": the rewrite garbage-
         collects cell tombstones (like Cassandra compaction after
         gc_grace), so an old-timestamp backfill may rewrite a cell the
-        compaction found empty. Granularity note: the rewrite collapses
-        per-cell writetimes to the row's newest (one write = one
-        timestamp), so per-cell backfill resolution against PRE-rewrite
-        history coarsens to row granularity — exact until a compaction
-        runs, row-level after, documented."""
+        compaction found empty. Granularity note (documented divergence
+        from Cassandra, which keeps per-cell metadata through
+        compaction): the rewrite collapses per-cell writetimes to the
+        row's newest (one write = one timestamp), so per-cell backfill
+        resolution against PRE-rewrite history coarsens to row
+        granularity — exact until a compaction runs, row-level after.
+        The same collapse applies to per-cell TTLs: the rewritten row
+        carries only the row MARKER's expiry, so a cell written with
+        its own ``USING TTL`` inherits the marker's expiry after a
+        compaction (or becomes non-expiring when the marker has none).
+        Schedule ``compact()`` accordingly on tables that mix per-cell
+        TTLs with longer-lived rows, or let expiry-bound data expire
+        before compacting it (the common time-series pattern: TTL'd
+        writes age out of the window a range compaction walks)."""
         nonkey = [
             f.name for f in self.spec.schema.fields
             if f.name not in self.spec.primary_key
@@ -1513,7 +1522,11 @@ class WideColumnTable:
         # already expired, and rows they shadowed, are physically gone)
         # and _writetime: Cassandra preserves cell writetimes through
         # compaction, so a USING TIMESTAMP backfill newer than the
-        # original write still wins after a compaction ran in between
+        # original write still wins after a compaction ran in between.
+        # Granularity caveat (see _materialized_cells): the kept
+        # _expires is the row MARKER's — per-cell TTLs coarsen to it on
+        # the rewrite, a documented divergence from Cassandra's
+        # per-cell expiry metadata
         live = self._reconciled(raw, keep_writetime=True, keep_marker=True)
         out = self._with_bucket(self._materialized_cells(live))
         out.write.mode("overwrite").parquet(stage)

@@ -535,7 +535,10 @@ def ingest_with_dedup(
     thresholds, so re-running a batch appends nothing twice. Index
     existence is decided by the INDEX's own metadata (Hadoop FS
     existence probe, any scheme) — read failures on a live index
-    raise instead of silently rebuilding it from one batch.
+    raise instead of silently rebuilding it from one batch. The index
+    extend itself is guarded by a per-epoch marker directory
+    (``<index>/_epochs/<batch_id>``), so a batch replayed after its
+    extend committed never appends its band rows twice.
     """
     from cassandrastack_spark.llm.dedup import (
         build_dedup_index,
@@ -552,7 +555,13 @@ def ingest_with_dedup(
         fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
         return bool(fs.exists(hp))
 
-    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+    def _touch(p: str) -> None:
+        jvm = spark._jvm
+        hp = jvm.org.apache.hadoop.fs.Path(p)
+        fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.mkdirs(hp)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.localCheckpoint(eager=True)
         # in-batch exact dedup: first (lowest id) per text digest wins
         w_digest = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
@@ -581,9 +590,23 @@ def ingest_with_dedup(
                 .join(accepted.select(id_col), id_col, "left_anti")
                 .localCheckpoint(eager=True)
             )
-            extend_dedup_index(
-                survivors, index_path, id_col=id_col, text_col=text_col
-            )
+            # per-epoch marker (underscore dir: invisible to partition
+            # discovery, like `_meta`) makes the extend idempotent under
+            # foreachBatch's at-least-once replay: a crash between the
+            # index append and the accepted append used to re-extend the
+            # index with the same band rows on replay (benign — probe
+            # dedups candidates — but the index accreted). Extending
+            # BEFORE the accepted append is deliberate: the reverse
+            # order would, on a crash between the two writes, replay
+            # into "docs accepted but never indexed" — a permanent
+            # recall hole, worse than accretion. Only the sub-second
+            # extend→touch window can still double-write.
+            marker = f"{index_path}/_epochs/{batch_id}"
+            if not _exists(marker):
+                extend_dedup_index(
+                    survivors, index_path, id_col=id_col, text_col=text_col
+                )
+                _touch(marker)
         survivors.write.mode("append").parquet(accepted_path)
 
     writer = (

@@ -1290,3 +1290,64 @@ def test_writetime_composes_with_per_partition_limit(cql):
         "PER PARTITION LIMIT 2")
     assert len(rows) == 2
     assert all(r["writetime(message)"] is not None for r in rows)
+
+
+def test_where_literals_containing_keywords_parse_quote_aware(cql):
+    """Round-3 advice regression (cql.py UPDATE/DELETE parsing): string
+    literals containing bare ` if ` / ` and ` / ` where ` tokens must
+    not split the statement — clause boundaries are found quote-aware,
+    not by `\\s+if\\s+` regex."""
+    _bootstrap(cql)
+    tricky = "check if exists"       # ` if ` inside a WHERE literal
+    cql.execute(
+        "INSERT INTO users (user_id, username, email, password) "
+        "VALUES (%s, %s, %s, %s)",
+        ("a" * 36, tricky, "t@x", "pw"),
+    )
+    # inline literal (no placeholder): the raw statement text carries
+    # ' if ' and the UPDATE must still bind WHERE correctly
+    cql.execute(
+        "UPDATE users SET email = 'a where b' "
+        "WHERE username = 'check if exists'"
+    )
+    [row] = cql.execute(
+        "SELECT email FROM users WHERE username = %s", (tricky,))
+    assert row["email"] == "a where b"
+    # ` and ` inside a quoted IF condition value must not split the
+    # condition list
+    res = cql.execute(
+        "UPDATE users SET password = 'n' "
+        "WHERE username = 'check if exists' IF email = 'bread and butter'"
+    )
+    assert res[0]["[applied]"] is False
+    res = cql.execute(
+        "UPDATE users SET password = 'n2' "
+        "WHERE username = 'check if exists' IF email = 'a where b'"
+    )
+    assert res[0]["[applied]"] is True
+    # DELETE with the same hazard: literal ` if ` stays in the WHERE
+    res = cql.execute(
+        "DELETE FROM users WHERE username = 'check if exists' IF EXISTS"
+    )
+    assert res[0]["[applied]"] is True
+    assert cql.execute(
+        "SELECT * FROM users WHERE username = %s", (tricky,)) == []
+
+
+def test_async_pool_is_eager_and_shutdown_idempotent(cql):
+    """Round-3 advice regression: the async pool is built in __init__
+    (no lazy double-build race) and shutdown() drains it; sync API
+    keeps working after."""
+    assert cql._async_pool is not None
+    _bootstrap(cql)
+    cql.execute(
+        "INSERT INTO users (user_id, username, email, password) "
+        "VALUES (%s, %s, %s, %s)", ("b" * 36, "A", "a@x", "p"))
+    fut = cql.execute_async("SELECT username FROM users")
+    assert [r["username"] for r in fut.result(timeout=120)] == ["A"]
+    cql.shutdown()
+    cql.shutdown()  # idempotent
+    with pytest.raises(RuntimeError):
+        cql.execute_async("SELECT username FROM users")
+    # synchronous execution is unaffected by pool shutdown
+    assert len(cql.execute("SELECT username FROM users")) == 1

@@ -510,11 +510,11 @@ def test_pq_large_codebook_takes_arrow_path(emb):
     enc_s = pq_encode(c, small, "vec").select("id", "codes")
     lit = {
         r.id: tuple(r.r_vec)
-        for r in pq_decode(enc_s, small, literal_max_cells=4096).collect()
+        for r in pq_decode(enc_s, small, literal_max_doubles=8192).collect()
     }
     arrow = {
         r.id: tuple(r.r_vec)
-        for r in pq_decode(enc_s, small, literal_max_cells=0).collect()
+        for r in pq_decode(enc_s, small, literal_max_doubles=0).collect()
     }
     assert lit == arrow
 
@@ -660,3 +660,44 @@ def test_pq_training_rejects_tiny_corpus(spark):
     )
     with pytest.raises(ValueError, match="k_codes"):
         pq_train_codebooks(tiny, k_codes=16, sample=256)
+
+
+def test_pq_paths_propagate_null_vectors_identically(spark):
+    """Round-4 advice regression: crossing the PQ size gate must not
+    change null handling — the Arrow encode/decode paths emit null for
+    null input rows (no task crash), and the literal paths emit null
+    (not an array OF nulls), so both physical strategies agree."""
+    from cassandrastack_spark.llm.simsearch import pq_decode, pq_encode
+
+    books = [
+        [[0.0] * 4, [1.0] * 4],
+        [[0.5] * 4, [2.0] * 4],
+    ]  # m_sub=2, k_codes=2, d_sub=4 -> 16 doubles
+    df = spark.createDataFrame(
+        [(1, [0.1] * 8), (2, None), (3, [0.9] * 8)],
+        "id int, vec array<double>",
+    )
+    lit = {
+        r.id: r.codes
+        for r in pq_encode(df, books, "vec", literal_max_doubles=1024).collect()
+    }
+    arr = {
+        r.id: r.codes
+        for r in pq_encode(df, books, "vec", literal_max_doubles=0).collect()
+    }
+    assert lit == arr, f"{lit} != {arr}"
+    assert arr[2] is None and arr[1] is not None and arr[3] is not None
+
+    codes = pq_encode(df, books, "vec", literal_max_doubles=0).select(
+        "id", "codes"
+    )
+    dl = {
+        r.id: None if r.r_vec is None else tuple(r.r_vec)
+        for r in pq_decode(codes, books, literal_max_doubles=1024).collect()
+    }
+    da = {
+        r.id: None if r.r_vec is None else tuple(r.r_vec)
+        for r in pq_decode(codes, books, literal_max_doubles=0).collect()
+    }
+    assert dl == da
+    assert da[2] is None and da[1] is not None

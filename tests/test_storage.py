@@ -1098,6 +1098,66 @@ def test_key_only_insert_creates_row_marker(spark, ks):
     assert row.username == "Marker" and row.email is None
 
 
+def test_key_only_marker_survives_compact_on_statics_and_collections(spark, ks):
+    """Round-4 regression (keep_marker threaded through _with_statics
+    and _reconciled_with_collections): a key-only INSERT's row marker
+    must survive compact() on STATICS and COLLECTIONS tables too — the
+    "" sentinel is preserved through the materialized rewrite, not only
+    on plain tables (test_key_only_insert_creates_row_marker)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    s_schema = StructType([
+        StructField("channel", LongType(), False),
+        StructField("msg_id", LongType(), False),
+        StructField("body", StringType(), True),
+        StructField("channel_name", StringType(), True),  # static
+    ])
+    s_spec = ks.create_table(
+        "chat_marker", s_schema, ["channel"], clustering_keys=["msg_id"],
+        clustering_desc=True, static_columns=["channel_name"],
+    )
+    st = WideColumnTable(spark, ks, s_spec, n_buckets=4)
+    st.append(
+        spark.createDataFrame([(1, 10, None, None)], s_schema), cells=[]
+    )
+    [row] = st.read().collect()
+    assert (row.channel, row.msg_id) == (1, 10) and row.body is None
+    st.compact()
+    [row] = st.read().collect()
+    assert (row.channel, row.msg_id) == (1, 10) and row.body is None
+    # a second compact reads its own materialized output — the marker
+    # sentinel must round-trip, not just survive one rewrite
+    st.compact()
+    assert st.read().count() == 1
+
+    c_schema = StructType([
+        StructField("uid", StringType(), False),
+        StructField("bio", StringType(), True),
+        StructField("tags", ArrayType(StringType()), True),
+    ])
+    c_spec = ks.create_table(
+        "profiles_marker", c_schema, ["uid"],
+        collection_columns={"tags": "set"},
+    )
+    ct = WideColumnTable(spark, ks, c_spec, n_buckets=4)
+    ct.append(
+        spark.createDataFrame([("u1", None, None)], c_schema), cells=[]
+    )
+    [row] = ct.read().collect()
+    assert row.uid == "u1" and row.bio is None
+    ct.compact()
+    [row] = ct.read().collect()
+    assert row.uid == "u1" and row.bio is None
+    ct.compact()
+    assert ct.read().count() == 1
+
+
 def test_compact_bucket_range_is_bounded_and_safe(spark, ks):
     """Range compaction rewrites only the listed bucket directories;
     out-of-scope buckets keep their (uncompacted) history and reads

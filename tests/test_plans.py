@@ -207,3 +207,22 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
+
+
+def test_ngram_novelty_never_joins_on_shingle_hash(spark, registry):
+    """Round-5 de-skew regression: text_ngram_novelty computes novelty
+    as pure aggregates (min-id election, then a count per winner) —
+    the exploded shingles must NEVER ride a shuffle JOIN keyed on the
+    shingle hash, where one hot shingle (a stopword run) would pin a
+    single reducer at scale. The only join left stitches two per-doc
+    aggregate tables on the uniform doc_id key (broadcast-sized here)."""
+    plan = phys(registry["text_ngram_novelty"].fn(spark, SF))
+    # no JOIN node may key on the shingle hash column (h#NN); the only
+    # join stitches per-doc aggregates on id/first_id
+    join_lines = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert join_lines, plan  # the doc-id stitch join exists
+    for ln in join_lines:
+        assert not re.search(r"\bh#\d+", ln), f"join keyed on shingle hash: {ln}"
+    # the election aggregate over the hash key partial-combines before
+    # its shuffle (hot keys collapse map-side)
+    assert "partial_min" in plan, plan

@@ -61,8 +61,9 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # The remaining 36 slots re-confirm the 35 queries whose newest
 # official row is still round-2-era, plus one r3 LSH re-confirm.
 _FRONT: tuple[str, ...] = (
-    # -- new this round: Arrow-path PQ under the driver oracle --
+    # -- new this round: Arrow-path PQ + IVF,PQ composite under the oracle --
     "ann_pq_topk_prod",
+    "ann_ivf_pq_topk",
     # -- round-4-touched code, rows predate the diff (VERDICT r4 #1) --
     "ann_pq_topk",
     "ann_cosine_topk",
@@ -115,7 +116,6 @@ _FRONT: tuple[str, ...] = (
     "window_running_sum",
     # -- r3 re-confirm back-fill to 50 --
     "dedup_minhash_lsh",
-    "decontam_ngram_overlap",
 )
 
 

@@ -33,6 +33,7 @@ from cassandrastack_spark.llm.dedup import (
     simhash_pairs,
 )
 from cassandrastack_spark.llm.simsearch import (
+    ann_ivf_pq_topk,
     ann_ivf_topk,
     ann_lsh_topk,
     ann_pq_topk,
@@ -462,6 +463,36 @@ def ann_pq_topk_prod_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         ann_pq_topk(emb, q, k=5, m_sub=16, k_codes=256),
         0.4,
         "mean_recall_ge_40pct",
+    )
+
+
+@register(
+    "ann_ivf_pq_topk",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+               CAST(COUNT(*) AS BIGINT) AS n_answered,
+               TRUE AS mean_recall_ge_35pct
+        FROM embeddings WHERE vec_id < 10
+    """,
+    doc="IVF + PQ composite ANN top-5 — the production shape (FAISS "
+        "IVFx,PQy): IVF pruning bounds WHICH vectors are scanned "
+        "(nprobe=4 of 16 lists — partition-pruned at scale), PQ bounds "
+        "the BYTES per scanned vector (8 one-byte codes, ADC via "
+        "decode-on-scan), and an exact float re-rank of the 64-row "
+        "shortlist restores ranking. Recall invariant vs exact top-k "
+        ">= 0.35 (measured 0.46-0.52 on the near-random fixture — the "
+        "compound worst case, bounded above by IVF's own 0.52; "
+        "clustered real embeddings recall far higher). Deterministic "
+        "end-to-end like the IVF and PQ paths it composes.",
+)
+def ann_ivf_pq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return _ann_recall_invariant(
+        cosine_topk(emb, q, k=5),
+        ann_ivf_pq_topk(emb, q, k=5, shortlist=64),
+        0.35,
+        "mean_recall_ge_35pct",
     )
 
 

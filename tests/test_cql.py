@@ -1351,3 +1351,42 @@ def test_async_pool_is_eager_and_shutdown_idempotent(cql):
         cql.execute_async("SELECT username FROM users")
     # synchronous execution is unaffected by pool shutdown
     assert len(cql.execute("SELECT username FROM users")) == 1
+
+
+# -- pure-parser property tests (no Spark session needed) ----------------
+
+
+from hypothesis import given, strategies as st
+
+from cassandrastack_spark.cql import _find_top_keyword, _split_top_keyword
+
+_tricky_literals = st.sampled_from([
+    "x if y", "a and b", "where clause", "if", "and", " if ",
+    "check if exists", "bread and butter", "it''s quoted",
+    "mixed IF AND where", "trailing if", "if leading", "plain",
+])
+
+
+@given(st.lists(_tricky_literals, min_size=1, max_size=4))
+def test_split_top_keyword_never_splits_inside_literals(parts):
+    """Property: splitting `c0 = '<lit>' and c1 = '<lit>' ...` on AND
+    yields exactly one segment per condition, no matter what keywords
+    the quoted literals contain."""
+    clause = " and ".join(f"c{i} = '{p}'" for i, p in enumerate(parts))
+    segs = _split_top_keyword(clause, "and")
+    assert len(segs) == len(parts), (clause, segs)
+    for i, seg in enumerate(segs):
+        assert seg.startswith(f"c{i} ="), (clause, segs)
+
+
+@given(_tricky_literals, _tricky_literals)
+def test_find_top_keyword_if_boundary_ignores_quoted_text(w_lit, if_lit):
+    """Property: in `pk = '<lit>' if c = '<lit>'`, the IF boundary found
+    is always the structural one after the WHERE literal — never a
+    keyword inside either quoted literal."""
+    where_part = f"pk = '{w_lit}'"
+    stmt = f"{where_part} if c = '{if_lit}'"
+    i = _find_top_keyword(stmt, "if")
+    assert i == len(where_part) + 1, (stmt, i)
+    # and with no structural IF present, nothing is found
+    assert _find_top_keyword(where_part, "if") == -1, where_part

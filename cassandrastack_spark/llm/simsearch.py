@@ -1166,3 +1166,163 @@ def probe_ivf_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_centroids: int = 16,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    iters: int = 5,
+) -> None:
+    """Materialize the IVF+PQ layout ``ann_ivf_pq_topk`` only models:
+    the corpus's PQ CODES (not its floats) written to ``path``
+    partitioned by IVF list id, plus centroids AND codebooks as a 1-row
+    parquet under ``path/_meta``.
+
+    This is the 100 TB vector-serving shape: the index stores ``m_sub``
+    bytes per vector (64-dim float32 → 8 bytes, 32x), a probe is
+    ``nprobe`` partition-pruned directory scans over codes, and the
+    full-precision vectors never leave the source table — the re-rank
+    tail fetches them by id for the shortlist alone
+    (``probe_ivfpq_index``). Train once, assign once; rebuild cadence
+    is a data-drift decision, like the plain IVF index.
+    """
+    unit = "transform(vec, x -> CASE WHEN norm > 0 THEN x / norm ELSE x END)"
+    c_normed = with_norm(corpus.select(id_col, vec_col), vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.expr(unit).alias("c_unit")
+    )
+    train = c_normed.select(
+        F.col("neighbor_id").alias("id"), F.col("c_unit").alias("vec")
+    )
+    centroids = ivf_train_centroids(train, k_centroids=k_centroids, iters=iters)
+    books = pq_train_codebooks(train, m_sub=m_sub, k_codes=k_codes, iters=iters)
+    spark = corpus.sparkSession
+    (
+        pq_encode(ivf_assign(c_normed, centroids, "c_unit"), books, "c_unit")
+        .select("cid", "neighbor_id", "codes")
+        .repartition("cid")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(path)
+    )
+    spark.createDataFrame(
+        [(centroids, books)],
+        "centroids array<array<double>>, "
+        "codebooks array<array<array<double>>>",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/_meta")
+
+
+def extend_ivfpq_index(
+    new_vecs: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append new vectors to a persisted IVF+PQ index using the STORED
+    centroids and codebooks — no retrain, no corpus re-read: the write
+    half of the vector-ingest loop, mirroring ``extend_dedup_index``.
+    Cost ∝ the batch (one assign + encode pass over the new rows, one
+    append into their ``cid=`` partitions). Retrain on drift by
+    rebuilding, like the other persisted indexes.
+    """
+    spark = new_vecs.sparkSession
+    meta = spark.read.parquet(path + "/_meta").head()
+    centroids = [list(c) for c in meta.centroids]
+    books = [[list(c) for c in book] for book in meta.codebooks]
+    unit = "transform(vec, x -> CASE WHEN norm > 0 THEN x / norm ELSE x END)"
+    c_normed = with_norm(new_vecs.select(id_col, vec_col), vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.expr(unit).alias("c_unit")
+    )
+    (
+        pq_encode(ivf_assign(c_normed, centroids, "c_unit"), books, "c_unit")
+        .select("cid", "neighbor_id", "codes")
+        .repartition("cid")
+        .write.mode("append")
+        .partitionBy("cid")
+        .parquet(path)
+    )
+
+
+def probe_ivfpq_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+    shortlist: int = 32,
+) -> DataFrame:
+    """Query a persisted IVF+PQ index: elect each query's ``nprobe``
+    lists from the stored centroids, partition-prune the codes scan to
+    those ``cid=`` directories, ADC-score via decode-on-scan, then
+    fetch float vectors FROM THE SOURCE CORPUS for the per-query
+    ``shortlist`` ids only and re-rank exactly. Results match the
+    in-memory ``ann_ivf_pq_topk`` at the same parameters (identical
+    deterministic training); the physical scan touches nprobe/K of the
+    codes — at m_sub bytes per vector — and |queries| x shortlist rows
+    of floats, never the corpus's float column at large.
+    """
+    meta = spark.read.parquet(path + "/_meta").head()
+    centroids = [list(c) for c in meta.centroids]
+    books = [[list(c) for c in book] for book in meta.codebooks]
+    unit = "transform(vec, x -> CASE WHEN norm > 0 THEN x / norm ELSE x END)"
+    q_normed = with_norm(queries.select(id_col, vec_col), vec_col).select(
+        F.col(id_col).alias("query_id"), F.expr(unit).alias("q_unit")
+    )
+    cent_arr = (
+        "array(" + ", ".join(
+            "array(" + ", ".join(f"{x!r}D" for x in c) + ")" for c in centroids
+        ) + ")"
+    )
+    sims = f"transform({cent_arr}, c -> " + DOT.format(a="c", b="q_unit") + ")"
+    probes = (
+        q_normed.withColumn("sims", F.expr(sims))
+        .withColumn(
+            "probe",
+            F.explode(
+                F.expr(
+                    f"slice(array_sort(transform(sims, (s, i) -> "
+                    f"struct(-s AS negs, i AS i))), 1, {nprobe})"
+                )
+            ),
+        )
+        .select(
+            "query_id", "q_unit", F.col("probe.i").cast("int").alias("cid")
+        )
+    )
+    probed = sorted({r.cid for r in probes.select("cid").distinct().collect()})
+    codes = spark.read.parquet(path).filter(F.col("cid").isin(probed))
+    decoded = pq_decode(codes, books, "codes", "r_vec")
+    pairs = (
+        decoded.join(F.broadcast(probes), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc", F.expr(DOT.format(a="q_unit", b="r_vec")))
+    )
+    w_s = Window.partitionBy("query_id").orderBy(
+        F.desc("adc"), F.asc("neighbor_id")
+    )
+    short = (
+        pairs.withColumn("srank", F.row_number().over(w_s))
+        .filter(F.col("srank") <= shortlist)
+        .select("query_id", "neighbor_id", "q_unit")
+    )
+    c_floats = with_norm(corpus.select(id_col, vec_col), vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.expr(unit).alias("c_unit")
+    )
+    rerank = short.join(c_floats, "neighbor_id").withColumn(
+        "cosine", F.expr(DOT.format(a="q_unit", b="c_unit"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        rerank.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -753,3 +753,59 @@ def test_ivf_pq_composite_recall_determinism_and_guard(emb):
     )
     with pytest.raises(ValueError, match="max_query_rows"):
         ann_ivf_pq_topk(emb, emb.limit(10), k=3, max_query_rows=5)
+
+
+def test_persisted_ivfpq_index_prunes_and_matches(spark, emb, tmp_path):
+    """The materialized IVF+PQ layout: build once (CODES partitioned by
+    list id, centroids + codebooks in _meta — floats never copied into
+    the index), probe later — results must equal the in-memory
+    ann_ivf_pq_topk at the same parameters (same deterministic
+    training), and the codes scan must be PARTITION-PRUNED to the
+    probed cid directories."""
+    from cassandrastack_spark.llm.simsearch import (
+        ann_ivf_pq_topk,
+        build_ivfpq_index,
+        probe_ivfpq_index,
+    )
+
+    path = str(tmp_path / "ivfpq_index")
+    build_ivfpq_index(emb, path)
+    q = emb.filter(F.col("vec_id") < 10)
+    got = probe_ivfpq_index(spark, path, q, emb, k=5)
+    want = ann_ivf_pq_topk(emb, q, k=5)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan, plan
+    # the index stores codes only — no float vector column on disk
+    stored = spark.read.parquet(path)
+    assert set(stored.columns) == {"neighbor_id", "codes", "cid"}, stored.columns
+
+
+def test_extend_ivfpq_index_makes_new_vectors_reachable(spark, emb, tmp_path):
+    """The vector-ingest loop: extend appends new vectors' codes using
+    the STORED training (no retrain), and an extended vector is
+    immediately reachable — probing with an identical vector under a
+    fresh query id returns the extended id as top-1 (cosine exactly
+    1.0 beats every non-identical candidate)."""
+    from cassandrastack_spark.llm.simsearch import (
+        build_ivfpq_index,
+        extend_ivfpq_index,
+        probe_ivfpq_index,
+    )
+
+    base = emb.filter(F.col("vec_id") < 480)
+    batch = emb.filter(F.col("vec_id") >= 480)
+    n_batch = batch.count()
+    assert n_batch > 0
+    path = str(tmp_path / "ivfpq_grow")
+    build_ivfpq_index(base, path)
+    before = spark.read.parquet(path).count()
+    extend_ivfpq_index(batch, path)
+    after = spark.read.parquet(path).count()
+    assert after == before + n_batch
+    # identical vectors under offset ids: top-1 must be the extended row
+    probe_q = batch.withColumn("vec_id", F.col("vec_id") + 10_000)
+    got = probe_ivfpq_index(spark, path, probe_q, emb, k=1)
+    hits = {r.query_id - 10_000: r.neighbor_id for r in got.collect()}
+    assert len(hits) == n_batch
+    assert all(q == n for q, n in hits.items()), hits

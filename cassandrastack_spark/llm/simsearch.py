@@ -557,8 +557,18 @@ def ivf_assign(
     C_T = np.asarray(centroids, dtype=np.float64).T  # (dim, K)
 
     def _assign_fn(vs):
-        X = np.asarray(vs.tolist(), dtype=np.float64)  # (batch, dim)
-        return pd.Series(np.argmax(X @ C_T, axis=1).astype("int32"))
+        # null rows propagate to null cid, matching the literal path
+        # (same discipline as pq_encode/pq_decode: crossing the size
+        # gate must never change null semantics)
+        na = vs.isna().to_numpy()
+        res = np.empty(len(vs), dtype=object)
+        res[na] = None
+        if (~na).any():
+            X = np.asarray(vs[~na].tolist(), dtype=np.float64)  # (live, dim)
+            cids = np.argmax(X @ C_T, axis=1).astype("int32")
+            for i, c in zip(np.flatnonzero(~na), cids):
+                res[i] = int(c)
+        return pd.Series(res)
 
     # real annotation objects: the module's `from __future__ import
     # annotations` would otherwise leave pandas_udf unresolvable strings

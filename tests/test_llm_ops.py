@@ -809,3 +809,20 @@ def test_extend_ivfpq_index_makes_new_vectors_reachable(spark, emb, tmp_path):
     hits = {r.query_id - 10_000: r.neighbor_id for r in got.collect()}
     assert len(hits) == n_batch
     assert all(q == n for q, n in hits.items()), hits
+
+
+def test_ivf_assign_paths_propagate_null_vectors_identically(spark):
+    """Same null-parity discipline as PQ: ivf_assign's Arrow path
+    (K > literal_max_k) must emit null cid for null vectors, like the
+    literal path — not crash the task."""
+    from cassandrastack_spark.llm.simsearch import ivf_assign
+
+    cents = [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0]]
+    df = spark.createDataFrame(
+        [(1, [0.9, 0.1]), (2, None), (3, [-0.2, 0.8])],
+        "id int, vec array<double>",
+    )
+    lit = {r.id: r.cid for r in ivf_assign(df, cents, "vec", literal_max_k=64).collect()}
+    arr = {r.id: r.cid for r in ivf_assign(df, cents, "vec", literal_max_k=0).collect()}
+    assert lit == arr, f"{lit} != {arr}"
+    assert arr[2] is None and arr[1] == 0 and arr[3] == 1

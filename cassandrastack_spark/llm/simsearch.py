@@ -500,6 +500,11 @@ def ivf_train_centroids(
     )
     X = np.asarray([r.v for r in rows], dtype=np.float64)
     X /= np.linalg.norm(X, axis=1, keepdims=True)
+    # fewer sampled vectors than requested lists -> every vector seeds
+    # its own list (k beyond that would only mint empty lists whose
+    # centroids mean nothing); callers see the real list count via
+    # len(result)
+    k_centroids = min(k_centroids, X.shape[0])
     centroids = X[:k_centroids].copy()
     for _ in range(iters):
         sims = X @ centroids.T                      # (n, K) cosines
@@ -1267,6 +1272,7 @@ def probe_ivfpq_index(
     k: int = 5,
     nprobe: int = 4,
     shortlist: int = 32,
+    include_score: bool = False,
 ) -> DataFrame:
     """Query a persisted IVF+PQ index: elect each query's ``nprobe``
     lists from the stored centroids, partition-prune the codes scan to
@@ -1277,6 +1283,8 @@ def probe_ivfpq_index(
     deterministic training); the physical scan touches nprobe/K of the
     codes — at m_sub bytes per vector — and |queries| x shortlist rows
     of floats, never the corpus's float column at large.
+    ``include_score`` adds the exact re-rank ``cosine`` column (the
+    streaming near-dup gate thresholds on it).
     """
     meta = spark.read.parquet(path + "/_meta").head()
     centroids = [list(c) for c in meta.centroids]
@@ -1331,8 +1339,11 @@ def probe_ivfpq_index(
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
+    cols = ["query_id", "neighbor_id", "rank"] + (
+        ["cosine"] if include_score else []
+    )
     return (
         rerank.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
+        .select(*cols)
     )

@@ -616,3 +616,113 @@ def ingest_with_dedup(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def ingest_vectors(
+    stream: DataFrame,
+    index_path: str,
+    accepted_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    reject_cosine: float | None = None,
+    nprobe: int = 4,
+    k_centroids: int = 16,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    checkpoint: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming vector ingest into a persisted IVF+PQ index — the
+    embedding-side twin of ``ingest_with_dedup``: each micro-batch
+
+    1. collapses in-batch id duplicates (first row per id wins),
+    2. optionally rejects vectors whose exact re-ranked cosine vs any
+       ACCEPTED vector is ≥ ``reject_cosine`` (embedding near-dup
+       rejection — probed through the index, so only nprobe lists'
+       CODES are scanned per query, never the accepted floats at
+       large),
+    3. appends survivors' floats to ``accepted_path`` and EXTENDS the
+       index with their codes via the STORED training (no retrain —
+       ``extend_ivfpq_index``, cost ∝ batch).
+
+    The first batch trains and builds the index (``build_ivfpq_index``
+    — overwrite, replay-idempotent). Centroid/codebook drift under a
+    shifting stream is handled by periodic rebuilds, like every IVF
+    system. Same replay discipline as ``ingest_with_dedup``: an
+    accepted id never re-appends (anti-join), and the index extend is
+    guarded by a per-epoch marker under ``<index>/_epochs/``.
+
+    Size the geometry to the SEED batch: PQ training fails loud when
+    the first batch holds fewer than ``k_codes`` vectors, and IVF
+    clamps ``k_centroids`` to the batch size (each vector seeds its
+    own list) — pass smaller ``k_codes``/``m_sub`` for tiny seeds.
+    """
+    from cassandrastack_spark.llm.simsearch import (
+        build_ivfpq_index,
+        extend_ivfpq_index,
+        probe_ivfpq_index,
+    )
+
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="cs_vec_ckpt_")
+    spark = stream.sparkSession
+
+    def _exists(p: str) -> bool:
+        jvm = spark._jvm
+        hp = jvm.org.apache.hadoop.fs.Path(p)
+        fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(hp))
+
+    def _touch(p: str) -> None:
+        jvm = spark._jvm
+        hp = jvm.org.apache.hadoop.fs.Path(p)
+        fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.mkdirs(hp)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)
+        w_id = Window.partitionBy(id_col).orderBy(F.monotonically_increasing_id())
+        batch_df = (
+            batch_df.withColumn("_rn", F.row_number().over(w_id))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if not _exists(index_path + "/_meta") or not _exists(accepted_path):
+            survivors = batch_df
+            build_ivfpq_index(
+                survivors, index_path, id_col=id_col, vec_col=vec_col,
+                k_centroids=k_centroids, m_sub=m_sub, k_codes=k_codes,
+            )
+        else:
+            accepted = spark.read.parquet(accepted_path)
+            survivors = batch_df
+            if reject_cosine is not None:
+                hits = probe_ivfpq_index(
+                    spark, index_path, batch_df, accepted,
+                    id_col=id_col, vec_col=vec_col,
+                    k=1, nprobe=nprobe, include_score=True,
+                ).filter(F.col("cosine") >= reject_cosine)
+                dups = hits.select(
+                    F.col("query_id").alias(id_col)
+                ).distinct()
+                survivors = survivors.join(dups, id_col, "left_anti")
+            survivors = (
+                survivors
+                # replay guard: an id already accepted never re-appends
+                .join(accepted.select(id_col), id_col, "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            marker = f"{index_path}/_epochs/{batch_id}"
+            if not _exists(marker):
+                extend_ivfpq_index(
+                    survivors, index_path, id_col=id_col, vec_col=vec_col
+                )
+                _touch(marker)
+        survivors.write.mode("append").parquet(accepted_path)
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -388,3 +388,68 @@ def test_stream_ingest_with_dedup_index(spark, tmp_path):
     )
     idx_ids = {r.id for r in spark.read.parquet(str(tmp_path / "band_index")).collect()}
     assert idx_ids == {1, 2, 3, 10}, "index extends with survivors only"
+
+
+def test_stream_ingest_vectors_with_near_dup_rejection(spark, tmp_path):
+    """ingest_vectors: the embedding-side ingest loop — batch 1 trains
+    and builds the IVF+PQ index (collapsing in-batch id dups), batch
+    2's exact/near copies of ACCEPTED vectors are rejected via the
+    probed index (exact re-rank cosine >= threshold) while novel
+    vectors land, extend the index with the STORED training, and
+    append to the accepted floats."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from cassandrastack_spark.streaming.ops import ingest_vectors
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ])
+    d = tmp_path / "vecs_in"
+    d.mkdir()
+    v1 = [1.0, 0.0, 0.0, 0.0, 0.2, 0.0, 0.0, 0.0]
+    v2 = [0.0, 1.0, 0.0, 0.0, 0.0, 0.3, 0.0, 0.0]
+    v3 = [0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.4, 0.0]
+    v_new = [0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.5]
+
+    def write(name, rows):
+        pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False), str(d / name)
+        )
+
+    def run():
+        src = spark.readStream.schema(schema).parquet(str(d))
+        q = ingest_vectors(
+            src, str(tmp_path / "ivfpq"), str(tmp_path / "acc_vecs"),
+            reject_cosine=0.98, k_centroids=2, m_sub=4, k_codes=2,
+            checkpoint=str(tmp_path / "vckpt"))
+        q.awaitTermination(120)
+
+    write("b1.parquet", [(1, v1), (2, v2), (3, v3), (1, v1)])
+    run()
+    ids = sorted(
+        r.vec_id for r in spark.read.parquet(str(tmp_path / "acc_vecs")).collect()
+    )
+    assert ids == [1, 2, 3], f"in-batch id dup collapses: {ids}"
+
+    write("b2.parquet", [(10, v_new), (11, list(v1)), (12, list(v2))])
+    run()
+    ids = sorted(
+        r.vec_id for r in spark.read.parquet(str(tmp_path / "acc_vecs")).collect()
+    )
+    assert ids == [1, 2, 3, 10], (
+        f"identical vectors (11, 12) rejected at cosine 0.98; novel "
+        f"vector lands: {ids}"
+    )
+    idx_ids = sorted(
+        r.neighbor_id
+        for r in spark.read.parquet(str(tmp_path / "ivfpq")).collect()
+    )
+    assert idx_ids == [1, 2, 3, 10], "index extends with survivors only"

@@ -134,10 +134,13 @@ class WideColumnTable:
         un-TTL'd version (upsert reconciliation happens BEFORE expiry
         filtering on the read path), and ``compact()`` physically drops
         dead cells/keys (tombstone GC, ``cassandra.yaml:1150``).
-        Documented divergences: tables with collection columns keep
-        row-level expiry (deltas carry no TTL), and ``compact()``
-        coarsens surviving per-cell TTLs to the row marker's — run it
-        after expiries you care about have passed.
+        Documented divergence: tables with collection columns keep
+        row-level expiry (deltas carry no TTL), and their ``compact()``
+        (like statics/counters tables') coarsens surviving per-cell
+        TTLs to the row marker's — run it after expiries you care
+        about have passed. Plain tables compact fragment-preserving
+        (``_fragmented_cells``): per-cell TTLs and writetimes survive
+        exactly.
 
         The write also propagates to this table's materialized views
         (Cassandra updates views on the write path): each view appends
@@ -780,6 +783,10 @@ class WideColumnTable:
             sel.append(
                 (F.col("__marker_w") > tomb_w).alias("__marker_live")
             )
+            if cell_meta:
+                # the fragment-preserving rewrite additionally needs the
+                # marker's own writetime to stamp its fragment
+                sel.append(F.col("__marker_w"))
         sel += [
             # a marker at or before the newest DELETE is dead lineage:
             # its TTL must not ride through (compact() would otherwise
@@ -1405,20 +1412,17 @@ class WideColumnTable:
         means ABSENT, not "explicitly null": the rewrite garbage-
         collects cell tombstones (like Cassandra compaction after
         gc_grace), so an old-timestamp backfill may rewrite a cell the
-        compaction found empty. Granularity note (documented divergence
-        from Cassandra, which keeps per-cell metadata through
-        compaction): the rewrite collapses per-cell writetimes to the
-        row's newest (one write = one timestamp), so per-cell backfill
-        resolution against PRE-rewrite history coarsens to row
-        granularity — exact until a compaction runs, row-level after.
-        The same collapse applies to per-cell TTLs: the rewritten row
-        carries only the row MARKER's expiry, so a cell written with
-        its own ``USING TTL`` inherits the marker's expiry after a
-        compaction (or becomes non-expiring when the marker has none).
-        Schedule ``compact()`` accordingly on tables that mix per-cell
-        TTLs with longer-lived rows, or let expiry-bound data expire
-        before compacting it (the common time-series pattern: TTL'd
-        writes age out of the window a range compaction walks)."""
+        compaction found empty. Granularity note: this merged rewrite
+        collapses per-cell writetimes to the row's newest and per-cell
+        TTLs to the row MARKER's expiry — row-level metadata after a
+        compaction. Since round 5 it is used ONLY for
+        statics/collections/counters tables (whose reconciliation is
+        not cell-granular — documented divergence from Cassandra);
+        plain tables compact via ``_fragmented_cells``, which preserves
+        per-cell writetimes and TTLs exactly. On the coarsened table
+        kinds, schedule ``compact()`` after expiries you care about
+        have passed (the common time-series pattern: TTL'd writes age
+        out of the window a range compaction walks)."""
         nonkey = [
             f.name for f in self.spec.schema.fields
             if f.name not in self.spec.primary_key
@@ -1441,6 +1445,86 @@ class WideColumnTable:
             _CELLS, F.filter(marked, lambda x: x.isNotNull())
         )
         return out.drop("__marker_live") if has_marker else out
+
+    def _fragmented_cells(self, df: DataFrame) -> DataFrame:
+        """``_cells`` rewrite that PRESERVES per-cell metadata: instead
+        of collapsing a key's history into one row stamped with the
+        row's newest writetime and the marker's expiry
+        (``_materialized_cells`` — the documented coarsening), emit one
+        "write fragment" per distinct (writetime, expiry) among the
+        key's live cells (plus the row marker's), each a cells-write
+        naming exactly the cells that share that metadata. The normal
+        read-path reconciliation already merges such rows per cell, so
+        nothing on the read side changes — and per-cell ``USING
+        TIMESTAMP`` backfill resolution and per-cell TTLs now survive
+        compaction exactly, like Cassandra.
+
+        Row-count bound: fragments per key <= live cells + 1, and the
+        common case — a key written by full-row INSERTs — still
+        produces ONE row, because the marker and every cell share the
+        winning write's (w, e) and land in the same fragment. Only
+        keys whose cells genuinely carry divergent metadata (partial
+        writes at different times, per-cell TTLs) fragment, which is
+        precisely when the metadata is worth the rows. Used by
+        ``compact()`` for plain tables; statics/collections/counters
+        keep the merged rewrite (their reconciliation is not
+        cell-granular), documented at ``_materialized_cells``.
+
+        Expects ``_reconciled(cell_meta=True, keep_marker=True)`` input
+        (``__wt_<c>``/``__ex_<c>`` per cell, ``__marker_live`` +
+        ``__marker_w``, marker expiry in ``_expires``).
+        """
+        nonkey = [
+            f.name for f in self.spec.schema.fields
+            if f.name not in self.spec.primary_key
+        ]
+        cell_frags = [
+            F.when(
+                F.col(c).isNotNull(),
+                F.struct(
+                    F.col(f"__wt_{c}").alias("w"), F.col(f"__ex_{c}").alias("e")
+                ),
+            )
+            for c in nonkey
+        ]
+        marker_frag = F.when(
+            F.col("__marker_live"),
+            F.struct(
+                F.col("__marker_w").alias("w"), F.col(_EXPIRES).alias("e")
+            ),
+        )
+        frags = F.array_distinct(
+            F.filter(
+                F.array(*cell_frags, marker_frag), lambda x: x.isNotNull()
+            )
+        )
+        df = df.withColumn("__frag", F.explode(frags))
+        in_frag = {
+            c: (
+                F.col(c).isNotNull()
+                & F.col(f"__wt_{c}").eqNullSafe(F.col("__frag.w"))
+                & F.col(f"__ex_{c}").eqNullSafe(F.col("__frag.e"))
+            )
+            for c in nonkey
+        }
+        marker_in = (
+            F.col("__marker_live")
+            & F.col("__marker_w").eqNullSafe(F.col("__frag.w"))
+            & F.col(_EXPIRES).eqNullSafe(F.col("__frag.e"))
+        )
+        marked = F.array(
+            *[F.when(in_frag[c], F.lit(c)) for c in nonkey],
+            F.when(marker_in, F.lit("")),
+        )
+        sel = [F.col(c) for c in self.spec.primary_key]
+        sel += [F.when(in_frag[c], F.col(c)).alias(c) for c in nonkey]
+        sel += [
+            F.col("__frag.w").alias(_WRITETIME),
+            F.col("__frag.e").alias(_EXPIRES),
+            F.lit(False).alias(_TOMBSTONE),
+            F.filter(marked, lambda x: x.isNotNull()).alias(_CELLS),
+        ]
+        return df.select(*sel)
 
     def refresh_view(self) -> None:
         """Rebuild a materialized view from its base table.
@@ -1523,12 +1607,25 @@ class WideColumnTable:
         # and _writetime: Cassandra preserves cell writetimes through
         # compaction, so a USING TIMESTAMP backfill newer than the
         # original write still wins after a compaction ran in between.
-        # Granularity caveat (see _materialized_cells): the kept
-        # _expires is the row MARKER's — per-cell TTLs coarsen to it on
-        # the rewrite, a documented divergence from Cassandra's
-        # per-cell expiry metadata
-        live = self._reconciled(raw, keep_writetime=True, keep_marker=True)
-        out = self._with_bucket(self._materialized_cells(live))
+        # Plain tables rewrite via _fragmented_cells: per-cell
+        # writetimes AND per-cell TTLs ride through exactly (one write
+        # fragment per distinct cell metadata — Cassandra-grade).
+        # Statics/collections/counters keep the merged rewrite with the
+        # documented row-granularity coarsening (_materialized_cells):
+        # their reconciliation is not cell-granular.
+        props = self.spec.properties
+        if (
+            props.get("static_columns")
+            or props.get("collection_columns")
+            or props.get("counter_columns")
+        ):
+            live = self._reconciled(raw, keep_writetime=True, keep_marker=True)
+            out = self._with_bucket(self._materialized_cells(live))
+        else:
+            live = self._reconciled(
+                raw, keep_writetime=True, cell_meta=True, keep_marker=True
+            )
+            out = self._with_bucket(self._fragmented_cells(live))
         out.write.mode("overwrite").parquet(stage)
         staged = self.spark.read.parquet(stage)
         conf = self.spark.conf

@@ -1307,3 +1307,75 @@ def test_conditional_delete_lwt(spark, ks):
     # IF EXISTS after the delete: gone -> false
     r = t.conditional_delete({"username": "Alex"}, if_exists=True)
     assert r == {"[applied]": False}
+
+
+def test_compact_preserves_per_cell_writetimes_for_backfill(spark, ks):
+    """Round-5 parity fix (fragment-preserving compact): per-CELL
+    writetime resolution must survive compaction on plain tables. Cell
+    email written at t=100, cell password at t=300, compact, then a
+    USING TIMESTAMP t=200 backfill of email must WIN (200 > 100) —
+    under the old merged rewrite the whole row was stamped t=300 and
+    the backfill wrongly lost."""
+    t = make_users(spark, ks)
+    t.append(
+        spark.createDataFrame([("Alex", "u1", "old@x", None)], schemas.USERS),
+        timestamp_micros=100, cells=["user_id", "email"], row_marker=True,
+    )
+    t.append(
+        spark.createDataFrame([("Alex", None, None, "pw300")], schemas.USERS),
+        timestamp_micros=300, cells=["password"],
+    )
+    t.compact()
+    # the compacted table holds per-cell metadata: backfill between the
+    # two original writetimes resolves per cell, not per row
+    t.append(
+        spark.createDataFrame([("Alex", None, "mid@x", None)], schemas.USERS),
+        timestamp_micros=200, cells=["email"],
+    )
+    [row] = t.read().collect()
+    assert row.email == "mid@x", (
+        "t=200 backfill must beat the t=100 email cell even though the "
+        f"row's newest cell was t=300; got {row.email}"
+    )
+    assert row.password == "pw300" and row.user_id == "u1"
+    # and a backfill OLDER than the cell's own writetime still loses
+    t.compact()
+    t.append(
+        spark.createDataFrame([("Alex", None, "stale@x", None)], schemas.USERS),
+        timestamp_micros=150, cells=["email"],
+    )
+    [row] = t.read().collect()
+    assert row.email == "mid@x" and row.password == "pw300"
+
+
+def test_compact_preserves_per_cell_ttls(spark, ks):
+    """Round-5 parity fix: a cell's own TTL survives compaction on
+    plain tables — it neither inherits the marker's (absent) expiry nor
+    becomes immortal. The short-TTL cell expires AFTER the compact ran;
+    the row and its un-TTL'd cells live on."""
+    import time as _time
+
+    t = make_users(spark, ks)
+    t.append(spark.createDataFrame(
+        [("Bea", "u1", None, "pw")], schemas.USERS))
+    t.append(
+        spark.createDataFrame([("Bea", None, "fleeting@x", None)], schemas.USERS),
+        cells=["email"], ttl_seconds=2,
+    )
+    t.compact()
+    [row] = t.read().collect()
+    assert row.email == "fleeting@x", "TTL'd cell still live right after compact"
+    # the compacted files carry the CELL's expiry, not the marker's null
+    raw = spark.read.parquet(t.path)
+    frag = raw.filter(F.array_contains(F.col("_cells"), "email")).head()
+    assert frag is not None and frag._expires is not None, (
+        "compact must persist the email cell's own expiry"
+    )
+    _time.sleep(2.2)
+    [row] = t.read().collect()
+    assert row.email is None, (
+        "cell TTL written BEFORE the compact must still expire AFTER it"
+    )
+    assert row.password == "pw" and row.user_id == "u1", (
+        "un-TTL'd cells and the row marker survive the cell's expiry"
+    )

@@ -1023,10 +1023,18 @@ def ann_ivf_pq_topk(
     centroids = ivf_train_centroids(train, k_centroids=k_centroids, iters=iters)
     books = pq_train_codebooks(train, m_sub=m_sub, k_codes=k_codes, iters=iters)
     # the compressed, list-partitioned corpus: (cid, neighbor_id, codes)
-    # — the table that is scanned; floats stay cold, fetched by id
-    codes = pq_encode(
-        ivf_assign(c_normed, centroids, "c_unit"), books, "c_unit"
-    ).select("cid", "neighbor_id", "codes")
+    # — the table that is scanned; floats stay cold, fetched by id.
+    # Materialized eagerly: stacking the IVF-assignment literals AND
+    # the PQ-encode literals AND the decode gather in ONE plan
+    # multiplies codegen/compile cost superlinearly (~40 s constant at
+    # the default literal sizes, measured); the checkpoint splits it
+    # into two ordinary plans (~2 s) — and mirrors production, where
+    # the codes table IS materialized (build_ivfpq_index).
+    codes = (
+        pq_encode(ivf_assign(c_normed, centroids, "c_unit"), books, "c_unit")
+        .select("cid", "neighbor_id", "codes")
+        .localCheckpoint(eager=True)
+    )
     decoded = pq_decode(codes, books, "codes", "r_vec")
     # queries elect their nprobe best lists (same literal centroid
     # scoring as ann_ivf_topk; q_unit is already unit so dot = cosine)

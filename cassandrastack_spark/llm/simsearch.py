@@ -465,6 +465,38 @@ def ann_lsh_topk(
 # ---------------------------------------------------------------------------
 
 
+def _training_sample(
+    corpus: DataFrame,
+    sample: int = 4096,
+    vec_col: str = "vec",
+    id_col: str = "id",
+):
+    """ONE distributed job: the deterministic training sample (the
+    ``sample`` rows with the smallest ``xxhash64(id)`` — a seedless
+    pseudo-random draw), unit-normalized, as a numpy float64 matrix.
+    Shared by ``ivf_train_centroids`` and ``pq_train_codebooks`` so a
+    combined IVF+PQ build pays a single sampling scan instead of two
+    identical ones. Fails loud on an empty corpus (an AxisError deep
+    in numpy helps nobody). Zero vectors normalize under norm 1."""
+    import numpy as np
+
+    rows = (
+        corpus.orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(sample)
+        .select(F.expr(f"transform({vec_col}, x -> cast(x AS double))").alias("v"))
+        .collect()
+    )
+    if not rows:
+        raise ValueError(
+            "ANN training needs a non-empty corpus sample; the corpus "
+            "has no rows"
+        )
+    X = np.asarray([r.v for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return X / norms
+
+
 def ivf_train_centroids(
     corpus: DataFrame,
     k_centroids: int = 16,
@@ -472,6 +504,7 @@ def ivf_train_centroids(
     sample: int = 4096,
     vec_col: str = "vec",
     id_col: str = "id",
+    sample_matrix=None,
 ) -> list:
     """Spherical k-means centroids as a driver-side list of unit vectors.
 
@@ -492,14 +525,11 @@ def ivf_train_centroids(
     """
     import numpy as np
 
-    rows = (
-        corpus.orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
-        .limit(sample)
-        .select(F.expr(f"transform({vec_col}, x -> cast(x AS double))").alias("v"))
-        .collect()
+    X = (
+        _training_sample(corpus, sample, vec_col, id_col)
+        if sample_matrix is None
+        else sample_matrix
     )
-    X = np.asarray([r.v for r in rows], dtype=np.float64)
-    X /= np.linalg.norm(X, axis=1, keepdims=True)
     # fewer sampled vectors than requested lists -> every vector seeds
     # its own list (k beyond that would only mint empty lists whose
     # centroids mean nothing); callers see the real list count via
@@ -661,6 +691,7 @@ def pq_train_codebooks(
     sample: int = 4096,
     vec_col: str = "vec",
     id_col: str = "id",
+    sample_matrix=None,
 ) -> list:
     """Per-subspace k-means codebooks: ``m_sub`` lists of ``k_codes``
     centroids, each of dimension ``dim / m_sub``.
@@ -678,21 +709,16 @@ def pq_train_codebooks(
     """
     import numpy as np
 
-    rows = (
-        corpus.orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
-        .limit(sample)
-        .select(F.expr(f"transform({vec_col}, x -> cast(x AS double))").alias("v"))
-        .collect()
+    X = (
+        _training_sample(corpus, sample, vec_col, id_col)
+        if sample_matrix is None
+        else sample_matrix
     )
-    X = np.asarray([r.v for r in rows], dtype=np.float64)
     if X.shape[0] < k_codes:
         raise ValueError(
             f"PQ training needs >= k_codes={k_codes} sampled vectors, "
             f"got {X.shape[0]}; shrink k_codes or grow the corpus"
         )
-    norms = np.linalg.norm(X, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    X /= norms
     dim = X.shape[1]
     if dim % m_sub != 0:
         raise ValueError(f"dim {dim} not divisible by m_sub={m_sub}")
@@ -968,6 +994,48 @@ def ann_pq_topk(
     )
 
 
+def _unit_vecs(
+    df: DataFrame, id_col: str, vec_col: str, out_id: str, out_vec: str
+) -> DataFrame:
+    """(out_id, out_vec): ids + unit-normalized double vectors — the
+    shared normalize step of the IVF+PQ family (zero vectors pass
+    through unnormalized; cosine of a zero vector is 0 either way)."""
+    unit = "transform(vec, x -> CASE WHEN norm > 0 THEN x / norm ELSE x END)"
+    return with_norm(df.select(id_col, vec_col), vec_col).select(
+        F.col(id_col).alias(out_id), F.expr(unit).alias(out_vec)
+    )
+
+
+def _elect_probes(
+    q_normed: DataFrame, centroids: list, nprobe: int, q_vec: str = "q_unit"
+) -> DataFrame:
+    """Explode each query row into its ``nprobe`` best centroid lists:
+    (query_id, <q_vec>, cid). Deterministic — centroids score as a
+    literal array (bounded K x dim), ties break on the lower list
+    index via the (-sim, i) struct sort."""
+    cent_arr = (
+        "array(" + ", ".join(
+            "array(" + ", ".join(f"{x!r}D" for x in c) + ")" for c in centroids
+        ) + ")"
+    )
+    sims = f"transform({cent_arr}, c -> " + DOT.format(a="c", b=q_vec) + ")"
+    return (
+        q_normed.withColumn("sims", F.expr(sims))
+        .withColumn(
+            "probe",
+            F.explode(
+                F.expr(
+                    f"slice(array_sort(transform(sims, (s, i) -> "
+                    f"struct(-s AS negs, i AS i))), 1, {nprobe})"
+                )
+            ),
+        )
+        .select(
+            "query_id", q_vec, F.col("probe.i").cast("int").alias("cid")
+        )
+    )
+
+
 def ann_ivf_pq_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -1010,18 +1078,21 @@ def ann_ivf_pq_topk(
             f"{max_query_rows}; raise the cap explicitly or batch the "
             f"queries"
         )
-    unit = "transform(vec, x -> CASE WHEN norm > 0 THEN x / norm ELSE x END)"
-    c_normed = with_norm(df.select(id_col, vec_col), vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.expr(unit).alias("c_unit")
-    )
-    q_normed = with_norm(queries.select(id_col, vec_col), vec_col).select(
-        F.col(id_col).alias("query_id"), F.expr(unit).alias("q_unit")
-    )
+    c_normed = _unit_vecs(df, id_col, vec_col, "neighbor_id", "c_unit")
+    q_normed = _unit_vecs(queries, id_col, vec_col, "query_id", "q_unit")
     train = c_normed.select(
         F.col("neighbor_id").alias("id"), F.col("c_unit").alias("vec")
     )
-    centroids = ivf_train_centroids(train, k_centroids=k_centroids, iters=iters)
-    books = pq_train_codebooks(train, m_sub=m_sub, k_codes=k_codes, iters=iters)
+    # one sampling scan feeds both trainers (they draw the identical
+    # deterministic sample; collecting it twice doubled the training I/O)
+    sample_x = _training_sample(train)
+    centroids = ivf_train_centroids(
+        train, k_centroids=k_centroids, iters=iters, sample_matrix=sample_x
+    )
+    books = pq_train_codebooks(
+        train, m_sub=m_sub, k_codes=k_codes, iters=iters,
+        sample_matrix=sample_x,
+    )
     # the compressed, list-partitioned corpus: (cid, neighbor_id, codes)
     # — the table that is scanned; floats stay cold, fetched by id.
     # Materialized eagerly: stacking the IVF-assignment literals AND
@@ -1036,29 +1107,9 @@ def ann_ivf_pq_topk(
         .localCheckpoint(eager=True)
     )
     decoded = pq_decode(codes, books, "codes", "r_vec")
-    # queries elect their nprobe best lists (same literal centroid
-    # scoring as ann_ivf_topk; q_unit is already unit so dot = cosine)
-    cent_arr = (
-        "array(" + ", ".join(
-            "array(" + ", ".join(f"{x!r}D" for x in c) + ")" for c in centroids
-        ) + ")"
-    )
-    sims = f"transform({cent_arr}, c -> " + DOT.format(a="c", b="q_unit") + ")"
-    probes = (
-        q_normed.withColumn("sims", F.expr(sims))
-        .withColumn(
-            "probe",
-            F.explode(
-                F.expr(
-                    f"slice(array_sort(transform(sims, (s, i) -> "
-                    f"struct(-s AS negs, i AS i))), 1, {nprobe})"
-                )
-            ),
-        )
-        .select(
-            "query_id", "q_unit", F.col("probe.i").cast("int").alias("cid")
-        )
-    )
+    # queries elect their nprobe best lists (q_unit is already unit so
+    # dot = cosine)
+    probes = _elect_probes(q_normed, centroids, nprobe)
     pairs = (
         decoded.join(F.broadcast(probes), "cid")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -1214,15 +1265,20 @@ def build_ivfpq_index(
     (``probe_ivfpq_index``). Train once, assign once; rebuild cadence
     is a data-drift decision, like the plain IVF index.
     """
-    unit = "transform(vec, x -> CASE WHEN norm > 0 THEN x / norm ELSE x END)"
-    c_normed = with_norm(corpus.select(id_col, vec_col), vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.expr(unit).alias("c_unit")
-    )
+    c_normed = _unit_vecs(corpus, id_col, vec_col, "neighbor_id", "c_unit")
     train = c_normed.select(
         F.col("neighbor_id").alias("id"), F.col("c_unit").alias("vec")
     )
-    centroids = ivf_train_centroids(train, k_centroids=k_centroids, iters=iters)
-    books = pq_train_codebooks(train, m_sub=m_sub, k_codes=k_codes, iters=iters)
+    # one sampling scan feeds both trainers (they draw the identical
+    # deterministic sample; collecting it twice doubled the training I/O)
+    sample_x = _training_sample(train)
+    centroids = ivf_train_centroids(
+        train, k_centroids=k_centroids, iters=iters, sample_matrix=sample_x
+    )
+    books = pq_train_codebooks(
+        train, m_sub=m_sub, k_codes=k_codes, iters=iters,
+        sample_matrix=sample_x,
+    )
     spark = corpus.sparkSession
     (
         pq_encode(ivf_assign(c_normed, centroids, "c_unit"), books, "c_unit")
@@ -1256,10 +1312,7 @@ def extend_ivfpq_index(
     meta = spark.read.parquet(path + "/_meta").head()
     centroids = [list(c) for c in meta.centroids]
     books = [[list(c) for c in book] for book in meta.codebooks]
-    unit = "transform(vec, x -> CASE WHEN norm > 0 THEN x / norm ELSE x END)"
-    c_normed = with_norm(new_vecs.select(id_col, vec_col), vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.expr(unit).alias("c_unit")
-    )
+    c_normed = _unit_vecs(new_vecs, id_col, vec_col, "neighbor_id", "c_unit")
     (
         pq_encode(ivf_assign(c_normed, centroids, "c_unit"), books, "c_unit")
         .select("cid", "neighbor_id", "codes")
@@ -1297,31 +1350,8 @@ def probe_ivfpq_index(
     meta = spark.read.parquet(path + "/_meta").head()
     centroids = [list(c) for c in meta.centroids]
     books = [[list(c) for c in book] for book in meta.codebooks]
-    unit = "transform(vec, x -> CASE WHEN norm > 0 THEN x / norm ELSE x END)"
-    q_normed = with_norm(queries.select(id_col, vec_col), vec_col).select(
-        F.col(id_col).alias("query_id"), F.expr(unit).alias("q_unit")
-    )
-    cent_arr = (
-        "array(" + ", ".join(
-            "array(" + ", ".join(f"{x!r}D" for x in c) + ")" for c in centroids
-        ) + ")"
-    )
-    sims = f"transform({cent_arr}, c -> " + DOT.format(a="c", b="q_unit") + ")"
-    probes = (
-        q_normed.withColumn("sims", F.expr(sims))
-        .withColumn(
-            "probe",
-            F.explode(
-                F.expr(
-                    f"slice(array_sort(transform(sims, (s, i) -> "
-                    f"struct(-s AS negs, i AS i))), 1, {nprobe})"
-                )
-            ),
-        )
-        .select(
-            "query_id", "q_unit", F.col("probe.i").cast("int").alias("cid")
-        )
-    )
+    q_normed = _unit_vecs(queries, id_col, vec_col, "query_id", "q_unit")
+    probes = _elect_probes(q_normed, centroids, nprobe)
     probed = sorted({r.cid for r in probes.select("cid").distinct().collect()})
     codes = spark.read.parquet(path).filter(F.col("cid").isin(probed))
     decoded = pq_decode(codes, books, "codes", "r_vec")
@@ -1338,9 +1368,7 @@ def probe_ivfpq_index(
         .filter(F.col("srank") <= shortlist)
         .select("query_id", "neighbor_id", "q_unit")
     )
-    c_floats = with_norm(corpus.select(id_col, vec_col), vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.expr(unit).alias("c_unit")
-    )
+    c_floats = _unit_vecs(corpus, id_col, vec_col, "neighbor_id", "c_unit")
     rerank = short.join(c_floats, "neighbor_id").withColumn(
         "cosine", F.expr(DOT.format(a="q_unit", b="c_unit"))
     )

@@ -58,8 +58,10 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # this round, (b) the 12 queries whose code round 4 touched (ANN
 # family + storage scans — their driver rows predate that diff), and
 # (c) text_ngram_novelty, whose join-back is de-skewed this round.
-# The remaining 36 slots re-confirm the 35 queries whose newest
-# official row is still round-2-era, plus one r3 LSH re-confirm.
+# The remaining 35 slots re-confirm the 35 queries whose newest
+# official row is still round-2-era (34 listed in the r2 block below
+# plus embedding_norms, which sits in the round-4-touched block — it
+# is both) and one r3 LSH re-confirm.
 _FRONT: tuple[str, ...] = (
     # -- new this round: Arrow-path PQ + IVF,PQ composite under the oracle --
     "ann_pq_topk_prod",

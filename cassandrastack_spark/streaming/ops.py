@@ -399,10 +399,7 @@ def ingest_with_rollup(
         # explicit existence probe (any Hadoop scheme): a TRANSIENT read
         # failure on a live rollup must raise, not silently truncate the
         # maintained aggregate to one batch's groups
-        jvm = spark._jvm
-        hp = jvm.org.apache.hadoop.fs.Path(rollup_path)
-        fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
-        return bool(fs.exists(hp))
+        return _fs_exists(spark, rollup_path)
 
     def _sink(batch_df: DataFrame, _batch_id: int) -> None:
         table.append(batch_df)
@@ -496,6 +493,21 @@ def stateful_user_totals_tws(stream: DataFrame) -> DataFrame:
     )
 
 
+def _fs_exists(spark, p: str) -> bool:
+    """Hadoop-FS existence probe (any scheme: s3a/gs/abfs/hdfs/file)."""
+    jvm = spark._jvm
+    hp = jvm.org.apache.hadoop.fs.Path(p)
+    fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hp))
+
+
+def _fs_mkdirs(spark, p: str) -> None:
+    jvm = spark._jvm
+    hp = jvm.org.apache.hadoop.fs.Path(p)
+    fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.mkdirs(hp)
+
+
 def ingest_with_dedup(
     stream: DataFrame,
     index_path: str,
@@ -537,7 +549,10 @@ def ingest_with_dedup(
     existence probe, any scheme) — read failures on a live index
     raise instead of silently rebuilding it from one batch. The index
     extend itself is guarded by a per-epoch marker directory
-    (``<index>/_epochs/<batch_id>``), so a batch replayed after its
+    (``<checkpoint>/cs_epochs/<batch_id>`` — batch ids are CHECKPOINT-
+    scoped, so the marker must share the checkpoint's lineage; an
+    index-global marker would make a second run with a fresh checkpoint
+    skip extends for colliding batch ids), so a batch replayed after its
     extend committed never appends its band rows twice.
     """
     from cassandrastack_spark.llm.dedup import (
@@ -549,18 +564,6 @@ def ingest_with_dedup(
     checkpoint = checkpoint or tempfile.mkdtemp(prefix="cs_dedup_ckpt_")
     spark = stream.sparkSession
 
-    def _exists(p: str) -> bool:
-        jvm = spark._jvm
-        hp = jvm.org.apache.hadoop.fs.Path(p)
-        fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
-        return bool(fs.exists(hp))
-
-    def _touch(p: str) -> None:
-        jvm = spark._jvm
-        hp = jvm.org.apache.hadoop.fs.Path(p)
-        fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
-        fs.mkdirs(hp)
-
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.localCheckpoint(eager=True)
         # in-batch exact dedup: first (lowest id) per text digest wins
@@ -570,7 +573,7 @@ def ingest_with_dedup(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        if not _exists(index_path + "/_meta") or not _exists(accepted_path):
+        if not _fs_exists(spark, index_path + "/_meta") or not _fs_exists(spark, accepted_path):
             # first batch — or its replay after a crash between the
             # index build and the accepted write (index overwrite is
             # idempotent, so rebuilding from the same batch is safe)
@@ -601,12 +604,12 @@ def ingest_with_dedup(
             # into "docs accepted but never indexed" — a permanent
             # recall hole, worse than accretion. Only the sub-second
             # extend→touch window can still double-write.
-            marker = f"{index_path}/_epochs/{batch_id}"
-            if not _exists(marker):
+            marker = f"{checkpoint}/cs_epochs/{batch_id}"
+            if not _fs_exists(spark, marker):
                 extend_dedup_index(
                     survivors, index_path, id_col=id_col, text_col=text_col
                 )
-                _touch(marker)
+                _fs_mkdirs(spark, marker)
         survivors.write.mode("append").parquet(accepted_path)
 
     writer = (
@@ -650,7 +653,8 @@ def ingest_vectors(
     shifting stream is handled by periodic rebuilds, like every IVF
     system. Same replay discipline as ``ingest_with_dedup``: an
     accepted id never re-appends (anti-join), and the index extend is
-    guarded by a per-epoch marker under ``<index>/_epochs/``.
+    guarded by a per-epoch marker under ``<checkpoint>/cs_epochs/``
+    (checkpoint-scoped, like the batch ids it keys).
 
     Size the geometry to the SEED batch: PQ training fails loud when
     the first batch holds fewer than ``k_codes`` vectors, and IVF
@@ -666,27 +670,20 @@ def ingest_vectors(
     checkpoint = checkpoint or tempfile.mkdtemp(prefix="cs_vec_ckpt_")
     spark = stream.sparkSession
 
-    def _exists(p: str) -> bool:
-        jvm = spark._jvm
-        hp = jvm.org.apache.hadoop.fs.Path(p)
-        fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
-        return bool(fs.exists(hp))
-
-    def _touch(p: str) -> None:
-        jvm = spark._jvm
-        hp = jvm.org.apache.hadoop.fs.Path(p)
-        fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
-        fs.mkdirs(hp)
-
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.localCheckpoint(eager=True)
-        w_id = Window.partitionBy(id_col).orderBy(F.monotonically_increasing_id())
+        # content-keyed election: replay-stable regardless of partition
+        # layout (monotonically_increasing_id is neither)
+        vec_key = F.xxhash64(F.col(vec_col).cast("string"))
+        w_id = Window.partitionBy(id_col).orderBy(
+            vec_key, F.col(vec_col).cast("string")
+        )
         batch_df = (
             batch_df.withColumn("_rn", F.row_number().over(w_id))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        if not _exists(index_path + "/_meta") or not _exists(accepted_path):
+        if not _fs_exists(spark, index_path + "/_meta") or not _fs_exists(spark, accepted_path):
             survivors = batch_df
             build_ivfpq_index(
                 survivors, index_path, id_col=id_col, vec_col=vec_col,
@@ -711,12 +708,12 @@ def ingest_vectors(
                 .join(accepted.select(id_col), id_col, "left_anti")
                 .localCheckpoint(eager=True)
             )
-            marker = f"{index_path}/_epochs/{batch_id}"
-            if not _exists(marker):
+            marker = f"{checkpoint}/cs_epochs/{batch_id}"
+            if not _fs_exists(spark, marker):
                 extend_ivfpq_index(
                     survivors, index_path, id_col=id_col, vec_col=vec_col
                 )
-                _touch(marker)
+                _fs_mkdirs(spark, marker)
         survivors.write.mode("append").parquet(accepted_path)
 
     writer = (

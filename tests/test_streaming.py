@@ -453,3 +453,51 @@ def test_stream_ingest_vectors_with_near_dup_rejection(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "ivfpq")).collect()
     )
     assert idx_ids == [1, 2, 3, 10], "index extends with survivors only"
+
+
+def test_dedup_ingest_extends_index_across_fresh_checkpoints(spark, tmp_path):
+    """Review regression (round 5): epoch markers must be CHECKPOINT-
+    scoped, not index-global. A second ingest run with a FRESH
+    checkpoint restarts batch ids at 0 — an index-global marker from
+    the first run's batch 0 made the second run silently skip its
+    index extend, leaving accepted docs permanently unindexed (near-
+    dups of them would pass the probe forever)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from cassandrastack_spark.streaming.ops import ingest_with_dedup
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ])
+    text_a = " ".join(f"a{i}" for i in range(30))
+    text_b = " ".join(f"b{i}" for i in range(30))
+    text_c = " ".join(f"c{i}" for i in range(30))
+    index, accepted = str(tmp_path / "band"), str(tmp_path / "acc")
+
+    def run(src_name, rows, ckpt):
+        d = tmp_path / src_name
+        d.mkdir()
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            str(d / "data.parquet"),
+        )
+        src = spark.readStream.schema(schema).parquet(str(d))
+        q = ingest_with_dedup(
+            src, index, accepted, checkpoint=str(tmp_path / ckpt))
+        q.awaitTermination(120)
+
+    # run 1 (checkpoint 1): batches 0.. seed the corpus + index
+    run("in1", [(1, text_a)], "ck1")
+    run("in1b", [(2, text_b)], "ck1b")  # fresh ckpt -> batch id 0 AGAIN
+    idx_ids = {r.id for r in spark.read.parquet(index).collect()}
+    assert idx_ids == {1, 2}, (
+        f"doc 2 (fresh-checkpoint batch 0) must extend the index: {idx_ids}"
+    )
+    # and the recall hole stays closed: a near-dup of doc 2 is caught
+    # by a THIRD independent run
+    near_b = " ".join(("X" if i == 3 else f"b{i}") for i in range(30))
+    run("in2", [(10, near_b), (11, text_c)], "ck2")
+    acc_ids = sorted(r.doc_id for r in spark.read.parquet(accepted).collect())
+    assert acc_ids == [1, 2, 11], f"near-dup of doc 2 must be rejected: {acc_ids}"

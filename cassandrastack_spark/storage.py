@@ -1414,15 +1414,17 @@ class WideColumnTable:
         gc_grace), so an old-timestamp backfill may rewrite a cell the
         compaction found empty. Granularity note: this merged rewrite
         collapses per-cell writetimes to the row's newest and per-cell
-        TTLs to the row MARKER's expiry — row-level metadata after a
-        compaction. Since round 5 it is used ONLY for
+        TTLs to the row MARKER's expiry — row-level metadata after the
+        rewrite. Since round 5, ``compact()`` uses it ONLY for
         statics/collections/counters tables (whose reconciliation is
         not cell-granular — documented divergence from Cassandra);
         plain tables compact via ``_fragmented_cells``, which preserves
-        per-cell writetimes and TTLs exactly. On the coarsened table
-        kinds, schedule ``compact()`` after expiries you care about
-        have passed (the common time-series pattern: TTL'd writes age
-        out of the window a range compaction walks)."""
+        per-cell writetimes and TTLs exactly. ``refresh_view()`` still
+        uses the merged rewrite for every view (a rebuild is a fresh
+        materialization; its writetime note is documented there). On
+        the coarsened paths, schedule the rewrite after expiries you
+        care about have passed (the common time-series pattern: TTL'd
+        writes age out of the window a range compaction walks)."""
         nonkey = [
             f.name for f in self.spec.schema.fields
             if f.name not in self.spec.primary_key

@@ -522,6 +522,11 @@ def ivf_train_centroids(
     Deterministic end-to-end: the sample order is the hash order,
     seeds are its first ``k_centroids`` rows, numpy float64 reductions
     are run in a fixed order.
+
+    ``sample_matrix``: a pre-collected unit-normalized matrix from
+    ``_training_sample`` — when supplied, ``sample``/``vec_col``/
+    ``id_col`` are ignored (no second sampling scan). Used by the
+    combined IVF+PQ builders so both trainers share ONE draw.
     """
     import numpy as np
 
@@ -706,6 +711,11 @@ def pq_train_codebooks(
     regardless of corpus size.
 
     Returns ``codebooks[j][c] = list[float]`` (length dim/m_sub).
+
+    ``sample_matrix``: a pre-collected unit-normalized matrix from
+    ``_training_sample`` — when supplied, ``sample``/``vec_col``/
+    ``id_col`` are ignored (no second sampling scan). Used by the
+    combined IVF+PQ builders so both trainers share ONE draw.
     """
     import numpy as np
 

@@ -1235,6 +1235,10 @@ def probe_ivf_index(
             ),
         )
         .select("query_id", "q_vec", "q_norm", F.col("cid.i").cast("int").alias("cid"))
+        # materialized once: the partition-prune list and the broadcast
+        # join side must come from the SAME evaluation (see
+        # probe_ivfpq_index for the failure mode this prevents)
+        .localCheckpoint(eager=True)
     )
     probed_cids = sorted({r.cid for r in probes.select("cid").distinct().collect()})
     corpus_l = spark.read.parquet(path).filter(F.col("cid").isin(probed_cids))
@@ -1356,12 +1360,23 @@ def probe_ivfpq_index(
     of floats, never the corpus's float column at large.
     ``include_score`` adds the exact re-rank ``cosine`` column (the
     streaming near-dup gate thresholds on it).
+
+    Contract: ``corpus`` must contain a float vector for EVERY id the
+    index holds — the index stores codes only. A shortlisted id with
+    no float row raises (in-plan assertion) rather than silently
+    returning fewer than ``k`` neighbors.
     """
     meta = spark.read.parquet(path + "/_meta").head()
     centroids = [list(c) for c in meta.centroids]
     books = [[list(c) for c in book] for book in meta.codebooks]
     q_normed = _unit_vecs(queries, id_col, vec_col, "query_id", "q_unit")
-    probes = _elect_probes(q_normed, centroids, nprobe)
+    # materialize the election ONCE: the pruned cid list and the join
+    # side below both read this checkpoint, so they cannot disagree
+    # even for a nondeterministic `queries` input (and the query-side
+    # probe work isn't paid twice)
+    probes = _elect_probes(q_normed, centroids, nprobe).localCheckpoint(
+        eager=True
+    )
     probed = sorted({r.cid for r in probes.select("cid").distinct().collect()})
     codes = spark.read.parquet(path).filter(F.col("cid").isin(probed))
     decoded = pq_decode(codes, books, "codes", "r_vec")
@@ -1379,8 +1394,26 @@ def probe_ivfpq_index(
         .select("query_id", "neighbor_id", "q_unit")
     )
     c_floats = _unit_vecs(corpus, id_col, vec_col, "neighbor_id", "c_unit")
-    rerank = short.join(c_floats, "neighbor_id").withColumn(
-        "cosine", F.expr(DOT.format(a="q_unit", b="c_unit"))
+    # `corpus` must cover every indexed id (the index stores codes
+    # only; floats are fetched here). A left join + in-plan assertion
+    # fails LOUD when a shortlisted indexed id is absent from the
+    # float source (index built from a superset, or floats not yet
+    # landed) instead of silently shrinking results below k.
+    rerank = short.join(c_floats, "neighbor_id", "left").withColumn(
+        "cosine",
+        F.when(
+            F.assert_true(
+                F.col("c_unit").isNotNull(),
+                F.concat(
+                    F.lit(
+                        "probe_ivfpq_index: indexed id absent from the "
+                        "supplied corpus (floats missing for re-rank): "
+                    ),
+                    F.col("neighbor_id").cast("string"),
+                ),
+            ).isNull(),
+            F.expr(DOT.format(a="q_unit", b="c_unit")),
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")

@@ -47,77 +47,75 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 
 # Registry presentation order. The driver verifies the FIRST 50 entries
-# of the registry each round (confirmed in rounds 1, 2 AND 3 — treat the
+# of the registry each round (confirmed in rounds 1-5 — treat the
 # 50-entry prefix window as the standing contract). Queries that have
 # never received an official CORRECTNESS row are rotated to the front;
 # already-verified queries rotate to the back. Names listed here come
 # first (in this order); everything else follows in registration order.
 # A name here that is not registered is ignored.
 #
-# Round-5 rotation: front-load (a) the production-size PQ query new
-# this round, (b) the 12 queries whose code round 4 touched (ANN
-# family + storage scans — their driver rows predate that diff), and
-# (c) text_ngram_novelty, whose join-back is de-skewed this round.
-# The remaining 35 slots re-confirm the 35 queries whose newest
-# official row is still round-2-era (34 listed in the r2 block below
-# plus embedding_norms, which sits in the round-4-touched block — it
-# is both) and one r3 LSH re-confirm.
+# Round-6 rotation (VERDICT r5 lead item): (a) the new approx
+# data-quality profile, (b) ALL 41 queries whose newest official row
+# is round-3-era (stream_*/mm_*/text_*/dedup_*/corpus_* + anomaly/
+# rolling_wau_hll/decontam) — their code is unchanged but adjacent
+# helpers (streaming/ops.py, llm/dedup.py) keep being refactored, so
+# the stale greens were the one remaining verification debt, and
+# (c) 8 round-4-era backfills spanning the remaining families
+# (incl. dq_profile_lineitem, the exact twin of the new approx query).
 _FRONT: tuple[str, ...] = (
-    # -- new this round: Arrow-path PQ + IVF,PQ composite under the oracle --
-    "ann_pq_topk_prod",
-    "ann_ivf_pq_topk",
-    # -- round-4-touched code, rows predate the diff (VERDICT r4 #1) --
-    "ann_pq_topk",
-    "ann_cosine_topk",
-    "ann_filtered_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_quantized_topk",
-    "embedding_quantize_int8",
-    "embedding_norms",
-    "dedup_embedding_cosine",
-    "point_lookup",
-    "partition_scan_ordered",
-    "projection_scan",
-    # -- changed this round (join-back de-skew) --
-    "text_ngram_novelty",
-    # -- oldest official rows (round 2): re-confirm on current code --
-    "approx_distinct_users",
-    "array_functions",
-    "event_interarrival",
-    "event_transitions",
-    "funnel_conversion",
-    "heatmap_dow_hour",
-    "histogram_order_totals",
-    "json_extract_props",
-    "outliers_iqr_values",
-    "pareto_customers_by_segment",
-    "percentiles_acctbal",
-    "pivot_status_by_segment",
-    "profile_hot_keys",
-    "profile_table_stats",
-    "q10_returned_revenue",
-    "q12_priority_by_linestatus",
-    "q4_priority_with_big_items",
-    "q6_forecast_revenue",
-    "retention_weekly",
-    "salted_join_events_customers",
-    "scalar_functions",
-    "sessionize_events",
-    "set_operations",
-    "sql_exists_in_subqueries",
-    "sql_grouping_sets",
-    "sql_lateral_topk",
-    "string_agg_nations",
-    "top_k_global",
-    "tumbling_window_hourly",
-    "unpivot_revenue_measures",
-    "window_moving_avg",
-    "window_rank_surface",
-    "window_running_distinct",
-    "window_running_sum",
-    # -- r3 re-confirm back-fill to 50 --
-    "dedup_minhash_lsh",
+    # -- new this round --
+    "dq_profile_lineitem_approx",
+    # -- round-3-era rows: re-confirm on current code (41) --
+    "anomaly_cusum_changepoint",
+    "corpus_domain_cap",
+    "corpus_mix_weights",
+    "corpus_pack_bins",
+    "corpus_prepare_pipeline",
+    "corpus_quality_filter",
+    "corpus_source_profile",
+    "corpus_split_hash",
+    "corpus_stratified_sample",
+    "decontam_ngram_overlap",
+    "dedup_cluster_components",
+    "dedup_containment_ngram",
+    "dedup_exact",
+    "dedup_incremental_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_paragraph_spans",
+    "dedup_simhash",
+    "mm_binary_meta",
+    "mm_feature_extract",
+    "mm_frame_sample",
+    "mm_resize_images",
+    "rolling_wau_hll",
+    "stream_click_view_join",
+    "stream_dedup_events",
+    "stream_session_append",
+    "stream_session_windows",
+    "stream_sliding_append",
+    "stream_sliding_counts",
+    "stream_stateful_totals",
+    "stream_static_enrich",
+    "stream_tumbling_append",
+    "stream_tumbling_hourly",
+    "stream_windowed_topk",
+    "text_bpe_tokens",
+    "text_fingerprint",
+    "text_langid",
+    "text_pii_redact",
+    "text_repetition",
+    "text_stats",
+    "text_top_terms_udtf",
+    "text_unigram_logprob",
+    # -- round-4-era backfill to 50 --
+    "dq_profile_lineitem",
+    "q1_pricing_summary",
+    "asof_join_latest_order",
+    "hypertable_rollup_daily",
+    "gapfill_interpolate_hourly",
+    "rolling_wau",
+    "text_word_entropy",
+    "range_join_event_pairs",
 )
 
 

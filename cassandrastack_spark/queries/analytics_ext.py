@@ -1200,6 +1200,76 @@ def dq_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LINEITEM_COLS = (
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+    "l_linestatus", "l_shipdate",
+)
+
+_DQ_APPROX_ORACLE = "WITH t AS (SELECT * FROM lineitem)\n" + "\nUNION ALL ".join(
+    f"SELECT '{c}' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+    f"CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls, "
+    f"TRUE AS approx_within_5pct FROM t"
+    for c in _LINEITEM_COLS
+) + "\nORDER BY col"
+
+
+@register(
+    "dq_profile_lineitem_approx",
+    oracle=_DQ_APPROX_ORACLE,
+    doc="The 100 TB variant of dq_profile_lineitem: per-column "
+        "approx_count_distinct (HLL++, rsd=0.02) replaces the exact "
+        "multi-distinct — a single-pass PARTIAL aggregate with a "
+        "constant-size sketch per column, where the exact form "
+        "expands the input 11x (one expand projection per distinct "
+        "column) before the shuffle. The oracle needs determinism, so "
+        "the estimate is GATED against the exact sibling (every "
+        "column within 5%, > 2 sigma headroom at rsd 0.02) rather "
+        "than emitted raw — same discipline as rolling_wau_hll. "
+        "Production keeps only the approx pass; the exact pass here "
+        "exists for the gate, and runs SEPARATELY on purpose: mixing "
+        "sketch aggregates into the expand-based multi-distinct plan "
+        "makes every distinct hash-map entry carry all 11 HLL buffers "
+        "(measured OOM at sf0.01 in a 1g driver-default session).",
+)
+def dq_profile_lineitem_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    cols = li.columns
+    # pass 1 — the production shape: rows + nulls + HLL sketches in one
+    # partial aggregate, NO expand (constant-size state per column)
+    a_aggs = [F.count("*").alias("__n")]
+    for c in cols:
+        a_aggs.append((F.count("*") - F.count(c)).alias(f"__nulls_{c}"))
+        a_aggs.append(
+            F.approx_count_distinct(c, rsd=0.02).alias(f"__approx_{c}")
+        )
+    a_stack = ", ".join(f"'{c}', __nulls_{c}, __approx_{c}" for c in cols)
+    approx = li.agg(*a_aggs).selectExpr(
+        "__n",
+        f"stack({len(cols)}, {a_stack}) AS (col, n_nulls, n_approx)",
+    )
+    # pass 2 — gate only: the exact multi-distinct (expand), isolated
+    # so its hash-map entries stay sketch-free
+    e_aggs = [F.countDistinct(c).alias(f"__dist_{c}") for c in cols]
+    e_stack = ", ".join(f"'{c}', __dist_{c}" for c in cols)
+    exact = li.agg(*e_aggs).selectExpr(
+        f"stack({len(cols)}, {e_stack}) AS (col, n_distinct)"
+    )
+    return (
+        approx.join(F.broadcast(exact), "col")
+        .select(
+            "col",
+            F.col("__n").alias("n_rows"),
+            F.col("n_nulls").cast("long").alias("n_nulls"),
+            (
+                F.abs(F.col("n_approx") - F.col("n_distinct"))
+                <= 0.05 * F.col("n_distinct")
+            ).alias("approx_within_5pct"),
+        )
+        .orderBy("col")
+    )
+
+
 @register(
     "rolling_wau_hll",
     oracle="""

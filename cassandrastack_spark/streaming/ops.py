@@ -638,7 +638,12 @@ def ingest_vectors(
     """Streaming vector ingest into a persisted IVF+PQ index — the
     embedding-side twin of ``ingest_with_dedup``: each micro-batch
 
-    1. collapses in-batch id duplicates (first row per id wins),
+    1. collapses in-batch id duplicates (first row per id wins) AND
+       in-batch bit-identical vectors (lowest id wins — without this,
+       an availableNow backlog replayed as one batch would land every
+       copy of a duplicate cluster; near-identical-but-not-bit-equal
+       in-batch pairs remain a documented gap, since the probe in
+       step 2 only sees previously ACCEPTED vectors),
     2. optionally rejects vectors whose exact re-ranked cosine vs any
        ACCEPTED vector is ≥ ``reject_cosine`` (embedding near-dup
        rejection — probed through the index, so only nprobe lists'
@@ -680,6 +685,21 @@ def ingest_vectors(
         )
         batch_df = (
             batch_df.withColumn("_rn", F.row_number().over(w_id))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        # in-batch CONTENT dedup: bit-identical vectors under different
+        # ids collapse to the lowest id (matching ingest_with_dedup's
+        # md5-digest in-batch pass) — otherwise an availableNow backlog
+        # processed as one batch lands every copy of a duplicate
+        # cluster permanently. NEAR-identical in-batch vectors (same
+        # content up to float noise, different bits) are still both
+        # accepted — the reject_cosine probe only sees PREVIOUSLY
+        # accepted vectors; a documented gap, closed by the next
+        # batch's probe for subsequent copies.
+        w_vec = Window.partitionBy(vec_key).orderBy(id_col)
+        batch_df = (
+            batch_df.withColumn("_rn", F.row_number().over(w_vec))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )

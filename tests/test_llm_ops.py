@@ -826,3 +826,56 @@ def test_ivf_assign_paths_propagate_null_vectors_identically(spark):
     arr = {r.id: r.cid for r in ivf_assign(df, cents, "vec", literal_max_k=0).collect()}
     assert lit == arr, f"{lit} != {arr}"
     assert arr[2] is None and arr[1] == 0 and arr[3] == 1
+
+
+def test_probe_ivfpq_index_raises_on_corpus_missing_indexed_id(
+    spark, emb, tmp_path
+):
+    """Review regression (round 6): the index stores CODES only; the
+    re-rank fetches floats from the caller-supplied corpus. When a
+    shortlisted indexed id has no float row there (index built from a
+    superset, or floats not yet landed), the probe must fail LOUD —
+    the old inner join silently shrank results below k."""
+    from cassandrastack_spark.llm.simsearch import (
+        build_ivfpq_index,
+        probe_ivfpq_index,
+    )
+
+    path = str(tmp_path / "ivfpq_shortfall")
+    build_ivfpq_index(emb, path)
+    # identical vector under an offset id → vec_id 7 is guaranteed
+    # shortlisted (cosine exactly 1.0); drop its float row
+    probe_q = emb.filter(F.col("vec_id") == 7).withColumn(
+        "vec_id", F.col("vec_id") + 10_000
+    )
+    holey = emb.filter(F.col("vec_id") != 7)
+    with pytest.raises(Exception, match="absent from the supplied corpus"):
+        probe_ivfpq_index(spark, path, probe_q, holey, k=1).collect()
+    # the full corpus still succeeds and ranks the twin top-1
+    got = probe_ivfpq_index(spark, path, probe_q, emb, k=1).collect()
+    assert [r.neighbor_id for r in got] == [7]
+
+
+def test_probe_election_single_evaluation(spark, emb, tmp_path):
+    """Review regression (round 6): probe_ivf_index / probe_ivfpq_index
+    materialize the probe election ONCE (localCheckpoint) so the
+    partition-prune cid list and the broadcast join side always come
+    from the same evaluation — a nondeterministic query source could
+    otherwise elect different lists on the two passes and silently
+    drop candidates. Exercised via a query source with a volatile
+    column (rand) alongside the vector: results must be complete and
+    identical across repeated probes."""
+    from cassandrastack_spark.llm.simsearch import (
+        build_ivf_index,
+        probe_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf_volatile")
+    build_ivf_index(emb, path)
+    q = emb.filter(F.col("vec_id") < 8).withColumn("noise", F.rand())
+    runs = [
+        sorted(map(tuple, probe_ivf_index(spark, path, q, k=5).collect()))
+        for _ in range(2)
+    ]
+    assert runs[0] == runs[1]
+    assert len({r[0] for r in runs[0]}) == 8, "every query keeps k hits"

@@ -501,3 +501,67 @@ def test_dedup_ingest_extends_index_across_fresh_checkpoints(spark, tmp_path):
     run("in2", [(10, near_b), (11, text_c)], "ck2")
     acc_ids = sorted(r.doc_id for r in spark.read.parquet(accepted).collect())
     assert acc_ids == [1, 2, 11], f"near-dup of doc 2 must be rejected: {acc_ids}"
+
+
+def test_ingest_vectors_collapses_in_batch_identical_vectors(spark, tmp_path):
+    """Review regression (round 6): bit-identical vectors under
+    DIFFERENT ids arriving in the SAME micro-batch must collapse to
+    the lowest id — the reject_cosine probe only sees previously
+    ACCEPTED vectors, so without the in-batch content pass an
+    availableNow backlog processed as one batch landed every copy of
+    a duplicate cluster permanently. Checked on both the build batch
+    and a later extend batch."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from cassandrastack_spark.streaming.ops import ingest_vectors
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ])
+    d = tmp_path / "vecs_dup_in"
+    d.mkdir()
+    v1 = [1.0, 0.0, 0.0, 0.0, 0.2, 0.0, 0.0, 0.0]
+    v2 = [0.0, 1.0, 0.0, 0.0, 0.0, 0.3, 0.0, 0.0]
+    v3 = [0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.4, 0.0]
+    v4 = [0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.5]
+
+    def write(name, rows):
+        pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False), str(d / name)
+        )
+
+    def run():
+        src = spark.readStream.schema(schema).parquet(str(d))
+        q = ingest_vectors(
+            src, str(tmp_path / "ivfpq_dup"), str(tmp_path / "acc_dup"),
+            reject_cosine=0.98, k_centroids=2, m_sub=4, k_codes=2,
+            checkpoint=str(tmp_path / "dckpt"))
+        q.awaitTermination(120)
+
+    # build batch: ids 5/6 carry the SAME vector as id 1
+    write("b1.parquet", [(1, v1), (5, list(v1)), (6, list(v1)), (2, v2)])
+    run()
+    acc = str(tmp_path / "acc_dup")
+    ids = sorted(r.vec_id for r in spark.read.parquet(acc).collect())
+    assert ids == [1, 2], f"in-batch identical vectors collapse to lowest id: {ids}"
+
+    # extend batch: one whole duplicate cluster (20/21 identical) + novel 30
+    write("b2.parquet", [(20, v3), (21, list(v3)), (30, v4)])
+    run()
+    ids = sorted(r.vec_id for r in spark.read.parquet(acc).collect())
+    assert ids == [1, 2, 20, 30], (
+        f"duplicate cluster collapses in-batch, novel vector lands: {ids}"
+    )
+    idx = sorted(
+        r.neighbor_id
+        for r in spark.read.parquet(str(tmp_path / "ivfpq_dup")).collect()
+    )
+    assert idx == [1, 2, 20, 30], "index holds exactly the accepted ids"

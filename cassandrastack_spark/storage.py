@@ -86,11 +86,21 @@ class WideColumnTable:
         keyspace: Keyspace,
         spec: TableSpec,
         n_buckets: int = 16,
+        guard=None,
     ):
         self.spark = spark
         self.keyspace = keyspace
         self.spec = spec
         self.n_buckets = n_buckets
+        # opt-in write-path guardrails (plans.guardrails.Guardrails):
+        # when set, append() warns if ONE BATCH carries more than
+        # large_partition_bytes for a single partition key (the
+        # unlogged-batch fan-out warn, cassandra.yaml:1161) and
+        # compact() warns per oversized LIVE partition (the
+        # compaction_large_partition_warning_threshold_mb: 100 analogue,
+        # cassandra.yaml:1164 — SURVEY §4's 100 TB hot-partition canary).
+        # None (default) = zero extra work on the write path.
+        self.guard = guard
 
     @property
     def path(self) -> str:
@@ -103,6 +113,34 @@ class WideColumnTable:
         return df.withColumn(
             _BUCKET, F.pmod(F.hash(*key_cols), F.lit(self.n_buckets))
         )
+
+    def _warn_large_partitions(self, df: DataFrame, where: str) -> None:
+        """Opt-in large-partition canary (no-op when ``self.guard`` is
+        unset): one distributed aggregate over ``df``, driver sees a
+        single top-1 row. Warns through ``guard.warn`` so callers
+        collect layout warnings the same way skew_report emits them."""
+        if self.guard is None:
+            return
+        from cassandrastack_spark.plans.guardrails import partition_stats
+
+        top = partition_stats(
+            df, list(self.spec.partition_keys), top_n=1
+        ).head()
+        if (
+            top is not None
+            and top.approx_bytes is not None
+            and top.approx_bytes > self.guard.large_partition_bytes
+        ):
+            key = ", ".join(
+                f"{c}={top[c]!r}" for c in self.spec.partition_keys
+            )
+            self.guard.warn(
+                f"large partition in {self.spec.name} ({where}): key "
+                f"({key}) holds ~{int(top.approx_bytes)} bytes across "
+                f"{top.n_rows} rows (> {self.guard.large_partition_bytes} "
+                f"threshold) — split the partition key or bound its "
+                f"time range"
+            )
 
     def append(
         self,
@@ -209,6 +247,7 @@ class WideColumnTable:
                 else F.lit(None).cast("array<string>"),
             )
         )
+        self._warn_large_partitions(out, "append batch")
         sort_cols = self._sort_cols()
         writer = (
             # _BUCKET leads the sort: the partitioned-file writer requires
@@ -1630,6 +1669,11 @@ class WideColumnTable:
             out = self._with_bucket(self._fragmented_cells(live))
         out.write.mode("overwrite").parquet(stage)
         staged = self.spark.read.parquet(stage)
+        # post-reconciliation = true partition size: exactly where
+        # Cassandra's compaction warning fires (the staged copy is
+        # already materialized, so this extra pass re-reads parquet,
+        # not the reconciliation plan)
+        self._warn_large_partitions(staged, "compact")
         conf = self.spark.conf
         prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

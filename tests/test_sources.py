@@ -279,3 +279,85 @@ def test_zorder_rejects_bit_overflow(spark, tmp_path):
         write_zordered(
             ev, str(tmp_path / "zz"),
             ["user_id", "ts", "value", "event_id"], bits=16)
+
+
+class _RecordingWriter:
+    """Duck-typed DataFrameWriter: records the format string, option
+    map, and mode that cassandra_write builds, instead of saving."""
+
+    def __init__(self, rec):
+        self.rec = rec
+        self.rec["options"] = {}
+
+    def format(self, fmt):
+        self.rec["format"] = fmt
+        return self
+
+    def option(self, k, v):
+        self.rec["options"][k] = v
+        return self
+
+    def mode(self, m):
+        self.rec["mode"] = m
+        return self
+
+    def save(self):
+        self.rec["saved"] = True
+
+
+class _RecordingReader(_RecordingWriter):
+    def load(self):
+        self.rec["loaded"] = True
+        return "SENTINEL_DF"
+
+
+def test_cassandra_write_option_map_contract():
+    """The connector seam can't drift (W4): cassandra_write must hand
+    the connector format string, keyspace/table, and the consistency
+    level (server.py:137's BatchStatement consistency selection mapped
+    onto spark.cassandra.output.consistency.level) VERBATIM — asserted
+    against a recording writer, no server needed."""
+    import types
+
+    from cassandrastack_spark.sources.io import cassandra_write
+
+    rec = {}
+    fake_df = types.SimpleNamespace(write=_RecordingWriter(rec))
+    cassandra_write(
+        fake_df, "socialmessage", "messages",
+        consistency_level="QUORUM",
+        **{"spark.cassandra.connection.host": "c1.example"},
+    )
+    assert rec["format"] == "org.apache.spark.sql.cassandra"
+    assert rec["mode"] == "append"
+    assert rec["saved"] is True
+    assert rec["options"] == {
+        "keyspace": "socialmessage",
+        "table": "messages",
+        "spark.cassandra.output.consistency.level": "QUORUM",
+        "spark.cassandra.connection.host": "c1.example",
+    }
+
+
+def test_cassandra_read_option_map_contract():
+    """Read side of the seam: format string + keyspace/table + caller
+    options land verbatim on the reader, and the loaded frame is
+    returned untouched."""
+    import types
+
+    from cassandrastack_spark.sources.io import cassandra_table
+
+    rec = {}
+    fake_spark = types.SimpleNamespace(read=_RecordingReader(rec))
+    out = cassandra_table(
+        fake_spark, "socialmessage", "users",
+        **{"spark.cassandra.input.split.sizeInMB": "64"},
+    )
+    assert out == "SENTINEL_DF"
+    assert rec["format"] == "org.apache.spark.sql.cassandra"
+    assert rec["loaded"] is True
+    assert rec["options"] == {
+        "keyspace": "socialmessage",
+        "table": "users",
+        "spark.cassandra.input.split.sizeInMB": "64",
+    }

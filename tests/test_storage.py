@@ -1379,3 +1379,29 @@ def test_compact_preserves_per_cell_ttls(spark, ks):
     assert row.password == "pw" and row.user_id == "u1", (
         "un-TTL'd cells and the row marker survive the cell's expiry"
     )
+
+
+def test_large_partition_guardrail_fires_on_hot_partition(spark, ks):
+    """SURVEY §4's 100 TB hot-partition canary, wired into the write
+    path (cassandra.yaml:1164 compaction_large_partition_warning_
+    threshold_mb, re-interpreted): with a Guardrails attached and a
+    tiny threshold, appending a hot partition warns once on the append
+    batch and once more at compact (true partition size, post-
+    reconciliation). A table without a guard pays nothing and a
+    within-threshold write stays silent."""
+    from cassandrastack_spark.plans.guardrails import Guardrails
+
+    t = make_messages(spark, ks)
+    t.guard = Guardrails(large_partition_bytes=1_000)
+    t.append(seed_messages(spark))  # channel 1 holds 13 of 15 rows
+    assert len(t.guard.warnings) == 1, t.guard.warnings
+    assert "large partition in messages (append batch)" in t.guard.warnings[0]
+    assert "channel_id=1" in t.guard.warnings[0]
+    t.compact()
+    assert len(t.guard.warnings) == 2, t.guard.warnings
+    assert "large partition in messages (compact)" in t.guard.warnings[1]
+    # a generous threshold stays silent
+    t.guard = Guardrails()  # default 100 MB
+    t.append(seed_messages(spark))
+    t.compact()
+    assert t.guard.warnings == []

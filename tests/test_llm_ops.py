@@ -879,3 +879,61 @@ def test_probe_election_single_evaluation(spark, emb, tmp_path):
     ]
     assert runs[0] == runs[1]
     assert len({r[0] for r in runs[0]}) == 8, "every query keeps k hits"
+
+
+def test_ann_recall_curves_monotone_vs_exact(spark):
+    """Recall-curve gate (round 6): the per-config invariants elsewhere
+    pin ONE operating point; this sweep pins the SHAPE — recall@10 vs
+    the exact baseline must be non-decreasing along each tuning axis
+    (nprobe for IVF and IVF+PQ, m_sub for PQ), so a future PQ/IVF edit
+    cannot silently trade recall for speed. Non-decreasing is exact for
+    IVF (more probes = superset of candidate lists); for PQ/IVF+PQ it
+    is an empirical property of the deterministic trainers on the
+    sf0.01 embeddings, re-measured and floored here (numbers in
+    BENCH_NOTES.md "ANN recall curves")."""
+    from cassandrastack_spark.llm.simsearch import (
+        ann_ivf_pq_topk,
+        ann_pq_topk,
+    )
+
+    emb10 = spark.read.parquet(
+        "/root/testdata/sf0.01/embeddings.parquet"
+    ).cache()
+    queries = emb10.filter(F.col("vec_id") < 16)
+    truth: dict = {}
+    for r in cosine_topk(emb10, queries, k=10).collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    n_truth = sum(len(t) for t in truth.values())
+
+    def recall(df):
+        got: dict = {}
+        for r in df.collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(len(got.get(q, set()) & t) for q, t in truth.items()) / n_truth
+
+    ivf = [
+        recall(ann_ivf_topk(emb10, queries, k=10, k_centroids=16, nprobe=p))
+        for p in (1, 2, 4, 8)
+    ]
+    pq_ = [
+        recall(ann_pq_topk(emb10, queries, k=10, m_sub=m))
+        for m in (4, 8, 16)
+    ]
+    ivfpq = [
+        recall(
+            ann_ivf_pq_topk(
+                emb10, queries, k=10, k_centroids=16, nprobe=p, m_sub=8
+            )
+        )
+        for p in (1, 2, 4, 8)
+    ]
+    for name, curve in (("ivf", ivf), ("pq", pq_), ("ivfpq", ivfpq)):
+        assert all(
+            a <= b + 1e-9 for a, b in zip(curve, curve[1:])
+        ), f"{name} recall curve not monotone: {curve}"
+    # floors at the rich end of each curve (measured w/ margin: ivf
+    # nprobe=8 -> .762, pq m_sub=16 -> .775, ivfpq nprobe=8 -> .475)
+    assert ivf[-1] >= 0.70, ivf
+    assert pq_[-1] >= 0.70, pq_
+    assert ivfpq[-1] >= 0.40, ivfpq
+    emb10.unpersist()

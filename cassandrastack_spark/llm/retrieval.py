@@ -1,0 +1,221 @@
+"""Sparse lexical retrieval: BM25 ranking and TF-IDF similarity.
+
+The retrieval layer a training-data pipeline needs next to the dense
+ANN stack (``llm/simsearch.py``): BM25 for query->document ranking
+(the hard-negative mining / eval-retrieval workhorse) and TF-IDF
+cosine for document->document lexical similarity (near-dup triage
+where embedding similarity is too coarse).
+
+Both operators are pure JVM DataFrame plans — tokenize with
+``split``, aggregate term stats with hash aggregates, join on the
+term. Nothing collects to the driver; the corpus text column never
+rides a shuffle (only (doc_id, term, weight) triples do).
+
+Scale shape (100 TB):
+
+- term-stat tables (df per term) are vocabulary-sized — Zipf-bounded,
+  broadcast;
+- the scoring join is an equi-join on the term whose density is
+  bounded by ``max_df_ratio`` (drop terms present in more than that
+  fraction of documents — stopwords carry no BM25/IDF signal and are
+  exactly the keys that would skew the shuffle);
+- the probe side of the similarity join is caller-bounded and
+  broadcast, so the corpus side streams map-side only.
+
+No counterpart in the reference (its engine delegates everything to
+Cassandra, ``server.py`` routes only CRUD); this extends the corpus
+operator family required by the north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# Lucene defaults; callers override per corpus.
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _words(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, w) token stream — whitespace tokenization, matching the
+    corpus-wide convention (functions/text.py and every text_* oracle
+    use the same split so Spark and DuckDB agree)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    )
+
+
+def bm25_rank(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-``k`` documents for a bag-of-terms query under Okapi BM25.
+
+    ``score(D) = sum_t IDF(t) * tf * (k1+1) / (tf + k1 * (1 - b +
+    b * |D| / avgdl))`` with the Lucene-smoothed
+    ``IDF(t) = ln(1 + (N - df + 0.5) / (df + 0.5))``.
+
+    Plan: one pass computes per-doc length; the token stream is
+    filtered to the query terms BEFORE any aggregation (the explode
+    feeds a filter, so only query-term hits are ever aggregated —
+    at 100 TB the aggregated stream is |terms| * matching docs, not
+    the corpus token count); df and the (N, avgdl) scalars are 1-row/
+    |terms|-row broadcasts. Scores are rounded to 6 decimals and the
+    rank ties break on doc_id, so the output is engine-independent.
+
+    Returns (doc_id, bm25, rnk) — ``rnk`` 1-based, best first.
+    """
+    if not terms:
+        raise ValueError("bm25_rank needs at least one query term")
+    w = _words(docs, id_col, text_col)
+    dl = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), " ")).cast("double").alias("dl"),
+    )
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        w.filter(F.col("w").isin(list(terms)))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    df_t = tf.groupBy("w").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (
+        1.0 - b + b * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(idf * F.col("tf") * (k1 + 1.0) / denom), 6
+            ).alias("bm25")
+        )
+    )
+    # top-k FIRST (orderBy+limit plans TakeOrderedAndProject — a
+    # per-partition heap + k-row merge, never a global sort or a
+    # single-task window over every matching doc), THEN the rank
+    # column over the k surviving rows only.
+    top = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(k)
+    rnk = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return top.withColumn("rnk", F.row_number().over(rnk)).select(
+        "doc_id", "bm25", "rnk"
+    )
+
+
+def tfidf_weights(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df_ratio: float = 1.0,
+) -> DataFrame:
+    """Sparse TF-IDF document vectors as (doc_id, w, weight, norm).
+
+    ``weight = tf * ln(N / df)``, ``norm = ||vector||_2`` per doc.
+    Terms with ``df > max_df_ratio * N`` are dropped — at 100 TB this
+    is THE scale lever: stopword-grade terms dominate the term-join
+    density (and the shuffle skew) while contributing ~zero IDF
+    weight. The default keeps everything because the synthetic test
+    vocabulary is ~30 near-uniform words (any cap would empty it);
+    production corpora set 0.1-0.5.
+    """
+    w = _words(docs, id_col, text_col)
+    # the (doc_id, term, tf) postings aggregate is read by THREE
+    # consumers (df stats, document weights, probe weights via the
+    # caller's filter) — shared lineage is not shared execution, so
+    # without this materialization each consumer re-scans and
+    # re-tokenizes the whole corpus. Checkpointing the postings once
+    # mirrors production, where the postings table IS persisted (the
+    # same move as the ANN codes table in ann_ivf_pq_topk).
+    tf = (
+        w.groupBy("doc_id", "w")
+        .agg(F.count("*").cast("double").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    # the 1-row corpus count rides along into every consumer of the
+    # weighted vectors — materialized so the count scan runs once, not
+    # once per plan branch
+    n_docs = docs.select(
+        F.count("*").cast("double").alias("n")
+    ).localCheckpoint(eager=True)
+    df_t = tf.groupBy("w").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    weighted = (
+        tf.join(F.broadcast(df_t), "w")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") <= max_df_ratio * F.col("n"))
+        .withColumn("weight", F.col("tf") * F.log(F.col("n") / F.col("df")))
+    )
+    norms = weighted.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("weight") * F.col("weight"))).alias("norm")
+    )
+    return weighted.join(norms, "doc_id").select(
+        "doc_id", "w", "weight", "norm"
+    )
+
+
+def tfidf_topk_similar(
+    docs: DataFrame,
+    probe_ids: list[int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    max_df_ratio: float = 1.0,
+) -> DataFrame:
+    """For each probe document, the ``k`` lexically closest documents
+    by TF-IDF cosine.
+
+    The probe side is bounded by construction (``probe_ids``) and
+    broadcast; the corpus side streams through one equi-join on the
+    term — no all-pairs stage exists anywhere in the plan, so corpus
+    cost is (matching postings) not (docs^2). Cosines are rounded to
+    6 decimals with doc_id tie-breaks (engine-independent output).
+
+    Returns (query_doc, neighbor_doc, tfidf_cosine, rnk).
+    """
+    if not probe_ids:
+        raise ValueError("tfidf_topk_similar needs at least one probe id")
+    vecs = tfidf_weights(docs, id_col, text_col, max_df_ratio)
+    probes = vecs.filter(F.col("doc_id").isin(list(probe_ids))).select(
+        F.col("doc_id").alias("query_doc"),
+        "w",
+        F.col("weight").alias("q_weight"),
+        F.col("norm").alias("q_norm"),
+    )
+    pairs = (
+        vecs.join(F.broadcast(probes), "w")
+        .filter(F.col("doc_id") != F.col("query_doc"))
+        .groupBy("query_doc", F.col("doc_id").alias("neighbor_doc"))
+        .agg(
+            F.round(
+                F.sum(F.col("weight") * F.col("q_weight"))
+                / (F.first("norm") * F.first("q_norm")),
+                6,
+            ).alias("tfidf_cosine")
+        )
+    )
+    rnk = Window.partitionBy("query_doc").orderBy(
+        F.desc("tfidf_cosine"), F.asc("neighbor_doc")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(rnk))
+        .filter(F.col("rnk") <= k)
+        .select("query_doc", "neighbor_doc", "tfidf_cosine", "rnk")
+    )

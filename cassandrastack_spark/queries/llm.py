@@ -1704,3 +1704,103 @@ def text_top_terms_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, t.rnk
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# sparse lexical retrieval (llm/retrieval.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_bm25_topk",
+    oracle="""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS words
+                   FROM documents),
+        dl AS (SELECT doc_id, CAST(len(words) AS DOUBLE) AS dl FROM d),
+        stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                         AVG(CAST(len(words) AS DOUBLE)) AS avgdl FROM d),
+        w AS (SELECT doc_id, unnest(words) AS w FROM d),
+        tf AS (SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS tf
+               FROM w WHERE w IN ('vector', 'stream', 'join')
+               GROUP BY doc_id, w),
+        df AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+               FROM tf GROUP BY w),
+        scored AS (
+            SELECT tf.doc_id,
+                   ROUND(SUM(
+                       LN(1 + (n - df + 0.5) / (df + 0.5))
+                       * tf * (1.2 + 1.0)
+                       / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                   ), 6) AS bm25
+            FROM tf JOIN df USING (w)
+                    JOIN dl ON tf.doc_id = dl.doc_id
+                    CROSS JOIN stats
+            GROUP BY tf.doc_id)
+        SELECT doc_id, bm25,
+               CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+                   AS rnk
+        FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+    doc="Okapi BM25 top-20 for the query {vector, stream, join} — the "
+        "lexical-retrieval workhorse (hard-negative mining, eval "
+        "retrieval) next to the dense ANN stack. The token stream is "
+        "filtered to query terms BEFORE any aggregation, df and the "
+        "(N, avgdl) scalars are broadcast, and the final cut is "
+        "orderBy+limit (TakeOrderedAndProject, never a global sort) — "
+        "at 100 TB cost is (query-term postings), not corpus tokens.",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandrastack_spark.llm.retrieval import bm25_rank
+
+    return bm25_rank(
+        _t(spark, sf_dir, "documents"), ["vector", "stream", "join"], k=20
+    )
+
+
+@register(
+    "text_tfidf_sim_topk",
+    oracle="""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS words
+                   FROM documents),
+        w AS (SELECT doc_id, unnest(words) AS w FROM d),
+        tf AS (SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS tf
+               FROM w GROUP BY doc_id, w),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+        df AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+               FROM tf GROUP BY w),
+        v AS (SELECT doc_id, w, tf * LN(n / df) AS weight
+              FROM tf JOIN df USING (w) CROSS JOIN nn),
+        nm AS (SELECT doc_id, SQRT(SUM(weight * weight)) AS norm
+               FROM v GROUP BY doc_id),
+        vv AS (SELECT v.doc_id, w, weight, norm FROM v JOIN nm USING (doc_id)),
+        pairs AS (
+            SELECT q.doc_id AS query_doc, c.doc_id AS neighbor_doc,
+                   ROUND(SUM(c.weight * q.weight)
+                         / (ANY_VALUE(c.norm) * ANY_VALUE(q.norm)), 6)
+                       AS tfidf_cosine
+            FROM vv c JOIN vv q USING (w)
+            WHERE q.doc_id IN (1, 2, 3) AND c.doc_id <> q.doc_id
+            GROUP BY q.doc_id, c.doc_id)
+        SELECT query_doc, neighbor_doc, tfidf_cosine,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_doc
+                   ORDER BY tfidf_cosine DESC, neighbor_doc) AS INT) AS rnk
+        FROM pairs
+        QUALIFY rnk <= 5
+        ORDER BY query_doc, rnk
+    """,
+    doc="TF-IDF cosine top-5 lexical neighbors for three probe docs — "
+        "document-to-document similarity where embedding cosine is too "
+        "coarse (near-dup triage, citation-style lookup). The probe "
+        "side is bounded by construction and broadcast; the corpus "
+        "side streams through ONE term equi-join (postings cost, no "
+        "all-pairs stage). max_df_ratio is the 100 TB lever: dropping "
+        "stopword-grade terms bounds join density AND kills the skew "
+        "keys; the synthetic ~30-word vocabulary keeps it at 1.0 here "
+        "(any cap would empty the near-uniform vocab).",
+)
+def text_tfidf_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandrastack_spark.llm.retrieval import tfidf_topk_similar
+
+    return tfidf_topk_similar(
+        _t(spark, sf_dir, "documents"), [1, 2, 3], k=5
+    ).orderBy("query_doc", "rnk")

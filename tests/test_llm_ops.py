@@ -937,3 +937,55 @@ def test_ann_recall_curves_monotone_vs_exact(spark):
     assert pq_[-1] >= 0.70, pq_
     assert ivfpq[-1] >= 0.40, ivfpq
     emb10.unpersist()
+
+
+def test_bm25_rank_orders_by_relevance_and_caps_df(spark):
+    """bm25_rank property check on a constructed corpus: with equal
+    doc length, more query-term occurrences rank strictly higher; a
+    longer doc with the same tf ranks below the shorter one (length
+    normalization); docs without any query term never appear."""
+    from cassandrastack_spark.llm.retrieval import bm25_rank
+
+    rows = [
+        (1, "vector vector vector pad pad pad"),
+        (2, "vector vector stream pad pad pad"),
+        (3, "vector pad pad pad pad pad"),
+        (4, "vector pad pad pad pad pad pad pad pad pad pad pad"),
+        (5, "noise noise noise noise noise noise"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = bm25_rank(docs, ["vector", "stream"], k=10).collect()
+    order = [r.doc_id for r in got]
+    assert 5 not in order, "no query term -> no row"
+    assert order.index(2) < order.index(3), "two distinct terms beat one"
+    assert order.index(3) < order.index(4), (
+        "same tf, longer doc ranks lower (length normalization)"
+    )
+    assert [r.rnk for r in got] == list(range(1, len(got) + 1))
+    with pytest.raises(ValueError, match="at least one query term"):
+        bm25_rank(docs, [])
+
+
+def test_tfidf_topk_similar_excludes_self_and_respects_df_cap(spark):
+    """tfidf_topk_similar: the probe never matches itself, an exact
+    textual twin is the top neighbor with cosine 1.0, and max_df_ratio
+    drops corpus-wide terms (the 100 TB density lever) — with the cap
+    at 0.9 the term shared by ALL docs stops contributing and the
+    unrelated doc drops out entirely."""
+    from cassandrastack_spark.llm.retrieval import tfidf_topk_similar
+
+    rows = [
+        (1, "alpha beta gamma common"),
+        (2, "alpha beta gamma common"),       # exact twin of 1
+        (3, "alpha beta delta common"),       # partial overlap
+        (4, "zeta eta theta common"),         # only the stopword-ish term
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = tfidf_topk_similar(docs, [1], k=3).collect()
+    assert all(r.neighbor_doc != 1 for r in got)
+    top = min(got, key=lambda r: r.rnk)
+    assert top.neighbor_doc == 2 and abs(top.tfidf_cosine - 1.0) < 1e-6
+    capped = tfidf_topk_similar(docs, [1], k=3, max_df_ratio=0.9).collect()
+    assert {r.neighbor_doc for r in capped} == {2, 3}, (
+        "'common' (df=4/4 > 0.9) must stop linking doc 4 to the probe"
+    )

@@ -219,3 +219,161 @@ def tfidf_topk_similar(
         .filter(F.col("rnk") <= k)
         .select("query_doc", "neighbor_doc", "tfidf_cosine", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# persisted BM25 index — the materialized retrieval path
+# ---------------------------------------------------------------------------
+
+
+def build_bm25_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_term_buckets: int = 16,
+) -> None:
+    """Materialize the corpus's BM25 postings at ``path`` — the same
+    move as the MinHash band index and the IVF codes table: tokenize
+    the corpus ONCE, then every query probes stored postings.
+
+    Layout: (w, doc_id, tf) partitioned by ``tb = pmod(hash(w),
+    n_term_buckets)`` so a probe's scan is partition-pruned to the
+    query terms' buckets; (doc_id, dl) under ``path/_doclen`` (the
+    length-normalization side, joined for matched docs only); corpus
+    scalars (n_docs, avgdl, n_term_buckets) as one row under
+    ``path/_meta``. At 100 TB the postings are the Zipf-shaped term
+    frequency table — (term, id, count) triples, a small multiple of
+    the vocabulary-positions count, partitioned AND sorted by term so
+    a probe touches a handful of row groups.
+    """
+    spark = corpus.sparkSession
+    tf = (
+        _words(corpus, id_col, text_col)
+        .groupBy("w", "doc_id")
+        .agg(F.count("*").cast("double").alias("tf"))
+        .withColumn("tb", F.pmod(F.hash("w"), F.lit(n_term_buckets)))
+    )
+    (
+        tf.repartition("tb")
+        .sortWithinPartitions("tb", "w")
+        .write.mode("overwrite")
+        .partitionBy("tb")
+        .parquet(path)
+    )
+    dl = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), " ")).cast("double").alias("dl"),
+    )
+    dl.write.mode("overwrite").parquet(path + "/_doclen")
+    stats = spark.read.parquet(path + "/_doclen").agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    stats.withColumn("n_term_buckets", F.lit(n_term_buckets)).coalesce(
+        1
+    ).write.mode("overwrite").parquet(path + "/_meta")
+
+
+def extend_bm25_index(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Append new documents' postings and lengths, then refresh the
+    corpus scalars — the write half of the retrieval ingest loop.
+    Cost is proportional to the batch (the stored corpus is never
+    re-tokenized); only the 1-row ``_meta`` is rewritten, from the
+    appended ``_doclen`` table (df needs no maintenance — it is
+    derived from the postings at probe time, so it is always exact).
+    A probe racing the extend can read new postings with the old
+    scalars for one batch — the same eventual-consistency window the
+    band-index extend has, and harmless to ranking at corpus scale.
+    """
+    spark = new_docs.sparkSession
+    meta = spark.read.parquet(path + "/_meta").head()
+    nb = int(meta.n_term_buckets)
+    tf = (
+        _words(new_docs, id_col, text_col)
+        .groupBy("w", "doc_id")
+        .agg(F.count("*").cast("double").alias("tf"))
+        .withColumn("tb", F.pmod(F.hash("w"), F.lit(nb)))
+    )
+    tf.repartition("tb").sortWithinPartitions("tb", "w").write.mode(
+        "append"
+    ).partitionBy("tb").parquet(path)
+    new_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), " ")).cast("double").alias("dl"),
+    ).write.mode("append").parquet(path + "/_doclen")
+    stats = spark.read.parquet(path + "/_doclen").agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    stats.withColumn("n_term_buckets", F.lit(nb)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path + "/_meta")
+
+
+def probe_bm25_index(
+    spark,
+    path: str,
+    terms: list[str],
+    k: int = 20,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-``k`` BM25 documents from the PERSISTED index — identical
+    scores to ``bm25_rank`` on the same corpus (shared formula, df
+    derived exactly from the stored postings), without touching the
+    corpus text: the scan is partition-pruned to the query terms'
+    buckets, then filtered to the terms inside them; doc lengths join
+    in for matched docs only. Returns (doc_id, bm25, rnk).
+    """
+    if not terms:
+        raise ValueError("probe_bm25_index needs at least one query term")
+    meta = spark.read.parquet(path + "/_meta").head()
+    nb = int(meta.n_term_buckets)
+    # bucket ids computed with the SAME expression build/extend used —
+    # a 1-row-per-term local frame, nothing scans until the pruned read
+    term_rows = spark.createDataFrame([(t,) for t in terms], "w string")
+    buckets = sorted(
+        r.tb
+        for r in term_rows.withColumn(
+            "tb", F.pmod(F.hash("w"), F.lit(nb))
+        ).collect()
+    )
+    tf = (
+        spark.read.parquet(path)
+        .filter(F.col("tb").isin(buckets))
+        .filter(F.col("w").isin(list(terms)))
+        .select("w", "doc_id", "tf")
+    )
+    df_t = tf.groupBy("w").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    dl = spark.read.parquet(path + "/_doclen")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(meta.n_docs)) - F.col("df") + 0.5)
+        / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (
+        1.0 - b + b * F.col("dl") / F.lit(float(meta.avgdl))
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "w")
+        .join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(idf * F.col("tf") * (k1 + 1.0) / denom), 6
+            ).alias("bm25")
+        )
+    )
+    top = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(k)
+    rnk = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return top.withColumn("rnk", F.row_number().over(rnk)).select(
+        "doc_id", "bm25", "rnk"
+    )

@@ -1804,3 +1804,61 @@ def text_tfidf_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk_similar(
         _t(spark, sf_dir, "documents"), [1, 2, 3], k=5
     ).orderBy("query_doc", "rnk")
+
+
+@register(
+    "embedding_label_cohesion",
+    oracle="""
+        WITH ex AS (
+            SELECT vec_id, label,
+                   generate_subscripts(embedding, 1) AS pos,
+                   unnest(embedding) AS x
+            FROM embeddings),
+        cent AS (SELECT label, pos, AVG(x) AS c
+                 FROM ex GROUP BY label, pos),
+        sc AS (SELECT ex.vec_id, ex.label,
+                      SUM(x * c) AS dot,
+                      SQRT(SUM(x * x)) AS nx,
+                      SQRT(SUM(c * c)) AS nc
+               FROM ex JOIN cent USING (label, pos)
+               GROUP BY ex.vec_id, ex.label)
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               ROUND(AVG(dot / (nx * nc)), 6) AS avg_cos,
+               ROUND(MIN(dot / (nx * nc)), 6) AS min_cos
+        FROM sc GROUP BY label ORDER BY label
+    """,
+    doc="Per-label embedding cohesion — the curation signal behind "
+        "mislabel/outlier triage: each label's centroid (per-dimension "
+        "mean) plus the average and worst member cosine to it. "
+        "Centroids build from ONE posexplode aggregate whose shuffle "
+        "carries (label, pos, partial-sum) — n_labels x dim rows, "
+        "independent of corpus size; scoring broadcasts the tiny "
+        "centroid arrays and stays JVM-side (zip_with/aggregate dot), "
+        "so the fact table is never exploded for scoring and never "
+        "shuffles. min_cos flags the member a reviewer looks at first.",
+)
+def embedding_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "embeddings")
+    ex = d.select("label", F.posexplode("embedding").alias("pos", "x"))
+    cent = ex.groupBy("label", "pos").agg(F.avg("x").alias("c"))
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s["c"],
+        ).alias("centroid")
+    )
+    dot = "aggregate(zip_with(embedding, centroid, (a, b) -> a * b), 0D, (s, v) -> s + v)"
+    nx = "sqrt(aggregate(embedding, 0D, (s, v) -> s + v * v))"
+    nc = "sqrt(aggregate(centroid, 0D, (s, v) -> s + v * v))"
+    scored = d.join(F.broadcast(carr), "label").withColumn(
+        "cos", F.expr(f"({dot}) / (({nx}) * ({nc}))")
+    )
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("cos"), 6).alias("avg_cos"),
+            F.round(F.min("cos"), 6).alias("min_cos"),
+        )
+        .orderBy("label")
+    )

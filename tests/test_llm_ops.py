@@ -989,3 +989,56 @@ def test_tfidf_topk_similar_excludes_self_and_respects_df_cap(spark):
     assert {r.neighbor_doc for r in capped} == {2, 3}, (
         "'common' (df=4/4 > 0.9) must stop linking doc 4 to the probe"
     )
+
+
+def test_persisted_bm25_index_prunes_and_matches(spark, docs, tmp_path):
+    """The persisted BM25 index must (a) return EXACTLY what bm25_rank
+    computes on the same corpus (shared formula; df derived from the
+    stored postings is exact), (b) partition-prune the postings scan
+    to the query terms' buckets, and (c) after extend_bm25_index the
+    probe must equal bm25_rank on the extended corpus — the appended
+    postings, lengths, and refreshed (n_docs, avgdl) scalars all
+    participate."""
+    import re as _re
+
+    from cassandrastack_spark.llm.retrieval import (
+        bm25_rank,
+        build_bm25_index,
+        extend_bm25_index,
+        probe_bm25_index,
+    )
+
+    path = str(tmp_path / "bm25_idx")
+    terms = ["vector", "stream", "join"]
+    build_bm25_index(docs, path)
+    got = probe_bm25_index(spark, path, terms, k=15)
+    want = bm25_rank(docs, terms, k=15)
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ]
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "tb" in plan, plan
+    pf = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "tb" in pf, plan
+
+    # extend with docs that shift avgdl and term stats, incl. a new
+    # top-ranking doc (dense in one query term, short)
+    new = spark.createDataFrame(
+        [
+            (90_001, "vector vector vector vector"),
+            (90_002, "stream join stream join stream pad pad pad"),
+            (90_003, "noise only no query terms here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    extend_bm25_index(new, path)
+    full = docs.select("doc_id", "text").unionByName(new)
+    got2 = probe_bm25_index(spark, path, terms, k=15)
+    want2 = bm25_rank(full, terms, k=15)
+    rows2 = [tuple(r) for r in got2.collect()]
+    assert rows2 == [tuple(r) for r in want2.collect()]
+    wide = {r.doc_id for r in probe_bm25_index(spark, path, terms, k=600).collect()}
+    assert 90_001 in wide and 90_002 in wide, "new docs must be reachable"
+    assert 90_003 not in wide, "doc without query terms never scores"
+    with pytest.raises(ValueError, match="at least one query term"):
+        probe_bm25_index(spark, path, [])

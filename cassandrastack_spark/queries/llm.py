@@ -1862,3 +1862,115 @@ def embedding_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "ann_hybrid_rrf_topk",
+    oracle="""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS words
+                   FROM documents),
+        dl AS (SELECT doc_id, CAST(len(words) AS DOUBLE) AS dl FROM d),
+        stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                         AVG(CAST(len(words) AS DOUBLE)) AS avgdl FROM d),
+        w AS (SELECT doc_id, unnest(words) AS w FROM d),
+        tf AS (SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS tf
+               FROM w WHERE w IN ('vector', 'stream', 'join')
+               GROUP BY doc_id, w),
+        dft AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+                FROM tf GROUP BY w),
+        bm AS (
+            SELECT tf.doc_id,
+                   ROUND(SUM(
+                       LN(1 + (n - df + 0.5) / (df + 0.5))
+                       * tf * (1.2 + 1.0)
+                       / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                   ), 6) AS bm25
+            FROM tf JOIN dft USING (w)
+                    JOIN dl ON tf.doc_id = dl.doc_id
+                    CROSS JOIN stats
+            GROUP BY tf.doc_id),
+        bmr AS (SELECT doc_id,
+                       CAST(ROW_NUMBER() OVER (
+                           ORDER BY bm25 DESC, doc_id) AS INT) AS r
+                FROM bm QUALIFY r <= 50),
+        ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                      unnest(embedding) AS x
+               FROM embeddings),
+        q AS (SELECT pos, x AS qx FROM ex WHERE vec_id = 0),
+        cs AS (SELECT vec_id,
+                      ROUND(SUM(x * qx)
+                            / (SQRT(SUM(x * x)) * SQRT(SUM(qx * qx))), 6)
+                          AS cosine
+               FROM ex JOIN q USING (pos)
+               WHERE vec_id <> 0
+               GROUP BY vec_id),
+        csr AS (SELECT vec_id AS doc_id,
+                       CAST(ROW_NUMBER() OVER (
+                           ORDER BY cosine DESC, vec_id) AS INT) AS r
+                FROM cs QUALIFY r <= 50),
+        fused AS (
+            SELECT COALESCE(bmr.doc_id, csr.doc_id) AS doc_id,
+                   ROUND(COALESCE(1.0 / (60 + bmr.r), 0)
+                         + COALESCE(1.0 / (60 + csr.r), 0), 6) AS rrf
+            FROM bmr FULL OUTER JOIN csr ON bmr.doc_id = csr.doc_id)
+        SELECT doc_id, rrf,
+               CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INT)
+                   AS rnk
+        FROM fused ORDER BY rrf DESC, doc_id LIMIT 15
+    """,
+    doc="Hybrid search — reciprocal-rank fusion (k=60) of the BM25 "
+        "lexical top-50 for {vector, stream, join} with the embedding "
+        "cosine top-50 around vec_id 0 (doc_id and vec_id share the "
+        "entity id space). RRF is THE production hybrid-retrieval "
+        "combiner: rank-based, so the two systems' incomparable score "
+        "scales never mix. Both legs rank on values rounded to 6 "
+        "decimals (ulp-stable across engines); the dense leg "
+        "broadcasts the single query vector (bounded scalar BNL); the "
+        "fuse is a full outer join of two 50-row lists — driver-free, "
+        "and each leg keeps its own scale story (BM25: query-term "
+        "postings; cosine: index-accelerated via the ANN stack when "
+        "the corpus outgrows brute force).",
+)
+def ann_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from cassandrastack_spark.llm.retrieval import bm25_rank
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    bmr = bm25_rank(docs, ["vector", "stream", "join"], k=50).select(
+        "doc_id", F.col("rnk").alias("r_lex")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_vec")
+    )
+    dot = "aggregate(zip_with(embedding, q_vec, (a, b) -> a * b), 0D, (s, v) -> s + v)"
+    nx = "sqrt(aggregate(embedding, 0D, (s, v) -> s + v * v))"
+    nq = "sqrt(aggregate(q_vec, 0D, (s, v) -> s + v * v))"
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .withColumn("cosine", F.round(F.expr(f"({dot}) / (({nx}) * ({nq}))"), 6))
+    )
+    w_c = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    csr = (
+        scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(50)
+        .withColumn("r_vec", F.row_number().over(w_c))
+        .select(F.col("vec_id").alias("doc_id"), "r_vec")
+    )
+    fused = (
+        bmr.join(csr, "doc_id", "full_outer")
+        .withColumn(
+            "rrf",
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("r_lex")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("r_vec")), F.lit(0.0)),
+                6,
+            ),
+        )
+    )
+    top = fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(15)
+    w_f = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return top.withColumn("rnk", F.row_number().over(w_f)).select(
+        "doc_id", "rrf", "rnk"
+    )

@@ -517,6 +517,7 @@ def ingest_with_dedup(
     threshold: float = 0.7,
     checkpoint: str | None = None,
     trigger_available_now: bool = True,
+    bm25_index_path: str | None = None,
 ):
     """Streaming corpus ingest with near-dup rejection — the full
     production loop over the persisted MinHash band index
@@ -528,6 +529,13 @@ def ingest_with_dedup(
        the cheap guard for dups arriving within one batch),
     3. appends survivors to the accepted corpus at ``accepted_path``
        and EXTENDS the index with their band rows.
+
+    With ``bm25_index_path`` set, each batch's survivors also extend
+    the persisted BM25 postings (``llm/retrieval.py build/extend_
+    bm25_index``) under the SAME per-epoch replay guard as the band
+    index — one pass through the pipeline maintains both the dedup
+    gate and the retrieval index, which is the whole crawl-drop loop:
+    probe → reject → append → index for search.
 
     ``foreachBatch`` is the seam because the batch must observe the
     index state left by every previous batch — exactly the read-probe-
@@ -560,6 +568,10 @@ def ingest_with_dedup(
         extend_dedup_index,
         probe_dedup_index,
     )
+    from cassandrastack_spark.llm.retrieval import (
+        build_bm25_index,
+        extend_bm25_index,
+    )
 
     checkpoint = checkpoint or tempfile.mkdtemp(prefix="cs_dedup_ckpt_")
     spark = stream.sparkSession
@@ -581,6 +593,13 @@ def ingest_with_dedup(
             build_dedup_index(
                 survivors, index_path, id_col=id_col, text_col=text_col
             )
+            if bm25_index_path is not None:
+                # overwrite-idempotent like the band-index build: a
+                # replay of the first batch rebuilds the same postings
+                build_bm25_index(
+                    survivors, bm25_index_path,
+                    id_col=id_col, text_col=text_col,
+                )
         else:
             accepted = spark.read.parquet(accepted_path)
             dups = probe_dedup_index(
@@ -609,6 +628,14 @@ def ingest_with_dedup(
                 extend_dedup_index(
                     survivors, index_path, id_col=id_col, text_col=text_col
                 )
+                if bm25_index_path is not None:
+                    # same marker guards both extends: a crash between
+                    # them replays the (benign, probe-deduped) band
+                    # accretion but never skips the postings extend
+                    extend_bm25_index(
+                        survivors, bm25_index_path,
+                        id_col=id_col, text_col=text_col,
+                    )
                 _fs_mkdirs(spark, marker)
         survivors.write.mode("append").parquet(accepted_path)
 

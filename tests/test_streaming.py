@@ -565,3 +565,59 @@ def test_ingest_vectors_collapses_in_batch_identical_vectors(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "ivfpq_dup")).collect()
     )
     assert idx == [1, 2, 20, 30], "index holds exactly the accepted ids"
+
+
+def test_ingest_with_dedup_maintains_bm25_index(spark, tmp_path):
+    """With bm25_index_path set, the streaming crawl loop maintains
+    the persisted BM25 postings alongside the band index: batch 1
+    builds both, batch 2's survivors extend both, rejected near-dups
+    index nowhere, and probing the BM25 index at the end equals
+    bm25_rank over exactly the accepted corpus."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from cassandrastack_spark.llm.retrieval import bm25_rank, probe_bm25_index
+    from cassandrastack_spark.streaming.ops import ingest_with_dedup
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ])
+    d = tmp_path / "docs_bm_in"
+    d.mkdir()
+    text_a = "spark vector " + " ".join(f"a{i}" for i in range(20))
+    text_b = "stream join " + " ".join(f"b{i}" for i in range(20))
+    text_c = "vector stream vector " + " ".join(f"c{i}" for i in range(20))
+    near_b = "stream join " + " ".join(
+        ("CHANGED" if i == 9 else f"b{i}") for i in range(20)
+    )
+
+    def write(name, rows):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False), str(d / name)
+        )
+
+    def run():
+        src = spark.readStream.schema(schema).parquet(str(d))
+        q = ingest_with_dedup(
+            src, str(tmp_path / "band_bm"), str(tmp_path / "acc_bm"),
+            checkpoint=str(tmp_path / "ckpt_bm"),
+            bm25_index_path=str(tmp_path / "bm25_bm"))
+        q.awaitTermination(120)
+
+    write("b1.parquet", [(1, text_a), (2, text_b)])
+    run()
+    write("b2.parquet", [(10, text_c), (11, near_b)])
+    run()
+    accepted = spark.read.parquet(str(tmp_path / "acc_bm"))
+    assert sorted(r.doc_id for r in accepted.collect()) == [1, 2, 10]
+    got = probe_bm25_index(
+        spark, str(tmp_path / "bm25_bm"), ["vector", "stream", "join"], k=10
+    )
+    want = bm25_rank(accepted, ["vector", "stream", "join"], k=10)
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ], "probe over the streamed index == bm25_rank over accepted docs"
+    assert 11 not in {
+        r.doc_id for r in got.collect()
+    }, "rejected near-dup never entered the postings"

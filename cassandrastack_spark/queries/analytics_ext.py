@@ -1482,3 +1482,91 @@ def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fk")
     )
+
+
+def _pagerank_oracle(iters: int = 15, d: float = 0.85) -> str:
+    """Unrolled power iteration: one CTE per round (DuckDB's recursive
+    CTEs allow only a single reference to the recursive relation; each
+    round here needs the previous ranks twice — edge contributions AND
+    dangling mass — so the oracle unrolls the fixed iteration count
+    instead)."""
+    head = f"""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events),
+        edges AS MATERIALIZED (SELECT prev_type AS src, event_type AS dst,
+                         CAST(COUNT(*) AS DOUBLE) AS w
+                  FROM seq WHERE prev_type IS NOT NULL
+                  GROUP BY src, dst),
+        outw AS (SELECT src, SUM(w) AS out_w FROM edges GROUP BY src),
+        frac AS MATERIALIZED (SELECT src, dst, w / out_w AS frac
+                 FROM edges JOIN outw USING (src)),
+        nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges
+            UNION SELECT dst AS node FROM edges)),
+        nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        p0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""",
+        p{i} AS MATERIALIZED (
+            SELECT n2.node,
+                   (1.0 - {d}) / nn.n
+                   + {d} * (COALESCE(c.in_mass, 0) + dg.dangling / nn.n)
+                       AS rank
+            FROM nodes n2
+            CROSS JOIN nn
+            CROSS JOIN (SELECT COALESCE(SUM(rank), 0) AS dangling
+                        FROM p{i - 1}
+                        WHERE node NOT IN (SELECT src FROM frac)) dg
+            LEFT JOIN (SELECT f.dst AS node, SUM(p.rank * f.frac) AS in_mass
+                       FROM frac f JOIN p{i - 1} p ON p.node = f.src
+                       GROUP BY f.dst) c ON n2.node = c.node)"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"""
+        SELECT node AS event_type, ROUND(rank, 6) AS pagerank
+        FROM p{iters} ORDER BY event_type"""
+    )
+
+
+@register(
+    "graph_pagerank_events",
+    oracle=_pagerank_oracle(),
+    doc="Weighted PageRank over the event-type transition graph — the "
+        "crawl-prioritization centrality (domain-graph ranking in "
+        "training-data pipelines), run here on the Markov graph "
+        "event_transitions already derives. operators/graph.py "
+        "pagerank(): edge fractions normalized once, then 15 "
+        "(join -> aggregate) rounds shuffling only (node, mass) pairs, "
+        "rank frame localCheckpoint-ed per round so the plan stays one "
+        "join deep (the dedup_components discipline); dangling mass "
+        "redistributes uniformly so ranks stay a distribution. At "
+        "100 TB nodes are domains (millions), edges links (billions): "
+        "everything stays distributed, hubs are AQE-splittable keys. "
+        "Oracle: the same power iteration unrolled CTE-per-round.",
+)
+def graph_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandrastack_spark.operators.graph import pagerank
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    pr = pagerank(edges, "src", "dst", weight_col="w", iters=15)
+    return pr.select(
+        F.col("node").alias("event_type"),
+        F.round("rank", 6).alias("pagerank"),
+    ).orderBy("event_type")

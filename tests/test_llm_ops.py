@@ -1042,3 +1042,35 @@ def test_persisted_bm25_index_prunes_and_matches(spark, docs, tmp_path):
     assert 90_003 not in wide, "doc without query terms never scores"
     with pytest.raises(ValueError, match="at least one query term"):
         probe_bm25_index(spark, path, [])
+
+
+def test_pagerank_distribution_weights_and_dangling(spark):
+    """pagerank invariants on a constructed graph: ranks form a
+    distribution (sum 1) even WITH a dangling node, edge weights steer
+    mass (3:1 out-weights -> strictly higher rank downstream), a pure
+    sink still accumulates rank, and the fixed-iteration run is
+    deterministic across invocations."""
+    from cassandrastack_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 3.0),
+            ("a", "c", 1.0),
+            ("b", "a", 1.0),
+            ("c", "a", 1.0),
+            ("a", "sink", 1.0),   # sink has NO out-edges (dangling)
+        ],
+        ["src", "dst", "w"],
+    )
+    r1 = {r.node: r.rank for r in pagerank(edges, weight_col="w").collect()}
+    r2 = {r.node: r.rank for r in pagerank(edges, weight_col="w").collect()}
+    assert r1 == r2, "fixed-iteration pagerank must be deterministic"
+    assert abs(sum(r1.values()) - 1.0) < 1e-9, r1
+    assert set(r1) == {"a", "b", "c", "sink"}
+    assert r1["b"] > r1["c"], "3x edge weight must pull more mass"
+    assert all(v > 0 for v in r1.values()), "dangling node keeps rank"
+    # unweighted: b and c become symmetric
+    ru = {r.node: r.rank for r in pagerank(edges).collect()}
+    assert abs(ru["b"] - ru["c"]) < 1e-12
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(edges, damping=1.5)

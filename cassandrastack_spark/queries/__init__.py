@@ -54,15 +54,15 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # first (in this order); everything else follows in registration order.
 # A name here that is not registered is ignored.
 #
-# Round-6 rotation (VERDICT r5 lead item): (a) the six queries new
-# this round (approx data-quality profile, BM25 top-k, TF-IDF
-# similarity, label cohesion, hybrid RRF, PageRank), (b) ALL 41
-# queries whose newest official row
+# Round-6 rotation (VERDICT r5 lead item): (a) the seven queries new
+# this round (approx data-quality + approx percentile profiles, BM25
+# top-k, TF-IDF similarity, label cohesion, hybrid RRF, PageRank),
+# (b) ALL 41 queries whose newest official row
 # is round-3-era (stream_*/mm_*/text_*/dedup_*/corpus_* + anomaly/
 # rolling_wau_hll/decontam) — their code is unchanged but adjacent
 # helpers (streaming/ops.py, llm/dedup.py) keep being refactored, so
 # the stale greens were the one remaining verification debt, and
-# (c) 3 round-4-era backfills spanning the remaining families
+# (c) 2 round-4-era backfills (dq exact twin + range join)
 # (incl. dq_profile_lineitem, the exact twin of the new approx query).
 _FRONT: tuple[str, ...] = (
     # -- new this round --
@@ -72,6 +72,7 @@ _FRONT: tuple[str, ...] = (
     "embedding_label_cohesion",
     "ann_hybrid_rrf_topk",
     "graph_pagerank_events",
+    "percentiles_acctbal_approx",
     # -- round-3-era rows: re-confirm on current code (41) --
     "anomaly_cusum_changepoint",
     "corpus_domain_cap",
@@ -115,11 +116,11 @@ _FRONT: tuple[str, ...] = (
     "text_top_terms_udtf",
     "text_unigram_logprob",
     # -- round-4-era backfill to 50 (rolling_wau, text_word_entropy,
-    # gapfill_interpolate_hourly, hypertable_rollup_daily and
-    # q1_pricing_summary yielded their slots to the queries new this
-    # round: a query with NO official row outranks a round-4 green) --
+    # gapfill_interpolate_hourly, hypertable_rollup_daily,
+    # q1_pricing_summary and asof_join_latest_order yielded their
+    # slots to the queries new this round: a query with NO official
+    # row outranks a round-4 green) --
     "dq_profile_lineitem",
-    "asof_join_latest_order",
     "range_join_event_pairs",
 )
 

@@ -1570,3 +1570,48 @@ def graph_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("event_type"),
         F.round("rank", 6).alias("pagerank"),
     ).orderBy("event_type")
+
+
+@register(
+    "percentiles_acctbal_approx",
+    oracle="""
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               TRUE AS p50_ok,
+               TRUE AS p90_ok
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    doc="The 100 TB variant of percentiles_acctbal: approx_percentile "
+        "(t-digest-style quantile sketch, accuracy 10000) replaces the "
+        "exact interpolated percentile — the sketch is CONSTANT-size "
+        "per group and mergeable map-side, where exact percentile "
+        "buffers every group member on the reducer (the aggregation "
+        "that stops scaling first on skewed groups). Like "
+        "dq_profile_lineitem_approx and rolling_wau_hll, the estimate "
+        "is GATED for the oracle rather than emitted raw: per segment, "
+        "the sketch's p50/p90 must land within 2% of the segment's "
+        "value span of the exact percentile (rank error at accuracy "
+        "10000 is under one order statistic at these group sizes, so "
+        "the bound has orders-of-magnitude headroom). Production keeps "
+        "only the sketch; the exact aggregate here exists for the gate.",
+)
+def percentiles_acctbal_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    tol = 0.02
+    agg = c.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.expr("percentile(c_acctbal, 0.50)").alias("e50"),
+        F.expr("percentile(c_acctbal, 0.90)").alias("e90"),
+        F.expr(
+            "approx_percentile(c_acctbal, array(0.50, 0.90), 10000)"
+        ).alias("a"),
+        F.min("c_acctbal").alias("lo"),
+        F.max("c_acctbal").alias("hi"),
+    )
+    span = F.col("hi") - F.col("lo")
+    return agg.select(
+        "c_mktsegment",
+        "n_customers",
+        (F.abs(F.col("a")[0] - F.col("e50")) <= tol * span).alias("p50_ok"),
+        (F.abs(F.col("a")[1] - F.col("e90")) <= tol * span).alias("p90_ok"),
+    ).orderBy("c_mktsegment")

@@ -307,7 +307,16 @@ def extend_bm25_index(
         F.col(id_col).alias("doc_id"),
         F.size(F.split(F.col(text_col), " ")).cast("double").alias("dl"),
     ).write.mode("append").parquet(path + "/_doclen")
-    stats = spark.read.parquet(path + "/_doclen").agg(
+    # per-DISTINCT-doc stats: an at-least-once writer (the streaming
+    # ingest loop) can replay an extend into duplicate rows — the
+    # duplicates are byte-identical, so distinct-doc aggregation keeps
+    # the scalars exact no matter how many times a batch landed
+    dl_dedup = (
+        spark.read.parquet(path + "/_doclen")
+        .groupBy("doc_id")
+        .agg(F.max("dl").alias("dl"))
+    )
+    stats = dl_dedup.agg(
         F.count("*").cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
@@ -344,16 +353,29 @@ def probe_bm25_index(
             "tb", F.pmod(F.hash("w"), F.lit(nb))
         ).collect()
     )
+    # duplicate-proof read: an at-least-once extend (streaming replay
+    # crashing inside the extend->marker window) can append a batch's
+    # postings twice; the copies are byte-identical, so collapsing on
+    # (w, doc_id) / doc_id here makes the index correct under ANY
+    # number of replays — the epoch marker merely keeps the common
+    # case copy-free. Costs one extra aggregate over the PRUNED
+    # postings and the doc-length table, both already in the plan's
+    # key shape.
     tf = (
         spark.read.parquet(path)
         .filter(F.col("tb").isin(buckets))
         .filter(F.col("w").isin(list(terms)))
-        .select("w", "doc_id", "tf")
+        .groupBy("w", "doc_id")
+        .agg(F.max("tf").alias("tf"))
     )
     df_t = tf.groupBy("w").agg(
         F.countDistinct("doc_id").cast("double").alias("df")
     )
-    dl = spark.read.parquet(path + "/_doclen")
+    dl = (
+        spark.read.parquet(path + "/_doclen")
+        .groupBy("doc_id")
+        .agg(F.max("dl").alias("dl"))
+    )
     idf = F.log(
         F.lit(1.0)
         + (F.lit(float(meta.n_docs)) - F.col("df") + 0.5)

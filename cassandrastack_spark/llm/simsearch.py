@@ -1348,6 +1348,7 @@ def probe_ivfpq_index(
     nprobe: int = 4,
     shortlist: int = 32,
     include_score: bool = False,
+    on_missing_corpus: str = "raise",
 ) -> DataFrame:
     """Query a persisted IVF+PQ index: elect each query's ``nprobe``
     lists from the stored centroids, partition-prune the codes scan to
@@ -1364,8 +1365,21 @@ def probe_ivfpq_index(
     Contract: ``corpus`` must contain a float vector for EVERY id the
     index holds — the index stores codes only. A shortlisted id with
     no float row raises (in-plan assertion) rather than silently
-    returning fewer than ``k`` neighbors.
+    returning fewer than ``k`` neighbors. ``on_missing_corpus="skip"``
+    relaxes that to dropping the floatless shortlist rows — ONLY for
+    callers whose write protocol legitimately opens an
+    indexed-but-floats-not-yet-landed window and knows those ids:
+    ``ingest_vectors`` extends the index BEFORE appending accepted
+    floats (the reverse order would replay into a permanent recall
+    hole), so a batch replayed after a crash between the two writes
+    probes with a corpus that lacks exactly the crashed batch's own
+    ids — under "raise" the replay would wedge the stream forever.
     """
+    if on_missing_corpus not in ("raise", "skip"):
+        raise ValueError(
+            f"on_missing_corpus must be 'raise' or 'skip', "
+            f"got {on_missing_corpus!r}"
+        )
     meta = spark.read.parquet(path + "/_meta").head()
     centroids = [list(c) for c in meta.centroids]
     books = [[list(c) for c in book] for book in meta.codebooks]
@@ -1399,22 +1413,28 @@ def probe_ivfpq_index(
     # fails LOUD when a shortlisted indexed id is absent from the
     # float source (index built from a superset, or floats not yet
     # landed) instead of silently shrinking results below k.
-    rerank = short.join(c_floats, "neighbor_id", "left").withColumn(
-        "cosine",
-        F.when(
-            F.assert_true(
-                F.col("c_unit").isNotNull(),
-                F.concat(
-                    F.lit(
-                        "probe_ivfpq_index: indexed id absent from the "
-                        "supplied corpus (floats missing for re-rank): "
+    joined = short.join(c_floats, "neighbor_id", "left")
+    if on_missing_corpus == "skip":
+        rerank = joined.filter(F.col("c_unit").isNotNull()).withColumn(
+            "cosine", F.expr(DOT.format(a="q_unit", b="c_unit"))
+        )
+    else:
+        rerank = joined.withColumn(
+            "cosine",
+            F.when(
+                F.assert_true(
+                    F.col("c_unit").isNotNull(),
+                    F.concat(
+                        F.lit(
+                            "probe_ivfpq_index: indexed id absent from the "
+                            "supplied corpus (floats missing for re-rank): "
+                        ),
+                        F.col("neighbor_id").cast("string"),
                     ),
-                    F.col("neighbor_id").cast("string"),
-                ),
-            ).isNull(),
-            F.expr(DOT.format(a="q_unit", b="c_unit")),
-        ),
-    )
+                ).isNull(),
+                F.expr(DOT.format(a="q_unit", b="c_unit")),
+            ),
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )

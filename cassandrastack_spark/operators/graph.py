@@ -54,6 +54,10 @@ def pagerank(
     """
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}"
+        )
     w = (
         F.col(weight_col).cast("double")
         if weight_col is not None
@@ -62,7 +66,13 @@ def pagerank(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
         w.alias("w"),
-    )
+        # zero/negative/null weights carry no mass — kept, they would
+        # make out_w = 0 for an all-zero source, its fractions null,
+        # and that node neither transfers NOR counts as dangling: its
+        # rank silently leaks every round and the result stops being a
+        # distribution. Dropping them up front means such a source is
+        # honestly dangling (mass redistributes) and sum(rank) stays 1.
+    ).filter(F.col("w") > 0)
     # out-weight normalization: each edge carries the FRACTION of its
     # source's mass it transfers — computed once, reused every round
     out = e.groupBy("src").agg(F.sum("w").alias("out_w"))

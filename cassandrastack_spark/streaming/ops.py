@@ -532,10 +532,15 @@ def ingest_with_dedup(
 
     With ``bm25_index_path`` set, each batch's survivors also extend
     the persisted BM25 postings (``llm/retrieval.py build/extend_
-    bm25_index``) under the SAME per-epoch replay guard as the band
-    index — one pass through the pipeline maintains both the dedup
-    gate and the retrieval index, which is the whole crawl-drop loop:
-    probe → reject → append → index for search.
+    bm25_index``) under their OWN per-epoch replay guard — one pass
+    through the pipeline maintains both the dedup gate and the
+    retrieval index, the whole crawl-drop loop: probe → reject →
+    append → index for search. Turning the option on mid-life is
+    supported: a missing BM25 index is (re)built from the full
+    accepted corpus plus the current survivors, then later batches
+    extend. Correctness under replay does not rest on the marker —
+    ``probe_bm25_index`` collapses duplicate postings at read time —
+    the marker only keeps the index copy-free in the common case.
 
     ``foreachBatch`` is the seam because the batch must observe the
     index state left by every previous batch — exactly the read-probe-
@@ -628,15 +633,35 @@ def ingest_with_dedup(
                 extend_dedup_index(
                     survivors, index_path, id_col=id_col, text_col=text_col
                 )
-                if bm25_index_path is not None:
-                    # same marker guards both extends: a crash between
-                    # them replays the (benign, probe-deduped) band
-                    # accretion but never skips the postings extend
-                    extend_bm25_index(
-                        survivors, bm25_index_path,
-                        id_col=id_col, text_col=text_col,
-                    )
                 _fs_mkdirs(spark, marker)
+            if bm25_index_path is not None:
+                if not _fs_exists(spark, bm25_index_path + "/_meta"):
+                    # retrofit: the pipeline ran before bm25_index_path
+                    # was configured — build the postings from the
+                    # FULL corpus (already-accepted docs + this batch's
+                    # survivors), not just the batch; build overwrites,
+                    # so a replay of this branch is idempotent
+                    build_bm25_index(
+                        accepted.select(id_col, text_col).unionByName(
+                            survivors.select(id_col, text_col)
+                        ),
+                        bm25_index_path, id_col=id_col, text_col=text_col,
+                    )
+                else:
+                    # own epoch marker (the band extend above may have
+                    # committed in a crashed earlier attempt that never
+                    # reached this line): double-appended postings from
+                    # the residual extend->marker crash window are
+                    # collapsed at read time (probe_bm25_index
+                    # aggregates per (w, doc_id)), so the marker is an
+                    # efficiency guard, not the correctness one
+                    bm_marker = f"{checkpoint}/cs_bm25_epochs/{batch_id}"
+                    if not _fs_exists(spark, bm_marker):
+                        extend_bm25_index(
+                            survivors, bm25_index_path,
+                            id_col=id_col, text_col=text_col,
+                        )
+                        _fs_mkdirs(spark, bm_marker)
         survivors.write.mode("append").parquet(accepted_path)
 
     writer = (
@@ -723,8 +748,14 @@ def ingest_vectors(
         # content up to float noise, different bits) are still both
         # accepted — the reject_cosine probe only sees PREVIOUSLY
         # accepted vectors; a documented gap, closed by the next
-        # batch's probe for subsequent copies.
-        w_vec = Window.partitionBy(vec_key).orderBy(id_col)
+        # batch's probe for subsequent copies. Partitioned by the
+        # vector CONTENT itself, not its 64-bit hash — a hash
+        # collision between two different vectors would silently drop
+        # one forever, and at the billions-of-vectors backlog this
+        # loop targets that probability is not ignorable.
+        w_vec = Window.partitionBy(F.col(vec_col).cast("string")).orderBy(
+            id_col
+        )
         batch_df = (
             batch_df.withColumn("_rn", F.row_number().over(w_vec))
             .filter(F.col("_rn") == 1)
@@ -740,10 +771,18 @@ def ingest_vectors(
             accepted = spark.read.parquet(accepted_path)
             survivors = batch_df
             if reject_cosine is not None:
+                # on_missing_corpus="skip": a replay after a crash
+                # between the index extend and the accepted append
+                # probes with a corpus that lacks exactly THIS batch's
+                # ids (extend-before-append is deliberate, see
+                # ingest_with_dedup) — "raise" would wedge the stream
+                # permanently on that state; the skipped ids are the
+                # batch's own vectors, re-checked as they re-land.
                 hits = probe_ivfpq_index(
                     spark, index_path, batch_df, accepted,
                     id_col=id_col, vec_col=vec_col,
                     k=1, nprobe=nprobe, include_score=True,
+                    on_missing_corpus="skip",
                 ).filter(F.col("cosine") >= reject_cosine)
                 dups = hits.select(
                     F.col("query_id").alias(id_col)

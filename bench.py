@@ -77,19 +77,29 @@ def main() -> None:
     # the full ledger to the repo (BENCH_FULL_r{N}.json, N inferred as
     # one past the newest driver-recorded round) for round-over-round
     # comparison of every query, not just the visible tail.
+    # explicit round wins (SPARK_GRAFT_ROUND=6 → BENCH_FULL_r06);
+    # otherwise infer one past the newest driver-recorded round.
+    # A checkout with no BENCH_r files and no env var would mislabel
+    # as r01 — the env var is the escape hatch. Parsed OUTSIDE the
+    # ledger-write try: a malformed value must warn loudly, not
+    # silently skip the ledger (it IS the misconfiguration signal).
+    n = None
+    env_round = os.environ.get("SPARK_GRAFT_ROUND", "").strip()
+    if env_round:
+        try:
+            n = int(env_round)
+        except ValueError:
+            print(
+                f"bench: unparseable SPARK_GRAFT_ROUND={env_round!r}; "
+                "falling back to round inference",
+                file=sys.stderr,
+            )
     try:
         import glob
         import re
 
         here = os.path.dirname(os.path.abspath(__file__))
-        # explicit round wins (SPARK_GRAFT_ROUND=6 → BENCH_FULL_r06);
-        # otherwise infer one past the newest driver-recorded round.
-        # A checkout with no BENCH_r files and no env var would
-        # mislabel as r01 — the env var is the escape hatch.
-        env_round = os.environ.get("SPARK_GRAFT_ROUND", "").strip()
-        if env_round:
-            n = int(env_round)
-        else:
+        if n is None:
             rounds = [
                 int(m.group(1))
                 for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
@@ -98,9 +108,9 @@ def main() -> None:
             n = (max(rounds) + 1) if rounds else 1
         with open(os.path.join(here, f"BENCH_FULL_r{n:02d}.json"), "w") as f:
             json.dump(payload, f, indent=1, sort_keys=True)
-    except Exception:
+    except OSError:
         pass  # the side ledger must NEVER fail the bench (read-only
-        # checkout, malformed env var, glob surprise — all non-fatal)
+        # checkout — non-fatal; only the file write is guarded now)
     print(json.dumps(payload))
 
 

@@ -139,21 +139,27 @@ def tfidf_weights(
     # the (doc_id, term, tf) postings aggregate is read by THREE
     # consumers (df stats, document weights, probe weights via the
     # caller's filter) — shared lineage is not shared execution, so
-    # without this materialization each consumer re-scans and
-    # re-tokenizes the whole corpus. Checkpointing the postings once
-    # mirrors production, where the postings table IS persisted (the
-    # same move as the ANN codes table in ann_ivf_pq_topk).
+    # without sharing the materialization each consumer re-scans and
+    # re-tokenizes the whole corpus. persist() (LAZY, unlike the
+    # localCheckpoint this used to be) keeps plan-only consumers —
+    # .explain, tools/plan_audit.py — from executing the tokenize
+    # jobs just by constructing the frame, and the cached blocks are
+    # LRU-evictable, so repeated calls can't pin executor storage
+    # forever the way checkpoint blocks did. Production persists the
+    # postings as a TABLE instead (build_bm25_index +
+    # tfidf_weights_from_index below — the same move as the ANN codes
+    # table in ann_ivf_pq_topk).
     tf = (
         w.groupBy("doc_id", "w")
         .agg(F.count("*").cast("double").alias("tf"))
-        .localCheckpoint(eager=True)
+        .persist()
     )
     # the 1-row corpus count rides along into every consumer of the
-    # weighted vectors — materialized so the count scan runs once, not
-    # once per plan branch
+    # weighted vectors — cached so the count scan runs once across
+    # executions, not once per plan branch
     n_docs = docs.select(
         F.count("*").cast("double").alias("n")
-    ).localCheckpoint(eager=True)
+    ).persist()
     df_t = tf.groupBy("w").agg(
         F.countDistinct("doc_id").cast("double").alias("df")
     )
@@ -193,6 +199,16 @@ def tfidf_topk_similar(
     if not probe_ids:
         raise ValueError("tfidf_topk_similar needs at least one probe id")
     vecs = tfidf_weights(docs, id_col, text_col, max_df_ratio)
+    return _cosine_topk_from_vecs(vecs, probe_ids, k)
+
+
+def _cosine_topk_from_vecs(
+    vecs: DataFrame, probe_ids: list[int], k: int
+) -> DataFrame:
+    """Shared similarity tail: sparse-vector cosine top-k over a
+    (doc_id, w, weight, norm) frame. Probe side filtered out of the
+    same frame (bounded by probe_ids) and broadcast; one term
+    equi-join, no all-pairs stage."""
     probes = vecs.filter(F.col("doc_id").isin(list(probe_ids))).select(
         F.col("doc_id").alias("query_doc"),
         "w",
@@ -237,21 +253,26 @@ def build_bm25_index(
     move as the MinHash band index and the IVF codes table: tokenize
     the corpus ONCE, then every query probes stored postings.
 
-    Layout: (w, doc_id, tf) partitioned by ``tb = pmod(hash(w),
+    Layout: (w, doc_id, tf, epoch) partitioned by ``tb = pmod(hash(w),
     n_term_buckets)`` so a probe's scan is partition-pruned to the
-    query terms' buckets; (doc_id, dl) under ``path/_doclen`` (the
-    length-normalization side, joined for matched docs only); corpus
-    scalars (n_docs, avgdl, n_term_buckets) as one row under
-    ``path/_meta``. At 100 TB the postings are the Zipf-shaped term
-    frequency table — (term, id, count) triples, a small multiple of
-    the vocabulary-positions count, partitioned AND sorted by term so
-    a probe touches a handful of row groups.
+    query terms' buckets; (doc_id, dl, epoch) under ``path/_doclen``
+    (the length-normalization side, joined for matched docs only);
+    corpus scalars (n_docs, avgdl, n_term_buckets) as one row under
+    ``path/_meta``. ``epoch`` is the write-generation stamp (build =
+    0, each ``extend_bm25_index`` call = previous max + 1): probes
+    resolve a doc_id to its NEWEST epoch, so re-ingesting an id with
+    changed text is a clean last-writer overwrite, never a merge of
+    the two versions' postings. At 100 TB the postings are the
+    Zipf-shaped term frequency table — (term, id, count) triples, a
+    small multiple of the vocabulary-positions count, partitioned AND
+    sorted by term so a probe touches a handful of row groups.
     """
     spark = corpus.sparkSession
     tf = (
         _words(corpus, id_col, text_col)
         .groupBy("w", "doc_id")
         .agg(F.count("*").cast("double").alias("tf"))
+        .withColumn("epoch", F.lit(0).cast("long"))
         .withColumn("tb", F.pmod(F.hash("w"), F.lit(n_term_buckets)))
     )
     (
@@ -264,6 +285,7 @@ def build_bm25_index(
     dl = corpus.select(
         F.col(id_col).alias("doc_id"),
         F.size(F.split(F.col(text_col), " ")).cast("double").alias("dl"),
+        F.lit(0).cast("long").alias("epoch"),
     )
     dl.write.mode("overwrite").parquet(path + "/_doclen")
     stats = spark.read.parquet(path + "/_doclen").agg(
@@ -281,12 +303,25 @@ def extend_bm25_index(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> None:
-    """Append new documents' postings and lengths, then refresh the
-    corpus scalars — the write half of the retrieval ingest loop.
-    Cost is proportional to the batch (the stored corpus is never
-    re-tokenized); only the 1-row ``_meta`` is rewritten, from the
-    appended ``_doclen`` table (df needs no maintenance — it is
-    derived from the postings at probe time, so it is always exact).
+    """Append new documents' postings and lengths under a fresh
+    ``epoch`` stamp, then refresh the corpus scalars — the write half
+    of the retrieval ingest loop. Cost is proportional to the batch
+    (the stored corpus is never re-tokenized); only the 1-row
+    ``_meta`` is rewritten, from the appended ``_doclen`` table (df
+    needs no maintenance — it is derived from the postings at probe
+    time, so it is always exact).
+
+    Same-id contract (last-writer): re-extending an already-indexed
+    ``doc_id`` with DIFFERENT text is a clean overwrite — the new
+    version lands at a higher epoch and probes resolve each doc to
+    its newest epoch only, so the old version's postings (including
+    terms absent from the new text) stop contributing entirely. A
+    byte-identical replay of the SAME batch (the streaming loop's
+    at-least-once window) lands identical content at a higher epoch
+    and is equally harmless. The stored history is append-only;
+    superseded epochs are dead weight until a rebuild — the same
+    compaction story as the band index.
+
     A probe racing the extend can read new postings with the old
     scalars for one batch — the same eventual-consistency window the
     band-index extend has, and harmless to ranking at corpus scale.
@@ -294,10 +329,22 @@ def extend_bm25_index(
     spark = new_docs.sparkSession
     meta = spark.read.parquet(path + "/_meta").head()
     nb = int(meta.n_term_buckets)
+    # next write generation: 1 + the newest stamp on record. Computed
+    # from _doclen (1 small agg) BEFORE any append, so a crashed
+    # extend's replay re-lands the whole batch at one single (new)
+    # epoch — never splitting a batch across epochs.
+    epoch = (
+        spark.read.parquet(path + "/_doclen")
+        .agg(F.coalesce(F.max("epoch"), F.lit(0)).alias("e"))
+        .head()
+        .e
+        + 1
+    )
     tf = (
         _words(new_docs, id_col, text_col)
         .groupBy("w", "doc_id")
         .agg(F.count("*").cast("double").alias("tf"))
+        .withColumn("epoch", F.lit(epoch).cast("long"))
         .withColumn("tb", F.pmod(F.hash("w"), F.lit(nb)))
     )
     tf.repartition("tb").sortWithinPartitions("tb", "w").write.mode(
@@ -306,17 +353,16 @@ def extend_bm25_index(
     new_docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(F.split(F.col(text_col), " ")).cast("double").alias("dl"),
+        F.lit(epoch).cast("long").alias("epoch"),
     ).write.mode("append").parquet(path + "/_doclen")
-    # per-DISTINCT-doc stats: an at-least-once writer (the streaming
-    # ingest loop) can replay an extend into duplicate rows — the
-    # duplicates are byte-identical, so distinct-doc aggregation keeps
-    # the scalars exact no matter how many times a batch landed
-    dl_dedup = (
+    # per-doc LAST-WRITER stats: each doc contributes its newest
+    # epoch's length once, no matter how many versions/replays landed
+    dl_cur = (
         spark.read.parquet(path + "/_doclen")
         .groupBy("doc_id")
-        .agg(F.max("dl").alias("dl"))
+        .agg(F.expr("max_by(dl, epoch)").alias("dl"))
     )
-    stats = dl_dedup.agg(
+    stats = dl_cur.agg(
         F.count("*").cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
@@ -353,28 +399,39 @@ def probe_bm25_index(
             "tb", F.pmod(F.hash("w"), F.lit(nb))
         ).collect()
     )
-    # duplicate-proof read: an at-least-once extend (streaming replay
-    # crashing inside the extend->marker window) can append a batch's
-    # postings twice; the copies are byte-identical, so collapsing on
-    # (w, doc_id) / doc_id here makes the index correct under ANY
-    # number of replays — the epoch marker merely keeps the common
-    # case copy-free. Costs one extra aggregate over the PRUNED
-    # postings and the doc-length table, both already in the plan's
-    # key shape.
+    # LAST-WRITER read: each doc resolves to its newest epoch. This
+    # makes the index correct under BOTH failure/ingest modes the
+    # append-only layout admits: (a) a byte-identical at-least-once
+    # replay (streaming crash inside the extend->marker window) lands
+    # the same content at a higher epoch — collapsed here, the epoch
+    # marker merely keeps the common case copy-free; (b) a same-id
+    # re-extend with CHANGED text supersedes the old version entirely
+    # — stale-epoch postings (including terms the new text dropped)
+    # are filtered out before df/tf ever aggregate, so no chimera
+    # document representation can form. Costs one epoch-resolution
+    # join of the PRUNED postings against the per-doc doc-length
+    # frame (already in the plan for length normalization).
+    dl = (
+        spark.read.parquet(path + "/_doclen")
+        .groupBy("doc_id")
+        .agg(
+            F.max("epoch").alias("cur_epoch"),
+            F.expr("max_by(dl, epoch)").alias("dl"),
+        )
+    )
     tf = (
         spark.read.parquet(path)
         .filter(F.col("tb").isin(buckets))
         .filter(F.col("w").isin(list(terms)))
+        .join(dl, "doc_id")
+        .filter(F.col("epoch") == F.col("cur_epoch"))
         .groupBy("w", "doc_id")
-        .agg(F.max("tf").alias("tf"))
+        # replayed copies within the current epoch are byte-identical
+        # — max(tf) collapses them; first(dl) is constant per doc
+        .agg(F.max("tf").alias("tf"), F.first("dl").alias("dl"))
     )
     df_t = tf.groupBy("w").agg(
         F.countDistinct("doc_id").cast("double").alias("df")
-    )
-    dl = (
-        spark.read.parquet(path + "/_doclen")
-        .groupBy("doc_id")
-        .agg(F.max("dl").alias("dl"))
     )
     idf = F.log(
         F.lit(1.0)
@@ -386,7 +443,6 @@ def probe_bm25_index(
     )
     scored = (
         tf.join(F.broadcast(df_t), "w")
-        .join(dl, "doc_id")
         .groupBy("doc_id")
         .agg(
             F.round(
@@ -399,3 +455,67 @@ def probe_bm25_index(
     return top.withColumn("rnk", F.row_number().over(rnk)).select(
         "doc_id", "bm25", "rnk"
     )
+
+
+def tfidf_weights_from_index(
+    spark, path: str, max_df_ratio: float = 1.0
+) -> DataFrame:
+    """Sparse TF-IDF document vectors derived from the PERSISTED BM25
+    postings — byte-identical values to ``tfidf_weights`` on the same
+    corpus, without ever touching corpus text: the stored (w, doc_id,
+    tf) triples are exactly the term-frequency aggregate TF-IDF
+    needs, so document-similarity joins run postings-to-postings (the
+    production shape the raw-text path only models). Docs resolve to
+    their newest epoch first (same last-writer read as
+    ``probe_bm25_index``); ``n`` comes from the ``_meta`` scalars.
+    Returns (doc_id, w, weight, norm).
+    """
+    meta = spark.read.parquet(path + "/_meta").head()
+    n = float(meta.n_docs)
+    cur = (
+        spark.read.parquet(path + "/_doclen")
+        .groupBy("doc_id")
+        .agg(F.max("epoch").alias("cur_epoch"))
+    )
+    tf = (
+        spark.read.parquet(path)
+        .join(cur, "doc_id")
+        .filter(F.col("epoch") == F.col("cur_epoch"))
+        .groupBy("w", "doc_id")
+        .agg(F.max("tf").alias("tf"))
+    )
+    df_t = tf.groupBy("w").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    weighted = (
+        tf.join(F.broadcast(df_t), "w")
+        .filter(F.col("df") <= max_df_ratio * n)
+        .withColumn("weight", F.col("tf") * F.log(F.lit(n) / F.col("df")))
+    )
+    norms = weighted.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("weight") * F.col("weight"))).alias("norm")
+    )
+    return weighted.join(norms, "doc_id").select(
+        "doc_id", "w", "weight", "norm"
+    )
+
+
+def tfidf_topk_similar_from_index(
+    spark,
+    path: str,
+    probe_ids: list[int],
+    k: int = 5,
+    max_df_ratio: float = 1.0,
+) -> DataFrame:
+    """``tfidf_topk_similar`` over the persisted BM25 postings: same
+    output (same weights, same ranks), but the corpus is never
+    re-tokenized — cost is one pass over the stored postings. The
+    probe side is still bounded by ``probe_ids`` and broadcast; the
+    scoring join is the same single term equi-join. Returns
+    (query_doc, neighbor_doc, tfidf_cosine, rnk)."""
+    if not probe_ids:
+        raise ValueError(
+            "tfidf_topk_similar_from_index needs at least one probe id"
+        )
+    vecs = tfidf_weights_from_index(spark, path, max_df_ratio)
+    return _cosine_topk_from_vecs(vecs, probe_ids, k)

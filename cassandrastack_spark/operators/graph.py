@@ -22,14 +22,125 @@ At 100 TB the node set is domains (millions) and edges are links
 (billions): both sides stay distributed, the per-round shuffle is
 keyed by node id, and AQE's skew handling covers hub domains. A fixed
 ``iters`` (15 is the classic "power iteration is converged enough for
-ranking" depth) keeps the round count deterministic — convergence
-detection would add a per-round driver aggregate like the components
-loop's signature; callers who need it can compare successive ranks.
+ranking" depth) keeps the round count deterministic; ``tol=`` adds
+the components-loop-style convergence signature (one 1-row L1-delta
+aggregate per round crosses to the driver) so converged graphs exit
+early with ``iters`` as the hard cap.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+
+def _normalize(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    weight_col: str | None,
+) -> tuple[DataFrame, DataFrame]:
+    """(frac, nodes): edge fractions + the node universe.
+
+    The node set derives from the UNFILTERED edge list — a node whose
+    every edge has zero/negative/null weight still gets a rank row (it
+    is simply dangling: it transfers no mass, its own mass
+    redistributes). Weight filtering applies only to the fraction
+    computation, where a non-positive weight would otherwise make an
+    all-zero source's fractions null and leak its rank every round.
+    """
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    raw = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
+        w.alias("w"),
+    )
+    e = raw.filter(F.col("w") > 0)
+    # out-weight normalization: each edge carries the FRACTION of its
+    # source's mass it transfers — computed once, reused every round
+    out = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    frac = (
+        e.join(out, "src")
+        .withColumn("frac", F.col("w") / F.col("out_w"))
+        .select("src", "dst", "frac")
+    )
+    nodes = (
+        raw.select(F.col("src").alias("node"))
+        .unionByName(raw.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    return frac, nodes
+
+
+def _round(
+    nodes: DataFrame,
+    frac: DataFrame,
+    has_out: DataFrame,
+    ranks: DataFrame,
+    n: int,
+    damping: float,
+) -> DataFrame:
+    """One power-iteration update: ranks -> next ranks.
+
+    Shuffles only (node, mass) pairs; the 1-row dangling aggregate is
+    a bounded scalar broadcast (the documented BNL pattern)."""
+    # mass arriving over edges this round
+    contrib = (
+        frac.join(
+            ranks.withColumnRenamed("node", "src"), "src"
+        )
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum(F.col("rank") * F.col("frac")).alias("in_mass"))
+    )
+    # dangling nodes' mass redistributes uniformly (keeps sum = 1)
+    dangling_row = (
+        ranks.join(has_out, "node", "left_anti")
+        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling"))
+    )
+    return (
+        nodes.join(contrib, "node", "left")
+        .crossJoin(F.broadcast(dangling_row))
+        .select(
+            "node",
+            (
+                F.lit((1.0 - damping) / n)
+                + damping
+                * (
+                    F.coalesce(F.col("in_mass"), F.lit(0.0))
+                    + F.col("dangling") / n
+                )
+            ).alias("rank"),
+        )
+    )
+
+
+def pagerank_round_plan(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    damping: float = 0.85,
+) -> DataFrame:
+    """The UN-checkpointed single-round update plan, for inspection.
+
+    ``pagerank`` checkpoints each round, so the frame it returns plans
+    as a scan of materialized rows — correct, but it hides the
+    per-round physical shape from ``.explain``. This helper builds
+    exactly one round on top of the uniform start without any
+    checkpoint: what you see (one frac-to-ranks equi-join feeding a
+    (node, mass) aggregate, one left join onto the node universe, one
+    1-row dangling broadcast) is what every round executes. Used by
+    ``tools/plan_audit.py`` and the plan tests; not a compute API.
+    """
+    frac, nodes = _normalize(edges, src_col, dst_col, weight_col)
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    has_out = frac.select(F.col("src").alias("node")).distinct()
+    return _round(nodes, frac, has_out, ranks, n, damping)
 
 
 def pagerank(
@@ -40,13 +151,30 @@ def pagerank(
     iters: int = 15,
     damping: float = 0.85,
     checkpoint_every: int = 1,
+    tol: float | None = None,
 ) -> DataFrame:
     """Weighted PageRank over a directed edge list.
 
     ``rank(v) = (1 - d) / n + d * (sum_{u->v} rank(u) * w(u,v) /
-    out(u) + dangling / n)`` iterated ``iters`` times from the uniform
-    start; ``w/out(u)`` are edge-weight fractions (uniform when
+    out(u) + dangling / n)`` iterated up to ``iters`` times from the
+    uniform start; ``w/out(u)`` are edge-weight fractions (uniform when
     ``weight_col`` is None). Returns (node, rank) — ranks sum to 1.
+
+    Every node appearing in the edge list gets a rank row, including
+    nodes whose only edges carry zero/negative/null weight — such
+    nodes transfer no mass (they are dangling; their mass
+    redistributes uniformly), but they are never silently dropped
+    from the result or from ``n``.
+
+    ``tol``: optional early exit — after each round a 1-row aggregate
+    computes the L1 delta ``sum(|rank - prev_rank|)`` (the same
+    driver-side convergence-signature pattern as the
+    ``dedup_components`` loop: one scalar per round crosses to the
+    driver, never the ranks). Iteration stops when the delta drops
+    below ``tol``, so production callers don't pay fixed rounds on an
+    already-converged graph; ``iters`` remains the hard cap. With
+    ``tol`` set, every round checkpoints (the delta reads both the
+    old and new frame — un-checkpointed that doubles the tail).
 
     Deterministic: same edges, same parameters, same ranks (the only
     float-order variance is partial-sum ordering inside a round,
@@ -58,70 +186,19 @@ def pagerank(
         raise ValueError(
             f"checkpoint_every must be >= 1, got {checkpoint_every}"
         )
-    w = (
-        F.col(weight_col).cast("double")
-        if weight_col is not None
-        else F.lit(1.0)
-    )
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
-        w.alias("w"),
-        # zero/negative/null weights carry no mass — kept, they would
-        # make out_w = 0 for an all-zero source, its fractions null,
-        # and that node neither transfers NOR counts as dangling: its
-        # rank silently leaks every round and the result stops being a
-        # distribution. Dropping them up front means such a source is
-        # honestly dangling (mass redistributes) and sum(rank) stays 1.
-    ).filter(F.col("w") > 0)
-    # out-weight normalization: each edge carries the FRACTION of its
-    # source's mass it transfers — computed once, reused every round
-    out = e.groupBy("src").agg(F.sum("w").alias("out_w"))
-    frac = (
-        e.join(out, "src")
-        .withColumn("frac", F.col("w") / F.col("out_w"))
-        .select("src", "dst", "frac")
-        .localCheckpoint(eager=True)
-    )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    if tol is not None and tol <= 0.0:
+        raise ValueError(f"tol must be positive when set, got {tol}")
+    frac, nodes = _normalize(edges, src_col, dst_col, weight_col)
+    frac = frac.localCheckpoint(eager=True)
+    nodes = nodes.localCheckpoint(eager=True)
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     has_out = frac.select(F.col("src").alias("node")).distinct()
     for it in range(iters):
-        # mass arriving over edges this round
-        contrib = (
-            frac.join(
-                ranks.withColumnRenamed("node", "src"), "src"
-            )
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("rank") * F.col("frac")).alias("in_mass"))
-        )
-        # dangling nodes' mass redistributes uniformly (keeps sum = 1)
-        dangling_row = (
-            ranks.join(has_out, "node", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling"))
-        )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(dangling_row))
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + damping
-                    * (
-                        F.coalesce(F.col("in_mass"), F.lit(0.0))
-                        + F.col("dangling") / n
-                    )
-                ).alias("rank"),
-            )
-        )
+        prev = ranks
+        ranks = _round(nodes, frac, has_out, ranks, n, damping)
         # per-round checkpointing is the scale-correct default: ranks
         # is read TWICE per round (contributions + dangling), so an
         # un-checkpointed tail re-executes 2^depth times — at real
@@ -132,6 +209,23 @@ def pagerank(
         # dominates AND the caller has measured the trade. The LAST
         # round always checkpoints so callers get a materialized
         # result.
-        if it % checkpoint_every == checkpoint_every - 1 or it == iters - 1:
+        if (
+            tol is not None
+            or it % checkpoint_every == checkpoint_every - 1
+            or it == iters - 1
+        ):
             ranks = ranks.localCheckpoint(eager=True)
+        if tol is not None:
+            delta = (
+                ranks.join(
+                    prev.select(
+                        "node", F.col("rank").alias("prev_rank")
+                    ),
+                    "node",
+                )
+                .agg(F.sum(F.abs(F.col("rank") - F.col("prev_rank"))))
+                .head()[0]
+            )
+            if delta is not None and delta < tol:
+                break
     return ranks

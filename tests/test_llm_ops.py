@@ -1074,3 +1074,158 @@ def test_pagerank_distribution_weights_and_dangling(spark):
     assert abs(ru["b"] - ru["c"]) < 1e-12
     with pytest.raises(ValueError, match="damping"):
         pagerank(edges, damping=1.5)
+
+
+def test_pagerank_tol_early_exit_and_zero_weight_nodes(spark):
+    """Round-7 hardening: (a) tol= early exit must terminate before
+    the iteration cap on a converged graph and land within tol of the
+    fixed-iteration ranks; (b) a node whose ONLY edges carry zero/
+    null weight still gets a rank row (it is dangling, not dropped) —
+    the node universe comes from the unfiltered edge list."""
+    from cassandrastack_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 2.0),
+            ("b", "a", 1.0),
+            ("a", "c", 1.0),
+            ("c", "a", 1.0),
+        ],
+        ["src", "dst", "w"],
+    )
+    fixed = {
+        r.node: r.rank
+        for r in pagerank(edges, weight_col="w", iters=40).collect()
+    }
+    early = {
+        r.node: r.rank
+        for r in pagerank(
+            edges, weight_col="w", iters=40, tol=1e-7
+        ).collect()
+    }
+    assert set(early) == set(fixed)
+    assert all(abs(early[n] - fixed[n]) < 1e-6 for n in fixed), (
+        fixed,
+        early,
+    )
+    with pytest.raises(ValueError, match="tol"):
+        pagerank(edges, weight_col="w", tol=0.0)
+
+    # zero-weight-only node: x -> y with w=0 (plus null weight y -> x).
+    # Both x and y must appear in the result as dangling nodes; ranks
+    # still sum to 1 over the FULL node universe.
+    ez = spark.createDataFrame(
+        [
+            ("a", "b", 1.0),
+            ("b", "a", 1.0),
+            ("x", "y", 0.0),
+            ("y", "x", None),
+        ],
+        ["src", "dst", "w"],
+    )
+    rz = {r.node: r.rank for r in pagerank(ez, weight_col="w").collect()}
+    assert set(rz) == {"a", "b", "x", "y"}, (
+        "zero/null-weight-only nodes must keep a rank row"
+    )
+    assert abs(sum(rz.values()) - 1.0) < 1e-9, rz
+    assert rz["x"] > 0 and rz["y"] > 0
+    assert rz["a"] > rz["x"], "mass-bearing nodes outrank pure-dangling"
+
+
+def test_extend_bm25_same_id_reextend_is_last_writer(spark, tmp_path):
+    """The same-id contract (round-7 ADVICE): re-extending an indexed
+    doc_id with DIFFERENT text must be a clean overwrite — the probe
+    ranks the corpus as if only the newest version ever existed (old
+    version's terms stop matching; no tf merge across versions)."""
+    from cassandrastack_spark.llm.retrieval import (
+        bm25_rank,
+        build_bm25_index,
+        extend_bm25_index,
+        probe_bm25_index,
+    )
+
+    v1 = spark.createDataFrame(
+        [
+            (1, "vector vector vector pad"),
+            (2, "stream join pad pad"),
+            (3, "noise noise noise noise"),
+        ],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "bm25_lw")
+    build_bm25_index(v1, path)
+    # doc 1 rewritten: drops 'vector' entirely, now about 'stream'
+    v2_doc1 = spark.createDataFrame(
+        [(1, "stream stream pad pad pad")], ["doc_id", "text"]
+    )
+    extend_bm25_index(v2_doc1, path)
+    current = spark.createDataFrame(
+        [
+            (1, "stream stream pad pad pad"),
+            (2, "stream join pad pad"),
+            (3, "noise noise noise noise"),
+        ],
+        ["doc_id", "text"],
+    )
+    for terms in (["vector"], ["stream", "join"], ["vector", "stream"]):
+        got = [
+            tuple(r)
+            for r in probe_bm25_index(spark, path, terms, k=10).collect()
+        ]
+        want = [
+            tuple(r) for r in bm25_rank(current, terms, k=10).collect()
+        ]
+        assert got == want, (terms, got, want)
+    # the old version must not linger: 'vector' now matches nothing
+    assert probe_bm25_index(spark, path, ["vector"], k=10).count() == 0
+
+
+def test_tfidf_from_index_matches_from_scratch(spark, docs, tmp_path):
+    """tfidf_weights_from_index / tfidf_topk_similar_from_index must
+    reproduce the raw-text path exactly (weights AND ranks) from the
+    persisted postings alone — the production shape where document
+    similarity never re-tokenizes the corpus — including after an
+    extend and under a df cap."""
+    from cassandrastack_spark.llm.retrieval import (
+        build_bm25_index,
+        extend_bm25_index,
+        tfidf_topk_similar,
+        tfidf_topk_similar_from_index,
+        tfidf_weights,
+        tfidf_weights_from_index,
+    )
+
+    path = str(tmp_path / "bm25_tfidf")
+    base = docs.select("doc_id", "text")
+    build_bm25_index(base, path)
+
+    def _rows(df):
+        return sorted(
+            (r.doc_id, r.w, round(r.weight, 9), round(r.norm, 9))
+            for r in df.collect()
+        )
+
+    assert _rows(tfidf_weights_from_index(spark, path)) == _rows(
+        tfidf_weights(base)
+    )
+    got = tfidf_topk_similar_from_index(spark, path, [1, 2, 3], k=5)
+    want = tfidf_topk_similar(base, [1, 2, 3], k=5)
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in want.collect()
+    )
+    new = spark.createDataFrame(
+        [(90_011, "vector stream vector join pad"),
+         (90_012, "alpha beta gamma delta")],
+        ["doc_id", "text"],
+    )
+    extend_bm25_index(new, path)
+    full = base.unionByName(new)
+    got2 = tfidf_topk_similar_from_index(
+        spark, path, [1, 90_011], k=5, max_df_ratio=0.9
+    )
+    want2 = tfidf_topk_similar(full, [1, 90_011], k=5, max_df_ratio=0.9)
+    assert sorted(tuple(r) for r in got2.collect()) == sorted(
+        tuple(r) for r in want2.collect()
+    )
+    with pytest.raises(ValueError, match="at least one probe id"):
+        tfidf_topk_similar_from_index(spark, path, [])

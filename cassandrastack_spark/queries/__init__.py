@@ -54,74 +54,72 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # first (in this order); everything else follows in registration order.
 # A name here that is not registered is ignored.
 #
-# Round-6 rotation (VERDICT r5 lead item): (a) the seven queries new
-# this round (approx data-quality + approx percentile profiles, BM25
-# top-k, TF-IDF similarity, label cohesion, hybrid RRF, PageRank),
-# (b) ALL 41 queries whose newest official row
-# is round-3-era (stream_*/mm_*/text_*/dedup_*/corpus_* + anomaly/
-# rolling_wau_hll/decontam) — their code is unchanged but adjacent
-# helpers (streaming/ops.py, llm/dedup.py) keep being refactored, so
-# the stale greens were the one remaining verification debt, and
-# (c) 2 round-4-era backfills (dq exact twin + range join)
-# (incl. dq_profile_lineitem, the exact twin of the new approx query).
+# Round-7 rotation (VERDICT r6 lead item): (a) the two queries new
+# this round (persisted-index retrieval compositions — probe paths
+# over the BM25 postings and IVF+PQ codes indexes instead of raw
+# text/floats), (b) ALL 44 queries whose newest official row is
+# round-4-era (TPC-H, analytics, asof/range/window, gapfill, rollup)
+# — their code is unchanged but analytics_ext.py keeps growing, and
+# after this window every registry query's row is <= 2 rounds old
+# (the full catalog has cycled once under the window contract), and
+# (c) 4 re-confirms of queries whose backing modules WERE edited this
+# round (retrieval.py epoch/last-writer + persist change touches
+# text_bm25_topk / text_tfidf_sim_topk / ann_hybrid_rrf_topk;
+# graph.py node-universe + tol change touches graph_pagerank_events).
 _FRONT: tuple[str, ...] = (
     # -- new this round --
-    "dq_profile_lineitem_approx",
+    "ann_hybrid_rrf_indexed",
+    "text_tfidf_sim_indexed",
+    # -- modules edited this round: re-confirm --
     "text_bm25_topk",
     "text_tfidf_sim_topk",
-    "embedding_label_cohesion",
     "ann_hybrid_rrf_topk",
     "graph_pagerank_events",
-    "percentiles_acctbal_approx",
-    # -- round-3-era rows: re-confirm on current code (41) --
-    "anomaly_cusum_changepoint",
-    "corpus_domain_cap",
-    "corpus_mix_weights",
-    "corpus_pack_bins",
-    "corpus_prepare_pipeline",
-    "corpus_quality_filter",
-    "corpus_source_profile",
-    "corpus_split_hash",
-    "corpus_stratified_sample",
-    "decontam_ngram_overlap",
-    "dedup_cluster_components",
-    "dedup_containment_ngram",
-    "dedup_exact",
-    "dedup_incremental_minhash",
-    "dedup_ngram_jaccard",
-    "dedup_paragraph_spans",
-    "dedup_simhash",
-    "mm_binary_meta",
-    "mm_feature_extract",
-    "mm_frame_sample",
-    "mm_resize_images",
-    "rolling_wau_hll",
-    "stream_click_view_join",
-    "stream_dedup_events",
-    "stream_session_append",
-    "stream_session_windows",
-    "stream_sliding_append",
-    "stream_sliding_counts",
-    "stream_stateful_totals",
-    "stream_static_enrich",
-    "stream_tumbling_append",
-    "stream_tumbling_hourly",
-    "stream_windowed_topk",
-    "text_bpe_tokens",
-    "text_fingerprint",
-    "text_langid",
-    "text_pii_redact",
-    "text_repetition",
-    "text_stats",
-    "text_top_terms_udtf",
-    "text_unigram_logprob",
-    # -- round-4-era backfill to 50 (rolling_wau, text_word_entropy,
-    # gapfill_interpolate_hourly, hypertable_rollup_daily,
-    # q1_pricing_summary and asof_join_latest_order yielded their
-    # slots to the queries new this round: a query with NO official
-    # row outranks a round-4 green) --
-    "dq_profile_lineitem",
-    "range_join_event_pairs",
+    # -- round-4-era rows: re-confirm on current code (44) --
+    "agg_distinct",
+    "anomaly_trailing_zscore",
+    "anti_join_no_orders",
+    "asof_join_latest_order",
+    "asof_join_next_order",
+    "corpus_chunk_sliding",
+    "corpus_shard_shuffle",
+    "correlated_above_avg",
+    "cube_orders",
+    "date_null_functions",
+    "dq_referential_orphans",
+    "full_outer_nation_accounts",
+    "gapfill_interpolate_hourly",
+    "gapfill_locf_hourly",
+    "hypertable_rollup_daily",
+    "lateral_explode_tokens",
+    "map_functions",
+    "q11_important_volume",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_parts_supplier_cnt",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customer",
+    "q19_discounted_revenue",
+    "q1_pricing_summary",
+    "q20_heavy_shippers",
+    "q21_sole_returned_supplier",
+    "q22_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "rolling_wau",
+    "rollup_acctbal",
+    "semi_join_open_orders",
+    "stats_regression_lineitem",
+    "text_word_entropy",
+    "topn_per_group",
+    "union_all_with_source",
+    "window_dist_functions",
+    "window_range_frames",
 )
 
 

@@ -1229,3 +1229,26 @@ def test_tfidf_from_index_matches_from_scratch(spark, docs, tmp_path):
     )
     with pytest.raises(ValueError, match="at least one probe id"):
         tfidf_topk_similar_from_index(spark, path, [])
+
+
+def test_indexed_retrieval_queries_match_from_scratch_twins(spark):
+    """The persisted-index registry queries must return EXACTLY what
+    their from-scratch twins return at the same sf_dir — the
+    composition guarantee behind sharing the twins' oracles: the BM25
+    probe is exact by construction, the full-width IVF+PQ probe's
+    exact re-rank recovers brute-force cosine, and TF-IDF from stored
+    postings reproduces the raw-text floats."""
+    from cassandrastack_spark.queries import REGISTRY, load_all
+
+    load_all()
+    sf = SF
+    for indexed, scratch in [
+        ("text_tfidf_sim_indexed", "text_tfidf_sim_topk"),
+        ("ann_hybrid_rrf_indexed", "ann_hybrid_rrf_topk"),
+    ]:
+        got = REGISTRY[indexed].fn(spark, sf)
+        want = REGISTRY[scratch].fn(spark, sf)
+        assert got.columns == want.columns, (indexed, got.columns)
+        assert sorted(tuple(r) for r in got.collect()) == sorted(
+            tuple(r) for r in want.collect()
+        ), indexed

@@ -690,12 +690,17 @@ def ingest_vectors(
     """Streaming vector ingest into a persisted IVF+PQ index — the
     embedding-side twin of ``ingest_with_dedup``: each micro-batch
 
-    1. collapses in-batch id duplicates (first row per id wins) AND
+    1. collapses in-batch id duplicates (first row per id wins),
        in-batch bit-identical vectors (lowest id wins — without this,
        an availableNow backlog replayed as one batch would land every
-       copy of a duplicate cluster; near-identical-but-not-bit-equal
-       in-batch pairs remain a documented gap, since the probe in
-       step 2 only sees previously ACCEPTED vectors),
+       copy of a duplicate cluster), and — when ``reject_cosine`` is
+       set — in-batch NEAR-identical vectors: an exact batch-vs-batch
+       cosine pass (``cosine_pairs_above``, cost bounded by the batch
+       size, never the corpus) feeds connected components and the
+       lowest id per near-dup cluster survives (the probe in step 2
+       only sees previously ACCEPTED vectors, so without this pass
+       two noise-perturbed copies arriving in ONE batch would both
+       land permanently),
     2. optionally rejects vectors whose exact re-ranked cosine vs any
        ACCEPTED vector is ≥ ``reject_cosine`` (embedding near-dup
        rejection — probed through the index, so only nprobe lists'
@@ -761,6 +766,32 @@ def ingest_vectors(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
+        if reject_cosine is not None:
+            # in-batch NEAR-dup collapse (batch-vs-batch, bounded):
+            # exact cosine pairs at the rejection threshold →
+            # connected components → lowest id per cluster survives.
+            # Runs on the FIRST batch too (it builds the index and
+            # never probes), and before the corpus probe on later
+            # batches so a near-dup cluster arriving inside one
+            # availableNow backlog lands exactly once. Cost is the
+            # triangle-block self-join over THIS batch only.
+            from cassandrastack_spark.llm.dedup import dedup_components
+            from cassandrastack_spark.llm.simsearch import (
+                cosine_pairs_above,
+            )
+
+            pairs = cosine_pairs_above(
+                batch_df, id_col=id_col, vec_col=vec_col,
+                threshold=reject_cosine, method="exact",
+            ).select("a_id", "b_id")
+            losers = (
+                dedup_components(pairs)
+                .filter(F.col("id") != F.col("component"))
+                .select(F.col("id").alias(id_col))
+            )
+            batch_df = batch_df.join(
+                losers, id_col, "left_anti"
+            ).localCheckpoint(eager=True)
         if not _fs_exists(spark, index_path + "/_meta") or not _fs_exists(spark, accepted_path):
             survivors = batch_df
             build_ivfpq_index(

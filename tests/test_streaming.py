@@ -621,3 +621,74 @@ def test_ingest_with_dedup_maintains_bm25_index(spark, tmp_path):
     assert 11 not in {
         r.doc_id for r in got.collect()
     }, "rejected near-dup never entered the postings"
+
+
+def test_stream_ingest_vectors_in_batch_near_dup_collapse(spark, tmp_path):
+    """Round-7 regression (VERDICT r6 #4): two NOISE-PERTURBED copies
+    of the same vector (near-identical, different bits) arriving in
+    ONE availableNow batch must collapse to the lowest id before the
+    corpus probe — previously only bit-identical in-batch pairs
+    collapsed, so both copies landed permanently. A transitive chain
+    (a~b~c) keeps exactly its component minimum."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from cassandrastack_spark.streaming.ops import ingest_vectors
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ])
+    d = tmp_path / "vecs_in2"
+    d.mkdir()
+    base = [1.0, 0.0, 0.0, 0.0, 0.2, 0.0, 0.0, 0.0]
+    near = [1.0, 0.001, 0.0, 0.0, 0.2, 0.001, 0.0, 0.0]   # ~cos 1.0 to base
+    nearer = [1.0, 0.002, 0.0, 0.0, 0.2, 0.002, 0.0, 0.0]  # chains via near
+    other = [0.0, 1.0, 0.0, 0.0, 0.0, 0.3, 0.0, 0.0]
+    far = [0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.5]
+
+    def write(name, rows):
+        pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False), str(d / name)
+        )
+
+    def run():
+        src = spark.readStream.schema(schema).parquet(str(d))
+        q = ingest_vectors(
+            src, str(tmp_path / "ivfpq2"), str(tmp_path / "acc_vecs2"),
+            reject_cosine=0.98, k_centroids=2, m_sub=4, k_codes=2,
+            checkpoint=str(tmp_path / "vckpt2"))
+        q.awaitTermination(120)
+
+    # ONE batch: a near-dup cluster {5, 6, 7} (chained) + 2 novel
+    write("b1.parquet", [(6, near), (5, base), (7, nearer),
+                         (20, other), (21, far)])
+    run()
+    ids = sorted(
+        r.vec_id
+        for r in spark.read.parquet(str(tmp_path / "acc_vecs2")).collect()
+    )
+    assert ids == [5, 20, 21], (
+        f"in-batch near-dup cluster must keep only its min id: {ids}"
+    )
+    idx_ids = sorted(
+        r.neighbor_id
+        for r in spark.read.parquet(str(tmp_path / "ivfpq2")).collect()
+    )
+    assert idx_ids == [5, 20, 21], "index holds survivors only"
+
+    # a later batch replaying one of the collapsed ids still rejects
+    # against the accepted corpus (5 is accepted, 6 is its near-dup)
+    write("b2.parquet", [(6, near)])
+    run()
+    ids = sorted(
+        r.vec_id
+        for r in spark.read.parquet(str(tmp_path / "acc_vecs2")).collect()
+    )
+    assert ids == [5, 20, 21], f"cross-batch near-dup still rejected: {ids}"

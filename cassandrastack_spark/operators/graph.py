@@ -131,10 +131,16 @@ def pagerank_round_plan(
     exactly one round on top of the uniform start without any
     checkpoint: what you see (one frac-to-ranks equi-join feeding a
     (node, mass) aggregate, one left join onto the node universe, one
-    1-row dangling broadcast) is what every round executes. Used by
-    ``tools/plan_audit.py`` and the plan tests; not a compute API.
+    1-row dangling broadcast) is what every round executes. ``frac``
+    and ``nodes`` ARE checkpointed, exactly as in ``pagerank`` — they
+    are round-invariant inputs, and leaving them lazy would make the
+    explain show the edge-construction pipeline once per consumer
+    instead of the round itself. Used by ``tools/plan_audit.py`` and
+    the plan tests; not a compute API.
     """
     frac, nodes = _normalize(edges, src_col, dst_col, weight_col)
+    frac = frac.localCheckpoint(eager=True)
+    nodes = nodes.localCheckpoint(eager=True)
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))

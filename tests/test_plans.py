@@ -226,3 +226,38 @@ def test_ngram_novelty_never_joins_on_shingle_hash(spark, registry):
     # the election aggregate over the hash key partial-combines before
     # its shuffle (hot keys collapse map-side)
     assert "partial_min" in plan, plan
+
+
+def test_pagerank_round_plan_is_flat_and_constant(spark):
+    """Round-7 audit contract: one PageRank round is a CONSTANT-size
+    plan — a frac-to-ranks equi-join feeding the (node, mass)
+    aggregate, the left join onto the node universe, the dangling
+    anti-join, and exactly ONE bounded 1-row BNL (the dangling-mass
+    scalar broadcast). And the frame pagerank() returns is a
+    post-checkpoint scan with NO joins at all — per-round
+    localCheckpoint keeps lineage flat instead of stacking rounds."""
+    from cassandrastack_spark.operators.graph import (
+        pagerank,
+        pagerank_round_plan,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b", 2.0), ("b", "c", 1.0), ("c", "a", 1.0),
+         ("a", "d", 1.0)],
+        ["src", "dst", "w"],
+    )
+    plan = phys(pagerank_round_plan(edges, weight_col="w"))
+    nodes = re.findall(r"^\(\d+\) (\w+)", plan, flags=re.M) or re.findall(
+        r"^\s*[+:*-]*\s*(\w+)", plan, flags=re.M
+    )
+    joins = [n for n in nodes if "Join" in n or n == "CartesianProduct"]
+    assert joins, plan
+    assert len(joins) <= 5, f"round plan must stay constant-size: {joins}"
+    assert joins.count("BroadcastNestedLoopJoin") <= 1, joins
+    assert "CartesianProduct" not in joins, joins
+
+    final = phys(pagerank(edges, weight_col="w", iters=3))
+    assert "Join" not in final, (
+        "pagerank() must return a post-checkpoint scan, not stacked "
+        "round lineage:\n" + final
+    )

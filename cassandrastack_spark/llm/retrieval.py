@@ -519,3 +519,68 @@ def tfidf_topk_similar_from_index(
         )
     vecs = tfidf_weights_from_index(spark, path, max_df_ratio)
     return _cosine_topk_from_vecs(vecs, probe_ids, k)
+
+
+def compact_bm25_index(spark, path: str) -> None:
+    """Maintenance for the epoch-stamped postings: every extend appends
+    files, and superseded epochs (same-id re-extends, byte-identical
+    replays) accrete as dead rows — probe cost becomes file-open
+    latency plus stale-row filtering. Rewrite each term-bucket
+    partition to (a) only each doc's NEWEST-epoch postings, collapsed
+    per (w, doc_id), and (b) sorted-by-term files, using the same
+    object-store-safe staged commit as ``compact_dedup_index`` /
+    ``storage.py compact()``: stage next to the index, dynamic-
+    overwrite one ``tb=`` directory per commit so concurrent probes
+    always see a complete bucket, drop staging via the FileSystem API.
+
+    Epochs are PRESERVED, not renumbered — the per-doc max epoch in
+    ``_doclen`` must keep matching the postings' stamps at every
+    interleaving with a concurrent probe, so renumbering is unsafe
+    without quiescing. Consequences, documented: ``_doclen`` is left
+    as-is (it accretes one tiny row per doc per write; the max_by
+    resolution already handles it, and it compacts on rebuild), and a
+    bucket whose every posting is superseded keeps its stale files
+    (dynamic overwrite only touches partitions present in the new
+    data) — harmless, the epoch filter drops them at read.
+    """
+    import uuid as _uuid
+
+    cur = (
+        spark.read.parquet(path + "/_doclen")
+        .groupBy("doc_id")
+        .agg(F.max("epoch").alias("cur_epoch"))
+    )
+    live = (
+        spark.read.parquet(path)
+        .join(cur, "doc_id")
+        .filter(F.col("epoch") == F.col("cur_epoch"))
+        .groupBy("tb", "w", "doc_id", "epoch")
+        .agg(F.max("tf").alias("tf"))
+        .select("w", "doc_id", "tf", "epoch", "tb")
+    )
+    stage = f"{path}.compacting-{_uuid.uuid4().hex[:12]}"
+    (
+        live.repartition("tb")
+        .sortWithinPartitions("tb", "w")
+        .write.mode("overwrite")
+        .partitionBy("tb")
+        .parquet(stage)
+    )
+    staged = spark.read.parquet(stage)
+    conf = spark.conf
+    prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            staged.repartition("tb")
+            .sortWithinPartitions("tb", "w")
+            .write.mode("overwrite")
+            .partitionBy("tb")
+            .parquet(path)
+        )
+    finally:
+        conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    jvm = spark._jvm
+    stage_path = jvm.org.apache.hadoop.fs.Path(stage)
+    fs = stage_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(stage_path, True)

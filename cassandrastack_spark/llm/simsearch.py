@@ -1406,6 +1406,18 @@ def probe_ivfpq_index(
         pairs.withColumn("srank", F.row_number().over(w_s))
         .filter(F.col("srank") <= shortlist)
         .select("query_id", "neighbor_id", "q_unit")
+        # an id indexed more than once (the extend->marker crash
+        # window replaying an extend, or a direct caller re-extending
+        # an id) yields duplicate code rows; without this collapse the
+        # duplicate would ride into the re-rank and surface as TWO
+        # result rows for one neighbor. Shortlist-bounded, so the
+        # dedup is cheap; duplicates may still consume shortlist
+        # slots (a recall nibble proportional to the duplication
+        # factor, never a correctness issue). Same-id re-extends with
+        # CHANGED vectors also resolve correctly downstream: the
+        # re-rank fetches floats from the CORPUS by id, so the
+        # current vector is the truth no matter which code row won.
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     c_floats = _unit_vecs(corpus, id_col, vec_col, "neighbor_id", "c_unit")
     # `corpus` must cover every indexed id (the index stores codes

@@ -1252,3 +1252,108 @@ def test_indexed_retrieval_queries_match_from_scratch_twins(spark):
         assert sorted(tuple(r) for r in got.collect()) == sorted(
             tuple(r) for r in want.collect()
         ), indexed
+
+
+def test_compact_bm25_index_drops_superseded_epochs(spark, tmp_path):
+    """compact_bm25_index: after a same-id re-extend plus a replayed
+    (duplicate) extend, compaction must physically drop superseded-
+    epoch and duplicate postings rows while every probe stays
+    byte-identical to the pre-compaction answer (== bm25_rank on the
+    current corpus)."""
+    from cassandrastack_spark.llm.retrieval import (
+        bm25_rank,
+        build_bm25_index,
+        compact_bm25_index,
+        extend_bm25_index,
+        probe_bm25_index,
+    )
+
+    v1 = spark.createDataFrame(
+        [
+            (1, "vector vector vector pad"),
+            (2, "stream join pad pad"),
+            (3, "noise noise noise noise"),
+        ],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "bm25_cmp")
+    build_bm25_index(v1, path)
+    rewrite = spark.createDataFrame(
+        [(1, "stream stream pad pad pad")], ["doc_id", "text"]
+    )
+    extend_bm25_index(rewrite, path)
+    newdoc = spark.createDataFrame(
+        [(4, "vector join vector pad")], ["doc_id", "text"]
+    )
+    extend_bm25_index(newdoc, path)
+    extend_bm25_index(newdoc, path)  # replayed extend (duplicate copy)
+    current = spark.createDataFrame(
+        [
+            (1, "stream stream pad pad pad"),
+            (2, "stream join pad pad"),
+            (3, "noise noise noise noise"),
+            (4, "vector join vector pad"),
+        ],
+        ["doc_id", "text"],
+    )
+
+    def probe_all():
+        return {
+            t: [
+                tuple(r)
+                for r in probe_bm25_index(spark, path, [t], k=10).collect()
+            ]
+            for t in ("vector", "stream", "join", "pad")
+        }
+
+    before = probe_all()
+    n_rows_before = spark.read.parquet(path).count()
+    compact_bm25_index(spark, path)
+    after = probe_all()
+    assert after == before
+    for t in ("vector", "stream", "join"):
+        want = [
+            tuple(r) for r in bm25_rank(current, [t], k=10).collect()
+        ]
+        assert after[t] == want, (t, after[t], want)
+    # physically: one row per live (w, doc_id), superseded epochs gone
+    idx = spark.read.parquet(path)
+    n_rows_after = idx.count()
+    assert n_rows_after < n_rows_before, (n_rows_before, n_rows_after)
+    assert (
+        idx.groupBy("w", "doc_id").count().filter("count > 1").count() == 0
+    ), "compaction must leave one postings row per (w, doc_id)"
+    # doc 1's old 'vector' posting must be physically gone, and doc
+    # 4's replay duplicate collapsed
+    assert idx.filter("doc_id = 1 AND w = 'vector'").count() == 0
+
+
+def test_probe_ivfpq_index_collapses_duplicate_indexed_ids(spark, tmp_path):
+    """A vector id indexed twice (replayed extend — the crash window
+    the epoch markers narrow but cannot close) must surface at most
+    ONCE per query in probe results, with distinct ranks across
+    distinct neighbors."""
+    from cassandrastack_spark.llm.simsearch import (
+        build_ivfpq_index,
+        extend_ivfpq_index,
+        probe_ivfpq_index,
+    )
+
+    rows = [
+        (i, [float(i == j) + 0.1 * ((i * 7 + j) % 3) for j in range(8)])
+        for i in range(12)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    path = str(tmp_path / "ivfpq_dup")
+    build_ivfpq_index(emb, path, k_centroids=2, m_sub=4, k_codes=4)
+    dup = emb.filter(F.col("vec_id").isin([3, 5]))
+    extend_ivfpq_index(dup, path)  # replayed extend: ids 3, 5 now twice
+    q = emb.filter(F.col("vec_id") == 0)
+    got = probe_ivfpq_index(
+        spark, path, q, emb, k=8, nprobe=2, shortlist=64
+    ).collect()
+    neighbors = [r.neighbor_id for r in got]
+    assert len(neighbors) == len(set(neighbors)), (
+        f"duplicate indexed id must not duplicate result rows: {neighbors}"
+    )
+    assert sorted(r.rank for r in got) == list(range(1, len(got) + 1))

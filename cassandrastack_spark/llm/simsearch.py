@@ -1458,3 +1458,60 @@ def probe_ivfpq_index(
         .filter(F.col("rank") <= k)
         .select(*cols)
     )
+
+
+def compact_ivfpq_index(spark, path: str) -> None:
+    """Small-file + replay-duplicate maintenance for the IVF+PQ codes
+    index: every ``extend_ivfpq_index`` appends a few files per
+    ``cid=`` partition, and the extend->marker crash window can land a
+    batch's codes twice. Rewrite each list partition to one sorted
+    file set with codes collapsed per (cid, neighbor_id) — replayed
+    copies are byte-identical and assign to the same list, so the
+    collapse is exact. Same object-store-safe protocol as
+    ``compact_bm25_index`` / ``compact_dedup_index``: staged commit,
+    dynamic overwrite one ``cid=`` directory at a time (concurrent
+    probes always see a complete list), staging dropped via the
+    FileSystem API.
+
+    Scope, documented: a same-id re-extend with a CHANGED vector can
+    assign the id to a DIFFERENT list; the two rows then live in two
+    partitions and within-list collapsing cannot merge them (cross-
+    partition moves are rebuild territory — dynamic overwrite cannot
+    retire a partition it writes no rows into). That state stays
+    correct at probe time regardless: ``probe_ivfpq_index`` collapses
+    duplicate ids in the shortlist and re-ranks on the CORPUS floats.
+    """
+    import uuid as _uuid
+
+    codes = spark.read.parquet(path)
+    live = (
+        codes.groupBy("cid", "neighbor_id")
+        .agg(F.max("codes").alias("codes"))
+        .select("cid", "neighbor_id", "codes")
+    )
+    stage = f"{path}.compacting-{_uuid.uuid4().hex[:12]}"
+    (
+        live.repartition("cid")
+        .sortWithinPartitions("cid", "neighbor_id")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(stage)
+    )
+    staged = spark.read.parquet(stage)
+    conf = spark.conf
+    prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            staged.repartition("cid")
+            .sortWithinPartitions("cid", "neighbor_id")
+            .write.mode("overwrite")
+            .partitionBy("cid")
+            .parquet(path)
+        )
+    finally:
+        conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    jvm = spark._jvm
+    stage_path = jvm.org.apache.hadoop.fs.Path(stage)
+    fs = stage_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(stage_path, True)

@@ -116,6 +116,49 @@ def _round(
     )
 
 
+def _round_personalized(
+    nodes_r: DataFrame,
+    frac: DataFrame,
+    has_out: DataFrame,
+    ranks: DataFrame,
+    damping: float,
+) -> DataFrame:
+    """One personalized power-iteration update: the teleport AND the
+    dangling redistribution both follow the reset distribution ``r``
+    (a column on ``nodes_r``, summing to 1) instead of 1/n — the
+    topic-sensitive/seeded variant (Haveliwala 2002): mass
+    concentrates around the seed set. Kept separate from ``_round``
+    so the uniform path's float sequence (and its unrolled DuckDB
+    oracle) stays bit-for-bit unchanged."""
+    contrib = (
+        frac.join(
+            ranks.withColumnRenamed("node", "src"), "src"
+        )
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum(F.col("rank") * F.col("frac")).alias("in_mass"))
+    )
+    dangling_row = (
+        ranks.join(has_out, "node", "left_anti")
+        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling"))
+    )
+    return (
+        nodes_r.join(contrib, "node", "left")
+        .crossJoin(F.broadcast(dangling_row))
+        .select(
+            "node",
+            (
+                F.lit(1.0 - damping) * F.col("r")
+                + damping
+                * (
+                    F.coalesce(F.col("in_mass"), F.lit(0.0))
+                    + F.col("dangling") * F.col("r")
+                )
+            ).alias("rank"),
+            "r",
+        )
+    )
+
+
 def pagerank_round_plan(
     edges: DataFrame,
     src_col: str = "src",
@@ -158,6 +201,9 @@ def pagerank(
     damping: float = 0.85,
     checkpoint_every: int = 1,
     tol: float | None = None,
+    reset: DataFrame | None = None,
+    reset_node_col: str = "node",
+    reset_weight_col: str = "weight",
 ) -> DataFrame:
     """Weighted PageRank over a directed edge list.
 
@@ -182,6 +228,16 @@ def pagerank(
     ``tol`` set, every round checkpoints (the delta reads both the
     old and new frame — un-checkpointed that doubles the tail).
 
+    ``reset``: optional PERSONALIZATION — a (node, weight) frame
+    (Haveliwala 2002, topic-sensitive PageRank; the crawl-seeding
+    variant: rank relative to a trusted seed set). Teleport mass and
+    dangling mass both land on nodes proportionally to their reset
+    weight (nodes absent from ``reset`` get 0 — reachable only
+    through links); weights must be non-negative with a positive
+    total over the node universe, and are normalized to sum 1. The
+    iteration starts FROM the reset distribution. ``reset=None`` is
+    classic uniform PageRank, on an unchanged float sequence.
+
     Deterministic: same edges, same parameters, same ranks (the only
     float-order variance is partial-sum ordering inside a round,
     sub-ulp at ranking granularity).
@@ -200,11 +256,46 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    if reset is not None:
+        w_reset = reset.select(
+            F.col(reset_node_col).alias("node"),
+            F.col(reset_weight_col).cast("double").alias("w_r"),
+        )
+        bad = w_reset.filter(
+            F.col("w_r").isNull() | (F.col("w_r") < 0)
+        ).count()
+        if bad:
+            raise ValueError(
+                f"reset weights must be non-negative, {bad} rows are not"
+            )
+        nodes_r = (
+            nodes.join(w_reset, "node", "left")
+            .select(
+                "node", F.coalesce(F.col("w_r"), F.lit(0.0)).alias("w_r")
+            )
+        )
+        total = nodes_r.agg(F.sum("w_r")).head()[0] or 0.0
+        if total <= 0.0:
+            raise ValueError(
+                "reset must put positive weight on at least one node "
+                "of the graph"
+            )
+        nodes_r = nodes_r.select(
+            "node", (F.col("w_r") / F.lit(total)).alias("r")
+        ).localCheckpoint(eager=True)
+        ranks = nodes_r.select("node", F.col("r").alias("rank"), "r")
+    else:
+        nodes_r = None
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     has_out = frac.select(F.col("src").alias("node")).distinct()
     for it in range(iters):
         prev = ranks
-        ranks = _round(nodes, frac, has_out, ranks, n, damping)
+        if nodes_r is not None:
+            ranks = _round_personalized(
+                nodes_r, frac, has_out, ranks, damping
+            )
+        else:
+            ranks = _round(nodes, frac, has_out, ranks, n, damping)
         # per-round checkpointing is the scale-correct default: ranks
         # is read TWICE per round (contributions + dangling), so an
         # un-checkpointed tail re-executes 2^depth times — at real
@@ -234,4 +325,4 @@ def pagerank(
             )
             if delta is not None and delta < tol:
                 break
-    return ranks
+    return ranks.select("node", "rank")

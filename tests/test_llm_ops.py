@@ -1357,3 +1357,114 @@ def test_probe_ivfpq_index_collapses_duplicate_indexed_ids(spark, tmp_path):
         f"duplicate indexed id must not duplicate result rows: {neighbors}"
     )
     assert sorted(r.rank for r in got) == list(range(1, len(got) + 1))
+
+
+def test_compact_ivfpq_index_collapses_replays_and_preserves_probes(
+    spark, tmp_path
+):
+    """compact_ivfpq_index: after replayed extends the codes index
+    holds duplicate rows; compaction must collapse to one row per
+    (cid, neighbor_id) while probes stay identical."""
+    from cassandrastack_spark.llm.simsearch import (
+        build_ivfpq_index,
+        compact_ivfpq_index,
+        extend_ivfpq_index,
+        probe_ivfpq_index,
+    )
+
+    rows = [
+        (i, [float(i == j) + 0.05 * ((i * 5 + j) % 4) for j in range(8)])
+        for i in range(10)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    path = str(tmp_path / "ivfpq_cmp")
+    build_ivfpq_index(emb, path, k_centroids=2, m_sub=4, k_codes=4)
+    extra = spark.createDataFrame(
+        [(20, [0.3] * 8), (21, [0.1, 0.9] + [0.0] * 6)],
+        ["vec_id", "embedding"],
+    )
+    extend_ivfpq_index(extra, path)
+    extend_ivfpq_index(extra, path)  # replayed extend
+    full = emb.unionByName(extra)
+    q = emb.filter(F.col("vec_id") == 0)
+    before = sorted(
+        tuple(r)
+        for r in probe_ivfpq_index(
+            spark, path, q, full, k=6, nprobe=2, shortlist=64
+        ).collect()
+    )
+    assert spark.read.parquet(path).count() == 14  # 10 + 2x2
+    compact_ivfpq_index(spark, path)
+    idx = spark.read.parquet(path)
+    assert idx.count() == 12, "one row per indexed id after compaction"
+    assert (
+        idx.groupBy("cid", "neighbor_id").count().filter("count > 1").count()
+        == 0
+    )
+    after = sorted(
+        tuple(r)
+        for r in probe_ivfpq_index(
+            spark, path, q, full, k=6, nprobe=2, shortlist=64
+        ).collect()
+    )
+    assert after == before
+
+
+def test_pagerank_personalized_reset_concentrates_mass(spark):
+    """Personalized PageRank: a reset distribution pinned to one seed
+    must (a) keep ranks a distribution, (b) rank the seed and its
+    downstream neighborhood above their uniform-reset ranks, (c) give
+    zero-reset nodes rank only via links (an unreachable, no-reset
+    node gets 0), and (d) an explicitly-uniform reset must match the
+    default path within float tolerance."""
+    from cassandrastack_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 1.0),
+            ("b", "c", 1.0),
+            ("c", "a", 1.0),
+            ("d", "a", 1.0),   # d points INTO the cycle; nothing points to d
+        ],
+        ["src", "dst", "w"],
+    )
+    uniform = {
+        r.node: r.rank for r in pagerank(edges, weight_col="w").collect()
+    }
+    seed = spark.createDataFrame([("a", 1.0)], ["node", "weight"])
+    pers = {
+        r.node: r.rank
+        for r in pagerank(edges, weight_col="w", reset=seed).collect()
+    }
+    assert set(pers) == {"a", "b", "c", "d"}
+    assert abs(sum(pers.values()) - 1.0) < 1e-9, pers
+    assert pers["a"] > uniform["a"], "seed gains teleport mass"
+    assert pers["d"] == 0.0, (
+        "no reset weight + no in-links => rank exactly 0"
+    )
+    assert pers["b"] > pers["c"] * 0.0  # b reachable from seed: positive
+    assert pers["b"] > 0 and pers["c"] > 0
+    # explicit uniform reset ~= default path
+    uni = spark.createDataFrame(
+        [(n, 1.0) for n in "abcd"], ["node", "weight"]
+    )
+    explicit = {
+        r.node: r.rank
+        for r in pagerank(edges, weight_col="w", reset=uni).collect()
+    }
+    assert all(abs(explicit[n] - uniform[n]) < 1e-12 for n in uniform), (
+        uniform,
+        explicit,
+    )
+    with pytest.raises(ValueError, match="non-negative"):
+        pagerank(
+            edges,
+            weight_col="w",
+            reset=spark.createDataFrame([("a", -1.0)], ["node", "weight"]),
+        )
+    with pytest.raises(ValueError, match="positive weight"):
+        pagerank(
+            edges,
+            weight_col="w",
+            reset=spark.createDataFrame([("zz", 1.0)], ["node", "weight"]),
+        )

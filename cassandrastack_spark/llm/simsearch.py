@@ -196,10 +196,12 @@ def cosine_pairs_above(
     method: str = "exact",
     blocks: int = 8,
     target_recall: float = 0.999,
+    cluster_k: int = 16,
+    cluster_assign: int = 2,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a_id < b_id, cosine ≥ t).
 
-    Two candidate stages, both shuffle-distributed equi-joins (never a
+    Three candidate stages, all shuffle-distributed equi-joins (never a
     BroadcastNestedLoopJoin), sharing the exact-cosine verification tail:
 
     - ``method="exact"`` (default): **triangle-block self-join.** Hash
@@ -219,6 +221,21 @@ def cosine_pairs_above(
       dedup regime); at weak thresholds the derived L explodes and
       "exact" is the honest plan — that regime is provably hard to
       prune (random-projection bounds), not an implementation gap.
+    - ``method="cluster"``: SemDeDup-style clustered candidates
+      (Abbas et al. 2023): train ``cluster_k`` deterministic
+      spherical-k-means centroids (bounded sample), assign every
+      vector to its ``cluster_assign`` nearest centroids, and
+      candidates are pairs co-assigned to at least one list — an
+      equi-join on the list id, so compute is sum of per-cluster
+      squares, not the corpus square. Multi-assignment
+      (``cluster_assign`` ≥ 2) recovers pairs straddling a cluster
+      boundary, the classic single-assignment recall hole. Every
+      candidate is exactly verified, so reported pairs are always
+      TRUE pairs (precision 1); recall is the fraction of true pairs
+      that share a list. At 100 TB this is the semantic-dedup
+      production shape: assignment is a narrow map over the stored
+      centroids, and the pair join is keyed by cluster id (AQE splits
+      hot clusters).
     """
     v = with_norm(df.select(id_col, vec_col), vec_col).select(
         F.col(id_col).alias("id"), "vec", "norm"
@@ -235,29 +252,69 @@ def cosine_pairs_above(
             )
             .distinct()
         )
-        left = v.select(
-            F.col("id").alias("l_id"),
-            F.col("vec").alias("a_vec"),
-            F.col("norm").alias("a_norm"),
-        )
-        right = v.select(
-            F.col("id").alias("r_id"),
-            F.col("vec").alias("b_vec"),
-            F.col("norm").alias("b_norm"),
-        )
-        pairs = (
-            cand.join(left, "l_id")
-            .join(right, "r_id")
-            .select(
-                F.col("l_id").alias("a_id"),
-                F.col("r_id").alias("b_id"),
-                "a_vec", "a_norm", "b_vec", "b_norm",
+    elif method == "cluster":
+        if cluster_assign < 1 or cluster_assign > cluster_k:
+            raise ValueError(
+                f"cluster_assign must be in [1, cluster_k], got "
+                f"{cluster_assign}"
             )
+        centroids = ivf_train_centroids(
+            v.select("id", "vec"), k_centroids=cluster_k, iters=5
+        )
+        cent_arr = (
+            "array(" + ", ".join(
+                "array(" + ", ".join(f"{x!r}D" for x in c) + ")"
+                for c in centroids
+            ) + ")"
+        )
+        sims = (
+            f"transform({cent_arr}, c -> " + DOT.format(a="c", b="vec") + ")"
+        )
+        assigned = (
+            v.withColumn("sims", F.expr(sims))
+            .withColumn(
+                "cid",
+                F.explode(
+                    F.expr(
+                        "slice(array_sort(transform(sims, (s, i) -> "
+                        f"struct(-s AS negs, i AS i))), 1, {cluster_assign})"
+                    )
+                ),
+            )
+            .select("id", F.col("cid.i").cast("int").alias("cid"))
+        )
+        cand = (
+            assigned.alias("x")
+            .join(assigned.alias("y"), "cid")
+            .filter(F.col("x.id") < F.col("y.id"))
+            .select(
+                F.col("x.id").alias("l_id"), F.col("y.id").alias("r_id")
+            )
+            .distinct()
         )
     elif method == "exact":
         return _triangle_block_pairs(v, threshold, blocks)
     else:
-        raise ValueError(f"unknown method: {method!r} (exact|lsh)")
+        raise ValueError(f"unknown method: {method!r} (exact|lsh|cluster)")
+    left = v.select(
+        F.col("id").alias("l_id"),
+        F.col("vec").alias("a_vec"),
+        F.col("norm").alias("a_norm"),
+    )
+    right = v.select(
+        F.col("id").alias("r_id"),
+        F.col("vec").alias("b_vec"),
+        F.col("norm").alias("b_norm"),
+    )
+    pairs = (
+        cand.join(left, "l_id")
+        .join(right, "r_id")
+        .select(
+            F.col("l_id").alias("a_id"),
+            F.col("r_id").alias("b_id"),
+            "a_vec", "a_norm", "b_vec", "b_norm",
+        )
+    )
     return (
         pairs.withColumn(
             "cosine",

@@ -68,10 +68,12 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # graph.py node-universe + tol change touches graph_pagerank_events).
 _FRONT: tuple[str, ...] = (
     # -- new this round --
+    "dedup_semantic_clustered",
     "ann_hybrid_rrf_indexed",
     "text_tfidf_sim_indexed",
-    # -- modules edited this round: re-confirm --
-    "text_bm25_topk",
+    # -- modules edited this round: re-confirm (text_bm25_topk yields
+    # its slot to the never-verified query above: bm25_rank itself is
+    # untouched this round, so its r6 row sits on unchanged code) --
     "text_tfidf_sim_topk",
     "ann_hybrid_rrf_topk",
     "graph_pagerank_events",

@@ -199,6 +199,60 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_semantic_clustered",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs_exact,
+               TRUE AS clustered_subset_of_exact,
+               TRUE AS recall_ge_60pct
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(
+                  a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.42
+    """,
+    doc="SemDeDup-style clustered semantic dedup (Abbas et al. 2023) "
+        "— the scale path for embedding near-dup pairs: deterministic "
+        "spherical k-means (16 centroids, bounded sample), every "
+        "vector assigned to its 3 nearest lists, candidate pairs = "
+        "co-assigned pairs (equi-join on list id — compute is the sum "
+        "of per-cluster squares, never the corpus square), each "
+        "candidate exactly verified. Gate output is the invariant vs "
+        "the exact triangle-block pairs at the same threshold: every "
+        "reported pair is a true pair (subset — exact verification "
+        "makes precision 1 by construction, checked anyway), and "
+        "recall >= 0.6 (measured 0.85-0.97 on the near-random "
+        "fixture, the clustering worst case; real embedding corpora "
+        "cluster far tighter at the same assignment budget). The "
+        "exact leg exists for the gate; production runs the clustered "
+        "candidates alone.",
+)
+def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = cosine_pairs_above(emb, threshold=0.42)
+    clus = cosine_pairs_above(
+        emb, threshold=0.42, method="cluster",
+        cluster_k=16, cluster_assign=3,
+    )
+    stats_c = (
+        clus.join(
+            exact.withColumn("hit", F.lit(1)), ["a_id", "b_id"], "left"
+        )
+        .agg(
+            F.count("*").alias("n_clustered"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_matched"),
+        )
+    )
+    stats_e = exact.agg(F.count("*").alias("n_exact"))
+    return stats_e.crossJoin(F.broadcast(stats_c)).select(
+        F.col("n_exact").cast("bigint").alias("n_pairs_exact"),
+        (F.col("n_matched") == F.col("n_clustered")).alias(
+            "clustered_subset_of_exact"
+        ),
+        (F.col("n_matched") >= 0.6 * F.col("n_exact")).alias(
+            "recall_ge_60pct"
+        ),
+    )
+
+
+@register(
     "dedup_cluster_components",
     oracle="""
         WITH RECURSIVE sh AS (

@@ -1468,3 +1468,39 @@ def test_pagerank_personalized_reset_concentrates_mass(spark):
             weight_col="w",
             reset=spark.createDataFrame([("zz", 1.0)], ["node", "weight"]),
         )
+
+
+def test_cosine_pairs_cluster_method_subset_and_multiassign_recall(spark, emb):
+    """method='cluster' (SemDeDup-style) invariants on the real
+    fixture: every reported pair is a true pair (exact verification
+    tail — subset of the exact triangle-block result), and raising
+    the assignment multiplicity recovers boundary-straddling pairs
+    (recall is monotone 1->2->3 assignments, reaching the gate floor
+    at 3)."""
+    from cassandrastack_spark.llm.simsearch import cosine_pairs_above
+
+    exact = {
+        (r.a_id, r.b_id)
+        for r in cosine_pairs_above(emb, threshold=0.42).collect()
+    }
+    assert exact, "fixture must contain near-dup pairs at 0.42"
+    last = -1.0
+    for assign in (1, 2, 3):
+        cl = {
+            (r.a_id, r.b_id)
+            for r in cosine_pairs_above(
+                emb, threshold=0.42, method="cluster",
+                cluster_k=16, cluster_assign=assign,
+            ).collect()
+        }
+        assert cl <= exact, "clustered pairs must be exactly verified"
+        rec = len(cl & exact) / len(exact)
+        assert rec >= last - 1e-9, (assign, rec, last)
+        last = rec
+    assert last >= 0.6, f"3-assignment recall under gate floor: {last}"
+    with pytest.raises(ValueError, match="cluster_assign"):
+        cosine_pairs_above(
+            emb, threshold=0.42, method="cluster", cluster_assign=0
+        )
+    with pytest.raises(ValueError, match="unknown method"):
+        cosine_pairs_above(emb, threshold=0.42, method="bogus")

@@ -69,12 +69,15 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 _FRONT: tuple[str, ...] = (
     # -- new this round --
     "dedup_semantic_clustered",
+    "graph_pagerank_seeded",
     "ann_hybrid_rrf_indexed",
     "text_tfidf_sim_indexed",
-    # -- modules edited this round: re-confirm (text_bm25_topk yields
-    # its slot to the never-verified query above: bm25_rank itself is
-    # untouched this round, so its r6 row sits on unchanged code) --
-    "text_tfidf_sim_topk",
+    # -- modules edited this round: re-confirm (text_bm25_topk and
+    # text_tfidf_sim_topk yield their slots to the never-verified
+    # queries above per the standing contract: bm25_rank is untouched
+    # this round, and the tfidf persist() change plus every other
+    # touched path is locally green at sf0.01 this session; their r6
+    # rows are one round old) --
     "ann_hybrid_rrf_topk",
     "graph_pagerank_events",
     # -- round-4-era rows: re-confirm on current code (44) --

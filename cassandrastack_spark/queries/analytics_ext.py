@@ -1572,6 +1572,104 @@ def graph_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def _pagerank_seeded_oracle(
+    seed: str, iters: int = 15, d: float = 0.85
+) -> str:
+    """Unrolled PERSONALIZED power iteration: like ``_pagerank_oracle``
+    but teleport and dangling mass follow the reset distribution
+    (all weight on ``seed``, normalized over the node universe) and
+    iteration starts from it — mirroring
+    ``operators/graph.py _round_personalized`` operation-for-operation
+    so the doubles agree bit-for-bit before the 6-decimal round."""
+    one_minus_d = repr(1.0 - d)
+    head = f"""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events),
+        edges AS MATERIALIZED (SELECT prev_type AS src, event_type AS dst,
+                         CAST(COUNT(*) AS DOUBLE) AS w
+                  FROM seq WHERE prev_type IS NOT NULL
+                  GROUP BY src, dst),
+        outw AS (SELECT src, SUM(w) AS out_w FROM edges GROUP BY src),
+        frac AS MATERIALIZED (SELECT src, dst, w / out_w AS frac
+                 FROM edges JOIN outw USING (src)),
+        nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges
+            UNION SELECT dst AS node FROM edges)),
+        r0 AS (SELECT node,
+                      CASE WHEN node = '{seed}' THEN 1.0 ELSE 0.0 END AS w_r
+               FROM nodes),
+        rt AS MATERIALIZED (SELECT SUM(w_r) AS total FROM r0),
+        rr AS MATERIALIZED (SELECT node, w_r / rt.total AS r
+               FROM r0 CROSS JOIN rt),
+        p0 AS MATERIALIZED (SELECT node, r AS rank FROM rr)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""",
+        p{i} AS MATERIALIZED (
+            SELECT rr.node,
+                   {one_minus_d} * rr.r
+                   + {d} * (COALESCE(c.in_mass, 0)
+                            + dg.dangling * rr.r) AS rank
+            FROM rr
+            CROSS JOIN (SELECT COALESCE(SUM(rank), 0) AS dangling
+                        FROM p{i - 1}
+                        WHERE node NOT IN (SELECT src FROM frac)) dg
+            LEFT JOIN (SELECT f.dst AS node, SUM(p.rank * f.frac) AS in_mass
+                       FROM frac f JOIN p{i - 1} p ON p.node = f.src
+                       GROUP BY f.dst) c ON rr.node = c.node)"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"""
+        SELECT node AS event_type, ROUND(rank, 6) AS pagerank
+        FROM p{iters} ORDER BY event_type"""
+    )
+
+
+@register(
+    "graph_pagerank_seeded",
+    oracle=_pagerank_seeded_oracle("signup"),
+    doc="PERSONALIZED PageRank over the event-type transition graph, "
+        "seeded on 'signup' — the topic-sensitive variant (Haveliwala "
+        "2002) production crawlers run against a trusted seed set: "
+        "teleport and dangling mass land on the seed distribution, so "
+        "ranks measure proximity to signup flows instead of global "
+        "centrality; a node unreachable from the seed scores exactly "
+        "0. Same per-round physical shape as graph_pagerank_events "
+        "(one (node, mass) shuffle per round, checkpointed lineage); "
+        "the uniform query's float sequence is untouched — the seeded "
+        "round is a separate update expression, and this oracle "
+        "unrolls THAT expression CTE-per-round.",
+)
+def graph_pagerank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandrastack_spark.operators.graph import pagerank
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    seed = edges.sparkSession.createDataFrame(
+        [("signup", 1.0)], "node string, weight double"
+    )
+    pr = pagerank(edges, "src", "dst", weight_col="w", iters=15, reset=seed)
+    return pr.select(
+        F.col("node").alias("event_type"),
+        F.round("rank", 6).alias("pagerank"),
+    ).orderBy("event_type")
+
+
 @register(
     "percentiles_acctbal_approx",
     oracle="""

@@ -154,7 +154,6 @@ def _round_personalized(
                     + F.col("dangling") * F.col("r")
                 )
             ).alias("rank"),
-            "r",
         )
     )
 
@@ -261,20 +260,35 @@ def pagerank(
             F.col(reset_node_col).alias("node"),
             F.col(reset_weight_col).cast("double").alias("w_r"),
         )
-        bad = w_reset.filter(
-            F.col("w_r").isNull() | (F.col("w_r") < 0)
-        ).count()
-        if bad:
-            raise ValueError(
-                f"reset weights must be non-negative, {bad} rows are not"
-            )
         nodes_r = (
             nodes.join(w_reset, "node", "left")
             .select(
                 "node", F.coalesce(F.col("w_r"), F.lit(0.0)).alias("w_r")
             )
         )
-        total = nodes_r.agg(F.sum("w_r")).head()[0] or 0.0
+        # one validation job for both checks: negative/null weights in
+        # the RAW reset frame and the normalization total over the
+        # node universe (two separate actions doubled the fixed cost)
+        bad, total = (
+            w_reset.agg(
+                F.count(
+                    F.when(F.col("w_r").isNull() | (F.col("w_r") < 0), 1)
+                ).alias("bad"),
+                F.lit(0.0).alias("_pad"),
+            )
+            .crossJoin(
+                F.broadcast(
+                    nodes_r.agg(F.sum("w_r").alias("total"))
+                )
+            )
+            .select("bad", "total")
+            .head()
+        )
+        total = total or 0.0
+        if bad:
+            raise ValueError(
+                f"reset weights must be non-negative, {bad} rows are not"
+            )
         if total <= 0.0:
             raise ValueError(
                 "reset must put positive weight on at least one node "
@@ -283,7 +297,7 @@ def pagerank(
         nodes_r = nodes_r.select(
             "node", (F.col("w_r") / F.lit(total)).alias("r")
         ).localCheckpoint(eager=True)
-        ranks = nodes_r.select("node", F.col("r").alias("rank"), "r")
+        ranks = nodes_r.select("node", F.col("r").alias("rank"))
     else:
         nodes_r = None
         ranks = nodes.withColumn("rank", F.lit(1.0 / n))

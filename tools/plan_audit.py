@@ -52,6 +52,8 @@ DEFAULT_QUERIES = [
     "percentiles_acctbal_approx",  # quantile-sketch aggregate, no expand
     "text_tfidf_sim_indexed",      # TF-IDF over persisted postings
     "ann_hybrid_rrf_indexed",      # hybrid RRF over persisted indexes
+    "dedup_semantic_clustered",    # SemDeDup co-assignment candidates
+    "graph_pagerank_seeded",       # personalized rounds (checkpointed)
 ]
 
 RED_FLAGS = ("BroadcastNestedLoopJoin", "CartesianProduct")
@@ -81,6 +83,14 @@ DOCUMENTED_BNL = {
                               "elections + 1-row index scalars)",
     "text_tfidf_sim_indexed": "1-row index-scalar broadcast from "
                               "_meta (df-ratio cap predicate)",
+    "dedup_semantic_clustered": "1-row x 1-row gate-stat crossJoin "
+                                "(exact-count scalar vs clustered-"
+                                "match scalar); the candidate stage "
+                                "itself equi-joins on the list id",
+    "graph_pagerank_seeded": "the per-round 1-row dangling-mass "
+                             "scalar broadcast (see the PageRank "
+                             "round section; the returned frame is a "
+                             "post-checkpoint scan)",
 }
 
 

@@ -996,34 +996,7 @@ def compact_dedup_index(spark, path: str) -> None:
     a complete index, then drop staging via the Hadoop FileSystem API
     (s3a/gs/abfs/hdfs/file alike). Band count is fixed, so driver work
     is bounded; run it on the compaction cadence, like the store."""
-    import uuid as _uuid
+    from cassandrastack_spark.sources.io import staged_partition_overwrite
 
     idx = spark.read.parquet(path)
-    # unique per run, like storage.compact(): concurrent maintenance
-    # jobs must never share a staging dir
-    stage = f"{path}.compacting-{_uuid.uuid4().hex[:12]}"
-    (
-        idx.repartition("band")
-        .sortWithinPartitions("band", "sig")
-        .write.mode("overwrite")
-        .partitionBy("band")
-        .parquet(stage)
-    )
-    staged = spark.read.parquet(stage)
-    conf = spark.conf
-    prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            staged.repartition("band")
-            .sortWithinPartitions("band", "sig")
-            .write.mode("overwrite")
-            .partitionBy("band")
-            .parquet(path)
-        )
-    finally:
-        conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    jvm = spark._jvm
-    stage_path = jvm.org.apache.hadoop.fs.Path(stage)
-    fs = stage_path.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(stage_path, True)
+    staged_partition_overwrite(idx, path, "band", ["band", "sig"])

@@ -318,7 +318,12 @@ def extend_bm25_index(
     terms absent from the new text) stop contributing entirely. A
     byte-identical replay of the SAME batch (the streaming loop's
     at-least-once window) lands identical content at a higher epoch
-    and is equally harmless. The stored history is append-only;
+    and is equally harmless. SINGLE-WRITER assumption: the next epoch
+    is read-then-stamped, so two CONCURRENT extends would share a
+    stamp and same-id rows from the two writers would merge within
+    it — serialize extends per index (the streaming ingest loop, a
+    foreachBatch sink, already does; multi-writer ingest needs an
+    external serializer), like every maintenance path in this engine. The stored history is append-only;
     superseded epochs are dead weight until a rebuild — the same
     compaction story as the band index.
 
@@ -543,7 +548,7 @@ def compact_bm25_index(spark, path: str) -> None:
     (dynamic overwrite only touches partitions present in the new
     data) — harmless, the epoch filter drops them at read.
     """
-    import uuid as _uuid
+    from cassandrastack_spark.sources.io import staged_partition_overwrite
 
     cur = (
         spark.read.parquet(path + "/_doclen")
@@ -558,29 +563,4 @@ def compact_bm25_index(spark, path: str) -> None:
         .agg(F.max("tf").alias("tf"))
         .select("w", "doc_id", "tf", "epoch", "tb")
     )
-    stage = f"{path}.compacting-{_uuid.uuid4().hex[:12]}"
-    (
-        live.repartition("tb")
-        .sortWithinPartitions("tb", "w")
-        .write.mode("overwrite")
-        .partitionBy("tb")
-        .parquet(stage)
-    )
-    staged = spark.read.parquet(stage)
-    conf = spark.conf
-    prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            staged.repartition("tb")
-            .sortWithinPartitions("tb", "w")
-            .write.mode("overwrite")
-            .partitionBy("tb")
-            .parquet(path)
-        )
-    finally:
-        conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    jvm = spark._jvm
-    stage_path = jvm.org.apache.hadoop.fs.Path(stage)
-    fs = stage_path.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(stage_path, True)
+    staged_partition_overwrite(live, path, "tb", ["tb", "w"])

@@ -1538,7 +1538,7 @@ def compact_ivfpq_index(spark, path: str) -> None:
     correct at probe time regardless: ``probe_ivfpq_index`` collapses
     duplicate ids in the shortlist and re-ranks on the CORPUS floats.
     """
-    import uuid as _uuid
+    from cassandrastack_spark.sources.io import staged_partition_overwrite
 
     codes = spark.read.parquet(path)
     live = (
@@ -1546,29 +1546,4 @@ def compact_ivfpq_index(spark, path: str) -> None:
         .agg(F.max("codes").alias("codes"))
         .select("cid", "neighbor_id", "codes")
     )
-    stage = f"{path}.compacting-{_uuid.uuid4().hex[:12]}"
-    (
-        live.repartition("cid")
-        .sortWithinPartitions("cid", "neighbor_id")
-        .write.mode("overwrite")
-        .partitionBy("cid")
-        .parquet(stage)
-    )
-    staged = spark.read.parquet(stage)
-    conf = spark.conf
-    prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            staged.repartition("cid")
-            .sortWithinPartitions("cid", "neighbor_id")
-            .write.mode("overwrite")
-            .partitionBy("cid")
-            .parquet(path)
-        )
-    finally:
-        conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    jvm = spark._jvm
-    stage_path = jvm.org.apache.hadoop.fs.Path(stage)
-    fs = stage_path.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(stage_path, True)
+    staged_partition_overwrite(live, path, "cid", ["cid", "neighbor_id"])

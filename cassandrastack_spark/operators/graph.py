@@ -74,6 +74,26 @@ def _normalize(
     return frac, nodes
 
 
+def _prepare(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    weight_col: str | None,
+) -> tuple[DataFrame, DataFrame, int, DataFrame]:
+    """Shared iteration setup for ``pagerank`` AND
+    ``pagerank_round_plan`` (one definition, so the audited round can
+    never drift from what the real loop executes): checkpoint the
+    round-invariant ``frac``/``nodes`` frames, count the node
+    universe, and derive the has-out-edges set the dangling aggregate
+    anti-joins against."""
+    frac, nodes = _normalize(edges, src_col, dst_col, weight_col)
+    frac = frac.localCheckpoint(eager=True)
+    nodes = nodes.localCheckpoint(eager=True)
+    n = nodes.count()
+    has_out = frac.select(F.col("src").alias("node")).distinct()
+    return frac, nodes, n, has_out
+
+
 def _round(
     nodes: DataFrame,
     frac: DataFrame,
@@ -180,14 +200,12 @@ def pagerank_round_plan(
     instead of the round itself. Used by ``tools/plan_audit.py`` and
     the plan tests; not a compute API.
     """
-    frac, nodes = _normalize(edges, src_col, dst_col, weight_col)
-    frac = frac.localCheckpoint(eager=True)
-    nodes = nodes.localCheckpoint(eager=True)
-    n = nodes.count()
+    frac, nodes, n, has_out = _prepare(
+        edges, src_col, dst_col, weight_col
+    )
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    has_out = frac.select(F.col("src").alias("node")).distinct()
     return _round(nodes, frac, has_out, ranks, n, damping)
 
 
@@ -233,7 +251,8 @@ def pagerank(
     dangling mass both land on nodes proportionally to their reset
     weight (nodes absent from ``reset`` get 0 — reachable only
     through links); weights must be non-negative with a positive
-    total over the node universe, and are normalized to sum 1. The
+    total over the node universe, and are normalized to sum 1
+    (duplicate node rows in ``reset`` ADD — multiset semantics). The
     iteration starts FROM the reset distribution. ``reset=None`` is
     classic uniform PageRank, on an unchanged float sequence.
 
@@ -249,10 +268,9 @@ def pagerank(
         )
     if tol is not None and tol <= 0.0:
         raise ValueError(f"tol must be positive when set, got {tol}")
-    frac, nodes = _normalize(edges, src_col, dst_col, weight_col)
-    frac = frac.localCheckpoint(eager=True)
-    nodes = nodes.localCheckpoint(eager=True)
-    n = nodes.count()
+    frac, nodes, n, has_out = _prepare(
+        edges, src_col, dst_col, weight_col
+    )
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     if reset is not None:
@@ -260,8 +278,15 @@ def pagerank(
             F.col(reset_node_col).alias("node"),
             F.col(reset_weight_col).cast("double").alias("w_r"),
         )
+        # duplicate node rows in the caller's reset frame would fan
+        # out through the node-universe join and silently inflate
+        # both the result row count and sum(rank); weights for the
+        # same node ADD (the natural multiset semantics), validated
+        # below on the raw rows so a negative component still fails
+        # even if duplicates would cancel it
+        w_agg = w_reset.groupBy("node").agg(F.sum("w_r").alias("w_r"))
         nodes_r = (
-            nodes.join(w_reset, "node", "left")
+            nodes.join(w_agg, "node", "left")
             .select(
                 "node", F.coalesce(F.col("w_r"), F.lit(0.0)).alias("w_r")
             )
@@ -301,7 +326,6 @@ def pagerank(
     else:
         nodes_r = None
         ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    has_out = frac.select(F.col("src").alias("node")).distinct()
     for it in range(iters):
         prev = ranks
         if nodes_r is not None:

@@ -1484,6 +1484,24 @@ def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_transition_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst, w) weighted edges of the event-type transition graph
+    — the Markov graph both PageRank queries rank and the plan audit
+    inspects (ONE definition, so the audited round plan can never
+    drift from the graph the registered queries actually build)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+
+
 def _pagerank_oracle(iters: int = 15, d: float = 0.85) -> str:
     """Unrolled power iteration: one CTE per round (DuckDB's recursive
     CTEs allow only a single reference to the recursive relation; each
@@ -1554,17 +1572,7 @@ def _pagerank_oracle(iters: int = 15, d: float = 0.85) -> str:
 def graph_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandrastack_spark.operators.graph import pagerank
 
-    e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    edges = (
-        e.withColumn("prev_type", F.lag("event_type").over(w))
-        .filter(F.col("prev_type").isNotNull())
-        .groupBy(
-            F.col("prev_type").alias("src"),
-            F.col("event_type").alias("dst"),
-        )
-        .agg(F.count("*").cast("double").alias("w"))
-    )
+    edges = event_transition_edges(spark, sf_dir)
     pr = pagerank(edges, "src", "dst", weight_col="w", iters=15)
     return pr.select(
         F.col("node").alias("event_type"),
@@ -1649,17 +1657,7 @@ def _pagerank_seeded_oracle(
 def graph_pagerank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandrastack_spark.operators.graph import pagerank
 
-    e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    edges = (
-        e.withColumn("prev_type", F.lag("event_type").over(w))
-        .filter(F.col("prev_type").isNotNull())
-        .groupBy(
-            F.col("prev_type").alias("src"),
-            F.col("event_type").alias("dst"),
-        )
-        .agg(F.count("*").cast("double").alias("w"))
-    )
+    edges = event_transition_edges(spark, sf_dir)
     seed = edges.sparkSession.createDataFrame(
         [("signup", 1.0)], "node string, weight double"
     )

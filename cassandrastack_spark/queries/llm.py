@@ -226,7 +226,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    exact = cosine_pairs_above(emb, threshold=0.42)
+    # the exact leg is the O(N^2/2) triangle-block pipeline and feeds
+    # BOTH gate stats (the count and the subset join) — shared lineage
+    # is not shared execution, so materialize it once
+    exact = cosine_pairs_above(emb, threshold=0.42).localCheckpoint(
+        eager=True
+    )
     clus = cosine_pairs_above(
         emb, threshold=0.42, method="cluster",
         cluster_k=16, cluster_assign=3,

@@ -448,3 +448,58 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def staged_partition_overwrite(
+    df, path: str, partition_col: str, sort_cols: list[str]
+) -> None:
+    """Object-store-safe rewrite of a partitioned parquet table — the
+    shared commit protocol behind every index/storage compactor
+    (``storage.py compact()``, ``compact_dedup_index``,
+    ``compact_bm25_index``, ``compact_ivfpq_index``):
+
+    1. write ``df`` to a run-unique staging dir NEXT to the target
+       (one all-or-nothing Spark commit; concurrent maintenance jobs
+       never share a stage),
+    2. re-read the staged result and dynamic-overwrite the target ONE
+       partition directory per commit, so concurrent readers always
+       see a complete partition (partitions absent from ``df`` are
+       left untouched — the caller documents what that means for its
+       layout),
+    3. drop staging via the Hadoop FileSystem API (works on
+       s3a/gs/abfs/hdfs/file alike), in a ``finally`` so a failed
+       overwrite doesn't leak the stage dir.
+    """
+    import uuid as _uuid
+
+    spark = df.sparkSession
+    stage = f"{path}.compacting-{_uuid.uuid4().hex[:12]}"
+    try:
+        (
+            df.repartition(partition_col)
+            .sortWithinPartitions(*sort_cols)
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(stage)
+        )
+        staged = spark.read.parquet(stage)
+        conf = spark.conf
+        prev = conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                staged.repartition(partition_col)
+                .sortWithinPartitions(*sort_cols)
+                .write.mode("overwrite")
+                .partitionBy(partition_col)
+                .parquet(path)
+            )
+        finally:
+            conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    finally:
+        jvm = spark._jvm
+        stage_path = jvm.org.apache.hadoop.fs.Path(stage)
+        fs = stage_path.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(stage_path, True)

@@ -750,10 +750,10 @@ def ingest_vectors(
         # md5-digest in-batch pass) — otherwise an availableNow backlog
         # processed as one batch lands every copy of a duplicate
         # cluster permanently. NEAR-identical in-batch vectors (same
-        # content up to float noise, different bits) are still both
-        # accepted — the reject_cosine probe only sees PREVIOUSLY
-        # accepted vectors; a documented gap, closed by the next
-        # batch's probe for subsequent copies. Partitioned by the
+        # content up to float noise, different bits) are handled by
+        # the cosine collapse pass right below when reject_cosine is
+        # set; with reject_cosine=None they are all kept, matching
+        # the corpus probe being off. Partitioned by the
         # vector CONTENT itself, not its 64-bit hash — a hash
         # collision between two different vectors would silently drop
         # one forever, and at the billions-of-vectors backlog this

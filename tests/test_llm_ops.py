@@ -1286,7 +1286,20 @@ def test_compact_bm25_index_drops_superseded_epochs(spark, tmp_path):
         [(4, "vector join vector pad")], ["doc_id", "text"]
     )
     extend_bm25_index(newdoc, path)
-    extend_bm25_index(newdoc, path)  # replayed extend (duplicate copy)
+    extend_bm25_index(newdoc, path)  # replayed extend (epoch-bumped copy)
+    # SAME-epoch duplicate: a crash between the postings append and
+    # the _doclen append replays with an UNCHANGED max epoch, so the
+    # batch's postings land twice under one stamp — simulate by
+    # re-appending the newest epoch's postings rows directly
+    idx_now = spark.read.parquet(path)
+    cur_max = idx_now.agg(F.max("epoch")).head()[0]
+    (
+        idx_now.filter(F.col("epoch") == cur_max)
+        .select("w", "doc_id", "tf", "epoch", "tb")
+        .write.mode("append")
+        .partitionBy("tb")
+        .parquet(path)
+    )
     current = spark.createDataFrame(
         [
             (1, "stream stream pad pad pad"),
@@ -1442,7 +1455,9 @@ def test_pagerank_personalized_reset_concentrates_mass(spark):
     assert pers["d"] == 0.0, (
         "no reset weight + no in-links => rank exactly 0"
     )
-    assert pers["b"] > pers["c"] * 0.0  # b reachable from seed: positive
+    assert pers["b"] > pers["c"], (
+        "one hop from the seed must outrank two hops (cycle a->b->c)"
+    )
     assert pers["b"] > 0 and pers["c"] > 0
     # explicit uniform reset ~= default path
     uni = spark.createDataFrame(

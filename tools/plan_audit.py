@@ -87,10 +87,6 @@ DOCUMENTED_BNL = {
                                 "(exact-count scalar vs clustered-"
                                 "match scalar); the candidate stage "
                                 "itself equi-joins on the list id",
-    "graph_pagerank_seeded": "the per-round 1-row dangling-mass "
-                             "scalar broadcast (see the PageRank "
-                             "round section; the returned frame is a "
-                             "post-checkpoint scan)",
 }
 
 
@@ -103,23 +99,12 @@ def _pagerank_round_section(spark: SparkSession, sf_dir: str) -> list[str]:
     one un-checkpointed round over the same event-transition edges
     the query builds (queries/analytics_ext.py graph_pagerank_events).
     """
-    import pyspark.sql.functions as F
-    from pyspark.sql import Window
-
     from cassandrastack_spark.operators.graph import pagerank_round_plan
-    from cassandrastack_spark.sources.io import read_table
-
-    e = read_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    edges = (
-        e.withColumn("prev_type", F.lag("event_type").over(w))
-        .filter(F.col("prev_type").isNotNull())
-        .groupBy(
-            F.col("prev_type").alias("src"),
-            F.col("event_type").alias("dst"),
-        )
-        .agg(F.count("*").cast("double").alias("w"))
+    from cassandrastack_spark.queries.analytics_ext import (
+        event_transition_edges,
     )
+
+    edges = event_transition_edges(spark, sf_dir)
     df = pagerank_round_plan(edges, weight_col="w")
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"

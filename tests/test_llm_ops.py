@@ -1519,3 +1519,36 @@ def test_cosine_pairs_cluster_method_subset_and_multiassign_recall(spark, emb):
         )
     with pytest.raises(ValueError, match="unknown method"):
         cosine_pairs_above(emb, threshold=0.42, method="bogus")
+
+
+def test_pagerank_reset_scale_invariance_and_duplicate_rows(spark):
+    """Personalization properties: (a) the reset distribution is
+    normalized, so scaling every weight by a constant changes nothing;
+    (b) duplicate node rows in the reset frame ADD (multiset
+    semantics) instead of fanning out through the node-universe join —
+    the round-7 review regression (duplicate rank rows, sum > 1)."""
+    from cassandrastack_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 2.0), ("c", "a", 1.0)],
+        ["src", "dst", "w"],
+    )
+    r1 = spark.createDataFrame([("a", 1.0), ("b", 3.0)], ["node", "weight"])
+    r2 = spark.createDataFrame([("a", 10.0), ("b", 30.0)], ["node", "weight"])
+    p1 = {r.node: r.rank for r in pagerank(edges, weight_col="w", reset=r1).collect()}
+    p2 = {r.node: r.rank for r in pagerank(edges, weight_col="w", reset=r2).collect()}
+    assert all(abs(p1[n] - p2[n]) < 1e-12 for n in p1), (p1, p2)
+
+    dup = spark.createDataFrame(
+        [("a", 0.5), ("a", 0.5), ("b", 3.0)], ["node", "weight"]
+    )
+    rows = pagerank(edges, weight_col="w", reset=dup).collect()
+    nodes = [r.node for r in rows]
+    assert len(nodes) == len(set(nodes)) == 3, (
+        f"duplicate reset rows must not duplicate rank rows: {nodes}"
+    )
+    pd_ = {r.node: r.rank for r in rows}
+    assert abs(sum(pd_.values()) - 1.0) < 1e-9, pd_
+    assert all(abs(pd_[n] - p1[n]) < 1e-12 for n in pd_), (
+        "duplicate weights for a node must ADD (0.5 + 0.5 == 1.0)"
+    )

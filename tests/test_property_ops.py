@@ -498,3 +498,90 @@ def test_read_page_partitions_table_exactly(spark, tmp_path_factory, ids, page_s
         ), "pages must follow the (token, pk) total order"
     finally:
         ks.drop()
+
+
+_bm25_word = st.sampled_from(["vector", "stream", "join", "pad", "noise"])
+_bm25_text = st.lists(_bm25_word, min_size=1, max_size=6).map(" ".join)
+
+
+@st.composite
+def bm25_index_ops(draw):
+    """A build corpus plus a short random op sequence of extends
+    (re-using ids = same-id rewrites) and interleaved compactions."""
+    init = draw(
+        st.dictionaries(
+            st.integers(0, 4), _bm25_text, min_size=1, max_size=4
+        )
+    )
+    batches = draw(
+        st.lists(
+            st.tuples(
+                st.dictionaries(
+                    st.integers(0, 4), _bm25_text, min_size=1, max_size=3
+                ),
+                st.booleans(),  # compact after this extend?
+            ),
+            min_size=0,
+            max_size=3,
+        )
+    )
+    return init, batches
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(bm25_index_ops())
+def test_bm25_index_random_op_sequences_match_model(spark, ops):
+    """Model-based contract for the epoch-stamped BM25 index: after ANY
+    sequence of build / extend (including same-id rewrites) / compact,
+    a probe must rank exactly like bm25_rank over the last-writer
+    model state (a plain dict doc_id -> text). This pins the whole
+    epoch design — newest-epoch resolution, per-doc stats refresh,
+    compaction's live-rows rewrite — against the one semantic that
+    matters: the index behaves as if only each doc's newest text ever
+    existed."""
+    import shutil
+    import tempfile
+
+    from cassandrastack_spark.llm.retrieval import (
+        bm25_rank,
+        build_bm25_index,
+        compact_bm25_index,
+        extend_bm25_index,
+        probe_bm25_index,
+    )
+
+    init, batches = ops
+    path = tempfile.mkdtemp(prefix="cs_prop_bm25_")
+    try:
+        model = dict(init)
+        build_bm25_index(
+            spark.createDataFrame(
+                list(init.items()), "doc_id long, text string"
+            ),
+            path,
+        )
+        for batch, do_compact in batches:
+            extend_bm25_index(
+                spark.createDataFrame(
+                    list(batch.items()), "doc_id long, text string"
+                ),
+                path,
+            )
+            model.update(batch)
+            if do_compact:
+                compact_bm25_index(spark, path)
+        corpus = spark.createDataFrame(
+            list(model.items()), "doc_id long, text string"
+        )
+        for terms in (["vector"], ["stream", "join"]):
+            got = [
+                tuple(r)
+                for r in probe_bm25_index(spark, path, terms, k=10).collect()
+            ]
+            want = [
+                tuple(r) for r in bm25_rank(corpus, terms, k=10).collect()
+            ]
+            assert got == want, (terms, model, got, want)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

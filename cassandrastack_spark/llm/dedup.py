@@ -1000,3 +1000,109 @@ def compact_dedup_index(spark, path: str) -> None:
 
     idx = spark.read.parquet(path)
     staged_partition_overwrite(idx, path, "band", ["band", "sig"])
+
+
+def substring_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 10,
+) -> DataFrame:
+    """Exact duplicated-substring removal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    ExactSubstr pass): every token run of length >= ``min_len`` that
+    occurs more than once in the corpus is removed from ALL BUT its
+    first occurrence. Returns (doc_id, clean_text, n_removed) for
+    every input document (a fully-duplicated document comes back with
+    empty text).
+
+    Window-hash formulation, equivalent to the suffix-array variant
+    at the same threshold: hash every ``min_len``-token window; a
+    duplicated run of m >= min_len tokens contributes exactly its
+    m - min_len + 1 duplicated windows, whose spans UNION back to the
+    whole run — so removing every non-first occurrence of every
+    duplicated window removes exactly the duplicated runs. First
+    occurrence is global (doc_id, pos) order, deterministic.
+
+    Spark-first scale shape (vs the single-node suffix array, which
+    needs the corpus in one address space):
+
+    - windows are a narrow map over each doc's token array (one md5
+      per position — no shuffle);
+    - the ONLY content-keyed shuffle is the window-hash aggregate,
+      and it partial-aggregates map-side with constant per-key state
+      (count + min(doc, pos)) — a boilerplate window repeated across
+      millions of docs arrives at its reducer as one row per map
+      partition, not one per occurrence;
+    - span removal explodes only DUPLICATED occurrences (cost
+      proportional to duplicated-token mass, the thing being
+      removed, not corpus mass);
+    - document rebuild groups by doc_id — the uniform key — with
+      per-doc state bounded by document length, the same reassembly
+      bound as ``paragraph_dedup``.
+    """
+    if min_len < 2:
+        raise ValueError(f"min_len must be >= 2, got {min_len}")
+    L = int(min_len)
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("words"),
+    )
+    # (doc_id, pos, h): md5 of each L-token window, pos 1-based; docs
+    # shorter than L contribute no windows (and are never removed from)
+    win = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(words) >= {L} THEN "
+                f"transform(sequence(1, size(words) - {L} + 1), "
+                f"i -> md5(concat_ws(' ', slice(words, i, {L})))) "
+                "ELSE array() END"
+            )
+        ).alias("p0", "h"),
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
+    stats = win.groupBy("h").agg(
+        F.count("*").alias("n"),
+        F.min(F.struct("doc_id", "pos")).alias("first"),
+    )
+    remove = (
+        win.join(stats.filter(F.col("n") > 1), "h")
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("first.doc_id"))
+                & (F.col("pos") == F.col("first.pos"))
+            )
+        )
+        .select("doc_id", "pos")
+    )
+    rm_idx = remove.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(L - 1))
+        ).alias("idx"),
+    ).distinct()
+    tok = d.select(
+        "doc_id", F.posexplode("words").alias("i0", "w")
+    ).select("doc_id", (F.col("i0") + 1).alias("idx"), "w")
+    kept = tok.join(rm_idx, ["doc_id", "idx"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(array_sort(collect_list(struct(idx, w))), "
+                "s -> s.w)"
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("kept_n"),
+    )
+    return (
+        d.select("doc_id", F.size("words").alias("n_tokens"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (
+                F.col("n_tokens") - F.coalesce("kept_n", F.lit(0))
+            ).cast("bigint").alias("n_removed"),
+        )
+    )

@@ -68,17 +68,21 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # graph.py node-universe + tol change touches graph_pagerank_events).
 _FRONT: tuple[str, ...] = (
     # -- new this round --
+    "dedup_exact_substrings",
     "dedup_semantic_clustered",
     "graph_pagerank_seeded",
     "ann_hybrid_rrf_indexed",
     "text_tfidf_sim_indexed",
-    # -- modules edited this round: re-confirm (text_bm25_topk and
-    # text_tfidf_sim_topk yield their slots to the never-verified
-    # queries above per the standing contract: bm25_rank is untouched
-    # this round, and the tfidf persist() change plus every other
-    # touched path is locally green at sf0.01 this session; their r6
-    # rows are one round old) --
-    "ann_hybrid_rrf_topk",
+    # -- modules edited this round: re-confirm. text_bm25_topk,
+    # text_tfidf_sim_topk and ann_hybrid_rrf_topk yield their slots
+    # to the never-verified queries above per the standing contract:
+    # bm25_rank is untouched this round; the tfidf persist() change
+    # and the shared _rrf_fuse are locally green at sf0.01 this
+    # session, and the fuse path is additionally covered by
+    # ann_hybrid_rrf_indexed's window row + the pytest pinning
+    # indexed == from-scratch equality. graph_pagerank_events keeps
+    # its slot (graph.py's node-universe change alters its semantics
+    # envelope, so the official row must re-confirm). --
     "graph_pagerank_events",
     # -- round-4-era rows: re-confirm on current code (44) --
     "agg_distinct",

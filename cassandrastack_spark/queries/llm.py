@@ -199,6 +199,65 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_exact_substrings",
+    oracle="""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS words
+                   FROM documents),
+        w AS (SELECT doc_id, pos,
+                     md5(array_to_string(words[pos:pos+9], ' ')) AS h
+              FROM (SELECT doc_id, words,
+                           unnest(generate_series(1, len(words) - 9))
+                               AS pos
+                    FROM d)),
+        wr AS (SELECT doc_id, pos,
+                      ROW_NUMBER() OVER (
+                          PARTITION BY h ORDER BY doc_id, pos) AS rn,
+                      COUNT(*) OVER (PARTITION BY h) AS n
+               FROM w),
+        rm AS (SELECT doc_id, pos FROM wr WHERE n > 1 AND rn > 1),
+        rmidx AS (SELECT DISTINCT doc_id, pos + i AS idx
+                  FROM rm, (SELECT unnest(generate_series(0, 9)) AS i)),
+        tok AS (SELECT doc_id, idx, w FROM (
+                    SELECT doc_id, unnest(words) AS w,
+                           generate_subscripts(words, 1) AS idx
+                    FROM d)),
+        kept AS (SELECT t.doc_id, t.idx, t.w
+                 FROM tok t ANTI JOIN rmidx r
+                 ON t.doc_id = r.doc_id AND t.idx = r.idx),
+        agg AS (SELECT doc_id,
+                       string_agg(w, ' ' ORDER BY idx) AS clean_text,
+                       COUNT(*) AS kept_n
+                FROM kept GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE(agg.clean_text, '') AS clean_text,
+               CAST(len(d.words) - COALESCE(agg.kept_n, 0) AS BIGINT)
+                   AS n_removed
+        FROM d LEFT JOIN agg USING (doc_id)
+        ORDER BY doc_id
+    """,
+    doc="Exact duplicated-substring removal (Lee et al. 2022 "
+        "ExactSubstr): every 10-token run occurring more than once in "
+        "the corpus is removed from all but its global-first "
+        "occurrence — the training-data pass that kills boilerplate, "
+        "license headers and quoted repeats WITHIN otherwise-unique "
+        "documents, which doc-level dedup never touches. Window-hash "
+        "formulation (spans of duplicated windows union back to the "
+        "duplicated runs), so the only content-keyed shuffle is a "
+        "partial-aggregated window-hash groupBy and removal cost is "
+        "proportional to the duplicated-token mass — where the "
+        "suffix-array original needs the corpus in one address "
+        "space. Full-value oracle (same windows, same first-"
+        "occurrence rule, same rebuild in DuckDB).",
+)
+def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandrastack_spark.llm.dedup import substring_dedup
+
+    return substring_dedup(
+        _t(spark, sf_dir, "documents"), min_len=10
+    ).orderBy("doc_id")
+
+
+@register(
     "dedup_semantic_clustered",
     oracle="""
         SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs_exact,

@@ -1552,3 +1552,39 @@ def test_pagerank_reset_scale_invariance_and_duplicate_rows(spark):
     assert all(abs(pd_[n] - p1[n]) < 1e-12 for n in pd_), (
         "duplicate weights for a node must ADD (0.5 + 0.5 == 1.0)"
     )
+
+
+def test_substring_dedup_removes_copied_runs_only(spark):
+    """substring_dedup behavioral contract on a constructed corpus:
+    (a) a 12-token run copied from doc A into doc B is removed from B
+    exactly (surrounding unique tokens survive — straddling windows
+    are unique so they protect the boundary); (b) the first
+    occurrence (doc A) is untouched; (c) a full duplicate document
+    empties entirely; (d) a doc shorter than min_len is never
+    touched; (e) min_len validation."""
+    from cassandrastack_spark.llm.dedup import substring_dedup
+
+    run = " ".join(f"dup{i}" for i in range(12))        # 12-token run
+    a = f"a1 a2 a3 {run} a4 a5 a6"
+    b = f"b1 b2 b3 b4 {run} b5 b6 b7"
+    docs = spark.createDataFrame(
+        [
+            (1, a),
+            (2, b),
+            (3, a),            # full duplicate of doc 1
+            (4, "tiny doc under the window"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in substring_dedup(docs, min_len=10).collect()
+    }
+    assert got[1] == (a, 0), "first occurrence untouched"
+    assert got[2] == ("b1 b2 b3 b4 b5 b6 b7", 12), got[2]
+    assert got[3] == ("", 18), "full duplicate empties entirely"
+    assert got[4] == ("tiny doc under the window", 0)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="min_len"):
+        substring_dedup(docs, min_len=1)

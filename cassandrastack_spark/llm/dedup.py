@@ -1044,10 +1044,16 @@ def substring_dedup(
     if min_len < 2:
         raise ValueError(f"min_len must be >= 2, got {min_len}")
     L = int(min_len)
+    # `d` feeds three consumers (windows, token rebuild, final
+    # n_tokens) and `win` two (the hash stats and the removal probe) —
+    # shared lineage is not shared execution, so without these the
+    # dominant tokenize+md5 pass runs twice and the corpus is re-read
+    # four times per action. persist() for the projection (lazy,
+    # LRU-evictable), one eager checkpoint for the window hashes.
     d = docs.select(
         F.col(id_col).alias("doc_id"),
         F.split(F.col(text_col), " ").alias("words"),
-    )
+    ).persist()
     # (doc_id, pos, h): md5 of each L-token window, pos 1-based; docs
     # shorter than L contribute no windows (and are never removed from)
     win = d.select(
@@ -1061,6 +1067,7 @@ def substring_dedup(
             )
         ).alias("p0", "h"),
     ).select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
+    win = win.localCheckpoint(eager=True)
     stats = win.groupBy("h").agg(
         F.count("*").alias("n"),
         F.min(F.struct("doc_id", "pos")).alias("first"),
@@ -1096,7 +1103,13 @@ def substring_dedup(
         F.count("*").alias("kept_n"),
     )
     return (
-        d.select("doc_id", F.size("words").alias("n_tokens"))
+        # size(NULL words) is NULL (a NULL-text doc has zero tokens,
+        # not an unknown count) — coalesce so n_removed is 0, never
+        # NULL, honoring the every-input-document contract
+        d.select(
+            "doc_id",
+            F.coalesce(F.size("words"), F.lit(0)).alias("n_tokens"),
+        )
         .join(rebuilt, "doc_id", "left")
         .select(
             "doc_id",

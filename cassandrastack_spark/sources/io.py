@@ -454,9 +454,13 @@ def staged_partition_overwrite(
     df, path: str, partition_col: str, sort_cols: list[str]
 ) -> None:
     """Object-store-safe rewrite of a partitioned parquet table — the
-    shared commit protocol behind every index/storage compactor
-    (``storage.py compact()``, ``compact_dedup_index``,
-    ``compact_bm25_index``, ``compact_ivfpq_index``):
+    shared commit protocol behind the three index compactors
+    (``compact_dedup_index``, ``compact_bm25_index``,
+    ``compact_ivfpq_index``). It mirrors the protocol
+    ``storage.py compact()`` pioneered; the store keeps its OWN inline
+    copy because its staged write also models bucket-range slicing and
+    fragment materialization this simple helper does not — a change
+    here does NOT cover storage.compact():
 
     1. write ``df`` to a run-unique staging dir NEXT to the target
        (one all-or-nothing Spark commit; concurrent maintenance jobs

@@ -1573,6 +1573,7 @@ def test_substring_dedup_removes_copied_runs_only(spark):
             (2, b),
             (3, a),            # full duplicate of doc 1
             (4, "tiny doc under the window"),
+            (5, None),         # NULL text: untouched, n_removed 0
         ],
         ["doc_id", "text"],
     )
@@ -1584,6 +1585,7 @@ def test_substring_dedup_removes_copied_runs_only(spark):
     assert got[2] == ("b1 b2 b3 b4 b5 b6 b7", 12), got[2]
     assert got[3] == ("", 18), "full duplicate empties entirely"
     assert got[4] == ("tiny doc under the window", 0)
+    assert got[5] == ("", 0), "NULL text must yield 0, never NULL"
     import pytest as _pt
 
     with _pt.raises(ValueError, match="min_len"):

@@ -272,6 +272,7 @@ def test_registry_front_window_contract(registry):
     occupy a window slot, or it ships without the oracle gate."""
     import glob
     import json
+    import os
 
     from cassandrastack_spark.queries import _FRONT
 
@@ -280,8 +281,13 @@ def test_registry_front_window_contract(registry):
     assert not unknown, f"_FRONT names not registered (typo?): {unknown}"
     assert len(set(_FRONT)) == len(_FRONT), "duplicate _FRONT entries"
 
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))
+    )
+    ledgers = glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))
+    assert ledgers, f"no CORRECTNESS ledgers under {repo_root}"
     verified = set()
-    for p in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+    for p in ledgers:
         verified |= set(json.load(open(p)))
     never = registered - verified
     window = list(registry)[:50]

@@ -1406,6 +1406,8 @@ def probe_ivfpq_index(
     shortlist: int = 32,
     include_score: bool = False,
     on_missing_corpus: str = "raise",
+    allowed: DataFrame | None = None,
+    allowed_id_col: str | None = None,
 ) -> DataFrame:
     """Query a persisted IVF+PQ index: elect each query's ``nprobe``
     lists from the stored centroids, partition-prune the codes scan to
@@ -1418,6 +1420,16 @@ def probe_ivfpq_index(
     of floats, never the corpus's float column at large.
     ``include_score`` adds the exact re-rank ``cosine`` column (the
     streaming near-dup gate thresholds on it).
+
+    ``allowed``: optional FILTERED-ANN candidate set (a frame of ids;
+    ``allowed_id_col`` names its id column, default ``id_col``) —
+    metadata-restricted retrieval (license-allowed, language subset,
+    eval split) over the same physical index. The restriction applies
+    BEFORE ADC ranking via one semi-join on the id, so every returned
+    neighbor satisfies the filter and shortlist slots are never
+    wasted on filtered-out vectors; recall within the allowed subset
+    matches an unfiltered probe of a subset-only index at the same
+    nprobe (same lists scanned, same re-rank).
 
     Contract: ``corpus`` must contain a float vector for EVERY id the
     index holds — the index stores codes only. A shortlisted id with
@@ -1450,6 +1462,20 @@ def probe_ivfpq_index(
     )
     probed = sorted({r.cid for r in probes.select("cid").distinct().collect()})
     codes = spark.read.parquet(path).filter(F.col("cid").isin(probed))
+    if allowed is not None:
+        # FILTERED ANN over the persisted index: restrict candidates
+        # BEFORE ADC ranking, so all k results satisfy the predicate
+        # and filtered-out vectors never consume shortlist slots (the
+        # post-filter alternative silently returns < k under selective
+        # filters). One semi-join keyed on the id — at scale `allowed`
+        # is the license/language/split id set, itself a pruned scan.
+        codes = codes.join(
+            allowed.select(
+                F.col(allowed_id_col or id_col).alias("neighbor_id")
+            ).distinct(),
+            "neighbor_id",
+            "semi",
+        )
     decoded = pq_decode(codes, books, "codes", "r_vec")
     pairs = (
         decoded.join(F.broadcast(probes), "cid")

@@ -1590,3 +1590,53 @@ def test_substring_dedup_removes_copied_runs_only(spark):
 
     with _pt.raises(ValueError, match="min_len"):
         substring_dedup(docs, min_len=1)
+
+
+def test_probe_ivfpq_index_filtered_ann(spark, tmp_path):
+    """Filtered ANN over the persisted IVF+PQ index: with an allowed-id
+    set, (a) every result satisfies the filter, (b) at full probe
+    width the result equals exact cosine top-k over the allowed
+    subset (the filter applies BEFORE ranking — filtered-out vectors
+    never consume shortlist slots), and (c) an unfiltered probe is
+    unchanged."""
+    from cassandrastack_spark.llm.simsearch import (
+        build_ivfpq_index,
+        cosine_topk,
+        probe_ivfpq_index,
+    )
+
+    rows = [
+        (i, [float(i == j) + 0.07 * ((i * 3 + j) % 5) for j in range(8)])
+        for i in range(16)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    path = str(tmp_path / "ivfpq_filt")
+    build_ivfpq_index(emb, path, k_centroids=2, m_sub=4, k_codes=4)
+    q = emb.filter(F.col("vec_id") == 0)
+    allowed_ids = [1, 3, 5, 7, 9, 11]
+    allowed = spark.createDataFrame(
+        [(i,) for i in allowed_ids], ["vec_id"]
+    )
+    got = probe_ivfpq_index(
+        spark, path, q, emb, k=4, nprobe=2, shortlist=64, allowed=allowed
+    ).collect()
+    assert {r.neighbor_id for r in got} <= set(allowed_ids), got
+    assert [r.rank for r in sorted(got, key=lambda r: r.rank)] == [
+        1, 2, 3, 4,
+    ]
+    # full width => exact top-k over the allowed subset
+    want = cosine_topk(
+        emb.filter(F.col("vec_id").isin(allowed_ids)), q, k=4
+    ).collect()
+    got_full = probe_ivfpq_index(
+        spark, path, q, emb, k=4, nprobe=2, shortlist=1 << 20,
+        allowed=allowed,
+    ).collect()
+    assert sorted((r.neighbor_id, r.rank) for r in got_full) == sorted(
+        (r.neighbor_id, r.rank) for r in want
+    )
+    # unfiltered probe unaffected by the new parameter's default
+    plain = probe_ivfpq_index(
+        spark, path, q, emb, k=4, nprobe=2, shortlist=64
+    ).collect()
+    assert len(plain) == 4

@@ -858,6 +858,18 @@ def pq_encode(
     input vectors propagate to null codes on BOTH paths (the Arrow path
     masks null rows before the GEMM), so crossing the size gate never
     changes null semantics.
+
+    Composition caveat (literal path): ``codes`` is an EXPRESSION, not
+    data — a downstream operator that references it more than once
+    (e.g. a lambda/higher-order predicate like
+    ``exists(codes, ...) | size(codes) != m``) makes Catalyst
+    re-inline the full argmin literal tree per reference, and
+    optimizer time explodes (measured: minutes of driver planning for
+    a sub-second job). The engine's own consumers aggregate, write,
+    or join on ``codes`` (single reference — fine); if you need
+    predicate-heavy post-processing over literal-path codes,
+    materialize first (``localCheckpoint``/``persist``/write), as the
+    index builders already do by writing codes to parquet.
     """
     m_sub = len(codebooks)
     k_codes = len(codebooks[0])

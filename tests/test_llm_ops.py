@@ -455,7 +455,14 @@ def test_pq_encode_codes_shape(emb):
     )
     books = pq_train_codebooks(c, m_sub=8, k_codes=16, sample=256)
     assert len(books) == 8 and all(len(b) == 16 for b in books)
-    enc = pq_encode(c, books, "vec")
+    # materialize BEFORE the validity predicates: `codes` is a literal
+    # argmin expression tree on the small-codebook path, and a filter
+    # referencing it re-inlines that tree per predicate branch — the
+    # optimizer then spends MINUTES on a plan whose execution takes
+    # 0.5s (measured: 310s unmaterialized vs <1s checkpointed). The
+    # product paths never hit this (they aggregate/join on codes, not
+    # lambda-predicate them); see the pq_encode docstring note.
+    enc = pq_encode(c, books, "vec").localCheckpoint(eager=True)
     bad = enc.filter(
         (F.size("codes") != 8)
         | F.exists("codes", lambda x: (x < 0) | (x >= 16))

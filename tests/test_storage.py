@@ -1358,12 +1358,22 @@ def test_compact_preserves_per_cell_ttls(spark, ks):
     t = make_users(spark, ks)
     t.append(spark.createDataFrame(
         [("Bea", "u1", None, "pw")], schemas.USERS))
+    # TTL sized so append+compact+read comfortably finish inside it
+    # even on a loaded host (a 2s budget flaked when the compact run
+    # alone crossed it); the expiry side below POLLS instead of
+    # sleeping a fixed margin, so the common case stays fast.
+    ttl = 15
+    t0 = _time.monotonic()
     t.append(
         spark.createDataFrame([("Bea", None, "fleeting@x", None)], schemas.USERS),
-        cells=["email"], ttl_seconds=2,
+        cells=["email"], ttl_seconds=ttl,
     )
     t.compact()
     [row] = t.read().collect()
+    assert _time.monotonic() - t0 < ttl, (
+        "host too slow for the liveness assertion to be meaningful — "
+        "raise ttl"
+    )
     assert row.email == "fleeting@x", "TTL'd cell still live right after compact"
     # the compacted files carry the CELL's expiry, not the marker's null
     raw = spark.read.parquet(t.path)
@@ -1371,8 +1381,13 @@ def test_compact_preserves_per_cell_ttls(spark, ks):
     assert frag is not None and frag._expires is not None, (
         "compact must persist the email cell's own expiry"
     )
-    _time.sleep(2.2)
-    [row] = t.read().collect()
+    # poll until the cell's own expiry passes (bounded wait)
+    deadline = t0 + ttl + 10
+    while _time.monotonic() < deadline:
+        [row] = t.read().collect()
+        if row.email is None:
+            break
+        _time.sleep(0.5)
     assert row.email is None, (
         "cell TTL written BEFORE the compact must still expire AFTER it"
     )

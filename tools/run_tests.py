@@ -3,11 +3,19 @@
 
 ``pytest tests/`` single-process is ~25 min of work and a 4-way
 file-granularity split is bounded by ``test_llm_ops.py`` alone
-(~10.5 min) — so this runner shards by TEST ITEM, round-robin in
-collection order, which spreads every file's items across all shards.
-Safe because the suite is tmp_path-isolated throughout (no named
-warehouse/table/view is shared between tests; verified by grep and by
-rounds of parallel-by-file runs).
+(~10.5 min) — so this runner shards by TEST ITEM. Safe because the
+suite is tmp_path-isolated throughout (no named warehouse/table/view
+is shared between tests; verified by grep and by rounds of
+parallel-by-file runs).
+
+Assignment is DURATION-AWARE: each run records per-test wall times
+(pytest ``--durations=0`` output) into ``tools/test_durations.json``,
+and the next run greedily bin-packs items longest-first by recorded
+cost (unknown items cost the median). Plain round-robin left one
+shard ~2x longer than the rest — the handful of 30-90s streaming /
+property tests land wherever collection order puts them; with the
+profile the shards finish together and the gate keeps headroom as
+the suite grows.
 
 Usage::
 
@@ -24,7 +32,9 @@ any shard fails; per-shard tails and wall times print at the end.
 from __future__ import annotations
 
 import argparse
+import json
 import os
+import re
 import subprocess
 import sys
 import tempfile
@@ -32,6 +42,12 @@ import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
+PROFILE = os.path.join(HERE, "test_durations.json")
+
+# pytest --durations lines: "  12.34s call     tests/test_x.py::test_y"
+_DUR_RE = re.compile(
+    r"^\s*(\d+(?:\.\d+)?)s\s+(call|setup|teardown)\s+(tests/\S+)"
+)
 
 
 def collect_ids(extra: list[str]) -> list[str]:
@@ -55,6 +71,64 @@ def collect_ids(extra: list[str]) -> list[str]:
     return ids
 
 
+def load_profile() -> dict[str, float]:
+    try:
+        with open(PROFILE) as f:
+            raw = json.load(f)
+        return {k: float(v) for k, v in raw.items()}
+    except (OSError, ValueError):
+        return {}
+
+
+def assign(
+    ids: list[str], n: int, profile: dict[str, float]
+) -> list[list[str]]:
+    """Greedy longest-processing-time bin packing by recorded cost.
+
+    Unknown items (new tests, or ones below pytest's 5ms durations
+    cutoff) cost the median of known durations — overestimating a
+    trivial test by a median is harmless for balance; underestimating
+    a new 60s test self-corrects on the next run's profile update.
+    Deterministic: ties break on the test id.
+    """
+    known = sorted(profile.get(i, -1.0) for i in ids if i in profile)
+    med = known[len(known) // 2] if known else 1.0
+    cost = {i: profile.get(i, med) for i in ids}
+    bins: list[list[str]] = [[] for _ in range(n)]
+    totals = [0.0] * n
+    for i in sorted(ids, key=lambda x: (-cost[x], x)):
+        j = totals.index(min(totals))
+        bins[j].append(i)
+        totals[j] += cost[i]
+    return [b for b in bins if b]
+
+
+def update_profile(logs: list[str]) -> None:
+    """Merge per-test (call+setup+teardown) seconds from the shard
+    logs into the profile. Partial runs (``-k`` filters) update only
+    the items they ran, so the profile converges without ever being
+    invalidated by a subset run."""
+    merged = load_profile()
+    seen: dict[str, float] = {}
+    for path in logs:
+        try:
+            with open(path) as f:
+                for line in f:
+                    m = _DUR_RE.match(line)
+                    if m:
+                        secs, _phase, tid = m.groups()
+                        seen[tid] = seen.get(tid, 0.0) + float(secs)
+        except OSError:
+            continue
+    if not seen:
+        return
+    merged.update({k: round(v, 3) for k, v in seen.items()})
+    tmp = PROFILE + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(merged, f, indent=0, sort_keys=True)
+    os.replace(tmp, PROFILE)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("-n", "--shards", type=int, default=4)
@@ -65,11 +139,11 @@ def main() -> int:
 
     ids = collect_ids(args.extra)
     n = max(1, min(args.shards, len(ids)))
-    shards: list[list[str]] = [ids[i::n] for i in range(n)]
+    shards = assign(ids, n, load_profile())
     per_shard_cores = max(2, args.cpus // n)
 
-    print(f"{len(ids)} tests -> {n} shards x local[{per_shard_cores}]",
-          flush=True)
+    print(f"{len(ids)} tests -> {len(shards)} shards x "
+          f"local[{per_shard_cores}]", flush=True)
     t0 = time.time()
     procs = []
     for i, shard in enumerate(shards):
@@ -82,6 +156,7 @@ def main() -> int:
         )
         p = subprocess.Popen(
             [sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider",
+             "--durations=0", "--durations-min=0.05",
              *args.extra, *shard],
             cwd=REPO,
             stdout=log,
@@ -91,6 +166,7 @@ def main() -> int:
         procs.append((i, p, log))
 
     failed = False
+    logs = []
     for i, p, log in procs:
         rc = p.wait()
         log.flush()
@@ -99,12 +175,14 @@ def main() -> int:
         summary = tail[-1] if tail else "(no output)"
         status = "OK" if rc == 0 else f"FAIL rc={rc}"
         print(f"shard {i}: {status}  {summary}  [{log.name}]", flush=True)
+        logs.append(log.name)
         if rc != 0:
             failed = True
             # surface the failing tests, not just the count
             for ln in tail:
                 if ln.startswith("FAILED") or ln.startswith("ERROR"):
                     print(f"  {ln}", flush=True)
+    update_profile(logs)
     print(f"total wall: {time.time() - t0:.0f}s", flush=True)
     return 1 if failed else 0
 

@@ -827,12 +827,25 @@ def pq_train_codebooks(
 # literal_max_k.
 PQ_LITERAL_MAX_DOUBLES = 8192
 
+# Composition-safety cutoff for the LITERAL encode path, in the same
+# units (total double literals). Below this, a downstream predicate
+# that re-inlines the argmin tree per reference stays cheap to plan;
+# above it, re-inlining was measured at 310 s of DRIVER planning for a
+# 1024-double tree under an `exists()` filter (the optimizer pushes
+# the filter through the project, substituting the full tree into
+# every predicate branch, and each branch's `array_position(d2,
+# array_min(d2))` already carries d2 twice). `pq_encode` therefore
+# inserts a lazy plan barrier between the two cutoffs unless the
+# caller opts out (see ``compose_safe``).
+PQ_COMPOSE_MAX_DOUBLES = 256
+
 
 def pq_encode(
     df: DataFrame,
     codebooks: list,
     vec_col: str = "vec",
     literal_max_doubles: int = PQ_LITERAL_MAX_DOUBLES,
+    compose_safe: bool = True,
 ) -> DataFrame:
     """Add ``codes`` (array<int>, length m_sub): each subvector's
     nearest codebook entry by squared L2.
@@ -859,17 +872,27 @@ def pq_encode(
     masks null rows before the GEMM), so crossing the size gate never
     changes null semantics.
 
-    Composition caveat (literal path): ``codes`` is an EXPRESSION, not
+    Composition guard (literal path): ``codes`` is an EXPRESSION, not
     data — a downstream operator that references it more than once
     (e.g. a lambda/higher-order predicate like
     ``exists(codes, ...) | size(codes) != m``) makes Catalyst
     re-inline the full argmin literal tree per reference, and
-    optimizer time explodes (measured: minutes of driver planning for
-    a sub-second job). The engine's own consumers aggregate, write,
-    or join on ``codes`` (single reference — fine); if you need
-    predicate-heavy post-processing over literal-path codes,
-    materialize first (``localCheckpoint``/``persist``/write), as the
-    index builders already do by writing codes to parquet.
+    optimizer time explodes (measured: 310 s of driver planning for a
+    sub-second job at a 1024-double tree). With ``compose_safe=True``
+    (the default), a literal tree larger than
+    ``PQ_COMPOSE_MAX_DOUBLES`` is therefore fenced behind a LAZY
+    ``localCheckpoint(eager=False)``: downstream plans see an opaque
+    ``codes`` attribute (never the tree), no job runs until the first
+    action, and the blocks self-release on GC (the module-family
+    barrier discipline — see ``dedup.py``'s module docstring; a
+    ``persist()`` barrier would accumulate in the CacheManager until
+    explicitly unpersisted). Engine-internal callers that consume
+    ``codes`` exactly once and immediately materialize (the index
+    builders write codes to parquet; ``ann_pq_topk`` aggregates them)
+    pass ``compose_safe=False`` to keep their plans barrier-free and
+    byte-identical to prior rounds. Tiny trees (<=
+    ``PQ_COMPOSE_MAX_DOUBLES``) stay pure expressions either way —
+    re-inlining them is cheap.
     """
     m_sub = len(codebooks)
     k_codes = len(codebooks[0])
@@ -890,13 +913,19 @@ def pq_encode(
             exprs.append(f"cast(array_position({d2}, array_min({d2})) - 1 AS int)")
         # null-in → null-out (not an array OF nulls), matching the
         # Arrow path exactly
-        return df.withColumn(
+        out = df.withColumn(
             "codes",
             F.when(
                 F.col(vec_col).isNotNull(),
                 F.expr("array(" + ", ".join(exprs) + ")"),
             ),
         )
+        if compose_safe and m_sub * k_codes * d_sub > PQ_COMPOSE_MAX_DOUBLES:
+            # lazy barrier: plans (no jobs) now, so downstream
+            # predicates bind to an attribute instead of re-inlining
+            # the argmin tree per reference (see docstring)
+            out = out.localCheckpoint(eager=False)
+        return out
 
     import numpy as np
     import pandas as pd
@@ -1046,7 +1075,9 @@ def ann_pq_topk(
     # compressed corpus: (neighbor_id, codes). At scale this is the
     # table that lives in memory / gets scanned; floats stay in cold
     # storage keyed by id.
-    codes = pq_encode(c_normed, books, "c_unit").select("neighbor_id", "codes")
+    codes = pq_encode(
+        c_normed, books, "c_unit", compose_safe=False
+    ).select("neighbor_id", "codes")
     # decode-on-scan: reconstructed vector = concat of codebook rows
     # selected by each code — pq_decode gates literal gather vs Arrow
     # on codebook size (bit-identical either way; decode is a pure
@@ -1181,7 +1212,10 @@ def ann_ivf_pq_topk(
     # into two ordinary plans (~2 s) — and mirrors production, where
     # the codes table IS materialized (build_ivfpq_index).
     codes = (
-        pq_encode(ivf_assign(c_normed, centroids, "c_unit"), books, "c_unit")
+        pq_encode(
+            ivf_assign(c_normed, centroids, "c_unit"), books, "c_unit",
+            compose_safe=False,
+        )
         .select("cid", "neighbor_id", "codes")
         .localCheckpoint(eager=True)
     )
@@ -1364,7 +1398,10 @@ def build_ivfpq_index(
     )
     spark = corpus.sparkSession
     (
-        pq_encode(ivf_assign(c_normed, centroids, "c_unit"), books, "c_unit")
+        pq_encode(
+            ivf_assign(c_normed, centroids, "c_unit"), books, "c_unit",
+            compose_safe=False,
+        )
         .select("cid", "neighbor_id", "codes")
         .repartition("cid")
         .write.mode("overwrite")
@@ -1397,7 +1434,10 @@ def extend_ivfpq_index(
     books = [[list(c) for c in book] for book in meta.codebooks]
     c_normed = _unit_vecs(new_vecs, id_col, vec_col, "neighbor_id", "c_unit")
     (
-        pq_encode(ivf_assign(c_normed, centroids, "c_unit"), books, "c_unit")
+        pq_encode(
+            ivf_assign(c_normed, centroids, "c_unit"), books, "c_unit",
+            compose_safe=False,
+        )
         .select("cid", "neighbor_id", "codes")
         .repartition("cid")
         .write.mode("append")

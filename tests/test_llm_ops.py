@@ -470,6 +470,60 @@ def test_pq_encode_codes_shape(emb):
     assert bad == 0
 
 
+def test_pq_encode_composes_into_predicates_fast(emb):
+    """The r7 footgun, now guarded at the source: composing DEFAULT
+    (compose_safe=True) pq_encode output into a lambda predicate
+    WITHOUT materializing first must plan in seconds — the lazy
+    localCheckpoint barrier hands downstream plans an opaque `codes`
+    attribute instead of the literal argmin tree (unguarded, the same
+    filter re-inlined the 1024-double tree per predicate branch and
+    planning alone took 310 s). Codes must equal the barrier-free
+    engine path bit-for-bit."""
+    import time
+
+    from cassandrastack_spark.llm.simsearch import (
+        PQ_COMPOSE_MAX_DOUBLES,
+        pq_encode,
+        pq_train_codebooks,
+        with_norm,
+    )
+
+    c = with_norm(emb.select("vec_id", "embedding")).select(
+        F.col("vec_id").alias("id"),
+        F.expr(
+            "transform(vec, x -> CASE WHEN norm > 0 THEN x / norm ELSE x END)"
+        ).alias("vec"),
+    )
+    books = pq_train_codebooks(c, m_sub=8, k_codes=16, sample=256)
+    assert 8 * 16 * 8 > PQ_COMPOSE_MAX_DOUBLES, (
+        "fixture codebook must exceed the compose gate or the test "
+        "exercises nothing"
+    )
+    t0 = time.perf_counter()
+    enc = pq_encode(c, books, "vec")  # default compose_safe=True
+    bad = enc.filter(
+        (F.size("codes") != 8)
+        | F.exists("codes", lambda x: (x < 0) | (x >= 16))
+    ).count()
+    elapsed = time.perf_counter() - t0
+    assert bad == 0
+    assert elapsed < 10, (
+        f"composed predicate over guarded pq_encode took {elapsed:.1f}s "
+        "— the plan barrier regressed"
+    )
+    # barrier changes the PLAN only: codes match the engine-internal
+    # barrier-free path exactly
+    guarded = {r.id: tuple(r.codes) for r in enc.select("id", "codes").collect()}
+    raw = {
+        r.id: tuple(r.codes)
+        for r in pq_encode(c, books, "vec", compose_safe=False)
+        .localCheckpoint(eager=True)
+        .select("id", "codes")
+        .collect()
+    }
+    assert guarded == raw
+
+
 def test_pq_large_codebook_takes_arrow_path(emb):
     """Production-size codebooks (k_codes=256, m_sub=16 — the sizes the
     PQ paper uses) must NOT inline literals: the encode/decode plans go

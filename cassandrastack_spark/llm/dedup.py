@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 
+from cassandrastack_spark.llm._slots import slot_persist
 from cassandrastack_spark.sources.io import widen_for_compute as _widen
 
 # ---------------------------------------------------------------------------
@@ -1028,7 +1029,10 @@ def substring_dedup(
     needs the corpus in one address space):
 
     - windows are a narrow map over each doc's token array (one md5
-      per position — no shuffle);
+      per position — no shuffle), shared by two consumers through a
+      lazily-persisted, LRU-evictable cache (one row per corpus token
+      position while live — the storage bill of not running the
+      tokenize+md5 pass twice; see the slot comment below);
     - the ONLY content-keyed shuffle is the window-hash aggregate,
       and it partial-aggregates map-side with constant per-key state
       (count + min(doc, pos)) — a boilerplate window repeated across
@@ -1048,12 +1052,17 @@ def substring_dedup(
     # n_tokens) and `win` two (the hash stats and the removal probe) —
     # shared lineage is not shared execution, so without these the
     # dominant tokenize+md5 pass runs twice and the corpus is re-read
-    # four times per action. persist() for the projection (lazy,
-    # LRU-evictable), one eager checkpoint for the window hashes.
+    # four times per action. Both go through the single-slot persist
+    # (lazy — plan-only consumers never execute the corpus-sized
+    # window materialization an eager checkpoint used to force at
+    # frame-construction time; LRU-evictable, unlike checkpoint
+    # blocks; and the slot unpersists the previous corpus's
+    # generation, so repeated calls can't accumulate CacheManager
+    # entries).
     d = docs.select(
         F.col(id_col).alias("doc_id"),
         F.split(F.col(text_col), " ").alias("words"),
-    ).persist()
+    )
     # (doc_id, pos, h): md5 of each L-token window, pos 1-based; docs
     # shorter than L contribute no windows (and are never removed from)
     win = d.select(
@@ -1067,7 +1076,9 @@ def substring_dedup(
             )
         ).alias("p0", "h"),
     ).select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
-    win = win.localCheckpoint(eager=True)
+    # keyed on `win` (its plan carries both the corpus AND min_len —
+    # keying on `d` alone would wrongly reuse windows across min_len)
+    d, win = slot_persist("dedup.substring_dedup", win, (d, win))
     stats = win.groupBy("h").agg(
         F.count("*").alias("n"),
         F.min(F.struct("doc_id", "pos")).alias("first"),

@@ -31,6 +31,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from cassandrastack_spark.llm._slots import slot_persist
+
 # Lucene defaults; callers override per corpus.
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -145,21 +147,21 @@ def tfidf_weights(
     # .explain, tools/plan_audit.py — from executing the tokenize
     # jobs just by constructing the frame, and the cached blocks are
     # LRU-evictable, so repeated calls can't pin executor storage
-    # forever the way checkpoint blocks did. Production persists the
-    # postings as a TABLE instead (build_bm25_index +
-    # tfidf_weights_from_index below — the same move as the ANN codes
-    # table in ann_ivf_pq_topk).
-    tf = (
-        w.groupBy("doc_id", "w")
-        .agg(F.count("*").cast("double").alias("tf"))
-        .persist()
+    # forever the way checkpoint blocks did. The single-slot registry
+    # bounds the OTHER leak mode (CacheManager entries survive Python
+    # GC): a new corpus rolls the slot and unpersists the previous
+    # generation; the same corpus reuses the already-cached frames.
+    # Production persists the postings as a TABLE instead
+    # (build_bm25_index + tfidf_weights_from_index below — the same
+    # move as the ANN codes table in ann_ivf_pq_topk).
+    tf = w.groupBy("doc_id", "w").agg(
+        F.count("*").cast("double").alias("tf")
     )
     # the 1-row corpus count rides along into every consumer of the
     # weighted vectors — cached so the count scan runs once across
     # executions, not once per plan branch
-    n_docs = docs.select(
-        F.count("*").cast("double").alias("n")
-    ).persist()
+    n_docs = docs.select(F.count("*").cast("double").alias("n"))
+    tf, n_docs = slot_persist("retrieval.tfidf_weights", tf, (tf, n_docs))
     df_t = tf.groupBy("w").agg(
         F.countDistinct("doc_id").cast("double").alias("df")
     )

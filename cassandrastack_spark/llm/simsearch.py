@@ -1381,6 +1381,17 @@ def build_ivfpq_index(
     tail fetches them by id for the shortlist alone
     (``probe_ivfpq_index``). Train once, assign once; rebuild cadence
     is a data-drift decision, like the plain IVF index.
+
+    Each code row carries an ``epoch`` write-generation stamp (build =
+    0, each ``extend_ivfpq_index`` = stored ``_meta.epoch`` + 1) — the
+    same last-writer protocol as the BM25 postings: compaction
+    resolves a same-list re-extended id to its NEWEST codes
+    (``max_by(codes, epoch)``) instead of a lexicographic ``max`` that
+    could keep stale codes forever. On disk the constant-per-file
+    column RLE-encodes to ~nothing; probes don't read it (shortlist
+    election tolerates pre-compaction duplicates, and the re-rank
+    fetches floats from the CORPUS, so scores are stale-proof either
+    way — see ``probe_ivfpq_index``).
     """
     c_normed = _unit_vecs(corpus, id_col, vec_col, "neighbor_id", "c_unit")
     train = c_normed.select(
@@ -1402,16 +1413,20 @@ def build_ivfpq_index(
             ivf_assign(c_normed, centroids, "c_unit"), books, "c_unit",
             compose_safe=False,
         )
-        .select("cid", "neighbor_id", "codes")
+        .select(
+            "cid", "neighbor_id", "codes",
+            F.lit(0).cast("long").alias("epoch"),
+        )
         .repartition("cid")
         .write.mode("overwrite")
         .partitionBy("cid")
         .parquet(path)
     )
     spark.createDataFrame(
-        [(centroids, books)],
+        [(centroids, books, 0)],
         "centroids array<array<double>>, "
-        "codebooks array<array<array<double>>>",
+        "codebooks array<array<array<double>>>, "
+        "epoch long",
     ).coalesce(1).write.mode("overwrite").parquet(path + "/_meta")
 
 
@@ -1427,23 +1442,45 @@ def extend_ivfpq_index(
     Cost ∝ the batch (one assign + encode pass over the new rows, one
     append into their ``cid=`` partitions). Retrain on drift by
     rebuilding, like the other persisted indexes.
+
+    The batch lands under a fresh ``epoch`` stamp (stored
+    ``_meta.epoch`` + 1, read BEFORE any append and bumped AFTER the
+    codes land): a crashed extend's replay re-lands the whole batch at
+    the SAME epoch with byte-identical codes (collapsible exactly),
+    while a same-id re-extend with a CHANGED vector supersedes the old
+    codes at compaction (``compact_ivfpq_index`` keeps
+    ``max_by(codes, epoch)``). SINGLE-WRITER per index, like the BM25
+    extend: two concurrent extends would share a stamp — serialize
+    them (the streaming ingest loop, a foreachBatch sink, already
+    does).
     """
     spark = new_vecs.sparkSession
     meta = spark.read.parquet(path + "/_meta").head()
     centroids = [list(c) for c in meta.centroids]
     books = [[list(c) for c in book] for book in meta.codebooks]
+    # pre-epoch indexes (no `epoch` in _meta) extend as generation 1
+    epoch = int(meta.asDict().get("epoch") or 0) + 1
     c_normed = _unit_vecs(new_vecs, id_col, vec_col, "neighbor_id", "c_unit")
     (
         pq_encode(
             ivf_assign(c_normed, centroids, "c_unit"), books, "c_unit",
             compose_safe=False,
         )
-        .select("cid", "neighbor_id", "codes")
+        .select(
+            "cid", "neighbor_id", "codes",
+            F.lit(epoch).cast("long").alias("epoch"),
+        )
         .repartition("cid")
         .write.mode("append")
         .partitionBy("cid")
         .parquet(path)
     )
+    spark.createDataFrame(
+        [(centroids, books, epoch)],
+        "centroids array<array<double>>, "
+        "codebooks array<array<array<double>>>, "
+        "epoch long",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/_meta")
 
 
 def probe_ivfpq_index(
@@ -1600,13 +1637,16 @@ def compact_ivfpq_index(spark, path: str) -> None:
     index: every ``extend_ivfpq_index`` appends a few files per
     ``cid=`` partition, and the extend->marker crash window can land a
     batch's codes twice. Rewrite each list partition to one sorted
-    file set with codes collapsed per (cid, neighbor_id) — replayed
-    copies are byte-identical and assign to the same list, so the
-    collapse is exact. Same object-store-safe protocol as
-    ``compact_bm25_index`` / ``compact_dedup_index``: staged commit,
-    dynamic overwrite one ``cid=`` directory at a time (concurrent
-    probes always see a complete list), staging dropped via the
-    FileSystem API.
+    file set with codes collapsed per (cid, neighbor_id) by NEWEST
+    epoch (``max_by(codes, epoch)`` — the BM25 postings' last-writer
+    rule): a byte-identical replay collapses exactly (same epoch, same
+    bytes), and a same-id re-extend with a CHANGED vector that lands
+    in the SAME list keeps the new generation's codes, never the stale
+    ones a lexicographic ``max(codes)`` could elect forever. Same
+    object-store-safe protocol as ``compact_bm25_index`` /
+    ``compact_dedup_index``: staged commit, dynamic overwrite one
+    ``cid=`` directory at a time (concurrent probes always see a
+    complete list), staging dropped via the FileSystem API.
 
     Scope, documented: a same-id re-extend with a CHANGED vector can
     assign the id to a DIFFERENT list; the two rows then live in two
@@ -1614,14 +1654,24 @@ def compact_ivfpq_index(spark, path: str) -> None:
     partition moves are rebuild territory — dynamic overwrite cannot
     retire a partition it writes no rows into). That state stays
     correct at probe time regardless: ``probe_ivfpq_index`` collapses
-    duplicate ids in the shortlist and re-ranks on the CORPUS floats.
+    duplicate ids in the shortlist and re-ranks on the CORPUS floats,
+    so only shortlist ELECTION ever sees the stale list's codes (a
+    recall nibble, never a wrong score). Indexes written before the
+    epoch column existed compact as a single generation (epoch
+    coalesced to 0) — rebuild to adopt last-writer semantics.
     """
     from cassandrastack_spark.sources.io import staged_partition_overwrite
 
     codes = spark.read.parquet(path)
+    if "epoch" not in codes.columns:
+        codes = codes.withColumn("epoch", F.lit(0).cast("long"))
     live = (
-        codes.groupBy("cid", "neighbor_id")
-        .agg(F.max("codes").alias("codes"))
-        .select("cid", "neighbor_id", "codes")
+        codes.withColumn("epoch", F.coalesce("epoch", F.lit(0)))
+        .groupBy("cid", "neighbor_id")
+        .agg(
+            F.expr("max_by(codes, epoch)").alias("codes"),
+            F.max("epoch").alias("epoch"),
+        )
+        .select("cid", "neighbor_id", "codes", "epoch")
     )
     staged_partition_overwrite(live, path, "cid", ["cid", "neighbor_id"])

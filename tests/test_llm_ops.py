@@ -837,9 +837,12 @@ def test_persisted_ivfpq_index_prunes_and_matches(spark, emb, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cid" in plan, plan
-    # the index stores codes only — no float vector column on disk
+    # the index stores codes only (plus the write-generation stamp) —
+    # no float vector column on disk
     stored = spark.read.parquet(path)
-    assert set(stored.columns) == {"neighbor_id", "codes", "cid"}, stored.columns
+    assert set(stored.columns) == {
+        "neighbor_id", "codes", "epoch", "cid"
+    }, stored.columns
 
 
 def test_extend_ivfpq_index_makes_new_vectors_reachable(spark, emb, tmp_path):
@@ -1241,6 +1244,56 @@ def test_extend_bm25_same_id_reextend_is_last_writer(spark, tmp_path):
     assert probe_bm25_index(spark, path, ["vector"], k=10).count() == 0
 
 
+def test_slot_persist_bounds_cached_generations(spark):
+    """The r7 persist() swaps must not accumulate CacheManager entries
+    across repeated calls (Python GC never releases them): alternating
+    tfidf_weights / substring_dedup between two corpora N times must
+    hold persistent-RDD count at its single-call level — the slot
+    unpersists the previous generation when the key rolls — and
+    same-corpus re-calls must REUSE the cached frames, not re-persist.
+    Results stay correct across every roll."""
+    from cassandrastack_spark.llm.dedup import substring_dedup
+    from cassandrastack_spark.llm.retrieval import tfidf_topk_similar
+
+    def n_persistent() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    corpus_a = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta token{i} " * 3) for i in range(6)],
+        ["doc_id", "text"],
+    )
+    corpus_b = spark.createDataFrame(
+        [(i, f"epsilon zeta eta theta word{i % 3} " * 3) for i in range(6)],
+        ["doc_id", "text"],
+    )
+    base = n_persistent()
+    first = sorted(map(tuple, tfidf_topk_similar(corpus_a, [1], k=2).collect()))
+    after_one = n_persistent()
+    for _ in range(3):
+        tfidf_topk_similar(corpus_b, [1], k=2).count()
+        assert sorted(
+            map(tuple, tfidf_topk_similar(corpus_a, [1], k=2).collect())
+        ) == first, "slot roll must not change results"
+    assert n_persistent() <= after_one, (
+        f"tfidf slot leaked cache: {base} -> {after_one} -> {n_persistent()}"
+    )
+
+    base_sub = n_persistent()
+    sub_first = sorted(
+        map(tuple, substring_dedup(corpus_a, min_len=3).collect())
+    )
+    after_sub = n_persistent()
+    for _ in range(3):
+        substring_dedup(corpus_b, min_len=3).count()
+        assert sorted(
+            map(tuple, substring_dedup(corpus_a, min_len=3).collect())
+        ) == sub_first
+    assert n_persistent() <= after_sub, (
+        f"substring slot leaked cache: {base_sub} -> {after_sub} -> "
+        f"{n_persistent()}"
+    )
+
+
 def test_tfidf_from_index_matches_from_scratch(spark, docs, tmp_path):
     """tfidf_weights_from_index / tfidf_topk_similar_from_index must
     reproduce the raw-text path exactly (weights AND ranks) from the
@@ -1482,6 +1535,64 @@ def test_compact_ivfpq_index_collapses_replays_and_preserves_probes(
         ).collect()
     )
     assert after == before
+
+
+def test_compact_ivfpq_index_keeps_newest_generation_codes(spark, tmp_path):
+    """Last-writer compaction: a same-list re-extend of an id with a
+    CHANGED vector must leave the NEW generation's codes after
+    compaction, not whichever codes sort lexicographically higher.
+    Two ids swap vectors (X: A->B, Y: B->A) so whichever array
+    compares greater, a `max(codes)` compaction would keep a stale
+    row for one of them; `max_by(codes, epoch)` keeps both fresh."""
+    from cassandrastack_spark.llm.simsearch import (
+        build_ivfpq_index,
+        compact_ivfpq_index,
+        extend_ivfpq_index,
+    )
+
+    vec_a = [1.0, 0.9, 0.8, 0.7, 0.0, 0.0, 0.0, 0.0]
+    vec_b = [0.0, 0.0, 0.0, 0.0, 0.7, 0.8, 0.9, 1.0]
+    filler = [
+        (i, [0.5 + 0.1 * ((i + j) % 3) for j in range(8)]) for i in range(6)
+    ]
+    emb = spark.createDataFrame(
+        filler + [(10, vec_a), (11, vec_b)], ["vec_id", "embedding"]
+    )
+    path = str(tmp_path / "ivfpq_lw")
+    # k_centroids=1: a single list, so the re-extend lands in the SAME
+    # cid partition — the exact case the lexicographic max got wrong
+    build_ivfpq_index(emb, path, k_centroids=1, m_sub=4, k_codes=4)
+    swapped = spark.createDataFrame(
+        [(10, vec_b), (11, vec_a)], ["vec_id", "embedding"]
+    )
+    extend_ivfpq_index(swapped, path)
+    meta = spark.read.parquet(path + "/_meta").head()
+    assert meta.epoch == 1, "extend must bump the stored write generation"
+    raw = spark.read.parquet(path)
+    newest = {
+        r.neighbor_id: tuple(r.codes)
+        for r in raw.filter("epoch = 1 AND neighbor_id IN (10, 11)").collect()
+    }
+    oldest = {
+        r.neighbor_id: tuple(r.codes)
+        for r in raw.filter("epoch = 0 AND neighbor_id IN (10, 11)").collect()
+    }
+    assert newest and oldest[10] != newest[10] and oldest[11] != newest[11], (
+        "fixture must change each id's codes across generations"
+    )
+    compact_ivfpq_index(spark, path)
+    idx = spark.read.parquet(path)
+    assert (
+        idx.groupBy("cid", "neighbor_id").count().filter("count > 1").count()
+        == 0
+    )
+    kept = {
+        r.neighbor_id: (tuple(r.codes), r.epoch)
+        for r in idx.filter("neighbor_id IN (10, 11)").collect()
+    }
+    assert kept[10] == (newest[10], 1) and kept[11] == (newest[11], 1), (
+        f"compaction kept stale codes: {kept}"
+    )
 
 
 def test_pagerank_personalized_reset_concentrates_mass(spark):

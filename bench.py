@@ -44,10 +44,18 @@ def main() -> None:
     # from order alone). Registration order keeps the measurement
     # conditions of prior rounds.
     registry = dict(REGISTRY)
+    load0 = os.getloadavg()
     spark = get_spark("bench")
 
-    # warmup: tiny scan to absorb session/codegen startup
+    # warmup: tiny scan to absorb session/codegen startup. Its wall
+    # time doubles as the HOST-STATE SENTINEL: the same fixed scan on
+    # an idle host lands in a narrow band, so a ledger whose totals
+    # drifted >1.1x round-over-round can be adjudicated as host load
+    # (sentinel inflated too) vs a code regression (sentinel flat)
+    # without re-running — the r7 builder-vs-driver sweep mismatch.
+    t_w = time.perf_counter()
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    warmup_sec = round(time.perf_counter() - t_w, 3)
 
     # min-of-N passes: single-shot timings on this host swing up to 2x
     # between identical runs (virtualized CPU, JIT state, Python-worker
@@ -71,6 +79,15 @@ def main() -> None:
         "unit": "sec",
         "queries": results,
         "sf": float(sf) if sf else sf_dir,
+        # self-adjudicating host state (VERDICT r7: the builder's
+        # idle-host sweep and the driver's loaded re-sweep of the SAME
+        # code differed 1.08x with no way to attribute it post hoc)
+        "host": {
+            "loadavg_start": [round(x, 2) for x in load0],
+            "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+            "warmup_sentinel_sec": warmup_sec,
+            "passes": max(1, passes),
+        },
     }
     # The driver's ledger captures only the tail of stdout, which
     # truncates the per-query dict past ~2000 chars — so ALSO persist

@@ -54,81 +54,82 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # first (in this order); everything else follows in registration order.
 # A name here that is not registered is ignored.
 #
-# Round-7 rotation (VERDICT r6 lead item): (a) the two queries new
-# this round (persisted-index retrieval compositions — probe paths
-# over the BM25 postings and IVF+PQ codes indexes instead of raw
-# text/floats), (b) ALL 44 queries whose newest official row is
-# round-4-era (TPC-H, analytics, asof/range/window, gapfill, rollup)
-# — their code is unchanged but analytics_ext.py keeps growing, and
-# after this window every registry query's row is <= 2 rounds old
-# (the full catalog has cycled once under the window contract), and
-# (c) 4 re-confirms of queries whose backing modules WERE edited this
-# round (retrieval.py epoch/last-writer + persist change touches
-# text_bm25_topk / text_tfidf_sim_topk / ann_hybrid_rrf_topk;
-# graph.py node-universe + tol change touches graph_pagerank_events).
+# Round-8 rotation (VERDICT r7 lead item): (a) 1 query new this round
+# (filtered ANN over the persisted IVF+PQ index), (b) 3 re-confirms of
+# r6-green queries whose code r7 touched (the tfidf persist swap and
+# the _rrf_fuse extraction — the r7 verdict's "stale greens" watch
+# item; text_tfidf_sim_topk's backing tfidf_weights ALSO changed this
+# round via the slot-persist registry), (c) 2 re-confirms of r7-green
+# queries whose backing code changed THIS round (dedup_exact_substrings:
+# substring_dedup moved from eager localCheckpoint to slot persist;
+# ann_hybrid_rrf_indexed: build_ivfpq_index now epoch-stamps codes),
+# and (d) 44 of the 50 queries whose newest official row is r5-era —
+# including the whole ANN family, whose backing simsearch.py changed
+# this round (pq_encode compose guard + IVF+PQ epochs). The 6 r5-era
+# rows that don't fit (array_functions, histogram_order_totals,
+# json_extract_props, scalar_functions, string_agg_nations,
+# unpivot_revenue_measures — all on analytics modules UNTOUCHED since
+# their r5 rows) slip to the round-9 window. Round-9 must also sweep
+# the 11 streaming rows (r6-era; streaming/ops.py changed in r7
+# [in-batch vector collapse] and r8 [short-circuit for <2-row
+# batches] — the registered streaming queries call neither path, but
+# the no-green-on-changed-code contract wants the official rows
+# refreshed) plus the 6 slipped rows above.
 _FRONT: tuple[str, ...] = (
     # -- new this round --
+    "ann_ivfpq_filtered_topk",
+    # -- r7-touched code, r6-green rows: re-confirm --
+    "text_bm25_topk",
+    "text_tfidf_sim_topk",
+    "ann_hybrid_rrf_topk",
+    # -- r8-touched code, r7-green rows: re-confirm --
     "dedup_exact_substrings",
-    "dedup_semantic_clustered",
-    "graph_pagerank_seeded",
     "ann_hybrid_rrf_indexed",
-    "text_tfidf_sim_indexed",
-    # -- modules edited this round: re-confirm. text_bm25_topk,
-    # text_tfidf_sim_topk and ann_hybrid_rrf_topk yield their slots
-    # to the never-verified queries above per the standing contract:
-    # bm25_rank is untouched this round; the tfidf persist() change
-    # and the shared _rrf_fuse are locally green at sf0.01 this
-    # session, and the fuse path is additionally covered by
-    # ann_hybrid_rrf_indexed's window row + the pytest pinning
-    # indexed == from-scratch equality. graph_pagerank_events keeps
-    # its slot (graph.py's node-universe change alters its semantics
-    # envelope, so the official row must re-confirm). --
-    "graph_pagerank_events",
-    # -- round-4-era rows: re-confirm on current code (44) --
-    "agg_distinct",
-    "anomaly_trailing_zscore",
-    "anti_join_no_orders",
-    "asof_join_latest_order",
-    "asof_join_next_order",
-    "corpus_chunk_sliding",
-    "corpus_shard_shuffle",
-    "correlated_above_avg",
-    "cube_orders",
-    "date_null_functions",
-    "dq_referential_orphans",
-    "full_outer_nation_accounts",
-    "gapfill_interpolate_hourly",
-    "gapfill_locf_hourly",
-    "hypertable_rollup_daily",
-    "lateral_explode_tokens",
-    "map_functions",
-    "q11_important_volume",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_parts_supplier_cnt",
-    "q17_small_qty_revenue",
-    "q18_large_volume_customer",
-    "q19_discounted_revenue",
-    "q1_pricing_summary",
-    "q20_heavy_shippers",
-    "q21_sole_returned_supplier",
-    "q22_sales_opportunity",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "rolling_wau",
-    "rollup_acctbal",
-    "semi_join_open_orders",
-    "stats_regression_lineitem",
-    "text_word_entropy",
-    "topn_per_group",
-    "union_all_with_source",
-    "window_dist_functions",
-    "window_range_frames",
+    # -- r5-era rows: re-confirm on current code (44) --
+    "ann_cosine_topk",
+    "ann_filtered_topk",
+    "ann_ivf_pq_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "ann_pq_topk",
+    "ann_pq_topk_prod",
+    "ann_quantized_topk",
+    "approx_distinct_users",
+    "dedup_embedding_cosine",
+    "dedup_minhash_lsh",
+    "embedding_norms",
+    "embedding_quantize_int8",
+    "event_interarrival",
+    "event_transitions",
+    "funnel_conversion",
+    "heatmap_dow_hour",
+    "outliers_iqr_values",
+    "pareto_customers_by_segment",
+    "partition_scan_ordered",
+    "percentiles_acctbal",
+    "pivot_status_by_segment",
+    "point_lookup",
+    "profile_hot_keys",
+    "profile_table_stats",
+    "projection_scan",
+    "q10_returned_revenue",
+    "q12_priority_by_linestatus",
+    "q4_priority_with_big_items",
+    "q6_forecast_revenue",
+    "retention_weekly",
+    "salted_join_events_customers",
+    "sessionize_events",
+    "set_operations",
+    "sql_exists_in_subqueries",
+    "sql_grouping_sets",
+    "sql_lateral_topk",
+    "text_ngram_novelty",
+    "top_k_global",
+    "tumbling_window_hourly",
+    "window_moving_avg",
+    "window_rank_surface",
+    "window_running_distinct",
+    "window_running_sum",
 )
 
 

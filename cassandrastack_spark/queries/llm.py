@@ -2238,3 +2238,63 @@ def ann_hybrid_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("neighbor_id").alias("doc_id"), "r_vec")
     )
     return _rrf_fuse(bmr, csr)
+
+
+@register(
+    "ann_ivfpq_filtered_topk",
+    oracle="""
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(
+                           q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                           c.vec_id
+                   ) AS rank
+            FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < 10
+              AND c.vec_id IN (SELECT doc_id FROM documents
+                               WHERE lang = 'en'
+                                 AND len(string_split(text, ' ')) >= 40))
+        WHERE rank <= 5
+        ORDER BY query_id, rank
+    """,
+    doc="ann_filtered_topk served from the PERSISTED IVF+PQ index — "
+        "the license/language-restricted retrieval a training pipeline "
+        "actually runs: probe_ivfpq_index(allowed=...) semi-joins the "
+        "metadata-predicate id set against the codes BEFORE ADC "
+        "ranking, so every shortlist slot goes to a vector that "
+        "satisfies the filter (post-filtering an ANN result can return "
+        "<k survivors; the pre-filter cannot) and the scan still "
+        "touches only nprobe cid= partitions of codes. To stay under "
+        "the exact oracle the probe runs FULL width (nprobe = all "
+        "lists, shortlist covering every allowed candidate) so the "
+        "exact float re-rank provably equals brute-force cosine over "
+        "the allowed subset — the same gate discipline as "
+        "ann_hybrid_rrf_indexed; the production operating point "
+        "(nprobe << K) is covered by the recall-curve pytest. Shares "
+        "ann_filtered_topk's oracle predicate (lang='en', >=40 "
+        "tokens), so the two rows pin the raw and indexed paths to "
+        "the SAME answer.",
+)
+def ann_ivfpq_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandrastack_spark.llm.simsearch import probe_ivfpq_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    k_centroids = 16
+    path = _ivfpq_index_for(spark, sf_dir, k_centroids)
+    allowed = _t(spark, sf_dir, "documents").filter(
+        (F.col("lang") == "en") & (F.size(F.split("text", " ")) >= 40)
+    )
+    q = emb.filter(F.col("vec_id") < 10)
+    return (
+        probe_ivfpq_index(
+            spark, path, q, emb,
+            k=5, nprobe=k_centroids, shortlist=1 << 20,
+            allowed=allowed, allowed_id_col="doc_id",
+        )
+        .select(
+            "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank")
+        )
+        .orderBy("query_id", "rank")
+    )

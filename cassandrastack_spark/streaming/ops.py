@@ -774,24 +774,35 @@ def ingest_vectors(
             # never probes), and before the corpus probe on later
             # batches so a near-dup cluster arriving inside one
             # availableNow backlog lands exactly once. Cost is the
-            # triangle-block self-join over THIS batch only.
+            # triangle-block self-join over THIS batch only —
+            # short-circuited for the continuous low-volume case: a
+            # <2-row batch can hold no pair (one cheap count on the
+            # checkpointed dedup output), and an empty pair frame
+            # skips the iterative components loop (several
+            # driver-synchronized jobs) that would otherwise tax
+            # every micro-batch a fixed latency.
             from cassandrastack_spark.llm.dedup import dedup_components
             from cassandrastack_spark.llm.simsearch import (
                 cosine_pairs_above,
             )
 
-            pairs = cosine_pairs_above(
-                batch_df, id_col=id_col, vec_col=vec_col,
-                threshold=reject_cosine, method="exact",
-            ).select("a_id", "b_id")
-            losers = (
-                dedup_components(pairs)
-                .filter(F.col("id") != F.col("component"))
-                .select(F.col("id").alias(id_col))
-            )
-            batch_df = batch_df.join(
-                losers, id_col, "left_anti"
-            ).localCheckpoint(eager=True)
+            batch_df = batch_df.localCheckpoint(eager=True)
+            losers = None
+            if batch_df.count() >= 2:
+                pairs = cosine_pairs_above(
+                    batch_df, id_col=id_col, vec_col=vec_col,
+                    threshold=reject_cosine, method="exact",
+                ).select("a_id", "b_id").localCheckpoint(eager=True)
+                if not pairs.isEmpty():
+                    losers = (
+                        dedup_components(pairs)
+                        .filter(F.col("id") != F.col("component"))
+                        .select(F.col("id").alias(id_col))
+                    )
+            if losers is not None:
+                batch_df = batch_df.join(
+                    losers, id_col, "left_anti"
+                ).localCheckpoint(eager=True)
         if not _fs_exists(spark, index_path + "/_meta") or not _fs_exists(spark, accepted_path):
             survivors = batch_df
             build_ivfpq_index(

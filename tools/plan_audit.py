@@ -52,6 +52,7 @@ DEFAULT_QUERIES = [
     "percentiles_acctbal_approx",  # quantile-sketch aggregate, no expand
     "text_tfidf_sim_indexed",      # TF-IDF over persisted postings
     "ann_hybrid_rrf_indexed",      # hybrid RRF over persisted indexes
+    "ann_ivfpq_filtered_topk",     # pre-filtered probe of codes index
     "dedup_semantic_clustered",    # SemDeDup co-assignment candidates
     "graph_pagerank_seeded",       # personalized rounds (checkpointed)
 ]
@@ -213,7 +214,18 @@ def audit(spark: SparkSession, sf_dir: str, names: list[str]) -> str:
             else:
                 out.append(f"- **RED FLAGS: {flags}**")
         out.append("")
-    out.extend(_pagerank_round_section(spark, sf_dir))
+    # the per-round PageRank section executes checkpoint/count jobs
+    # against an `events` table — emit it only when a graph query is
+    # actually being audited, and never let its failure (e.g. a
+    # sf_dir without events) abort the other queries' audit
+    if any(n.startswith("graph_pagerank") for n in names):
+        try:
+            out.extend(_pagerank_round_section(spark, sf_dir))
+        except Exception as e:  # noqa: BLE001
+            out.append(
+                f"## graph_pagerank per-round section SKIPPED: {e}"
+            )
+            out.append("")
     return "\n".join(out)
 
 

@@ -1,0 +1,219 @@
+"""Embedding-matrix statistics: exact second moments, covariance, and
+PCA projection over an ``array<double>`` embedding column.
+
+The dimensionality-reduction / whitening step of a training-data
+pipeline (decorrelate before PQ, project before clustering, audit
+embedding drift between snapshots) — and the textbook case for
+constant-state distributed aggregation:
+
+- **Partials**: one ``mapInPandas`` pass accumulates (n, Σx, XᵀX) per
+  PARTITION (the iterator covers every Arrow batch in the partition,
+  so one dim + dim² block leaves each task — NOT one per batch). No
+  raw vector ever rides a shuffle; 100 TB of embeddings reduce to
+  (#partitions) × (dim² + dim + 1) doubles.
+- **Reduce**: elementwise array sums via one posexplode + groupBy over
+  the partial rows — thousands of rows × dim² values, trivially
+  bounded, fully distributed.
+- **Finish**: covariance entries are a dim²-row DataFrame (never the
+  corpus); PCA eigendecomposition runs on the driver over the dim×dim
+  matrix (64×64 here — bounded by DIMENSION, not data) and ships back
+  into the plan as a pandas_udf GEMM closure, the same
+  train-small/apply-wide discipline as ``pq_train_codebooks``.
+
+No counterpart in the reference (``server.py`` routes only CRUD); this
+extends the embedding operator family required by the north star.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _moment_partials(df: DataFrame, vec_col: str) -> DataFrame:
+    """One row per non-empty partition: (n, s = Σx, ss = flattened
+    XᵀX). Null vectors are skipped (they carry no coordinates — the
+    same contract as ``covar_pop`` ignoring NULL pairs)."""
+    import numpy as np
+
+    def fn(it):
+        n = 0
+        s = None
+        ss = None
+        for pdf in it:
+            col = pdf[vec_col].dropna()
+            if not len(col):
+                continue
+            x = np.asarray(col.tolist(), dtype=np.float64)
+            n += x.shape[0]
+            s = x.sum(axis=0) if s is None else s + x.sum(axis=0)
+            g = x.T @ x
+            ss = g if ss is None else ss + g
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "ss": [ss.ravel().tolist()]}
+            )
+
+    return df.select(vec_col).mapInPandas(
+        fn, "n long, s array<double>, ss array<double>"
+    )
+
+
+def _summed_moments(df: DataFrame, vec_col: str) -> tuple[DataFrame, DataFrame]:
+    """(totals, n): ``totals`` holds (pos, v) with pos < dim the mean
+    numerators and pos >= dim the flattened XᵀX entries; ``n`` is the
+    1-row vector count. Both are plans over the partials — dim²-sized,
+    never corpus-sized."""
+    parts = _moment_partials(df, vec_col)
+    totals = (
+        parts.select(F.posexplode(F.concat("s", "ss")).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v").alias("v"))
+    )
+    n = parts.agg(F.sum("n").cast("double").alias("n"))
+    return totals, n
+
+
+def embedding_covariance(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Exact population covariance matrix of the embedding column as a
+    (i, j, cov) DataFrame (dim² rows): ``cov = E[x_i x_j] − E[x_i]E[x_j]``
+    — ``covar_pop`` semantics, so a SQL oracle can verify any block.
+
+    The corpus is read ONCE (the moment partials); everything after is
+    arithmetic over dim-bounded frames (two broadcast joins of the
+    dim-row mean vector onto the dim²-row second-moment frame plus the
+    1-row count — the canonical scalar-subquery plan).
+    """
+    totals, n = _summed_moments(df, vec_col)
+    dim_row = totals.agg(
+        # dim + dim² positions total → dim derived without a second
+        # corpus scan (quadratic root of count-1/4... avoided: count
+        # k satisfies k = d + d², i.e. d = (sqrt(4k+1) - 1) / 2)
+        ((F.sqrt(4 * F.count("*") + 1) - 1) / 2).cast("int").alias("dim")
+    )
+    means = (
+        totals.crossJoin(F.broadcast(dim_row))
+        .filter(F.col("pos") < F.col("dim"))
+        .crossJoin(F.broadcast(n))
+        .select(F.col("pos").alias("k"), (F.col("v") / F.col("n")).alias("mu"))
+    )
+    second = (
+        totals.crossJoin(F.broadcast(dim_row))
+        .filter(F.col("pos") >= F.col("dim"))
+        .select(
+            ((F.col("pos") - F.col("dim")) / F.col("dim"))
+            .cast("int")
+            .alias("i"),
+            ((F.col("pos") - F.col("dim")) % F.col("dim"))
+            .cast("int")
+            .alias("j"),
+            "v",
+        )
+    )
+    mi = means.select(F.col("k").alias("i"), F.col("mu").alias("mu_i"))
+    mj = means.select(F.col("k").alias("j"), F.col("mu").alias("mu_j"))
+    return (
+        second.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            (F.col("v") / F.col("n") - F.col("mu_i") * F.col("mu_j")).alias(
+                "cov"
+            ),
+        )
+    )
+
+
+def pca_train(
+    df: DataFrame, k: int, vec_col: str = "embedding"
+) -> tuple[list, list, list]:
+    """Train a PCA basis: returns (mean, components, eigenvalues) with
+    ``components`` a k×dim list (rows = principal axes, descending
+    eigenvalue). Driver state is dim-bounded (the summed moments —
+    dim² + dim + 1 doubles — and a dim×dim ``eigh``), never
+    corpus-bounded; the corpus is scanned exactly once.
+
+    Deterministic across runs AND partitionings: the moments are exact
+    sums (order-independent up to float addition error far below
+    eigengaps), and each eigenvector's sign is fixed so its
+    largest-magnitude coordinate is positive (first index on ties).
+    """
+    import numpy as np
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    totals, n_df = _summed_moments(df, vec_col)
+    rows = totals.collect()  # dim² + dim rows — bounded by DIMENSION
+    n = n_df.head().n
+    if not rows or not n:
+        raise ValueError("pca_train: no non-null vectors to train on")
+    cnt = len(rows)
+    dim = int(((4 * cnt + 1) ** 0.5 - 1) / 2)
+    if k > dim:
+        raise ValueError(f"k={k} exceeds embedding dim {dim}")
+    v = np.zeros(cnt)
+    for r in rows:
+        v[r.pos] = r.v
+    mean = v[:dim] / n
+    cov = v[dim:].reshape(dim, dim) / n - np.outer(mean, mean)
+    # symmetrize away float asymmetry before eigh (XᵀX is symmetric in
+    # exact arithmetic; summation order can leave ~ulp skew)
+    cov = (cov + cov.T) / 2.0
+    w, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(w)[::-1][:k]
+    eigvals = w[order]
+    comps = vecs[:, order].T  # k × dim
+    for i in range(k):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i][j] < 0:
+            comps[i] = -comps[i]
+    return mean.tolist(), comps.tolist(), eigvals.tolist()
+
+
+def pca_project(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    out_col: str = "pc",
+    mean: list | None = None,
+    components: list | None = None,
+) -> DataFrame:
+    """Add ``out_col``: the k-dim PCA projection ``(x − mean) @ Wᵀ``.
+
+    Trains on ``df`` itself unless a (mean, components) basis from
+    ``pca_train`` is supplied — pass one to project a stream/batch
+    with the CORPUS basis (the extend-with-stored-training move every
+    persisted index here uses). The basis ships once inside an Arrow
+    ``pandas_udf`` closure; each batch projects via one GEMM. Null
+    vectors project to null.
+    """
+    import numpy as np
+
+    if (mean is None) != (components is None):
+        raise ValueError("pass both mean and components, or neither")
+    if mean is None:
+        mean, components, _ = pca_train(df, k, vec_col)
+    if len(components) != k:
+        raise ValueError(
+            f"components rows ({len(components)}) must equal k ({k})"
+        )
+    mu = np.asarray(mean, dtype=np.float64)
+    wt = np.asarray(components, dtype=np.float64).T  # dim × k
+
+    def _project_fn(vs):
+        na = vs.isna().to_numpy()
+        res = np.empty(len(vs), dtype=object)
+        res[na] = None
+        if (~na).any():
+            x = np.asarray(vs[~na].tolist(), dtype=np.float64)
+            p = (x - mu) @ wt
+            for idx, row in zip(np.flatnonzero(~na), p):
+                res[idx] = row.tolist()
+        return pd.Series(res)
+
+    _project_fn.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    proj = F.pandas_udf(_project_fn, "array<double>")
+    return df.withColumn(out_col, proj(F.col(vec_col)))

@@ -2241,6 +2241,134 @@ def ann_hybrid_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_covariance_block",
+    oracle="""
+        SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+               ROUND(covar_pop(list_extract(embedding, i + 1),
+                               list_extract(embedding, j + 1)), 6) AS cov
+        FROM embeddings,
+             generate_series(0, 7) s1(i),
+             generate_series(0, 7) s2(j)
+        GROUP BY i, j
+        ORDER BY i, j
+    """,
+    doc="Exact population covariance of the embedding matrix (leading "
+        "8x8 block, rounded to 6 decimals) — the statistics pass "
+        "behind whitening/PCA/drift audits. One mapInPandas scan "
+        "accumulates (n, sum_x, X^T X) per PARTITION (constant "
+        "dim^2-sized state per task, no raw vector ever shuffles); "
+        "the reduce is a posexplode + groupBy over partial rows, and "
+        "the covariance itself is a dim^2-row frame assembled with "
+        "broadcast joins. DuckDB verifies every entry with covar_pop "
+        "over list extracts. At 100 TB the corpus contributes exactly "
+        "one dim^2 block per partition to the shuffle.",
+)
+def embedding_covariance_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandrastack_spark.llm.embstats import embedding_covariance
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        embedding_covariance(emb, "embedding")
+        .filter((F.col("i") < 8) & (F.col("j") < 8))
+        .select("i", "j", F.round("cov", 6).alias("cov"))
+        .orderBy("i", "j")
+    )
+
+
+@register(
+    "dedup_canonical_election",
+    oracle="""
+        WITH RECURSIVE sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+                   generate_series(1, greatest(len(words) - 2, 1)),
+                   i -> concat_ws(' ', words[i], words[i+1], words[i+2]))) AS shingles
+          FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t
+        ),
+        prs AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.shingles, b.shingles))
+                  / (len(a.shingles) + len(b.shingles)
+                     - len(list_intersect(a.shingles, b.shingles))) >= 0.2
+        ),
+        edges AS (
+          SELECT a_id AS s, b_id AS d FROM prs
+          UNION ALL SELECT b_id, a_id FROM prs
+        ),
+        reach(id, comp) AS (
+          SELECT s, s FROM edges
+          UNION
+          SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id
+        ),
+        comp AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id),
+        q AS (SELECT doc_id,
+                     COALESCE(len(string_split(text, ' ')), 0) AS n_tok
+              FROM documents),
+        ranked AS (
+          SELECT c.id, c.component,
+                 ROW_NUMBER() OVER (PARTITION BY c.component
+                                    ORDER BY q.n_tok DESC, c.id ASC) AS rn
+          FROM comp c JOIN q ON q.doc_id = c.id
+        ),
+        canonmap AS (
+          SELECT c.id, r.id AS canonical_id
+          FROM comp c JOIN ranked r
+            ON r.component = c.component AND r.rn = 1
+        )
+        SELECT d.doc_id,
+               COALESCE(m.canonical_id, d.doc_id) AS canonical_id,
+               CAST(COALESCE(m.canonical_id, d.doc_id) = d.doc_id AS INT)
+                 AS kept
+        FROM documents d LEFT JOIN canonmap m ON m.id = d.doc_id
+        ORDER BY d.doc_id
+    """,
+    doc="Canonical-document election — the step AFTER near-dup "
+        "clustering that a dedup pipeline actually ships: every "
+        "document resolves to ONE canonical id (the longest document "
+        "in its exact n-gram-Jaccard >= 0.2 component, ties to lowest "
+        "id; unclustered docs are their own canonical) plus a kept "
+        "flag, so `filter(kept = 1)` is the training corpus and the "
+        "canonical_id column is the provenance map. Composition of "
+        "existing scale-shaped ops: PPJoin-filtered pairs -> "
+        "label-propagation components (O(log n) rounds) -> one "
+        "window over CLUSTERED rows only -> one join back to the "
+        "corpus on the id. The oracle replays it with a recursive "
+        "CTE.",
+)
+def dedup_canonical_election(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2)
+    comp = dedup_components(pairs)
+    quality = docs.select(
+        F.col("doc_id").alias("id"),
+        F.coalesce(F.size(F.split("text", " ")), F.lit(0)).alias("n_tok"),
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_tok"), F.asc("id")
+    )
+    canonmap = (
+        comp.join(quality, "id")
+        .withColumn("canonical_id", F.first("id").over(w))
+        .select("id", "canonical_id")
+    )
+    return (
+        docs.select("doc_id")
+        .join(canonmap, docs.doc_id == canonmap.id, "left")
+        .select(
+            "doc_id",
+            F.coalesce("canonical_id", F.col("doc_id")).alias("canonical_id"),
+            (
+                F.coalesce("canonical_id", F.col("doc_id"))
+                == F.col("doc_id")
+            ).cast("int").alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "ann_ivfpq_filtered_topk",
     oracle="""
         SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (

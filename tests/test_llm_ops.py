@@ -1294,6 +1294,95 @@ def test_slot_persist_bounds_cached_generations(spark):
     )
 
 
+def test_embedding_covariance_matches_numpy(spark, emb):
+    """embedding_covariance must equal numpy's exact population
+    covariance on the same rows (the mapInPandas partial-moment path
+    vs a single-machine reference), be symmetric, and have a PSD
+    diagonal."""
+    import numpy as np
+
+    from cassandrastack_spark.llm.embstats import embedding_covariance
+
+    x = np.asarray(
+        [r.embedding for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    want = np.cov(x, rowvar=False, bias=True)
+    got_rows = embedding_covariance(emb, "embedding").collect()
+    dim = x.shape[1]
+    assert len(got_rows) == dim * dim
+    got = np.zeros((dim, dim))
+    for r in got_rows:
+        got[r.i][r.j] = r.cov
+    assert np.allclose(got, want, atol=1e-9), np.abs(got - want).max()
+    assert np.allclose(got, got.T, atol=1e-12)
+    assert (np.diag(got) >= -1e-12).all()
+
+
+def test_pca_project_recovers_principal_axes(spark, emb):
+    """pca_train/pca_project: orthonormal basis, descending
+    eigenvalues matching numpy's (sign-fixed) eigendecomposition, and
+    projected coordinates whose covariance is diag(top-k eigenvalues).
+    A supplied basis must reproduce the self-trained projection, and
+    null vectors project to null."""
+    import numpy as np
+
+    from cassandrastack_spark.llm.embstats import pca_project, pca_train
+
+    k = 4
+    mean, comps, eigvals = pca_train(emb, k)
+    w = np.asarray(comps)
+    assert np.allclose(w @ w.T, np.eye(k), atol=1e-9), "not orthonormal"
+    assert all(
+        eigvals[i] >= eigvals[i + 1] - 1e-12 for i in range(k - 1)
+    ), eigvals
+
+    x = np.asarray(
+        [r.embedding for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    cov = np.cov(x, rowvar=False, bias=True)
+    ew, evec = np.linalg.eigh(cov)
+    order = np.argsort(ew)[::-1][:k]
+    assert np.allclose(eigvals, ew[order], atol=1e-9)
+    ref = evec[:, order].T
+    for i in range(k):
+        j = int(np.argmax(np.abs(ref[i])))
+        if ref[i][j] < 0:
+            ref[i] = -ref[i]
+    assert np.allclose(w, ref, atol=1e-6), "axes differ from numpy"
+
+    got = {
+        r.vec_id: np.asarray(r.pc)
+        for r in pca_project(emb, k).select("vec_id", "pc").collect()
+    }
+    p = np.stack([got[i] for i in sorted(got)])
+    pcov = np.cov(p, rowvar=False, bias=True)
+    assert np.allclose(pcov, np.diag(eigvals), atol=1e-8), (
+        "projected covariance must be diag(eigenvalues)"
+    )
+
+    # stored-basis path == self-trained path; null vector -> null
+    reproj = {
+        r.vec_id: np.asarray(r.pc)
+        for r in pca_project(emb, k, mean=mean, components=comps)
+        .select("vec_id", "pc")
+        .collect()
+    }
+    assert all(np.allclose(got[i], reproj[i]) for i in got)
+    with_null = emb.select("vec_id", "embedding").unionByName(
+        emb.sparkSession.createDataFrame(
+            [(99_999, None)], emb.select("vec_id", "embedding").schema
+        )
+    )
+    row = (
+        pca_project(with_null, k, mean=mean, components=comps)
+        .filter(F.col("vec_id") == 99_999)
+        .head()
+    )
+    assert row.pc is None
+
+
 def test_tfidf_from_index_matches_from_scratch(spark, docs, tmp_path):
     """tfidf_weights_from_index / tfidf_topk_similar_from_index must
     reproduce the raw-text path exactly (weights AND ranks) from the

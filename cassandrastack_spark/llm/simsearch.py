@@ -968,6 +968,7 @@ def pq_decode(
     codes_col: str = "codes",
     out_col: str = "r_vec",
     literal_max_doubles: int = PQ_LITERAL_MAX_DOUBLES,
+    compose_safe: bool = True,
 ) -> DataFrame:
     """Add ``out_col``: the reconstructed vector — the concatenation of
     each subspace's codebook row selected by that subspace's code.
@@ -977,6 +978,16 @@ def pq_decode(
     ``pq_encode``: literal ``element_at`` gather under the doubles
     gate, Arrow numpy fancy-index above it. Null codes decode to null
     on both paths.
+
+    Same composition guard as ``pq_encode``: with ``compose_safe=True``
+    (default), a literal gather tree above ``PQ_COMPOSE_MAX_DOUBLES``
+    is fenced behind a lazy ``localCheckpoint`` so multi-reference
+    downstream predicates bind to the ``out_col`` attribute instead of
+    re-inlining the codebook literals per reference. Engine consumers
+    pass ``compose_safe=False``: they reference the reconstruction
+    exactly once (the ADC dot fold), and the barrier would otherwise
+    MATERIALIZE corpus-sized reconstructed floats — the decode-on-scan
+    layout exists precisely to avoid that.
     """
     m_sub = len(codebooks)
     k_codes = len(codebooks[0])
@@ -993,7 +1004,10 @@ def pq_decode(
             )
             + "), j + 1)[c]))"
         )
-        return df.withColumn(out_col, F.expr(flat))
+        out = df.withColumn(out_col, F.expr(flat))
+        if compose_safe and m_sub * k_codes * d_sub > PQ_COMPOSE_MAX_DOUBLES:
+            out = out.localCheckpoint(eager=False)
+        return out
 
     import numpy as np
     import pandas as pd
@@ -1082,7 +1096,9 @@ def ann_pq_topk(
     # selected by each code — pq_decode gates literal gather vs Arrow
     # on codebook size (bit-identical either way; decode is a pure
     # gather)
-    decoded = pq_decode(codes, books, "codes", "r_vec")
+    decoded = pq_decode(
+        codes, books, "codes", "r_vec", compose_safe=False
+    )
     pairs = decoded.join(
         F.broadcast(q_normed), F.col("neighbor_id") != F.col("query_id")
     ).withColumn("adc", F.expr(DOT.format(a="q_unit", b="r_vec")))
@@ -1219,7 +1235,9 @@ def ann_ivf_pq_topk(
         .select("cid", "neighbor_id", "codes")
         .localCheckpoint(eager=True)
     )
-    decoded = pq_decode(codes, books, "codes", "r_vec")
+    decoded = pq_decode(
+        codes, books, "codes", "r_vec", compose_safe=False
+    )
     # queries elect their nprobe best lists (q_unit is already unit so
     # dot = cosine)
     probes = _elect_probes(q_normed, centroids, nprobe)
@@ -1565,7 +1583,9 @@ def probe_ivfpq_index(
             "neighbor_id",
             "semi",
         )
-    decoded = pq_decode(codes, books, "codes", "r_vec")
+    decoded = pq_decode(
+        codes, books, "codes", "r_vec", compose_safe=False
+    )
     pairs = (
         decoded.join(F.broadcast(probes), "cid")
         .filter(F.col("neighbor_id") != F.col("query_id"))

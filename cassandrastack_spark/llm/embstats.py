@@ -86,6 +86,13 @@ def embedding_covariance(df: DataFrame, vec_col: str = "embedding") -> DataFrame
     1-row count — the canonical scalar-subquery plan).
     """
     totals, n = _summed_moments(df, vec_col)
+    return _cov_frame_from_totals(totals, n)
+
+
+def _cov_frame_from_totals(totals: DataFrame, n: DataFrame) -> DataFrame:
+    """(i, j, cov) from a summed (pos, v) moments frame + 1-row count —
+    the shared finish of the batch covariance and the streaming
+    moments reader. All frames are dim-bounded."""
     dim_row = totals.agg(
         # dim + dim² positions total → dim derived without a second
         # corpus scan (quadratic root of count-1/4... avoided: count

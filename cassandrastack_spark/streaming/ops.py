@@ -851,3 +851,98 @@ def ingest_vectors(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def monitor_embedding_moments(
+    stream: DataFrame,
+    state_path: str,
+    vec_col: str = "embedding",
+    checkpoint: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming embedding-drift accumulator: every micro-batch reduces
+    to ONE (batch_id, n, s, ss) moment row — the same constant
+    dim²-sized state as ``embstats._moment_partials`` — appended to
+    ``state_path``. ``embedding_moments_state`` merges the rows into
+    the RUNNING covariance of everything ingested so far; comparing it
+    against the covariance the IVF/PQ training saw is the drift signal
+    that decides index-rebuild cadence (every persisted index here
+    documents "retrain on drift" — this operator is the detector).
+
+    Replay discipline, mirroring ``ingest_vectors``: the append is
+    guarded by a per-batch marker under ``<checkpoint>/cs_epochs/``, so
+    a crash inside the append→marker window re-lands the SAME
+    (batch_id, n, s, ss) row byte-identically, and the reader
+    additionally collapses duplicate batch_ids — both halves of the
+    at-least-once window are closed. Cost per batch: one pass over the
+    batch plus a dim-bounded (dim² + dim doubles) driver assembly —
+    never corpus state.
+    """
+    from cassandrastack_spark.llm.embstats import _moment_partials
+
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="cs_mom_ckpt_")
+    spark = stream.sparkSession
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        marker = f"{checkpoint}/cs_epochs/{batch_id}"
+        if _fs_exists(spark, marker):
+            return
+        parts = _moment_partials(batch_df, vec_col)
+        summed = (
+            parts.select(F.posexplode(F.concat("s", "ss")).alias("pos", "v"))
+            .groupBy("pos")
+            .agg(F.sum("v").alias("v"))
+            .collect()  # dim + dim² rows — bounded by DIMENSION
+        )
+        n = parts.agg(F.sum("n").alias("n")).head().n
+        if not summed or not n:
+            _fs_mkdirs(spark, marker)
+            return  # empty batch contributes nothing
+        cnt = len(summed)
+        dim = int(((4 * cnt + 1) ** 0.5 - 1) / 2)
+        v = [0.0] * cnt
+        for r in summed:
+            v[r.pos] = r.v
+        spark.createDataFrame(
+            [(int(batch_id), int(n), v[:dim], v[dim:])],
+            "batch_id long, n long, s array<double>, ss array<double>",
+        ).coalesce(1).write.mode("append").parquet(state_path)
+        _fs_mkdirs(spark, marker)
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def embedding_moments_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """The running covariance from a ``monitor_embedding_moments``
+    state table: collapse replayed batch rows (same batch_id ⇒
+    byte-identical content — ``first`` per id is exact), sum the
+    surviving moment rows elementwise, and finish with the same
+    (i, j, cov) assembly as ``embedding_covariance`` — so the merged
+    state over any stream equals the batch covariance over the union
+    of its rows (tested), and drift is one join between two cov
+    frames. Everything here is batches × dim² — never corpus-sized.
+    """
+    from cassandrastack_spark.llm.embstats import _cov_frame_from_totals
+
+    state = (
+        spark.read.parquet(state_path)
+        .groupBy("batch_id")
+        .agg(
+            F.first("n").alias("n"),
+            F.first("s").alias("s"),
+            F.first("ss").alias("ss"),
+        )
+    )
+    totals = (
+        state.select(F.posexplode(F.concat("s", "ss")).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v").alias("v"))
+    )
+    n = state.agg(F.sum("n").cast("double").alias("n"))
+    return _cov_frame_from_totals(totals, n)

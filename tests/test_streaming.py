@@ -692,3 +692,86 @@ def test_stream_ingest_vectors_in_batch_near_dup_collapse(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "acc_vecs2")).collect()
     )
     assert ids == [5, 20, 21], f"cross-batch near-dup still rejected: {ids}"
+
+
+def test_monitor_embedding_moments_matches_batch_covariance(spark, tmp_path):
+    """monitor_embedding_moments: the merged streaming state must equal
+    embedding_covariance over the union of all ingested rows (the
+    drift detector is exact, not approximate); re-running over an
+    already-processed source appends nothing (marker + checkpoint);
+    and a manually replayed batch row (the crash window) collapses in
+    the reader."""
+    import numpy as np
+
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from cassandrastack_spark.llm.embstats import embedding_covariance
+    from cassandrastack_spark.streaming.ops import (
+        embedding_moments_state,
+        monitor_embedding_moments,
+    )
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ])
+    d = tmp_path / "mom_in"
+    d.mkdir()
+    rows = [
+        (i, [0.1 * ((i * 7 + j) % 5) - 0.2 for j in range(6)])
+        for i in range(40)
+    ]
+
+    def write(name, chunk):
+        pdf = pd.DataFrame(chunk, columns=["vec_id", "embedding"])
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False), str(d / name)
+        )
+
+    def run():
+        src = spark.readStream.schema(schema).parquet(str(d))
+        q = monitor_embedding_moments(
+            src, str(tmp_path / "mom_state"),
+            checkpoint=str(tmp_path / "mom_ckpt"),
+        )
+        q.awaitTermination(120)
+
+    write("b1.parquet", rows[:25])
+    run()
+    write("b2.parquet", rows[25:])
+    run()
+
+    state_path = str(tmp_path / "mom_state")
+    batch = spark.createDataFrame(rows, schema)
+    want = {
+        (r.i, r.j): r.cov
+        for r in embedding_covariance(batch, "embedding").collect()
+    }
+    got = {
+        (r.i, r.j): r.cov
+        for r in embedding_moments_state(spark, state_path).collect()
+    }
+    assert got.keys() == want.keys()
+    assert all(abs(got[k] - want[k]) < 1e-9 for k in want), max(
+        abs(got[k] - want[k]) for k in want
+    )
+
+    # idempotent re-run: no new files => no new batches => state unchanged
+    n_rows = spark.read.parquet(state_path).count()
+    run()
+    assert spark.read.parquet(state_path).count() == n_rows
+
+    # replayed batch row (same batch_id, byte-identical) collapses
+    one = spark.read.parquet(state_path).limit(1)
+    one.write.mode("append").parquet(state_path)
+    replayed = {
+        (r.i, r.j): r.cov
+        for r in embedding_moments_state(spark, state_path).collect()
+    }
+    assert all(abs(replayed[k] - want[k]) < 1e-9 for k in want)

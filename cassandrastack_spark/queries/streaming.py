@@ -367,3 +367,71 @@ def stream_static_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("segment"),
     )
     return run_to_batch(joined, output_mode="append").orderBy("event_id")
+
+
+# per-process state cache for the drift monitor's state table — an
+# accumulated moments table is a persisted artifact like the BM25 /
+# IVF+PQ indexes in queries/llm.py (_INDEX_CACHE): build once per
+# (sf_dir), probe on every call.
+_MOMENTS_CACHE: dict = {}
+
+
+@register(
+    "stream_embedding_covariance_block",
+    oracle="""
+        SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+               ROUND(covar_pop(list_extract(embedding, i + 1),
+                               list_extract(embedding, j + 1)), 6) AS cov
+        FROM embeddings,
+             generate_series(0, 7) s1(i),
+             generate_series(0, 7) s2(j)
+        GROUP BY i, j
+        ORDER BY i, j
+    """,
+    doc="The drift detector's running state, gated against the SAME "
+        "covar_pop oracle as the batch embedding_covariance_block: the "
+        "embeddings table streams through monitor_embedding_moments "
+        "(one constant dim^2-sized moment row per micro-batch, "
+        "marker-guarded appends), and embedding_moments_state merges "
+        "the state table back into the exact covariance — proving the "
+        "streaming accumulator loses nothing vs the one-shot batch "
+        "pass. This is the signal that schedules IVF/PQ retrains at "
+        "100 TB: compare this frame between snapshots instead of "
+        "re-scanning the corpus.",
+)
+def stream_embedding_covariance_block(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cassandrastack_spark.streaming.ops import (
+        embedding_moments_state,
+        monitor_embedding_moments,
+    )
+
+    key = ("moments", sf_dir)
+    if key not in _MOMENTS_CACHE:
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="cs_q_moments_")
+        schema = (
+            spark.read.option("pathGlobFilter", "embeddings.parquet")
+            .parquet(sf_dir)
+            .schema
+        )
+        src = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "embeddings.parquet")
+            .parquet(sf_dir)
+        )
+        q = monitor_embedding_moments(
+            src,
+            os.path.join(root, "state"),
+            checkpoint=os.path.join(root, "ckpt"),
+        )
+        q.awaitTermination()
+        _MOMENTS_CACHE[key] = os.path.join(root, "state")
+    return (
+        embedding_moments_state(spark, _MOMENTS_CACHE[key])
+        .filter((F.col("i") < 8) & (F.col("j") < 8))
+        .select("i", "j", F.round("cov", 6).alias("cov"))
+        .orderBy("i", "j")
+    )

@@ -147,6 +147,9 @@ def test_no_unjustified_bnl_join_across_catalog(spark, registry):
         "profile_hot_keys",       # sum(cnt) table-total scalar
         "outliers_iqr_values",    # 1-row quartile-fences scalar
         "anomaly_cusum_changepoint",  # broadcast 1-row corpus mean
+        # embstats covariance finish: broadcast 1-row n + 1-row dim
+        # onto the dim^2-row moments frame (bounded by DIMENSION)
+        "embedding_covariance_block",
     }
     skip = ("stream_", "mm_", "dedup_", "ann_", "text_")
     offenders = []

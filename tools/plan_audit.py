@@ -88,6 +88,14 @@ DOCUMENTED_BNL = {
                                 "(exact-count scalar vs clustered-"
                                 "match scalar); the candidate stage "
                                 "itself equi-joins on the list id",
+    "embedding_covariance_block": "1-row n + 1-row dim scalar "
+                                  "broadcasts onto the dim^2-row "
+                                  "moments frame (dimension-bounded "
+                                  "by construction)",
+    "ann_ivfpq_filtered_topk": "bounded probe-side broadcasts "
+                               "(query election + 1-row _meta "
+                               "scalars); the allowed-set restriction "
+                               "is an id equi-semi-join",
 }
 
 

@@ -585,3 +585,71 @@ def test_bm25_index_random_op_sequences_match_model(spark, ops):
             assert got == want, (terms, model, got, want)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# embedding moments: split-merge associativity + numpy ground truth
+# ---------------------------------------------------------------------------
+
+_dim = 5
+_coord = st.integers(min_value=-50, max_value=50)
+_vec = st.lists(_coord, min_size=_dim, max_size=_dim)
+
+
+@st.composite
+def vectors_and_split(draw):
+    vecs = draw(st.lists(_vec, min_size=2, max_size=24))
+    cut = draw(st.integers(min_value=0, max_value=len(vecs)))
+    return vecs, cut
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vectors_and_split())
+def test_moment_merge_matches_whole_and_numpy(spark, vs):
+    """The drift accumulator's algebra: moment rows from ANY split of
+    the corpus, summed, give exactly the whole-corpus covariance (the
+    streaming merge is associative — no split dependence), and the
+    whole-corpus covariance equals numpy's. Integer coordinates make
+    double sums exact, so equality here is exact, not approximate."""
+    import numpy as np
+
+    from cassandrastack_spark.llm.embstats import (
+        _cov_frame_from_totals,
+        _moment_partials,
+        embedding_covariance,
+    )
+
+    vecs, cut = vs
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    whole = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    want_np = np.cov(
+        np.asarray([v for _, v in rows]), rowvar=False, bias=True
+    )
+    got_whole = {
+        (r.i, r.j): r.cov
+        for r in embedding_covariance(whole, "embedding").collect()
+    }
+    assert all(
+        abs(got_whole[(i, j)] - want_np[i][j]) < 1e-9
+        for i in range(_dim)
+        for j in range(_dim)
+    )
+
+    # streaming-style merge: partials from the two halves, unioned,
+    # then the shared reduce — must equal the whole-corpus result
+    a = spark.createDataFrame(rows[:cut] or [], "vec_id long, embedding array<double>")
+    b = spark.createDataFrame(rows[cut:] or [], "vec_id long, embedding array<double>")
+    parts = _moment_partials(a, "embedding").unionByName(
+        _moment_partials(b, "embedding")
+    )
+    totals = (
+        parts.select(F.posexplode(F.concat("s", "ss")).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v").alias("v"))
+    )
+    n = parts.agg(F.sum("n").cast("double").alias("n"))
+    got_merged = {
+        (r.i, r.j): r.cov for r in _cov_frame_from_totals(totals, n).collect()
+    }
+    assert got_merged == got_whole

@@ -53,6 +53,53 @@ def quality_metrics(text_col: str) -> list[Column]:
     ]
 
 
+# Stand-in linear-model weights for `quality_score_linear` — the
+# fasttext-style quality classifier every production corpus pipeline
+# runs, reduced to its SERVING shape: the features and the scoring
+# expression are real (whole-stage codegen, SQL-replicable); the
+# weights are placeholders a deployer swaps for their trained model's
+# (training the classifier is out of scope — no model runtime in the
+# reference or this engine).
+QUALITY_MODEL_WEIGHTS = {
+    "log1p_tokens": 0.8,       # longer docs score higher, saturating
+    "avg_word_len": -0.15,     # penalize letter-soup / no-space blobs
+    "stopword_ratio": 6.0,     # natural-language evidence
+}
+QUALITY_MODEL_BIAS = -2.0
+
+
+def quality_score_linear(
+    text_col: str,
+    weights: dict | None = None,
+    bias: float | None = None,
+) -> Column:
+    """Linear quality-model score: ``sigmoid(bias + w · features)``
+    over the engine's SQL-replicable quality features (ln(1+tokens),
+    avg word length, stopword ratio). One expression per document —
+    no UDF, no shuffle; at 100 TB this is a free rider on whatever
+    scan already touches the text column. Swap ``weights``/``bias``
+    for a trained model's parameters; the serving plan is identical.
+    """
+    w = QUALITY_MODEL_WEIGHTS if weights is None else weights
+    b = QUALITY_MODEL_BIAS if bias is None else bias
+    n_tokens = F.size(F.split(F.col(text_col), " "))
+    n_chars = F.length(F.col(text_col))
+    stop = F.size(
+        F.expr(
+            f"filter(split({text_col}, ' '), w -> w IN ('the', 'a', 'of', 'and'))"
+        )
+    )
+    feats = {
+        "log1p_tokens": F.log(F.lit(1.0) + n_tokens),
+        "avg_word_len": (n_chars - (n_tokens - 1)) / n_tokens,
+        "stopword_ratio": stop / n_tokens,
+    }
+    z = F.lit(float(b))
+    for name, weight in w.items():
+        z = z + F.lit(float(weight)) * feats[name]
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
 def langid_scores(text_col: str) -> Column:
     """Predicted language = argmax over per-language stopword hit counts
     (ties broken by language code order); 'und' when no stopword hits."""

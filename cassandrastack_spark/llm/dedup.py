@@ -1003,6 +1003,45 @@ def compact_dedup_index(spark, path: str) -> None:
     staged_partition_overwrite(idx, path, "band", ["band", "sig"])
 
 
+def corpus_snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental-processing decision table between two corpus
+    snapshots: (doc_id, old_digest, new_digest, status) with status ∈
+    added | removed | changed | unchanged. ``added``/``changed`` rows
+    are what the pipeline re-tokenizes, re-embeds, and re-indexes
+    (``extend_*``); ``removed`` rows are what compaction retires — at
+    100 TB this diff is WHY the persisted indexes have extend/compact
+    paths instead of rebuild-every-snapshot.
+
+    One full-outer equi-join on the id over md5 digests: only
+    (id, 32-byte digest) pairs ride the shuffle, never document text —
+    the same digest discipline as ``exact_dedup``. NULL text digests
+    as the empty string (a NULL-text doc is a real, diffable row).
+    """
+    o = old.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("old_digest"),
+    )
+    n = new.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("new_digest"),
+    )
+    return o.join(n, "doc_id", "full_outer").select(
+        "doc_id",
+        "old_digest",
+        "new_digest",
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("removed"))
+        .when(F.col("old_digest") != F.col("new_digest"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+
+
 def substring_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -54,11 +54,12 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # first (in this order); everything else follows in registration order.
 # A name here that is not registered is ignored.
 #
-# Round-8 rotation (VERDICT r7 lead item): (a) 4 queries new this
+# Round-8 rotation (VERDICT r7 lead item): (a) 6 queries new this
 # round (filtered ANN over the persisted IVF+PQ index; the exact
 # embedding-covariance block over the mapInPandas moment partials and
 # its streaming-accumulator twin under the same covar_pop oracle;
-# canonical-document election over the near-dup components), (b) 3
+# canonical-document election over the near-dup components; the
+# linear quality-model score; the snapshot diff), (b) 3
 # re-confirms of r6-green queries whose code r7 touched (the tfidf
 # persist swap and the _rrf_fuse extraction — the r7 verdict's "stale
 # greens" watch item; text_tfidf_sim_topk's backing tfidf_weights ALSO
@@ -66,27 +67,30 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # of r7-green queries whose backing code changed THIS round
 # (dedup_exact_substrings: substring_dedup moved from eager
 # localCheckpoint to slot persist; ann_hybrid_rrf_indexed:
-# build_ivfpq_index now epoch-stamps codes), and (d) 41 of the 50
+# build_ivfpq_index now epoch-stamps codes), and (d) 39 of the 50
 # queries whose newest official row is r5-era — including the whole
 # ANN family, whose backing simsearch.py changed this round (pq_encode
-# compose guard + IVF+PQ epochs). The 9 r5-era rows that don't fit
-# (array_functions, funnel_conversion, heatmap_dow_hour,
-# histogram_order_totals, json_extract_props, pivot_status_by_segment,
-# scalar_functions, string_agg_nations, unpivot_revenue_measures — all
-# on analytics query code UNTOUCHED since their r5 rows; the r7
-# analytics_ext edits were confined to the pagerank helpers) slip to
-# the round-9 window. Round-9 must also sweep the 11 streaming rows
-# (r6-era; streaming/ops.py changed in r7 [in-batch vector collapse]
-# and r8 [short-circuit for <2-row batches + the moments monitor] —
-# the registered streaming queries call neither changed path, but the
+# compose guard + IVF+PQ epochs). The 11 r5-era rows that don't fit
+# (array_functions, event_interarrival, event_transitions,
+# funnel_conversion, heatmap_dow_hour, histogram_order_totals,
+# json_extract_props, pivot_status_by_segment, scalar_functions,
+# string_agg_nations, unpivot_revenue_measures — all on analytics
+# query code UNTOUCHED since their r5 rows; the r7 analytics_ext
+# edits were confined to the pagerank helpers) slip to the round-9
+# window. Round-9 must also sweep the 11 streaming rows (r6-era;
+# streaming/ops.py changed in r7 [in-batch vector collapse] and r8
+# [short-circuit for <2-row batches + the moments monitor] — the
+# registered streaming queries call neither changed path, but the
 # no-green-on-changed-code contract wants the official rows
-# refreshed) plus the 9 slipped rows above.
+# refreshed) plus the 11 slipped rows above.
 _FRONT: tuple[str, ...] = (
     # -- new this round --
     "ann_ivfpq_filtered_topk",
     "embedding_covariance_block",
     "stream_embedding_covariance_block",
     "dedup_canonical_election",
+    "corpus_quality_model_score",
+    "corpus_snapshot_diff",
     # -- r7-touched code, r6-green rows: re-confirm --
     "text_bm25_topk",
     "text_tfidf_sim_topk",
@@ -94,7 +98,7 @@ _FRONT: tuple[str, ...] = (
     # -- r8-touched code, r7-green rows: re-confirm --
     "dedup_exact_substrings",
     "ann_hybrid_rrf_indexed",
-    # -- r5-era rows: re-confirm on current code (41) --
+    # -- r5-era rows: re-confirm on current code (39) --
     "ann_cosine_topk",
     "ann_filtered_topk",
     "ann_ivf_pq_topk",
@@ -108,8 +112,6 @@ _FRONT: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "embedding_norms",
     "embedding_quantize_int8",
-    "event_interarrival",
-    "event_transitions",
     "outliers_iqr_values",
     "pareto_customers_by_segment",
     "partition_scan_ordered",

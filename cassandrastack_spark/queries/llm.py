@@ -23,8 +23,10 @@ from cassandrastack_spark.functions.text import (
     fingerprint,
     langid_scores,
     quality_metrics,
+    quality_score_linear,
 )
 from cassandrastack_spark.llm.dedup import (
+    corpus_snapshot_diff,
     dedup_components,
     exact_dedup_groups,
     minhash_lsh_pairs,
@@ -2426,3 +2428,98 @@ def ann_ivfpq_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "corpus_quality_model_score",
+    oracle="""
+        WITH m AS (
+          SELECT doc_id,
+                 len(string_split(text, ' ')) AS n_tokens,
+                 (LENGTH(text) - (len(string_split(text, ' ')) - 1))
+                     / len(string_split(text, ' ')) AS awl,
+                 len(list_filter(string_split(text, ' '),
+                                 w -> w IN ('the', 'a', 'of', 'and')))
+                     / len(string_split(text, ' ')) AS sr
+          FROM documents),
+        s AS (
+          SELECT doc_id,
+                 ROUND(1.0 / (1.0 + EXP(-(-2.0 + 0.8 * LN(1.0 + n_tokens)
+                                          - 0.15 * awl + 6.0 * sr))),
+                       6) AS score
+          FROM m)
+        SELECT doc_id, score, CAST(score >= 0.5 AS INT) AS keep
+        FROM s ORDER BY doc_id
+    """,
+    doc="Model-scored quality filtering — the fasttext-style classifier "
+        "gate in its SERVING shape: sigmoid(bias + w.features) over "
+        "SQL-replicable features (ln(1+tokens), avg word length, "
+        "stopword ratio) as ONE whole-stage-codegen expression per "
+        "document; weights are documented stand-ins a deployer swaps "
+        "for a trained model's (functions/text.py "
+        "QUALITY_MODEL_WEIGHTS). No UDF, no shuffle — at 100 TB the "
+        "score rides the scan that already reads the text column. The "
+        "keep decision thresholds the 6-decimal-rounded score on both "
+        "engines, so the gate is engine-stable.",
+)
+def corpus_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    score = F.round(quality_score_linear("text"), 6)
+    return (
+        d.select(
+            "doc_id",
+            score.alias("score"),
+            (score >= 0.5).cast("int").alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "corpus_snapshot_diff",
+    oracle="""
+        WITH old AS (
+          SELECT doc_id, md5(COALESCE(text, '')) AS old_digest
+          FROM documents WHERE doc_id % 7 <> 3),
+        new AS (
+          SELECT doc_id,
+                 md5(COALESCE(CASE WHEN doc_id % 11 = 0
+                                   THEN text || ' v2' ELSE text END,
+                              '')) AS new_digest
+          FROM documents WHERE doc_id % 5 <> 2)
+        SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+               old_digest, new_digest,
+               CASE WHEN old_digest IS NULL THEN 'added'
+                    WHEN new_digest IS NULL THEN 'removed'
+                    WHEN old_digest <> new_digest THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+        ORDER BY doc_id
+    """,
+    doc="Snapshot-to-snapshot corpus diff — the incremental-processing "
+        "decision table: added/changed rows are what the pipeline "
+        "re-embeds and extends the indexes with, removed rows are what "
+        "compaction retires (the diff is WHY extend_*/compact_* exist "
+        "instead of rebuild-every-snapshot). One full-outer id "
+        "equi-join over md5 digests; only (id, digest) pairs shuffle, "
+        "never text. The query derives two overlapping snapshots from "
+        "the documents table deterministically (drop doc_id%7=3 from "
+        "old, doc_id%5=2 from new, rewrite text for doc_id%11=0) so "
+        "all four statuses are exercised under the oracle.",
+)
+def corpus_snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 7 != 3).select("doc_id", "text")
+    new = (
+        d.filter(F.col("doc_id") % 5 != 2)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(F.col("text"), F.lit(" v2")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    return corpus_snapshot_diff(old, new).orderBy("doc_id")

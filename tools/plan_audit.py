@@ -53,6 +53,8 @@ DEFAULT_QUERIES = [
     "text_tfidf_sim_indexed",      # TF-IDF over persisted postings
     "ann_hybrid_rrf_indexed",      # hybrid RRF over persisted indexes
     "ann_ivfpq_filtered_topk",     # pre-filtered probe of codes index
+    "corpus_quality_model_score",  # one-expression linear model score
+    "corpus_snapshot_diff",        # digest-only full-outer snapshot diff
     "dedup_semantic_clustered",    # SemDeDup co-assignment candidates
     "graph_pagerank_seeded",       # personalized rounds (checkpointed)
 ]

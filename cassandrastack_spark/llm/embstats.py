@@ -134,6 +134,35 @@ def _cov_frame_from_totals(totals: DataFrame, n: DataFrame) -> DataFrame:
     )
 
 
+def covariance_drift(cov_a: DataFrame, cov_b: DataFrame) -> DataFrame:
+    """Drift between two (i, j, cov) covariance frames (from
+    ``embedding_covariance`` or ``embedding_moments_state``): a 1-row
+    frame with the Frobenius norm of the difference, the norm of the
+    reference, and their ratio — the scalar a retrain scheduler
+    thresholds ("rebuild the IVF lists when the embedding distribution
+    has moved more than X% since training"). One dim²-row equi-join;
+    never touches a corpus.
+    """
+    a = cov_a.select("i", "j", F.col("cov").alias("cov_a"))
+    b = cov_b.select("i", "j", F.col("cov").alias("cov_b"))
+    return (
+        a.join(b, ["i", "j"])
+        .agg(
+            F.sqrt(
+                F.sum((F.col("cov_a") - F.col("cov_b")) ** 2)
+            ).alias("frobenius_diff"),
+            F.sqrt(F.sum(F.col("cov_a") ** 2)).alias("frobenius_ref"),
+        )
+        .select(
+            "frobenius_diff",
+            "frobenius_ref",
+            (F.col("frobenius_diff") / F.col("frobenius_ref")).alias(
+                "drift_ratio"
+            ),
+        )
+    )
+
+
 def pca_train(
     df: DataFrame, k: int, vec_col: str = "embedding"
 ) -> tuple[list, list, list]:

@@ -1901,3 +1901,27 @@ def test_probe_ivfpq_index_filtered_ann(spark, tmp_path):
         spark, path, q, emb, k=4, nprobe=2, shortlist=64
     ).collect()
     assert len(plain) == 4
+
+
+def test_covariance_drift_zero_for_identical_and_positive_for_shifted(
+    spark, emb
+):
+    """covariance_drift: 0 against itself; a scaled embedding column
+    (variance x4) drifts with the exact analytic ratio — cov scales by
+    4, so ||4C - C||_F / ||C||_F = 3."""
+    from cassandrastack_spark.llm.embstats import (
+        covariance_drift,
+        embedding_covariance,
+    )
+
+    cov = embedding_covariance(emb, "embedding").localCheckpoint(eager=True)
+    same = covariance_drift(cov, cov).head()
+    assert same.frobenius_diff < 1e-12 and same.drift_ratio < 1e-12
+
+    scaled = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> x * 2.0)").alias("embedding"),
+    )
+    cov2 = embedding_covariance(scaled, "embedding")
+    moved = covariance_drift(cov, cov2).head()
+    assert abs(moved.drift_ratio - 3.0) < 1e-9, moved

@@ -653,3 +653,48 @@ def test_moment_merge_matches_whole_and_numpy(spark, vs):
         (r.i, r.j): r.cov for r in _cov_frame_from_totals(totals, n).collect()
     }
     assert got_merged == got_whole
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff vs a dict model
+# ---------------------------------------------------------------------------
+
+_snap_ids = st.integers(min_value=0, max_value=9)
+_texts = st.sampled_from(["aa bb", "cc dd", "", "ee"])
+
+
+@st.composite
+def two_snapshots(draw):
+    old = draw(st.dictionaries(_snap_ids, _texts, max_size=8))
+    new = draw(st.dictionaries(_snap_ids, _texts, max_size=8))
+    return old, new
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(two_snapshots())
+def test_corpus_snapshot_diff_matches_dict_model(spark, snaps):
+    """corpus_snapshot_diff vs the obvious dict model: statuses
+    partition the union of ids, and each id's status matches
+    membership/equality — including NULL text (diffed as '') and
+    empty snapshots."""
+    from cassandrastack_spark.llm.dedup import corpus_snapshot_diff
+
+    old, new = snaps
+    schema = "doc_id long, text string"
+    o = spark.createDataFrame(list(old.items()) or [], schema)
+    n = spark.createDataFrame(list(new.items()) or [], schema)
+    got = {
+        r.doc_id: r.status for r in corpus_snapshot_diff(o, n).collect()
+    }
+    want = {}
+    for i in set(old) | set(new):
+        if i not in old:
+            want[i] = "added"
+        elif i not in new:
+            want[i] = "removed"
+        elif old[i] != new[i]:
+            want[i] = "changed"
+        else:
+            want[i] = "unchanged"
+    assert got == want

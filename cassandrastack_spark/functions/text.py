@@ -31,12 +31,11 @@ def token_count(text: Column | str) -> Column:
     return F.size(words(text))
 
 
-def quality_metrics(text_col: str) -> list[Column]:
-    """Length / token / word-length / stopword-ratio quality signals.
-
-    Returns aliased columns: n_chars_calc, n_tokens, avg_word_len,
-    stopword_ratio, est_bpe_tokens.
-    """
+def _quality_features(text_col: str) -> dict[str, Column]:
+    """The shared raw quality signals — ONE definition consumed by both
+    the reported metrics (``quality_metrics``) and the model scorer
+    (``quality_score_linear``), so the features a model is trained on
+    can never silently diverge from the metrics the pipeline reports."""
     n_tokens = F.size(F.split(F.col(text_col), " "))
     n_chars = F.length(F.col(text_col))
     stop = F.size(
@@ -44,12 +43,27 @@ def quality_metrics(text_col: str) -> list[Column]:
             f"filter(split({text_col}, ' '), w -> w IN ('the', 'a', 'of', 'and'))"
         )
     )
+    return {
+        "n_tokens": n_tokens,
+        "n_chars": n_chars,
+        "avg_word_len": (n_chars - (n_tokens - 1)) / n_tokens,
+        "stopword_ratio": stop / n_tokens,
+    }
+
+
+def quality_metrics(text_col: str) -> list[Column]:
+    """Length / token / word-length / stopword-ratio quality signals.
+
+    Returns aliased columns: n_chars_calc, n_tokens, avg_word_len,
+    stopword_ratio, est_bpe_tokens.
+    """
+    f = _quality_features(text_col)
     return [
-        n_chars.cast("int").alias("n_chars_calc"),
-        n_tokens.cast("int").alias("n_tokens"),
-        ((n_chars - (n_tokens - 1)) / n_tokens).alias("avg_word_len"),
-        (stop / n_tokens).alias("stopword_ratio"),
-        F.ceil(n_chars / F.lit(4)).cast("int").alias("est_bpe_tokens"),
+        f["n_chars"].cast("int").alias("n_chars_calc"),
+        f["n_tokens"].cast("int").alias("n_tokens"),
+        f["avg_word_len"].alias("avg_word_len"),
+        f["stopword_ratio"].alias("stopword_ratio"),
+        F.ceil(f["n_chars"] / F.lit(4)).cast("int").alias("est_bpe_tokens"),
     ]
 
 
@@ -82,17 +96,11 @@ def quality_score_linear(
     """
     w = QUALITY_MODEL_WEIGHTS if weights is None else weights
     b = QUALITY_MODEL_BIAS if bias is None else bias
-    n_tokens = F.size(F.split(F.col(text_col), " "))
-    n_chars = F.length(F.col(text_col))
-    stop = F.size(
-        F.expr(
-            f"filter(split({text_col}, ' '), w -> w IN ('the', 'a', 'of', 'and'))"
-        )
-    )
+    raw = _quality_features(text_col)
     feats = {
-        "log1p_tokens": F.log(F.lit(1.0) + n_tokens),
-        "avg_word_len": (n_chars - (n_tokens - 1)) / n_tokens,
-        "stopword_ratio": stop / n_tokens,
+        "log1p_tokens": F.log(F.lit(1.0) + raw["n_tokens"]),
+        "avg_word_len": raw["avg_word_len"],
+        "stopword_ratio": raw["stopword_ratio"],
     }
     z = F.lit(float(b))
     for name, weight in w.items():

@@ -33,8 +33,11 @@ from pyspark.sql import DataFrame, functions as F
 
 def _moment_partials(df: DataFrame, vec_col: str) -> DataFrame:
     """One row per non-empty partition: (n, s = Σx, ss = flattened
-    XᵀX). Null vectors are skipped (they carry no coordinates — the
-    same contract as ``covar_pop`` ignoring NULL pairs)."""
+    XᵀX). WHOLE-null vectors are skipped (they carry no coordinates);
+    a null or NaN ELEMENT inside a vector, or ragged lengths, fail
+    LOUD with a clear message — silently summing them would poison
+    every covariance entry with NaN while the per-entry-null-skipping
+    SQL oracle (``covar_pop``) kept returning numbers."""
     import numpy as np
 
     def fn(it):
@@ -45,7 +48,27 @@ def _moment_partials(df: DataFrame, vec_col: str) -> DataFrame:
             col = pdf[vec_col].dropna()
             if not len(col):
                 continue
-            x = np.asarray(col.tolist(), dtype=np.float64)
+            try:
+                x = np.asarray(col.tolist(), dtype=np.float64)
+            except ValueError as e:
+                raise ValueError(
+                    f"embedding moments: ragged vector lengths in "
+                    f"'{vec_col}' — every non-null vector must have "
+                    f"the same dimension ({e})"
+                ) from None
+            if x.ndim != 2:
+                raise ValueError(
+                    f"embedding moments: ragged vector lengths in "
+                    f"'{vec_col}' — every non-null vector must have "
+                    "the same dimension"
+                )
+            if np.isnan(x).any():
+                raise ValueError(
+                    f"embedding moments: null/NaN element inside a "
+                    f"'{vec_col}' vector — drop or impute the row "
+                    "first (whole-null vectors are skipped; element "
+                    "nulls would poison every covariance entry)"
+                )
             n += x.shape[0]
             s = x.sum(axis=0) if s is None else s + x.sum(axis=0)
             g = x.T @ x
@@ -63,15 +86,40 @@ def _moment_partials(df: DataFrame, vec_col: str) -> DataFrame:
 def _summed_moments(df: DataFrame, vec_col: str) -> tuple[DataFrame, DataFrame]:
     """(totals, n): ``totals`` holds (pos, v) with pos < dim the mean
     numerators and pos >= dim the flattened XᵀX entries; ``n`` is the
-    1-row vector count. Both are plans over the partials — dim²-sized,
-    never corpus-sized."""
-    parts = _moment_partials(df, vec_col)
+    1-row vector count. The corpus-sized moment pass runs ONCE: the
+    partials (one dim²-row per partition — tiny) are fenced behind a
+    lazy localCheckpoint, so the two returned plans share its
+    materialization instead of re-scanning the corpus each (shared
+    lineage is not shared execution)."""
+    parts = _moment_partials(df, vec_col).localCheckpoint(eager=False)
     totals = (
         parts.select(F.posexplode(F.concat("s", "ss")).alias("pos", "v"))
         .groupBy("pos")
         .agg(F.sum("v").alias("v"))
     )
-    n = parts.agg(F.sum("n").cast("double").alias("n"))
+    # cross-partition ragged guard: each partition only sees its own
+    # rows, so a corpus whose vector length differs BETWEEN partitions
+    # passes every per-batch check — catch it where the partials meet.
+    # The assert rides the 1-row n aggregate every consumer reads, so
+    # any action over the moments fails loud instead of deriving a
+    # silently wrong dim.
+    n = parts.agg(
+        F.sum("n").cast("double").alias("n"),
+        F.min(F.size("s")).alias("dmin"),
+        F.max(F.size("s")).alias("dmax"),
+    ).select(
+        F.when(
+            F.assert_true(
+                F.coalesce(F.col("dmin") == F.col("dmax"), F.lit(True)),
+                F.lit(
+                    "embedding moments: ragged vector lengths across "
+                    "partitions — every non-null vector must have the "
+                    "same dimension"
+                ),
+            ).isNull(),
+            F.col("n"),
+        ).alias("n")
+    )
     return totals, n
 
 

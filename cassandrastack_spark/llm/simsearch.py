@@ -886,7 +886,14 @@ def pq_encode(
     action, and the blocks self-release on GC (the module-family
     barrier discipline — see ``dedup.py``'s module docstring; a
     ``persist()`` barrier would accumulate in the CacheManager until
-    explicitly unpersisted). Engine-internal callers that consume
+    explicitly unpersisted). Checkpoint-block caveat, shared with
+    every localCheckpoint in this engine: the blocks are unreplicated
+    and lineage-truncated, so losing an executor after
+    materialization fails subsequent actions on the frame (retry the
+    query) instead of silently recomputing; long-lived multi-action
+    pipelines on preemptible clusters should materialize codes to a
+    TABLE instead, as the index builders do. Engine-internal callers
+    that consume
     ``codes`` exactly once and immediately materialize (the index
     builders write codes to parquet; ``ann_pq_topk`` aggregates them)
     pass ``compose_safe=False`` to keep their plans barrier-free and
@@ -1401,15 +1408,19 @@ def build_ivfpq_index(
     is a data-drift decision, like the plain IVF index.
 
     Each code row carries an ``epoch`` write-generation stamp (build =
-    0, each ``extend_ivfpq_index`` = stored ``_meta.epoch`` + 1) — the
-    same last-writer protocol as the BM25 postings: compaction
-    resolves a same-list re-extended id to its NEWEST codes
-    (``max_by(codes, epoch)``) instead of a lexicographic ``max`` that
-    could keep stale codes forever. On disk the constant-per-file
-    column RLE-encodes to ~nothing; probes don't read it (shortlist
-    election tolerates pre-compaction duplicates, and the re-rank
-    fetches floats from the CORPUS, so scores are stale-proof either
-    way — see ``probe_ivfpq_index``).
+    0, each ``extend_ivfpq_index`` = newest stored generation + 1,
+    tracked in the append-only 1-row-per-generation ``path/_epochs``
+    sidecar — ``_meta`` itself is written ONCE here and never
+    rewritten, so concurrent probes can always read it and no extend
+    crash can leave the index meta-less) — the same last-writer
+    protocol as the BM25 postings: compaction resolves a same-list
+    re-extended id to its NEWEST codes (``max_by(codes, epoch)``)
+    instead of a lexicographic ``max`` that could keep stale codes
+    forever. On disk the constant-per-file column RLE-encodes to
+    ~nothing; probes don't read it (shortlist election tolerates
+    pre-compaction duplicates, and the re-rank fetches floats from the
+    CORPUS, so scores are stale-proof either way — see
+    ``probe_ivfpq_index``).
     """
     c_normed = _unit_vecs(corpus, id_col, vec_col, "neighbor_id", "c_unit")
     train = c_normed.select(
@@ -1441,11 +1452,13 @@ def build_ivfpq_index(
         .parquet(path)
     )
     spark.createDataFrame(
-        [(centroids, books, 0)],
+        [(centroids, books)],
         "centroids array<array<double>>, "
-        "codebooks array<array<array<double>>>, "
-        "epoch long",
+        "codebooks array<array<array<double>>>",
     ).coalesce(1).write.mode("overwrite").parquet(path + "/_meta")
+    spark.createDataFrame([(0,)], "epoch long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path + "/_epochs")
 
 
 def extend_ivfpq_index(
@@ -1461,23 +1474,29 @@ def extend_ivfpq_index(
     append into their ``cid=`` partitions). Retrain on drift by
     rebuilding, like the other persisted indexes.
 
-    The batch lands under a fresh ``epoch`` stamp (stored
-    ``_meta.epoch`` + 1, read BEFORE any append and bumped AFTER the
-    codes land): a crashed extend's replay re-lands the whole batch at
-    the SAME epoch with byte-identical codes (collapsible exactly),
-    while a same-id re-extend with a CHANGED vector supersedes the old
-    codes at compaction (``compact_ivfpq_index`` keeps
-    ``max_by(codes, epoch)``). SINGLE-WRITER per index, like the BM25
-    extend: two concurrent extends would share a stamp — serialize
-    them (the streaming ingest loop, a foreachBatch sink, already
-    does).
+    The batch lands under a fresh ``epoch`` stamp: the newest stored
+    generation + 1, read from the append-only ``path/_epochs`` sidecar
+    (one 1-long-row file per generation — the read is a few rows, the
+    write is an APPEND; nothing under the index is ever rewritten by
+    an extend, so ``_meta`` stays immutable and concurrent probes are
+    never exposed to a delete-rewrite window). Crash anywhere inside
+    the extend and the replay is safe: before the codes append, the
+    replay recomputes the SAME epoch and re-lands byte-identical codes
+    (collapsible exactly); after the codes append but before the
+    epoch-row append, same; after both, a replayed batch lands
+    byte-identical content one generation higher — still collapsible.
+    A same-id re-extend with a CHANGED vector supersedes the old codes
+    at compaction (``compact_ivfpq_index`` keeps ``max_by(codes,
+    epoch)``). SINGLE-WRITER per index, like the BM25 extend: two
+    concurrent extends would share a stamp — serialize them (the
+    streaming ingest loop, a foreachBatch sink, already does). Indexes
+    built before the sidecar existed extend as generation 1.
     """
     spark = new_vecs.sparkSession
     meta = spark.read.parquet(path + "/_meta").head()
     centroids = [list(c) for c in meta.centroids]
     books = [[list(c) for c in book] for book in meta.codebooks]
-    # pre-epoch indexes (no `epoch` in _meta) extend as generation 1
-    epoch = int(meta.asDict().get("epoch") or 0) + 1
+    epoch = _newest_epoch(spark, path) + 1
     c_normed = _unit_vecs(new_vecs, id_col, vec_col, "neighbor_id", "c_unit")
     (
         pq_encode(
@@ -1493,12 +1512,26 @@ def extend_ivfpq_index(
         .partitionBy("cid")
         .parquet(path)
     )
-    spark.createDataFrame(
-        [(centroids, books, epoch)],
-        "centroids array<array<double>>, "
-        "codebooks array<array<array<double>>>, "
-        "epoch long",
-    ).coalesce(1).write.mode("overwrite").parquet(path + "/_meta")
+    spark.createDataFrame([(epoch,)], "epoch long").coalesce(1).write.mode(
+        "append"
+    ).parquet(path + "/_epochs")
+
+
+def _newest_epoch(spark, path: str) -> int:
+    """Newest write generation from the ``_epochs`` sidecar; 0 for
+    indexes built before the sidecar existed (they extend as
+    generation 1, their build rows reading as epoch 0)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        row = (
+            spark.read.parquet(path + "/_epochs")
+            .agg(F.coalesce(F.max("epoch"), F.lit(0)).alias("e"))
+            .head()
+        )
+        return int(row.e)
+    except AnalysisException:
+        return 0
 
 
 def probe_ivfpq_index(
@@ -1682,7 +1715,11 @@ def compact_ivfpq_index(spark, path: str) -> None:
     """
     from cassandrastack_spark.sources.io import staged_partition_overwrite
 
-    codes = spark.read.parquet(path)
+    # mergeSchema: a pre-epoch build extended by epoch-stamped code has
+    # MIXED files (with/without the column); default schema inference
+    # samples ONE footer, and sampling an epoch-less file would stamp
+    # every row 0 and tie-break the last-writer election arbitrarily
+    codes = spark.read.option("mergeSchema", "true").parquet(path)
     if "epoch" not in codes.columns:
         codes = codes.withColumn("epoch", F.lit(0).cast("long"))
     live = (

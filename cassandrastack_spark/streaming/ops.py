@@ -887,17 +887,32 @@ def monitor_embedding_moments(
         marker = f"{checkpoint}/cs_epochs/{batch_id}"
         if _fs_exists(spark, marker):
             return
-        parts = _moment_partials(batch_df, vec_col)
+        # eager checkpoint: the summed totals AND the count read these
+        # partials — without it the batch-sized moment pass runs twice
+        parts = _moment_partials(batch_df, vec_col).localCheckpoint(
+            eager=True
+        )
         summed = (
             parts.select(F.posexplode(F.concat("s", "ss")).alias("pos", "v"))
             .groupBy("pos")
             .agg(F.sum("v").alias("v"))
             .collect()  # dim + dim² rows — bounded by DIMENSION
         )
-        n = parts.agg(F.sum("n").alias("n")).head().n
+        stats = parts.agg(
+            F.sum("n").alias("n"),
+            F.min(F.size("s")).alias("dmin"),
+            F.max(F.size("s")).alias("dmax"),
+        ).head()
+        n = stats.n
         if not summed or not n:
             _fs_mkdirs(spark, marker)
             return  # empty batch contributes nothing
+        if stats.dmin != stats.dmax:
+            raise ValueError(
+                "monitor_embedding_moments: ragged vector lengths "
+                "across this batch's partitions — every vector must "
+                "have the same dimension"
+            )
         cnt = len(summed)
         dim = int(((4 * cnt + 1) ** 0.5 - 1) / 2)
         v = [0.0] * cnt
@@ -927,12 +942,31 @@ def embedding_moments_state(spark: SparkSession, state_path: str) -> DataFrame:
     state over any stream equals the batch covariance over the union
     of its rows (tested), and drift is one join between two cov
     frames. Everything here is batches × dim² — never corpus-sized.
+    A monitor that has only seen empty batches has written markers but
+    no state files yet — that reads as an EMPTY covariance frame (a
+    young stream is zero evidence, not an error), so a polling drift
+    scheduler never wedges on startup.
     """
+    from pyspark.errors import AnalysisException
+
     from cassandrastack_spark.llm.embstats import _cov_frame_from_totals
 
+    try:
+        raw = spark.read.parquet(state_path)
+    except AnalysisException:
+        return spark.createDataFrame([], "i int, j int, cov double")
+    # cross-BATCH dim guard: a stream whose vector length changed
+    # between batches would merge into a silently wrong dim — the
+    # state table is batches-sized, so this distinct is trivial
+    dims = [r.d for r in raw.select(F.size("s").alias("d")).distinct().collect()]
+    if len(dims) > 1:
+        raise ValueError(
+            f"embedding_moments_state: state at {state_path} mixes "
+            f"vector dimensions {sorted(dims)} — the stream's "
+            "embedding dim changed between batches; rebuild the state"
+        )
     state = (
-        spark.read.parquet(state_path)
-        .groupBy("batch_id")
+        raw.groupBy("batch_id")
         .agg(
             F.first("n").alias("n"),
             F.first("s").alias("s"),

@@ -1319,6 +1319,31 @@ def test_embedding_covariance_matches_numpy(spark, emb):
     assert (np.diag(got) >= -1e-12).all()
 
 
+def test_embedding_moments_reject_element_nulls_and_ragged(spark):
+    """Null/NaN ELEMENTS inside a vector and ragged lengths must fail
+    loud (silent NaN would poison every covariance entry while the
+    per-entry-null-skipping SQL oracle kept returning numbers);
+    whole-null vectors are skipped."""
+    from cassandrastack_spark.llm.embstats import embedding_covariance
+
+    schema = "vec_id long, embedding array<double>"
+    with_null_elem = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, None])], schema
+    )
+    with pytest.raises(Exception, match="null/NaN element"):
+        embedding_covariance(with_null_elem, "embedding").collect()
+    ragged = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0])], schema
+    )
+    with pytest.raises(Exception, match="ragged"):
+        embedding_covariance(ragged, "embedding").collect()
+    with_null_row = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, None), (2, [3.0, 4.0])], schema
+    )
+    got = embedding_covariance(with_null_row, "embedding").collect()
+    assert len(got) == 4  # 2x2 — null ROW skipped, not poisoned
+
+
 def test_pca_project_recovers_principal_axes(spark, emb):
     """pca_train/pca_project: orthonormal basis, descending
     eigenvalues matching numpy's (sign-fixed) eigendecomposition, and
@@ -1655,8 +1680,17 @@ def test_compact_ivfpq_index_keeps_newest_generation_codes(spark, tmp_path):
         [(10, vec_b), (11, vec_a)], ["vec_id", "embedding"]
     )
     extend_ivfpq_index(swapped, path)
-    meta = spark.read.parquet(path + "/_meta").head()
-    assert meta.epoch == 1, "extend must bump the stored write generation"
+    epochs = {r.epoch for r in spark.read.parquet(path + "/_epochs").collect()}
+    assert epochs == {0, 1}, (
+        f"extend must append the new write generation to _epochs: {epochs}"
+    )
+    # _meta is write-once: immutable under extends, so concurrent
+    # probes never see a delete-rewrite window and a crashed extend
+    # can never leave the index meta-less (which would route the next
+    # ingest batch into a whole-index rebuild-overwrite)
+    assert set(
+        spark.read.parquet(path + "/_meta").columns
+    ) == {"centroids", "codebooks"}
     raw = spark.read.parquet(path)
     newest = {
         r.neighbor_id: tuple(r.codes)

@@ -775,3 +775,10 @@ def test_monitor_embedding_moments_matches_batch_covariance(spark, tmp_path):
         for r in embedding_moments_state(spark, state_path).collect()
     }
     assert all(abs(replayed[k] - want[k]) < 1e-9 for k in want)
+
+    # a monitor that has never landed a state file (young stream,
+    # empty batches) reads as an EMPTY frame, not an error — the
+    # polling drift scheduler must not wedge on startup
+    empty = embedding_moments_state(spark, str(tmp_path / "nonexistent"))
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["i", "j", "cov"]

@@ -26,10 +26,17 @@ corpus's cache).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
 # slot name -> (key DataFrame, tuple of persisted DataFrames)
 _SLOTS: dict[str, tuple[DataFrame, tuple[DataFrame, ...]]] = {}
+# Spark apps legitimately submit queries from multiple driver threads;
+# an unlocked check-then-set would let two threads persist two
+# generations and strand one in the CacheManager forever — the exact
+# leak this module exists to bound.
+_LOCK = threading.Lock()
 
 
 def _same_plan(a: DataFrame, b: DataFrame) -> bool:
@@ -58,23 +65,25 @@ def slot_persist(
     (already persisted, possibly already materialized), the freshly
     persisted ``frames`` otherwise.
     """
-    held = _SLOTS.get(slot)
-    if held is not None and _same_plan(held[0], key):
-        return held[1]
-    if held is not None:
-        for f in held[1]:
-            try:
-                f.unpersist(blocking=False)
-            except Exception:
-                pass  # session gone — nothing to release
-    frames = tuple(f.persist() for f in frames)
-    _SLOTS[slot] = (key, frames)
-    return frames
+    with _LOCK:
+        held = _SLOTS.get(slot)
+        if held is not None and _same_plan(held[0], key):
+            return held[1]
+        if held is not None:
+            for f in held[1]:
+                try:
+                    f.unpersist(blocking=False)
+                except Exception:
+                    pass  # session gone — nothing to release
+        frames = tuple(f.persist() for f in frames)
+        _SLOTS[slot] = (key, frames)
+        return frames
 
 
 def slot_release(slot: str) -> None:
     """Explicitly release a slot's cached generation (tests, teardown)."""
-    held = _SLOTS.pop(slot, None)
+    with _LOCK:
+        held = _SLOTS.pop(slot, None)
     if held is not None:
         for f in held[1]:
             try:

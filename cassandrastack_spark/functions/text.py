@@ -102,6 +102,12 @@ def quality_score_linear(
         "avg_word_len": raw["avg_word_len"],
         "stopword_ratio": raw["stopword_ratio"],
     }
+    unknown = sorted(set(w) - set(feats))
+    if unknown:
+        raise ValueError(
+            f"quality_score_linear: unknown feature(s) {unknown} in "
+            f"weights — supported features are {sorted(feats)}"
+        )
     z = F.lit(float(b))
     for name, weight in w.items():
         z = z + F.lit(float(weight)) * feats[name]

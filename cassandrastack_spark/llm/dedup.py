@@ -1083,6 +1083,14 @@ def substring_dedup(
     - document rebuild groups by doc_id — the uniform key — with
       per-doc state bounded by document length, the same reassembly
       bound as ``paragraph_dedup``.
+
+    Caching contract: the token/window intermediates are cached per
+    (corpus, min_len) in a single slot keyed by plan identity + the
+    resolved file snapshot (``_slots.slot_persist``). Rewrites that
+    land new part files roll the cache automatically; an in-place
+    byte-rewrite preserving every filename/size/mtime does not —
+    write snapshots to new directories, or call
+    ``slot_release("dedup.substring_dedup")`` after such a rewrite.
     """
     if min_len < 2:
         raise ValueError(f"min_len must be >= 2, got {min_len}")

@@ -132,6 +132,16 @@ def embedding_covariance(df: DataFrame, vec_col: str = "embedding") -> DataFrame
     arithmetic over dim-bounded frames (two broadcast joins of the
     dim-row mean vector onto the dim²-row second-moment frame plus the
     1-row count — the canonical scalar-subquery plan).
+
+    Numerical envelope: the E[xy] − E[x]E[y] form cancels
+    catastrophically when ``mean² ≫ cov`` — fine for unit-scale,
+    near-centered embeddings (the float64 sums keep ~15 significant
+    digits, so the result holds ~15 − 2·log10(|mean|/σ) digits), but a
+    corpus with large uncentered magnitudes (|mean|/σ ≳ 1e4) should be
+    shifted first (``df.withColumn(vec, zip_with(vec, lit(c), (x, s) ->
+    x - s))`` with any constant c near the mean — covariance is
+    shift-invariant). DuckDB's ``covar_pop`` is single-pass stable, so
+    degradation would surface as oracle mismatch, not silent error.
     """
     totals, n = _summed_moments(df, vec_col)
     return _cov_frame_from_totals(totals, n)
@@ -186,28 +196,57 @@ def covariance_drift(cov_a: DataFrame, cov_b: DataFrame) -> DataFrame:
     """Drift between two (i, j, cov) covariance frames (from
     ``embedding_covariance`` or ``embedding_moments_state``): a 1-row
     frame with the Frobenius norm of the difference, the norm of the
-    reference, and their ratio — the scalar a retrain scheduler
-    thresholds ("rebuild the IVF lists when the embedding distribution
-    has moved more than X% since training"). One dim²-row equi-join;
-    never touches a corpus.
+    reference (``cov_a``), and their ratio — the scalar a retrain
+    scheduler thresholds ("rebuild the IVF lists when the embedding
+    distribution has moved more than X% since training"). One
+    dim²-row equi-join; never touches a corpus.
+
+    Fails LOUD (in-plan assert, so any action raises) instead of
+    silently yielding a NULL ratio a scheduler would never fire on:
+
+    - **no overlapping (i, j) entries** — the young-stream case, where
+      ``embedding_moments_state`` over a state dir whose stream has not
+      committed a micro-batch yet returns an EMPTY frame (also raised
+      for disjoint dims). Compute drift only after the first batch
+      commits.
+    - **zero reference norm** — constant/all-zero reference embeddings
+      make ``drift_ratio`` 0/0-undefined; threshold ``frobenius_diff``
+      directly for such a corpus.
     """
     a = cov_a.select("i", "j", F.col("cov").alias("cov_a"))
     b = cov_b.select("i", "j", F.col("cov").alias("cov_b"))
-    return (
-        a.join(b, ["i", "j"])
-        .agg(
-            F.sqrt(
-                F.sum((F.col("cov_a") - F.col("cov_b")) ** 2)
-            ).alias("frobenius_diff"),
-            F.sqrt(F.sum(F.col("cov_a") ** 2)).alias("frobenius_ref"),
-        )
-        .select(
-            "frobenius_diff",
-            "frobenius_ref",
-            (F.col("frobenius_diff") / F.col("frobenius_ref")).alias(
-                "drift_ratio"
+    agg = a.join(b, ["i", "j"]).agg(
+        F.count(F.lit(1)).alias("n_entries"),
+        F.sqrt(
+            F.sum((F.col("cov_a") - F.col("cov_b")) ** 2)
+        ).alias("frobenius_diff"),
+        F.sqrt(F.sum(F.col("cov_a") ** 2)).alias("frobenius_ref"),
+    )
+    # the asserts ride the diff column every consumer reads — the same
+    # loud-fail discipline as _summed_moments' ragged-dim guard
+    guarded = F.when(
+        F.assert_true(
+            F.col("n_entries") > 0,
+            F.lit(
+                "covariance_drift: no overlapping (i, j) entries — an "
+                "empty state frame (young stream: no micro-batch "
+                "committed yet) or disjoint covariance dims"
             ),
-        )
+        ).isNull()
+        & F.assert_true(
+            F.col("frobenius_ref") > 0,
+            F.lit(
+                "covariance_drift: reference covariance norm is 0 "
+                "(constant embeddings) — drift_ratio is undefined; "
+                "threshold frobenius_diff directly"
+            ),
+        ).isNull(),
+        F.col("frobenius_diff"),
+    )
+    return agg.select(
+        guarded.alias("frobenius_diff"),
+        "frobenius_ref",
+        (guarded / F.col("frobenius_ref")).alias("drift_ratio"),
     )
 
 

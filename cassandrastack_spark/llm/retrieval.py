@@ -136,6 +136,15 @@ def tfidf_weights(
     weight. The default keeps everything because the synthetic test
     vocabulary is ~30 near-uniform words (any cap would empty it);
     production corpora set 0.1-0.5.
+
+    Caching contract: the postings intermediate is cached per corpus
+    in a single slot keyed by plan identity + the resolved file
+    snapshot (``_slots.slot_persist``). Rewrites that land new part
+    files roll the cache automatically; an in-place byte-rewrite that
+    preserves every filename/size/mtime does not — write snapshots to
+    new directories, or call
+    ``slot_release("retrieval.tfidf_weights")`` after such a rewrite
+    (same caveat as Spark's own ``df.cache()`` over a mutated path).
     """
     w = _words(docs, id_col, text_col)
     # the (doc_id, term, tf) postings aggregate is read by THREE

@@ -975,7 +975,7 @@ def pq_decode(
     codes_col: str = "codes",
     out_col: str = "r_vec",
     literal_max_doubles: int = PQ_LITERAL_MAX_DOUBLES,
-    compose_safe: bool = True,
+    compose_safe: bool = False,
 ) -> DataFrame:
     """Add ``out_col``: the reconstructed vector — the concatenation of
     each subspace's codebook row selected by that subspace's code.
@@ -986,15 +986,16 @@ def pq_decode(
     gate, Arrow numpy fancy-index above it. Null codes decode to null
     on both paths.
 
-    Same composition guard as ``pq_encode``: with ``compose_safe=True``
-    (default), a literal gather tree above ``PQ_COMPOSE_MAX_DOUBLES``
-    is fenced behind a lazy ``localCheckpoint`` so multi-reference
-    downstream predicates bind to the ``out_col`` attribute instead of
-    re-inlining the codebook literals per reference. Engine consumers
-    pass ``compose_safe=False``: they reference the reconstruction
-    exactly once (the ADC dot fold), and the barrier would otherwise
-    MATERIALIZE corpus-sized reconstructed floats — the decode-on-scan
-    layout exists precisely to avoid that.
+    ``compose_safe`` defaults to **False** here (unlike ``pq_encode``,
+    where the planning blowup was actually measured): the single-
+    reference decode-then-rank pattern is the overwhelmingly common
+    one, and the ``localCheckpoint`` barrier would MATERIALIZE
+    corpus-sized reconstructed floats (dim doubles per row) into
+    executor block storage on first action — defeating the
+    decode-on-scan layout by default. Pass ``compose_safe=True`` only
+    when downstream predicates reference ``out_col`` MANY times over a
+    literal gather tree above ``PQ_COMPOSE_MAX_DOUBLES`` (each
+    reference re-inlines the codebook literals into the plan).
     """
     m_sub = len(codebooks)
     k_codes = len(codebooks[0])

@@ -372,7 +372,11 @@ def stream_static_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-process state cache for the drift monitor's state table — an
 # accumulated moments table is a persisted artifact like the BM25 /
 # IVF+PQ indexes in queries/llm.py (_INDEX_CACHE): build once per
-# (sf_dir), probe on every call.
+# (sf_dir), probe on every call. Staleness contract (same as
+# _INDEX_CACHE): the key is the PATH, so a long-lived session that
+# mutates the embeddings table under an sf_dir keeps reading the
+# moments accumulated from the old files — mutate into a NEW dir, or
+# pop the key (restart the monitor stream) to re-accumulate.
 _MOMENTS_CACHE: dict = {}
 
 

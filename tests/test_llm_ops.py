@@ -1664,6 +1664,8 @@ def test_compact_ivfpq_index_keeps_newest_generation_codes(spark, tmp_path):
         extend_ivfpq_index,
     )
 
+    from cassandrastack_spark.llm.simsearch import probe_ivfpq_index
+
     vec_a = [1.0, 0.9, 0.8, 0.7, 0.0, 0.0, 0.0, 0.0]
     vec_b = [0.0, 0.0, 0.0, 0.0, 0.7, 0.8, 0.9, 1.0]
     filler = [
@@ -1703,6 +1705,18 @@ def test_compact_ivfpq_index_keeps_newest_generation_codes(spark, tmp_path):
     assert newest and oldest[10] != newest[10] and oldest[11] != newest[11], (
         "fixture must change each id's codes across generations"
     )
+    # epoch-parity contract (r8 verdict ask): compaction must preserve
+    # the max_by(codes, epoch) election end to end — probe answers are
+    # identical before and after, and the _epochs sidecar stays
+    # consistent so the NEXT extend stamps a fresh generation.
+    corpus = emb.filter(~F.col("vec_id").isin(10, 11)).unionByName(swapped)
+    q = emb.filter(F.col("vec_id") == 0)
+    before_probe = sorted(
+        tuple(r)
+        for r in probe_ivfpq_index(
+            spark, path, q, corpus, k=6, nprobe=1, shortlist=64
+        ).collect()
+    )
     compact_ivfpq_index(spark, path)
     idx = spark.read.parquet(path)
     assert (
@@ -1715,6 +1729,39 @@ def test_compact_ivfpq_index_keeps_newest_generation_codes(spark, tmp_path):
     }
     assert kept[10] == (newest[10], 1) and kept[11] == (newest[11], 1), (
         f"compaction kept stale codes: {kept}"
+    )
+    after_probe = sorted(
+        tuple(r)
+        for r in probe_ivfpq_index(
+            spark, path, q, corpus, k=6, nprobe=1, shortlist=64
+        ).collect()
+    )
+    assert after_probe == before_probe, (
+        "probe answers must be identical across compaction"
+    )
+    epochs_after = {
+        r.epoch for r in spark.read.parquet(path + "/_epochs").collect()
+    }
+    assert epochs_after == {0, 1}, (
+        "compaction must leave the append-only _epochs sidecar intact: "
+        f"{epochs_after}"
+    )
+    extend_ivfpq_index(swapped, path)  # replay AFTER compaction
+    epochs_post = {
+        r.epoch for r in spark.read.parquet(path + "/_epochs").collect()
+    }
+    assert epochs_post == {0, 1, 2}, (
+        "post-compaction extend must stamp the next generation: "
+        f"{epochs_post}"
+    )
+    post_probe = sorted(
+        tuple(r)
+        for r in probe_ivfpq_index(
+            spark, path, q, corpus, k=6, nprobe=1, shortlist=64
+        ).collect()
+    )
+    assert post_probe == before_probe, (
+        "a byte-identical replay after compaction must not change probes"
     )
 
 
@@ -1959,3 +2006,92 @@ def test_covariance_drift_zero_for_identical_and_positive_for_shifted(
     cov2 = embedding_covariance(scaled, "embedding")
     moved = covariance_drift(cov, cov2).head()
     assert abs(moved.drift_ratio - 3.0) < 1e-9, moved
+
+
+def test_covariance_drift_fails_loud_on_empty_and_zero_reference(spark, emb):
+    """The r8 advice guard: a retrain scheduler thresholding
+    drift_ratio must get an ERROR, never a silent NULL it would never
+    fire on — (a) an empty/disjoint covariance frame (the young-stream
+    case: embedding_moments_state before the first committed
+    micro-batch), (b) an all-zero reference covariance (constant
+    embeddings, 0/0 ratio)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from cassandrastack_spark.llm.embstats import (
+        covariance_drift,
+        embedding_covariance,
+    )
+
+    cov = embedding_covariance(emb, "embedding").localCheckpoint(eager=True)
+    empty = spark.createDataFrame([], "i int, j int, cov double")
+    with pytest.raises(SparkRuntimeException, match="no overlapping"):
+        covariance_drift(cov, empty).collect()
+    with pytest.raises(SparkRuntimeException, match="no overlapping"):
+        covariance_drift(empty, cov).collect()
+
+    const = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> 1.5)").alias("embedding")
+    )
+    zero_ref = embedding_covariance(const, "embedding")
+    with pytest.raises(SparkRuntimeException, match="norm is 0"):
+        covariance_drift(zero_ref, cov).collect()
+    # the zero frame as the COMPARED side is legitimate (drift away
+    # from a healthy reference toward collapse) and must still work
+    ok = covariance_drift(cov, zero_ref).head()
+    assert abs(ok.drift_ratio - 1.0) < 1e-9, ok
+
+
+def test_quality_score_linear_rejects_unknown_weight_keys(spark):
+    """A trained-model weights dict with a misspelled feature must
+    raise a contract error naming the valid features, not a bare
+    KeyError (r8 advice)."""
+    import pytest
+
+    from cassandrastack_spark.functions.text import quality_score_linear
+
+    with pytest.raises(ValueError, match="stopword_ratio"):
+        quality_score_linear("text", weights={"stopword_ration": 1.0})
+    # valid subsets stay accepted
+    df = spark.createDataFrame([("the quick brown fox",)], ["text"])
+    got = df.select(
+        quality_score_linear("text", weights={"log1p_tokens": 1.0}).alias("q")
+    ).head()
+    assert 0.0 < got.q < 1.0
+
+
+def test_slot_persist_rolls_on_same_path_rewrite(spark, tmp_path):
+    """The r8 advice MEDIUM item: sameResult matches file sources by
+    ROOT PATH, so an in-place corpus rewrite (staged overwrite to the
+    same directory) must NOT be served the previous corpus's cached
+    tfidf frames — the file-snapshot fingerprint has to roll the slot."""
+    from cassandrastack_spark.llm.retrieval import tfidf_topk_similar
+
+    path = str(tmp_path / "corpus_pq")
+    spark.createDataFrame(
+        [(i, "alpha beta gamma " + f"tok{i}") for i in range(5)],
+        ["doc_id", "text"],
+    ).write.mode("overwrite").parquet(path)
+    first = sorted(
+        map(tuple, tfidf_topk_similar(spark.read.parquet(path), [1], k=2).collect())
+    )
+    assert first
+    # rewrite the SAME path with a disjoint vocabulary: doc 1 now only
+    # matches doc 2 (shared zeta), so stale cached postings would
+    # reproduce `first`
+    spark.createDataFrame(
+        [(1, "zeta eta theta"), (2, "zeta iota kappa"), (3, "mu nu xi")],
+        ["doc_id", "text"],
+    ).write.mode("overwrite").parquet(path)
+    fresh = spark.read.parquet(path)
+    got = sorted(map(tuple, tfidf_topk_similar(fresh, [1], k=2).collect()))
+    want = sorted(
+        map(
+            tuple,
+            tfidf_topk_similar(fresh.localCheckpoint(eager=True), [1], k=2)
+            .collect(),
+        )
+    )
+    assert got == want != first, (
+        "same-path rewrite was served the previous corpus's cache"
+    )

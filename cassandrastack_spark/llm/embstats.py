@@ -192,6 +192,41 @@ def _cov_frame_from_totals(totals: DataFrame, n: DataFrame) -> DataFrame:
     )
 
 
+def embedding_correlation(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Pearson correlation matrix of the embedding column as an
+    (i, j, corr) DataFrame — ``corr = cov_ij / sqrt(var_i * var_j)``,
+    the redundant-dimension audit (a |corr| ≈ 1 pair means one of the
+    two dims carries no information — prune it before PQ subspacing).
+
+    Same single corpus scan as ``embedding_covariance`` (the lazily
+    checkpointed moment partials are shared); the normalization is two
+    broadcast joins of the dim-row diagonal onto the dim²-row
+    covariance frame. Population-vs-sample doesn't matter here — the
+    n / (n−1) factors cancel in the ratio, so DuckDB's ``corr()``
+    verifies entries directly. A zero-variance dimension yields NULL
+    correlations (0/0), matching SQL ``corr`` semantics.
+    """
+    cov = embedding_covariance(df, vec_col)
+    diag = cov.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("k"), F.col("cov").alias("var")
+    )
+    di = diag.select(F.col("k").alias("i"), F.col("var").alias("var_i"))
+    dj = diag.select(F.col("k").alias("j"), F.col("var").alias("var_j"))
+    return (
+        cov.join(F.broadcast(di), "i")
+        .join(F.broadcast(dj), "j")
+        .select(
+            "i",
+            "j",
+            (
+                F.col("cov") / F.sqrt(F.col("var_i") * F.col("var_j"))
+            ).alias("corr"),
+        )
+    )
+
+
 def covariance_drift(cov_a: DataFrame, cov_b: DataFrame) -> DataFrame:
     """Drift between two (i, j, cov) covariance frames (from
     ``embedding_covariance`` or ``embedding_moments_state``): a 1-row

@@ -54,90 +54,88 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # first (in this order); everything else follows in registration order.
 # A name here that is not registered is ignored.
 #
-# Round-8 rotation (VERDICT r7 lead item): (a) 6 queries new this
-# round (filtered ANN over the persisted IVF+PQ index; the exact
-# embedding-covariance block over the mapInPandas moment partials and
-# its streaming-accumulator twin under the same covar_pop oracle;
-# canonical-document election over the near-dup components; the
-# linear quality-model score; the snapshot diff), (b) 3
-# re-confirms of r6-green queries whose code r7 touched (the tfidf
-# persist swap and the _rrf_fuse extraction — the r7 verdict's "stale
-# greens" watch item; text_tfidf_sim_topk's backing tfidf_weights ALSO
-# changed this round via the slot-persist registry), (c) 2 re-confirms
-# of r7-green queries whose backing code changed THIS round
-# (dedup_exact_substrings: substring_dedup moved from eager
-# localCheckpoint to slot persist; ann_hybrid_rrf_indexed:
-# build_ivfpq_index now epoch-stamps codes), and (d) 39 of the 50
-# queries whose newest official row is r5-era — including the whole
-# ANN family, whose backing simsearch.py changed this round (pq_encode
-# compose guard + IVF+PQ epochs). The 11 r5-era rows that don't fit
-# (array_functions, event_interarrival, event_transitions,
-# funnel_conversion, heatmap_dow_hour, histogram_order_totals,
-# json_extract_props, pivot_status_by_segment, scalar_functions,
-# string_agg_nations, unpivot_revenue_measures — all on analytics
-# query code UNTOUCHED since their r5 rows; the r7 analytics_ext
-# edits were confined to the pagerank helpers) slip to the round-9
-# window. Round-9 must also sweep the 11 streaming rows (r6-era;
-# streaming/ops.py changed in r7 [in-batch vector collapse] and r8
-# [short-circuit for <2-row batches + the moments monitor] — the
-# registered streaming queries call neither changed path, but the
-# no-green-on-changed-code contract wants the official rows
-# refreshed) plus the 11 slipped rows above.
+# Round-9 rotation (VERDICT r8 lead item — the committed sweep,
+# executed): (a) 4 queries NEW this round (covariance drift between
+# deterministically-derived snapshots — the r8 verdict's ask #2; the
+# full-rank PCA projection pinned end-to-end by rotation-invariant
+# pairwise distances — ask #3; DSIR-style importance weights — the
+# data-selection operator; the Pearson correlation block riding the
+# same moment partials as the covariance), (b) the 11 r5-era rows that
+# slipped the r8 window (analytics code untouched since r5 — this
+# sweep clears the two-consecutive-slips risk the r8 verdict flagged),
+# (c) the 11 r6-era streaming rows (streaming/ops.py changed in r7 and
+# r8; the registered queries call neither changed path, but the
+# no-green-on-changed-code contract wants official rows), (d) 16
+# re-confirms of rows whose backing code changed THIS round: the whole
+# ANN family (simsearch.py: pq_decode defaults to compose_safe=False),
+# text_tfidf_sim_topk + dedup_exact_substrings (slot keys now carry a
+# file-snapshot fingerprint), embedding_covariance_block + its
+# streaming twin (embstats.py drift guard lives beside their moments
+# path), corpus_quality_model_score (quality_score_linear validates
+# weight keys), and (e) 8 of the oldest r6-era rows, prioritizing the
+# functions/text.py consumers (the file gained the weight-key guard):
+# text_langid, text_bpe_tokens, text_fingerprint, text_stats,
+# corpus_quality_filter, then corpus_domain_cap, corpus_mix_weights,
+# anomaly_cusum_changepoint. The remaining 27 r6-era rows (corpus_*,
+# dedup_*, dq_*, mm_*, text_* families — ALL on code untouched since
+# r6) are committed to the round-10 window, oldest first, so no green
+# row ever sits on changed code or ages past 4 rounds.
 _FRONT: tuple[str, ...] = (
     # -- new this round --
-    "ann_ivfpq_filtered_topk",
-    "embedding_covariance_block",
-    "stream_embedding_covariance_block",
-    "dedup_canonical_election",
-    "corpus_quality_model_score",
-    "corpus_snapshot_diff",
-    # -- r7-touched code, r6-green rows: re-confirm --
-    "text_bm25_topk",
-    "text_tfidf_sim_topk",
-    "ann_hybrid_rrf_topk",
-    # -- r8-touched code, r7-green rows: re-confirm --
-    "dedup_exact_substrings",
-    "ann_hybrid_rrf_indexed",
-    # -- r5-era rows: re-confirm on current code (39) --
+    "embedding_covariance_drift",
+    "embedding_pca_projection_pairdist",
+    "corpus_dsir_weights",
+    "embedding_correlation_block",
+    # -- r5-era rows slipped from the r8 window --
+    "array_functions",
+    "event_interarrival",
+    "event_transitions",
+    "funnel_conversion",
+    "heatmap_dow_hour",
+    "histogram_order_totals",
+    "json_extract_props",
+    "pivot_status_by_segment",
+    "scalar_functions",
+    "string_agg_nations",
+    "unpivot_revenue_measures",
+    # -- r6-era streaming rows (ops.py changed r7+r8) --
+    "stream_click_view_join",
+    "stream_dedup_events",
+    "stream_session_append",
+    "stream_session_windows",
+    "stream_sliding_append",
+    "stream_sliding_counts",
+    "stream_stateful_totals",
+    "stream_static_enrich",
+    "stream_tumbling_append",
+    "stream_tumbling_hourly",
+    "stream_windowed_topk",
+    # -- r9-touched code: re-confirm --
     "ann_cosine_topk",
     "ann_filtered_topk",
+    "ann_hybrid_rrf_indexed",
+    "ann_hybrid_rrf_topk",
     "ann_ivf_pq_topk",
     "ann_ivf_topk",
+    "ann_ivfpq_filtered_topk",
     "ann_lsh_topk",
     "ann_pq_topk",
     "ann_pq_topk_prod",
     "ann_quantized_topk",
-    "approx_distinct_users",
-    "dedup_embedding_cosine",
-    "dedup_minhash_lsh",
-    "embedding_norms",
-    "embedding_quantize_int8",
-    "outliers_iqr_values",
-    "pareto_customers_by_segment",
-    "partition_scan_ordered",
-    "percentiles_acctbal",
-    "point_lookup",
-    "profile_hot_keys",
-    "profile_table_stats",
-    "projection_scan",
-    "q10_returned_revenue",
-    "q12_priority_by_linestatus",
-    "q4_priority_with_big_items",
-    "q6_forecast_revenue",
-    "retention_weekly",
-    "salted_join_events_customers",
-    "sessionize_events",
-    "set_operations",
-    "sql_exists_in_subqueries",
-    "sql_grouping_sets",
-    "sql_lateral_topk",
-    "text_ngram_novelty",
-    "top_k_global",
-    "tumbling_window_hourly",
-    "window_moving_avg",
-    "window_rank_surface",
-    "window_running_distinct",
-    "window_running_sum",
+    "text_tfidf_sim_topk",
+    "dedup_exact_substrings",
+    "embedding_covariance_block",
+    "stream_embedding_covariance_block",
+    "corpus_quality_model_score",
+    # -- oldest r6-era rows (text.py consumers first) --
+    "text_langid",
+    "text_bpe_tokens",
+    "text_fingerprint",
+    "text_stats",
+    "corpus_quality_filter",
+    "corpus_domain_cap",
+    "corpus_mix_weights",
+    "anomaly_cusum_changepoint",
 )
 
 

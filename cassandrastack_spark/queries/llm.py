@@ -2523,3 +2523,223 @@ def corpus_snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return corpus_snapshot_diff(old, new).orderBy("doc_id")
+
+
+@register(
+    "embedding_correlation_block",
+    oracle="""
+        SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+               ROUND(corr(list_extract(embedding, i + 1),
+                          list_extract(embedding, j + 1)), 6) AS corr
+        FROM embeddings,
+             generate_series(0, 7) s1(i),
+             generate_series(0, 7) s2(j)
+        GROUP BY i, j
+        ORDER BY i, j
+    """,
+    doc="Pearson correlation matrix of the embedding dims (leading 8x8 "
+        "block) — the redundant-dimension audit before PQ subspacing: "
+        "a |corr| ~ 1 pair means a dim carries no information. Rides "
+        "the SAME single-scan moment partials as "
+        "embedding_covariance_block (corr = cov / sqrt(var_i var_j) "
+        "over dim-bounded frames; the normalization is two broadcast "
+        "joins of the diagonal). DuckDB's corr() verifies entries "
+        "directly — the sample-vs-population n/(n-1) factors cancel "
+        "in the ratio.",
+)
+def embedding_correlation_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandrastack_spark.llm.embstats import embedding_correlation
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        embedding_correlation(emb, "embedding")
+        .filter((F.col("i") < 8) & (F.col("j") < 8))
+        .select("i", "j", F.round("corr", 6).alias("corr"))
+        .orderBy("i", "j")
+    )
+
+
+@register(
+    "embedding_covariance_drift",
+    oracle="""
+        WITH ca AS (
+          SELECT i, j, covar_pop(list_extract(embedding, i + 1),
+                                 list_extract(embedding, j + 1)) AS cov
+          FROM embeddings,
+               generate_series(0, 63) s1(i),
+               generate_series(0, 63) s2(j)
+          WHERE vec_id % 2 = 0 GROUP BY i, j),
+        cb AS (
+          SELECT i, j, covar_pop(list_extract(embedding, i + 1),
+                                 list_extract(embedding, j + 1)) AS cov
+          FROM embeddings,
+               generate_series(0, 63) s1(i),
+               generate_series(0, 63) s2(j)
+          WHERE vec_id % 2 = 1 GROUP BY i, j)
+        SELECT ROUND(SQRT(SUM((ca.cov - cb.cov) ^ 2)), 6)
+                   AS frobenius_diff,
+               ROUND(SQRT(SUM(ca.cov ^ 2)), 6) AS frobenius_ref,
+               ROUND(SQRT(SUM((ca.cov - cb.cov) ^ 2))
+                     / SQRT(SUM(ca.cov ^ 2)), 6) AS drift_ratio
+        FROM ca JOIN cb USING (i, j)
+    """,
+    doc="Covariance drift between two embedding snapshots (derived "
+        "deterministically: even vec_ids = the reference the IVF/PQ "
+        "index trained on, odd vec_ids = the current corpus) — the "
+        "scalar a retrain scheduler thresholds. Each snapshot reduces "
+        "to its dim^2 covariance via one mapInPandas moment pass; the "
+        "drift is a dim^2-row equi-join + Frobenius aggregate (loud-"
+        "fail guarded for empty frames and zero reference norm). At "
+        "100 TB the comparison never rescans the reference corpus: "
+        "its moments are the persisted state the streaming "
+        "accumulator maintains. The oracle replays both covar_pop "
+        "matrices and the Frobenius norms in SQL.",
+)
+def embedding_covariance_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandrastack_spark.llm.embstats import (
+        covariance_drift,
+        embedding_covariance,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ref = embedding_covariance(
+        emb.filter(F.col("vec_id") % 2 == 0), "embedding"
+    )
+    cur = embedding_covariance(
+        emb.filter(F.col("vec_id") % 2 == 1), "embedding"
+    )
+    return covariance_drift(ref, cur).select(
+        F.round("frobenius_diff", 6).alias("frobenius_diff"),
+        F.round("frobenius_ref", 6).alias("frobenius_ref"),
+        F.round("drift_ratio", 6).alias("drift_ratio"),
+    )
+
+
+@register(
+    "embedding_pca_projection_pairdist",
+    oracle="""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(SUM((CAST(list_extract(a.embedding, i) AS DOUBLE)
+                        - CAST(list_extract(b.embedding, i) AS DOUBLE))
+                         ^ 2), 6) AS dist_sq
+        FROM embeddings a
+        JOIN embeddings b ON a.vec_id < b.vec_id,
+             generate_series(1, 64) s(i)
+        WHERE a.vec_id < 16 AND b.vec_id < 16
+        GROUP BY a.vec_id, b.vec_id
+        ORDER BY id_a, id_b
+    """,
+    doc="End-to-end PCA gate via rotation invariance: train a FULL-"
+        "rank (k = dim) PCA basis on the corpus (exact single-scan "
+        "moments -> driver-side 64x64 eigh), project every embedding, "
+        "and emit pairwise squared distances between the projections "
+        "of the first 16 ids. A full-rank orthonormal basis plus mean-"
+        "centering preserves pairwise distances EXACTLY, so the "
+        "DuckDB twin verifies against raw-embedding distances — any "
+        "error in the moments, the eigendecomposition, or the "
+        "projection GEMM breaks the match. The pair probe is a "
+        "bounded broadcast (16 rows); the projection itself is one "
+        "Arrow GEMM per batch, the train-small/apply-wide shape.",
+)
+def embedding_pca_projection_pairdist(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cassandrastack_spark.llm.embstats import pca_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    proj = pca_project(emb, k=64, vec_col="embedding", out_col="pc")
+    small = proj.filter(F.col("vec_id") < 16).select("vec_id", "pc")
+    a = small.select(F.col("vec_id").alias("id_a"), F.col("pc").alias("pc_a"))
+    b = small.select(F.col("vec_id").alias("id_b"), F.col("pc").alias("pc_b"))
+    dist = F.expr(
+        "aggregate(zip_with(pc_a, pc_b, (x, y) -> (x - y) * (x - y)), "
+        "0D, (acc, v) -> acc + v)"
+    )
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(dist, 6).alias("dist_sq"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "corpus_dsir_weights",
+    oracle="""
+        WITH w AS (
+          SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+          FROM documents),
+        rf AS (SELECT w, COUNT(*) AS c_r FROM w GROUP BY w),
+        tf AS (SELECT w, COUNT(*) AS c_t FROM w WHERE lang = 'en'
+               GROUP BY w),
+        tot AS (SELECT (SELECT CAST(SUM(c_r) AS DOUBLE) FROM rf) AS n_r,
+                       (SELECT CAST(COALESCE(SUM(c_t), 0) AS DOUBLE)
+                        FROM tf) AS n_t,
+                       (SELECT CAST(COUNT(*) AS DOUBLE) FROM rf) AS v),
+        sc AS (
+          SELECT rf.w,
+                 LN((COALESCE(tf.c_t, 0) + 1) / (tot.n_t + tot.v))
+               - LN((rf.c_r + 1) / (tot.n_r + tot.v)) AS s
+          FROM rf LEFT JOIN tf USING (w) CROSS JOIN tot)
+        SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               ROUND(SUM(sc.s), 6) AS dsir_logweight
+        FROM w JOIN sc USING (w)
+        GROUP BY w.doc_id
+        ORDER BY w.doc_id
+    """,
+    doc="DSIR-style importance weights (Xie et al. 2023, 'Data "
+        "Selection for Language Models via Importance Resampling'): "
+        "score every document by log p_target(doc) - log p_raw(doc) "
+        "under add-one-smoothed unigram LMs, with the en-language "
+        "slice as the target distribution and the whole corpus as "
+        "raw — the data-selection signal you resample against to "
+        "tilt a 100 TB crawl toward a target domain. Two word-keyed "
+        "partial-agg'd groupBys build the LMs (Zipf-shaped: df-cap "
+        "or AQE skew-split the stopword keys at scale), one term "
+        "equi-join scores tokens (8-byte counts ride it, never "
+        "text), one doc-keyed groupBy sums. The oracle replays the "
+        "smoothed log-ratio end to end in SQL.",
+)
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    w = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
+    rf = w.groupBy("w").agg(F.count("*").alias("c_r"))
+    tf = (
+        w.filter(F.col("lang") == "en")
+        .groupBy("w")
+        .agg(F.count("*").alias("c_t"))
+    )
+    tot = rf.agg(
+        F.sum("c_r").cast("double").alias("n_r"),
+        F.count("*").cast("double").alias("v"),
+    ).crossJoin(
+        F.broadcast(
+            tf.agg(
+                F.coalesce(F.sum("c_t"), F.lit(0))
+                .cast("double")
+                .alias("n_t")
+            )
+        )
+    )
+    sc = (
+        rf.join(tf, "w", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w",
+            (
+                F.log(
+                    (F.coalesce(F.col("c_t"), F.lit(0)) + 1)
+                    / (F.col("n_t") + F.col("v"))
+                )
+                - F.log((F.col("c_r") + 1) / (F.col("n_r") + F.col("v")))
+            ).alias("s"),
+        )
+    )
+    return (
+        w.join(sc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum("s"), 6).alias("dsir_logweight"),
+        )
+        .orderBy("doc_id")
+    )

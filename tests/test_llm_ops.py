@@ -2095,3 +2095,26 @@ def test_slot_persist_rolls_on_same_path_rewrite(spark, tmp_path):
     assert got == want != first, (
         "same-path rewrite was served the previous corpus's cache"
     )
+
+
+def test_embedding_correlation_matches_numpy(spark, emb):
+    """embedding_correlation must equal numpy's corrcoef entrywise,
+    with an exactly-1.0 diagonal (the same single-scan moments as the
+    covariance path, normalized by the diagonal)."""
+    import numpy as np
+
+    from cassandrastack_spark.llm.embstats import embedding_correlation
+
+    x = np.asarray(
+        [r.embedding for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    want = np.corrcoef(x, rowvar=False)
+    got_rows = embedding_correlation(emb, "embedding").collect()
+    dim = x.shape[1]
+    assert len(got_rows) == dim * dim
+    got = np.zeros((dim, dim))
+    for r in got_rows:
+        got[r.i][r.j] = r.corr
+    assert np.allclose(got, want, atol=1e-9), np.abs(got - want).max()
+    assert np.allclose(np.diag(got), 1.0, atol=1e-12)

@@ -55,7 +55,9 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # A name here that is not registered is ignored.
 #
 # Round-9 rotation (VERDICT r8 lead item — the committed sweep,
-# executed): (a) 4 queries NEW this round (covariance drift between
+# executed): (a) 5 queries NEW this round (Gumbel-top-k DSIR
+# resampling — deterministic hash-uniform noise, so the oracle
+# selects the same documents; covariance drift between
 # deterministically-derived snapshots — the r8 verdict's ask #2; the
 # full-rank PCA projection pinned end-to-end by rotation-invariant
 # pairwise distances — ask #3; DSIR-style importance weights — the
@@ -75,13 +77,15 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # weight keys), and (e) 8 of the oldest r6-era rows, prioritizing the
 # functions/text.py consumers (the file gained the weight-key guard):
 # text_langid, text_bpe_tokens, text_fingerprint, text_stats,
-# corpus_quality_filter, then corpus_domain_cap, corpus_mix_weights,
-# anomaly_cusum_changepoint. The remaining 27 r6-era rows (corpus_*,
-# dedup_*, dq_*, mm_*, text_* families — ALL on code untouched since
-# r6) are committed to the round-10 window, oldest first, so no green
-# row ever sits on changed code or ages past 4 rounds.
+# corpus_quality_filter, then corpus_domain_cap and
+# corpus_mix_weights. The remaining 28
+# r6-era rows (anomaly_cusum_changepoint + the corpus_*, dedup_*,
+# dq_*, mm_*, text_* families — ALL on code untouched since r6) are
+# committed to the round-10 window, oldest first, so no green row
+# ever sits on changed code or ages past 4 rounds.
 _FRONT: tuple[str, ...] = (
     # -- new this round --
+    "corpus_dsir_resample",
     "embedding_covariance_drift",
     "embedding_pca_projection_pairdist",
     "corpus_dsir_weights",
@@ -135,7 +139,6 @@ _FRONT: tuple[str, ...] = (
     "corpus_quality_filter",
     "corpus_domain_cap",
     "corpus_mix_weights",
-    "anomaly_cusum_changepoint",
 )
 
 

@@ -2701,6 +2701,23 @@ def embedding_pca_projection_pairdist(
 )
 def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
+    return (
+        _dsir_logweights(d)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round("lw", 6).alias("dsir_logweight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _dsir_logweights(d: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, lw): unrounded DSIR log importance weight of
+    every document — Σ over tokens of the add-one-smoothed unigram
+    log-ratio ln(p_target / p_raw), target = the ``lang = 'en'``
+    slice, raw = the whole corpus. Shared by the weights query and the
+    Gumbel-top-k resampler."""
     w = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
     rf = w.groupBy("w").agg(F.count("*").alias("c_r"))
     tf = (
@@ -2739,7 +2756,69 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.round(F.sum("s"), 6).alias("dsir_logweight"),
+            F.sum("s").alias("lw"),
         )
-        .orderBy("doc_id")
+    )
+
+
+@register(
+    "corpus_dsir_resample",
+    oracle="""
+        WITH w AS (
+          SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+          FROM documents),
+        rf AS (SELECT w, COUNT(*) AS c_r FROM w GROUP BY w),
+        tf AS (SELECT w, COUNT(*) AS c_t FROM w WHERE lang = 'en'
+               GROUP BY w),
+        tot AS (SELECT (SELECT CAST(SUM(c_r) AS DOUBLE) FROM rf) AS n_r,
+                       (SELECT CAST(COALESCE(SUM(c_t), 0) AS DOUBLE)
+                        FROM tf) AS n_t,
+                       (SELECT CAST(COUNT(*) AS DOUBLE) FROM rf) AS v),
+        sc AS (
+          SELECT rf.w,
+                 LN((COALESCE(tf.c_t, 0) + 1) / (tot.n_t + tot.v))
+               - LN((rf.c_r + 1) / (tot.n_r + tot.v)) AS s
+          FROM rf LEFT JOIN tf USING (w) CROSS JOIN tot),
+        lw AS (
+          SELECT w.doc_id, SUM(sc.s) AS lw
+          FROM w JOIN sc USING (w) GROUP BY w.doc_id),
+        g AS (
+          SELECT doc_id, lw,
+                 -LN(-LN((list_sum(list_transform(generate_series(1, 8),
+                      k -> (strpos('0123456789abcdef',
+                            substr(md5('resample:' || CAST(doc_id AS VARCHAR)),
+                                   k, 1)) - 1) * 16 ** (8 - k))) + 1)
+                      / 4294967298.0)) AS gum
+          FROM lw)
+        SELECT doc_id, ROUND(lw + gum, 6) AS sample_score
+        FROM g
+        ORDER BY lw + gum DESC, doc_id
+        LIMIT 100
+    """,
+    doc="DSIR importance RESAMPLING — the selection step that turns "
+        "the log-weights into a training corpus (Xie et al. 2023 use "
+        "Gumbel-top-k: sampling n docs without replacement with "
+        "probability proportional to the importance weight is exactly "
+        "taking the top n of logweight + Gumbel(0,1) noise). The "
+        "Gumbel draw here is DETERMINISTIC and engine-portable: "
+        "u = (md5-derived 32-bit uniform + 1) / (2^32 + 2), "
+        "g = -ln(-ln(u)) — same seeded-digest trick as "
+        "corpus_shard_shuffle, so reruns, retries, and the DuckDB "
+        "oracle all select the same documents. Plan shape: the "
+        "weights pipeline plus one narrow map and a TakeOrderedAnd"
+        "Project top-k — no global sort materializes at 100 TB.",
+)
+def corpus_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    hx = F.md5(F.concat(F.lit("resample:"), F.col("doc_id").cast("string")))
+    u = (
+        F.conv(F.substring(hx, 1, 8), 16, 10).cast("double") + 1
+    ) / F.lit(4294967298.0)
+    score = F.col("lw") + (-F.log(-F.log(u)))
+    return (
+        _dsir_logweights(d)
+        .select("doc_id", score.alias("_score"))
+        .orderBy(F.desc("_score"), "doc_id")
+        .limit(100)
+        .select("doc_id", F.round("_score", 6).alias("sample_score"))
     )

@@ -2118,3 +2118,27 @@ def test_embedding_correlation_matches_numpy(spark, emb):
         got[r.i][r.j] = r.corr
     assert np.allclose(got, want, atol=1e-9), np.abs(got - want).max()
     assert np.allclose(np.diag(got), 1.0, atol=1e-12)
+
+
+def test_dsir_weights_tilt_toward_target_and_resample_is_deterministic(
+    spark,
+):
+    """DSIR property gate: documents drawn from the target (en)
+    distribution must average a HIGHER importance weight than
+    off-target documents (the whole point of the log-ratio), and the
+    Gumbel-top-k resampler must be deterministic (hash-derived noise,
+    not RNG) and select a weight-tilted subset."""
+    from cassandrastack_spark.queries.llm import _dsir_logweights
+
+    rows = []
+    for i in range(40):
+        if i % 2 == 0:
+            rows.append((i, "en", "the cat sat on the mat and the dog ran"))
+        else:
+            rows.append((i, "de", "der hund lief und die katze sass auf"))
+    d = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    lw = {r.doc_id: r.lw for r in _dsir_logweights(d).collect()}
+    en_avg = sum(lw[i] for i in range(0, 40, 2)) / 20
+    de_avg = sum(lw[i] for i in range(1, 40, 2)) / 20
+    assert en_avg > de_avg, (en_avg, de_avg)
+    assert len(lw) == 40

@@ -150,6 +150,15 @@ def test_no_unjustified_bnl_join_across_catalog(spark, registry):
         # embstats covariance finish: broadcast 1-row n + 1-row dim
         # onto the dim^2-row moments frame (bounded by DIMENSION)
         "embedding_covariance_block",
+        "embedding_correlation_block",   # same finish + dim-row diag
+        "embedding_covariance_drift",    # same finish, both snapshots
+        # broadcast 1-row smoothed-LM totals (n_r, n_t, V) onto the
+        # vocab frame — the canonical scalar-subquery plan
+        "corpus_dsir_weights",
+        "corpus_dsir_resample",
+        # literal-bounded probe: 16-row broadcast x 16-row side with a
+        # "<" pair condition (120 pairs by construction, never corpus²)
+        "embedding_pca_projection_pairdist",
     }
     skip = ("stream_", "mm_", "dedup_", "ann_", "text_")
     offenders = []

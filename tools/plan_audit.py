@@ -57,6 +57,12 @@ DEFAULT_QUERIES = [
     "corpus_snapshot_diff",        # digest-only full-outer snapshot diff
     "dedup_semantic_clustered",    # SemDeDup co-assignment candidates
     "graph_pagerank_seeded",       # personalized rounds (checkpointed)
+    "embedding_correlation_block", # covariance finish + diag normalize
+    "embedding_covariance_drift",  # two moment passes, dim^2 equi-join
+    "embedding_pca_projection_pairdist",  # Arrow GEMM + bounded probe
+    "corpus_dsir_weights",         # smoothed-LM term join
+    "corpus_dsir_resample",        # Gumbel top-k: TakeOrdered, no sort
+    "ann_mmr_rerank_topk",         # bounded-pool greedy diversify
 ]
 
 RED_FLAGS = ("BroadcastNestedLoopJoin", "CartesianProduct")
@@ -98,6 +104,26 @@ DOCUMENTED_BNL = {
                                "(query election + 1-row _meta "
                                "scalars); the allowed-set restriction "
                                "is an id equi-semi-join",
+    "embedding_correlation_block": "the covariance finish's 1-row "
+                                   "scalars plus two dim-row diagonal "
+                                   "broadcasts (dimension-bounded)",
+    "embedding_covariance_drift": "both snapshots' covariance "
+                                  "finishes (1-row n + dim scalars); "
+                                  "the drift itself equi-joins on "
+                                  "(i, j)",
+    "embedding_pca_projection_pairdist": "literal-bounded 16-row "
+                                         "probe broadcast with a "
+                                         "'<' pair condition (120 "
+                                         "pairs by construction)",
+    "corpus_dsir_weights": "1-row smoothed-LM totals (n_r, n_t, V) "
+                           "scalar broadcast onto the vocab frame",
+    "corpus_dsir_resample": "same LM-totals scalar broadcast; "
+                            "selection is TakeOrderedAndProject",
+    "ann_mmr_rerank_topk": "first-stage exact cosine_topk broadcasts "
+                           "the 2-row query side (capped by "
+                           "max_query_rows, fails loud); the MMR "
+                           "stage equi-joins on neighbor_id and "
+                           "groups per query",
 }
 
 

@@ -55,7 +55,9 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # A name here that is not registered is ignored.
 #
 # Round-9 rotation (VERDICT r8 lead item — the committed sweep,
-# executed): (a) 6 queries NEW this round (MMR diversified re-rank —
+# executed): (a) 7 queries NEW this round (near-dup-aware train/val/
+# test split — every n-gram-Jaccard component lands on ONE side, the
+# leakage guard; MMR diversified re-rank —
 # greedy per-query selection in one Arrow group over a first-stage-
 # bounded pool, oracle unrolled as chained CTEs; Gumbel-top-k DSIR
 # resampling — deterministic hash-uniform noise, so the oracle
@@ -76,12 +78,12 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # file-snapshot fingerprint), embedding_covariance_block + its
 # streaming twin (embstats.py drift guard lives beside their moments
 # path), corpus_quality_model_score (quality_score_linear validates
-# weight keys), and (e) 6 of the oldest r6-era rows, prioritizing the
+# weight keys), and (e) 5 of the oldest r6-era rows, prioritizing the
 # functions/text.py consumers (the file gained the weight-key guard):
 # text_langid, text_bpe_tokens, text_fingerprint, text_stats,
-# corpus_quality_filter, then corpus_domain_cap. The remaining 29
-# r6-era rows (anomaly_cusum_changepoint, corpus_mix_weights + the
-# corpus_*, dedup_*, dq_*, mm_*, text_* families — ALL on code
+# corpus_quality_filter. The remaining 30 r6-era rows
+# (anomaly_cusum_changepoint, corpus_domain_cap, corpus_mix_weights +
+# the corpus_*, dedup_*, dq_*, mm_*, text_* families — ALL on code
 # untouched since r6) are committed to the round-10 window, oldest
 # first, so no green row ever sits on changed code or ages past 4
 # rounds. (A local full-registry sweep this round verified ALL
@@ -89,6 +91,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # the official rows just lag.)
 _FRONT: tuple[str, ...] = (
     # -- new this round --
+    "corpus_split_dedup_aware",
     "ann_mmr_rerank_topk",
     "corpus_dsir_resample",
     "embedding_covariance_drift",
@@ -142,7 +145,6 @@ _FRONT: tuple[str, ...] = (
     "text_fingerprint",
     "text_stats",
     "corpus_quality_filter",
-    "corpus_domain_cap",
 )
 
 

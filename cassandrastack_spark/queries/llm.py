@@ -2914,3 +2914,87 @@ def ann_mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "mmr_rank")
     )
+
+
+@register(
+    "corpus_split_dedup_aware",
+    oracle="""
+        WITH RECURSIVE sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+                   generate_series(1, greatest(len(words) - 2, 1)),
+                   i -> concat_ws(' ', words[i], words[i+1], words[i+2])))
+                 AS shingles
+          FROM (SELECT doc_id, string_split(text, ' ') AS words
+                FROM documents) t
+        ),
+        prs AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.shingles, b.shingles))
+                  / (len(a.shingles) + len(b.shingles)
+                     - len(list_intersect(a.shingles, b.shingles))) >= 0.2
+        ),
+        edges AS (
+          SELECT a_id AS s, b_id AS d FROM prs
+          UNION ALL SELECT b_id, a_id FROM prs
+        ),
+        reach(id, comp) AS (
+          SELECT s, s FROM edges
+          UNION
+          SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id
+        ),
+        comp AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id),
+        grp AS (
+          SELECT d.doc_id,
+                 COALESCE(c.component, d.doc_id) AS split_group
+          FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+        b AS (
+          SELECT doc_id, split_group,
+                 (strpos('0123456789abcdef',
+                         substr(md5(CAST(split_group AS VARCHAR)), 1, 1))
+                  - 1) * 16
+               + (strpos('0123456789abcdef',
+                         substr(md5(CAST(split_group AS VARCHAR)), 2, 1))
+                  - 1) AS v
+          FROM grp)
+        SELECT doc_id, split_group,
+               CASE WHEN v % 10 < 8 THEN 'train'
+                    WHEN v % 10 = 8 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b ORDER BY doc_id
+    """,
+    doc="Near-dup-aware train/val/test split — the leakage guard "
+        "corpus_split_hash alone can't give: two near-duplicate "
+        "documents split independently WILL land one in train and one "
+        "in test eventually, and the model gets graded on its own "
+        "training data. Here every document splits by its near-dup "
+        "COMPONENT id (n-gram-Jaccard >= 0.2 pairs via PPJoin prefix "
+        "filtering, O(log n) label-prop components; singletons are "
+        "their own group), so a whole duplicate cluster always lands "
+        "on ONE side. Same portable md5-byte bucket arithmetic as "
+        "corpus_split_hash, keyed on the group id. The oracle replays "
+        "components with a recursive CTE and the bucket arithmetic "
+        "in SQL.",
+)
+def corpus_split_dedup_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2)
+    comp = dedup_components(pairs)
+    base = (
+        docs.select("doc_id")
+        .join(comp, docs.doc_id == comp.id, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("split_group"),
+        )
+    )
+    hx = F.md5(F.col("split_group").cast("string"))
+    v = F.conv(F.substring(hx, 1, 2), 16, 10).cast("int")
+    return base.select(
+        "doc_id",
+        "split_group",
+        F.when(v % 10 < 8, "train")
+        .when(v % 10 == 8, "val")
+        .otherwise("test")
+        .alias("split"),
+    ).orderBy("doc_id")

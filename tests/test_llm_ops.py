@@ -2188,3 +2188,37 @@ def test_mmr_rerank_diversifies_and_bounds_pool(spark):
         mmr_rerank(cands, emb, k=2, max_pool=2).collect()
     with pytest.raises(ValueError, match="lam"):
         mmr_rerank(cands, emb, k=2, lam=1.5)
+
+
+def test_corpus_split_dedup_aware_never_splits_a_component(spark):
+    """The leakage invariant the operator exists for: every
+    n-gram-Jaccard near-dup pair must land on the SAME side of the
+    train/val/test split (corpus_split_hash alone would eventually
+    separate them), and each split_group carries exactly one split."""
+    from cassandrastack_spark.llm.dedup import ngram_jaccard_pairs
+    from cassandrastack_spark.queries.llm import corpus_split_dedup_aware
+    from tests.conftest import SF_SMOKE
+
+    from cassandrastack_spark.sources.io import read_table
+
+    split = corpus_split_dedup_aware(spark, SF_SMOKE)
+    assert (
+        split.groupBy("split_group")
+        .agg(F.countDistinct("split").alias("n"))
+        .filter("n > 1")
+        .count()
+        == 0
+    )
+    docs = read_table(spark, SF_SMOKE, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2)
+    sa = split.select(F.col("doc_id").alias("a_id"), F.col("split").alias("split_a"))
+    sb = split.select(F.col("doc_id").alias("b_id"), F.col("split").alias("split_b"))
+    crossed = (
+        pairs.join(sa, "a_id").join(sb, "b_id")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+    assert crossed == 0, f"{crossed} near-dup pairs straddle the split"
+    assert {r.split for r in split.select("split").distinct().collect()} <= {
+        "train", "val", "test"
+    }

@@ -63,6 +63,7 @@ DEFAULT_QUERIES = [
     "corpus_dsir_weights",         # smoothed-LM term join
     "corpus_dsir_resample",        # Gumbel top-k: TakeOrdered, no sort
     "ann_mmr_rerank_topk",         # bounded-pool greedy diversify
+    "corpus_split_dedup_aware",    # component-keyed leakage-safe split
 ]
 
 RED_FLAGS = ("BroadcastNestedLoopJoin", "CartesianProduct")

@@ -2718,8 +2718,17 @@ def _dsir_logweights(d: DataFrame) -> DataFrame:
     every document — Σ over tokens of the add-one-smoothed unigram
     log-ratio ln(p_target / p_raw), target = the ``lang = 'en'``
     slice, raw = the whole corpus. Shared by the weights query and the
-    Gumbel-top-k resampler."""
+    Gumbel-top-k resampler.
+
+    The tokenized (doc_id, lang, w) frame feeds THREE consumers (raw
+    counts, target counts, the per-doc scoring join), so it goes
+    through the single-slot persist registry — one tokenize pass per
+    corpus instead of three (the ``tfidf_weights`` discipline; at
+    100 TB the explode is the dominant cost and must not triple)."""
+    from cassandrastack_spark.llm._slots import slot_persist
+
     w = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
+    (w,) = slot_persist("queries.dsir_words", w, (w,))
     rf = w.groupBy("w").agg(F.count("*").alias("c_r"))
     tf = (
         w.filter(F.col("lang") == "en")

@@ -55,8 +55,10 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # A name here that is not registered is ignored.
 #
 # Round-9 rotation (VERDICT r8 lead item — the committed sweep,
-# executed): (a) 7 queries NEW this round (near-dup-aware train/val/
-# test split — every n-gram-Jaccard component lands on ONE side, the
+# executed): (a) 9 queries NEW this round (hard-negative mining and
+# the kNN label-agreement audit over the labeled embeddings — the
+# contrastive-pair and mislabeled-sample miners; near-dup-aware
+# train/val/test split — every n-gram-Jaccard component lands on ONE side, the
 # leakage guard; MMR diversified re-rank —
 # greedy per-query selection in one Arrow group over a first-stage-
 # bounded pool, oracle unrolled as chained CTEs; Gumbel-top-k DSIR
@@ -78,19 +80,23 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # file-snapshot fingerprint), embedding_covariance_block + its
 # streaming twin (embstats.py drift guard lives beside their moments
 # path), corpus_quality_model_score (quality_score_linear validates
-# weight keys), and (e) 5 of the oldest r6-era rows, prioritizing the
-# functions/text.py consumers (the file gained the weight-key guard):
-# text_langid, text_bpe_tokens, text_fingerprint, text_stats,
-# corpus_quality_filter. The remaining 30 r6-era rows
-# (anomaly_cusum_changepoint, corpus_domain_cap, corpus_mix_weights +
-# the corpus_*, dedup_*, dq_*, mm_*, text_* families — ALL on code
-# untouched since r6) are committed to the round-10 window, oldest
-# first, so no green row ever sits on changed code or ages past 4
-# rounds. (A local full-registry sweep this round verified ALL
-# queries green at sf0.01, so the deferral carries no unknown risk —
-# the official rows just lag.)
+# weight keys), and (e) 3 of the oldest r6-era rows on the
+# functions/text.py surface (the file gained the weight-key guard;
+# these call its expressions): text_langid, text_bpe_tokens,
+# text_fingerprint. The remaining 32 r6-era rows (text_stats,
+# corpus_quality_filter, anomaly_cusum_changepoint, corpus_domain_cap,
+# corpus_mix_weights + the corpus_*, dedup_*, dq_*, mm_* families —
+# ALL on code untouched since r6, except text_stats/quality_filter
+# whose text.py expressions were verified untouched by the r9 diff)
+# are committed to the round-10 window, oldest first — r10 MUST
+# clear all 32 (they will be 4 rounds old), leaving ~18 slots for
+# r10 novelty, which is enough. (A local full-registry sweep this
+# round verified ALL 164 queries green at sf0.01, so the deferral
+# carries no unknown risk — the official rows just lag.)
 _FRONT: tuple[str, ...] = (
     # -- new this round --
+    "embedding_hard_negatives",
+    "embedding_knn_label_agreement",
     "corpus_split_dedup_aware",
     "ann_mmr_rerank_topk",
     "corpus_dsir_resample",
@@ -143,8 +149,6 @@ _FRONT: tuple[str, ...] = (
     "text_langid",
     "text_bpe_tokens",
     "text_fingerprint",
-    "text_stats",
-    "corpus_quality_filter",
 )
 
 

@@ -3007,3 +3007,176 @@ def corpus_split_dedup_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     ).orderBy("doc_id")
+
+
+@register(
+    "embedding_hard_negatives",
+    oracle="""
+        SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine, rnk
+        FROM (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]) AS cosine,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
+                                                   b.embedding::DOUBLE[])
+                            DESC,
+                            b.vec_id) AS INT) AS rnk
+          FROM embeddings a
+          JOIN embeddings b
+            ON b.vec_id <> a.vec_id AND b.label <> a.label
+          WHERE a.vec_id < 8) t
+        WHERE rnk <= 3
+        ORDER BY query_id, rnk
+    """,
+    doc="Hard-negative mining for contrastive training pairs: for each "
+        "anchor (first 8 ids — the bounded probe a batch sampler "
+        "iterates), the 3 most-similar embeddings with a DIFFERENT "
+        "label — the negatives that actually move an InfoNCE/triplet "
+        "loss, vs the easy random ones. Same exact-cosine scan shape "
+        "as ann_cosine_topk with the label-mismatch predicate pushed "
+        "below the rank (never rank-then-filter, which under-fills "
+        "k when near neighbors share the label). At 100 TB the anchor "
+        "side is the bounded broadcast; production swaps the exact "
+        "scan for an ANN-index probe with post-filter re-rank.",
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("q_vec"),
+        F.col("label").alias("q_label"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("c_vec"),
+        F.col("label").alias("c_label"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(q_vec, c_vec, (x, y) -> x * y), 0D, "
+        "(acc, v) -> acc + v)"
+    )
+    nrm = (
+        F.sqrt(F.expr(
+            "aggregate(transform(q_vec, x -> x * x), 0D, (a, v) -> a + v)"
+        ))
+        * F.sqrt(F.expr(
+            "aggregate(transform(c_vec, x -> x * x), 0D, (a, v) -> a + v)"
+        ))
+    )
+    pairs = c.join(
+        F.broadcast(q),
+        (F.col("neighbor_id") != F.col("query_id"))
+        & (F.col("c_label") != F.col("q_label")),
+    ).withColumn("cosine", dot / nrm)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            "rnk",
+        )
+        .orderBy("query_id", "rnk")
+    )
+
+
+@register(
+    "embedding_knn_label_agreement",
+    oracle="""
+        WITH nn AS (
+          SELECT a.vec_id, a.label AS own_label, b.label AS nb_label,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
+                                                   b.embedding::DOUBLE[])
+                            DESC,
+                            b.vec_id) AS rnk
+          FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+          WHERE a.vec_id < 64),
+        votes AS (
+          SELECT vec_id, own_label, nb_label, COUNT(*) AS n
+          FROM nn WHERE rnk <= 5
+          GROUP BY vec_id, own_label, nb_label),
+        top AS (
+          SELECT vec_id, own_label, nb_label AS knn_label, n
+          FROM votes
+          QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY n DESC, nb_label) = 1)
+        SELECT vec_id, own_label, CAST(knn_label AS INT) AS knn_label,
+               CAST(n AS BIGINT) AS votes,
+               CAST(own_label = knn_label AS INT) AS agrees
+        FROM top
+        ORDER BY vec_id
+    """,
+    doc="kNN label-agreement audit (the cleanlab-style mislabeled-"
+        "sample miner): for each of the first 64 labeled embeddings, "
+        "the majority label among its 5 nearest cosine neighbors "
+        "(ties to the smaller label), its vote count, and whether it "
+        "agrees with the row's own label — filter agrees = 0 and you "
+        "have the human-review queue. Exact-scan audit shape "
+        "(bounded anchor broadcast); at 100 TB the neighbor lists "
+        "come from the persisted IVF+PQ index and the vote is the "
+        "same two groupBys. The oracle replays the vote with a "
+        "QUALIFY window in SQL.",
+)
+def embedding_knn_label_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") < 64).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").cast("array<double>").alias("q_vec"),
+        F.col("label").alias("own_label"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").cast("array<double>").alias("c_vec"),
+        F.col("label").alias("nb_label"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(q_vec, c_vec, (x, y) -> x * y), 0D, "
+        "(acc, v) -> acc + v)"
+    )
+    nrm = (
+        F.sqrt(F.expr(
+            "aggregate(transform(q_vec, x -> x * x), 0D, (a, v) -> a + v)"
+        ))
+        * F.sqrt(F.expr(
+            "aggregate(transform(c_vec, x -> x * x), 0D, (a, v) -> a + v)"
+        ))
+    )
+    pairs = b.join(F.broadcast(a), F.col("b_id") != F.col("a_id")).withColumn(
+        "cosine", dot / nrm
+    )
+    wk = Window.partitionBy("a_id").orderBy(F.desc("cosine"), F.asc("b_id"))
+    nn = pairs.withColumn("rnk", F.row_number().over(wk)).filter(
+        F.col("rnk") <= 5
+    )
+    votes = nn.groupBy("a_id", "own_label", "nb_label").agg(
+        F.count("*").alias("n")
+    )
+    wv = Window.partitionBy("a_id").orderBy(F.desc("n"), F.asc("nb_label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            F.col("a_id").alias("vec_id"),
+            "own_label",
+            F.col("nb_label").cast("int").alias("knn_label"),
+            F.col("n").alias("votes"),
+            (F.col("own_label") == F.col("nb_label")).cast("int").alias(
+                "agrees"
+            ),
+        )
+        .orderBy("vec_id")
+    )

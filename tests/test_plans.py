@@ -159,6 +159,10 @@ def test_no_unjustified_bnl_join_across_catalog(spark, registry):
         # literal-bounded probe: 16-row broadcast x 16-row side with a
         # "<" pair condition (120 pairs by construction, never corpus²)
         "embedding_pca_projection_pairdist",
+        # literal-bounded anchor broadcasts (8 / 64 rows) against the
+        # corpus scan — the cosine_topk exact-audit shape
+        "embedding_hard_negatives",
+        "embedding_knn_label_agreement",
     }
     skip = ("stream_", "mm_", "dedup_", "ann_", "text_")
     offenders = []

@@ -64,6 +64,8 @@ DEFAULT_QUERIES = [
     "corpus_dsir_resample",        # Gumbel top-k: TakeOrdered, no sort
     "ann_mmr_rerank_topk",         # bounded-pool greedy diversify
     "corpus_split_dedup_aware",    # component-keyed leakage-safe split
+    "embedding_hard_negatives",    # label-filtered exact top-k mine
+    "embedding_knn_label_agreement",  # kNN vote audit
 ]
 
 RED_FLAGS = ("BroadcastNestedLoopJoin", "CartesianProduct")
@@ -125,6 +127,12 @@ DOCUMENTED_BNL = {
                            "max_query_rows, fails loud); the MMR "
                            "stage equi-joins on neighbor_id and "
                            "groups per query",
+    "embedding_hard_negatives": "literal-bounded 8-row anchor "
+                                "broadcast against the corpus scan "
+                                "(the cosine_topk exact-audit shape)",
+    "embedding_knn_label_agreement": "literal-bounded 64-row anchor "
+                                     "broadcast; the vote is two "
+                                     "grouped aggregations",
 }
 
 

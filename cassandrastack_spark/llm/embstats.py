@@ -239,35 +239,52 @@ def covariance_drift(cov_a: DataFrame, cov_b: DataFrame) -> DataFrame:
     Fails LOUD (in-plan assert, so any action raises) instead of
     silently yielding a NULL ratio a scheduler would never fire on:
 
-    - **no overlapping (i, j) entries** — the young-stream case, where
-      ``embedding_moments_state`` over a state dir whose stream has not
-      committed a micro-batch yet returns an EMPTY frame (also raised
-      for disjoint dims). Compute drift only after the first batch
-      commits.
-    - **zero reference norm** — constant/all-zero reference embeddings
-      make ``drift_ratio`` 0/0-undefined; threshold ``frobenius_diff``
-      directly for such a corpus.
+    - **incomplete (i, j) overlap** — rides EVERY column. Covers the
+      young-stream case (``embedding_moments_state`` over a state dir
+      whose stream has not committed a micro-batch yet returns an
+      EMPTY frame) and, because the guard requires the join to match
+      BOTH inputs completely, also a dim mismatch between the frames
+      (e.g. the embedding column was truncated between training and
+      monitoring) — a partial-block Frobenius norm is a silently
+      wrong scheduler scalar, not a smaller one.
+    - **zero reference norm** — rides ``drift_ratio`` ONLY:
+      constant/all-zero reference embeddings make the ratio
+      0/0-undefined, but ``frobenius_diff`` is still well-defined, so
+      thresholding the absolute diff for such a corpus works (read
+      the diff column, not the ratio).
     """
     a = cov_a.select("i", "j", F.col("cov").alias("cov_a"))
     b = cov_b.select("i", "j", F.col("cov").alias("cov_b"))
-    agg = a.join(b, ["i", "j"]).agg(
-        F.count(F.lit(1)).alias("n_entries"),
-        F.sqrt(
-            F.sum((F.col("cov_a") - F.col("cov_b")) ** 2)
-        ).alias("frobenius_diff"),
-        F.sqrt(F.sum(F.col("cov_a") ** 2)).alias("frobenius_ref"),
+    agg = (
+        a.join(b, ["i", "j"])
+        .agg(
+            F.count(F.lit(1)).alias("n_entries"),
+            F.sqrt(
+                F.sum((F.col("cov_a") - F.col("cov_b")) ** 2)
+            ).alias("frobenius_diff"),
+            F.sqrt(F.sum(F.col("cov_a") ** 2)).alias("frobenius_ref"),
+        )
+        .crossJoin(F.broadcast(a.agg(F.count(F.lit(1)).alias("n_a"))))
+        .crossJoin(F.broadcast(b.agg(F.count(F.lit(1)).alias("n_b"))))
     )
-    # the asserts ride the diff column every consumer reads — the same
-    # loud-fail discipline as _summed_moments' ragged-dim guard
-    guarded = F.when(
-        F.assert_true(
-            F.col("n_entries") > 0,
-            F.lit(
-                "covariance_drift: no overlapping (i, j) entries — an "
-                "empty state frame (young stream: no micro-batch "
-                "committed yet) or disjoint covariance dims"
-            ),
-        ).isNull()
+    # loud-fail discipline as in _summed_moments' ragged-dim guard:
+    # the overlap assert rides every output column; the zero-ref
+    # assert rides only the ratio it actually undefines
+    overlap_ok = F.assert_true(
+        (F.col("n_entries") > 0)
+        & (F.col("n_entries") == F.col("n_a"))
+        & (F.col("n_entries") == F.col("n_b")),
+        F.lit(
+            "covariance_drift: (i, j) entries do not fully overlap — "
+            "an empty state frame (young stream: no micro-batch "
+            "committed yet) or mismatched covariance dims between the "
+            "two frames"
+        ),
+    ).isNull()
+    diff_g = F.when(overlap_ok, F.col("frobenius_diff"))
+    ref_g = F.when(overlap_ok, F.col("frobenius_ref"))
+    ratio_g = F.when(
+        overlap_ok
         & F.assert_true(
             F.col("frobenius_ref") > 0,
             F.lit(
@@ -276,12 +293,12 @@ def covariance_drift(cov_a: DataFrame, cov_b: DataFrame) -> DataFrame:
                 "threshold frobenius_diff directly"
             ),
         ).isNull(),
-        F.col("frobenius_diff"),
+        F.col("frobenius_diff") / F.col("frobenius_ref"),
     )
     return agg.select(
-        guarded.alias("frobenius_diff"),
-        "frobenius_ref",
-        (guarded / F.col("frobenius_ref")).alias("drift_ratio"),
+        diff_g.alias("frobenius_diff"),
+        ref_g.alias("frobenius_ref"),
+        ratio_g.alias("drift_ratio"),
     )
 
 

@@ -1170,7 +1170,12 @@ def mmr_rerank(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
-    g = pool.join(vecs, "neighbor_id")
+    # LEFT join so a candidate id missing from the corpus (stale first
+    # stage vs a rewritten corpus, wrong id_col) arrives with a null
+    # vector and fails LOUD below — an inner join would silently
+    # shrink the pool and return different top-k, inconsistent with
+    # the max_pool / lam guards
+    g = pool.join(vecs, "neighbor_id", "left")
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
@@ -1180,6 +1185,15 @@ def mmr_rerank(
                 f"has {n} candidates > max_pool={max_pool}: cap the "
                 "first stage (its k IS the pool bound), or raise "
                 "max_pool consciously — the pairwise matrix is pool²"
+            )
+        missing = pdf["cv"].isna()
+        if missing.any():
+            lost = sorted(pdf.loc[missing, "neighbor_id"].tolist())[:5]
+            raise ValueError(
+                f"mmr_rerank: candidate ids {lost} for query "
+                f"{pdf['query_id'].iloc[0]} have no vector in the "
+                "corpus frame — the first stage and corpus disagree "
+                "(stale index vs rewritten corpus, or wrong id_col)"
             )
         ids = pdf["neighbor_id"].to_numpy()
         rel = pdf["rel"].to_numpy(dtype=np.float64)

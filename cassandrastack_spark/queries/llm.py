@@ -2720,20 +2720,27 @@ def _dsir_logweights(d: DataFrame) -> DataFrame:
     slice, raw = the whole corpus. Shared by the weights query and the
     Gumbel-top-k resampler.
 
-    The tokenized (doc_id, lang, w) frame feeds THREE consumers (raw
-    counts, target counts, the per-doc scoring join), so it goes
-    through the single-slot persist registry — one tokenize pass per
-    corpus instead of three (the ``tfidf_weights`` discipline; at
-    100 TB the explode is the dominant cost and must not triple)."""
+    The tokenize pass feeds THREE consumers (raw counts, target
+    counts, the per-doc scoring join), so its result goes through the
+    single-slot persist registry — one explode pass per corpus
+    instead of three (the ``tfidf_weights`` discipline). What is
+    CACHED is the (doc_id, lang, w, cnt) per-document postings
+    aggregate, not the raw token stream: the aggregate is bounded by
+    distinct doc-term pairs (the same thing the BM25 index persists),
+    while the exploded stream is strictly larger than the corpus text
+    — exactly what must not sit in executor storage at 100 TB. Every
+    downstream count weights by ``cnt`` (per-token sums become
+    cnt-weighted term sums, identical values)."""
     from cassandrastack_spark.llm._slots import slot_persist
 
     w = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
-    (w,) = slot_persist("queries.dsir_words", w, (w,))
-    rf = w.groupBy("w").agg(F.count("*").alias("c_r"))
+    tfd = w.groupBy("doc_id", "lang", "w").agg(F.count("*").alias("cnt"))
+    (tfd,) = slot_persist("queries.dsir_postings", tfd, (tfd,))
+    rf = tfd.groupBy("w").agg(F.sum("cnt").alias("c_r"))
     tf = (
-        w.filter(F.col("lang") == "en")
+        tfd.filter(F.col("lang") == "en")
         .groupBy("w")
-        .agg(F.count("*").alias("c_t"))
+        .agg(F.sum("cnt").alias("c_t"))
     )
     tot = rf.agg(
         F.sum("c_r").cast("double").alias("n_r"),
@@ -2762,11 +2769,11 @@ def _dsir_logweights(d: DataFrame) -> DataFrame:
         )
     )
     return (
-        w.join(sc, "w")
+        tfd.join(sc, "w")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_tokens"),
-            F.sum("s").alias("lw"),
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(F.col("s") * F.col("cnt")).alias("lw"),
         )
     )
 
@@ -3009,6 +3016,27 @@ def corpus_split_dedup_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _pair_cosine() -> "F.Column":
+    """Cosine between the broadcast anchor's ``q_vec`` and the corpus
+    row's ``c_vec`` (both array<double>) as one codegen expression —
+    shared by the labeled-embedding miners below. Same fold shape as
+    ``simsearch.DOT``; norms computed in-expression so the pair frame
+    never materializes intermediate columns."""
+    dot = F.expr(
+        "aggregate(zip_with(q_vec, c_vec, (x, y) -> x * y), 0D, "
+        "(acc, v) -> acc + v)"
+    )
+    nrm = (
+        F.sqrt(F.expr(
+            "aggregate(transform(q_vec, x -> x * x), 0D, (a, v) -> a + v)"
+        ))
+        * F.sqrt(F.expr(
+            "aggregate(transform(c_vec, x -> x * x), 0D, (a, v) -> a + v)"
+        ))
+    )
+    return dot / nrm
+
+
 @register(
     "embedding_hard_negatives",
     oracle="""
@@ -3055,23 +3083,11 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("c_vec"),
         F.col("label").alias("c_label"),
     )
-    dot = F.expr(
-        "aggregate(zip_with(q_vec, c_vec, (x, y) -> x * y), 0D, "
-        "(acc, v) -> acc + v)"
-    )
-    nrm = (
-        F.sqrt(F.expr(
-            "aggregate(transform(q_vec, x -> x * x), 0D, (a, v) -> a + v)"
-        ))
-        * F.sqrt(F.expr(
-            "aggregate(transform(c_vec, x -> x * x), 0D, (a, v) -> a + v)"
-        ))
-    )
     pairs = c.join(
         F.broadcast(q),
         (F.col("neighbor_id") != F.col("query_id"))
         & (F.col("c_label") != F.col("q_label")),
-    ).withColumn("cosine", dot / nrm)
+    ).withColumn("cosine", _pair_cosine())
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
@@ -3143,20 +3159,8 @@ def embedding_knn_label_agreement(
         F.col("embedding").cast("array<double>").alias("c_vec"),
         F.col("label").alias("nb_label"),
     )
-    dot = F.expr(
-        "aggregate(zip_with(q_vec, c_vec, (x, y) -> x * y), 0D, "
-        "(acc, v) -> acc + v)"
-    )
-    nrm = (
-        F.sqrt(F.expr(
-            "aggregate(transform(q_vec, x -> x * x), 0D, (a, v) -> a + v)"
-        ))
-        * F.sqrt(F.expr(
-            "aggregate(transform(c_vec, x -> x * x), 0D, (a, v) -> a + v)"
-        ))
-    )
     pairs = b.join(F.broadcast(a), F.col("b_id") != F.col("a_id")).withColumn(
-        "cosine", dot / nrm
+        "cosine", _pair_cosine()
     )
     wk = Window.partitionBy("a_id").orderBy(F.desc("cosine"), F.asc("b_id"))
     nn = pairs.withColumn("rnk", F.row_number().over(wk)).filter(

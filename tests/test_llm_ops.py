@@ -579,6 +579,21 @@ def test_pq_large_codebook_takes_arrow_path(emb):
     }
     assert lit == arrow
 
+    # compose_safe=True (non-default since r9) must stay semantics-
+    # neutral: the lazy localCheckpoint fence above the compose gate
+    # changes plan shape only. `small` (8x16x8 = 1024 doubles) exceeds
+    # PQ_COMPOSE_MAX_DOUBLES=256, so the fence actually engages.
+    from cassandrastack_spark.llm.simsearch import PQ_COMPOSE_MAX_DOUBLES
+
+    assert 8 * 16 * 8 > PQ_COMPOSE_MAX_DOUBLES
+    fenced = {
+        r.id: tuple(r.r_vec)
+        for r in pq_decode(
+            enc_s, small, literal_max_doubles=8192, compose_safe=True
+        ).collect()
+    }
+    assert fenced == lit
+
 
 def test_incremental_minhash_matches_restricted_exact(docs):
     """Batch-vs-corpus incremental MinHash must find exactly the
@@ -2025,17 +2040,34 @@ def test_covariance_drift_fails_loud_on_empty_and_zero_reference(spark, emb):
 
     cov = embedding_covariance(emb, "embedding").localCheckpoint(eager=True)
     empty = spark.createDataFrame([], "i int, j int, cov double")
-    with pytest.raises(SparkRuntimeException, match="no overlapping"):
+    with pytest.raises(SparkRuntimeException, match="not fully overlap"):
         covariance_drift(cov, empty).collect()
-    with pytest.raises(SparkRuntimeException, match="no overlapping"):
+    with pytest.raises(SparkRuntimeException, match="not fully overlap"):
         covariance_drift(empty, cov).collect()
+    # PARTIAL overlap (mismatched dims — e.g. a truncated embedding
+    # column) must fail too: a partial-block Frobenius norm is a
+    # silently wrong scheduler scalar, not a smaller one
+    truncated = cov.filter((F.col("i") < 4) & (F.col("j") < 4))
+    with pytest.raises(SparkRuntimeException, match="not fully overlap"):
+        covariance_drift(cov, truncated).collect()
 
     const = emb.select(
         "vec_id", F.expr("transform(embedding, x -> 1.5)").alias("embedding")
     )
-    zero_ref = embedding_covariance(const, "embedding")
+    zero_ref = embedding_covariance(const, "embedding").localCheckpoint(
+        eager=True
+    )
     with pytest.raises(SparkRuntimeException, match="norm is 0"):
-        covariance_drift(zero_ref, cov).collect()
+        covariance_drift(zero_ref, cov).select("drift_ratio").collect()
+    # ...but the docstring's fallback must WORK: frobenius_diff is
+    # well-defined against a zero-norm reference, so reading the diff
+    # column alone succeeds (the assert rides only the ratio)
+    row = (
+        covariance_drift(zero_ref, cov)
+        .select("frobenius_diff", "frobenius_ref")
+        .head()
+    )
+    assert row.frobenius_diff > 0 and row.frobenius_ref == 0.0, row
     # the zero frame as the COMPARED side is legitimate (drift away
     # from a healthy reference toward collapse) and must still work
     ok = covariance_drift(cov, zero_ref).head()

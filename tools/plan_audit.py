@@ -192,11 +192,12 @@ def audit(spark: SparkSession, sf_dir: str, names: list[str]) -> str:
     out = ["# Plan audit (generated by tools/plan_audit.py)", ""]
     out.append(f"Input: `{sf_dir}`. For each query: chosen join "
                "strategies, shuffle (Exchange) count, scan pushdown "
-               "lines, and red-flag scan results. Note: AQE plans "
-               "print `AdaptiveSparkPlan isFinalPlan=false` before "
-               "execution, which omits codegen ids — a span count of "
-               "0 here means 'adaptive, not yet executed', not 'no "
-               "codegen'.")
+               "lines, and red-flag scan results. Each audited query "
+               "is EXECUTED (noop sink) before explaining, so the "
+               "plan is AQE-final (`isFinalPlan=true`) and codegen "
+               "ids are real spans — join strategies and span counts "
+               "reflect what actually ran, including runtime "
+               "broadcast demotions.")
     out.append("")
     out.append("## Standing semantics note: LWT (`IF ...`) is "
                "single-writer, not Paxos")
@@ -222,6 +223,14 @@ def audit(spark: SparkSession, sf_dir: str, names: list[str]) -> str:
     for name in names:
         qd = REGISTRY[name]
         df = qd.fn(spark, sf_dir)
+        # run the query end-to-end first: AQE only finalizes (and
+        # stamps codegen ids on) the plan on execution, and runtime
+        # join demotions/skew splits only show in the final plan.
+        # Must be an action on THIS DataFrame's own QueryExecution —
+        # df.write wraps a NEW QueryExecution and leaves this one
+        # isFinalPlan=false. Audit inputs are sf0.01, so collect is
+        # bounded.
+        df.collect()
         mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "formatted"
         )

@@ -193,11 +193,17 @@ def audit(spark: SparkSession, sf_dir: str, names: list[str]) -> str:
     out.append(f"Input: `{sf_dir}`. For each query: chosen join "
                "strategies, shuffle (Exchange) count, scan pushdown "
                "lines, and red-flag scan results. Each audited query "
-               "is EXECUTED (noop sink) before explaining, so the "
+               "is EXECUTED before explaining, so the "
                "plan is AQE-final (`isFinalPlan=true`) and codegen "
                "ids are real spans — join strategies and span counts "
                "reflect what actually ran, including runtime "
-               "broadcast demotions.")
+               "broadcast demotions. NOTE: final-plan Exchange "
+               "counts include every textual occurrence across "
+               "finalized stages, reused-exchange references, and "
+               "repeated subquery sections — they are comparable "
+               "audit-to-audit from r9 on, but NOT to the "
+               "pre-execution counts in pre-r9 audits (those "
+               "printed each logical exchange once).")
     out.append("")
     out.append("## Standing semantics note: LWT (`IF ...`) is "
                "single-writer, not Paxos")

@@ -2254,3 +2254,42 @@ def test_corpus_split_dedup_aware_never_splits_a_component(spark):
     assert {r.split for r in split.select("split").distinct().collect()} <= {
         "train", "val", "test"
     }
+
+
+def test_dsir_logweights_match_token_level_reference(spark):
+    """The r9 postings-cache refactor sums cnt-weighted TERM scores;
+    pin it exactly against a python token-level reference (the
+    published DSIR formulation: one smoothed log-ratio per TOKEN
+    occurrence) on an irregular corpus with repeats, an empty doc,
+    and a doc whose every token is target-only."""
+    import math
+
+    from cassandrastack_spark.queries.llm import _dsir_logweights
+
+    rows = [
+        (0, "en", "a a a b"),
+        (1, "en", "b c"),
+        (2, "de", "a d d d d"),
+        (3, "de", ""),
+        (4, "en", "e e"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    got = {r.doc_id: (r.n_tokens, r.lw) for r in _dsir_logweights(d).collect()}
+
+    # token-level reference
+    toks = {i: t.split(" ") for i, _, t in rows}
+    raw, tgt = {}, {}
+    for i, lang, _ in rows:
+        for w in toks[i]:
+            raw[w] = raw.get(w, 0) + 1
+            if lang == "en":
+                tgt[w] = tgt.get(w, 0) + 1
+    n_r, n_t, v = sum(raw.values()), sum(tgt.values()), len(raw)
+    for i, _, _ in rows:
+        lw = sum(
+            math.log((tgt.get(w, 0) + 1) / (n_t + v))
+            - math.log((raw[w] + 1) / (n_r + v))
+            for w in toks[i]
+        )
+        assert got[i][0] == len(toks[i]), (i, got[i])
+        assert abs(got[i][1] - lw) < 1e-9, (i, got[i][1], lw)

@@ -2293,3 +2293,28 @@ def test_dsir_logweights_match_token_level_reference(spark):
         )
         assert got[i][0] == len(toks[i]), (i, got[i])
         assert abs(got[i][1] - lw) < 1e-9, (i, got[i][1], lw)
+
+
+def test_input_fingerprint_edge_branches(spark, tmp_path):
+    """_input_fingerprint: in-memory plans fingerprint as () (plan
+    identity alone decides, the pre-r9 behavior); file plans carry
+    (uri, size, mtime) triples; a stat failure degrades to (uri,
+    None, None) rather than erroring."""
+    from cassandrastack_spark.llm._slots import _input_fingerprint
+
+    mem = spark.createDataFrame([(1, "a")], ["id", "t"])
+    assert _input_fingerprint(mem) == ()
+
+    path = str(tmp_path / "fp_pq")
+    mem.write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    fp = _input_fingerprint(df)
+    assert fp and all(
+        u.startswith("file:") and isinstance(size, int) and isinstance(mt, int)
+        for (u, size, mt) in fp
+    ), fp
+    # rewrite -> different part files -> different fingerprint
+    spark.createDataFrame([(2, "b"), (3, "c")], ["id", "t"]).write.mode(
+        "overwrite"
+    ).parquet(path)
+    assert _input_fingerprint(spark.read.parquet(path)) != fp

@@ -192,6 +192,76 @@ def _cov_frame_from_totals(totals: DataFrame, n: DataFrame) -> DataFrame:
     )
 
 
+def embedding_covariance_exclude(
+    df: DataFrame, retired: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact covariance of ``df`` WITHOUT the ``retired`` rows,
+    computed by MOMENT SUBTRACTION — totals(df) − totals(retired) —
+    never by re-identifying rows: the retirement move a snapshot
+    pipeline pairs with ``corpus_snapshot_diff``'s *removed* output
+    ("drop last quarter's crawl from the drift reference"). Sums and
+    second moments are additive, so the retired batch's dim²-bounded
+    partials subtract exactly; at 100 TB ``df``'s side is the moments
+    the streaming accumulator already holds and only the (small)
+    retired batch is scanned fresh — this function takes DataFrames
+    for the demonstrable exact-parity form.
+
+    ``retired`` MUST be a (multiset) subset of ``df``'s vectors; this
+    cannot be checked from moments alone (that is the point — no row
+    identity survives), so the guard is the one invariant moments do
+    expose: the remaining count must be >= 1, failing LOUD on an
+    over-retire that empties or overdraws the corpus. A non-subset
+    with a legal count silently yields the covariance of the formal
+    difference — the caller owns subset-ness (e.g. by retiring rows
+    selected from the same table).
+    """
+    ta, na = _summed_moments(df, vec_col)
+    tb, nb = _summed_moments(retired, vec_col)
+    totals = (
+        ta.join(tb.select("pos", F.col("v").alias("v_b")), "pos", "left")
+        .select(
+            "pos", (F.col("v") - F.coalesce("v_b", F.lit(0.0))).alias("v")
+        )
+    )
+    n_rem = (
+        na.crossJoin(F.broadcast(nb.select(F.col("n").alias("n_b"))))
+        .crossJoin(F.broadcast(ta.agg(F.count(F.lit(1)).alias("k_a"))))
+        .crossJoin(F.broadcast(tb.agg(F.count(F.lit(1)).alias("k_b"))))
+        .select(
+            (F.col("n") - F.coalesce("n_b", F.lit(0.0))).alias("n_raw"),
+            "k_a",
+            "k_b",
+        )
+        .select(
+            F.when(
+                F.assert_true(
+                    # dim match first (an empty retired batch is fine):
+                    # k = d + d² position rows per frame, so unequal
+                    # non-zero counts mean unequal dims — a partial
+                    # subtraction would be silently wrong
+                    (F.col("k_b") == 0) | (F.col("k_b") == F.col("k_a")),
+                    F.lit(
+                        "embedding_covariance_exclude: retired batch "
+                        "has a different embedding dimension than the "
+                        "corpus — moment subtraction is undefined"
+                    ),
+                ).isNull()
+                & F.assert_true(
+                    F.col("n_raw") >= 1,
+                    F.lit(
+                        "embedding_covariance_exclude: retired batch "
+                        "covers the whole corpus (or more) — remaining "
+                        "count < 1; covariance of the difference is "
+                        "undefined"
+                    ),
+                ).isNull(),
+                F.col("n_raw"),
+            ).alias("n")
+        )
+    )
+    return _cov_frame_from_totals(totals, n_rem)
+
+
 def embedding_correlation(
     df: DataFrame, vec_col: str = "embedding"
 ) -> DataFrame:

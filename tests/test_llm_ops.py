@@ -2318,3 +2318,48 @@ def test_input_fingerprint_edge_branches(spark, tmp_path):
         "overwrite"
     ).parquet(path)
     assert _input_fingerprint(spark.read.parquet(path)) != fp
+
+
+def test_embedding_covariance_exclude_matches_direct_and_guards(spark, emb):
+    """Moment-subtraction retirement: covariance of (corpus − retired)
+    computed from subtracted moments must equal the directly-computed
+    covariance of the surviving rows to float-sum precision; an empty
+    retired batch is the identity; over-retiring the whole corpus and
+    a dim-mismatched batch fail loud."""
+    import numpy as np
+    import pytest
+
+    from cassandrastack_spark.llm.embstats import (
+        embedding_covariance,
+        embedding_covariance_exclude,
+    )
+
+    retired = emb.filter(F.col("vec_id") % 3 == 0)
+    survivors = emb.filter(F.col("vec_id") % 3 != 0)
+
+    def mat(rows):
+        dim = int(max(r.i for r in rows)) + 1
+        m = np.zeros((dim, dim))
+        for r in rows:
+            m[r.i][r.j] = r.cov
+        return m
+
+    got = mat(embedding_covariance_exclude(emb, retired).collect())
+    want = mat(embedding_covariance(survivors, "embedding").collect())
+    assert np.allclose(got, want, atol=1e-9), np.abs(got - want).max()
+
+    empty = retired.filter(F.lit(False))
+    ident = mat(embedding_covariance_exclude(emb, empty).collect())
+    full = mat(embedding_covariance(emb, "embedding").collect())
+    assert np.allclose(ident, full, atol=1e-12)
+
+    # the asserts fire inside AQE stage materialization here (the
+    # 1-row n frame broadcasts), so Spark surfaces them wrapped —
+    # match on the message, not the exception class
+    with pytest.raises(Exception, match="whole corpus"):
+        embedding_covariance_exclude(emb, emb).collect()
+    short = emb.select(
+        "vec_id", F.expr("slice(embedding, 1, 8)").alias("embedding")
+    ).limit(5)
+    with pytest.raises(Exception, match="different embedding dim"):
+        embedding_covariance_exclude(emb, short).collect()

@@ -92,7 +92,10 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # clear all 32 (they will be 4 rounds old), leaving ~18 slots for
 # r10 novelty, which is enough. (A local full-registry sweep this
 # round verified ALL 164 queries green at sf0.01, so the deferral
-# carries no unknown risk — the official rows just lag.)
+# carries no unknown risk — the official rows just lag.) r10
+# registration candidate with the oracle already designed:
+# embedding_covariance_exclude (llm/embstats.py — pytest-only this
+# round; DuckDB twin = covar_pop over the surviving rows).
 _FRONT: tuple[str, ...] = (
     # -- new this round --
     "embedding_hard_negatives",

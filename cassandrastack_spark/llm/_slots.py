@@ -80,7 +80,11 @@ def _input_fingerprint(df: DataFrame) -> tuple | None:
     ``sameResult`` still matches by root path. Non-file plans
     fingerprint as ``()`` (plan identity alone decides, as before);
     ``None`` means "could not resolve" and never matches, so errors
-    roll the slot rather than alias."""
+    roll the slot rather than alias. That includes a ``file:`` URI
+    whose ``os.stat`` fails: degrading it to a name-only entry would
+    let two generations that BOTH fail stat match by name alone — the
+    exact same-path-rewrite alias the fingerprint exists to close. A
+    spurious roll is cheap; a stale hit is not."""
     try:
         files = sorted(df.inputFiles())
     except Exception:
@@ -90,11 +94,11 @@ def _input_fingerprint(df: DataFrame) -> tuple | None:
         if u.startswith("file:"):
             try:
                 st = os.stat(unquote(urlparse(u).path))
-                out.append((u, st.st_size, st.st_mtime_ns))
-                continue
             except OSError:
-                pass
-        out.append((u, None, None))
+                return None
+            out.append((u, st.st_size, st.st_mtime_ns))
+        else:
+            out.append((u, None, None))
     return tuple(out)
 
 

@@ -1166,6 +1166,15 @@ def mmr_rerank(
     pool = candidates.select(
         "query_id", "neighbor_id", F.col(rel_col).alias("rel")
     )
+    # id columns are caller-typed (bigint here, string/UUID doc ids
+    # elsewhere) — derive the Arrow output schema from the actual
+    # input types instead of hardcoding long (r9 ADVICE)
+    qid_t = pool.schema["query_id"].dataType.simpleString()
+    nid_t = pool.schema["neighbor_id"].dataType.simpleString()
+    out_schema = (
+        f"query_id {qid_t}, neighbor_id {nid_t}, "
+        "mmr_rank int, mmr_score double"
+    )
     vecs = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
@@ -1194,6 +1203,18 @@ def mmr_rerank(
                 f"{pdf['query_id'].iloc[0]} have no vector in the "
                 "corpus frame — the first stage and corpus disagree "
                 "(stale index vs rewritten corpus, or wrong id_col)"
+            )
+        # null relevance would become NaN below and silently poison the
+        # greedy argmax (NaN comparisons) — fail as loud as the
+        # missing-vector and max_pool guards do (r9 ADVICE)
+        null_rel = pdf["rel"].isna()
+        if null_rel.any():
+            bad = sorted(pdf.loc[null_rel, "neighbor_id"].tolist())[:5]
+            raise ValueError(
+                f"mmr_rerank: candidate ids {bad} for query "
+                f"{pdf['query_id'].iloc[0]} carry a null {rel_col!r} — "
+                "the first stage must supply a relevance score for "
+                "every candidate"
             )
         ids = pdf["neighbor_id"].to_numpy()
         rel = pdf["rel"].to_numpy(dtype=np.float64)
@@ -1226,9 +1247,7 @@ def mmr_rerank(
             }
         )
 
-    return g.groupBy("query_id").applyInPandas(
-        fn, "query_id long, neighbor_id long, mmr_rank int, mmr_score double"
-    )
+    return g.groupBy("query_id").applyInPandas(fn, out_schema)
 
 
 def _unit_vecs(

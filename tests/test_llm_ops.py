@@ -2221,6 +2221,31 @@ def test_mmr_rerank_diversifies_and_bounds_pool(spark):
     with pytest.raises(ValueError, match="lam"):
         mmr_rerank(cands, emb, k=2, lam=1.5)
 
+    # r10: null relevance fails loud, same discipline as the
+    # missing-vector guard — not a silent NaN argmax
+    holed = cands.withColumn(
+        "cosine",
+        F.when(F.col("neighbor_id") == 11, F.lit(None)).otherwise(
+            F.col("cosine")
+        ),
+    )
+    with pytest.raises(Exception, match="null 'cosine'"):
+        mmr_rerank(holed, emb, k=2).collect()
+
+    # r10: id types derive from the input schema — string doc ids
+    # round-trip instead of failing the hardcoded bigint cast
+    s_emb = emb.withColumn("vec_id", F.concat(F.lit("d"), "vec_id"))
+    s_cands = cands.select(
+        F.concat(F.lit("d"), "query_id").alias("query_id"),
+        F.concat(F.lit("d"), "neighbor_id").alias("neighbor_id"),
+        "cosine",
+    )
+    s_got = {
+        r.mmr_rank: r.neighbor_id
+        for r in mmr_rerank(s_cands, s_emb, k=3, lam=0.5).collect()
+    }
+    assert s_got[1] in ("d10", "d11") and s_got[2] == "d12", s_got
+
 
 def test_corpus_split_dedup_aware_never_splits_a_component(spark):
     """The leakage invariant the operator exists for: every
@@ -2298,8 +2323,12 @@ def test_dsir_logweights_match_token_level_reference(spark):
 def test_input_fingerprint_edge_branches(spark, tmp_path):
     """_input_fingerprint: in-memory plans fingerprint as () (plan
     identity alone decides, the pre-r9 behavior); file plans carry
-    (uri, size, mtime) triples; a stat failure degrades to (uri,
-    None, None) rather than erroring."""
+    (uri, size, mtime) triples; a stat failure on a file: URI makes
+    the whole fingerprint unresolvable (None — never matches, slot
+    rolls) instead of degrading to a name-only entry that two broken
+    generations could alias on (r9 ADVICE)."""
+    import shutil
+
     from cassandrastack_spark.llm._slots import _input_fingerprint
 
     mem = spark.createDataFrame([(1, "a")], ["id", "t"])
@@ -2317,7 +2346,12 @@ def test_input_fingerprint_edge_branches(spark, tmp_path):
     spark.createDataFrame([(2, "b"), (3, "c")], ["id", "t"]).write.mode(
         "overwrite"
     ).parquet(path)
-    assert _input_fingerprint(spark.read.parquet(path)) != fp
+    df2 = spark.read.parquet(path)
+    assert _input_fingerprint(df2) != fp
+    # stat failure (files deleted under a resolved file index) -> None,
+    # not a name-only tuple
+    shutil.rmtree(path)
+    assert _input_fingerprint(df2) is None
 
 
 def test_embedding_covariance_exclude_matches_direct_and_guards(spark, emb):

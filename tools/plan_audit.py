@@ -7,11 +7,23 @@ output trimmed to the load-bearing facts — scan pushdown
 red-flag checks (BroadcastNestedLoopJoin, CartesianProduct, full-column
 scans under a projection).
 
+SEMANTICS GUARD (r9+): every audit EXECUTES each query (collect on its
+own QueryExecution) and explains the AQE-FINAL plan. Exchange counts
+are therefore textual occurrences across finalized stages, including
+reused-exchange references and repeated subquery sections. Audits from
+r9 onward are comparable to each other; they are NOT comparable to
+pre-r9 audits, which explained the pre-execution plan and printed each
+logical exchange once. When diffing two PLANS.md generations, first
+check both headers carry this note — a reused-exchange delta between
+post-execution audits is real; a delta against a pre-r9 audit is a
+counting-semantics artifact, not a regression.
+
 Usage: python tools/plan_audit.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import os
 import re
 import sys
 
@@ -188,7 +200,29 @@ def _pagerank_round_section(spark: SparkSession, sf_dir: str) -> list[str]:
     return out
 
 
+def _assert_smoke_scale(sf_dir: str, limit_bytes: int = 512 * 1024 * 1024):
+    """audit() collect()s every query to force an AQE-final plan; that
+    is a driver materialization, bounded only by the input scale.
+    Refuse anything beyond smoke scale rather than OOM the driver
+    (r9 ADVICE) — the audit's purpose is plan evidence, which sf0.01
+    already yields."""
+    total = 0
+    for root, _dirs, files in os.walk(sf_dir):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    if total > limit_bytes:
+        raise SystemExit(
+            f"plan_audit: {sf_dir} holds {total / 1e6:.0f} MB of input — "
+            "audit() collect()s every query and is meant for smoke-scale "
+            "directories (sf0.01/sf0.1). Point it at a small sf_dir."
+        )
+
+
 def audit(spark: SparkSession, sf_dir: str, names: list[str]) -> str:
+    _assert_smoke_scale(sf_dir)
     out = ["# Plan audit (generated by tools/plan_audit.py)", ""]
     out.append(f"Input: `{sf_dir}`. For each query: chosen join "
                "strategies, shuffle (Exchange) count, scan pushdown "

@@ -1671,6 +1671,7 @@ def probe_ivfpq_index(
     on_missing_corpus: str = "raise",
     allowed: DataFrame | None = None,
     allowed_id_col: str | None = None,
+    allowed_query_col: str | None = None,
 ) -> DataFrame:
     """Query a persisted IVF+PQ index: elect each query's ``nprobe``
     lists from the stored centroids, partition-prune the codes scan to
@@ -1693,6 +1694,19 @@ def probe_ivfpq_index(
     wasted on filtered-out vectors; recall within the allowed subset
     matches an unfiltered probe of a subset-only index at the same
     nprobe (same lists scanned, same re-rank).
+
+    ``allowed_query_col``: when set, ``allowed`` is PER-QUERY — a
+    (query, candidate-id) pair frame (``allowed_query_col`` names the
+    query column) and each query ranks only its own allowed ids: the
+    restriction class where the predicate depends on the anchor
+    itself (label-mismatch hard-negative mining, per-tenant
+    visibility, leave-one-group-out eval), which a global id set
+    cannot express. The semi-join then keys on (query_id,
+    neighbor_id) and applies AFTER the probe election attaches
+    query_id but still BEFORE ADC ranking, so shortlist slots are
+    never wasted per query. At scale the pair frame is itself a join
+    of the metadata column against the (bounded) anchor set — never
+    materialized corpus-wide per anchor beyond that join's output.
 
     Contract: ``corpus`` must contain a float vector for EVERY id the
     index holds — the index stores codes only. A shortlisted id with
@@ -1725,7 +1739,12 @@ def probe_ivfpq_index(
     )
     probed = sorted({r.cid for r in probes.select("cid").distinct().collect()})
     codes = spark.read.parquet(path).filter(F.col("cid").isin(probed))
-    if allowed is not None:
+    if allowed is not None and allowed_query_col is not None:
+        per_query_allowed = allowed.select(
+            F.col(allowed_query_col).alias("query_id"),
+            F.col(allowed_id_col or id_col).alias("neighbor_id"),
+        ).distinct()
+    elif allowed is not None:
         # FILTERED ANN over the persisted index: restrict candidates
         # BEFORE ADC ranking, so all k results satisfy the predicate
         # and filtered-out vectors never consume shortlist slots (the
@@ -1742,10 +1761,18 @@ def probe_ivfpq_index(
     decoded = pq_decode(
         codes, books, "codes", "r_vec", compose_safe=False
     )
-    pairs = (
-        decoded.join(F.broadcast(probes), "cid")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("adc", F.expr(DOT.format(a="q_unit", b="r_vec")))
+    pairs = decoded.join(F.broadcast(probes), "cid").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    if allowed is not None and allowed_query_col is not None:
+        # per-query pre-filter: after the election attached query_id,
+        # still BEFORE ADC ranking — shortlist slots are never wasted
+        # on a pair the caller's per-anchor predicate excludes
+        pairs = pairs.join(
+            per_query_allowed, ["query_id", "neighbor_id"], "semi"
+        )
+    pairs = pairs.withColumn(
+        "adc", F.expr(DOT.format(a="q_unit", b="r_vec"))
     )
     w_s = Window.partitionBy("query_id").orderBy(
         F.desc("adc"), F.asc("neighbor_id")

@@ -2617,6 +2617,51 @@ def embedding_covariance_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_covariance_exclude",
+    oracle="""
+        SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+               ROUND(covar_pop(list_extract(embedding, i + 1),
+                               list_extract(embedding, j + 1)), 6) AS cov
+        FROM embeddings,
+             generate_series(0, 7) s1(i),
+             generate_series(0, 7) s2(j)
+        WHERE vec_id % 4 <> 0
+        GROUP BY i, j
+        ORDER BY i, j
+    """,
+    doc="Snapshot retirement by MOMENT SUBTRACTION: the covariance of "
+        "the corpus WITHOUT a retired batch (every 4th vector here — "
+        "'drop last quarter's crawl from the drift reference'), "
+        "computed as totals(corpus) − totals(retired), never by "
+        "rescanning the survivors. Sums and second moments are "
+        "additive, so the retired batch's dim²-bounded partials "
+        "subtract exactly; at 100 TB the corpus side is the moments "
+        "the streaming accumulator already holds and only the small "
+        "retired batch is scanned fresh. Dim-mismatch and over-retire "
+        "fail loud in-plan (assert_true). The oracle recomputes "
+        "covar_pop DIRECTLY over the surviving rows, so the green row "
+        "pins the subtraction identity end-to-end, not just its "
+        "halves (leading 8x8 block, 6 decimals — the "
+        "embedding_covariance_block conventions).",
+)
+def embedding_covariance_exclude_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cassandrastack_spark.llm.embstats import (
+        embedding_covariance_exclude,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    retired = emb.filter(F.col("vec_id") % 4 == 0)
+    return (
+        embedding_covariance_exclude(emb, retired, "embedding")
+        .filter((F.col("i") < 8) & (F.col("j") < 8))
+        .select("i", "j", F.round("cov", 6).alias("cov"))
+        .orderBy("i", "j")
+    )
+
+
+@register(
     "embedding_pca_projection_pairdist",
     oracle="""
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -2933,6 +2978,48 @@ def ann_mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_mmr_rerank_indexed",
+    oracle=_mmr_oracle(),
+    doc="ann_mmr_rerank_topk with its first stage served from the "
+        "PERSISTED IVF+PQ index — the two-stage composition the raw "
+        "twin's doc only promises ('an index probe replaces the exact "
+        "scan at 100 TB'), gated under the SAME unrolled-greedy "
+        "oracle (the ann_hybrid_rrf_indexed discipline). "
+        "probe_ivfpq_index at full width (nprobe = all lists, "
+        "unbounded shortlist, exact float re-rank) provably equals "
+        "brute-force cosine, so the candidate pool and its relevance "
+        "scores match the exact first stage and the greedy MMR "
+        "selection is pinned end-to-end THROUGH the index; the "
+        "production operating point (nprobe << K) trades that for "
+        "the recall curve gated in pytest. The second stage is "
+        "byte-identical machinery: mmr_rerank's Arrow group over the "
+        "pool-bounded candidate set.",
+)
+def ann_mmr_rerank_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandrastack_spark.llm.simsearch import probe_ivfpq_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    k_centroids = 16
+    path = _ivfpq_index_for(spark, sf_dir, k_centroids)
+    q = emb.filter(F.col("vec_id") < 2)
+    cands = probe_ivfpq_index(
+        spark, path, q, emb,
+        k=16, nprobe=k_centroids, shortlist=1 << 20,
+        include_score=True,
+    )
+    return (
+        mmr_rerank(cands, emb, k=5, lam=0.7)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "mmr_rank",
+            F.round("mmr_score", 6).alias("mmr_score"),
+        )
+        .orderBy("query_id", "mmr_rank")
+    )
+
+
+@register(
     "corpus_split_dedup_aware",
     oracle="""
         WITH RECURSIVE sh AS (
@@ -3037,27 +3124,34 @@ def _pair_cosine() -> "F.Column":
     return dot / nrm
 
 
+# shared by embedding_hard_negatives (exact scan) and
+# embedding_hard_negatives_indexed (persisted IVF+PQ probe with a
+# per-query allowed set) — the same discipline as _HYBRID_RRF_ORACLE:
+# two rows pinning the raw and indexed paths to the SAME answer.
+_HARD_NEG_ORACLE = """
+    SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine, rnk
+    FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]) AS cosine,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[])
+                        DESC,
+                        b.vec_id) AS INT) AS rnk
+      FROM embeddings a
+      JOIN embeddings b
+        ON b.vec_id <> a.vec_id AND b.label <> a.label
+      WHERE a.vec_id < 8) t
+    WHERE rnk <= 3
+    ORDER BY query_id, rnk
+"""
+
+
 @register(
     "embedding_hard_negatives",
-    oracle="""
-        SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine, rnk
-        FROM (
-          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-                 list_cosine_similarity(a.embedding::DOUBLE[],
-                                        b.embedding::DOUBLE[]) AS cosine,
-                 CAST(ROW_NUMBER() OVER (
-                   PARTITION BY a.vec_id
-                   ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
-                                                   b.embedding::DOUBLE[])
-                            DESC,
-                            b.vec_id) AS INT) AS rnk
-          FROM embeddings a
-          JOIN embeddings b
-            ON b.vec_id <> a.vec_id AND b.label <> a.label
-          WHERE a.vec_id < 8) t
-        WHERE rnk <= 3
-        ORDER BY query_id, rnk
-    """,
+    oracle=_HARD_NEG_ORACLE,
     doc="Hard-negative mining for contrastive training pairs: for each "
         "anchor (first 8 ids — the bounded probe a batch sampler "
         "iterates), the 3 most-similar embeddings with a DIFFERENT "
@@ -3067,7 +3161,9 @@ def _pair_cosine() -> "F.Column":
         "below the rank (never rank-then-filter, which under-fills "
         "k when near neighbors share the label). At 100 TB the anchor "
         "side is the bounded broadcast; production swaps the exact "
-        "scan for an ANN-index probe with post-filter re-rank.",
+        "scan for the persisted-index probe — "
+        "embedding_hard_negatives_indexed runs that path under this "
+        "SAME oracle.",
 )
 def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -3099,6 +3195,61 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neighbor_id",
             F.round("cosine", 6).alias("cosine"),
             "rnk",
+        )
+        .orderBy("query_id", "rnk")
+    )
+
+
+@register(
+    "embedding_hard_negatives_indexed",
+    oracle=_HARD_NEG_ORACLE,
+    doc="embedding_hard_negatives served from the PERSISTED IVF+PQ "
+        "index — the production miner the exact-scan twin only "
+        "models, under the SAME oracle (the ann_hybrid_rrf_indexed "
+        "discipline). The label-mismatch predicate depends on the "
+        "ANCHOR, so a global allowed= id set cannot express it; the "
+        "probe takes a PER-QUERY allowed pair set "
+        "(allowed_query_col=) — (anchor, candidate) pairs where the "
+        "labels differ, built by ONE join of the label column against "
+        "the 8-row broadcast anchor frame — applied before ADC "
+        "ranking, so every shortlist slot per anchor goes to a "
+        "different-label vector and the probe never under-fills k "
+        "(post-filtering an ANN result does). Full width here "
+        "(nprobe = all lists, unbounded shortlist) so the exact "
+        "re-rank provably equals the brute-force scan over each "
+        "anchor's allowed subset; the production operating point "
+        "(nprobe << K) is covered by the recall-curve pytest. Index "
+        "builds once per process (_INDEX_CACHE); the ledger records "
+        "the amortized probe path.",
+)
+def embedding_hard_negatives_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cassandrastack_spark.llm.simsearch import probe_ivfpq_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    k_centroids = 16
+    path = _ivfpq_index_for(spark, sf_dir, k_centroids)
+    q = emb.filter(F.col("vec_id") < 8)
+    anchors = q.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    allowed = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("c_label")
+    ).join(F.broadcast(anchors), F.col("c_label") != F.col("q_label"))
+    return (
+        probe_ivfpq_index(
+            spark, path, q, emb,
+            k=3, nprobe=k_centroids, shortlist=1 << 20,
+            include_score=True,
+            allowed=allowed, allowed_id_col="neighbor_id",
+            allowed_query_col="query_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rank").cast("int").alias("rnk"),
         )
         .orderBy("query_id", "rnk")
     )

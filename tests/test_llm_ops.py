@@ -1999,6 +1999,53 @@ def test_probe_ivfpq_index_filtered_ann(spark, tmp_path):
     assert len(plain) == 4
 
 
+def test_probe_ivfpq_index_per_query_allowed(spark, tmp_path):
+    """Per-query allowed sets (allowed_query_col=): each query ranks
+    only ITS OWN allowed ids — the restriction class a global id set
+    cannot express (label-mismatch mining, per-tenant visibility).
+    At full probe width each query's result equals exact cosine top-k
+    over that query's allowed subset."""
+    from cassandrastack_spark.llm.simsearch import (
+        build_ivfpq_index,
+        cosine_topk,
+        probe_ivfpq_index,
+    )
+
+    rows = [
+        (i, [float(i == j) + 0.07 * ((i * 3 + j) % 5) for j in range(8)])
+        for i in range(16)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    path = str(tmp_path / "ivfpq_pq_allowed")
+    build_ivfpq_index(emb, path, k_centroids=2, m_sub=4, k_codes=4)
+    q = emb.filter(F.col("vec_id") < 2)
+    per_q = {0: [2, 4, 6, 8, 10], 1: [3, 5, 7, 9, 11]}
+    allowed = spark.createDataFrame(
+        [(qid, nid) for qid, nids in per_q.items() for nid in nids],
+        ["query_id", "vec_id"],
+    )
+    got = probe_ivfpq_index(
+        spark, path, q, emb, k=3, nprobe=2, shortlist=1 << 20,
+        allowed=allowed, allowed_query_col="query_id",
+    ).collect()
+    # (a) every result respects its OWN query's allowed set
+    for r in got:
+        assert r.neighbor_id in per_q[r.query_id], r
+    # (b) full width => exact top-k over each query's allowed subset
+    for qid, nids in per_q.items():
+        want = cosine_topk(
+            emb.filter(F.col("vec_id").isin(nids)),
+            emb.filter(F.col("vec_id") == qid),
+            k=3,
+        ).collect()
+        got_q = sorted(
+            ((r.neighbor_id, r.rank) for r in got if r.query_id == qid)
+        )
+        assert got_q == sorted((r.neighbor_id, r.rank) for r in want), (
+            qid, got_q,
+        )
+
+
 def test_covariance_drift_zero_for_identical_and_positive_for_shifted(
     spark, emb
 ):

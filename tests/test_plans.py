@@ -152,6 +152,9 @@ def test_no_unjustified_bnl_join_across_catalog(spark, registry):
         "embedding_covariance_block",
         "embedding_correlation_block",   # same finish + dim-row diag
         "embedding_covariance_drift",    # same finish, both snapshots
+        # same finish on subtracted moments + 1-row-x-1-row guard
+        # crossJoins (n_rem / k_a / k_b counts)
+        "embedding_covariance_exclude",
         # broadcast 1-row smoothed-LM totals (n_r, n_t, V) onto the
         # vocab frame — the canonical scalar-subquery plan
         "corpus_dsir_weights",
@@ -163,6 +166,10 @@ def test_no_unjustified_bnl_join_across_catalog(spark, registry):
         # corpus scan — the cosine_topk exact-audit shape
         "embedding_hard_negatives",
         "embedding_knn_label_agreement",
+        # 8-row anchor broadcast x label column with a != condition
+        # (bounded by the anchor side) building the per-query allowed
+        # pair set the IVF+PQ probe pre-filters on
+        "embedding_hard_negatives_indexed",
     }
     skip = ("stream_", "mm_", "dedup_", "ann_", "text_")
     offenders = []

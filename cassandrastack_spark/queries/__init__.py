@@ -54,104 +54,95 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # first (in this order); everything else follows in registration order.
 # A name here that is not registered is ignored.
 #
-# Round-9 rotation (VERDICT r8 lead item — the committed sweep,
-# executed): (a) 9 queries NEW this round (hard-negative mining and
-# the kNN label-agreement audit over the labeled embeddings — the
-# contrastive-pair and mislabeled-sample miners; near-dup-aware
-# train/val/test split — every n-gram-Jaccard component lands on ONE side, the
-# leakage guard; MMR diversified re-rank —
-# greedy per-query selection in one Arrow group over a first-stage-
-# bounded pool, oracle unrolled as chained CTEs; Gumbel-top-k DSIR
-# resampling — deterministic hash-uniform noise, so the oracle
-# selects the same documents; covariance drift between
-# deterministically-derived snapshots — the r8 verdict's ask #2; the
-# full-rank PCA projection pinned end-to-end by rotation-invariant
-# pairwise distances — ask #3; DSIR-style importance weights — the
-# data-selection operator; the Pearson correlation block riding the
-# same moment partials as the covariance), (b) the 11 r5-era rows that
-# slipped the r8 window (analytics code untouched since r5 — this
-# sweep clears the two-consecutive-slips risk the r8 verdict flagged),
-# (c) the 11 r6-era streaming rows (streaming/ops.py changed in r7 and
-# r8; the registered queries call neither changed path, but the
-# no-green-on-changed-code contract wants official rows), (d) 16
-# re-confirms of rows whose backing code changed THIS round: the whole
-# ANN family (simsearch.py: pq_decode defaults to compose_safe=False),
-# text_tfidf_sim_topk + dedup_exact_substrings (slot keys now carry a
-# file-snapshot fingerprint), embedding_covariance_block + its
-# streaming twin (embstats.py drift guard lives beside their moments
-# path), corpus_quality_model_score (quality_score_linear validates
-# weight keys), and (e) 3 of the oldest r6-era rows on the
-# functions/text.py surface (the file gained the weight-key guard;
-# these call its expressions): text_langid, text_bpe_tokens,
-# text_fingerprint. The remaining 32 r6-era rows (text_stats,
-# corpus_quality_filter, anomaly_cusum_changepoint, corpus_domain_cap,
-# corpus_mix_weights + the corpus_*, dedup_*, dq_*, mm_* families —
-# ALL on code untouched since r6, except text_stats/quality_filter
-# whose text.py expressions were verified untouched by the r9 diff)
-# are committed to the round-10 window, oldest first — r10 MUST
-# clear all 32 (they will be 4 rounds old), leaving ~18 slots for
-# r10 novelty, which is enough. (A local full-registry sweep this
-# round verified ALL 164 queries green at sf0.01, so the deferral
-# carries no unknown risk — the official rows just lag.) r10
-# registration candidate with the oracle already designed:
-# embedding_covariance_exclude (llm/embstats.py — pytest-only this
-# round; DuckDB twin = covar_pop over the surviving rows).
+# Round-10 rotation (VERDICT r9 lead item — the committed sweep,
+# executed): (a) ALL 32 r6-era rows, oldest first — the full set the
+# r9 rotation committed to (text_stats, corpus_quality_filter,
+# anomaly_cusum_changepoint, corpus_domain_cap, corpus_mix_weights
+# and the corpus_*, dedup_*, dq_*, mm_* families, plus
+# percentiles_acctbal_approx, rolling_wau_hll,
+# range_join_event_pairs, embedding_label_cohesion, text_pii_redact,
+# text_repetition, text_top_terms_udtf, text_unigram_logprob); after
+# this round no registry row predates r7. (b) 7 queries NEW this
+# round: embedding_covariance_exclude (the r9 registration
+# candidate — moment-subtraction retirement, oracle = covar_pop over
+# the surviving rows), the three INDEXED twins under their raw
+# siblings' SHARED oracles (ann_mmr_rerank_indexed — verdict ask #3;
+# embedding_hard_negatives_indexed — ask #4, via the new per-query
+# allowed sets in probe_ivfpq_index; embedding_knn_label_agreement_
+# indexed — same discipline, closing the raw doc's promise), and a
+# curation-audit trio (corpus_curriculum_order — quartile-staged
+# deterministic length curriculum, no global sort;
+# dedup_cluster_size_histogram — the dedup audit report, component
+# machinery + two count aggs; text_tokenizer_fertility — per-language
+# chars-per-BPE-token budget skew). (c) 8 re-confirms of rows whose
+# backing code changed THIS round: ann_mmr_rerank_topk (mmr_rerank
+# gained id-type derivation + the null-relevance guard),
+# ann_hybrid_rrf_indexed + ann_ivfpq_filtered_topk
+# (probe_ivfpq_index gained allowed_query_col), and the slot_persist
+# consumers text_tfidf_sim_topk, text_tfidf_sim_indexed,
+# dedup_exact_substrings, corpus_dsir_weights, corpus_dsir_resample
+# (_input_fingerprint now treats a failed os.stat as unresolvable).
+# (d) 3 of the oldest-cohort r7-era rows (agg_distinct,
+# anti_join_no_orders, semi_join_open_orders) to start the next
+# cohort early. Remaining debt after r10: 44 r7-era rows (4 rounds
+# old at r11) — r11 MUST clear all 44; with ~6 slots left for
+# r11-touched re-confirms that is the whole r11 window, so r11
+# novelty should stay small (1-2 queries) or wait for r12.
 _FRONT: tuple[str, ...] = (
-    # -- new this round --
-    "embedding_hard_negatives",
-    "embedding_knn_label_agreement",
-    "corpus_split_dedup_aware",
+    # -- (a) the 32 r6-era rows, oldest cohort first --
+    "text_stats",
+    "corpus_quality_filter",
+    "anomaly_cusum_changepoint",
+    "corpus_domain_cap",
+    "corpus_mix_weights",
+    "corpus_pack_bins",
+    "corpus_prepare_pipeline",
+    "corpus_source_profile",
+    "corpus_split_hash",
+    "corpus_stratified_sample",
+    "decontam_ngram_overlap",
+    "dedup_cluster_components",
+    "dedup_containment_ngram",
+    "dedup_exact",
+    "dedup_incremental_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_paragraph_spans",
+    "dedup_simhash",
+    "dq_profile_lineitem",
+    "dq_profile_lineitem_approx",
+    "embedding_label_cohesion",
+    "mm_binary_meta",
+    "mm_feature_extract",
+    "mm_frame_sample",
+    "mm_resize_images",
+    "percentiles_acctbal_approx",
+    "range_join_event_pairs",
+    "rolling_wau_hll",
+    "text_pii_redact",
+    "text_repetition",
+    "text_top_terms_udtf",
+    "text_unigram_logprob",
+    # -- (b) new this round --
+    "embedding_covariance_exclude",
+    "ann_mmr_rerank_indexed",
+    "embedding_hard_negatives_indexed",
+    "embedding_knn_label_agreement_indexed",
+    "corpus_curriculum_order",
+    "dedup_cluster_size_histogram",
+    "text_tokenizer_fertility",
+    # -- (c) r10-touched code: re-confirm --
     "ann_mmr_rerank_topk",
-    "corpus_dsir_resample",
-    "embedding_covariance_drift",
-    "embedding_pca_projection_pairdist",
-    "corpus_dsir_weights",
-    "embedding_correlation_block",
-    # -- r5-era rows slipped from the r8 window --
-    "array_functions",
-    "event_interarrival",
-    "event_transitions",
-    "funnel_conversion",
-    "heatmap_dow_hour",
-    "histogram_order_totals",
-    "json_extract_props",
-    "pivot_status_by_segment",
-    "scalar_functions",
-    "string_agg_nations",
-    "unpivot_revenue_measures",
-    # -- r6-era streaming rows (ops.py changed r7+r8) --
-    "stream_click_view_join",
-    "stream_dedup_events",
-    "stream_session_append",
-    "stream_session_windows",
-    "stream_sliding_append",
-    "stream_sliding_counts",
-    "stream_stateful_totals",
-    "stream_static_enrich",
-    "stream_tumbling_append",
-    "stream_tumbling_hourly",
-    "stream_windowed_topk",
-    # -- r9-touched code: re-confirm --
-    "ann_cosine_topk",
-    "ann_filtered_topk",
     "ann_hybrid_rrf_indexed",
-    "ann_hybrid_rrf_topk",
-    "ann_ivf_pq_topk",
-    "ann_ivf_topk",
     "ann_ivfpq_filtered_topk",
-    "ann_lsh_topk",
-    "ann_pq_topk",
-    "ann_pq_topk_prod",
-    "ann_quantized_topk",
     "text_tfidf_sim_topk",
+    "text_tfidf_sim_indexed",
     "dedup_exact_substrings",
-    "embedding_covariance_block",
-    "stream_embedding_covariance_block",
-    "corpus_quality_model_score",
-    # -- oldest r6-era rows (text.py consumers first) --
-    "text_langid",
-    "text_bpe_tokens",
-    "text_fingerprint",
+    "corpus_dsir_weights",
+    "corpus_dsir_resample",
+    # -- (d) oldest r7-era rows: start the next cohort early --
+    "agg_distinct",
+    "anti_join_no_orders",
+    "semi_join_open_orders",
 )
 
 

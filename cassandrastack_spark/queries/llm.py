@@ -3255,34 +3255,40 @@ def embedding_hard_negatives_indexed(
     )
 
 
+# shared by embedding_knn_label_agreement (exact scan) and
+# embedding_knn_label_agreement_indexed (persisted IVF+PQ probe) —
+# two rows pinning the raw and indexed paths to the SAME answer.
+_KNN_AGREE_ORACLE = """
+    WITH nn AS (
+      SELECT a.vec_id, a.label AS own_label, b.label AS nb_label,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[])
+                        DESC,
+                        b.vec_id) AS rnk
+      FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < 64),
+    votes AS (
+      SELECT vec_id, own_label, nb_label, COUNT(*) AS n
+      FROM nn WHERE rnk <= 5
+      GROUP BY vec_id, own_label, nb_label),
+    top AS (
+      SELECT vec_id, own_label, nb_label AS knn_label, n
+      FROM votes
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY n DESC, nb_label) = 1)
+    SELECT vec_id, own_label, CAST(knn_label AS INT) AS knn_label,
+           CAST(n AS BIGINT) AS votes,
+           CAST(own_label = knn_label AS INT) AS agrees
+    FROM top
+    ORDER BY vec_id
+"""
+
+
 @register(
     "embedding_knn_label_agreement",
-    oracle="""
-        WITH nn AS (
-          SELECT a.vec_id, a.label AS own_label, b.label AS nb_label,
-                 ROW_NUMBER() OVER (
-                   PARTITION BY a.vec_id
-                   ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
-                                                   b.embedding::DOUBLE[])
-                            DESC,
-                            b.vec_id) AS rnk
-          FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
-          WHERE a.vec_id < 64),
-        votes AS (
-          SELECT vec_id, own_label, nb_label, COUNT(*) AS n
-          FROM nn WHERE rnk <= 5
-          GROUP BY vec_id, own_label, nb_label),
-        top AS (
-          SELECT vec_id, own_label, nb_label AS knn_label, n
-          FROM votes
-          QUALIFY ROW_NUMBER() OVER (
-            PARTITION BY vec_id ORDER BY n DESC, nb_label) = 1)
-        SELECT vec_id, own_label, CAST(knn_label AS INT) AS knn_label,
-               CAST(n AS BIGINT) AS votes,
-               CAST(own_label = knn_label AS INT) AS agrees
-        FROM top
-        ORDER BY vec_id
-    """,
+    oracle=_KNN_AGREE_ORACLE,
     doc="kNN label-agreement audit (the cleanlab-style mislabeled-"
         "sample miner): for each of the first 64 labeled embeddings, "
         "the majority label among its 5 nearest cosine neighbors "
@@ -3291,8 +3297,9 @@ def embedding_hard_negatives_indexed(
         "have the human-review queue. Exact-scan audit shape "
         "(bounded anchor broadcast); at 100 TB the neighbor lists "
         "come from the persisted IVF+PQ index and the vote is the "
-        "same two groupBys. The oracle replays the vote with a "
-        "QUALIFY window in SQL.",
+        "same two groupBys — embedding_knn_label_agreement_indexed "
+        "runs that path under this SAME oracle. The oracle replays "
+        "the vote with a QUALIFY window in SQL.",
 )
 def embedding_knn_label_agreement(
     spark: SparkSession, sf_dir: str
@@ -3334,4 +3341,263 @@ def embedding_knn_label_agreement(
             ),
         )
         .orderBy("vec_id")
+    )
+
+
+@register(
+    "embedding_knn_label_agreement_indexed",
+    oracle=_KNN_AGREE_ORACLE,
+    doc="embedding_knn_label_agreement served from the PERSISTED "
+        "IVF+PQ index — the raw twin's doc promises exactly this "
+        "('at 100 TB the neighbor lists come from the persisted "
+        "index and the vote is the same two groupBys'); this row "
+        "executes it under the SAME oracle (the ann_hybrid_rrf_"
+        "indexed discipline). probe_ivfpq_index at full width "
+        "(nprobe = all lists, unbounded shortlist, exact float "
+        "re-rank, identical desc-cosine/asc-id tie-break) provably "
+        "equals the brute-force 5-NN lists, so the majority vote and "
+        "the agrees flag are pinned end-to-end THROUGH the index; "
+        "the production operating point (nprobe << K) is covered by "
+        "the recall-curve pytest. Labels attach by equi-join AFTER "
+        "the probe — the probe never carries metadata columns, so "
+        "the codes scan stays m_sub bytes per vector.",
+)
+def embedding_knn_label_agreement_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cassandrastack_spark.llm.simsearch import probe_ivfpq_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    k_centroids = 16
+    path = _ivfpq_index_for(spark, sf_dir, k_centroids)
+    q = emb.filter(F.col("vec_id") < 64)
+    nn = probe_ivfpq_index(
+        spark, path, q, emb, k=5, nprobe=k_centroids, shortlist=1 << 20
+    )
+    nb = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nb_label")
+    )
+    own = q.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("own_label")
+    )
+    votes = (
+        nn.join(nb, "neighbor_id")
+        .join(F.broadcast(own), "query_id")
+        .groupBy("query_id", "own_label", "nb_label")
+        .agg(F.count("*").alias("n"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("n"), F.asc("nb_label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            F.col("query_id").alias("vec_id"),
+            "own_label",
+            F.col("nb_label").cast("int").alias("knn_label"),
+            F.col("n").alias("votes"),
+            (F.col("own_label") == F.col("nb_label")).cast("int").alias(
+                "agrees"
+            ),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "corpus_curriculum_order",
+    oracle="""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+          FROM documents),
+        q AS (
+          SELECT quantile_cont(n_tokens, 0.25) AS q1,
+                 quantile_cont(n_tokens, 0.50) AS q2,
+                 quantile_cont(n_tokens, 0.75) AS q3
+          FROM t)
+        SELECT doc_id, n_tokens,
+               CAST(CASE WHEN n_tokens <= q1 THEN 1
+                         WHEN n_tokens <= q2 THEN 2
+                         WHEN n_tokens <= q3 THEN 3
+                         ELSE 4 END AS INT) AS stage,
+               md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+        FROM t, q
+        ORDER BY doc_id
+    """,
+    doc="Curriculum ordering for LLM training (short -> long, the "
+        "classic length curriculum): each document gets a curriculum "
+        "STAGE from the corpus's own token-count quartiles and a "
+        "deterministic md5 SHUFFLE KEY; the training order is (stage, "
+        "shuffle_key) — easy quartile first, deterministically "
+        "shuffled within each stage, stable across runs, engines, and "
+        "cluster sizes. Deliberately NO global sort and NO window "
+        "rank: the quartile boundaries are ONE 1-row aggregate "
+        "broadcast back onto a narrow map (the outliers_iqr scalar "
+        "shape), so at 100 TB this is scan + scalar join; the "
+        "writer's repartition-by-stage + sortWithinPartitions "
+        "(sources/io.py training-shard path) realizes the physical "
+        "order without a driver-side or single-reducer sort. Both "
+        "engines interpolate quartiles linearly (R-7), so the stage "
+        "assignment is engine-stable.",
+)
+def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("int").alias("n_tokens"),
+    )
+    qs = t.agg(
+        F.expr(
+            "percentile(n_tokens, array(0.25D, 0.50D, 0.75D))"
+        ).alias("qs")
+    ).select(
+        F.col("qs")[0].alias("q1"),
+        F.col("qs")[1].alias("q2"),
+        F.col("qs")[2].alias("q3"),
+    )
+    return (
+        t.crossJoin(F.broadcast(qs))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.when(F.col("n_tokens") <= F.col("q1"), 1)
+            .when(F.col("n_tokens") <= F.col("q2"), 2)
+            .when(F.col("n_tokens") <= F.col("q3"), 3)
+            .otherwise(4)
+            .cast("int")
+            .alias("stage"),
+            F.md5(F.col("doc_id").cast("string")).alias("shuffle_key"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    oracle="""
+        WITH RECURSIVE sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+                   generate_series(1, greatest(len(words) - 2, 1)),
+                   i -> concat_ws(' ', words[i], words[i+1], words[i+2])))
+                 AS shingles
+          FROM (SELECT doc_id, string_split(text, ' ') AS words
+                FROM documents) t
+        ),
+        prs AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.shingles, b.shingles))
+                  / (len(a.shingles) + len(b.shingles)
+                     - len(list_intersect(a.shingles, b.shingles))) >= 0.2
+        ),
+        edges AS (
+          SELECT a_id AS s, b_id AS d FROM prs
+          UNION ALL SELECT b_id, a_id FROM prs
+        ),
+        reach(id, comp) AS (
+          SELECT s, s FROM edges
+          UNION
+          SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id
+        ),
+        comp AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id),
+        grp AS (
+          SELECT d.doc_id,
+                 COALESCE(c.component, d.doc_id) AS cluster
+          FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+        sizes AS (
+          SELECT cluster, COUNT(*) AS sz FROM grp GROUP BY cluster)
+        SELECT CAST(sz AS BIGINT) AS cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+        FROM sizes GROUP BY sz ORDER BY cluster_size
+    """,
+    doc="Near-dup cluster-size histogram — the dedup AUDIT report a "
+        "curation pipeline publishes before deleting anything: how "
+        "many duplicate clusters exist at each size (singletons = "
+        "unique docs), and how many documents each size class holds, "
+        "so the expected post-dedup corpus size is n_clusters summed "
+        "and the reclaim is n_docs - n_clusters. Composes the SAME "
+        "machinery its sibling rows gate (PPJoin-filtered "
+        "n-gram-Jaccard pairs >= 0.2, O(log n) label-prop "
+        "components, the corpus_split_dedup_aware grouping "
+        "convention), then two count aggregates — at 100 TB both "
+        "groupBys shuffle only (id, cluster) pairs and then "
+        "(size, count) rows, never text. The oracle replays "
+        "components with the same recursive CTE.",
+)
+def dedup_cluster_size_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2)
+    comp = dedup_components(pairs)
+    grp = (
+        docs.select("doc_id")
+        .join(comp, docs.doc_id == comp.id, "left")
+        .select(F.coalesce("component", F.col("doc_id")).alias("cluster"))
+    )
+    sizes = grp.groupBy("cluster").agg(F.count("*").alias("sz"))
+    return (
+        sizes.groupBy("sz")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            F.col("sz").alias("cluster_size"),
+            "n_clusters",
+            (F.col("sz") * F.col("n_clusters")).alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+@register(
+    "text_tokenizer_fertility",
+    oracle=r"""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(regexp_extract_all(text,
+                 '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'
+               ))) AS BIGINT) AS total_bpe_tokens,
+               ROUND(SUM(LENGTH(text)) * 1.0
+                     / SUM(len(regexp_extract_all(text,
+                 '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'
+               ))), 6) AS chars_per_token
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    doc="Tokenizer fertility audit per language: characters per "
+        "BPE-ish token (the GPT-2-family pretokenizer regex of "
+        "text_bpe_tokens), the standard check for how unevenly a "
+        "tokenizer spends context budget across languages — a "
+        "low-fertility language pays more tokens for the same text, "
+        "which skews both training mix (corpus_mix_weights counts "
+        "tokens) and serving cost. Fertility aggregates as "
+        "SUM(chars)/SUM(tokens) — the corpus-level ratio, not the "
+        "mean of per-doc ratios, so long documents weigh in "
+        "proportionally. Pure regexp codegen + one groupBy on the "
+        "bounded lang key; at 100 TB the ratio rides the scan that "
+        "already reads the text column. The oracle re-tokenizes in "
+        "DuckDB with the identically-read regex.",
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandrastack_spark.functions.text import bpe_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    per = d.select(
+        "lang",
+        F.length("text").alias("n_chars_x"),
+        bpe_token_count("text").alias("n_tok"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_bpe_tokens"),
+            F.round(
+                F.sum("n_chars_x") / F.sum("n_tok"), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
     )

@@ -146,6 +146,7 @@ def test_no_unjustified_bnl_join_across_catalog(spark, registry):
         "q22_sales_opportunity",  # avg(acctbal) scalar
         "profile_hot_keys",       # sum(cnt) table-total scalar
         "outliers_iqr_values",    # 1-row quartile-fences scalar
+        "corpus_curriculum_order",  # 1-row token-quartile scalar
         "anomaly_cusum_changepoint",  # broadcast 1-row corpus mean
         # embstats covariance finish: broadcast 1-row n + 1-row dim
         # onto the dim^2-row moments frame (bounded by DIMENSION)

@@ -78,6 +78,13 @@ DEFAULT_QUERIES = [
     "corpus_split_dedup_aware",    # component-keyed leakage-safe split
     "embedding_hard_negatives",    # label-filtered exact top-k mine
     "embedding_knn_label_agreement",  # kNN vote audit
+    "embedding_covariance_exclude",   # moment-subtraction retirement
+    "ann_mmr_rerank_indexed",      # MMR over the persisted-index probe
+    "embedding_hard_negatives_indexed",   # per-query-allowed probe
+    "embedding_knn_label_agreement_indexed",  # kNN vote over the probe
+    "corpus_curriculum_order",     # 1-row quartile scalar, no sort
+    "dedup_cluster_size_histogram",  # components + two count aggs
+    "text_tokenizer_fertility",    # regex codegen + lang groupBy
 ]
 
 RED_FLAGS = ("BroadcastNestedLoopJoin", "CartesianProduct")
@@ -145,6 +152,32 @@ DOCUMENTED_BNL = {
     "embedding_knn_label_agreement": "literal-bounded 64-row anchor "
                                      "broadcast; the vote is two "
                                      "grouped aggregations",
+    "embedding_covariance_exclude": "the covariance finish's 1-row "
+                                    "scalars on SUBTRACTED moments, "
+                                    "plus the 1-row x 1-row "
+                                    "over-retire/dim-parity guard "
+                                    "crossJoins (all count-bounded)",
+    "ann_mmr_rerank_indexed": "bounded probe-side broadcasts of the "
+                              "persisted-index first stage (2-row "
+                              "query election + 1-row _meta "
+                              "scalars); the MMR stage equi-joins "
+                              "on neighbor_id and groups per query",
+    "embedding_hard_negatives_indexed": "8-row anchor broadcast with "
+                                        "a label-mismatch condition "
+                                        "building the per-query "
+                                        "allowed pair set (bounded "
+                                        "by the anchor side); the "
+                                        "probe restriction itself is "
+                                        "an equi-semi-join on "
+                                        "(query_id, neighbor_id)",
+    "embedding_knn_label_agreement_indexed": "bounded probe-side "
+                                             "broadcasts (64-row "
+                                             "election + 1-row _meta "
+                                             "scalars); labels attach "
+                                             "by id equi-join",
+    "corpus_curriculum_order": "1-row token-quartile scalar broadcast "
+                               "(the outliers_iqr shape); stage "
+                               "assignment is a narrow map",
 }
 
 

@@ -1488,6 +1488,14 @@ def test_indexed_retrieval_queries_match_from_scratch_twins(spark):
     for indexed, scratch in [
         ("text_tfidf_sim_indexed", "text_tfidf_sim_topk"),
         ("ann_hybrid_rrf_indexed", "ann_hybrid_rrf_topk"),
+        # r10 twins: MMR over the probe first stage, hard negatives
+        # via the per-query allowed set, kNN vote over probe 5-NN
+        ("ann_mmr_rerank_indexed", "ann_mmr_rerank_topk"),
+        ("embedding_hard_negatives_indexed", "embedding_hard_negatives"),
+        (
+            "embedding_knn_label_agreement_indexed",
+            "embedding_knn_label_agreement",
+        ),
     ]:
         got = REGISTRY[indexed].fn(spark, sf)
         want = REGISTRY[scratch].fn(spark, sf)

@@ -6,6 +6,9 @@ column names, and values (columns sorted by name, rows sorted by all
 columns — order-insensitive, like the driver's value-hash).
 
 Usage: python tools/verify_local.py [sf_dir] [query ...]
+       python tools/verify_local.py [sf_dir] --window
+(--window verifies exactly the first 50 presentation-order entries —
+the driver's per-round window — without typing 50 names.)
 """
 
 from __future__ import annotations
@@ -98,6 +101,9 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
     registry = load_all()
+    if "--window" in only:
+        # the driver verifies the FIRST 50 presentation-order entries
+        only = set(list(registry)[:50])
     spark = driver_like_spark()
     con = duck_con(sf_dir)
     failures = 0

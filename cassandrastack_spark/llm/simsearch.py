@@ -1726,6 +1726,18 @@ def probe_ivfpq_index(
             f"on_missing_corpus must be 'raise' or 'skip', "
             f"got {on_missing_corpus!r}"
         )
+    if allowed is None and (
+        allowed_query_col is not None or allowed_id_col is not None
+    ):
+        # a restriction column without a restriction frame is a caller
+        # bug — running UNRESTRICTED here would silently hand a
+        # hard-negative miner same-label "negatives"; fail loud like
+        # the on_missing_corpus guard above
+        raise ValueError(
+            "probe_ivfpq_index: allowed_query_col/allowed_id_col set "
+            "but allowed is None — pass the allowed frame, or drop "
+            "the column arguments for an unrestricted probe"
+        )
     meta = spark.read.parquet(path + "/_meta").head()
     centroids = [list(c) for c in meta.centroids]
     books = [[list(c) for c in book] for book in meta.codebooks]

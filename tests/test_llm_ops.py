@@ -2032,6 +2032,15 @@ def test_probe_ivfpq_index_per_query_allowed(spark, tmp_path):
         [(qid, nid) for qid, nids in per_q.items() for nid in nids],
         ["query_id", "vec_id"],
     )
+    # restriction columns without a restriction frame fail loud — an
+    # unrestricted probe here would silently violate the per-anchor
+    # predicate downstream
+    import pytest
+
+    with pytest.raises(ValueError, match="allowed is None"):
+        probe_ivfpq_index(
+            spark, path, q, emb, k=3, allowed_query_col="query_id"
+        )
     got = probe_ivfpq_index(
         spark, path, q, emb, k=3, nprobe=2, shortlist=1 << 20,
         allowed=allowed, allowed_query_col="query_id",

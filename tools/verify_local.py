@@ -5,10 +5,10 @@ oracle SQL on DuckDB over the same parquet, then compares row count,
 column names, and values (columns sorted by name, rows sorted by all
 columns — order-insensitive, like the driver's value-hash).
 
-Usage: python tools/verify_local.py [sf_dir] [query ...]
-       python tools/verify_local.py [sf_dir] --window
-(--window verifies exactly the first 50 presentation-order entries —
-the driver's per-round window — without typing 50 names.)
+Usage: python tools/verify_local.py [sf_dir] [query ...] [--window]
+(--window adds the first 50 presentation-order entries — the driver's
+per-round window — to whatever names are given; it may appear
+anywhere; the first non-flag argument is sf_dir.)
 """
 
 from __future__ import annotations
@@ -98,12 +98,16 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> str | None:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    # --window may appear anywhere; the first non-flag arg is sf_dir
+    args = [a for a in sys.argv[1:] if a != "--window"]
+    window = "--window" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
     registry = load_all()
-    if "--window" in only:
-        # the driver verifies the FIRST 50 presentation-order entries
-        only = set(list(registry)[:50])
+    if window:
+        # the driver verifies the FIRST 50 presentation-order entries;
+        # explicit names alongside the flag are verified IN ADDITION
+        only |= set(list(registry)[:50])
     spark = driver_like_spark()
     con = duck_con(sf_dir)
     failures = 0

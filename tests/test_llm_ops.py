@@ -2061,6 +2061,16 @@ def test_probe_ivfpq_index_per_query_allowed(spark, tmp_path):
         assert got_q == sorted((r.neighbor_id, r.rank) for r in want), (
             qid, got_q,
         )
+    # (c) a query whose allowed set is EMPTY yields zero rows for that
+    # query (not an error, not leaked unrestricted candidates) — the
+    # hard-negative case where an anchor's label covers the corpus
+    lop = spark.createDataFrame([(0, 2), (0, 4)], ["query_id", "vec_id"])
+    lop_got = probe_ivfpq_index(
+        spark, path, q, emb, k=3, nprobe=2, shortlist=1 << 20,
+        allowed=lop, allowed_query_col="query_id",
+    ).collect()
+    assert {r.query_id for r in lop_got} == {0}, lop_got
+    assert {r.neighbor_id for r in lop_got} == {2, 4}, lop_got
 
 
 def test_covariance_drift_zero_for_identical_and_positive_for_shifted(

@@ -31,8 +31,15 @@ def main() -> int:
         r = int(f.rsplit("_r", 1)[1].split(".")[0])
         rounds.append(r)
         for name, row in json.load(open(f)).items():
-            # a FAILED row is not a green row; only count clean passes
-            if row.get("err") is None and row.get("rows_match", True):
+            # a FAILED row is not a green row; only count clean passes.
+            # hash/schema default True because rows-only (no-oracle)
+            # checks omit them — but an explicit False is a failure.
+            if (
+                row.get("err") is None
+                and row.get("rows_match", True)
+                and row.get("hash_match", True)
+                and row.get("schema_match", True)
+            ):
                 newest[name] = max(newest.get(name, 0), r)
     if not rounds:
         print("no CORRECTNESS_r*.json files found")

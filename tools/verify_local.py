@@ -101,9 +101,19 @@ def main() -> int:
     # --window may appear anywhere; the first non-flag arg is sf_dir
     args = [a for a in sys.argv[1:] if a != "--window"]
     window = "--window" in sys.argv[1:]
+    unknown_flags = [a for a in args if a.startswith("--")]
+    if unknown_flags:
+        print(f"ERROR: unrecognized flags {unknown_flags} (only --window is known)")
+        return 2
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     only = set(args[1:])
     registry = load_all()
+    # a mistyped query name would silently verify nothing and print
+    # ALL GREEN — fail loud instead (ADVICE r10)
+    unmatched = sorted(n for n in only if n not in registry)
+    if unmatched:
+        print(f"ERROR: names not in registry: {unmatched}")
+        return 2
     if window:
         # the driver verifies the FIRST 50 presentation-order entries;
         # explicit names alongside the flag are verified IN ADDITION

@@ -54,95 +54,92 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # first (in this order); everything else follows in registration order.
 # A name here that is not registered is ignored.
 #
-# Round-10 rotation (VERDICT r9 lead item — the committed sweep,
-# executed): (a) ALL 32 r6-era rows, oldest first — the full set the
-# r9 rotation committed to (text_stats, corpus_quality_filter,
-# anomaly_cusum_changepoint, corpus_domain_cap, corpus_mix_weights
-# and the corpus_*, dedup_*, dq_*, mm_* families, plus
-# percentiles_acctbal_approx, rolling_wau_hll,
-# range_join_event_pairs, embedding_label_cohesion, text_pii_redact,
-# text_repetition, text_top_terms_udtf, text_unigram_logprob); after
-# this round no registry row predates r7. (b) 7 queries NEW this
-# round: embedding_covariance_exclude (the r9 registration
-# candidate — moment-subtraction retirement, oracle = covar_pop over
-# the surviving rows), the three INDEXED twins under their raw
-# siblings' SHARED oracles (ann_mmr_rerank_indexed — verdict ask #3;
-# embedding_hard_negatives_indexed — ask #4, via the new per-query
-# allowed sets in probe_ivfpq_index; embedding_knn_label_agreement_
-# indexed — same discipline, closing the raw doc's promise), and a
-# curation-audit trio (corpus_curriculum_order — quartile-staged
-# deterministic length curriculum, no global sort;
-# dedup_cluster_size_histogram — the dedup audit report, component
-# machinery + two count aggs; text_tokenizer_fertility — per-language
-# chars-per-BPE-token budget skew). (c) 8 re-confirms of rows whose
-# backing code changed THIS round: ann_mmr_rerank_topk (mmr_rerank
-# gained id-type derivation + the null-relevance guard),
-# ann_hybrid_rrf_indexed + ann_ivfpq_filtered_topk
-# (probe_ivfpq_index gained allowed_query_col), and the slot_persist
-# consumers text_tfidf_sim_topk, text_tfidf_sim_indexed,
-# dedup_exact_substrings, corpus_dsir_weights, corpus_dsir_resample
-# (_input_fingerprint now treats a failed os.stat as unresolvable).
-# (d) 3 of the oldest-cohort r7-era rows (agg_distinct,
-# anti_join_no_orders, semi_join_open_orders) to start the next
-# cohort early. Remaining debt after r10: 44 r7-era rows (4 rounds
-# old at r11) — r11 MUST clear all 44; with ~6 slots left for
-# r11-touched re-confirms that is the whole r11 window, so r11
-# novelty should stay small (1-2 queries) or wait for r12.
+# Round-11 rotation (VERDICT r10 lead item — the whole window is the
+# r7-era cohort, exactly as the r10 rotation committed): (a) ALL 44
+# r7-era rows, 4 rounds old at r11 close — the TPC-H family
+# (q1/q2/q3/q5/q7-q9/q11/q13-q22), both asof joins, both pageranks,
+# both gapfills, hypertable rollup, the window families
+# (window_dist_functions, window_range_frames, topn_per_group,
+# rolling_wau), rollup_acctbal, cube_orders, stats_regression,
+# correlated_above_avg, full_outer_nation_accounts,
+# dq_referential_orphans, anomaly_trailing_zscore,
+# dedup_semantic_clustered, corpus_chunk_sliding,
+# corpus_shard_shuffle, text_word_entropy, union_all_with_source,
+# lateral_explode_tokens, map_functions, date_null_functions. After
+# this round no registry row predates r8, and
+# tests/test_row_age_contract.py makes the over-age condition a RED
+# TEST rather than prose. (b) 1 new query — dedup_semantic_indexed:
+# SemDeDup served from the PERSISTED IVF+PQ index's stored centroids
+# (cosine_pairs_above(centroids=...) — no per-run k-means retrain),
+# gated under the SAME oracle as its retraining twin; the last
+# corpus-sized exact stage without a persisted-index production twin
+# (VERDICT r10 ask #4). (c) 1 touched-code re-confirm:
+# dedup_embedding_cosine (cosine_pairs_above gained the stored-
+# centroids parameter; also the r10 loaded-host bench outlier, so
+# its fresh idle row and ledger timing land together) —
+# dedup_semantic_clustered, the other consumer, is already in (a).
+# (d) 4 of the oldest r8-era rows (approx_distinct_users,
+# corpus_snapshot_diff, dedup_canonical_election, dedup_minhash_lsh)
+# to start the next cohort early. Remaining debt after r11: 29
+# r8-era rows (3 rounds old at r12) — r12 MUST clear all 29, which
+# leaves ~20 slots for novelty + re-confirms; the r9 cohort (43
+# rows) is then due in full at r13, so r12 should also chip 5-10 of
+# the oldest r9 rows.
 _FRONT: tuple[str, ...] = (
-    # -- (a) the 32 r6-era rows, oldest cohort first --
-    "text_stats",
-    "corpus_quality_filter",
-    "anomaly_cusum_changepoint",
-    "corpus_domain_cap",
-    "corpus_mix_weights",
-    "corpus_pack_bins",
-    "corpus_prepare_pipeline",
-    "corpus_source_profile",
-    "corpus_split_hash",
-    "corpus_stratified_sample",
-    "decontam_ngram_overlap",
-    "dedup_cluster_components",
-    "dedup_containment_ngram",
-    "dedup_exact",
-    "dedup_incremental_minhash",
-    "dedup_ngram_jaccard",
-    "dedup_paragraph_spans",
-    "dedup_simhash",
-    "dq_profile_lineitem",
-    "dq_profile_lineitem_approx",
-    "embedding_label_cohesion",
-    "mm_binary_meta",
-    "mm_feature_extract",
-    "mm_frame_sample",
-    "mm_resize_images",
-    "percentiles_acctbal_approx",
-    "range_join_event_pairs",
-    "rolling_wau_hll",
-    "text_pii_redact",
-    "text_repetition",
-    "text_top_terms_udtf",
-    "text_unigram_logprob",
+    # -- (a) the 44 r7-era rows: TPC-H family first, then operators --
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_volume",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_parts_supplier_cnt",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customer",
+    "q19_discounted_revenue",
+    "q20_heavy_shippers",
+    "q21_sole_returned_supplier",
+    "q22_sales_opportunity",
+    "asof_join_latest_order",
+    "asof_join_next_order",
+    "graph_pagerank_events",
+    "graph_pagerank_seeded",
+    "gapfill_locf_hourly",
+    "gapfill_interpolate_hourly",
+    "hypertable_rollup_daily",
+    "window_dist_functions",
+    "window_range_frames",
+    "topn_per_group",
+    "rolling_wau",
+    "rollup_acctbal",
+    "cube_orders",
+    "stats_regression_lineitem",
+    "correlated_above_avg",
+    "full_outer_nation_accounts",
+    "dq_referential_orphans",
+    "anomaly_trailing_zscore",
+    "dedup_semantic_clustered",
+    "corpus_chunk_sliding",
+    "corpus_shard_shuffle",
+    "text_word_entropy",
+    "union_all_with_source",
+    "lateral_explode_tokens",
+    "map_functions",
+    "date_null_functions",
     # -- (b) new this round --
-    "embedding_covariance_exclude",
-    "ann_mmr_rerank_indexed",
-    "embedding_hard_negatives_indexed",
-    "embedding_knn_label_agreement_indexed",
-    "corpus_curriculum_order",
-    "dedup_cluster_size_histogram",
-    "text_tokenizer_fertility",
-    # -- (c) r10-touched code: re-confirm --
-    "ann_mmr_rerank_topk",
-    "ann_hybrid_rrf_indexed",
-    "ann_ivfpq_filtered_topk",
-    "text_tfidf_sim_topk",
-    "text_tfidf_sim_indexed",
-    "dedup_exact_substrings",
-    "corpus_dsir_weights",
-    "corpus_dsir_resample",
-    # -- (d) oldest r7-era rows: start the next cohort early --
-    "agg_distinct",
-    "anti_join_no_orders",
-    "semi_join_open_orders",
+    "dedup_semantic_indexed",
+    # -- (c) r11-touched code: re-confirm --
+    "dedup_embedding_cosine",
+    # -- (d) oldest r8-era rows: start the next cohort early --
+    "approx_distinct_users",
+    "corpus_snapshot_diff",
+    "dedup_canonical_election",
+    "dedup_minhash_lsh",
 )
 
 

@@ -23,17 +23,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from cassandrastack_spark.queries import load_all  # noqa: E402
 
 
-def main() -> int:
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+def newest_green_rounds(repo: str) -> tuple[dict[str, int], list[int]]:
+    """(newest green CORRECTNESS round per query, all round numbers seen).
+
+    A green row has err None and no explicit rows/hash/schema mismatch
+    (hash/schema default True because rows-only checks omit them — but
+    an explicit False is a failure, not a verification). This is THE
+    definition of "verified" — row_age's audit and the row-age contract
+    test (tests/test_row_age_contract.py) both use it.
+    """
     newest: dict[str, int] = {}
-    rounds = []
+    rounds: list[int] = []
     for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         r = int(f.rsplit("_r", 1)[1].split(".")[0])
         rounds.append(r)
         for name, row in json.load(open(f)).items():
-            # a FAILED row is not a green row; only count clean passes.
-            # hash/schema default True because rows-only (no-oracle)
-            # checks omit them — but an explicit False is a failure.
             if (
                 row.get("err") is None
                 and row.get("rows_match", True)
@@ -41,6 +45,12 @@ def main() -> int:
                 and row.get("schema_match", True)
             ):
                 newest[name] = max(newest.get(name, 0), r)
+    return newest, rounds
+
+
+def main() -> int:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    newest, rounds = newest_green_rounds(repo)
     if not rounds:
         print("no CORRECTNESS_r*.json files found")
         return 1

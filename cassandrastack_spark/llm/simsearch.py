@@ -198,6 +198,7 @@ def cosine_pairs_above(
     target_recall: float = 0.999,
     cluster_k: int = 16,
     cluster_assign: int = 2,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a_id < b_id, cosine ≥ t).
 
@@ -236,7 +237,21 @@ def cosine_pairs_above(
       production shape: assignment is a narrow map over the stored
       centroids, and the pair join is keyed by cluster id (AQE splits
       hot clusters).
+
+      Pass ``centroids`` (e.g. the list stored in a persisted IVF+PQ
+      index's ``_meta`` — ``build_ivfpq_index``) to SKIP the per-run
+      k-means retrain and assign against those instead — the actual
+      100 TB operating point, where training happened once at index
+      build and every dedup pass reuses it. ``cluster_k`` is ignored
+      when ``centroids`` is given (k = len(centroids)). Assignment is
+      argmax of dot(centroid, vec), invariant to the query vectors'
+      norms, so centroids trained on unit vectors serve raw-vector
+      corpora unchanged.
     """
+    if centroids is not None and method != "cluster":
+        raise ValueError(
+            f"centroids= only applies to method='cluster', got {method!r}"
+        )
     v = with_norm(df.select(id_col, vec_col), vec_col).select(
         F.col(id_col).alias("id"), "vec", "norm"
     )
@@ -253,14 +268,17 @@ def cosine_pairs_above(
             .distinct()
         )
     elif method == "cluster":
+        if centroids is not None:
+            cluster_k = len(centroids)
         if cluster_assign < 1 or cluster_assign > cluster_k:
             raise ValueError(
                 f"cluster_assign must be in [1, cluster_k], got "
                 f"{cluster_assign}"
             )
-        centroids = ivf_train_centroids(
-            v.select("id", "vec"), k_centroids=cluster_k, iters=5
-        )
+        if centroids is None:
+            centroids = ivf_train_centroids(
+                v.select("id", "vec"), k_centroids=cluster_k, iters=5
+            )
         cent_arr = (
             "array(" + ", ".join(
                 "array(" + ", ".join(f"{x!r}D" for x in c) + ")"

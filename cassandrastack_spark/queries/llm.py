@@ -260,16 +260,49 @@ def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register(
-    "dedup_semantic_clustered",
-    oracle="""
+# SHARED oracle for both semantic-dedup twins (retrain-per-run and
+# persisted-index): the gate invariants vs the exact triangle-block
+# pairs at the same threshold — every reported pair true (subset),
+# recall >= 0.6 — must hold whichever way the centroids were obtained.
+_SEMANTIC_DEDUP_ORACLE = """
         SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs_exact,
                TRUE AS clustered_subset_of_exact,
                TRUE AS recall_ge_60pct
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(
                   a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.42
-    """,
+"""
+
+
+def _semantic_gate(exact: DataFrame, clus: DataFrame) -> DataFrame:
+    """Gate stats shared by the semantic-dedup twins: exact-pair count,
+    the subset invariant, and the recall >= 0.6 floor. ``exact`` must
+    already be materialized (it feeds both the count and the subset
+    join — shared lineage is not shared execution)."""
+    stats_c = (
+        clus.join(
+            exact.withColumn("hit", F.lit(1)), ["a_id", "b_id"], "left"
+        )
+        .agg(
+            F.count("*").alias("n_clustered"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_matched"),
+        )
+    )
+    stats_e = exact.agg(F.count("*").alias("n_exact"))
+    return stats_e.crossJoin(F.broadcast(stats_c)).select(
+        F.col("n_exact").cast("bigint").alias("n_pairs_exact"),
+        (F.col("n_matched") == F.col("n_clustered")).alias(
+            "clustered_subset_of_exact"
+        ),
+        (F.col("n_matched") >= 0.6 * F.col("n_exact")).alias(
+            "recall_ge_60pct"
+        ),
+    )
+
+
+@register(
+    "dedup_semantic_clustered",
+    oracle=_SEMANTIC_DEDUP_ORACLE,
     doc="SemDeDup-style clustered semantic dedup (Abbas et al. 2023) "
         "— the scale path for embedding near-dup pairs: deterministic "
         "spherical k-means (16 centroids, bounded sample), every "
@@ -298,25 +331,45 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, threshold=0.42, method="cluster",
         cluster_k=16, cluster_assign=3,
     )
-    stats_c = (
-        clus.join(
-            exact.withColumn("hit", F.lit(1)), ["a_id", "b_id"], "left"
-        )
-        .agg(
-            F.count("*").alias("n_clustered"),
-            F.sum(F.coalesce("hit", F.lit(0))).alias("n_matched"),
-        )
+    return _semantic_gate(exact, clus)
+
+
+@register(
+    "dedup_semantic_indexed",
+    oracle=_SEMANTIC_DEDUP_ORACLE,
+    doc="dedup_semantic_clustered served from the PERSISTED IVF+PQ "
+        "index — the production semantic-dedup shape the retraining "
+        "twin only models: the centroids come from the index's 1-row "
+        "_meta sidecar (build_ivfpq_index, trained ONCE at index "
+        "build, amortized across every probe AND every dedup pass), "
+        "so the per-run k-means retrain disappears and candidate "
+        "generation is a narrow assignment map over 16 broadcast "
+        "centroids plus the cid-keyed equi-join — the last "
+        "corpus-sized exact stage that lacked a persisted-index "
+        "production twin (VERDICT r10 ask #4). Gated under the SAME "
+        "oracle as the retraining twin: subset-of-exact (precision 1 "
+        "by construction, checked anyway) and recall >= 0.6 must "
+        "hold with the stored centroids too — a drifted or stale "
+        "index fails the gate rather than silently losing pairs. "
+        "Assignment is argmax dot(centroid, vec), norm-invariant, so "
+        "the unit-vector-trained index centroids serve the raw "
+        "corpus unchanged; pytest additionally pins that stored-"
+        "centroid candidates reproduce the inline-trained path when "
+        "given the same centroids.",
+)
+def dedup_semantic_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _ivfpq_index_for(spark, sf_dir, 16)
+    meta = spark.read.parquet(path + "/_meta").head()
+    stored = [list(c) for c in meta.centroids]
+    exact = cosine_pairs_above(emb, threshold=0.42).localCheckpoint(
+        eager=True
     )
-    stats_e = exact.agg(F.count("*").alias("n_exact"))
-    return stats_e.crossJoin(F.broadcast(stats_c)).select(
-        F.col("n_exact").cast("bigint").alias("n_pairs_exact"),
-        (F.col("n_matched") == F.col("n_clustered")).alias(
-            "clustered_subset_of_exact"
-        ),
-        (F.col("n_matched") >= 0.6 * F.col("n_exact")).alias(
-            "recall_ge_60pct"
-        ),
+    clus = cosine_pairs_above(
+        emb, threshold=0.42, method="cluster",
+        cluster_assign=3, centroids=stored,
     )
+    return _semantic_gate(exact, clus)
 
 
 @register(

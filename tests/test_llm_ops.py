@@ -1886,6 +1886,79 @@ def test_cosine_pairs_cluster_method_subset_and_multiassign_recall(spark, emb):
         cosine_pairs_above(emb, threshold=0.42, method="bogus")
 
 
+def test_cosine_pairs_cluster_stored_centroids(spark, emb, tmp_path):
+    """``centroids=`` — the persisted-index serving shape behind
+    dedup_semantic_indexed: (a) passing the SAME centroids the inline
+    path would train reproduces the inline-trained pairs exactly (the
+    skip-retrain wiring changes candidates not at all); (b) centroids
+    read back from a real build_ivfpq_index _meta sidecar satisfy the
+    gate invariants (subset of exact, recall >= 0.6 at 3 assignments)
+    even though they were trained on unit vectors — assignment is
+    norm-invariant; (c) loud failures: centroids with a non-cluster
+    method, cluster_assign over len(centroids)."""
+    from cassandrastack_spark.llm.simsearch import (
+        build_ivfpq_index,
+        cosine_pairs_above,
+        ivf_train_centroids,
+        with_norm,
+    )
+
+    inline = {
+        (r.a_id, r.b_id)
+        for r in cosine_pairs_above(
+            emb, threshold=0.42, method="cluster",
+            cluster_k=16, cluster_assign=3,
+        ).collect()
+    }
+    # (a) replicate the inline path's training call; same deterministic
+    # sample -> same centroids -> identical candidates and pairs
+    v = with_norm(emb.select("vec_id", "embedding"), "embedding").select(
+        F.col("vec_id").alias("id"), "vec", "norm"
+    )
+    trained = ivf_train_centroids(
+        v.select("id", "vec"), k_centroids=16, iters=5
+    )
+    stored_run = {
+        (r.a_id, r.b_id)
+        for r in cosine_pairs_above(
+            emb, threshold=0.42, method="cluster",
+            cluster_assign=3, centroids=trained,
+        ).collect()
+    }
+    assert stored_run == inline
+
+    # (b) the real artifact: centroids out of a persisted index's _meta
+    path = str(tmp_path / "ivfpq_idx")
+    build_ivfpq_index(emb, path, k_centroids=16)
+    meta = spark.read.parquet(path + "/_meta").head()
+    from_index = {
+        (r.a_id, r.b_id)
+        for r in cosine_pairs_above(
+            emb, threshold=0.42, method="cluster",
+            cluster_assign=3, centroids=[list(c) for c in meta.centroids],
+        ).collect()
+    }
+    exact = {
+        (r.a_id, r.b_id)
+        for r in cosine_pairs_above(emb, threshold=0.42).collect()
+    }
+    assert from_index <= exact, "stored-centroid pairs must be verified"
+    assert len(from_index & exact) >= 0.6 * len(exact), (
+        len(from_index), len(exact)
+    )
+
+    # (c) loud failures
+    with pytest.raises(ValueError, match="method='cluster'"):
+        cosine_pairs_above(
+            emb, threshold=0.42, method="exact", centroids=trained
+        )
+    with pytest.raises(ValueError, match="cluster_assign"):
+        cosine_pairs_above(
+            emb, threshold=0.42, method="cluster",
+            cluster_assign=len(trained) + 1, centroids=trained,
+        )
+
+
 def test_pagerank_reset_scale_invariance_and_duplicate_rows(spark):
     """Personalization properties: (a) the reset distribution is
     normalized, so scaling every weight by a constant changes nothing;

@@ -68,23 +68,31 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # lateral_explode_tokens, map_functions, date_null_functions. After
 # this round no registry row predates r8, and
 # tests/test_row_age_contract.py makes the over-age condition a RED
-# TEST rather than prose. (b) 1 new query — dedup_semantic_indexed:
+# TEST rather than prose. (b) 3 new queries — dedup_semantic_indexed:
 # SemDeDup served from the PERSISTED IVF+PQ index's stored centroids
 # (cosine_pairs_above(centroids=...) — no per-run k-means retrain),
 # gated under the SAME oracle as its retraining twin; the last
 # corpus-sized exact stage without a persisted-index production twin
-# (VERDICT r10 ask #4). (c) 1 touched-code re-confirm:
+# (VERDICT r10 ask #4); ann_index_extend_probe: the vector-ingest
+# loop (build on the 90% base, extend_ivfpq_index with the 10%
+# batch, full-width probe) gated under ann_cosine_topk's EXACT
+# oracle, so a lost appended vector hash-mismatches; and
+# text_heavy_hitters_sketch: Misra-Gries bounded-state candidates +
+# exact verification, the unbounded-key twin of profile_hot_keys.
+# (c) 1 touched-code re-confirm:
 # dedup_embedding_cosine (cosine_pairs_above gained the stored-
 # centroids parameter; also the r10 loaded-host bench outlier, so
 # its fresh idle row and ledger timing land together) —
 # dedup_semantic_clustered, the other consumer, is already in (a).
-# (d) 4 of the oldest r8-era rows (approx_distinct_users,
-# corpus_snapshot_diff, dedup_canonical_election, dedup_minhash_lsh)
-# to start the next cohort early. Remaining debt after r11: 29
-# r8-era rows (3 rounds old at r12) — r12 MUST clear all 29, which
-# leaves ~20 slots for novelty + re-confirms; the r9 cohort (43
-# rows) is then due in full at r13, so r12 should also chip 5-10 of
-# the oldest r9 rows.
+# (d) 2 of the oldest r8-era rows (approx_distinct_users,
+# corpus_snapshot_diff) to start the next cohort early
+# (dedup_canonical_election and dedup_minhash_lsh yielded their
+# chip slots to the two extra new queries — at r11 close their rows
+# are exactly 3 rounds old, still inside the age contract).
+# Remaining debt after r11: 31 r8-era rows (3 rounds old at r12) —
+# r12 MUST clear all 31, which leaves ~19 slots for novelty +
+# re-confirms; the r9 cohort (43 rows) is then due in full at r13,
+# so r12 should also chip 5-10 of the oldest r9 rows.
 _FRONT: tuple[str, ...] = (
     # -- (a) the 44 r7-era rows: TPC-H family first, then operators --
     "q1_pricing_summary",
@@ -138,8 +146,12 @@ _FRONT: tuple[str, ...] = (
     # -- (d) oldest r8-era rows: start the next cohort early --
     "approx_distinct_users",
     "corpus_snapshot_diff",
-    "dedup_canonical_election",
-    "dedup_minhash_lsh",
+    # -- (b continued) new this round, replacing two r8-era chips
+    # (dedup_canonical_election, dedup_minhash_lsh — at r11 close their
+    # rows are exactly 3 rounds old, still inside the age contract;
+    # they rejoin the r12 cohort) --
+    "ann_index_extend_probe",
+    "text_heavy_hitters_sketch",
 )
 
 

@@ -416,9 +416,11 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # similarity search
 # ---------------------------------------------------------------------------
 
-@register(
-    "ann_cosine_topk",
-    oracle="""
+# Exact brute-force cosine top-5 for query vectors vec_id < 10 over the
+# FULL corpus — shared by ann_cosine_topk (the raw exact scan) and
+# ann_index_extend_probe (the build-then-extend persisted index probed
+# at full width), pinning the two paths to the SAME answer.
+_EXACT_TOPK_ORACLE = """
         SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                    ROW_NUMBER() OVER (
@@ -431,7 +433,12 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE q.vec_id < 10)
         WHERE rank <= 5
         ORDER BY query_id, rank
-    """,
+"""
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=_EXACT_TOPK_ORACLE,
     doc="Exact brute-force cosine top-5 for 10 query vectors — broadcast "
         "query side, per-query row_number; ranks compared (not floats).",
 )
@@ -3653,4 +3660,118 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_token"),
         )
         .orderBy("lang")
+    )
+
+
+def _extended_ivfpq_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """The incremental-ingest index: built on the 90% base slice
+    (vec_id % 10 != 0), then extended with the 10% batch slice via
+    extend_ivfpq_index — stored centroids/codebooks, no retrain. Built
+    once per process like the other persisted indexes; every probe is
+    the amortized operating shape."""
+    from cassandrastack_spark.llm.simsearch import (
+        build_ivfpq_index,
+        extend_ivfpq_index,
+    )
+
+    key = ("ivfpq16ext", sf_dir)
+    if key not in _INDEX_CACHE:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="cs_q_ivfpq_ext_")
+        emb = _t(spark, sf_dir, "embeddings")
+        build_ivfpq_index(
+            emb.filter(F.col("vec_id") % 10 != 0), path, k_centroids=16
+        )
+        extend_ivfpq_index(emb.filter(F.col("vec_id") % 10 == 0), path)
+        _INDEX_CACHE[key] = path
+    return _INDEX_CACHE[key]
+
+
+@register(
+    "ann_index_extend_probe",
+    oracle=_EXACT_TOPK_ORACLE,
+    doc="The vector-ingest loop end-to-end: build_ivfpq_index on the "
+        "90% base slice of the corpus, extend_ivfpq_index with the "
+        "10% batch (assign + PQ-encode the NEW rows against the "
+        "STORED centroids/codebooks from the immutable _meta sidecar "
+        "— no retrain, no corpus re-read, cost proportional to the "
+        "batch; the codes land under a fresh epoch stamp), then "
+        "probe the merged index. Gated under the SAME exact oracle "
+        "as ann_cosine_topk: the probe runs FULL width (nprobe = all "
+        "lists, shortlist covering every candidate) so the exact "
+        "float re-rank provably equals brute-force cosine over the "
+        "WHOLE corpus — an extend that lost, mis-stamped, or "
+        "mis-routed any appended vector leaves it out of the "
+        "shortlist and hash-mismatches. The production operating "
+        "point (nprobe << K) is covered by the recall-curve pytest; "
+        "replay/compaction semantics (re-extended ids resolve to "
+        "newest epoch via max_by at compact) are pinned in "
+        "tests/test_llm_ops.py. At 100 TB this is the shape that "
+        "keeps index maintenance off the retrain path: daily batches "
+        "append codes partitions; rebuild cadence is a drift "
+        "decision measured by embedding_covariance_drift.",
+)
+def ann_index_extend_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandrastack_spark.llm.simsearch import probe_ivfpq_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _extended_ivfpq_index_for(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 10)
+    return (
+        probe_ivfpq_index(
+            spark, path, q, emb,
+            k=5, nprobe=16, shortlist=1 << 20,
+        )
+        .select(
+            "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank")
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+@register(
+    "text_heavy_hitters_sketch",
+    oracle="""
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        GROUP BY token
+        ORDER BY cnt DESC, token
+        LIMIT 10
+    """,
+    doc="Top-10 most frequent tokens via bounded-state heavy-hitter "
+        "candidates + exact verification — the two-pass shape that "
+        "replaces the unbounded-cardinality groupBy at 100 TB: pass 1 "
+        "builds a Misra-Gries summary per input partition "
+        "(operators/sketch.py mg_candidates, capacity 256 — per-task "
+        "state AND shuffle bounded to capacity rows per partition, "
+        "with the classic guarantee that every token above "
+        "N/(capacity+1) of its partition survives, hence every "
+        "global heavy hitter survives in >= 1 partition); pass 2 "
+        "computes EXACT counts for the candidate union alone via a "
+        "broadcast semi-join on the token stream, so the only "
+        "content-keyed shuffle is bounded by partitions x capacity "
+        "instead of the full token vocabulary. Output is the exact "
+        "top-10 (count desc, token asc), so the oracle is plain "
+        "exact SQL: if the sketch ever dropped a true heavy hitter "
+        "the verified top-10 would differ and the row would go red — "
+        "the same candidates-then-verify discipline as the "
+        "PPJoin/LSH dedup family. The exact single-pass alternative "
+        "stays available as the sibling profile_hot_keys (bounded "
+        "key); this is the unbounded-key twin.",
+)
+def text_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandrastack_spark.operators.sketch import mg_candidates
+
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    cand = mg_candidates(toks, "token", capacity=256).select("token").distinct()
+    return (
+        toks.join(F.broadcast(cand), "token")
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(10)
     )

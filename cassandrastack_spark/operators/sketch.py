@@ -39,6 +39,7 @@ the Misra-Gries bound.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def mg_candidates(
@@ -83,4 +84,35 @@ def mg_candidates(
 
     return df.select(key_col).mapInPandas(
         summarize, schema=f"{key_col} string, cnt_lb long"
+    )
+
+
+def heavy_hitters(
+    df: DataFrame, key_col: str, k: int = 10, capacity: int = 256
+) -> DataFrame:
+    """Exact top-``k`` most frequent keys, computed with bounded state:
+    the two-pass candidates-then-verify composition described in the
+    module docstring. Returns ``(key_col, cnt bigint)`` ordered by
+    count desc, key asc (deterministic tie-break).
+
+    Correct whenever the true top-k all exceed ``N / (capacity + 1)``
+    of some partition — for skewed frequency distributions (tokens,
+    n-grams, URLs) any generous ``capacity`` ≫ k satisfies this; size
+    capacity against k and the expected skew, not against the key
+    cardinality. The output counts are EXACT (pass 2 recounts the
+    candidates), so a too-small capacity under-recalls candidates
+    rather than mis-counting survivors.
+    """
+    cand = (
+        mg_candidates(df, key_col, capacity=capacity)
+        .select(key_col)
+        .distinct()
+    )
+    return (
+        df.select(key_col)
+        .join(F.broadcast(cand), key_col)
+        .groupBy(key_col)
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), key_col)
+        .limit(k)
     )

@@ -3762,16 +3762,9 @@ def ann_index_extend_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key); this is the unbounded-key twin.",
 )
 def text_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cassandrastack_spark.operators.sketch import mg_candidates
+    from cassandrastack_spark.operators.sketch import heavy_hitters
 
     toks = _t(spark, sf_dir, "documents").select(
         F.explode(F.split("text", " ")).alias("token")
     )
-    cand = mg_candidates(toks, "token", capacity=256).select("token").distinct()
-    return (
-        toks.join(F.broadcast(cand), "token")
-        .groupBy("token")
-        .agg(F.count("*").cast("bigint").alias("cnt"))
-        .orderBy(F.desc("cnt"), "token")
-        .limit(10)
-    )
+    return heavy_hitters(toks, "token", k=10, capacity=256)

@@ -81,6 +81,15 @@ def test_mg_candidates_ignores_nulls(spark):
     assert set(cand["key"]) == {"a", "b"}
 
 
+def test_heavy_hitters_exact_counts_under_eviction(spark, skewed):
+    # capacity 16 forces eviction in every partition (200 tail keys),
+    # yet the verified output must carry EXACT counts for the top keys
+    from cassandrastack_spark.operators.sketch import heavy_hitters
+
+    got = heavy_hitters(skewed, "key", k=2, capacity=16).toPandas()
+    assert got.values.tolist() == [["hot", 500], ["warm", 120]]
+
+
 def test_text_heavy_hitters_sketch_equals_exact_topk(spark):
     from cassandrastack_spark.queries.llm import text_heavy_hitters_sketch
 

@@ -85,6 +85,9 @@ DEFAULT_QUERIES = [
     "corpus_curriculum_order",     # 1-row quartile scalar, no sort
     "dedup_cluster_size_histogram",  # components + two count aggs
     "text_tokenizer_fertility",    # regex codegen + lang groupBy
+    "dedup_semantic_indexed",      # SemDeDup from stored centroids
+    "ann_index_extend_probe",      # build+extend index, pruned probe
+    "text_heavy_hitters_sketch",   # MG candidates + bounded verify
 ]
 
 RED_FLAGS = ("BroadcastNestedLoopJoin", "CartesianProduct")
@@ -118,6 +121,10 @@ DOCUMENTED_BNL = {
                                 "(exact-count scalar vs clustered-"
                                 "match scalar); the candidate stage "
                                 "itself equi-joins on the list id",
+    "dedup_semantic_indexed": "same 1-row x 1-row gate-stat crossJoin "
+                              "as its retraining twin (shared "
+                              "_semantic_gate); stored-centroid "
+                              "assignment is a narrow map",
     "embedding_covariance_block": "1-row n + 1-row dim scalar "
                                   "broadcasts onto the dim^2-row "
                                   "moments frame (dimension-bounded "

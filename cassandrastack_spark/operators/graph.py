@@ -364,3 +364,101 @@ def pagerank(
             if delta is not None and delta < tol:
                 break
     return ranks.select("node", "rank")
+
+
+def triangle_count(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over the undirected simple graph
+    induced by ``edges`` — the local-clustering signal (spam/link-farm
+    detection in crawl curation: organic neighborhoods close triangles,
+    synthetic link graphs don't).
+
+    Degree-ordered edge-iterator shape (the standard distributed
+    formulation, e.g. Suri & Vassilvitskii 2011): direct every
+    undirected edge from its lower-(degree, id) endpoint to the higher
+    one, build wedges only at each edge's LOWER endpoint, and close
+    them with a join back against the oriented edge set. Every
+    triangle is materialized exactly once (its lowest-rank vertex owns
+    it), and the wedge count is bounded by sum(d_out^2) where the
+    orientation caps d_out at O(sqrt(m)) — hub nodes generate NO
+    wedges because their edges all point INTO them; without the
+    orientation a single celebrity node would emit degree^2 wedge
+    rows. At 100 TB all three stages are equi-join shuffles keyed by
+    node/edge ids (never payloads), and the skew ceiling is the
+    orientation's sqrt(m) bound, not the raw degree distribution.
+
+    Input edges may be directed, weighted, duplicated, or contain
+    self-loops; the graph is first canonicalized (undirected,
+    distinct, loops dropped). Returns ``(node, triangles bigint)`` for
+    every node incident to >= 1 canonical edge (nodes in no triangle
+    report 0).
+    """
+    a, b = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.select(
+            F.least(a, b).alias("u"), F.greatest(a, b).alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # orient u->v by rank = (deg, id); carry both endpoints' ranks so
+    # the wedge stage can rank-order its two spokes without re-joining
+    ranked = (
+        und.join(deg.withColumnRenamed("node", "u"), "u")
+        .withColumnRenamed("deg", "du")
+        .join(
+            deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")),
+            "v",
+        )
+    )
+    lo_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("d"),
+        F.when(lo_first, F.col("dv")).otherwise(F.col("du")).alias("dd"),
+    ).localCheckpoint(eager=True)  # read 3x below: wedges twice + close
+    x, y = oriented.alias("x"), oriented.alias("y")
+    rank_lt = (F.col("x.dd") < F.col("y.dd")) | (
+        (F.col("x.dd") == F.col("y.dd")) & (F.col("x.d") < F.col("y.d"))
+    )
+    wedges = (
+        x.join(y, F.col("x.s") == F.col("y.s"))
+        .filter(rank_lt)
+        .select(
+            F.col("x.s").alias("apex"),
+            F.col("x.d").alias("w_s"),
+            F.col("y.d").alias("w_d"),
+        )
+    )
+    tris = wedges.join(
+        oriented.select(
+            F.col("s").alias("w_s"), F.col("d").alias("w_d")
+        ),
+        ["w_s", "w_d"],
+    )
+    per_node = (
+        tris.select(F.col("apex").alias("node"))
+        .unionAll(tris.select(F.col("w_s").alias("node")))
+        .unionAll(tris.select(F.col("w_d").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("triangles"))
+    )
+    return (
+        deg.select("node")
+        .join(per_node, "node", "left")
+        .select(
+            "node",
+            F.coalesce("triangles", F.lit(0).cast("bigint")).alias(
+                "triangles"
+            ),
+        )
+    )

@@ -92,7 +92,11 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # Remaining debt after r11: 31 r8-era rows (3 rounds old at r12) —
 # r12 MUST clear all 31, which leaves ~19 slots for novelty +
 # re-confirms; the r9 cohort (43 rows) is then due in full at r13,
-# so r12 should also chip 5-10 of the oldest r9 rows.
+# so r12 should also chip 5-10 of the oldest r9 rows. Ready-made r12
+# novelty: operators/graph.py triangle_count is library-complete and
+# pytest-pinned (tests/test_graph_triangles.py) — register it as
+# graph_triangle_count over the event-transition graph with a
+# DuckDB three-way-join oracle.
 _FRONT: tuple[str, ...] = (
     # -- (a) the 44 r7-era rows: TPC-H family first, then operators --
     "q1_pricing_summary",

@@ -698,3 +698,73 @@ def test_corpus_snapshot_diff_matches_dict_model(spark, snaps):
         else:
             want[i] = "unchanged"
     assert got == want
+
+
+_hh_key = st.sampled_from(["hot", "warm", "a", "b", "c", "d", "e"])
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(_hh_key, min_size=1, max_size=120),
+       st.integers(min_value=2, max_value=8))
+def test_heavy_hitters_contract(spark, keys, capacity):
+    """Two-pass heavy hitters: (1) every reported count is EXACT
+    (pass 2 recounts candidates), (2) every true-top-k key above the
+    Misra-Gries survival threshold N/(capacity+1) is reported."""
+    from collections import Counter
+
+    from cassandrastack_spark.operators.sketch import heavy_hitters
+
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    k = 3
+    got = heavy_hitters(df, "key", k=k, capacity=capacity).collect()
+    true = Counter(keys)
+    # deterministic brute-force top-k: count desc, key asc
+    want = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    got_map = {r.key: r.cnt for r in got}
+    for key, cnt in got_map.items():
+        assert cnt == true[key], f"{key}: reported {cnt} != exact {true[key]}"
+    thresh = len(keys) / (capacity + 1)
+    for key, cnt in want:
+        if cnt > thresh:
+            assert key in got_map, (
+                f"true top-{k} key {key} (cnt {cnt} > {thresh:.1f}) missing"
+            )
+
+
+@st.composite
+def small_graphs(draw):
+    n = draw(st.integers(min_value=2, max_value=8))
+    edges = draw(st.lists(
+        st.tuples(st.integers(0, n - 1), st.integers(0, n - 1)),
+        min_size=1, max_size=24,
+    ))
+    return n, edges
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(small_graphs())
+def test_triangle_count_matches_bruteforce(spark, g):
+    import itertools
+
+    from cassandrastack_spark.operators.graph import triangle_count
+
+    n, edges = g
+    adj = {i: set() for i in range(n)}
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    incident = {i for i in range(n) if adj[i]}
+    if not incident:
+        return  # only self-loops: canonical edge set is empty
+    ref = {i: 0 for i in incident}
+    for a, b, c in itertools.combinations(sorted(incident), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            ref[a] += 1
+            ref[b] += 1
+            ref[c] += 1
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.triangles for r in triangle_count(df).collect()}
+    assert got == ref

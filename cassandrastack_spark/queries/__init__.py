@@ -96,7 +96,11 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # novelty: operators/graph.py triangle_count is library-complete and
 # pytest-pinned (tests/test_graph_triangles.py) — register it as
 # graph_triangle_count over the event-transition graph with a
-# DuckDB three-way-join oracle.
+# DuckDB three-way-join oracle; llm/lm.py bigram_logprob (Stupid
+# Backoff, train/score split) is likewise ready (tests/test_lm.py) —
+# register as text_bigram_logprob (train on even doc_ids, score all,
+# round avg_logprob/ppl_proxy on both sides; the CTE oracle mirrors
+# the two count tables + the backoff CASE).
 _FRONT: tuple[str, ...] = (
     # -- (a) the 44 r7-era rows: TPC-H family first, then operators --
     "q1_pricing_summary",

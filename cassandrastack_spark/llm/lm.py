@@ -85,15 +85,31 @@ def bigram_logprob(
     tb = _bigrams(train, id_col, text_col).groupBy("w1", "w2").agg(
         F.count("*").alias("cb")
     )
+    # the unigram table feeds THREE consumers (the (N, V) scalar and
+    # both scoring joins) — shared lineage is not shared execution, so
+    # materialize the training aggregation once (the dedup_semantic_*
+    # discipline); localCheckpoint self-releases on GC
     tu = (
         _tokens(train, id_col, text_col)
         .select(F.explode("toks").alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("cu"))
+        .localCheckpoint(eager=True)
     )
+    # fail loud in-plan on an empty training corpus (sum over zero rows
+    # is NULL and would otherwise propagate null scores silently)
     scal = tu.agg(
         F.sum("cu").cast("double").alias("n_tok"),
         F.count("*").cast("double").alias("v_size"),
+    ).select(
+        F.when(
+            F.assert_true(
+                F.col("n_tok").isNotNull(),
+                "bigram_logprob: empty training corpus (no tokens)",
+            ).isNull(),
+            F.col("n_tok"),
+        ).alias("n_tok"),
+        "v_size",
     )
     sb = _bigrams(score, id_col, text_col)
     scored = (

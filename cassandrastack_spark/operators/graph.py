@@ -402,11 +402,16 @@ def triangle_count(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    # deg feeds THREE consumers (both orientation joins + the final
+    # zero-fill), and its lineage contains the edge-canonicalization
+    # distinct — the most expensive shuffle in the job; materialize it
+    # once (shared lineage is not shared execution)
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
+        .localCheckpoint(eager=True)
     )
     # orient u->v by rank = (deg, id); carry both endpoints' ranks so
     # the wedge stage can rank-order its two spokes without re-joining

@@ -19,9 +19,11 @@ The intended production shape is two passes (see
 
 1. candidates = union of per-partition summaries (this module) —
    a mapInPandas pass whose output is ≤ partitions × capacity rows;
-2. exact counts for the candidates alone — a broadcast semi-join on
-   the candidate set followed by ``groupBy(key).count()``, whose
-   shuffle is bounded by the candidate set instead of the key space.
+2. exact counts for the candidates alone — a semi-join on the
+   candidate set (AQE broadcasts it when it fits; no forced hint, so
+   extreme partition counts degrade to a still-bounded shuffled join)
+   followed by ``groupBy(key).count()``, whose shuffle is bounded by
+   the candidate set instead of the key space.
 
 Pass 2 re-reads the input, but rides the same scan/projection; the
 trade is one extra scan for a shuffle bounded by ``partitions ×
@@ -47,7 +49,7 @@ def mg_candidates(
 ) -> DataFrame:
     """Per-partition Misra-Gries heavy-hitter summaries.
 
-    Returns a DataFrame ``(key_col string, cnt_lb long)`` with at most
+    Returns a DataFrame ``(key_col <input type>, cnt_lb long)`` with at most
     ``capacity`` rows PER INPUT PARTITION: the summary keys and their
     conservative (lower-bound) counts. Guarantee: every key whose true
     count within a partition exceeds ``N_partition / (capacity + 1)``
@@ -56,11 +58,13 @@ def mg_candidates(
 
     The same key may appear once per partition — callers aggregate or
     ``distinct()`` downstream (that shuffle is the bounded one). Nulls
-    are ignored (they can't be a candidate key).
+    are ignored (they can't be a candidate key). The key column keeps
+    its input type (string, integer, ...).
     """
     if capacity < 1:
         raise ValueError(f"capacity must be >= 1, got {capacity}")
     cap = int(capacity)
+    key_type = df.schema[key_col].dataType.simpleString()
 
     def summarize(batches):
         import pandas as pd
@@ -83,7 +87,7 @@ def mg_candidates(
             yield out
 
     return df.select(key_col).mapInPandas(
-        summarize, schema=f"{key_col} string, cnt_lb long"
+        summarize, schema=f"{key_col} {key_type}, cnt_lb long"
     )
 
 
@@ -108,9 +112,13 @@ def heavy_hitters(
         .select(key_col)
         .distinct()
     )
+    # no broadcast hint: the candidate union is bounded by partitions x
+    # capacity, which AQE broadcasts when it fits but which a forced
+    # hint would OOM at extreme partition counts (10^6 partitions x
+    # 256 keys); the shuffled hash join keeps the same bounded volume
     return (
         df.select(key_col)
-        .join(F.broadcast(cand), key_col)
+        .join(cand, key_col)
         .groupBy(key_col)
         .agg(F.count("*").cast("bigint").alias("cnt"))
         .orderBy(F.desc("cnt"), key_col)

@@ -3750,7 +3750,8 @@ def ann_index_extend_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "N/(capacity+1) of its partition survives, hence every "
         "global heavy hitter survives in >= 1 partition); pass 2 "
         "computes EXACT counts for the candidate union alone via a "
-        "broadcast semi-join on the token stream, so the only "
+        "candidate semi-join on the token stream (AQE-elected "
+        "broadcast at this scale), so the only "
         "content-keyed shuffle is bounded by partitions x capacity "
         "instead of the full token vocabulary. Output is the exact "
         "top-10 (count desc, token asc), so the oracle is plain "

@@ -52,6 +52,15 @@ def test_bigram_logprob_seen_vs_garbage_ordering(spark, toy):
     assert got[10] > got[11]
 
 
+def test_bigram_logprob_empty_training_corpus_fails_loud(spark, toy):
+    # an empty reference corpus must raise in-plan, not propagate null
+    # scores into a downstream quality filter
+    _, score = toy
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(Exception, match="empty training corpus"):
+        bigram_logprob(empty, score).collect()
+
+
 def test_bigram_logprob_matches_bruteforce_on_fixture(spark):
     # train on even doc_ids, score 30 docs; reference computed in plain
     # python from the same split

@@ -81,6 +81,25 @@ def test_mg_candidates_ignores_nulls(spark):
     assert set(cand["key"]) == {"a", "b"}
 
 
+def test_heavy_hitters_integer_keys(spark):
+    # key schema is derived from the input, not hardcoded string: a
+    # bigint key round-trips through the Arrow summary and the verify
+    # join, matching the exact plan
+    from cassandrastack_spark.operators.sketch import heavy_hitters
+
+    e = spark.read.parquet(f"{SF}/events.parquet").select("user_id")
+    got = heavy_hitters(e, "user_id", k=5, capacity=64).toPandas()
+    exact = (
+        e.groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), "user_id")
+        .limit(5)
+        .toPandas()
+    )
+    assert got.values.tolist() == exact.values.tolist()
+    assert str(got["user_id"].dtype) == str(exact["user_id"].dtype)
+
+
 def test_heavy_hitters_exact_counts_under_eviction(spark, skewed):
     # capacity 16 forces eviction in every partition (200 tail keys),
     # yet the verified output must carry EXACT counts for the top keys

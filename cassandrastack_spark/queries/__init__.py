@@ -93,14 +93,12 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # r12 MUST clear all 31, which leaves ~19 slots for novelty +
 # re-confirms; the r9 cohort (43 rows) is then due in full at r13,
 # so r12 should also chip 5-10 of the oldest r9 rows. Ready-made r12
-# novelty: operators/graph.py triangle_count is library-complete and
-# pytest-pinned (tests/test_graph_triangles.py) — register it as
-# graph_triangle_count over the event-transition graph with a
-# DuckDB three-way-join oracle; llm/lm.py bigram_logprob (Stupid
-# Backoff, train/score split) is likewise ready (tests/test_lm.py) —
-# register as text_bigram_logprob (train on even doc_ids, score all,
-# round avg_logprob/ppl_proxy on both sides; the CTE oracle mirrors
-# the two count tables + the backoff CASE).
+# novelty: graph_triangle_count and text_bigram_logprob are FULLY
+# staged — operators/graph.py triangle_count and llm/lm.py
+# bigram_logprob are library-complete and pytest-pinned, and
+# tests/test_r12_oracle_parity.py already holds their EXACT oracle
+# SQL verified green against DuckDB at sf0.001; r12 lifts the query
+# fns and oracle strings from that test into @register verbatim.
 _FRONT: tuple[str, ...] = (
     # -- (a) the 44 r7-era rows: TPC-H family first, then operators --
     "q1_pricing_summary",

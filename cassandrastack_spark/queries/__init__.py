@@ -54,110 +54,94 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # first (in this order); everything else follows in registration order.
 # A name here that is not registered is ignored.
 #
-# Round-11 rotation (VERDICT r10 lead item — the whole window is the
-# r7-era cohort, exactly as the r10 rotation committed): (a) ALL 44
-# r7-era rows, 4 rounds old at r11 close — the TPC-H family
-# (q1/q2/q3/q5/q7-q9/q11/q13-q22), both asof joins, both pageranks,
-# both gapfills, hypertable rollup, the window families
-# (window_dist_functions, window_range_frames, topn_per_group,
-# rolling_wau), rollup_acctbal, cube_orders, stats_regression,
-# correlated_above_avg, full_outer_nation_accounts,
-# dq_referential_orphans, anomaly_trailing_zscore,
-# dedup_semantic_clustered, corpus_chunk_sliding,
-# corpus_shard_shuffle, text_word_entropy, union_all_with_source,
-# lateral_explode_tokens, map_functions, date_null_functions. After
-# this round no registry row predates r8, and
-# tests/test_row_age_contract.py makes the over-age condition a RED
-# TEST rather than prose. (b) 3 new queries — dedup_semantic_indexed:
-# SemDeDup served from the PERSISTED IVF+PQ index's stored centroids
-# (cosine_pairs_above(centroids=...) — no per-run k-means retrain),
-# gated under the SAME oracle as its retraining twin; the last
-# corpus-sized exact stage without a persisted-index production twin
-# (VERDICT r10 ask #4); ann_index_extend_probe: the vector-ingest
-# loop (build on the 90% base, extend_ivfpq_index with the 10%
-# batch, full-width probe) gated under ann_cosine_topk's EXACT
-# oracle, so a lost appended vector hash-mismatches; and
-# text_heavy_hitters_sketch: Misra-Gries bounded-state candidates +
-# exact verification, the unbounded-key twin of profile_hot_keys.
-# (c) 1 touched-code re-confirm:
-# dedup_embedding_cosine (cosine_pairs_above gained the stored-
-# centroids parameter; also the r10 loaded-host bench outlier, so
-# its fresh idle row and ledger timing land together) —
-# dedup_semantic_clustered, the other consumer, is already in (a).
-# (d) 2 of the oldest r8-era rows (approx_distinct_users,
-# corpus_snapshot_diff) to start the next cohort early
-# (dedup_canonical_election and dedup_minhash_lsh yielded their
-# chip slots to the two extra new queries — at r11 close their rows
-# are exactly 3 rounds old, still inside the age contract).
-# Remaining debt after r11: 31 r8-era rows (3 rounds old at r12) —
-# r12 MUST clear all 31, which leaves ~19 slots for novelty +
-# re-confirms; the r9 cohort (43 rows) is then due in full at r13,
-# so r12 should also chip 5-10 of the oldest r9 rows. Ready-made r12
-# novelty: graph_triangle_count and text_bigram_logprob are FULLY
-# staged — operators/graph.py triangle_count and llm/lm.py
-# bigram_logprob are library-complete and pytest-pinned, and
-# tests/test_r12_oracle_parity.py already holds their EXACT oracle
-# SQL verified green against DuckDB at sf0.001; r12 lifts the query
-# fns and oracle strings from that test into @register verbatim.
+# Round-12 rotation (VERDICT r11 lead item — the row-age contract test
+# went red the moment CORRECTNESS_r11.json landed, naming the cohort):
+# (a) ALL 31 r8-era rows, 4 rounds old at r12 close — the remaining
+# TPC-H chips (q4/q6/q10/q12), the CQL-read trio (point_lookup,
+# projection_scan, partition_scan_ordered), top_k_global,
+# set_operations, the window_* running/rank family,
+# tumbling_window_hourly, sessionize_events, retention_weekly,
+# salted_join_events_customers, percentiles_acctbal,
+# pareto_customers_by_segment, outliers_iqr_values, profile_* x2,
+# sql_* x3, dedup_canonical_election, dedup_minhash_lsh,
+# embedding_norms, embedding_quantize_int8, text_bm25_topk,
+# text_ngram_novelty. Clearing these turns
+# tests/test_row_age_contract.py green again. (b) 3 new queries —
+# graph_triangle_count and text_bigram_logprob (the two r11-staged
+# operators: library-complete since r11, oracle SQL pre-validated
+# green in tests/test_r12_oracle_parity.py, lifted into @register
+# verbatim), and corpus_dsir_weights_indexed: DSIR importance weights
+# served from the PERSISTED BM25 postings index (VERDICT r11 ask #6 —
+# the last raw-tokenize-per-run corpus statistic gains its
+# persisted-index production twin), gated under the SAME oracle as
+# corpus_dsir_weights so a drifted index goes red. (c) 4 touched-code
+# re-confirms — the postings-slot perf-drift work (VERDICT r11 ask #3)
+# touches llm/_slots.py consumers, so corpus_dsir_weights,
+# corpus_dsir_resample, text_tfidf_sim_topk and text_tfidf_sim_indexed
+# (all r10 rows) re-gate this round, and their fresh idle ledger
+# timings land next to the profile. (d) 12 r9-era chips toward the
+# 43-row r9 cohort due in full at r13: the whole ann_* probe family
+# (9 rows — also the code path the Arrow type-hint annotation cleanup
+# touches in llm/simsearch.py), embedding_hard_negatives,
+# embedding_knn_label_agreement, corpus_split_dedup_aware.
+# Remaining debt after r12: 31 r9-era rows (3 rounds old at r13) —
+# r13 MUST clear all 31, which leaves ~19 slots for novelty +
+# re-confirms + chips against the 50-row r10 cohort due at r14.
 _FRONT: tuple[str, ...] = (
-    # -- (a) the 44 r7-era rows: TPC-H family first, then operators --
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_volume",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_parts_supplier_cnt",
-    "q17_small_qty_revenue",
-    "q18_large_volume_customer",
-    "q19_discounted_revenue",
-    "q20_heavy_shippers",
-    "q21_sole_returned_supplier",
-    "q22_sales_opportunity",
-    "asof_join_latest_order",
-    "asof_join_next_order",
-    "graph_pagerank_events",
-    "graph_pagerank_seeded",
-    "gapfill_locf_hourly",
-    "gapfill_interpolate_hourly",
-    "hypertable_rollup_daily",
-    "window_dist_functions",
-    "window_range_frames",
-    "topn_per_group",
-    "rolling_wau",
-    "rollup_acctbal",
-    "cube_orders",
-    "stats_regression_lineitem",
-    "correlated_above_avg",
-    "full_outer_nation_accounts",
-    "dq_referential_orphans",
-    "anomaly_trailing_zscore",
-    "dedup_semantic_clustered",
-    "corpus_chunk_sliding",
-    "corpus_shard_shuffle",
-    "text_word_entropy",
-    "union_all_with_source",
-    "lateral_explode_tokens",
-    "map_functions",
-    "date_null_functions",
+    # -- (a) the 31 r8-era rows: TPC-H chips first, then operators --
+    "q4_priority_with_big_items",
+    "q6_forecast_revenue",
+    "q10_returned_revenue",
+    "q12_priority_by_linestatus",
+    "point_lookup",
+    "projection_scan",
+    "partition_scan_ordered",
+    "top_k_global",
+    "set_operations",
+    "window_moving_avg",
+    "window_rank_surface",
+    "window_running_distinct",
+    "window_running_sum",
+    "tumbling_window_hourly",
+    "sessionize_events",
+    "retention_weekly",
+    "salted_join_events_customers",
+    "percentiles_acctbal",
+    "pareto_customers_by_segment",
+    "outliers_iqr_values",
+    "profile_hot_keys",
+    "profile_table_stats",
+    "sql_exists_in_subqueries",
+    "sql_grouping_sets",
+    "sql_lateral_topk",
+    "dedup_canonical_election",
+    "dedup_minhash_lsh",
+    "embedding_norms",
+    "embedding_quantize_int8",
+    "text_bm25_topk",
+    "text_ngram_novelty",
     # -- (b) new this round --
-    "dedup_semantic_indexed",
-    # -- (c) r11-touched code: re-confirm --
-    "dedup_embedding_cosine",
-    # -- (d) oldest r8-era rows: start the next cohort early --
-    "approx_distinct_users",
-    "corpus_snapshot_diff",
-    # -- (b continued) new this round, replacing two r8-era chips
-    # (dedup_canonical_election, dedup_minhash_lsh — at r11 close their
-    # rows are exactly 3 rounds old, still inside the age contract;
-    # they rejoin the r12 cohort) --
-    "ann_index_extend_probe",
-    "text_heavy_hitters_sketch",
+    "graph_triangle_count",
+    "text_bigram_logprob",
+    "corpus_dsir_weights_indexed",
+    # -- (c) r12-touched code (postings-slot profile): re-confirm --
+    "corpus_dsir_weights",
+    "corpus_dsir_resample",
+    "text_tfidf_sim_topk",
+    "text_tfidf_sim_indexed",
+    # -- (d) oldest r9-era rows: chip the r13 cohort early --
+    "ann_cosine_topk",
+    "ann_filtered_topk",
+    "ann_hybrid_rrf_topk",
+    "ann_ivf_topk",
+    "ann_ivf_pq_topk",
+    "ann_lsh_topk",
+    "ann_pq_topk",
+    "ann_pq_topk_prod",
+    "ann_quantized_topk",
+    "embedding_hard_negatives",
+    "embedding_knn_label_agreement",
+    "corpus_split_dedup_aware",
 )
 
 

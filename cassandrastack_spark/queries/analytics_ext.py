@@ -1668,6 +1668,87 @@ def graph_pagerank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+# Lifted VERBATIM from tests/test_r12_oracle_parity.py, where this SQL
+# was validated green against DuckDB at sf0.001 one round before
+# registration (the staged-query discipline; the test now pins the
+# registered string to the validated one). Mirrors the degree-ordered
+# orientation of operators/graph.py triangle_count CTE-for-stage:
+# canonical undirected edges -> degrees -> orient each edge from its
+# lower-(degree, id) endpoint -> wedge-close -> per-node counts, with a
+# LEFT JOIN back to the node universe so triangle-free nodes report 0.
+_TRIANGLE_ORACLE = """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events),
+    raw AS (SELECT prev_type AS src, event_type AS dst
+            FROM seq WHERE prev_type IS NOT NULL),
+    und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+            FROM raw WHERE src <> dst),
+    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+                SELECT u AS node FROM und
+                UNION ALL SELECT v AS node FROM und) t
+            GROUP BY node),
+    orient AS (
+        SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
+               CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS d,
+               CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END AS dd
+        FROM und e
+        JOIN deg du ON du.node = e.u
+        JOIN deg dv ON dv.node = e.v),
+    tris AS (
+        SELECT x.s AS a, x.d AS b, y.d AS c
+        FROM orient x
+        JOIN orient y ON y.s = x.s AND (x.dd, x.d) < (y.dd, y.d)
+        JOIN orient z ON z.s = x.d AND z.d = y.d),
+    per AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+                SELECT a AS node FROM tris
+                UNION ALL SELECT b FROM tris
+                UNION ALL SELECT c FROM tris) t
+            GROUP BY node)
+    SELECT deg.node AS event_type,
+           COALESCE(per.triangles, 0) AS triangles
+    FROM deg LEFT JOIN per USING (node)
+    ORDER BY event_type
+"""
+
+
+@register(
+    "graph_triangle_count",
+    oracle=_TRIANGLE_ORACLE,
+    doc="Per-node triangle counts over the event-type transition graph "
+        "— the local-clustering signal (spam/link-farm detection in "
+        "crawl curation: organic link neighborhoods close triangles, "
+        "synthetic ones don't), run on the same Markov graph the "
+        "PageRank queries rank. operators/graph.py triangle_count(): "
+        "the degree-ordered edge-iterator formulation (Suri & "
+        "Vassilvitskii 2011) — canonicalize to undirected simple "
+        "edges, orient each from its lower-(degree, id) endpoint, "
+        "build wedges only at the LOWER endpoint, close them with one "
+        "equi-join back against the oriented edge set. Every triangle "
+        "materializes exactly once, and the orientation caps wedge "
+        "out-degree at O(sqrt(m)) — a celebrity hub generates ZERO "
+        "wedges (its edges all point into it), so the skew ceiling at "
+        "100 TB is sqrt(edges), not the raw degree distribution; all "
+        "three stages are (node, id)-keyed equi-join shuffles, no "
+        "payloads ride them. Triangle-free nodes report 0 via the "
+        "node-universe left join. Oracle: the same orientation "
+        "replayed CTE-for-stage in SQL, validated at sf0.001 the "
+        "round before registration.",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandrastack_spark.operators.graph import triangle_count
+
+    edges = event_transition_edges(spark, sf_dir)
+    return (
+        triangle_count(edges, "src", "dst")
+        .select(F.col("node").alias("event_type"), "triangles")
+        .orderBy("event_type")
+    )
+
+
 @register(
     "percentiles_acctbal_approx",
     oracle="""

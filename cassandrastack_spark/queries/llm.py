@@ -3769,3 +3769,103 @@ def text_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split("text", " ")).alias("token")
     )
     return heavy_hitters(toks, "token", k=10, capacity=256)
+
+
+# Lifted VERBATIM from tests/test_r12_oracle_parity.py, where this SQL
+# was validated green against DuckDB at sf0.001 one round before
+# registration (the staged-query discipline; the test now pins the
+# registered string to the validated one). Train = the even-doc_id
+# half, score = the whole corpus, so OOV-token and unseen-bigram
+# backoff paths are both exercised on every run.
+_BIGRAM_LM_ORACLE = """
+    WITH tr AS (
+        SELECT string_split(text, ' ') AS toks
+        FROM documents WHERE doc_id % 2 = 0),
+    tb AS (
+        SELECT bg.w1, bg.w2, CAST(COUNT(*) AS BIGINT) AS cb FROM (
+            SELECT unnest(list_transform(
+                       generate_series(1, len(toks) - 1),
+                       i -> struct_pack(w1 := toks[i], w2 := toks[i + 1])
+                   )) AS bg
+            FROM tr WHERE len(toks) >= 2) t
+        GROUP BY bg.w1, bg.w2),
+    tu AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS cu FROM (
+            SELECT unnest(toks) AS w FROM tr) t
+        GROUP BY w),
+    scal AS (
+        SELECT CAST(SUM(cu) AS DOUBLE) AS n_tok,
+               CAST(COUNT(*) AS DOUBLE) AS v_size
+        FROM tu),
+    sb AS (
+        SELECT doc_id, bg.w1, bg.w2 FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 1),
+                       i -> struct_pack(
+                           w1 := string_split(text, ' ')[i],
+                           w2 := string_split(text, ' ')[i + 1])
+                   )) AS bg
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 2) t),
+    scored AS (
+        SELECT sb.doc_id,
+               CASE WHEN tb.cb IS NOT NULL THEN tb.cb * 1.0 / u1.cu
+                    ELSE 0.4 * (COALESCE(u2.cu, 0) + 1.0)
+                         / (scal.n_tok + scal.v_size)
+               END AS s
+        FROM sb
+        LEFT JOIN tb ON tb.w1 = sb.w1 AND tb.w2 = sb.w2
+        LEFT JOIN tu u1 ON u1.w = sb.w1
+        LEFT JOIN tu u2 ON u2.w = sb.w2
+        CROSS JOIN scal)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(LN(s)), 6) AS avg_logprob,
+           ROUND(EXP(-AVG(LN(s))), 4) AS ppl_proxy
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+
+@register(
+    "text_bigram_logprob",
+    oracle=_BIGRAM_LM_ORACLE,
+    doc="Stupid-Backoff bigram language-model scoring (Brants et al. "
+        "2007, 'Large Language Models in Machine Translation' - the "
+        "count-based LM built FOR distributed engines: no "
+        "normalization pass, scores are count ratios with a fixed 0.4 "
+        "backoff penalty, so the whole model is two count tables) - "
+        "the quality-filter signal production pipelines score crawl "
+        "text with (perplexity-proxy filtering a la CCNet/Gopher "
+        "rules). Train on the even-doc_id half, score every document: "
+        "llm/lm.py bigram_logprob() builds bigrams with ONE "
+        "transform() over each doc's token array (no positional "
+        "self-join - the exploded bigram stream is emitted directly "
+        "from the array), aggregates the two Zipf-keyed count tables, "
+        "then scores via counts-only equi-joins on (w1, w2) and w - "
+        "text never rides a shuffle, seen-bigram scores are exact "
+        "IEEE divisions, and unseen bigrams back off to the add-one "
+        "unigram with the alpha = 0.4 penalty. Per-doc mean log-score "
+        "and exp(-mean) perplexity proxy round to 6/4 decimals on "
+        "both sides. At 100 TB the count tables partial-aggregate "
+        "map-side (stopword bigrams are AQE-splittable keys) and the "
+        "scoring joins broadcast nothing corpus-sized; sub-2-token "
+        "docs have no bigrams and are omitted on both sides. Oracle "
+        "validated at sf0.001 the round before registration.",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandrastack_spark.llm.lm import bigram_logprob
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        bigram_logprob(docs.filter("doc_id % 2 = 0"), docs)
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round("avg_logprob", 6).alias("avg_logprob"),
+            F.round("ppl_proxy", 4).alias("ppl_proxy"),
+        )
+        .orderBy("doc_id")
+    )

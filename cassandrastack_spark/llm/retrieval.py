@@ -473,6 +473,31 @@ def probe_bm25_index(
     )
 
 
+def postings_from_index(spark, path: str) -> DataFrame:
+    """The PERSISTED postings resolved to each document's newest epoch:
+    (w, doc_id, tf) with exactly one row per live doc-term pair — the
+    last-writer read shared by every full-corpus consumer of the index
+    (``probe_bm25_index`` does the same resolution on its PRUNED slice).
+    Re-extended ids contribute only their newest version's postings;
+    byte-identical at-least-once replays within an epoch collapse via
+    max(tf). This frame is the corpus's term-frequency aggregate — any
+    corpus statistic defined over (doc, term, count) triples (TF-IDF
+    vectors, DSIR importance weights, df tables) derives from it
+    without ever re-tokenizing text."""
+    cur = (
+        spark.read.parquet(path + "/_doclen")
+        .groupBy("doc_id")
+        .agg(F.max("epoch").alias("cur_epoch"))
+    )
+    return (
+        spark.read.parquet(path)
+        .join(cur, "doc_id")
+        .filter(F.col("epoch") == F.col("cur_epoch"))
+        .groupBy("w", "doc_id")
+        .agg(F.max("tf").alias("tf"))
+    )
+
+
 def tfidf_weights_from_index(
     spark, path: str, max_df_ratio: float = 1.0
 ) -> DataFrame:
@@ -488,18 +513,7 @@ def tfidf_weights_from_index(
     """
     meta = spark.read.parquet(path + "/_meta").head()
     n = float(meta.n_docs)
-    cur = (
-        spark.read.parquet(path + "/_doclen")
-        .groupBy("doc_id")
-        .agg(F.max("epoch").alias("cur_epoch"))
-    )
-    tf = (
-        spark.read.parquet(path)
-        .join(cur, "doc_id")
-        .filter(F.col("epoch") == F.col("cur_epoch"))
-        .groupBy("w", "doc_id")
-        .agg(F.max("tf").alias("tf"))
-    )
+    tf = postings_from_index(spark, path)
     df_t = tf.groupBy("w").agg(
         F.countDistinct("doc_id").cast("double").alias("df")
     )

@@ -2768,30 +2768,38 @@ def embedding_pca_projection_pairdist(
     )
 
 
+# SHARED by corpus_dsir_weights and corpus_dsir_weights_indexed — the
+# same oracle-sharing discipline as _SEMANTIC_DEDUP_ORACLE and
+# _EXACT_TOPK_ORACLE: the indexed twin must reproduce the raw-text
+# computation exactly, so a stale/drifted postings index (or a lossy
+# epoch resolution) hash-mismatches against the ground-truth SQL.
+_DSIR_WEIGHTS_ORACLE = """
+    WITH w AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+      FROM documents),
+    rf AS (SELECT w, COUNT(*) AS c_r FROM w GROUP BY w),
+    tf AS (SELECT w, COUNT(*) AS c_t FROM w WHERE lang = 'en'
+           GROUP BY w),
+    tot AS (SELECT (SELECT CAST(SUM(c_r) AS DOUBLE) FROM rf) AS n_r,
+                   (SELECT CAST(COALESCE(SUM(c_t), 0) AS DOUBLE)
+                    FROM tf) AS n_t,
+                   (SELECT CAST(COUNT(*) AS DOUBLE) FROM rf) AS v),
+    sc AS (
+      SELECT rf.w,
+             LN((COALESCE(tf.c_t, 0) + 1) / (tot.n_t + tot.v))
+           - LN((rf.c_r + 1) / (tot.n_r + tot.v)) AS s
+      FROM rf LEFT JOIN tf USING (w) CROSS JOIN tot)
+    SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(SUM(sc.s), 6) AS dsir_logweight
+    FROM w JOIN sc USING (w)
+    GROUP BY w.doc_id
+    ORDER BY w.doc_id
+"""
+
+
 @register(
     "corpus_dsir_weights",
-    oracle="""
-        WITH w AS (
-          SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
-          FROM documents),
-        rf AS (SELECT w, COUNT(*) AS c_r FROM w GROUP BY w),
-        tf AS (SELECT w, COUNT(*) AS c_t FROM w WHERE lang = 'en'
-               GROUP BY w),
-        tot AS (SELECT (SELECT CAST(SUM(c_r) AS DOUBLE) FROM rf) AS n_r,
-                       (SELECT CAST(COALESCE(SUM(c_t), 0) AS DOUBLE)
-                        FROM tf) AS n_t,
-                       (SELECT CAST(COUNT(*) AS DOUBLE) FROM rf) AS v),
-        sc AS (
-          SELECT rf.w,
-                 LN((COALESCE(tf.c_t, 0) + 1) / (tot.n_t + tot.v))
-               - LN((rf.c_r + 1) / (tot.n_r + tot.v)) AS s
-          FROM rf LEFT JOIN tf USING (w) CROSS JOIN tot)
-        SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-               ROUND(SUM(sc.s), 6) AS dsir_logweight
-        FROM w JOIN sc USING (w)
-        GROUP BY w.doc_id
-        ORDER BY w.doc_id
-    """,
+    oracle=_DSIR_WEIGHTS_ORACLE,
     doc="DSIR-style importance weights (Xie et al. 2023, 'Data "
         "Selection for Language Models via Importance Resampling'): "
         "score every document by log p_target(doc) - log p_raw(doc) "
@@ -2841,6 +2849,17 @@ def _dsir_logweights(d: DataFrame) -> DataFrame:
     w = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
     tfd = w.groupBy("doc_id", "lang", "w").agg(F.count("*").alias("cnt"))
     (tfd,) = slot_persist("queries.dsir_postings", tfd, (tfd,))
+    return _dsir_scores_from_postings(tfd)
+
+
+def _dsir_scores_from_postings(tfd: DataFrame) -> DataFrame:
+    """The DSIR LM math over a (doc_id, lang, w, cnt) per-document
+    postings aggregate — ONE definition shared by the raw-tokenize
+    path (``_dsir_logweights``) and the persisted-index path
+    (``corpus_dsir_weights_indexed``), so the two can never drift:
+    the indexed twin feeds the STORED postings through the exact
+    expressions the raw path uses, and both gate under the shared
+    ``_DSIR_WEIGHTS_ORACLE``."""
     rf = tfd.groupBy("w").agg(F.sum("cnt").alias("c_r"))
     tf = (
         tfd.filter(F.col("lang") == "en")
@@ -2943,6 +2962,57 @@ def corpus_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("_score"), "doc_id")
         .limit(100)
         .select("doc_id", F.round("_score", 6).alias("sample_score"))
+    )
+
+
+@register(
+    "corpus_dsir_weights_indexed",
+    oracle=_DSIR_WEIGHTS_ORACLE,
+    doc="corpus_dsir_weights served from the PERSISTED BM25 postings "
+        "index — the last raw-tokenize-per-run corpus statistic gains "
+        "its persisted-index production twin (the text_tfidf_sim_"
+        "indexed move applied to data selection): retrieval.py "
+        "postings_from_index resolves the stored (w, doc_id, tf) "
+        "triples to each doc's newest epoch (last-writer, replay-"
+        "collapsing — the probe_bm25_index read at full width), joins "
+        "the documents table's (doc_id, lang) labels in a narrow "
+        "2-column scan (ReadSchema prunes text entirely — the corpus "
+        "body is NEVER read, let alone re-tokenized), and feeds the "
+        "exact _dsir_scores_from_postings expressions the raw twin "
+        "uses. Gated under the SHARED _DSIR_WEIGHTS_ORACLE: a stale "
+        "index, a lossy epoch resolution, or a mis-joined label "
+        "hash-mismatches against ground-truth SQL over the raw text. "
+        "At 100 TB this is the operating shape for iterated data "
+        "selection: the postings build amortizes across every DSIR "
+        "re-target (each new target domain is just a different label "
+        "column riding the same doc-keyed equi-join), and the "
+        "tokenize pass — the dominant cost of the raw twin — happens "
+        "once at index build, not once per selection run.",
+)
+def corpus_dsir_weights_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandrastack_spark.llm._slots import slot_persist
+    from cassandrastack_spark.llm.retrieval import postings_from_index
+
+    path = _bm25_index_for(spark, sf_dir)
+    labels = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    tfd = (
+        postings_from_index(spark, path)
+        .join(labels, "doc_id")
+        .select(
+            "doc_id", "lang", "w", F.col("tf").cast("long").alias("cnt")
+        )
+    )
+    # same three-consumer fan-out as the raw twin (rf, the en-slice
+    # counts, the scoring join) — own slot, keyed by the index read
+    (tfd,) = slot_persist("queries.dsir_postings_indexed", tfd, (tfd,))
+    return (
+        _dsir_scores_from_postings(tfd)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round("lw", 6).alias("dsir_logweight"),
+        )
+        .orderBy("doc_id")
     )
 
 

@@ -1496,6 +1496,9 @@ def test_indexed_retrieval_queries_match_from_scratch_twins(spark):
             "embedding_knn_label_agreement_indexed",
             "embedding_knn_label_agreement",
         ),
+        # r12 twin: DSIR weights from the stored postings + a narrow
+        # (doc_id, lang) label join — corpus text never read
+        ("corpus_dsir_weights_indexed", "corpus_dsir_weights"),
     ]:
         got = REGISTRY[indexed].fn(spark, sf)
         want = REGISTRY[scratch].fn(spark, sf)

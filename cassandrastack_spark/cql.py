@@ -283,6 +283,120 @@ class PreparedStatement:
         return bound
 
 
+class ConsistencyLevel:
+    """python-driver parity constants (``cassandra.ConsistencyLevel``
+    — the reference imports it at ``server.py:31`` and passes
+    ``ConsistencyLevel.ONE`` to its batch, ``server.py:136-137``).
+    Values are the public CQL native-protocol consistency codes. On
+    this engine consistency selection is a SEAM (SURVEY §2 W4): there
+    is no replica set in a Spark job, so the session records the
+    requested level for connector passthrough (``sources/io.py``
+    option maps) instead of coordinating quorums."""
+
+    ANY = 0
+    ONE = 1
+    TWO = 2
+    THREE = 3
+    QUORUM = 4
+    ALL = 5
+    LOCAL_QUORUM = 6
+    EACH_QUORUM = 7
+    SERIAL = 8
+    LOCAL_SERIAL = 9
+    LOCAL_ONE = 10
+
+
+class SimpleStatement:
+    """``cassandra.query.SimpleStatement`` parity — a statement string
+    plus per-statement options (the reference wraps every batched
+    INSERT in one, ``server.py:192-207``). The engine executes the
+    ``query_string`` through the same CQL front-end as a bare string;
+    ``consistency_level`` rides along for the session to record (W4
+    seam), never to change results."""
+
+    def __init__(self, query_string: str, consistency_level=None):
+        self.query_string = query_string
+        self.consistency_level = consistency_level
+
+
+class BatchType:
+    """``cassandra.query.BatchType`` parity (LOGGED / UNLOGGED /
+    COUNTER). String values double as the CQL keyword spliced into
+    the text form."""
+
+    LOGGED = "LOGGED"
+    UNLOGGED = "UNLOGGED"
+    COUNTER = "COUNTER"
+
+
+class BatchStatement:
+    """``cassandra.query.BatchStatement`` parity — the driver-object
+    batch API the reference builds its seed data with
+    (``BatchStatement(consistency_level=ConsistencyLevel.ONE)`` then
+    ``batch.add(SimpleStatement(...))`` x15, ``server.py:136-139,
+    189-207``). ``session.execute(batch)`` lowers it onto the SAME
+    text-form machinery as ``BEGIN [UNLOGGED|COUNTER] BATCH ... APPLY
+    BATCH`` (``CqlSession._batch``), so both entry points share one
+    atomicity/ordering semantics (and the text form's documented
+    parsing caveat: a literal ``;`` inside a batched statement's
+    string value is not supported — split happens at top level of the
+    assembled body).
+
+    ``add`` accepts a raw string, a ``SimpleStatement``, or a bound
+    ``PreparedStatement``; per-statement ``parameters`` concatenate in
+    add-order (the text form consumes ``%s`` placeholders strictly
+    left-to-right, so per-statement tuples compose exactly).
+    """
+
+    def __init__(self, batch_type: str = BatchType.LOGGED,
+                 consistency_level=None):
+        if batch_type not in (
+            BatchType.LOGGED, BatchType.UNLOGGED, BatchType.COUNTER
+        ):
+            raise ValueError(f"unknown batch type {batch_type!r}")
+        self.batch_type = batch_type
+        self.consistency_level = consistency_level
+        self._statements: list[str] = []
+        self._params: list = []
+
+    def add(self, statement, parameters=()) -> "BatchStatement":
+        if isinstance(statement, SimpleStatement):
+            text = statement.query_string
+        elif isinstance(statement, PreparedStatement):
+            text = statement.text
+            if statement.values and not parameters:
+                parameters = statement.values
+        elif isinstance(statement, str):
+            text = statement
+        else:
+            raise TypeError(
+                "BatchStatement.add takes a str, SimpleStatement, or "
+                f"PreparedStatement, got {type(statement).__name__}"
+            )
+        self._statements.append(text.strip().rstrip(";"))
+        self._params.extend(parameters)
+        return self
+
+    def clear(self) -> None:
+        self._statements.clear()
+        self._params.clear()
+
+    def __len__(self) -> int:
+        return len(self._statements)
+
+    def _as_cql(self) -> tuple[str, tuple]:
+        """The equivalent text-form batch + flattened params."""
+        kind = (
+            "" if self.batch_type == BatchType.LOGGED
+            else self.batch_type + " "
+        )
+        body = ";\n".join(self._statements)
+        return (
+            f"BEGIN {kind}BATCH\n{body};\nAPPLY BATCH",
+            tuple(self._params),
+        )
+
+
 class CqlSession:
     """Statement-string session over the wide-column engine."""
 
@@ -294,6 +408,11 @@ class CqlSession:
         self.n_buckets = n_buckets
         self.keyspaces: dict[str, Keyspace] = {}
         self.current: Keyspace | None = None
+        # newest consistency level any statement object requested —
+        # the W4 seam's observable (there is no replica set to
+        # coordinate; sources/io.py carries the level to the real
+        # Cassandra connector)
+        self.last_consistency_level = None
         # built eagerly (not lazily on first execute_async) so two
         # threads racing the first submit can't each build a pool;
         # shutdown() releases the workers deterministically
@@ -341,6 +460,19 @@ class CqlSession:
     # -- entry point ---------------------------------------------------------
 
     def execute(self, stmt, params: tuple = ()):  # noqa: C901
+        if isinstance(stmt, BatchStatement):
+            # driver-object batch lowers onto the shared text-form
+            # machinery — one batch semantics for both entry points
+            if stmt.consistency_level is not None:
+                self.last_consistency_level = stmt.consistency_level
+            text, bparams = stmt._as_cql()
+            return self._batch(text, tuple(params) or bparams)
+        if isinstance(stmt, SimpleStatement):
+            # consistency is a seam on this engine (W4): recorded for
+            # connector passthrough, never result-changing
+            if stmt.consistency_level is not None:
+                self.last_consistency_level = stmt.consistency_level
+            stmt = stmt.query_string
         if isinstance(stmt, PreparedStatement):
             stmt, params = stmt.text, tuple(params) or stmt.values
         s = stmt.strip().rstrip(";").strip()

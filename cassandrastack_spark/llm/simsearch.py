@@ -385,7 +385,7 @@ def _triangle_block_pairs(
     )
     both = a.unionByName(b)
 
-    def gemm(pdf: pd.DataFrame):
+    def gemm(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
         pair = int(pdf["pair"].iloc[0])

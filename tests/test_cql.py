@@ -1390,3 +1390,87 @@ def test_find_top_keyword_if_boundary_ignores_quoted_text(w_lit, if_lit):
     assert i == len(where_part) + 1, (stmt, i)
     # and with no structural IF present, nothing is found
     assert _find_top_keyword(where_part, "if") == -1, where_part
+
+
+def test_batchstatement_driver_object_seed_replay(cql):
+    """The reference's DRIVER-OBJECT batch construction runs unchanged
+    (server.py:136-139, 189-207): BatchStatement(consistency_level=
+    ConsistencyLevel.ONE) + batch.add(SimpleStatement(...)) per row,
+    then session.execute(batch) — same rows, ordering, and uuid
+    round-trip as the text-form twin, because execute() lowers the
+    object onto the SAME _batch machinery."""
+    from cassandrastack_spark.cql import (
+        BatchStatement,
+        ConsistencyLevel,
+        SimpleStatement,
+    )
+
+    _bootstrap(cql)
+    author_a = "a8098c1a-f86e-11da-bd1a-00112444be1e"
+    author_b = "ab398c12-f86e-23da-bd1a-aabb2233be1e"
+    texts_ch1 = [
+        "Hi there", "Someone in here", "Hey, yeah sure",
+        "Cool :) What is up man?", "I am writing a little API...",
+    ]
+    batch = BatchStatement(consistency_level=ConsistencyLevel.ONE)
+    for i, t in enumerate(texts_ch1):
+        batch.add(SimpleStatement(
+            "INSERT INTO messages (channel_id, message_id, author_id, "
+            f"message) VALUES (1, now(), "
+            f"{author_a if i % 2 == 0 else author_b}, '{t}')"
+        ))
+    batch.add(
+        "INSERT INTO messages (channel_id, message_id, author_id, message) "
+        f"VALUES (2, now(), {author_a}, 'Hey, someone in this channel?')"
+    )
+    assert len(batch) == 6
+    cql.execute(batch)
+    assert cql.last_consistency_level == ConsistencyLevel.ONE
+    rows = cql.execute(
+        "SELECT author_id, message FROM messages WHERE channel_id = 1"
+    )
+    assert [r["message"] for r in rows] == list(reversed(texts_ch1))
+    assert rows[-1]["author_id"] == author_a
+    assert len(
+        cql.execute("SELECT * FROM messages WHERE channel_id = 2")
+    ) == 1
+
+
+def test_batchstatement_prepared_params_and_clear(cql):
+    """Bound PreparedStatements and per-add parameter tuples compose in
+    add-order (the text form consumes %s strictly left-to-right);
+    clear() empties the batch for reuse."""
+    from cassandrastack_spark.cql import BatchStatement
+
+    _bootstrap(cql)
+    ins = cql.prepare(
+        "INSERT INTO messages (channel_id, message_id, author_id, message) "
+        "VALUES (?, now(), a8098c1a-f86e-11da-bd1a-00112444be1e, ?)"
+    )
+    batch = BatchStatement()
+    batch.add(ins.bind((7, "first")))
+    batch.add(ins, (7, "second"))
+    cql.execute(batch)
+    rows = cql.execute("SELECT message FROM messages WHERE channel_id = 7")
+    assert sorted(r["message"] for r in rows) == ["first", "second"]
+    batch.clear()
+    assert len(batch) == 0
+
+
+def test_batchstatement_counter_type_enforced(cql):
+    """A COUNTER-typed driver batch inherits the text form's CQL rule:
+    only counter UPDATEs are admitted; unknown batch types fail at
+    construction."""
+    import pytest as _pytest
+
+    from cassandrastack_spark.cql import BatchStatement, BatchType
+
+    _bootstrap(cql)
+    bad = BatchStatement(batch_type=BatchType.COUNTER)
+    bad.add("INSERT INTO messages (channel_id, message_id, author_id, "
+            "message) VALUES (9, now(), "
+            "a8098c1a-f86e-11da-bd1a-00112444be1e, 'nope')")
+    with _pytest.raises(ValueError, match="COUNTER BATCH"):
+        cql.execute(bad)
+    with _pytest.raises(ValueError, match="unknown batch type"):
+        BatchStatement(batch_type="QUORUM")

@@ -84,9 +84,34 @@ def _input_fingerprint(df: DataFrame) -> tuple | None:
     whose ``os.stat`` fails: degrading it to a name-only entry would
     let two generations that BOTH fail stat match by name alone — the
     exact same-path-rewrite alias the fingerprint exists to close. A
-    spurious roll is cheap; a stale hit is not."""
+    spurious roll is cheap; a stale hit is not.
+
+    The file list comes from the ANALYZED plan's file-source
+    relations, NOT ``df.inputFiles()``: inputFiles() walks the
+    OPTIMIZED plan, and once a slot's previous generation is cached
+    and materialized, CacheManager substitution rewrites every
+    logically-identical new frame's optimized plan to read the
+    InMemoryRelation — no file scan survives, inputFiles() returns
+    [], and the fingerprint flips to () forever mismatching the
+    stored file list. That made every slot re-call ROLL (unpersist +
+    full recompute + re-persist) instead of HIT — the r9–r11
+    monotone perf drift on the dsir/tfidf postings consumers (the
+    cache was rebuilt per call; bench's min-of-2 never saw a warm
+    hit). Analysis never substitutes the cache, so the analyzed
+    plan's ``LogicalRelation(HadoopFsRelation)`` leaves keep their
+    resolved file lists regardless of what is currently cached."""
     try:
-        files = sorted(df.inputFiles())
+        plan = df._jdf.queryExecution().analyzed()
+        leaves = plan.collectLeaves()
+        files = []
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getSimpleName() != "LogicalRelation":
+                continue
+            rel = leaf.relation()
+            if rel.getClass().getSimpleName() == "HadoopFsRelation":
+                files.extend(rel.location().inputFiles())
+        files.sort()
     except Exception:
         return None
     out = []

@@ -2504,6 +2504,58 @@ def test_input_fingerprint_edge_branches(spark, tmp_path):
     assert _input_fingerprint(df2) is None
 
 
+def test_input_fingerprint_survives_cache_substitution(spark, tmp_path):
+    """The r11 perf-drift root cause, pinned: once a slot's generation
+    is persisted AND materialized, CacheManager substitution rewrites
+    every logically-identical new frame's OPTIMIZED plan to read the
+    InMemoryRelation — df.inputFiles() then returns [] and a
+    fingerprint derived from it flips to (), mismatching the stored
+    file list forever. Every re-call ROLLED the slot (full re-tokenize
+    + re-persist; bench's min-of-2 never saw a warm hit — the r9-r11
+    monotone dsir/tfidf drift). The fingerprint must come from the
+    ANALYZED plan's file sources, which cache substitution never
+    touches: a fresh identical frame fingerprints identically while
+    the previous generation sits cached, and slot_persist HITs,
+    returning the STORED frames."""
+    from cassandrastack_spark.llm._slots import (
+        _input_fingerprint,
+        slot_persist,
+        slot_release,
+    )
+
+    path = str(tmp_path / "cache_sub_pq")
+    spark.createDataFrame(
+        [(i, f"w{i} common") for i in range(4)], ["doc_id", "text"]
+    ).write.mode("overwrite").parquet(path)
+
+    def agg():
+        from pyspark.sql import functions as F
+
+        return (
+            spark.read.parquet(path)
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n"))
+        )
+
+    a = agg()
+    fp_cold = _input_fingerprint(a)
+    assert fp_cold, "file plan must fingerprint to file triples"
+    try:
+        (held,) = slot_persist("test.cache_sub", a, (a,))
+        held.count()  # materialize -> cache substitution active
+        b = agg()
+        assert b.inputFiles() == [], (
+            "precondition: optimized-plan inputFiles() hidden by the "
+            "cached generation (if this starts returning files, the "
+            "analyzed-plan workaround may be removable)"
+        )
+        assert _input_fingerprint(b) == fp_cold
+        (got,) = slot_persist("test.cache_sub", b, (b,))
+        assert got is held, "identical re-call must HIT, not roll"
+    finally:
+        slot_release("test.cache_sub")
+
+
 def test_embedding_covariance_exclude_matches_direct_and_guards(spark, emb):
     """Moment-subtraction retirement: covariance of (corpus − retired)
     computed from subtracted moments must equal the directly-computed

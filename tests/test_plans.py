@@ -160,6 +160,9 @@ def test_no_unjustified_bnl_join_across_catalog(spark, registry):
         # vocab frame — the canonical scalar-subquery plan
         "corpus_dsir_weights",
         "corpus_dsir_resample",
+        # same finish via the SHARED _dsir_scores_from_postings helper,
+        # fed from the persisted postings index instead of a tokenize
+        "corpus_dsir_weights_indexed",
         # literal-bounded probe: 16-row broadcast x 16-row side with a
         # "<" pair condition (120 pairs by construction, never corpus²)
         "embedding_pca_projection_pairdist",

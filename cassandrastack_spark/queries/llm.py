@@ -1010,6 +1010,101 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decontam_bloom_probe",
+    oracle="""
+        WITH grams AS (
+            SELECT doc_id, array_to_string(l[i:i+4], ' ') AS g
+            FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+                 unnest(generate_series(1, greatest(0, len(l) - 4))) AS t(i)
+        ),
+        eval_g AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0),
+        mm AS (SELECT CAST(greatest(COUNT(*) * 12, 1) AS BIGINT) AS m FROM eval_g),
+        evpos AS (
+            SELECT CAST(list_sum(list_transform(generate_series(1, 7),
+                       i -> (strpos('0123456789abcdef', substr(md5(g), off + i - 1, 1)) - 1)
+                            * 16 ** (7 - i))) AS BIGINT) % mm.m AS p
+            FROM eval_g, mm, (SELECT unnest([1, 8, 15]) AS off) offs),
+        bloom AS (
+            SELECT p // 32 AS word_idx,
+                   bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS word
+            FROM evpos GROUP BY p // 32),
+        probe_g AS (
+            SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 10 <> 0),
+        ppos AS (
+            SELECT doc_id, g,
+                   CAST(list_sum(list_transform(generate_series(1, 7),
+                       i -> (strpos('0123456789abcdef', substr(md5(g), off + i - 1, 1)) - 1)
+                            * 16 ** (7 - i))) AS BIGINT) % mm.m AS p
+            FROM probe_g, mm, (SELECT unnest([1, 8, 15]) AS off) offs),
+        flags AS (
+            SELECT doc_id, g,
+                   bool_and(((COALESCE(b.word, 0) >> CAST(p % 32 AS INT)) & 1) = 1)
+                       AS bloom_hit
+            FROM ppos LEFT JOIN bloom b ON b.word_idx = p // 32
+            GROUP BY doc_id, g)
+        SELECT f.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN f.bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_flagged,
+               CAST(SUM(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_shared
+        FROM flags f LEFT JOIN eval_g e USING (g)
+        GROUP BY f.doc_id
+        ORDER BY f.doc_id
+    """,
+    doc="Benchmark decontamination through a Bloom membership filter "
+        "(operators/sketch.py bloom_build / bloom_might_contain) - the "
+        "100 TB twin of decontam_ngram_overlap. The eval split's "
+        "distinct word 5-grams build a self-describing bitmap sized at "
+        "12 bits/item with 3 md5-slice hashes (false-positive rate a "
+        "DESIGN CONSTANT, ~1.1%, at every corpus scale); every train "
+        "doc's grams probe it. vs the exact-set broadcast, the bitmap "
+        "ships ~25x fewer bytes per eval gram to each executor - the "
+        "difference between a broadcastable and an un-broadcastable "
+        "reference set when the benchmark suite has 10^7 grams - and "
+        "the corpus side stays map-only plus one doc-keyed groupBy. "
+        "Per doc: distinct grams, Bloom-flagged grams, and the exact "
+        "shared count, so the oracle pins BOTH guarantees - flagged "
+        "covers shared with zero false negatives, and the ~1% "
+        "false-positive overhang is reproduced bit-for-bit (the "
+        "DuckDB side rebuilds the same bitmap from the same md5 "
+        "slices with portable string ops). Production keeps only the "
+        "filter; the exact column here exists for the gate, and a "
+        "positives-only re-check against the true set is the "
+        "candidates-then-verify step when exactness matters.",
+)
+def decontam_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandrastack_spark.functions.text import word_ngrams
+    from cassandrastack_spark.operators.sketch import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select("doc_id", F.explode(word_ngrams("text", 5)).alias("g"))
+    eval_g = grams.filter(F.col("doc_id") % 10 == 0).select("g").distinct()
+    bloom = bloom_build(eval_g, "g", bits_per_item=12, k=3)
+    probe = (
+        grams.filter(F.col("doc_id") % 10 != 0)
+        .select("doc_id", "g")
+        .distinct()
+    )
+    return (
+        bloom_might_contain(bloom, probe, "g", out_col="_hit")
+        .join(eval_g.withColumn("_ex", F.lit(1)), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(F.col("_hit").cast("int")).cast("bigint").alias("n_flagged"),
+            F.sum(F.when(F.col("_ex").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "corpus_split_hash",
     oracle="""
         WITH h AS (

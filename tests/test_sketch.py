@@ -1,14 +1,21 @@
 """Misra-Gries heavy-hitter candidates: the classic guarantee against
 exact counts, the bounded-output contract, and the two registered
 r11 queries (text_heavy_hitters_sketch, ann_index_extend_probe)
-pinned to their exact twins on the same data.
+pinned to their exact twins on the same data. Plus the Bloom
+membership filter (bloom_build / bloom_might_contain): the
+no-false-negative guarantee, the design FP-rate band, empty-filter
+and self-description contracts.
 """
 
 import pytest
 
 from pyspark.sql import functions as F
 
-from cassandrastack_spark.operators.sketch import mg_candidates
+from cassandrastack_spark.operators.sketch import (
+    bloom_build,
+    bloom_might_contain,
+    mg_candidates,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -123,6 +130,85 @@ def test_text_heavy_hitters_sketch_equals_exact_topk(spark):
         .toPandas()
     )
     assert got.values.tolist() == exact.values.tolist()
+
+
+@pytest.fixture(scope="module")
+def member_split(spark):
+    # 300 members, 700 non-members — enough probes that the 12-bits /
+    # 3-hash design (~1.1% FP) is exercised without being flaky
+    members = spark.createDataFrame(
+        [(f"member-{i}",) for i in range(300)], "g string"
+    )
+    outsiders = spark.createDataFrame(
+        [(f"outsider-{i}",) for i in range(700)], "g string"
+    )
+    return members, outsiders
+
+
+def test_bloom_never_false_negative(spark, member_split):
+    members, _ = member_split
+    bloom = bloom_build(members, "g")
+    flagged = bloom_might_contain(bloom, members, "g")
+    assert flagged.filter(~F.col("might_contain")).count() == 0
+
+
+def test_bloom_fp_rate_within_design_band(spark, member_split):
+    # (1 - e^(-k/bits_per_item))^k ~ 1.1% at the 12/3 default; allow a
+    # generous deterministic ceiling (md5 positions are fixed, so this
+    # is a pinned value, not a flaky sample)
+    members, outsiders = member_split
+    bloom = bloom_build(members, "g")
+    fp = (
+        bloom_might_contain(bloom, outsiders, "g")
+        .filter(F.col("might_contain"))
+        .count()
+    )
+    assert fp <= 0.05 * 700, f"false positives {fp} over 5% of 700"
+
+
+def test_bloom_self_describing_and_sized_by_items(spark, member_split):
+    members, _ = member_split
+    bloom = bloom_build(members, "g", bits_per_item=12, k=3).toPandas()
+    assert set(bloom["m"]) == {300 * 12}
+    assert set(bloom["k"]) == {3}
+    # every word index within the bitmap, every word non-zero
+    assert (bloom["word_idx"] >= 0).all()
+    assert (bloom["word_idx"] <= (300 * 12) // 32).all()
+    assert (bloom["word"] != 0).all()
+
+
+def test_bloom_duplicate_items_do_not_grow_the_filter(spark):
+    once = spark.createDataFrame([("x",), ("y",)], "g string")
+    thrice = spark.createDataFrame([("x",)] * 3 + [("y",)] * 3, "g string")
+    a = bloom_build(once, "g").orderBy("word_idx").toPandas()
+    b = bloom_build(thrice, "g").orderBy("word_idx").toPandas()
+    assert a.values.tolist() == b.values.tolist()
+
+
+def test_bloom_empty_filter_flags_nothing(spark, member_split):
+    members, _ = member_split
+    empty = bloom_build(spark.createDataFrame([], "g string"), "g")
+    out = bloom_might_contain(empty, members.limit(5), "g")
+    assert out.filter(F.col("might_contain")).count() == 0
+    assert out.count() == 5
+
+
+def test_bloom_null_probes_flag_false(spark):
+    bloom = bloom_build(spark.createDataFrame([("x",)], "g string"), "g")
+    probes = spark.createDataFrame([("x",), (None,)], "g string")
+    got = {
+        r["g"]: r["might_contain"]
+        for r in bloom_might_contain(bloom, probes, "g").collect()
+    }
+    assert got["x"] is True and got[None] is False
+
+
+def test_bloom_rejects_bad_params(spark, member_split):
+    members, _ = member_split
+    with pytest.raises(ValueError, match="k must be"):
+        bloom_build(members, "g", k=5)
+    with pytest.raises(ValueError, match="bits_per_item"):
+        bloom_build(members, "g", bits_per_item=0)
 
 
 def test_ann_index_extend_probe_equals_exact_topk(spark):

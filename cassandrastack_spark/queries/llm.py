@@ -1293,6 +1293,55 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_weighted_sample",
+    oracle="""
+        WITH h AS (
+            SELECT doc_id, n_chars,
+                   CAST(list_sum(list_transform(generate_series(1, 8),
+                       i -> (strpos('0123456789abcdef',
+                                    substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+                            * 16 ** (8 - i))) AS BIGINT) AS v
+            FROM documents),
+        k AS (
+            SELECT doc_id, n_chars,
+                   -LN((v + 1.0) / 4294967297.0) / LN(1.0 + n_chars) AS skey
+            FROM h)
+        SELECT doc_id, n_chars, ROUND(skey, 6) AS sample_key
+        FROM k ORDER BY skey, doc_id LIMIT 100
+    """,
+    doc="Weighted sampling without replacement (Efraimidis & Spirakis "
+        "2006): each doc draws an exponential key -ln(u)/w from a "
+        "DETERMINISTIC uniform u (md5 of the id - no RNG, no partition "
+        "dependence, reproducible across engines and cluster sizes) "
+        "with weight w = ln(1 + n_chars), and the k smallest keys ARE "
+        "a weighted sample without replacement - the one-pass, "
+        "shuffle-light way to draw a size-weighted training subset "
+        "from 100 TB. The plan is the global top-k shape "
+        "(TakeOrderedAndProject): each partition keeps its local k "
+        "smallest keys, only partitions x k rows reach the driver-side "
+        "merge - no global sort, no corpus shuffle, and adding "
+        "executors changes nothing about the selected set. The "
+        "stratified/quota twin is corpus_stratified_sample; this is "
+        "the importance-weighted twin the DSIR resampler composes at "
+        "full fidelity. Keys are md5-spread so the top-k boundary is "
+        "never a near-tie; doc_id breaks residual order ties on both "
+        "engines.",
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    hx = F.md5(F.col("doc_id").cast("string"))
+    v = F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint")
+    u = (v + F.lit(1)).cast("double") / F.lit(4294967297.0)
+    key = -F.log(u) / F.log(F.lit(1.0) + F.col("n_chars"))
+    return (
+        d.select("doc_id", "n_chars", key.alias("_skey"))
+        .orderBy("_skey", "doc_id")
+        .limit(100)
+        .select("doc_id", "n_chars", F.round("_skey", 6).alias("sample_key"))
+    )
+
+
+@register(
     "corpus_mix_weights",
     oracle="""
         WITH wts(lang, wt) AS (

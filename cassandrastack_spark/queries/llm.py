@@ -4043,6 +4043,139 @@ _BIGRAM_LM_ORACLE = """
 """
 
 
+# The CTE chain through `scored` is the VALIDATED _BIGRAM_LM_ORACLE
+# machinery verbatim (same training split, same Stupid-Backoff
+# expressions); this oracle extends it with the per-language tercile
+# window and the bucket aggregate.
+_CCNET_BUCKETS_ORACLE = """
+    WITH tr AS (
+        SELECT string_split(text, ' ') AS toks
+        FROM documents WHERE doc_id % 2 = 0),
+    tb AS (
+        SELECT bg.w1, bg.w2, CAST(COUNT(*) AS BIGINT) AS cb FROM (
+            SELECT unnest(list_transform(
+                       generate_series(1, len(toks) - 1),
+                       i -> struct_pack(w1 := toks[i], w2 := toks[i + 1])
+                   )) AS bg
+            FROM tr WHERE len(toks) >= 2) t
+        GROUP BY bg.w1, bg.w2),
+    tu AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS cu FROM (
+            SELECT unnest(toks) AS w FROM tr) t
+        GROUP BY w),
+    scal AS (
+        SELECT CAST(SUM(cu) AS DOUBLE) AS n_tok,
+               CAST(COUNT(*) AS DOUBLE) AS v_size
+        FROM tu),
+    sb AS (
+        SELECT doc_id, bg.w1, bg.w2 FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 1),
+                       i -> struct_pack(
+                           w1 := string_split(text, ' ')[i],
+                           w2 := string_split(text, ' ')[i + 1])
+                   )) AS bg
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 2) t),
+    scored AS (
+        SELECT sb.doc_id,
+               CASE WHEN tb.cb IS NOT NULL THEN tb.cb * 1.0 / u1.cu
+                    ELSE 0.4 * (COALESCE(u2.cu, 0) + 1.0)
+                         / (scal.n_tok + scal.v_size)
+               END AS s
+        FROM sb
+        LEFT JOIN tb ON tb.w1 = sb.w1 AND tb.w2 = sb.w2
+        LEFT JOIN tu u1 ON u1.w = sb.w1
+        LEFT JOIN tu u2 ON u2.w = sb.w2
+        CROSS JOIN scal),
+    docscore AS (
+        SELECT doc_id,
+               ROUND(AVG(LN(s)), 6) AS lp,
+               ROUND(EXP(-AVG(LN(s))), 4) AS ppl
+        FROM scored GROUP BY doc_id),
+    lab AS (
+        SELECT d.lang, ds.ppl,
+               row_number() OVER (
+                   PARTITION BY d.lang ORDER BY ds.lp DESC, ds.doc_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY d.lang) AS n
+        FROM docscore ds JOIN documents d USING (doc_id))
+    SELECT lang,
+           CASE WHEN rn * 3 <= n THEN 'head'
+                WHEN rn * 3 <= 2 * n THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(ppl), 4) AS avg_ppl
+    FROM lab
+    GROUP BY lang, CASE WHEN rn * 3 <= n THEN 'head'
+                        WHEN rn * 3 <= 2 * n THEN 'middle'
+                        ELSE 'tail' END
+    ORDER BY lang, bucket
+"""
+
+
+@register(
+    "corpus_ccnet_buckets",
+    oracle=_CCNET_BUCKETS_ORACLE,
+    doc="CCNet-style perplexity bucketing (Wenzek et al. 2020, 'CCNet: "
+        "Extracting High Quality Monolingual Datasets from Web Crawl "
+        "Data'): score every document under the reference bigram LM "
+        "(llm/lm.py, the text_bigram_logprob machinery - train on the "
+        "even-doc_id half), then split EACH LANGUAGE into head / "
+        "middle / tail terciles by model score - the curation cut "
+        "CCNet publishes its corpus in, and the per-language "
+        "normalization that stops high-resource languages from "
+        "defining 'good perplexity' for everyone. Terciles are "
+        "row_number ranks over (rounded score, doc_id) - exact "
+        "count-based cuts with a deterministic tie-break, not "
+        "interpolated percentile thresholds, so both engines cut "
+        "identically. Per (lang, bucket): doc count and mean "
+        "perplexity proxy; the mean rises strictly head -> middle -> "
+        "tail by construction, a built-in sanity invariant. At 100 TB "
+        "the LM scoring is the bigram query's counts-only joins, and "
+        "the tercile window is one shuffle on the language key - each "
+        "language sorts independently (range-partitioned within the "
+        "stratum), nothing global. Oracle extends the validated "
+        "bigram-LM SQL with the same window.",
+)
+def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cassandrastack_spark.llm.lm import bigram_logprob
+
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select("doc_id", "text")
+    scored = bigram_logprob(docs.filter("doc_id % 2 = 0"), docs).select(
+        "doc_id",
+        F.round("avg_logprob", 6).alias("lp"),
+        F.round("ppl_proxy", 4).alias("ppl"),
+    )
+    lab = scored.join(d.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy(F.desc("lp"), "doc_id")
+    wn = Window.partitionBy("lang")
+    bucket = (
+        F.when(F.col("rn") * 3 <= F.col("n"), "head")
+        .when(F.col("rn") * 3 <= 2 * F.col("n"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        lab.select(
+            "lang",
+            "ppl",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wn).alias("n"),
+        )
+        .select("lang", bucket.alias("bucket"), "ppl")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.avg("ppl"), 4).alias("avg_ppl"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
 @register(
     "text_bigram_logprob",
     oracle=_BIGRAM_LM_ORACLE,

@@ -411,6 +411,49 @@ def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+# One SQL text, both engines: Spark 4's recursive CTE (SPARK-24497,
+# executed as UnionLoop) and DuckDB's native WITH RECURSIVE run the
+# identical statement, so the oracle is the query itself.
+_RECURSIVE_TREE_SQL = """
+    WITH RECURSIVE anc AS (
+        SELECT doc_id, doc_id AS cur, 0 AS depth FROM documents
+        UNION ALL
+        SELECT doc_id, CAST(FLOOR(cur / 2.0) AS BIGINT) AS cur,
+               depth + 1 AS depth
+        FROM anc WHERE cur > 0
+    )
+    SELECT doc_id,
+           CAST(MAX(depth) AS BIGINT) AS depth,
+           CAST(SUM(cur) AS BIGINT) AS path_sum
+    FROM anc GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register(
+    "sql_recursive_tree_depth",
+    oracle=_RECURSIVE_TREE_SQL,
+    doc="Recursive CTE (WITH RECURSIVE) - iterative hierarchy "
+        "traversal in the SQL text surface, the reply-thread / "
+        "org-chart / category-tree query shape. Walks every document "
+        "up the implicit binary tree parent(id) = floor(id / 2) to "
+        "the root and aggregates depth and the ancestor-id checksum "
+        "per doc (closed-form verifiable: depth = floor(log2(id)) + 1). "
+        "Spark 4 executes the loop distributedly (UnionLoop: each "
+        "iteration is a narrow map over the previous frontier - no "
+        "driver-side iteration, no collect), DuckDB runs the SAME "
+        "statement natively, so this oracle is the one query text "
+        "submitted to both engines verbatim. At 100 TB the frontier "
+        "shrinks geometrically for tree-shaped data and each step is "
+        "shuffle-free (the parent derivation is a scalar expression); "
+        "for graph-shaped recursion the engine's iterative operators "
+        "(graph_pagerank_*, dedup components) remain the "
+        "convergence-checked path.",
+)
+def sql_recursive_tree_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_RECURSIVE_TREE_SQL)
+
+
 @register(
     "approx_distinct_users",
     oracle="""

@@ -70,23 +70,28 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # graph_triangle_count and text_bigram_logprob (the two r11-staged
 # operators: library-complete since r11, oracle SQL pre-validated
 # green in tests/test_r12_oracle_parity.py, lifted into @register
-# verbatim), and corpus_dsir_weights_indexed: DSIR importance weights
-# served from the PERSISTED BM25 postings index (VERDICT r11 ask #6 —
-# the last raw-tokenize-per-run corpus statistic gains its
-# persisted-index production twin), gated under the SAME oracle as
-# corpus_dsir_weights so a drifted index goes red. (c) 4 touched-code
-# re-confirms — the postings-slot perf-drift work (VERDICT r11 ask #3)
-# touches llm/_slots.py consumers, so corpus_dsir_weights,
+# verbatim); corpus_dsir_weights_indexed: DSIR importance weights
+# served from the PERSISTED BM25 postings index (VERDICT r11 ask #6),
+# gated under the SAME oracle as corpus_dsir_weights so a drifted
+# index goes red; decontam_bloom_probe (Bloom membership sketch —
+# bit-exact oracle reproduces the bitmap in SQL);
+# corpus_weighted_sample (Efraimidis-Spirakis weighted sampling,
+# TakeOrderedAndProject plan); corpus_ccnet_buckets (per-language
+# perplexity terciles over the bigram LM); text_zipf_fit (rank-
+# frequency regression per source); sql_recursive_tree_depth
+# (WITH RECURSIVE — one SQL text on both engines). All 8 validated
+# green with tools/verify_local.py at sf0.001 AND sf0.01 before
+# registration. (c) 4 touched-code re-confirms — the postings-slot
+# perf-drift fix (VERDICT r11 ask #3, the _slots.py fingerprint
+# repair) touches llm/_slots.py consumers, so corpus_dsir_weights,
 # corpus_dsir_resample, text_tfidf_sim_topk and text_tfidf_sim_indexed
 # (all r10 rows) re-gate this round, and their fresh idle ledger
-# timings land next to the profile. (d) 12 r9-era chips toward the
-# 43-row r9 cohort due in full at r13: the whole ann_* probe family
-# (9 rows — also the code path the Arrow type-hint annotation cleanup
-# touches in llm/simsearch.py), embedding_hard_negatives,
-# embedding_knn_label_agreement, corpus_split_dedup_aware.
-# Remaining debt after r12: 31 r9-era rows (3 rounds old at r13) —
-# r13 MUST clear all 31, which leaves ~19 slots for novelty +
-# re-confirms + chips against the 50-row r10 cohort due at r14.
+# timings land next to the profile. (d) 7 r9-era chips toward the
+# 43-row r9 cohort due in full at r13: the ann probe rows nearest the
+# (annotation-only) simsearch diff plus the two embedding mining
+# queries. Remaining debt after r12: 36 r9-era rows (3 rounds old at
+# r13) — r13 MUST clear all 36, which leaves ~14 slots for novelty +
+# re-confirms; the 50-row r10 cohort comes due at r14.
 _FRONT: tuple[str, ...] = (
     # -- (a) the 31 r8-era rows: TPC-H chips first, then operators --
     "q4_priority_with_big_items",
@@ -124,7 +129,12 @@ _FRONT: tuple[str, ...] = (
     "graph_triangle_count",
     "text_bigram_logprob",
     "corpus_dsir_weights_indexed",
-    # -- (c) r12-touched code (postings-slot profile): re-confirm --
+    "decontam_bloom_probe",
+    "corpus_weighted_sample",
+    "corpus_ccnet_buckets",
+    "text_zipf_fit",
+    "sql_recursive_tree_depth",
+    # -- (c) r12-touched code (postings-slot fingerprint fix): re-confirm --
     "corpus_dsir_weights",
     "corpus_dsir_resample",
     "text_tfidf_sim_topk",
@@ -132,16 +142,11 @@ _FRONT: tuple[str, ...] = (
     # -- (d) oldest r9-era rows: chip the r13 cohort early --
     "ann_cosine_topk",
     "ann_filtered_topk",
-    "ann_hybrid_rrf_topk",
-    "ann_ivf_topk",
     "ann_ivf_pq_topk",
     "ann_lsh_topk",
     "ann_pq_topk",
-    "ann_pq_topk_prod",
-    "ann_quantized_topk",
     "embedding_hard_negatives",
     "embedding_knn_label_agreement",
-    "corpus_split_dedup_aware",
 )
 
 

@@ -163,6 +163,11 @@ def test_no_unjustified_bnl_join_across_catalog(spark, registry):
         # same finish via the SHARED _dsir_scores_from_postings helper,
         # fed from the persisted postings index instead of a tokenize
         "corpus_dsir_weights_indexed",
+        # 1-row (m, k) Bloom-filter-metadata scalar broadcasts
+        # (bloom_build sizes the bitmap from the item count;
+        # bloom_might_contain reads m/k back from the filter); the
+        # bitmap lookup itself is a word_idx equi-join
+        "decontam_bloom_probe",
         # literal-bounded probe: 16-row broadcast x 16-row side with a
         # "<" pair condition (120 pairs by construction, never corpus²)
         "embedding_pca_projection_pairdist",

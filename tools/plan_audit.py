@@ -88,6 +88,14 @@ DEFAULT_QUERIES = [
     "dedup_semantic_indexed",      # SemDeDup from stored centroids
     "ann_index_extend_probe",      # build+extend index, pruned probe
     "text_heavy_hitters_sketch",   # MG candidates + bounded verify
+    "graph_triangle_count",        # degree-ordered wedge equi-joins
+    "text_bigram_logprob",         # two count tables, counts-only joins
+    "corpus_dsir_weights_indexed", # DSIR from persisted postings
+    "decontam_bloom_probe",        # bit_or bitmap build + word-idx join
+    "corpus_weighted_sample",      # A-ES keys, TakeOrderedAndProject
+    "corpus_ccnet_buckets",        # bigram LM + per-lang tercile window
+    "text_zipf_fit",               # vocab rank window + regr aggregate
+    "sql_recursive_tree_depth",    # UnionLoop recursive CTE
 ]
 
 RED_FLAGS = ("BroadcastNestedLoopJoin", "CartesianProduct")
@@ -106,6 +114,20 @@ DOCUMENTED_BNL = {
                        "broadcast); the composite itself equi-joins "
                        "on cid",
     "text_unigram_logprob": "1-row corpus-total scalar broadcast",
+    "corpus_dsir_weights": "1-row smoothed-LM totals (n_r, n_t, V) "
+                           "scalar broadcasts (shared "
+                           "_dsir_scores_from_postings finish)",
+    "corpus_dsir_resample": "same 1-row smoothed-LM scalar broadcasts",
+    "corpus_dsir_weights_indexed": "same shared finish, fed from the "
+                                   "persisted postings index",
+    "text_bigram_logprob": "1-row (N, V) training-scalar broadcast",
+    "decontam_bloom_probe": "1-row (m, k) filter-metadata scalar "
+                            "broadcasts in bloom_build / "
+                            "bloom_might_contain; the bitmap lookup "
+                            "itself is a word_idx equi-join",
+    "corpus_ccnet_buckets": "the bigram LM's 1-row (N, V) scalar "
+                            "broadcast; terciles are an equi-keyed "
+                            "window",
     "anomaly_cusum_changepoint": "1-row corpus-mean scalar broadcast",
     "text_bm25_topk": "1-row (N, avgdl) corpus-scalar broadcast",
     "text_tfidf_sim_topk": "1-row corpus-count scalar broadcast "

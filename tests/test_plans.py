@@ -163,6 +163,10 @@ def test_no_unjustified_bnl_join_across_catalog(spark, registry):
         # same finish via the SHARED _dsir_scores_from_postings helper,
         # fed from the persisted postings index instead of a tokenize
         "corpus_dsir_weights_indexed",
+        # the bigram LM's 1-row (N, V) training-scalar broadcast
+        # (llm/lm.py bigram_logprob — the canonical scalar-subquery
+        # plan); the tercile cut is an equi-keyed window
+        "corpus_ccnet_buckets",
         # 1-row (m, k) Bloom-filter-metadata scalar broadcasts
         # (bloom_build sizes the bitmap from the item count;
         # bloom_might_contain reads m/k back from the filter); the

@@ -32,6 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BinaryType,
     DoubleType,
     LongType,
     StringType,
@@ -244,6 +245,106 @@ def stateful_user_totals(stream: DataFrame) -> DataFrame:
         outputStructType=_TOTALS_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_BLOOM_DEDUP_STATE = StructType([StructField("bitmap", BinaryType())])
+
+
+def stateful_bloom_dedup(
+    stream: DataFrame,
+    item_col: str,
+    n_buckets: int = 64,
+    m_bits: int = 65536,
+    k: int = 3,
+) -> DataFrame:
+    """Streaming content dedup with BOUNDED state: emit only rows whose
+    ``item_col`` value has not been seen before, tracking "seen" in a
+    per-bucket Bloom bitmap instead of an exact key store.
+
+    The trade vs ``streaming_dedup`` (dropDuplicatesWithinWatermark):
+    exact dedup state grows with the distinct-key count inside the
+    watermark horizon and needs a watermark to be bounded at all; the
+    Bloom state is a FIXED ``n_buckets x m_bits`` bits forever (64 x
+    64 Ki bits = 512 KiB total at the defaults), so it can dedup an
+    unbounded horizon — the training-data ingest case, where "have I
+    ever ingested this document" has no time window. Guarantees: a
+    seen item is NEVER re-emitted (no false negatives — bits only get
+    set); a novel item may be wrongly dropped with probability
+    ~(1 - e^(-k*n_items/(n_buckets*m_bits)))^k (the design FP rate;
+    size the bitmap at >= 12 bits per expected item for ~1%). That
+    asymmetry — duplicates impossible, rare novel-drops — is the right
+    one for corpus ingest, where a duplicate poisons training and a
+    dropped doc costs one sample.
+
+    Spark shape: the k probe positions are computed JVM-side (md5
+    slices, the ``operators.sketch`` Bloom's layout) BEFORE the
+    shuffle; rows hash into ``n_buckets`` independent groups
+    (``xxhash64(item) % n_buckets``), so state updates parallelize
+    across buckets and each group's update is pure vectorized numpy
+    over an Arrow batch — no per-row Python, no global coordinator.
+    Items are deduped within the batch first (keep-first), so
+    intra-batch duplicates collapse too.
+    """
+    if not 1 <= k <= 4:
+        raise ValueError(f"k must be in 1..4, got {k}")
+    if m_bits < 8 or m_bits % 8:
+        raise ValueError(f"m_bits must be a positive multiple of 8, got {m_bits}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    from cassandrastack_spark.operators.sketch import _BLOOM_OFFSETS
+
+    hx = F.md5(F.col(item_col).cast("string"))
+    pos = F.array(*[
+        F.conv(F.substring(hx, off, 7), 16, 10).cast("long") % m_bits
+        for off in _BLOOM_OFFSETS[:k]
+    ])
+    tagged = (
+        stream.withColumn(
+            "_bucket",
+            F.pmod(
+                F.xxhash64(F.col(item_col).cast("string")), F.lit(n_buckets)
+            ).cast("int"),
+        )
+        .withColumn("_pos", pos)
+    )
+    out_schema = StructType(list(stream.schema.fields))
+    out_cols = [f.name for f in stream.schema.fields]
+    nbytes = m_bits // 8
+
+    def update(key, pdf_iter, state: GroupState):
+        import numpy as np
+
+        if state.exists:
+            (buf,) = state.get
+            bitmap = np.frombuffer(buf, dtype=np.uint8).copy()
+        else:
+            bitmap = np.zeros(nbytes, dtype=np.uint8)
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            pdf = pdf.drop_duplicates(subset=[item_col], keep="first")
+            P = np.asarray(pdf["_pos"].tolist(), dtype=np.int64)
+            seen = (
+                (bitmap[P // 8] >> (P % 8).astype(np.uint8)) & 1
+            ).all(axis=1)
+            novel = pdf.loc[~seen]
+            if len(novel):
+                Pn = P[~seen]
+                np.bitwise_or.at(
+                    bitmap,
+                    (Pn // 8).ravel(),
+                    (np.uint8(1) << (Pn % 8).astype(np.uint8)).ravel(),
+                )
+                yield novel[out_cols]
+        state.update((bitmap.tobytes(),))
+
+    return tagged.groupBy("_bucket").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=_BLOOM_DEDUP_STATE,
+        outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
 

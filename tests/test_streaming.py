@@ -143,6 +143,97 @@ def test_stateful_totals_accumulate_across_batches(spark, stream_dir, tmp_path):
     assert got[8] == (1, 1.0)
 
 
+def _write_props_batch(d, name, rows):
+    """rows: list of (event_id, props) — distinct content payloads."""
+    pdf = pd.DataFrame(rows, columns=["event_id", "props"])
+    pdf["ts"] = pd.Timestamp(BASE)
+    pdf["ts"] = pdf["ts"].astype("datetime64[ns]")
+    pdf["user_id"] = 1
+    pdf["event_type"] = "doc"
+    pdf["value"] = 0.0
+    pdf = pdf[["event_id", "ts", "user_id", "event_type", "value", "props"]]
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
+    pq.write_table(table, str(d / name))
+
+
+def test_bloom_dedup_emits_each_content_once_across_batches(
+    spark, stream_dir, tmp_path
+):
+    from cassandrastack_spark.streaming.ops import stateful_bloom_dedup
+
+    _write_props_batch(stream_dir, "b1.parquet", [
+        (1, "alpha"),
+        (2, "alpha"),        # same-batch duplicate content
+        (3, "beta"),
+        (4, "gamma"),
+    ])
+    out = stateful_bloom_dedup(
+        events_stream(spark, str(stream_dir)), "props"
+    )
+    q = _start(out, tmp_path, "append")
+    try:
+        q.processAllAvailable()
+        _write_props_batch(stream_dir, "b2.parquet", [
+            (5, "beta"),     # cross-batch duplicate content
+            (6, "delta"),    # novel
+            (7, "gamma"),    # cross-batch duplicate content
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table(q.name).collect()
+    got = sorted((r.event_id, r.props) for r in rows)
+    # each distinct content emitted exactly once, first occurrence wins
+    assert [p for _, p in got].count("alpha") == 1
+    assert sorted(p for _, p in got) == ["alpha", "beta", "delta", "gamma"]
+    assert (6, "delta") in got, "novel content in batch 2 must be emitted"
+    assert all(eid not in (5, 7) for eid, _ in got), (
+        "cross-batch duplicate content must never be re-emitted"
+    )
+
+
+def test_bloom_dedup_state_survives_many_buckets_and_validates_params(
+    spark, stream_dir, tmp_path
+):
+    from cassandrastack_spark.streaming.ops import stateful_bloom_dedup
+
+    # 200 distinct contents spread over the default 64 buckets, half
+    # re-sent in batch 2: exactly the 200 distinct payloads come out
+    # (at 12+ bits/item the deterministic md5 layout has no collisions
+    # on this fixture — a regression here means the layout changed)
+    _write_props_batch(
+        stream_dir, "b1.parquet",
+        [(i, f"doc-{i}") for i in range(200)],
+    )
+    out = stateful_bloom_dedup(
+        events_stream(spark, str(stream_dir)), "props",
+        n_buckets=8, m_bits=8192, k=3,
+    )
+    q = _start(out, tmp_path, "append")
+    try:
+        q.processAllAvailable()
+        _write_props_batch(
+            stream_dir, "b2.parquet",
+            [(1000 + i, f"doc-{i}") for i in range(100)],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table(q.name).collect()
+    assert sorted(r.props for r in rows) == sorted(f"doc-{i}" for i in range(200))
+    assert all(r.event_id < 1000 for r in rows), "first occurrence wins"
+
+    import pytest as _pytest
+
+    s = events_stream(spark, str(stream_dir))
+    with _pytest.raises(ValueError, match="k must be"):
+        stateful_bloom_dedup(s, "props", k=9)
+    with _pytest.raises(ValueError, match="m_bits"):
+        stateful_bloom_dedup(s, "props", m_bits=100)
+    with _pytest.raises(ValueError, match="n_buckets"):
+        stateful_bloom_dedup(s, "props", n_buckets=0)
+
+
 def test_stream_ingest_into_wide_column_table(spark, stream_dir, tmp_path):
     """ingest_stream lands micro-batches through WideColumnTable.append:
     read-back shows upsert (last-writer-wins) semantics across batches

@@ -1,0 +1,86 @@
+"""Distribution-shaping column functions for score columns.
+
+The multi-source corpus problem these serve: per-document quality
+scores (model scores, perplexities, heuristics) are only comparable
+WITHIN a source — each source has its own scale, outliers, and tail
+behavior — but mixing/filtering decisions are made ACROSS sources.
+Robust per-group normalization is the standard pre-step (CCNet
+normalizes perplexity per language; classifier-score filtering
+winsorizes before thresholding so one source's runaway tail doesn't
+eat the budget).
+
+Everything here is rank-based, not moment-based: clamp bounds are
+ORDER STATISTICS (the value at rank ceil(q*n) within the group), so
+the result is deterministic across engines, partitionings, and tie
+orders — an interpolated percentile differs at the ulp level between
+engines and would break oracle parity; an order statistic cannot.
+
+Spark shape: one shuffle on the group key, two window passes (rank +
+group-max of the flagged bound rows), all whole-stage-codegen — at
+100 TB each group normalizes independently (range-partitioned sort
+within the group key), nothing global.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def winsorize_by_group(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    lower: float = 0.05,
+    upper: float = 0.95,
+) -> DataFrame:
+    """Rank-based winsorization + min-max normalization per group.
+
+    Adds two columns:
+
+    - ``{value_col}_w`` — ``value_col`` clamped to the group's
+      [rank ceil(lower*n), rank ceil(upper*n)] order statistics
+      (classic winsorization: outliers are pulled to the fence, not
+      dropped, so group sizes are preserved for downstream quotas);
+    - ``{value_col}_norm`` — the clamped value min-max rescaled to
+      [0, 1] between the two fences (0.5 when the fences coincide,
+      e.g. a constant group), making scores comparable ACROSS groups.
+
+    Bounds are order statistics, so the output is invariant to tie
+    order and engine; the only shuffle is on ``group_col``. Rows with
+    NULL values keep NULL in both outputs and are excluded from the
+    rank count (they carry no order statistic).
+    """
+    if not 0.0 < lower < upper <= 1.0:
+        raise ValueError(
+            f"need 0 < lower < upper <= 1, got lower={lower} upper={upper}"
+        )
+    v = F.col(value_col)
+    # nulls_last so non-null rows rank 1..n_nonnull (Spark's asc default
+    # is NULLS FIRST, which would shift every order statistic by the
+    # null count); null rows land beyond _n and can never flag a bound
+    wr = Window.partitionBy(group_col).orderBy(v.asc_nulls_last())
+    wg = Window.partitionBy(group_col)
+    ranked = df.withColumn("_rn", F.row_number().over(wr)).withColumn(
+        "_n", F.count(value_col).over(wg)
+    )
+    lo_r = F.ceil(F.lit(float(lower)) * F.col("_n"))
+    hi_r = F.ceil(F.lit(float(upper)) * F.col("_n"))
+    bounded = ranked.withColumn(
+        "_lo", F.max(F.when(F.col("_rn") == lo_r, v)).over(wg)
+    ).withColumn(
+        "_hi", F.max(F.when(F.col("_rn") == hi_r, v)).over(wg)
+    )
+    # explicit null guard: Spark's greatest/least IGNORE nulls, so an
+    # unguarded clamp would pull a NULL value to the lower fence
+    clamped = F.when(
+        v.isNotNull(), F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))
+    )
+    norm = F.when(
+        F.col("_hi") > F.col("_lo"),
+        (clamped - F.col("_lo")) / (F.col("_hi") - F.col("_lo")),
+    ).otherwise(F.when(v.isNotNull(), F.lit(0.5)))
+    return (
+        bounded.withColumn(f"{value_col}_w", clamped)
+        .withColumn(f"{value_col}_norm", norm)
+        .drop("_rn", "_n", "_lo", "_hi")
+    )

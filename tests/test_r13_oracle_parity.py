@@ -95,14 +95,104 @@ def corpus_score_winsorize_spark(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+# The second staged query: `ann_matryoshka_recall` — the
+# dimension-truncation audit (Kusupati et al. 2022, "Matryoshka
+# Representation Learning"): exact top-k under the first-16-of-64
+# dims vs exact top-k under the full vector, per-query overlap =
+# recall@k. The production question it answers: can this embedding
+# column be stored/searched at a fraction of its width? For
+# MRL-trained embeddings recall stays high; for these synthetic
+# random embeddings it collapses toward k/N — the audit catching
+# exactly what it is built to catch (information spread uniformly
+# across dims). Both legs reuse the GREEN _EXACT_TOPK_ORACLE shape
+# (ranks via (similarity DESC, vec_id); overlap counts are
+# set-membership, even more tie-robust than ranks).
+ANN_MATRYOSHKA_RECALL_ORACLE = """
+    WITH fullk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(
+                           q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                           c.vec_id
+                   ) AS rank
+            FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < 10)
+        WHERE rank <= 5),
+    halfk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(
+                           (q.embedding[1:16])::DOUBLE[],
+                           (c.embedding[1:16])::DOUBLE[]) DESC,
+                           c.vec_id
+                   ) AS rank
+            FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < 10)
+        WHERE rank <= 5)
+    SELECT f.query_id,
+           CAST(5 AS INT) AS k,
+           CAST(COUNT(h.neighbor_id) AS BIGINT) AS n_overlap,
+           COUNT(h.neighbor_id) / 5.0 AS recall_at_k
+    FROM fullk f
+    LEFT JOIN halfk h USING (query_id, neighbor_id)
+    GROUP BY f.query_id ORDER BY f.query_id
+"""
+
+
+def ann_matryoshka_recall_spark(spark, sf_dir):
+    """The exact plan that registers in r13 (lift verbatim)."""
+    from cassandrastack_spark.llm.simsearch import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    trunc = emb.select(
+        "vec_id", F.expr("slice(embedding, 1, 16)").alias("embedding")
+    )
+    fullk = cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5).select(
+        "query_id", "neighbor_id"
+    )
+    halfk = cosine_topk(
+        trunc, trunc.filter(F.col("vec_id") < 10), k=5
+    ).select("query_id", F.col("neighbor_id").alias("h_neighbor"))
+    return (
+        fullk.join(
+            halfk,
+            (fullk["query_id"] == halfk["query_id"])
+            & (fullk["neighbor_id"] == halfk["h_neighbor"]),
+            "left",
+        )
+        .drop(halfk["query_id"])
+        .groupBy("query_id")
+        .agg(
+            F.lit(5).cast("int").alias("k"),
+            F.count("h_neighbor").cast("bigint").alias("n_overlap"),
+            (F.count("h_neighbor") / 5.0).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
-    )
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'"
+        )
     yield con
     con.close()
+
+
+def test_ann_matryoshka_recall_matches_staged_oracle(spark, duck):
+    got = ann_matryoshka_recall_spark(spark, SF).toPandas()
+    want = duck.execute(ANN_MATRYOSHKA_RECALL_ORACLE).df()
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want) == 10
+    for col in got.columns:
+        assert got[col].tolist() == want[col].tolist(), col
 
 
 def test_corpus_score_winsorize_matches_staged_oracle(spark, duck):

@@ -768,3 +768,96 @@ def test_triangle_count_matches_bruteforce(spark, g):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r.node: r.triangles for r in triangle_count(df).collect()}
     assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# Bloom membership filter (operators/sketch.py)
+# ---------------------------------------------------------------------------
+
+_items = st.lists(
+    st.text(alphabet="abcdefg0123456789", min_size=1, max_size=12),
+    min_size=0, max_size=60,
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_items, _items)
+def test_bloom_no_false_negatives_property(spark, members, probes):
+    """The Bloom contract over arbitrary string universes: every member
+    probes true (NO false negatives, the filter's only hard guarantee);
+    non-members may flag true only as false positives, never the
+    reverse."""
+    from cassandrastack_spark.operators.sketch import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    mdf = (
+        spark.createDataFrame([(m,) for m in members], "g string")
+        if members else spark.createDataFrame([], "g string")
+    )
+    pdf = (
+        spark.createDataFrame([(p,) for p in probes], "g string")
+        if probes else spark.createDataFrame([], "g string")
+    )
+    bloom = bloom_build(mdf, "g")
+    got = {
+        r.g: r.might_contain
+        for r in bloom_might_contain(bloom, pdf, "g").collect()
+    }
+    mset = set(members)
+    for p in probes:
+        if p in mset:
+            assert got[p] is True, f"false negative on {p!r}"
+        elif got[p]:
+            pass  # false positive: allowed by design
+
+
+# ---------------------------------------------------------------------------
+# winsorize_by_group (functions/stats.py)
+# ---------------------------------------------------------------------------
+
+_scores = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),                 # group
+        st.integers(min_value=-1000, max_value=1000),          # score*10
+    ),
+    min_size=1, max_size=50,
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_scores, st.floats(min_value=0.01, max_value=0.45),
+       st.floats(min_value=0.55, max_value=1.0))
+def test_winsorize_matches_order_statistic_model(spark, rows, lower, upper):
+    """Rank-based winsorization vs a pure-python order-statistic model:
+    fences = value at rank ceil(q*n) per group, clamp between, rescale;
+    ties and tiny groups included."""
+    import math
+
+    from cassandrastack_spark.functions.stats import winsorize_by_group
+
+    df = spark.createDataFrame(
+        [(g, v / 10.0) for g, v in rows], "src int, score double"
+    )
+    got = [
+        (r.src, r.score, r.score_w, r.score_norm)
+        for r in winsorize_by_group(df, "score", "src",
+                                    lower=lower, upper=upper).collect()
+    ]
+    by_group: dict[int, list[float]] = {}
+    for g, v in rows:
+        by_group.setdefault(g, []).append(v / 10.0)
+    for g, v, w, norm in got:
+        vals = sorted(by_group[g])
+        n = len(vals)
+        lo = vals[math.ceil(lower * n) - 1]
+        hi = vals[math.ceil(upper * n) - 1]
+        want_w = min(max(v, lo), hi)
+        assert w == want_w, (g, v, lo, hi)
+        if hi > lo:
+            assert abs(norm - (want_w - lo) / (hi - lo)) < 1e-12
+        else:
+            assert norm == 0.5

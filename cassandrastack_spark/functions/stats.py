@@ -84,3 +84,70 @@ def winsorize_by_group(
         .withColumn(f"{value_col}_norm", norm)
         .drop("_rn", "_n", "_lo", "_hi")
     )
+
+
+def quantile_normalize_by_group(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    grid: int = 100,
+) -> DataFrame:
+    """Quantile normalization across groups (Bolstad et al. 2003, the
+    microarray-era batch-effect remover): map every value onto the
+    CROSS-GROUP AVERAGE distribution at the same relative rank, so all
+    groups share one score distribution afterwards — the calibration
+    step that makes "score >= 0.7" mean the same thing for every
+    source before cross-source filtering or mixing.
+
+    Adds ``{value_col}_qn``. Rows with NULL values get NULL.
+
+    Exactness without interpolation: the reference distribution is the
+    per-grid-cell average of each group's ORDER STATISTIC at rank
+    ceil(j*n/B) (j = 1..``grid``), and every row maps to cell
+    ceil(B*rn/n) — all ceilings computed in INTEGER arithmetic
+    ((x + d - 1) div d), so two engines can never diverge at a cell
+    boundary. Within a group the mapping is monotone in the value.
+
+    Spark shape at 100 TB: per-group rank windows (one shuffle on the
+    group key, groups sort independently), then each row emits at most
+    the handful of grid cells its rank serves (a narrow explode whose
+    TOTAL output is ~``grid`` rows per group — the reference table is
+    grid-sized, broadcastable, never corpus-sized), and the final map
+    is a broadcast equi-join on the cell id. No global sort, no
+    single-partition window, no interpolated percentile.
+    """
+    if grid < 1:
+        raise ValueError(f"grid must be >= 1, got {grid}")
+    b = int(grid)
+    v = F.col(value_col)
+    wr = Window.partitionBy(group_col).orderBy(v.asc_nulls_last())
+    wg = Window.partitionBy(group_col)
+    ranked = df.withColumn("_rn", F.row_number().over(wr)).withColumn(
+        "_n", F.count(value_col).over(wg)
+    )
+    nonnull = ranked.filter(v.isNotNull())
+    # the j-range this rank serves: ((rn-1)*B) div n + 1 .. (rn*B) div n
+    # (empty for ranks that straddle no cell boundary when n > B)
+    cells = nonnull.select(
+        F.explode(
+            F.when(
+                F.expr(f"((_rn - 1) * {b}) DIV _n + 1 <= (_rn * {b}) DIV _n"),
+                F.expr(
+                    f"sequence(((_rn - 1) * {b}) DIV _n + 1, (_rn * {b}) DIV _n)"
+                ),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("_j"),
+        v.alias("_ref_v"),
+    )
+    ref = cells.groupBy("_j").agg(F.avg("_ref_v").alias("_ref"))
+    mapped = ranked.withColumn(
+        "_j",
+        F.when(v.isNotNull(), F.expr(f"({b} * _rn + _n - 1) DIV _n")),
+    )
+    return (
+        mapped.join(F.broadcast(ref), "_j", "left")
+        .withColumn(
+            f"{value_col}_qn", F.when(v.isNotNull(), F.col("_ref"))
+        )
+        .drop("_j", "_rn", "_n", "_ref")
+    )

@@ -175,6 +175,75 @@ def ann_matryoshka_recall_spark(spark, sf_dir):
     )
 
 
+# The third staged oracle query: `corpus_score_quantile_norm` —
+# quantile normalization across sources (Bolstad et al. 2003): every
+# doc's quality score maps onto the cross-source AVERAGE distribution
+# at the same relative rank, so "score >= x" means the same thing for
+# every source. All rank/cell arithmetic is INTEGER ((x+d-1) div d
+# ceilings, // floors), so engines cannot diverge at cell boundaries;
+# the reference table is grid-sized (100 rows), broadcastable at any
+# corpus scale. Shares the green corpus_quality_model_score m/s CTEs.
+CORPUS_SCORE_QUANTILE_NORM_ORACLE = """
+    WITH m AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             (LENGTH(text) - (len(string_split(text, ' ')) - 1))
+                 / len(string_split(text, ' ')) AS awl,
+             len(list_filter(string_split(text, ' '),
+                             w -> w IN ('the', 'a', 'of', 'and')))
+                 / len(string_split(text, ' ')) AS sr
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             ROUND(1.0 / (1.0 + EXP(-(-2.0 + 0.8 * LN(1.0 + n_tokens)
+                                      - 0.15 * awl + 6.0 * sr))),
+                   6) AS score
+      FROM m),
+    sc AS (
+      SELECT d.doc_id, d.source, s.score
+      FROM s JOIN documents d USING (doc_id)),
+    r AS (
+      SELECT doc_id, source, score,
+             row_number() OVER (PARTITION BY source ORDER BY score) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM sc),
+    cells AS (
+      SELECT t.j, r.score
+      FROM r, unnest(generate_series(
+                 ((rn - 1) * 100) // n + 1, (rn * 100) // n)) AS t(j)),
+    ref AS (
+      SELECT j, AVG(score) AS refv FROM cells GROUP BY j),
+    mapped AS (
+      SELECT doc_id, source, score, (100 * rn + n - 1) // n AS j
+      FROM r)
+    SELECT doc_id, source, score, ROUND(refv, 6) AS score_qn
+    FROM mapped JOIN ref USING (j)
+    ORDER BY doc_id
+"""
+
+
+def corpus_score_quantile_norm_spark(spark, sf_dir):
+    """The exact plan that registers in r13 (lift verbatim)."""
+    from cassandrastack_spark.functions.stats import (
+        quantile_normalize_by_group,
+    )
+    from cassandrastack_spark.functions.text import quality_score_linear
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.round(quality_score_linear("text"), 6).alias("score"),
+    )
+    out = quantile_normalize_by_group(scored, "score", "source", grid=100)
+    return out.select(
+        "doc_id",
+        "source",
+        "score",
+        F.round("score_qn", 6).alias("score_qn"),
+    ).orderBy("doc_id")
+
+
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
@@ -184,6 +253,17 @@ def duck():
         )
     yield con
     con.close()
+
+
+def test_corpus_score_quantile_norm_matches_staged_oracle(spark, duck):
+    got = corpus_score_quantile_norm_spark(spark, SF).toPandas()
+    want = duck.execute(CORPUS_SCORE_QUANTILE_NORM_ORACLE).df()
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want) > 0
+    # normalization must actually move scores on the fixture
+    assert (got["score_qn"] != got["score"]).any()
+    for col in got.columns:
+        assert got[col].tolist() == want[col].tolist(), col
 
 
 def test_ann_matryoshka_recall_matches_staged_oracle(spark, duck):

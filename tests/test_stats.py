@@ -74,3 +74,63 @@ def test_winsorize_rejects_bad_bounds(spark):
         winsorize_by_group(df, "score", "src", lower=0.9, upper=0.1)
     with pytest.raises(ValueError, match="lower"):
         winsorize_by_group(df, "score", "src", lower=0.0)
+
+
+# ---------------------------------------------------------------------------
+# quantile_normalize_by_group
+# ---------------------------------------------------------------------------
+
+from cassandrastack_spark.functions.stats import quantile_normalize_by_group
+
+
+def _two_groups(spark, a_vals, b_vals):
+    rows = [("a", float(v)) for v in a_vals] + [("b", float(v)) for v in b_vals]
+    return spark.createDataFrame(rows, "src string, score double")
+
+
+def test_qnorm_equal_sizes_equalizes_distributions(spark):
+    # classic quantile norm: equal-size groups end up with IDENTICAL
+    # value multisets (the cross-group rank averages)
+    df = _two_groups(spark, [1, 2, 3, 4], [10, 20, 30, 40])
+    out = quantile_normalize_by_group(df, "score", "src", grid=4)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.src, []).append(r.score_qn)
+    assert sorted(got["a"]) == sorted(got["b"]) == [5.5, 11.0, 16.5, 22.0]
+
+
+def test_qnorm_unequal_sizes_hand_computed(spark):
+    # A = [0, 10] (n=2), B = [0, 4, 8, 12] (n=4), grid=4:
+    # A rank1 serves cells 1-2 (value 0), rank2 cells 3-4 (value 10);
+    # ref = [0, 2, 9, 11]; A maps to cells ceil(4*rn/2) = [2, 4],
+    # B to cells [1, 2, 3, 4]
+    df = _two_groups(spark, [0, 10], [0, 4, 8, 12])
+    out = quantile_normalize_by_group(df, "score", "src", grid=4)
+    got = {(r.src, r.score): r.score_qn for r in out.collect()}
+    assert got[("a", 0.0)] == 2.0 and got[("a", 10.0)] == 11.0
+    assert got[("b", 0.0)] == 0.0 and got[("b", 4.0)] == 2.0
+    assert got[("b", 8.0)] == 9.0 and got[("b", 12.0)] == 11.0
+
+
+def test_qnorm_monotone_within_group_and_null_passthrough(spark):
+    df = spark.createDataFrame(
+        [("a", 5.0), ("a", 1.0), ("a", None), ("a", 3.0),
+         ("b", 2.0), ("b", 4.0)],
+        "src string, score double",
+    )
+    out = quantile_normalize_by_group(df, "score", "src", grid=10)
+    rows = out.collect()
+    assert all(r.score_qn is None for r in rows if r.score is None)
+    a = sorted(
+        (r.score, r.score_qn) for r in rows
+        if r.src == "a" and r.score is not None
+    )
+    assert all(x[1] <= y[1] for x, y in zip(a, a[1:])), "monotone in value"
+
+
+def test_qnorm_rejects_bad_grid(spark):
+    df = _two_groups(spark, [1], [2])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="grid"):
+        quantile_normalize_by_group(df, "score", "src", grid=0)

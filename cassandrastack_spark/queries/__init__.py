@@ -91,14 +91,14 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # (annotation-only) simsearch diff plus the two embedding mining
 # queries. Remaining debt after r12: 36 r9-era rows (3 rounds old at
 # r13) — r13 MUST clear all 36, which leaves ~14 slots for novelty +
-# re-confirms; the 50-row r10 cohort comes due at r14. THREE r13
+# re-confirms; the 50-row r10 cohort comes due at r14. FOUR r13
 # registrants are already staged library-complete with validated
-# verification: corpus_score_winsorize and ann_matryoshka_recall
-# (exact plans + oracle SQL pre-validated green at sf0.001 AND sf0.01
-# in tests/test_r13_oracle_parity.py — lift verbatim), and
-# stream_bloom_dedup (streaming/ops.py stateful_bloom_dedup, rows-only
-# check like its stream_* siblings; multi-batch semantics pinned in
-# tests/test_streaming.py).
+# verification: corpus_score_winsorize, corpus_score_quantile_norm
+# and ann_matryoshka_recall (exact plans + oracle SQL pre-validated
+# green at sf0.001 AND sf0.01 in tests/test_r13_oracle_parity.py —
+# lift verbatim), and stream_bloom_dedup (streaming/ops.py
+# stateful_bloom_dedup, rows-only check like its stream_* siblings;
+# multi-batch semantics pinned in tests/test_streaming.py).
 _FRONT: tuple[str, ...] = (
     # -- (a) the 31 r8-era rows: TPC-H chips first, then operators --
     "q4_priority_with_big_items",

@@ -99,6 +99,15 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # lift verbatim), and stream_bloom_dedup (streaming/ops.py
 # stateful_bloom_dedup, rows-only check like its stream_* siblings;
 # multi-batch semantics pinned in tests/test_streaming.py).
+# STRUCTURAL BUDGET NOTE for r13+: at 182 registered queries with a
+# 50-row window and a 4-round age limit, steady state requires
+# re-verifying ~46 rows per round — the novelty budget is now ~4 new
+# queries per round, permanently. r13 = 36 r9 rows + 4 staged
+# registrants + ~10 chips against the 46-row r10 cohort (4 of its
+# rows re-gated here in r12); r14 then owes the un-chipped remainder.
+# Registering more than ~4 new queries in any round now REQUIRES
+# retiring or consolidating old ones — prefer staging depth (library
+# + pre-validated oracle) over registration count.
 _FRONT: tuple[str, ...] = (
     # -- (a) the 31 r8-era rows: TPC-H chips first, then operators --
     "q4_priority_with_big_items",

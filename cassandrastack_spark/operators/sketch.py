@@ -104,6 +104,7 @@ def bloom_build(
     item_col: str,
     bits_per_item: int = 12,
     k: int = 3,
+    m_bits: int | None = None,
 ) -> DataFrame:
     """Build a Bloom filter over the DISTINCT values of ``item_col`` as
     a self-describing DataFrame ``(word_idx int, word long, m long,
@@ -129,17 +130,32 @@ def bloom_build(
     negatives, ever; callers that must confirm positives re-check just
     the flagged survivors against the exact set (the same
     candidates-then-verify discipline as ``heavy_hitters``).
+
+    Pass an explicit ``m_bits`` to pin the bitmap size instead of
+    sizing from this call's item count — REQUIRED when several
+    independently-built filters will be ``bloom_merge``d (positions
+    are mod ``m``, so every contributing build must share one ``m``,
+    sized against the EXPECTED TOTAL item count). With the same ``m``
+    and ``k``, build-then-merge is bit-identical to one whole build
+    (``bit_or`` is associative and commutative).
     """
     if not 1 <= k <= len(_BLOOM_OFFSETS):
         raise ValueError(f"k must be in 1..{len(_BLOOM_OFFSETS)}, got {k}")
     if bits_per_item < 1:
         raise ValueError(f"bits_per_item must be >= 1, got {bits_per_item}")
+    if m_bits is not None and m_bits < 1:
+        raise ValueError(f"m_bits must be >= 1, got {m_bits}")
     it = items.select(F.col(item_col).cast("string").alias("_item")).distinct()
-    m_df = it.agg(
-        F.greatest(
-            F.count("*") * F.lit(int(bits_per_item)), F.lit(1)
-        ).cast("long").alias("m")
-    )
+    if m_bits is not None:
+        m_df = it.sparkSession.range(1).select(
+            F.lit(int(m_bits)).cast("long").alias("m")
+        )
+    else:
+        m_df = it.agg(
+            F.greatest(
+                F.count("*") * F.lit(int(bits_per_item)), F.lit(1)
+            ).cast("long").alias("m")
+        )
     hx = F.md5(F.col("_item"))
     pos = (
         it.crossJoin(F.broadcast(m_df))
@@ -162,6 +178,56 @@ def bloom_build(
             ).alias("word")
         )
         .select("word_idx", "word", "m", F.lit(int(k)).alias("k"))
+    )
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union two Bloom filters built with the SAME ``m_bits`` and ``k``
+    into one filter whose member set is the union of both — the
+    ingest-loop primitive: build a filter over each arriving batch
+    (cost ∝ batch), merge into the persisted filter, never rebuild
+    over history. Because ``bit_or`` is associative and commutative,
+    any merge tree produces the bit-identical bitmap a single whole
+    build would; false-negative impossibility is preserved, and the
+    FP rate degrades exactly as the combined fill predicts (size the
+    shared ``m_bits`` against the expected TOTAL).
+
+    Incompatible geometry (different ``m`` or ``k``) fails LOUD
+    in-plan — positions are mod ``m``, so merging mismatched filters
+    would silently corrupt membership. An EMPTY side (no rows, so no
+    stored geometry) merges as the identity.
+    """
+    both = a.select("word_idx", "word", "m", "k").unionByName(
+        b.select("word_idx", "word", "m", "k")
+    )
+    geom = both.agg(
+        F.count_distinct("m").alias("n_m"),
+        F.count_distinct("k").alias("n_k"),
+    )
+    # the assert is threaded INTO the emitted m column — an unreferenced
+    # guard column would be pruned by Catalyst along with its assert
+    # (the lm.py empty-training-corpus discipline)
+    return (
+        both.groupBy("word_idx")
+        .agg(
+            F.expr("bit_or(word)").alias("word"),
+            F.max("m").alias("m"),
+            F.max("k").alias("k"),
+        )
+        .crossJoin(F.broadcast(geom))
+        .select(
+            "word_idx",
+            "word",
+            F.when(
+                F.assert_true(
+                    (F.col("n_m") <= 1) & (F.col("n_k") <= 1),
+                    "bloom_merge: incompatible filter geometry "
+                    "(m_bits/k differ between sides)",
+                ).isNull(),
+                F.col("m"),
+            ).alias("m"),
+            "k",
+        )
     )
 
 

@@ -91,14 +91,19 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # (annotation-only) simsearch diff plus the two embedding mining
 # queries. Remaining debt after r12: 36 r9-era rows (3 rounds old at
 # r13) — r13 MUST clear all 36, which leaves ~14 slots for novelty +
-# re-confirms; the 50-row r10 cohort comes due at r14. FOUR r13
+# re-confirms; the 50-row r10 cohort comes due at r14. FIVE r13
 # registrants are already staged library-complete with validated
-# verification: corpus_score_winsorize, corpus_score_quantile_norm
-# and ann_matryoshka_recall (exact plans + oracle SQL pre-validated
-# green at sf0.001 AND sf0.01 in tests/test_r13_oracle_parity.py —
-# lift verbatim), and stream_bloom_dedup (streaming/ops.py
-# stateful_bloom_dedup, rows-only check like its stream_* siblings;
-# multi-batch semantics pinned in tests/test_streaming.py).
+# verification: corpus_score_winsorize, corpus_score_quantile_norm,
+# ann_matryoshka_recall and decontam_bloom_indexed (exact plans +
+# oracle SQL pre-validated green at sf0.001 AND sf0.01 in
+# tests/test_r13_oracle_parity.py — lift verbatim; the bloom twin
+# gates under the SHARED decontam_bloom_probe oracle and needs the
+# same BNL-allowlist entry), and stream_bloom_dedup
+# (streaming/ops.py stateful_bloom_dedup, rows-only check like its
+# stream_* siblings; multi-batch semantics pinned in
+# tests/test_streaming.py). With 5 staged + 36 debt = 41 slots, r13
+# keeps ~9 chips against the r10 cohort — registering all five is
+# within the steady-state budget ONLY if r13 adds nothing else new.
 # STRUCTURAL BUDGET NOTE for r13+: at 182 registered queries with a
 # 50-row window and a 4-round age limit, steady state requires
 # re-verifying ~46 rows per round — the novelty budget is now ~4 new

@@ -244,6 +244,84 @@ def corpus_score_quantile_norm_spark(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+# The fourth staged query: `decontam_bloom_indexed` — the
+# decontam_bloom_probe output served from a PERSISTED, INCREMENTALLY
+# EXTENDED filter (the persisted-index production-twin discipline of
+# dedup_semantic_indexed / corpus_dsir_weights_indexed): the eval gram
+# set splits ~15/16 base + ~1/16 arriving batch on an md5 nibble, each
+# part builds its own filter against ONE pinned geometry (m = 12 x
+# total items — the sizing pass production runs up front),
+# bloom_merge folds them (bit_or is associative, so the merged bitmap
+# is bit-identical to the whole build), the artifact round-trips
+# through parquet, and the probe runs off the REREAD filter. Gated
+# under the SHARED registered decontam_bloom_probe oracle — a lost
+# batch item, geometry drift, or lossy persistence hash-mismatches.
+_BLOOM_IDX_CACHE: dict[str, str] = {}
+
+
+def decontam_bloom_indexed_spark(spark, sf_dir):
+    """The exact plan that registers in r13 (lift verbatim, cache dict
+    alongside — an index is a persisted artifact, amortized like
+    _INDEX_CACHE's)."""
+    from cassandrastack_spark.functions.text import word_ngrams
+    from cassandrastack_spark.operators.sketch import (
+        bloom_build,
+        bloom_merge,
+        bloom_might_contain,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    grams = d.select("doc_id", F.explode(word_ngrams("text", 5)).alias("g"))
+    eval_g = grams.filter(F.col("doc_id") % 10 == 0).select("g").distinct()
+    if sf_dir not in _BLOOM_IDX_CACHE:
+        import tempfile
+
+        # the up-front sizing pass: one bounded scalar to the driver,
+        # pinning the geometry every contributing build must share
+        m = max(12 * eval_g.count(), 1)
+        is_batch = F.substring(F.md5("g"), 1, 1) == "f"
+        base = bloom_build(eval_g.filter(~is_batch), "g", m_bits=m)
+        batch = bloom_build(eval_g.filter(is_batch), "g", m_bits=m)
+        path = tempfile.mkdtemp(prefix="cs_q_bloom_idx_")
+        bloom_merge(base, batch).write.mode("overwrite").parquet(path)
+        _BLOOM_IDX_CACHE[sf_dir] = path
+    bloom = spark.read.parquet(_BLOOM_IDX_CACHE[sf_dir])
+    probe = (
+        grams.filter(F.col("doc_id") % 10 != 0)
+        .select("doc_id", "g")
+        .distinct()
+    )
+    return (
+        bloom_might_contain(bloom, probe, "g", out_col="_hit")
+        .join(eval_g.withColumn("_ex", F.lit(1)), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(F.col("_hit").cast("int")).cast("bigint").alias("n_flagged"),
+            F.sum(F.when(F.col("_ex").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def test_decontam_bloom_indexed_matches_shared_registered_oracle(spark, duck):
+    from cassandrastack_spark.queries import load_all
+
+    qd = load_all()["decontam_bloom_probe"]
+    got = decontam_bloom_indexed_spark(spark, SF).toPandas()
+    want = duck.execute(qd.oracle).df()
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want) > 0
+    for col in got.columns:
+        assert got[col].tolist() == want[col].tolist(), col
+    # and the persisted+merged path must equal the raw twin exactly
+    raw = qd.fn(spark, SF).toPandas()
+    for col in got.columns:
+        assert got[col].tolist() == raw[col].tolist(), col
+
+
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()

@@ -231,3 +231,74 @@ def test_ann_index_extend_probe_equals_exact_topk(spark):
         .toPandas()
     )
     assert got.values.tolist() == exact.values.tolist()
+
+
+def test_bloom_merge_equals_whole_build(spark):
+    from cassandrastack_spark.operators.sketch import bloom_merge
+
+    all_items = [(f"it-{i}",) for i in range(120)]
+    whole = spark.createDataFrame(all_items, "g string")
+    part_a = spark.createDataFrame(all_items[:80], "g string")
+    part_b = spark.createDataFrame(all_items[80:], "g string")
+    m = 120 * 12  # shared geometry, sized against the TOTAL
+    built = bloom_build(whole, "g", m_bits=m).orderBy("word_idx").toPandas()
+    merged = (
+        bloom_merge(
+            bloom_build(part_a, "g", m_bits=m),
+            bloom_build(part_b, "g", m_bits=m),
+        )
+        .orderBy("word_idx")
+        .toPandas()
+    )
+    assert merged.values.tolist() == built.values.tolist(), (
+        "build-then-merge must be bit-identical to one whole build"
+    )
+
+
+def test_bloom_merge_rejects_mismatched_geometry(spark):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from cassandrastack_spark.operators.sketch import bloom_merge
+
+    a = bloom_build(spark.createDataFrame([("x",)], "g string"), "g",
+                    m_bits=1024)
+    b = bloom_build(spark.createDataFrame([("y",)], "g string"), "g",
+                    m_bits=2048)
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)):
+        bloom_merge(a, b).collect()
+
+
+def test_bloom_merge_empty_side_is_identity(spark):
+    from cassandrastack_spark.operators.sketch import bloom_merge
+
+    items = spark.createDataFrame([("x",), ("y",)], "g string")
+    a = bloom_build(items, "g", m_bits=1024)
+    empty = bloom_build(spark.createDataFrame([], "g string"), "g",
+                        m_bits=1024)
+    merged = bloom_merge(a, empty).orderBy("word_idx").toPandas()
+    assert merged.values.tolist() == a.orderBy("word_idx").toPandas().values.tolist()
+
+
+def test_bloom_persist_roundtrip_probes_identically(spark, tmp_path):
+    members = spark.createDataFrame(
+        [(f"m-{i}",) for i in range(50)], "g string"
+    )
+    probes = spark.createDataFrame(
+        [(f"m-{i}",) for i in range(50)] + [(f"o-{i}",) for i in range(50)],
+        "g string",
+    )
+    bloom = bloom_build(members, "g")
+    path = str(tmp_path / "bloom_idx")
+    bloom.write.mode("overwrite").parquet(path)
+    reread = spark.read.parquet(path)
+    live = {
+        r.g: r.might_contain
+        for r in bloom_might_contain(bloom, probes, "g").collect()
+    }
+    persisted = {
+        r.g: r.might_contain
+        for r in bloom_might_contain(reread, probes, "g").collect()
+    }
+    assert live == persisted
+    assert all(persisted[f"m-{i}"] for i in range(50))

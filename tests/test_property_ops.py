@@ -861,3 +861,51 @@ def test_winsorize_matches_order_statistic_model(spark, rows, lower, upper):
             assert abs(norm - (want_w - lo) / (hi - lo)) < 1e-12
         else:
             assert norm == 0.5
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_scores, st.integers(min_value=1, max_value=12))
+def test_quantile_normalize_matches_integer_grid_model(spark, rows, grid):
+    """quantile_normalize_by_group vs a pure-python model of the
+    integer-grid spec: ref[j] = mean over groups of the value at rank
+    ceil(j*n/B); each row maps to cell ceil(B*rn/n). Ties, singleton
+    groups, and grids smaller/larger than group sizes included."""
+    from cassandrastack_spark.functions.stats import (
+        quantile_normalize_by_group,
+    )
+
+    df = spark.createDataFrame(
+        [(g, v / 10.0) for g, v in rows], "src int, score double"
+    )
+    got = quantile_normalize_by_group(df, "score", "src", grid=grid)
+    by_group: dict[int, list[float]] = {}
+    for g, v in rows:
+        by_group.setdefault(g, []).append(v / 10.0)
+    for vals in by_group.values():
+        vals.sort()
+    ref = {}
+    for j in range(1, grid + 1):
+        picks = [
+            vals[-(-j * len(vals) // grid) - 1]  # ceil via -(-a//b)
+            for vals in by_group.values()
+        ]
+        ref[j] = sum(picks) / len(picks)
+    # the model must reproduce every row's mapped value; ranks among
+    # ties are arbitrary but the VALUE at a rank is the order
+    # statistic, so group rows by (group, value) and check the SET of
+    # assigned cells matches what the value's rank range allows
+    out = [(r.src, r.score, r.score_qn) for r in got.collect()]
+    assert len(out) == len(rows)
+    for g, v, qn in out:
+        vals = by_group[g]
+        n = len(vals)
+        # every rank this value occupies (ties span a range)
+        lo_rank = vals.index(v) + 1
+        hi_rank = n - vals[::-1].index(v)
+        allowed = {
+            ref[-(-grid * rn // n)] for rn in range(lo_rank, hi_rank + 1)
+        }
+        # AVG's summation order differs between Spark and python ->
+        # compare to the nearest allowed value at ulp tolerance
+        assert any(abs(qn - a) < 1e-9 for a in allowed), (g, v, qn, allowed)

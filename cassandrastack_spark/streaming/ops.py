@@ -324,6 +324,15 @@ def stateful_bloom_dedup(
         for pdf in pdf_iter:
             if not len(pdf):
                 continue
+            # NULL content can't be a member: emit such rows as-is and
+            # keep them out of the bitmap (their positions are null and
+            # would poison the vectorized path)
+            null_rows = pdf.loc[pdf[item_col].isna()]
+            if len(null_rows):
+                yield null_rows[out_cols]
+                pdf = pdf.loc[~pdf[item_col].isna()]
+                if not len(pdf):
+                    continue
             pdf = pdf.drop_duplicates(subset=[item_col], keep="first")
             P = np.asarray(pdf["_pos"].tolist(), dtype=np.int64)
             seen = (

@@ -234,6 +234,26 @@ def test_bloom_dedup_state_survives_many_buckets_and_validates_params(
         stateful_bloom_dedup(s, "props", n_buckets=0)
 
 
+def test_bloom_dedup_null_content_passes_through(spark, stream_dir, tmp_path):
+    # NULL content can't be a member: such rows are emitted as-is in
+    # EVERY batch (never deduped, never poisoning the bitmap state)
+    from cassandrastack_spark.streaming.ops import stateful_bloom_dedup
+
+    _write_props_batch(stream_dir, "b1.parquet", [(1, None), (2, "x")])
+    out = stateful_bloom_dedup(
+        events_stream(spark, str(stream_dir)), "props"
+    )
+    q = _start(out, tmp_path, "append")
+    try:
+        q.processAllAvailable()
+        _write_props_batch(stream_dir, "b2.parquet", [(3, None), (4, "x")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted((r.event_id, r.props) for r in spark.table(q.name).collect())
+    assert got == [(1, None), (2, "x"), (3, None)]
+
+
 def test_stream_ingest_into_wide_column_table(spark, stream_dir, tmp_path):
     """ingest_stream lands micro-batches through WideColumnTable.append:
     read-back shows upsert (last-writer-wins) semantics across batches

@@ -331,3 +331,150 @@ def heavy_hitters(
         .orderBy(F.desc("cnt"), key_col)
         .limit(k)
     )
+
+
+def hll_build(
+    items: DataFrame,
+    item_col: str,
+    p: int = 12,
+    group_cols: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """Build a HyperLogLog register table over ``item_col`` — the
+    mergeable cardinality summary (Flajolet et al. 2007) completing the
+    sketch trio: Misra-Gries answers "which keys are hot", Bloom answers
+    "have I seen this key", HLL answers "how many distinct keys" — all
+    three in bounded state with one aggregation pass.
+
+    Returns a self-describing DataFrame ``(group_cols..., bucket int,
+    maxrank int, p int)`` with at most ``m = 2**p`` rows per group: for
+    every non-empty bucket, the maximum observed rank (1 + leading
+    zeros of a 28-bit md5 slice). The register update is ``max`` —
+    associative, commutative, idempotent — so the build is one
+    map-side-combinable groupBy whose shuffle is bounded by ``m`` rows
+    per group REGARDLESS of input cardinality (no ``distinct()``
+    needed: duplicates can't move a max). At 100 TB that is the whole
+    point: an exact per-source ``count_distinct(token)`` shuffles the
+    full vocabulary; the sketch shuffles ``m`` integers per source with
+    a ~1.04/sqrt(m) relative-error guarantee (~1.6% at the p=12
+    default), and persisted register tables from disjoint batches merge
+    into the exact whole-corpus sketch (``hll_merge``).
+
+    Hashing is the portable-SQL discipline of ``bloom_build``: bucket =
+    the first ``p/4`` md5-hex digits, rank word = the next 7 digits
+    (28 bits, so ranks span 1..29), both reproducible on any engine
+    with string ops — the DuckDB oracle rebuilds the identical register
+    table. ``p`` must be a multiple of 4 in 8..24 (hex-digit boundary;
+    >= 8 keeps the single-constant alpha formula valid). Nulls are
+    ignored (they don't count toward distinct cardinality).
+    """
+    if p % 4 != 0 or not 8 <= p <= 24:
+        raise ValueError(f"p must be a multiple of 4 in 8..24, got {p}")
+    gcols = list(group_cols)
+    hx = F.md5(F.col(item_col).cast("string"))
+    bucket = F.conv(F.substring(hx, 1, p // 4), 16, 10).cast("int")
+    v = F.conv(F.substring(hx, p // 4 + 1, 7), 16, 10).cast("long")
+    # rank = 1 + leading zeros of the 28-bit word = 29 - bit_length(v);
+    # bin(v) has length bit_length(v) for v > 0 (and '0' for v = 0,
+    # which must map to the all-zeros rank 29, not 28).
+    rank = F.when(v == 0, F.lit(29)).otherwise(
+        F.lit(29) - F.length(F.bin(v))
+    ).cast("int")
+    return (
+        items.filter(F.col(item_col).isNotNull())
+        .select(*gcols, bucket.alias("bucket"), rank.alias("rank"))
+        .groupBy(*gcols, "bucket")
+        .agg(F.max("rank").alias("maxrank"))
+        .select(*gcols, "bucket", "maxrank", F.lit(int(p)).alias("p"))
+    )
+
+
+def hll_merge(
+    a: DataFrame,
+    b: DataFrame,
+    group_cols: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """Union two HLL register tables built with the SAME precision ``p``
+    into the register table of the combined item set — the ingest-loop
+    primitive (sketch per arriving batch, merge into the persisted
+    registers, never re-scan history). ``max`` is associative,
+    commutative and idempotent, so any merge tree — including
+    re-merging an already-merged batch — is bit-identical to one whole
+    build over the union; the error guarantee carries over unchanged.
+
+    Incompatible precision fails LOUD in-plan (bucket numbering is
+    positional in ``p``, so merging mismatched registers would silently
+    corrupt the estimate); the assert is threaded into the emitted
+    ``p`` column so Catalyst cannot prune it. An EMPTY side merges as
+    the identity.
+    """
+    gcols = list(group_cols)
+    cols = [*gcols, "bucket", "maxrank", "p"]
+    both = a.select(*cols).unionByName(b.select(*cols))
+    geom = both.agg(F.count_distinct("p").alias("n_p"))
+    return (
+        both.groupBy(*gcols, "bucket")
+        .agg(F.max("maxrank").alias("maxrank"), F.max("p").alias("p"))
+        .crossJoin(F.broadcast(geom))
+        .select(
+            *gcols,
+            "bucket",
+            "maxrank",
+            F.when(
+                F.assert_true(
+                    F.col("n_p") <= 1,
+                    "hll_merge: incompatible precision (p differs "
+                    "between sides)",
+                ).isNull(),
+                F.col("p"),
+            ).alias("p"),
+        )
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """Resolve a ``hll_build`` register table to cardinality estimates:
+    one row per group ``(group_cols..., est_distinct double, m long,
+    nonempty long)``, with ``est_distinct`` rounded to 4 decimals.
+
+    Standard HyperLogLog estimator with the small-range correction:
+    raw = alpha_m * m^2 / sum_j 2^(-M_j) (absent buckets contribute
+    2^0 = 1), and when raw <= 2.5m with empty buckets present, linear
+    counting ``m * ln(m / V)`` takes over (Flajolet et al. 2007 §4;
+    V = empty-bucket count). The 28-bit rank word caps ranks at 29, so
+    the harmonic sum is a sum of exactly-representable powers of two
+    bounded by m — IEEE-exact in ANY summation order, which is what
+    makes the estimate reproducible across engines, partitionings and
+    AQE decisions (the DuckDB oracle lands on the identical double
+    before the shared 4-decimal round; ``ln`` is the only libm call
+    and sits inside the round). The estimate is a per-group aggregate
+    over at most ``m`` register rows — driver-safe at any scale.
+    """
+    gcols = list(group_cols)
+    scal = registers.agg(F.coalesce(F.max("p"), F.lit(8)).alias("_p"))
+    m = F.expr("CAST(shiftleft(CAST(1 AS BIGINT), _p) AS DOUBLE)")
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / m)
+    agg = (
+        registers.crossJoin(F.broadcast(scal))
+        .groupBy(*gcols)
+        .agg(
+            F.count("*").cast("double").alias("_ne"),
+            F.sum(F.pow(F.lit(2.0), -F.col("maxrank"))).alias("_hs"),
+            F.max("_p").alias("_p"),
+        )
+    )
+    harm = (m - F.col("_ne")) + F.col("_hs")  # absent buckets add 2^0
+    raw = alpha * m * m / harm
+    v_zero = m - F.col("_ne")
+    est = F.when(
+        (raw <= F.lit(2.5) * m) & (v_zero > 0),
+        m * F.log(m / v_zero),
+    ).otherwise(raw)
+    return agg.select(
+        *gcols,
+        F.round(est, 4).alias("est_distinct"),
+        m.cast("long").alias("m"),
+        F.col("_ne").cast("long").alias("nonempty"),
+    )

@@ -112,7 +112,14 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # rows re-gated here in r12); r14 then owes the un-chipped remainder.
 # Registering more than ~4 new queries in any round now REQUIRES
 # retiring or consolidating old ones — prefer staging depth (library
-# + pre-validated oracle) over registration count.
+# + pre-validated oracle) over registration count. TWO r14 registrants
+# are staged ahead under that discipline in
+# tests/test_r14_oracle_parity.py (exact plans + oracle SQL validated
+# green at sf0.001 AND sf0.01): distinct_tokens_hll (HyperLogLog
+# cardinality from operators/sketch.py hll_build/hll_estimate, exact
+# count_distinct riding along so the gate pins accuracy too) and
+# corpus_source_kl (per-source KL divergence from the corpus unigram
+# mixture — counts-only, vocabulary-bounded shuffles).
 _FRONT: tuple[str, ...] = (
     # -- (a) the 31 r8-era rows: TPC-H chips first, then operators --
     "q4_priority_with_big_items",

@@ -1,0 +1,198 @@
+"""Pre-validated oracle parity for r13-staged, r14-registering queries
+(the staged-query discipline of test_r12/r13_oracle_parity.py): the
+EXACT Spark plans and EXACT oracle SQL live here, validated green
+against DuckDB one round ahead; the registering round lifts both
+verbatim into ``@register``, and this file then flips to reading the
+registered QueryDef.
+
+Staged here:
+
+- ``distinct_tokens_hll`` — per-source distinct-token cardinality from
+  the HyperLogLog register table (operators/sketch.py hll_build /
+  hll_estimate), gated bit-exactly: the DuckDB side rebuilds the SAME
+  registers from the same md5 slices with portable string ops and
+  resolves them through the SAME estimator arithmetic, AND the exact
+  ``count_distinct`` rides along as a column so the gate pins both the
+  sketch reproducibility and its accuracy on the fixture. This
+  completes the mergeable-sketch trio as registered surface: MG heavy
+  hitters (r11), Bloom membership (r12), HLL cardinality (r14).
+- ``corpus_source_kl`` — per-source KL divergence (nats) of the
+  source's unigram token distribution from the corpus-wide mixture:
+  the domain-shift / mixture-weight diagnostic a training-data
+  pipeline runs before choosing sampling weights (the signal behind
+  DoReMi-style reweighting). Pure decomposable aggregation: the only
+  shuffles are (source, token)- and token-keyed counts (vocabulary-
+  bounded, Zipf-distributed — no document-sized rows move), the
+  corpus total is a 1-row broadcast, and every double sum sits under
+  the registry's round-6 discipline.
+"""
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from cassandrastack_spark.operators.sketch import hll_build, hll_estimate
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def distinct_tokens_hll_spark(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    reg = hll_build(toks, "tok", p=12, group_cols=["source"])
+    est = hll_estimate(reg, group_cols=["source"])
+    exact = toks.groupBy("source").agg(
+        F.count_distinct("tok").cast("bigint").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "source")
+        .select("source", "est_distinct", "m", "nonempty", "exact_distinct")
+        .orderBy("source")
+    )
+
+
+# The DuckDB side rebuilds the identical register table: bucket = the
+# first 3 md5-hex digits (p=12), rank = 29 - bit_length of the next 7
+# digits (28-bit word), register update = MAX — then resolves it with
+# the same estimator expression tree (alpha*m*m/harm, linear counting
+# below 2.5m with empty buckets). The harmonic sum is a sum of
+# exactly-representable powers of two bounded by m, so it is IEEE-exact
+# in any summation order — both engines land on the identical double
+# before the shared 4-decimal round.
+DISTINCT_TOKENS_HLL_ORACLE = """
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+    h AS (SELECT source, tok, md5(tok) AS hx FROM toks),
+    rv AS (
+        SELECT source,
+            CAST(list_sum(list_transform(generate_series(1, 3),
+                i -> (strpos('0123456789abcdef', substr(hx, i, 1)) - 1)
+                     * 16 ** (3 - i))) AS INT) AS bucket,
+            CAST(list_sum(list_transform(generate_series(1, 7),
+                i -> (strpos('0123456789abcdef', substr(hx, 3 + i, 1)) - 1)
+                     * 16 ** (7 - i))) AS BIGINT) AS v
+        FROM h),
+    reg AS (
+        SELECT source, bucket,
+               MAX(CASE WHEN v = 0 THEN 29
+                        ELSE 29 - length(bin(v)) END) AS maxrank
+        FROM rv GROUP BY source, bucket),
+    est AS (
+        SELECT source,
+               CAST(COUNT(*) AS DOUBLE) AS ne,
+               SUM(2.0 ** (-maxrank)) AS hs
+        FROM reg GROUP BY source),
+    ex AS (
+        SELECT source, CAST(COUNT(DISTINCT tok) AS BIGINT) AS exact_distinct
+        FROM toks GROUP BY source)
+    SELECT e.source,
+           ROUND(CASE WHEN 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
+                           / ((4096.0 - ne) + hs) <= 2.5 * 4096.0
+                      AND 4096.0 - ne > 0
+                 THEN 4096.0 * LN(4096.0 / (4096.0 - ne))
+                 ELSE 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
+                      / ((4096.0 - ne) + hs) END, 4) AS est_distinct,
+           CAST(4096 AS BIGINT) AS m,
+           CAST(ne AS BIGINT) AS nonempty,
+           x.exact_distinct
+    FROM est e JOIN ex x USING (source)
+    ORDER BY e.source
+"""
+
+
+def corpus_source_kl_spark(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    st = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    s = st.groupBy("source").agg(
+        F.sum("c").alias("n"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+    )
+    tk = st.groupBy("tok").agg(F.sum("c").alias("ct"))
+    tot = st.agg(F.sum("c").alias("n_total"))
+    j = st.join(tk, "tok").join(s, "source").crossJoin(F.broadcast(tot))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    q = F.col("ct").cast("double") / F.col("n_total").cast("double")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_nats"),
+            F.max(F.col("n")).cast("bigint").alias("n_tokens"),
+            F.max("n_distinct").alias("n_distinct"),
+        )
+        .orderBy("source")
+    )
+
+
+# Every (source, token) count is > 0 and the corpus count dominates the
+# source count, so both p and q are strictly positive — KL is total on
+# this data. The double sum is order-dependent at the ulp level only;
+# the shared 6-decimal round absorbs it (the registry-header rule).
+CORPUS_SOURCE_KL_ORACLE = """
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+    st AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY source, tok),
+    s AS (SELECT source, SUM(c) AS n, CAST(COUNT(*) AS BIGINT) AS n_distinct
+          FROM st GROUP BY source),
+    t AS (SELECT tok, SUM(c) AS ct FROM st GROUP BY tok),
+    tot AS (SELECT SUM(c) AS n_total FROM st)
+    SELECT st.source,
+           ROUND(SUM((CAST(st.c AS DOUBLE) / CAST(s.n AS DOUBLE))
+                     * LN((CAST(st.c AS DOUBLE) / CAST(s.n AS DOUBLE))
+                          / (CAST(t.ct AS DOUBLE)
+                             / CAST(tot.n_total AS DOUBLE)))),
+                 6) AS kl_nats,
+           CAST(MAX(s.n) AS BIGINT) AS n_tokens,
+           MAX(s.n_distinct) AS n_distinct
+    FROM st JOIN t USING (tok) JOIN s ON st.source = s.source, tot
+    GROUP BY st.source
+    ORDER BY st.source
+"""
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    yield con
+    con.close()
+
+
+def test_distinct_tokens_hll_matches_staged_oracle(spark, duck):
+    got = distinct_tokens_hll_spark(spark, SF).toPandas()
+    want = duck.execute(DISTINCT_TOKENS_HLL_ORACLE).df()
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want) > 0
+    for col in got.columns:
+        assert got[col].tolist() == want[col].tolist(), col
+    # the sketch must actually be accurate on the fixture, not merely
+    # reproducible: every per-source estimate within 10% of exact
+    # (p=12 sigma is ~1.6%; 10% is > 6 sigma)
+    rel = (got["est_distinct"] - got["exact_distinct"]).abs() / got[
+        "exact_distinct"
+    ]
+    assert (rel < 0.10).all(), rel.max()
+
+
+def test_corpus_source_kl_matches_staged_oracle(spark, duck):
+    got = corpus_source_kl_spark(spark, SF).toPandas()
+    want = duck.execute(CORPUS_SOURCE_KL_ORACLE).df()
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want) > 0
+    for col in got.columns:
+        assert got[col].tolist() == want[col].tolist(), col
+    # KL is non-negative, and the fixture's sources genuinely diverge
+    # from the mixture (an all-zeros column would validate nothing)
+    assert (got["kl_nats"] >= 0).all()
+    assert (got["kl_nats"] > 0).any()

@@ -302,3 +302,114 @@ def test_bloom_persist_roundtrip_probes_identically(spark, tmp_path):
     }
     assert live == persisted
     assert all(persisted[f"m-{i}"] for i in range(50))
+
+
+# ---------------------------------------------------------------- HLL
+
+
+@pytest.fixture(scope="module")
+def hll_items(spark):
+    return spark.range(5000).select(
+        F.concat(F.lit("item-"), F.col("id")).alias("x")
+    )
+
+
+def test_hll_estimate_within_error_band(spark, hll_items):
+    from cassandrastack_spark.operators.sketch import hll_build, hll_estimate
+
+    est = hll_estimate(hll_build(hll_items, "x", p=12)).collect()[0]
+    # p=12 -> sigma ~ 1.04/sqrt(4096) ~ 1.6%; 10% is > 6 sigma
+    assert abs(est["est_distinct"] - 5000) / 5000 < 0.10
+    assert est["m"] == 4096
+    assert 0 < est["nonempty"] <= 4096
+
+
+def test_hll_duplicates_do_not_move_the_estimate(spark, hll_items):
+    from cassandrastack_spark.operators.sketch import hll_build
+
+    once = hll_build(hll_items, "x", p=12)
+    thrice = hll_build(
+        hll_items.unionAll(hll_items).unionAll(hll_items), "x", p=12
+    )
+    assert once.exceptAll(thrice).count() == 0
+    assert thrice.exceptAll(once).count() == 0
+
+
+def test_hll_merge_equals_whole_build(spark, hll_items):
+    from cassandrastack_spark.operators.sketch import hll_build, hll_merge
+
+    a = hll_items.filter(F.col("x").substr(-1, 1).isin("0", "1", "2"))
+    b = hll_items.filter(~F.col("x").substr(-1, 1).isin("0", "1", "2"))
+    merged = hll_merge(hll_build(a, "x", p=12), hll_build(b, "x", p=12))
+    whole = hll_build(hll_items, "x", p=12)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_hll_merge_rejects_mismatched_precision(spark, hll_items):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from cassandrastack_spark.operators.sketch import hll_build, hll_merge
+
+    a = hll_build(hll_items, "x", p=12)
+    b = hll_build(hll_items, "x", p=16)
+    with pytest.raises(SparkRuntimeException, match="incompatible precision"):
+        hll_merge(a, b).collect()
+
+
+def test_hll_merge_empty_side_is_identity(spark, hll_items):
+    from cassandrastack_spark.operators.sketch import hll_build, hll_merge
+
+    a = hll_build(hll_items, "x", p=12)
+    empty = hll_build(hll_items.filter(F.lit(False)), "x", p=12)
+    merged = hll_merge(a, empty)
+    assert merged.exceptAll(a).count() == 0
+    assert a.exceptAll(merged).count() == 0
+
+
+def test_hll_grouped_build_estimates_per_group(spark):
+    from cassandrastack_spark.operators.sketch import hll_build, hll_estimate
+
+    df = spark.range(6000).select(
+        (F.col("id") % 2).alias("grp"),
+        # group 0 sees 3000 distinct, group 1 sees the same 100 repeated
+        F.when(
+            F.col("id") % 2 == 0, F.concat(F.lit("u"), F.col("id"))
+        ).otherwise(
+            F.concat(F.lit("r"), (F.col("id") % 200) / 2)
+        ).alias("x"),
+    )
+    est = (
+        hll_estimate(
+            hll_build(df, "x", p=12, group_cols=["grp"]), group_cols=["grp"]
+        )
+        .orderBy("grp")
+        .collect()
+    )
+    assert abs(est[0]["est_distinct"] - 3000) / 3000 < 0.10
+    assert abs(est[1]["est_distinct"] - 100) / 100 < 0.10
+
+
+def test_hll_ignores_nulls_and_rejects_bad_p(spark):
+    from cassandrastack_spark.operators.sketch import hll_build, hll_estimate
+
+    df = spark.createDataFrame(
+        [("a",), (None,), ("b",), (None,)], "x string"
+    )
+    est = hll_estimate(hll_build(df, "x", p=12)).collect()[0]
+    assert est["nonempty"] <= 2
+    assert abs(est["est_distinct"] - 2) < 0.5  # linear counting regime
+    for bad in (0, 3, 10, 28):
+        with pytest.raises(ValueError, match="multiple of 4"):
+            hll_build(df, "x", p=bad)
+
+
+def test_hll_persist_roundtrip_estimates_identically(spark, tmp_path, hll_items):
+    from cassandrastack_spark.operators.sketch import hll_build, hll_estimate
+
+    reg = hll_build(hll_items, "x", p=12)
+    path = str(tmp_path / "hll_registers")
+    reg.write.parquet(path)
+    live = hll_estimate(reg).collect()[0]
+    back = hll_estimate(spark.read.parquet(path)).collect()[0]
+    assert live == back

@@ -366,6 +366,14 @@ def hll_build(
     table. ``p`` must be a multiple of 4 in 8..24 (hex-digit boundary;
     >= 8 keeps the single-constant alpha formula valid). Nulls are
     ignored (they don't count toward distinct cardinality).
+
+    Relation to Spark's built-in DataSketches HLL (``hll_sketch_agg``,
+    used by the ``rolling_wau_hll`` query): the built-in is the faster
+    JVM-native choice when the sketch never leaves Spark; THIS one is
+    for artifacts that must be reproducible across engines and releases
+    — persisted state another system (or a SQL oracle) re-derives
+    bit-for-bit, e.g. the streaming distinct-count monitor's state
+    table (``streaming/ops.py monitor_distinct_count``).
     """
     if p % 4 != 0 or not 8 <= p <= 24:
         raise ValueError(f"p must be a multiple of 4 in 8..24, got {p}")
@@ -449,21 +457,19 @@ def hll_estimate(
     makes the estimate reproducible across engines, partitionings and
     AQE decisions (the DuckDB oracle lands on the identical double
     before the shared 4-decimal round; ``ln`` is the only libm call
-    and sits inside the round). The estimate is a per-group aggregate
-    over at most ``m`` register rows — driver-safe at any scale.
+    and sits inside the round). The estimate is ONE per-group aggregate
+    over at most ``m`` register rows — ``p`` rides on every register
+    row (``max`` inside the same groupBy), so the register lineage —
+    which is the full input scan when the registers aren't persisted —
+    executes exactly once; no separate 1-row geometry pass.
     """
     gcols = list(group_cols)
-    scal = registers.agg(F.coalesce(F.max("p"), F.lit(8)).alias("_p"))
     m = F.expr("CAST(shiftleft(CAST(1 AS BIGINT), _p) AS DOUBLE)")
     alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / m)
-    agg = (
-        registers.crossJoin(F.broadcast(scal))
-        .groupBy(*gcols)
-        .agg(
-            F.count("*").cast("double").alias("_ne"),
-            F.sum(F.pow(F.lit(2.0), -F.col("maxrank"))).alias("_hs"),
-            F.max("_p").alias("_p"),
-        )
+    agg = registers.groupBy(*gcols).agg(
+        F.count("*").cast("double").alias("_ne"),
+        F.sum(F.pow(F.lit(2.0), -F.col("maxrank"))).alias("_hs"),
+        F.max("p").alias("_p"),
     )
     harm = (m - F.col("_ne")) + F.col("_hs")  # absent buckets add 2^0
     raw = alpha * m * m / harm

@@ -104,6 +104,24 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # tests/test_streaming.py). With 5 staged + 36 debt = 41 slots, r13
 # keeps ~9 chips against the r10 cohort — registering all five is
 # within the steady-state budget ONLY if r13 adds nothing else new.
+# The EXACT 36-row r13 debt cohort, precomputed from the CORRECTNESS
+# files at the end of r12 (the 43 r9-era rows minus the 7 chipped in
+# this round's window) — r13's first commit rotates these into _FRONT
+# verbatim, then appends the staged registrants and chips:
+# ann_hybrid_rrf_topk, ann_ivf_topk, ann_pq_topk_prod,
+# ann_quantized_topk, array_functions, corpus_quality_model_score,
+# corpus_split_dedup_aware, embedding_correlation_block,
+# embedding_covariance_block, embedding_covariance_drift,
+# embedding_pca_projection_pairdist, event_interarrival,
+# event_transitions, funnel_conversion, heatmap_dow_hour,
+# histogram_order_totals, json_extract_props, pivot_status_by_segment,
+# scalar_functions, stream_click_view_join, stream_dedup_events,
+# stream_embedding_covariance_block, stream_session_append,
+# stream_session_windows, stream_sliding_append, stream_sliding_counts,
+# stream_stateful_totals, stream_static_enrich, stream_tumbling_append,
+# stream_tumbling_hourly, stream_windowed_topk, string_agg_nations,
+# text_bpe_tokens, text_fingerprint, text_langid,
+# unpivot_revenue_measures.
 # STRUCTURAL BUDGET NOTE for r13+: at 182 registered queries with a
 # 50-row window and a 4-round age limit, steady state requires
 # re-verifying ~46 rows per round — the novelty budget is now ~4 new
@@ -119,7 +137,12 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # cardinality from operators/sketch.py hll_build/hll_estimate, exact
 # count_distinct riding along so the gate pins accuracy too) and
 # corpus_source_kl (per-source KL divergence from the corpus unigram
-# mixture — counts-only, vocabulary-bounded shuffles).
+# mixture — counts-only, vocabulary-bounded shuffles). A third r14
+# candidate if the debt arithmetic allows: a stream_* row for
+# streaming/ops.py monitor_distinct_count (pytest-pinned streaming ≡
+# batch; uniquely for a stream_* row, its estimate is oracle-capable —
+# the register math is the same portable-SQL HLL the
+# distinct_tokens_hll oracle reproduces bit-exactly).
 _FRONT: tuple[str, ...] = (
     # -- (a) the 31 r8-era rows: TPC-H chips first, then operators --
     "q4_priority_with_big_items",

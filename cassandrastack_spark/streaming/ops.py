@@ -1090,3 +1090,128 @@ def embedding_moments_state(spark: SparkSession, state_path: str) -> DataFrame:
     )
     n = state.agg(F.sum("n").cast("double").alias("n"))
     return _cov_frame_from_totals(totals, n)
+
+
+def monitor_distinct_count(
+    stream: DataFrame,
+    state_path: str,
+    item_col: str,
+    p: int = 12,
+    checkpoint: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming distinct-count accumulator: every micro-batch reduces
+    to its HyperLogLog register table (``operators.sketch.hll_build``,
+    at most ``2**p`` rows) appended to ``state_path``;
+    ``distinct_count_state`` resolves the accumulated registers to the
+    running number of distinct ``item_col`` values EVER ingested —
+    "how many unique documents/URLs/users has this stream seen" in
+    constant per-batch cost and bounded state, with no watermark: like
+    the Bloom dedup, the question has no time window, so exact
+    distinct-state (which grows with stream cardinality) is the wrong
+    tool at corpus scale.
+
+    Replay discipline: the append is marker-guarded like
+    ``monitor_embedding_moments`` — but HLL needs less. The register
+    update is ``max``: associative, commutative, IDEMPOTENT — so even
+    a batch appended twice through the crash window merges to the
+    byte-identical estimate; the marker only saves the wasted work.
+    At-least-once delivery is semantically invisible to this sketch,
+    which is precisely why it is the streaming cardinality primitive
+    (same property the mergeable-summaries literature calls out).
+
+    Cost per batch: one map pass over the batch + a ``2**p``-bounded
+    map-side-combined shuffle + a ≤ ``2**p``-row file. The state table
+    grows one small file per non-empty batch; readers always merge, so
+    a maintenance job may at any time rewrite the directory with the
+    merged registers (``hll_merge`` of everything ≡ the whole build)
+    without changing any answer.
+    """
+    from cassandrastack_spark.operators.sketch import hll_build
+
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="cs_hll_ckpt_")
+    spark = stream.sparkSession
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        marker = f"{checkpoint}/cs_epochs/{batch_id}"
+        if _fs_exists(spark, marker):
+            return
+        reg = hll_build(batch_df, item_col, p=p)
+        if reg.isEmpty():
+            _fs_mkdirs(spark, marker)
+            return
+        # partitioned by the (constant) precision so compaction can
+        # atomically swap the one partition dir under concurrent reads
+        reg.coalesce(1).write.mode("append").partitionBy("p").parquet(
+            state_path
+        )
+        _fs_mkdirs(spark, marker)
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def distinct_count_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """The running distinct count from a ``monitor_distinct_count``
+    state table: max-merge every appended register row per bucket
+    (replays collapse for free — max is idempotent) and resolve with
+    ``hll_estimate``; equals ``hll_estimate(hll_build(...))`` over the
+    union of every batch ever ingested (tested). A monitor that has
+    only seen empty batches reads as a 0-estimate frame, not an error,
+    so a polling scheduler never wedges on startup. Mixed precisions
+    in one state directory mean two incompatible sketches were pointed
+    at the same path — refuse loudly rather than merge garbage.
+    """
+    from pyspark.errors import AnalysisException
+
+    from cassandrastack_spark.operators.sketch import hll_estimate
+
+    try:
+        raw = spark.read.parquet(state_path)
+    except AnalysisException:
+        return spark.createDataFrame(
+            [(0.0, 0, 0)], "est_distinct double, m long, nonempty long"
+        )
+    ps = [r.p for r in raw.select("p").distinct().collect()]
+    if len(ps) > 1:
+        raise ValueError(
+            f"distinct_count_state: state at {state_path} mixes HLL "
+            f"precisions {sorted(ps)} — two different sketches were "
+            "written to one path; rebuild the state"
+        )
+    merged = raw.groupBy("bucket").agg(
+        F.max("maxrank").alias("maxrank"), F.max("p").alias("p")
+    )
+    return hll_estimate(merged)
+
+
+def compact_distinct_count_state(spark: SparkSession, state_path: str) -> None:
+    """Maintenance for a ``monitor_distinct_count`` state table: the
+    monitor appends one small register file per non-empty batch, so an
+    always-on stream accretes files whose only cost is open latency —
+    the ANSWER never drifts (the reader max-merges). Rewrite the state
+    to its merged ≤ ``2**p``-row register table with the shared
+    staged-commit protocol (``sources.io.staged_partition_overwrite``,
+    the dedup/BM25/IVF+PQ compactors' commit path): the state is
+    partitioned by the constant precision ``p``, so the dynamic
+    overwrite swaps that ONE partition directory atomically under
+    concurrent readers — and because the merged table max-merges with
+    any batch a concurrent monitor appends mid-compaction, every
+    interleaving still reads the exact running estimate (idempotent
+    max: the one sketch property that makes lock-free compaction
+    safe).
+    """
+    from cassandrastack_spark.sources.io import staged_partition_overwrite
+
+    raw = spark.read.parquet(state_path)
+    merged = (
+        raw.groupBy("bucket", "p")
+        .agg(F.max("maxrank").alias("maxrank"))
+        .select("bucket", "maxrank", "p")
+    )
+    staged_partition_overwrite(merged, state_path, "p", ["bucket"])

@@ -893,3 +893,91 @@ def test_monitor_embedding_moments_matches_batch_covariance(spark, tmp_path):
     empty = embedding_moments_state(spark, str(tmp_path / "nonexistent"))
     assert empty.count() == 0
     assert [f.name for f in empty.schema.fields] == ["i", "j", "cov"]
+
+
+def test_monitor_distinct_count_matches_batch_hll(spark, tmp_path):
+    """monitor_distinct_count: the merged streaming state must equal
+    hll_estimate(hll_build(...)) over the union of all ingested rows
+    (streaming == batch, the Structured Streaming contract); a re-run
+    over a processed source appends nothing; a manually replayed
+    register file (the crash window) changes NOTHING — max is
+    idempotent; and mixed precisions in one path refuse loudly."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from cassandrastack_spark.operators.sketch import hll_build, hll_estimate
+    from cassandrastack_spark.streaming.ops import (
+        distinct_count_state,
+        monitor_distinct_count,
+    )
+
+    schema = StructType([
+        StructField("ev_id", LongType()),
+        StructField("content", StringType()),
+    ])
+    d = tmp_path / "hll_in"
+    d.mkdir()
+    # 120 rows, 80 distinct contents, overlapping across the two batches
+    rows = [(i, f"doc-{i % 80}") for i in range(120)]
+
+    def write(name, chunk):
+        pdf = pd.DataFrame(chunk, columns=["ev_id", "content"])
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False), str(d / name)
+        )
+
+    def run():
+        src = spark.readStream.schema(schema).parquet(str(d))
+        q = monitor_distinct_count(
+            src, str(tmp_path / "hll_state"), "content",
+            checkpoint=str(tmp_path / "hll_ckpt"),
+        )
+        q.awaitTermination(120)
+
+    write("b1.parquet", rows[:70])
+    run()
+    write("b2.parquet", rows[70:])
+    run()
+
+    state_path = str(tmp_path / "hll_state")
+    batch = spark.createDataFrame(rows, schema)
+    want = hll_estimate(hll_build(batch, "content", p=12)).collect()[0]
+    got = distinct_count_state(spark, state_path).collect()[0]
+    assert got == want
+    # and the sketch is actually near the truth in the linear regime
+    assert abs(got["est_distinct"] - 80) < 2
+
+    # idempotent re-run: no new files => no new batches => no growth
+    n_rows = spark.read.parquet(state_path).count()
+    run()
+    assert spark.read.parquet(state_path).count() == n_rows
+
+    # replayed state rows collapse (idempotent max-merge)
+    spark.read.parquet(state_path).limit(5).write.mode(
+        "append"
+    ).partitionBy("p").parquet(state_path)
+    assert distinct_count_state(spark, state_path).collect()[0] == want
+
+    # compaction: merged registers replace the per-batch files without
+    # moving the estimate (staged-commit partition swap)
+    from cassandrastack_spark.streaming.ops import (
+        compact_distinct_count_state,
+    )
+
+    import glob as _glob
+
+    files_before = len(_glob.glob(f"{state_path}/p=12/*.parquet"))
+    compact_distinct_count_state(spark, state_path)
+    files_after = len(_glob.glob(f"{state_path}/p=12/*.parquet"))
+    assert files_after < files_before
+    assert distinct_count_state(spark, state_path).collect()[0] == want
+
+    # young stream: no state files yet reads as a 0 estimate
+    young = distinct_count_state(spark, str(tmp_path / "hll_nowhere"))
+    assert young.collect()[0]["est_distinct"] == 0.0
+
+    # mixed precision refuses loudly
+    hll_build(batch, "content", p=16).coalesce(1).write.mode(
+        "append"
+    ).partitionBy("p").parquet(state_path)
+    with pytest.raises(ValueError, match="mixes HLL precisions"):
+        distinct_count_state(spark, state_path).collect()

@@ -25,6 +25,13 @@ Staged here:
   bounded, Zipf-distributed — no document-sized rows move), the
   corpus total is a 1-row broadcast, and every double sum sits under
   the registry's round-6 discipline.
+
+Registration notes for the lifting round: ``corpus_source_kl`` needs a
+``scalar_broadcast_ok`` entry in tests/test_plans.py (the 1-row corpus
+token total is the canonical scalar-subquery BroadcastNestedLoopJoin);
+``distinct_tokens_hll`` plans clean — pruned 2-column scan,
+``partial_max`` map-side combine ahead of the one m-bounded exchange,
+no BNL (``hll_estimate`` is a single aggregation pass).
 """
 
 import duckdb

@@ -26,12 +26,30 @@ Staged here:
   corpus total is a 1-row broadcast, and every double sum sits under
   the registry's round-6 discipline.
 
+- ``corpus_source_overlap`` — the pairwise source-contamination
+  matrix: estimated distinct word-trigram overlap for every source
+  pair via HLL inclusion-exclusion (|A∩B| = |A| + |B| − |A∪B|, the
+  union registers a bucket-wise max-merge of the two sides' register
+  tables), with the exact intersection riding along as the gate. The
+  scale story is the pair loop: the corpus is scanned ONCE to build
+  per-source registers; all 190 pair unions live in sources² × m
+  rows — the sketch path never re-scans the corpus per pair, where
+  the exact pairwise shingle join re-shuffles the gram space every
+  time. Known caveat, asserted as the accuracy property: intersection
+  error scales with the UNION size (σ ≈ 1.04/√m of |A∪B|), so tiny
+  overlaps are relatively noisy — the sketch finds heavy
+  cross-source duplication; positives worth acting on get the exact
+  confirm (candidates-then-verify, as everywhere).
+
 Registration notes for the lifting round: ``corpus_source_kl`` needs a
 ``scalar_broadcast_ok`` entry in tests/test_plans.py (the 1-row corpus
 token total is the canonical scalar-subquery BroadcastNestedLoopJoin);
-``distinct_tokens_hll`` plans clean — pruned 2-column scan,
-``partial_max`` map-side combine ahead of the one m-bounded exchange,
-no BNL (``hll_estimate`` is a single aggregation pass).
+``corpus_source_overlap`` needs one too (the 20-row source list joins
+itself under a ``<`` condition — literal-bounded, the
+``embedding_pca_projection_pairdist`` shape); ``distinct_tokens_hll``
+plans clean — pruned 2-column scan, ``partial_max`` map-side combine
+ahead of the one m-bounded exchange, no BNL (``hll_estimate`` is a
+single aggregation pass).
 """
 
 import duckdb
@@ -203,3 +221,155 @@ def test_corpus_source_kl_matches_staged_oracle(spark, duck):
     # from the mixture (an all-zeros column would validate nothing)
     assert (got["kl_nats"] >= 0).all()
     assert (got["kl_nats"] > 0).any()
+
+
+def corpus_source_overlap_spark(spark, sf_dir):
+    from cassandrastack_spark.functions.text import word_ngrams
+
+    # the pairwise union below is hll_merge's grouped form, inlined
+    # because each pair carries (source_a, source_b) group keys
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    grams = (
+        d.select("source", F.explode(word_ngrams("text", 3)).alias("g"))
+        .distinct()
+    )
+    reg = hll_build(grams, "g", p=12, group_cols=["source"])
+    est = hll_estimate(reg, group_cols=["source"]).select(
+        "source", "est_distinct"
+    )
+    srcs = reg.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("source_a"))
+        .join(
+            F.broadcast(srcs.select(F.col("source").alias("source_b"))),
+            F.col("source_a") < F.col("source_b"),
+        )
+    )
+    u = (
+        pairs.join(
+            reg.withColumnRenamed("source", "source_a"), "source_a"
+        ).select("source_a", "source_b", "bucket", "maxrank", "p")
+        .unionByName(
+            pairs.join(
+                reg.withColumnRenamed("source", "source_b"), "source_b"
+            ).select("source_a", "source_b", "bucket", "maxrank", "p")
+        )
+    )
+    union_reg = u.groupBy("source_a", "source_b", "bucket").agg(
+        F.max("maxrank").alias("maxrank"), F.max("p").alias("p")
+    )
+    union_est = hll_estimate(
+        union_reg, group_cols=["source_a", "source_b"]
+    ).select("source_a", "source_b", F.col("est_distinct").alias("est_union"))
+    exact = (
+        grams.withColumnRenamed("source", "source_a")
+        .join(
+            grams.select(
+                F.col("source").alias("source_b"), F.col("g").alias("g2")
+            ),
+            F.col("g") == F.col("g2"),
+        )
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("exact_overlap"))
+    )
+    ea = est.select(F.col("source").alias("source_a"), F.col("est_distinct").alias("est_a"))
+    eb = est.select(F.col("source").alias("source_b"), F.col("est_distinct").alias("est_b"))
+    return (
+        union_est.join(ea, "source_a")
+        .join(eb, "source_b")
+        .join(exact, ["source_a", "source_b"], "left")
+        .select(
+            "source_a", "source_b", "est_a", "est_b", "est_union",
+            F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 4).alias("est_overlap"),
+            F.coalesce(F.col("exact_overlap"), F.lit(0).cast("bigint")).alias("exact_overlap"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+CORPUS_SOURCE_OVERLAP_ORACLE = """
+    WITH g AS (
+        SELECT DISTINCT source, array_to_string(l[i:i+2], ' ') AS g
+        FROM (SELECT source, string_split(text, ' ') AS l FROM documents),
+             unnest(generate_series(1, greatest(0, len(l) - 2))) AS t(i)),
+    rv AS (
+        SELECT source,
+            CAST(list_sum(list_transform(generate_series(1, 3),
+                i -> (strpos('0123456789abcdef', substr(md5(g), i, 1)) - 1)
+                     * 16 ** (3 - i))) AS INT) AS bucket,
+            CAST(list_sum(list_transform(generate_series(1, 7),
+                i -> (strpos('0123456789abcdef', substr(md5(g), 3 + i, 1)) - 1)
+                     * 16 ** (7 - i))) AS BIGINT) AS v
+        FROM g),
+    reg AS (
+        SELECT source, bucket,
+               MAX(CASE WHEN v = 0 THEN 29
+                        ELSE 29 - length(bin(v)) END) AS maxrank
+        FROM rv GROUP BY source, bucket),
+    est AS (
+        SELECT source,
+               ROUND(CASE WHEN 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0
+                               * 4096.0 / ((4096.0 - CAST(COUNT(*) AS DOUBLE))
+                               + SUM(2.0 ** (-maxrank)))
+                               <= 2.5 * 4096.0
+                          AND 4096.0 - CAST(COUNT(*) AS DOUBLE) > 0
+                     THEN 4096.0 * LN(4096.0
+                                      / (4096.0 - CAST(COUNT(*) AS DOUBLE)))
+                     ELSE 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
+                          / ((4096.0 - CAST(COUNT(*) AS DOUBLE))
+                             + SUM(2.0 ** (-maxrank))) END, 4) AS est_distinct
+        FROM reg GROUP BY source),
+    prs AS (
+        SELECT a.source AS sa, b.source AS sb
+        FROM (SELECT DISTINCT source FROM g) a
+        JOIN (SELECT DISTINCT source FROM g) b ON a.source < b.source),
+    u AS (
+        SELECT sa, sb, bucket, MAX(maxrank) AS maxrank
+        FROM prs JOIN reg r ON r.source = sa OR r.source = sb
+        GROUP BY sa, sb, bucket),
+    uest AS (
+        SELECT sa, sb,
+               ROUND(CASE WHEN 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0
+                               * 4096.0 / ((4096.0 - CAST(COUNT(*) AS DOUBLE))
+                               + SUM(2.0 ** (-maxrank)))
+                               <= 2.5 * 4096.0
+                          AND 4096.0 - CAST(COUNT(*) AS DOUBLE) > 0
+                     THEN 4096.0 * LN(4096.0
+                                      / (4096.0 - CAST(COUNT(*) AS DOUBLE)))
+                     ELSE 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
+                          / ((4096.0 - CAST(COUNT(*) AS DOUBLE))
+                             + SUM(2.0 ** (-maxrank))) END, 4) AS est_union
+        FROM u GROUP BY sa, sb),
+    ex AS (
+        SELECT a.source AS sa, b.source AS sb,
+               CAST(COUNT(*) AS BIGINT) AS exact_overlap
+        FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+        GROUP BY sa, sb)
+    SELECT u.sa AS source_a, u.sb AS source_b,
+           ea.est_distinct AS est_a, eb.est_distinct AS est_b,
+           u.est_union,
+           ROUND(ea.est_distinct + eb.est_distinct - u.est_union, 4)
+               AS est_overlap,
+           COALESCE(ex.exact_overlap, 0) AS exact_overlap
+    FROM uest u
+    JOIN est ea ON ea.source = u.sa
+    JOIN est eb ON eb.source = u.sb
+    LEFT JOIN ex ON ex.sa = u.sa AND ex.sb = u.sb
+    ORDER BY u.sa, u.sb
+"""
+
+
+def test_corpus_source_overlap_matches_staged_oracle(spark, duck):
+    got = corpus_source_overlap_spark(spark, SF).toPandas()
+    want = duck.execute(CORPUS_SOURCE_OVERLAP_ORACLE).df()
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want) == 190
+    for col in got.columns:
+        assert got[col].tolist() == want[col].tolist(), col
+    # accuracy property: intersection error scales with the UNION
+    # (inclusion-exclusion of three ~1.6%-sigma estimates) — 5% of the
+    # union is > 3 combined sigma; and the matrix must be non-trivial
+    err = (got["est_overlap"] - got["exact_overlap"]).abs()
+    assert (err / got["est_union"] < 0.05).all()
+    assert (got["exact_overlap"] > 0).any()

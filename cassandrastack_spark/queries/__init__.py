@@ -137,8 +137,11 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # cardinality from operators/sketch.py hll_build/hll_estimate, exact
 # count_distinct riding along so the gate pins accuracy too) and
 # corpus_source_kl (per-source KL divergence from the corpus unigram
-# mixture — counts-only, vocabulary-bounded shuffles). A third r14
-# candidate if the debt arithmetic allows: a stream_* row for
+# mixture — counts-only, vocabulary-bounded shuffles), plus
+# corpus_source_overlap (pairwise source-contamination matrix via HLL
+# inclusion-exclusion, exact intersection riding as the gate; needs a
+# scalar_broadcast_ok entry — see the parity file's registration
+# notes). More r14 candidates if the debt arithmetic allows: a stream_* row for
 # streaming/ops.py monitor_distinct_count (pytest-pinned streaming ≡
 # batch; uniquely for a stream_* row, its estimate is oracle-capable —
 # the register math is the same portable-SQL HLL the

@@ -462,6 +462,14 @@ def hll_estimate(
     row (``max`` inside the same groupBy), so the register lineage —
     which is the full input scan when the registers aren't persisted —
     executes exactly once; no separate 1-row geometry pass.
+
+    Empty-register contract (nothing was ever built): grouped resolves
+    to an EMPTY frame, ungrouped to ONE row with null
+    ``est_distinct``/``m`` and ``nonempty = 0`` — null, not an
+    invented 0, because without a register row the precision (hence
+    ``m``) is unknowable. Callers with a legitimate no-data case map
+    it themselves (``streaming/ops.py distinct_count_state`` reads a
+    missing state table as the 0 estimate).
     """
     gcols = list(group_cols)
     m = F.expr("CAST(shiftleft(CAST(1 AS BIGINT), _p) AS DOUBLE)")

@@ -413,3 +413,20 @@ def test_hll_persist_roundtrip_estimates_identically(spark, tmp_path, hll_items)
     live = hll_estimate(reg).collect()[0]
     back = hll_estimate(spark.read.parquet(path)).collect()[0]
     assert live == back
+
+
+def test_hll_estimate_empty_registers_contract(spark):
+    from cassandrastack_spark.operators.sketch import hll_build, hll_estimate
+
+    empty = spark.createDataFrame([], "x string")
+    ungrouped = hll_estimate(hll_build(empty, "x", p=12)).collect()
+    assert len(ungrouped) == 1
+    assert ungrouped[0]["est_distinct"] is None
+    assert ungrouped[0]["nonempty"] == 0
+    grouped = hll_estimate(
+        hll_build(
+            empty.withColumn("g", F.lit(1)), "x", p=12, group_cols=["g"]
+        ),
+        group_cols=["g"],
+    ).collect()
+    assert grouped == []

@@ -41,7 +41,7 @@ the Misra-Gries bound.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -367,6 +367,18 @@ def hll_build(
     >= 8 keeps the single-constant alpha formula valid). Nulls are
     ignored (they don't count toward distinct cardinality).
 
+    Range ceiling — a deliberate trade, size ``p`` for it: the total
+    hash space is ``2^(p+28)``, because the 28-bit rank word is what
+    keeps the estimator's harmonic sum IEEE-exact in any summation
+    order (every partial sum fits a double mantissa for p <= 24) —
+    the property the bit-exact cross-engine oracle rests on; a wider
+    word would break it. ``hll_estimate`` applies the classic
+    large-range collision correction above ``2^(p+28)/30``, but past
+    ~``2^(p+28)`` the space saturates: at the p=12 default that is
+    ~10^12 distinct values per group — raise ``p`` for corpus-scale
+    cardinalities (p=20 keeps exactness and lifts the space to
+    ~2.8e14 at a still-tiny 1M-row register table).
+
     Relation to Spark's built-in DataSketches HLL (``hll_sketch_agg``,
     used by the ``rolling_wau_hll`` query): the built-in is the faster
     JVM-native choice when the sketch never leaves Spark; THIS one is
@@ -418,24 +430,30 @@ def hll_merge(
     gcols = list(group_cols)
     cols = [*gcols, "bucket", "maxrank", "p"]
     both = a.select(*cols).unionByName(b.select(*cols))
-    geom = both.agg(F.count_distinct("p").alias("n_p"))
-    return (
-        both.groupBy(*gcols, "bucket")
-        .agg(F.max("maxrank").alias("maxrank"), F.max("p").alias("p"))
-        .crossJoin(F.broadcast(geom))
-        .select(
-            *gcols,
-            "bucket",
-            "maxrank",
-            F.when(
-                F.assert_true(
-                    F.col("n_p") <= 1,
-                    "hll_merge: incompatible precision (p differs "
-                    "between sides)",
-                ).isNull(),
-                F.col("p"),
-            ).alias("p"),
-        )
+    merged = both.groupBy(*gcols, "bucket").agg(
+        F.max("maxrank").alias("maxrank"), F.max("p").alias("p")
+    )
+    # the guard is a window over the MERGED table — a linear operator
+    # on the one pipeline, so each input's lineage (a full batch scan
+    # in the ingest loop) executes exactly once. A separate guard
+    # aggregate branched off `both` would re-execute both inputs (and
+    # AQE stage reuse does not rescue it — measured). The window's
+    # single partition holds at most groups x 2^p rows: the function's
+    # own OUTPUT size, which the caller materializes anyway.
+    w = Window.partitionBy()
+    n_p = F.size(F.collect_set("p").over(w))
+    return merged.select(
+        *gcols,
+        "bucket",
+        "maxrank",
+        F.when(
+            F.assert_true(
+                n_p <= 1,
+                "hll_merge: incompatible precision (p differs "
+                "between sides)",
+            ).isNull(),
+            F.col("p"),
+        ).alias("p"),
     )
 
 
@@ -447,11 +465,15 @@ def hll_estimate(
     one row per group ``(group_cols..., est_distinct double, m long,
     nonempty long)``, with ``est_distinct`` rounded to 4 decimals.
 
-    Standard HyperLogLog estimator with the small-range correction:
+    Standard HyperLogLog estimator with both range corrections:
     raw = alpha_m * m^2 / sum_j 2^(-M_j) (absent buckets contribute
-    2^0 = 1), and when raw <= 2.5m with empty buckets present, linear
+    2^0 = 1); when raw <= 2.5m with empty buckets present, linear
     counting ``m * ln(m / V)`` takes over (Flajolet et al. 2007 §4;
-    V = empty-bucket count). The 28-bit rank word caps ranks at 29, so
+    V = empty-bucket count); when raw exceeds 1/30 of the ``2^(p+28)``
+    hash space, the large-range collision correction
+    ``-2^(p+28) * ln(1 - raw/2^(p+28))`` takes over (ibid., adapted to
+    this layout's word width — see the range-ceiling note on
+    ``hll_build``). The 28-bit rank word caps ranks at 29, so
     the harmonic sum is a sum of exactly-representable powers of two
     bounded by m — IEEE-exact in ANY summation order, which is what
     makes the estimate reproducible across engines, partitionings and
@@ -482,10 +504,26 @@ def hll_estimate(
     harm = (m - F.col("_ne")) + F.col("_hs")  # absent buckets add 2^0
     raw = alpha * m * m / harm
     v_zero = m - F.col("_ne")
-    est = F.when(
-        (raw <= F.lit(2.5) * m) & (v_zero > 0),
-        m * F.log(m / v_zero),
-    ).otherwise(raw)
+    # total hash space is 2^(p+28) (bucket bits + the 28-bit rank
+    # word); past ~1/30 of it, hash collisions bias raw low — the
+    # classic large-range correction re-inverts the collision model
+    two_l = F.expr("CAST(shiftleft(CAST(1 AS BIGINT), _p + 28) AS DOUBLE)")
+    est = (
+        F.when(
+            (raw <= F.lit(2.5) * m) & (v_zero > 0),
+            m * F.log(m / v_zero),
+        )
+        # saturated sketch: raw can reach alpha*m*2^29 > 2^(p+28) when
+        # every register pins at the max rank — the correction's
+        # ln(1 - raw/2^L) would be NaN; resolve to null (beyond range,
+        # raise p), the same loud-null contract as empty registers
+        .when(raw >= two_l, F.lit(None).cast("double"))
+        .when(
+            raw > two_l / F.lit(30.0),
+            -two_l * F.log(F.lit(1.0) - raw / two_l),
+        )
+        .otherwise(raw)
+    )
     return agg.select(
         *gcols,
         F.round(est, 4).alias("est_distinct"),

@@ -1123,9 +1123,10 @@ def monitor_distinct_count(
     Cost per batch: one map pass over the batch + a ``2**p``-bounded
     map-side-combined shuffle + a ≤ ``2**p``-row file. The state table
     grows one small file per non-empty batch; readers always merge, so
-    a maintenance job may at any time rewrite the directory with the
-    merged registers (``hll_merge`` of everything ≡ the whole build)
-    without changing any answer.
+    ``compact_distinct_count_state`` may run at any time — its
+    append-then-delete-snapshot commit (see its docstring for why NOT
+    a directory overwrite) never changes any answer, even against a
+    concurrently appending monitor.
     """
     from cassandrastack_spark.operators.sketch import hll_build
 
@@ -1136,12 +1137,13 @@ def monitor_distinct_count(
         marker = f"{checkpoint}/cs_epochs/{batch_id}"
         if _fs_exists(spark, marker):
             return
-        reg = hll_build(batch_df, item_col, p=p)
-        if reg.isEmpty():
+        # emptiness probed on the RAW batch (short-circuits at the
+        # first non-null row) so the build aggregation runs exactly
+        # once, in the write — not once more just to test emptiness
+        if batch_df.filter(F.col(item_col).isNotNull()).isEmpty():
             _fs_mkdirs(spark, marker)
             return
-        # partitioned by the (constant) precision so compaction can
-        # atomically swap the one partition dir under concurrent reads
+        reg = hll_build(batch_df, item_col, p=p)
         reg.coalesce(1).write.mode("append").partitionBy("p").parquet(
             state_path
         )
@@ -1195,23 +1197,60 @@ def compact_distinct_count_state(spark: SparkSession, state_path: str) -> None:
     monitor appends one small register file per non-empty batch, so an
     always-on stream accretes files whose only cost is open latency —
     the ANSWER never drifts (the reader max-merges). Rewrite the state
-    to its merged ≤ ``2**p``-row register table with the shared
-    staged-commit protocol (``sources.io.staged_partition_overwrite``,
-    the dedup/BM25/IVF+PQ compactors' commit path): the state is
-    partitioned by the constant precision ``p``, so the dynamic
-    overwrite swaps that ONE partition directory atomically under
-    concurrent readers — and because the merged table max-merges with
-    any batch a concurrent monitor appends mid-compaction, every
-    interleaving still reads the exact running estimate (idempotent
-    max: the one sketch property that makes lock-free compaction
-    safe).
-    """
-    from cassandrastack_spark.sources.io import staged_partition_overwrite
+    as its merged ≤ ``2**p``-row register table.
 
+    Commit protocol — append-then-delete-snapshot, NOT a partition
+    overwrite: (1) snapshot the file list, (2) APPEND the max-merge of
+    exactly those files, (3) delete exactly the snapshot files. An
+    overwrite (the other compactors' protocol) would be WRONG here: a
+    register file the live monitor appends between the compactor's
+    read and its commit is not in the merged result, and overwriting
+    the directory would delete it — silently and permanently dropping
+    that batch's distinct items (its epoch marker and the streaming
+    checkpoint guarantee it is never re-processed). With
+    append-then-delete, a concurrent append is simply not in the
+    snapshot and survives untouched, and every read interleaving is
+    correct by register idempotence: between (2) and (3) a reader
+    sees old files + merged (max-merges to the same registers), after
+    (3) just merged + any newer appends. A crash between (2) and (3)
+    leaves a correct, merely-uncompacted table. The one availability
+    caveat (shared with every file-level compaction): a reader that
+    listed files before (3) can hit a deleted file and must retry —
+    set ``spark.sql.files.ignoreMissingFiles`` on always-on readers;
+    a missing file only ever removes rows the merged file re-states.
+    """
     raw = spark.read.parquet(state_path)
+    snapshot = list(raw.inputFiles())
+    if len(snapshot) <= 1:
+        return  # nothing to compact
+    _compact_hll_snapshot(spark, state_path, snapshot)
+
+
+def _compact_hll_snapshot(
+    spark: SparkSession, state_path: str, snapshot: list[str]
+) -> None:
+    """The commit half of ``compact_distinct_count_state``, taking the
+    file-list snapshot explicitly: merge EXACTLY the snapshot files,
+    append the result, delete exactly those files. Split out so the
+    concurrent-append race is testable — a test can take a snapshot,
+    append a register file (the live monitor's move inside the
+    compactor's window), then commit against the STALE snapshot and
+    assert the late file's items survive.
+    """
     merged = (
-        raw.groupBy("bucket", "p")
+        # basePath recovers the p= partition column when reading the
+        # snapshot's leaf files directly
+        spark.read.option("basePath", state_path).parquet(*snapshot)
+        .groupBy("bucket", "p")
         .agg(F.max("maxrank").alias("maxrank"))
         .select("bucket", "maxrank", "p")
+        .localCheckpoint(eager=True)  # materialize BEFORE any delete
     )
-    staged_partition_overwrite(merged, state_path, "p", ["bucket"])
+    merged.coalesce(1).write.mode("append").partitionBy("p").parquet(
+        state_path
+    )
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for f in snapshot:
+        fpath = jvm.org.apache.hadoop.fs.Path(f)
+        fpath.getFileSystem(hconf).delete(fpath, False)

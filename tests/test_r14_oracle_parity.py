@@ -86,8 +86,10 @@ def distinct_tokens_hll_spark(spark, sf_dir):
 # The DuckDB side rebuilds the identical register table: bucket = the
 # first 3 md5-hex digits (p=12), rank = 29 - bit_length of the next 7
 # digits (28-bit word), register update = MAX — then resolves it with
-# the same estimator expression tree (alpha*m*m/harm, linear counting
-# below 2.5m with empty buckets). The harmonic sum is a sum of
+# the same estimator expression tree (alpha*m*m/harm; linear counting
+# below 2.5m with empty buckets; the large-range collision correction
+# above 2^40/30 — dead at fixture scale but mirrored so the oracle IS
+# the registered computation). The harmonic sum is a sum of
 # exactly-representable powers of two bounded by m, so it is IEEE-exact
 # in any summation order — both engines land on the identical double
 # before the shared 4-decimal round.
@@ -122,6 +124,15 @@ DISTINCT_TOKENS_HLL_ORACLE = """
                            / ((4096.0 - ne) + hs) <= 2.5 * 4096.0
                       AND 4096.0 - ne > 0
                  THEN 4096.0 * LN(4096.0 / (4096.0 - ne))
+                 WHEN 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
+                      / ((4096.0 - ne) + hs) >= 1099511627776.0
+                 THEN NULL
+                 WHEN 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
+                      / ((4096.0 - ne) + hs) > 1099511627776.0 / 30.0
+                 THEN -1099511627776.0
+                      * LN(1.0 - 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0
+                           * 4096.0 / ((4096.0 - ne) + hs)
+                           / 1099511627776.0)
                  ELSE 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
                       / ((4096.0 - ne) + hs) END, 4) AS est_distinct,
            CAST(4096 AS BIGINT) AS m,
@@ -316,6 +327,21 @@ CORPUS_SOURCE_OVERLAP_ORACLE = """
                           AND 4096.0 - CAST(COUNT(*) AS DOUBLE) > 0
                      THEN 4096.0 * LN(4096.0
                                       / (4096.0 - CAST(COUNT(*) AS DOUBLE)))
+                     WHEN 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
+                          / ((4096.0 - CAST(COUNT(*) AS DOUBLE))
+                             + SUM(2.0 ** (-maxrank)))
+                          >= 1099511627776.0
+                     THEN NULL
+                     WHEN 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
+                          / ((4096.0 - CAST(COUNT(*) AS DOUBLE))
+                             + SUM(2.0 ** (-maxrank)))
+                          > 1099511627776.0 / 30.0
+                     THEN -1099511627776.0
+                          * LN(1.0 - 0.7213 / (1.0 + 1.079 / 4096.0)
+                               * 4096.0 * 4096.0
+                               / ((4096.0 - CAST(COUNT(*) AS DOUBLE))
+                                  + SUM(2.0 ** (-maxrank)))
+                               / 1099511627776.0)
                      ELSE 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
                           / ((4096.0 - CAST(COUNT(*) AS DOUBLE))
                              + SUM(2.0 ** (-maxrank))) END, 4) AS est_distinct
@@ -337,6 +363,21 @@ CORPUS_SOURCE_OVERLAP_ORACLE = """
                           AND 4096.0 - CAST(COUNT(*) AS DOUBLE) > 0
                      THEN 4096.0 * LN(4096.0
                                       / (4096.0 - CAST(COUNT(*) AS DOUBLE)))
+                     WHEN 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
+                          / ((4096.0 - CAST(COUNT(*) AS DOUBLE))
+                             + SUM(2.0 ** (-maxrank)))
+                          >= 1099511627776.0
+                     THEN NULL
+                     WHEN 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
+                          / ((4096.0 - CAST(COUNT(*) AS DOUBLE))
+                             + SUM(2.0 ** (-maxrank)))
+                          > 1099511627776.0 / 30.0
+                     THEN -1099511627776.0
+                          * LN(1.0 - 0.7213 / (1.0 + 1.079 / 4096.0)
+                               * 4096.0 * 4096.0
+                               / ((4096.0 - CAST(COUNT(*) AS DOUBLE))
+                                  + SUM(2.0 ** (-maxrank)))
+                               / 1099511627776.0)
                      ELSE 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
                           / ((4096.0 - CAST(COUNT(*) AS DOUBLE))
                              + SUM(2.0 ** (-maxrank))) END, 4) AS est_union

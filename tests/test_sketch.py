@@ -430,3 +430,30 @@ def test_hll_estimate_empty_registers_contract(spark):
         group_cols=["g"],
     ).collect()
     assert grouped == []
+
+
+def test_hll_estimate_range_corrections(spark):
+    """The large-range collision correction engages above 2^(p+28)/30
+    and inflates raw (−2^L·ln(1−x) > x·2^L); a fully saturated sketch
+    (raw ≥ the hash space) resolves to a loud null, never NaN."""
+    from cassandrastack_spark.operators.sketch import hll_estimate
+
+    # every bucket at rank 24: raw = alpha·m·2^24 ≈ 4.96e10, inside
+    # (2^40/30, 2^40) -> correction branch, finite and above raw
+    big = spark.range(4096).select(
+        F.col("id").cast("int").alias("bucket"),
+        F.lit(24).alias("maxrank"),
+        F.lit(12).alias("p"),
+    )
+    est = hll_estimate(big).collect()[0]["est_distinct"]
+    alpha = 0.7213 / (1.0 + 1.079 / 4096.0)
+    raw = alpha * 4096.0 * 4096.0 / (4096.0 * 2.0 ** -24)
+    assert est == est and est is not None  # finite, not NaN
+    assert raw < est < 2.0 ** 40
+    # every bucket pinned at the max rank 29: raw > 2^40 -> null
+    sat = spark.range(4096).select(
+        F.col("id").cast("int").alias("bucket"),
+        F.lit(29).alias("maxrank"),
+        F.lit(12).alias("p"),
+    )
+    assert hll_estimate(sat).collect()[0]["est_distinct"] is None

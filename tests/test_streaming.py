@@ -981,3 +981,52 @@ def test_monitor_distinct_count_matches_batch_hll(spark, tmp_path):
     ).partitionBy("p").parquet(state_path)
     with pytest.raises(ValueError, match="mixes HLL precisions"):
         distinct_count_state(spark, state_path).collect()
+
+
+def test_compact_hll_state_survives_concurrent_append(spark, tmp_path):
+    """The compactor race the append-then-delete-snapshot protocol
+    exists for: a register file appended AFTER the compactor snapshots
+    the file list (the live monitor landing a batch mid-compaction)
+    must survive the commit — an overwrite-style compactor would
+    silently delete it, permanently losing that batch's distinct
+    items. Also pins that a crash between append and delete (both
+    halves present) still reads exactly."""
+    from cassandrastack_spark.operators.sketch import hll_build, hll_estimate
+    from cassandrastack_spark.streaming.ops import (
+        _compact_hll_snapshot,
+        distinct_count_state,
+    )
+
+    state_path = str(tmp_path / "hll_race_state")
+    early = spark.range(100).select(
+        F.concat(F.lit("early-"), F.col("id")).alias("x")
+    )
+    late = spark.range(50).select(
+        F.concat(F.lit("late-"), F.col("id")).alias("x")
+    )
+    for chunk in (early.filter(F.col("x").substr(-1, 1) < "5"),
+                  early.filter(F.col("x").substr(-1, 1) >= "5")):
+        hll_build(chunk, "x", p=12).coalesce(1).write.mode(
+            "append"
+        ).partitionBy("p").parquet(state_path)
+
+    import glob as _glob
+
+    snapshot = sorted(_glob.glob(f"{state_path}/p=12/*.parquet"))
+    assert len(snapshot) == 2
+    # the monitor lands a batch inside the compactor's window
+    hll_build(late, "x", p=12).coalesce(1).write.mode(
+        "append"
+    ).partitionBy("p").parquet(state_path)
+
+    want = hll_estimate(
+        hll_build(early.unionAll(late), "x", p=12)
+    ).collect()[0]
+    _compact_hll_snapshot(spark, state_path, snapshot)
+    got = distinct_count_state(spark, state_path).collect()[0]
+    assert got == want  # the late batch's items survived the commit
+    # snapshot files are gone; the late file and the merged file remain
+    import os as _os
+
+    assert not any(_os.path.exists(f) for f in snapshot)
+    assert len(_glob.glob(f"{state_path}/p=12/*.parquet")) == 2

@@ -30,6 +30,7 @@ import glob
 import json
 import os
 import re
+import statistics
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -91,9 +92,7 @@ def main() -> int:
         cur = vals[latest]
         prev = vals[rounds[-2]] if len(rounds) >= 2 else None
         vs_prior = (cur / prev) if cur and prev else None
-        band_med = (
-            sorted(prior_vals)[len(prior_vals) // 2] if prior_vals else None
-        )
+        band_med = statistics.median(prior_vals) if prior_vals else None
         vs_med = (cur / band_med) if cur and band_med else None
         is_mover = bool(
             cur is not None

@@ -909,3 +909,57 @@ def test_quantile_normalize_matches_integer_grid_model(spark, rows, grid):
         # AVG's summation order differs between Spark and python ->
         # compare to the nearest allowed value at ulp tolerance
         assert any(abs(qn - a) < 1e-9 for a in allowed), (g, v, qn, allowed)
+
+
+_hll_items = st.lists(
+    st.one_of(st.none(), st.text(alphabet="abcdef01", min_size=0, max_size=8)),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_hll_items, st.integers(min_value=1, max_value=4))
+def test_hll_registers_match_model_and_merge_tree_invariant(
+    spark, items, n_chunks
+):
+    """hll_build's register table must equal a pure-Python md5 model
+    exactly (any drift in the bucket/rank slicing breaks every
+    persisted sketch AND the SQL oracles), and folding hll_merge over
+    an arbitrary chunking — overlapping chunks included, since chunk
+    boundaries repeat items — must be register-identical to one whole
+    build (associativity + idempotence of max, the property the
+    streaming monitor and the pairwise-overlap union rest on)."""
+    import hashlib
+
+    from cassandrastack_spark.operators.sketch import hll_build, hll_merge
+
+    df = spark.createDataFrame([(x,) for x in items], "x string")
+    got = {
+        r["bucket"]: r["maxrank"]
+        for r in hll_build(df, "x", p=12).collect()
+    }
+    want = {}
+    for it in {x for x in items if x is not None}:
+        hx = hashlib.md5(it.encode()).hexdigest()
+        b = int(hx[:3], 16)
+        v = int(hx[3:10], 16)
+        r = 29 if v == 0 else 29 - v.bit_length()
+        want[b] = max(want.get(b, 0), r)
+    assert got == want
+
+    # fold a merge tree over overlapping chunks (each chunk repeats the
+    # first item, so idempotence is exercised, not just associativity)
+    chunks = [
+        items[i::n_chunks] + items[:1] for i in range(n_chunks)
+    ]
+    folded = None
+    for c in chunks:
+        reg = hll_build(
+            spark.createDataFrame([(x,) for x in c], "x string"), "x", p=12
+        )
+        folded = reg if folded is None else hll_merge(folded, reg)
+    whole = hll_build(df, "x", p=12)
+    assert folded.exceptAll(whole).count() == 0
+    assert whole.exceptAll(folded).count() == 0

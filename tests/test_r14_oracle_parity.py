@@ -49,7 +49,11 @@ itself under a ``<`` condition — literal-bounded, the
 ``embedding_pca_projection_pairdist`` shape); ``distinct_tokens_hll``
 plans clean — pruned 2-column scan, ``partial_max`` map-side combine
 ahead of the one m-bounded exchange, no BNL (``hll_estimate`` is a
-single aggregation pass).
+single aggregation pass). sf0.1 prices (local[32], min-of-2, measured
+at staging time): distinct_tokens_hll 2.0 s, corpus_source_kl 1.2 s,
+corpus_source_overlap 5.9 s — the overlap's cost is ~all the EXACT
+gate leg (the pairwise gram self-join the oracle needs); the sketch
+path itself is sub-second, which is the point.
 """
 
 import duckdb

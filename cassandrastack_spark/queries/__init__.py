@@ -54,153 +54,115 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # first (in this order); everything else follows in registration order.
 # A name here that is not registered is ignored.
 #
-# Round-12 rotation (VERDICT r11 lead item — the row-age contract test
-# went red the moment CORRECTNESS_r11.json landed, naming the cohort):
-# (a) ALL 31 r8-era rows, 4 rounds old at r12 close — the remaining
-# TPC-H chips (q4/q6/q10/q12), the CQL-read trio (point_lookup,
-# projection_scan, partition_scan_ordered), top_k_global,
-# set_operations, the window_* running/rank family,
-# tumbling_window_hourly, sessionize_events, retention_weekly,
-# salted_join_events_customers, percentiles_acctbal,
-# pareto_customers_by_segment, outliers_iqr_values, profile_* x2,
-# sql_* x3, dedup_canonical_election, dedup_minhash_lsh,
-# embedding_norms, embedding_quantize_int8, text_bm25_topk,
-# text_ngram_novelty. Clearing these turns
-# tests/test_row_age_contract.py green again. (b) 3 new queries —
-# graph_triangle_count and text_bigram_logprob (the two r11-staged
-# operators: library-complete since r11, oracle SQL pre-validated
-# green in tests/test_r12_oracle_parity.py, lifted into @register
-# verbatim); corpus_dsir_weights_indexed: DSIR importance weights
-# served from the PERSISTED BM25 postings index (VERDICT r11 ask #6),
-# gated under the SAME oracle as corpus_dsir_weights so a drifted
-# index goes red; decontam_bloom_probe (Bloom membership sketch —
-# bit-exact oracle reproduces the bitmap in SQL);
-# corpus_weighted_sample (Efraimidis-Spirakis weighted sampling,
-# TakeOrderedAndProject plan); corpus_ccnet_buckets (per-language
-# perplexity terciles over the bigram LM); text_zipf_fit (rank-
-# frequency regression per source); sql_recursive_tree_depth
-# (WITH RECURSIVE — one SQL text on both engines). All 8 validated
-# green with tools/verify_local.py at sf0.001 AND sf0.01 before
-# registration. (c) 4 touched-code re-confirms — the postings-slot
-# perf-drift fix (VERDICT r11 ask #3, the _slots.py fingerprint
-# repair) touches llm/_slots.py consumers, so corpus_dsir_weights,
-# corpus_dsir_resample, text_tfidf_sim_topk and text_tfidf_sim_indexed
-# (all r10 rows) re-gate this round, and their fresh idle ledger
-# timings land next to the profile. (d) 7 r9-era chips toward the
-# 43-row r9 cohort due in full at r13: the ann probe rows nearest the
-# (annotation-only) simsearch diff plus the two embedding mining
-# queries. Remaining debt after r12: 36 r9-era rows (3 rounds old at
-# r13) — r13 MUST clear all 36, which leaves ~14 slots for novelty +
-# re-confirms; the 50-row r10 cohort comes due at r14. FIVE r13
-# registrants are already staged library-complete with validated
-# verification: corpus_score_winsorize, corpus_score_quantile_norm,
-# ann_matryoshka_recall and decontam_bloom_indexed (exact plans +
-# oracle SQL pre-validated green at sf0.001 AND sf0.01 in
-# tests/test_r13_oracle_parity.py — lift verbatim; the bloom twin
-# gates under the SHARED decontam_bloom_probe oracle and needs the
-# same BNL-allowlist entry), and stream_bloom_dedup
-# (streaming/ops.py stateful_bloom_dedup, rows-only check like its
-# stream_* siblings; multi-batch semantics pinned in
-# tests/test_streaming.py). With 5 staged + 36 debt = 41 slots, r13
-# keeps ~9 chips against the r10 cohort — registering all five is
-# within the steady-state budget ONLY if r13 adds nothing else new.
-# The EXACT 36-row r13 debt cohort, precomputed from the CORRECTNESS
-# files at the end of r12 (the 43 r9-era rows minus the 7 chipped in
-# this round's window) — r13's first commit rotates these into _FRONT
-# verbatim, then appends the staged registrants and chips:
-# ann_hybrid_rrf_topk, ann_ivf_topk, ann_pq_topk_prod,
-# ann_quantized_topk, array_functions, corpus_quality_model_score,
-# corpus_split_dedup_aware, embedding_correlation_block,
-# embedding_covariance_block, embedding_covariance_drift,
-# embedding_pca_projection_pairdist, event_interarrival,
-# event_transitions, funnel_conversion, heatmap_dow_hour,
-# histogram_order_totals, json_extract_props, pivot_status_by_segment,
-# scalar_functions, stream_click_view_join, stream_dedup_events,
-# stream_embedding_covariance_block, stream_session_append,
-# stream_session_windows, stream_sliding_append, stream_sliding_counts,
-# stream_stateful_totals, stream_static_enrich, stream_tumbling_append,
-# stream_tumbling_hourly, stream_windowed_topk, string_agg_nations,
-# text_bpe_tokens, text_fingerprint, text_langid,
-# unpivot_revenue_measures.
-# STRUCTURAL BUDGET NOTE for r13+: at 182 registered queries with a
-# 50-row window and a 4-round age limit, steady state requires
-# re-verifying ~46 rows per round — the novelty budget is now ~4 new
-# queries per round, permanently. r13 = 36 r9 rows + 4 staged
-# registrants + ~10 chips against the 46-row r10 cohort (4 of its
-# rows re-gated here in r12); r14 then owes the un-chipped remainder.
-# Registering more than ~4 new queries in any round now REQUIRES
-# retiring or consolidating old ones — prefer staging depth (library
-# + pre-validated oracle) over registration count. TWO r14 registrants
-# are staged ahead under that discipline in
-# tests/test_r14_oracle_parity.py (exact plans + oracle SQL validated
-# green at sf0.001 AND sf0.01): distinct_tokens_hll (HyperLogLog
-# cardinality from operators/sketch.py hll_build/hll_estimate, exact
-# count_distinct riding along so the gate pins accuracy too) and
-# corpus_source_kl (per-source KL divergence from the corpus unigram
-# mixture — counts-only, vocabulary-bounded shuffles), plus
-# corpus_source_overlap (pairwise source-contamination matrix via HLL
-# inclusion-exclusion, exact intersection riding as the gate; needs a
-# scalar_broadcast_ok entry — see the parity file's registration
-# notes). More r14 candidates if the debt arithmetic allows: a stream_* row for
-# streaming/ops.py monitor_distinct_count (pytest-pinned streaming ≡
-# batch; uniquely for a stream_* row, its estimate is oracle-capable —
-# the register math is the same portable-SQL HLL the
-# distinct_tokens_hll oracle reproduces bit-exactly).
+# Round-13 rotation (VERDICT r12 lead item — the row-age contract test
+# went red the moment CORRECTNESS_r12.json landed, naming the cohort):
+# (a) ALL 36 r9-era rows, 4 rounds old at r13 close — the exact debt
+# cohort the r12 registry note precomputed (re-derived from the twelve
+# CORRECTNESS files before this rotation; the two lists match
+# verbatim): the ann probe quartet, the embedding block family, the
+# twelve stream_* rows, event_/funnel_, scalar/array/json/pivot/
+# unpivot/heatmap/histogram/string_agg, text_bpe_tokens/fingerprint/
+# langid, corpus_quality_model_score, corpus_split_dedup_aware.
+# Clearing these turns tests/test_row_age_contract.py green again.
+# (b) the 5 r12-staged registrants, lifted from
+# tests/test_r13_oracle_parity.py where their exact plans + oracle SQL
+# validated green at sf0.001 AND sf0.01 one round ahead:
+# corpus_score_winsorize; corpus_score_quantile_norm (registered ONLY
+# after the r12 VERDICT's flakiness fix — order-independent
+# DECIMAL-sum cell reference + doc_id rank tie-break on BOTH engines,
+# re-validated 10/10 sharded and under local[32]);
+# ann_matryoshka_recall; decontam_bloom_indexed (SHARED oracle with
+# decontam_bloom_probe + the scalar_broadcast_ok entry documented in
+# the parity file); stream_bloom_dedup (rows-only, like its stream_*
+# siblings; multi-batch semantics pinned in tests/test_streaming.py).
+# (c) 9 chips against the 46-row r10 cohort due in full at r14,
+# chosen where r13 has adjudication value: text_top_terms_udtf +
+# text_pii_redact (the r12 BENCH_NOTES tripwire — their fresh idle
+# timings land next to the profile), dedup_simhash (band watch),
+# rolling_wau_hll (nearest the r12-touched operators/sketch.py),
+# dedup_exact_substrings (0.70x improvement re-confirm), and the four
+# mm_* multimodal rows (deferred from r13's own note "due r13 window
+# arithmetic permitting" — permitted now).
+#
+# Debt arithmetic after r13: the r14 window owes the 37 un-chipped
+# r10 rows (46 - 9), leaving ~13 slots: the 3 staged r14 registrants
+# (distinct_tokens_hll, corpus_source_kl, corpus_source_overlap —
+# oracles pre-validated in tests/test_r14_oracle_parity.py) + the
+# stream_monitor_distinct_count row + ~9 chips against the 50-row r11
+# cohort due in full at r15.
+#
+# STEADY-STATE POLICY (decided r13, per VERDICT r12 ask #5 — the r14+
+# windows follow this): with N registered queries, a 50-row window and
+# the 4-round age limit, maintenance is ceil(N/4) rows per round, so
+# the novelty budget is 50 - ceil(N/4) new registrations per round
+# (~3-4 at N=187). We keep the registry intact rather than retiring
+# rows: every row maps to a distinct operator surface the judge's
+# coverage table cites, and raw/indexed twins are NOT redundant — the
+# indexed twin gates persistence/merge/staleness semantics its raw
+# sibling cannot (a drifted index hash-mismatches only if the twin has
+# its own row). The budget is enforced by arithmetic in this note each
+# round: a round may register more than the budget ONLY by retiring
+# equally many rows in the same commit, and retirement requires the
+# retired row's semantics to be pinned by a surviving pytest.
+# Preference order when slots are scarce: (1) clear debt, (2) re-gate
+# touched code, (3) register staged queries, (4) stage NEW work
+# library-first (full implementation + pytest + pre-validated oracle,
+# zero registration cost until a slot frees). Staging depth is never
+# capped - only registration is.
 _FRONT: tuple[str, ...] = (
-    # -- (a) the 31 r8-era rows: TPC-H chips first, then operators --
-    "q4_priority_with_big_items",
-    "q6_forecast_revenue",
-    "q10_returned_revenue",
-    "q12_priority_by_linestatus",
-    "point_lookup",
-    "projection_scan",
-    "partition_scan_ordered",
-    "top_k_global",
-    "set_operations",
-    "window_moving_avg",
-    "window_rank_surface",
-    "window_running_distinct",
-    "window_running_sum",
-    "tumbling_window_hourly",
-    "sessionize_events",
-    "retention_weekly",
-    "salted_join_events_customers",
-    "percentiles_acctbal",
-    "pareto_customers_by_segment",
-    "outliers_iqr_values",
-    "profile_hot_keys",
-    "profile_table_stats",
-    "sql_exists_in_subqueries",
-    "sql_grouping_sets",
-    "sql_lateral_topk",
-    "dedup_canonical_election",
-    "dedup_minhash_lsh",
-    "embedding_norms",
-    "embedding_quantize_int8",
-    "text_bm25_topk",
-    "text_ngram_novelty",
-    # -- (b) new this round --
-    "graph_triangle_count",
-    "text_bigram_logprob",
-    "corpus_dsir_weights_indexed",
-    "decontam_bloom_probe",
-    "corpus_weighted_sample",
-    "corpus_ccnet_buckets",
-    "text_zipf_fit",
-    "sql_recursive_tree_depth",
-    # -- (c) r12-touched code (postings-slot fingerprint fix): re-confirm --
-    "corpus_dsir_weights",
-    "corpus_dsir_resample",
-    "text_tfidf_sim_topk",
-    "text_tfidf_sim_indexed",
-    # -- (d) oldest r9-era rows: chip the r13 cohort early --
-    "ann_cosine_topk",
-    "ann_filtered_topk",
-    "ann_ivf_pq_topk",
-    "ann_lsh_topk",
-    "ann_pq_topk",
-    "embedding_hard_negatives",
-    "embedding_knn_label_agreement",
+    # -- (a) the 36 r9-era debt rows --
+    "ann_hybrid_rrf_topk",
+    "ann_ivf_topk",
+    "ann_pq_topk_prod",
+    "ann_quantized_topk",
+    "array_functions",
+    "corpus_quality_model_score",
+    "corpus_split_dedup_aware",
+    "embedding_correlation_block",
+    "embedding_covariance_block",
+    "embedding_covariance_drift",
+    "embedding_pca_projection_pairdist",
+    "event_interarrival",
+    "event_transitions",
+    "funnel_conversion",
+    "heatmap_dow_hour",
+    "histogram_order_totals",
+    "json_extract_props",
+    "pivot_status_by_segment",
+    "scalar_functions",
+    "stream_click_view_join",
+    "stream_dedup_events",
+    "stream_embedding_covariance_block",
+    "stream_session_append",
+    "stream_session_windows",
+    "stream_sliding_append",
+    "stream_sliding_counts",
+    "stream_stateful_totals",
+    "stream_static_enrich",
+    "stream_tumbling_append",
+    "stream_tumbling_hourly",
+    "stream_windowed_topk",
+    "string_agg_nations",
+    "text_bpe_tokens",
+    "text_fingerprint",
+    "text_langid",
+    "unpivot_revenue_measures",
+    # -- (b) the 5 r12-staged registrants --
+    "corpus_score_winsorize",
+    "corpus_score_quantile_norm",
+    "ann_matryoshka_recall",
+    "decontam_bloom_indexed",
+    "stream_bloom_dedup",
+    # -- (c) 9 chips against the r10 cohort (due in full at r14) --
+    "text_top_terms_udtf",
+    "text_pii_redact",
+    "dedup_simhash",
+    "rolling_wau_hll",
+    "dedup_exact_substrings",
+    "mm_binary_meta",
+    "mm_feature_extract",
+    "mm_frame_sample",
+    "mm_resize_images",
 )
 
 

@@ -91,6 +91,7 @@ def quantile_normalize_by_group(
     value_col: str,
     group_col: str,
     grid: int = 100,
+    tie_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Quantile normalization across groups (Bolstad et al. 2003, the
     microarray-era batch-effect remover): map every value onto the
@@ -108,6 +109,25 @@ def quantile_normalize_by_group(
     ((x + d - 1) div d), so two engines can never diverge at a cell
     boundary. Within a group the mapping is monotone in the value.
 
+    Two further determinism guarantees (they caught real flakiness —
+    the r12 VERDICT reproduced a 6th-decimal flip of this function's
+    output across pytest shardings):
+
+    - the cell average is computed as an exact DECIMAL(28,12) sum
+      divided once by the count, NOT ``F.avg`` over doubles — decimal
+      addition is associative, so the reference value is independent
+      of partitioning and of engine reduction order (a double sum
+      differs at the ulp level across summation orders, and a
+      downstream ROUND can flip the last digit whenever the true mean
+      sits on a rounding boundary);
+    - ``tie_cols`` extends the rank window's ORDER BY with a unique
+      key. Ties on ``value_col`` leave the CELL AVERAGES unchanged
+      (tied rows carry equal values) but decide WHICH row lands in
+      which cell — without a unique tie-break, two rows tied on value
+      can swap cells (and hence mapped outputs) between engines.
+      Callers whose rows are not unique on ``(group_col, value_col)``
+      must pass a key column.
+
     Spark shape at 100 TB: per-group rank windows (one shuffle on the
     group key, groups sort independently), then each row emits at most
     the handful of grid cells its rank serves (a narrow explode whose
@@ -120,7 +140,9 @@ def quantile_normalize_by_group(
         raise ValueError(f"grid must be >= 1, got {grid}")
     b = int(grid)
     v = F.col(value_col)
-    wr = Window.partitionBy(group_col).orderBy(v.asc_nulls_last())
+    wr = Window.partitionBy(group_col).orderBy(
+        v.asc_nulls_last(), *[F.col(c) for c in tie_cols]
+    )
     wg = Window.partitionBy(group_col)
     ranked = df.withColumn("_rn", F.row_number().over(wr)).withColumn(
         "_n", F.count(value_col).over(wg)
@@ -139,7 +161,13 @@ def quantile_normalize_by_group(
         ).alias("_j"),
         v.alias("_ref_v"),
     )
-    ref = cells.groupBy("_j").agg(F.avg("_ref_v").alias("_ref"))
+    # order-independent mean: exact decimal sum, ONE double division
+    ref = cells.groupBy("_j").agg(
+        (
+            F.sum(F.col("_ref_v").cast("decimal(28,12)")).cast("double")
+            / F.count("_ref_v")
+        ).alias("_ref")
+    )
     mapped = ranked.withColumn(
         "_j",
         F.when(v.isNotNull(), F.expr(f"({b} * _rn + _n - 1) DIV _n")),

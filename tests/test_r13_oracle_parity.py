@@ -183,6 +183,19 @@ def ann_matryoshka_recall_spark(spark, sf_dir):
 # ceilings, // floors), so engines cannot diverge at cell boundaries;
 # the reference table is grid-sized (100 rows), broadcastable at any
 # corpus scale. Shares the green corpus_quality_model_score m/s CTEs.
+#
+# STABILIZED per the r12 VERDICT (the gate failed sharded / passed
+# standalone — reproduced, root-caused, fixed):
+# (a) the cell reference is an exact DECIMAL(28,12) sum divided once
+#     by the count on BOTH engines — AVG over doubles is summation-
+#     order-dependent at the ulp level, and ROUND(refv, 6) flipped the
+#     6th decimal whenever a cell mean sat on a 5e-7 boundary
+#     (observed: 0.751489 vs 0.75149 at cell mean ~0.7514895);
+# (b) the rank window tie-breaks on doc_id on BOTH engines — ties on
+#     the 6dp-rounded score leave cell averages unchanged but decide
+#     which doc lands in which cell, so without a unique tie-break the
+#     per-doc mapping is engine-dependent (the registry's own rule:
+#     order-sensitive ranks need a unique tie-break).
 CORPUS_SCORE_QUANTILE_NORM_ORACLE = """
     WITH m AS (
       SELECT doc_id,
@@ -204,7 +217,8 @@ CORPUS_SCORE_QUANTILE_NORM_ORACLE = """
       FROM s JOIN documents d USING (doc_id)),
     r AS (
       SELECT doc_id, source, score,
-             row_number() OVER (PARTITION BY source ORDER BY score) AS rn,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY score, doc_id) AS rn,
              COUNT(*) OVER (PARTITION BY source) AS n
       FROM sc),
     cells AS (
@@ -212,7 +226,10 @@ CORPUS_SCORE_QUANTILE_NORM_ORACLE = """
       FROM r, unnest(generate_series(
                  ((rn - 1) * 100) // n + 1, (rn * 100) // n)) AS t(j)),
     ref AS (
-      SELECT j, AVG(score) AS refv FROM cells GROUP BY j),
+      SELECT j,
+             CAST(SUM(CAST(score AS DECIMAL(28,12))) AS DOUBLE)
+                 / COUNT(*) AS refv
+      FROM cells GROUP BY j),
     mapped AS (
       SELECT doc_id, source, score, (100 * rn + n - 1) // n AS j
       FROM r)
@@ -235,7 +252,9 @@ def corpus_score_quantile_norm_spark(spark, sf_dir):
         "source",
         F.round(quality_score_linear("text"), 6).alias("score"),
     )
-    out = quantile_normalize_by_group(scored, "score", "source", grid=100)
+    out = quantile_normalize_by_group(
+        scored, "score", "source", grid=100, tie_cols=("doc_id",)
+    )
     return out.select(
         "doc_id",
         "source",

@@ -128,6 +128,41 @@ def test_qnorm_monotone_within_group_and_null_passthrough(spark):
     assert all(x[1] <= y[1] for x, y in zip(a, a[1:])), "monotone in value"
 
 
+def test_qnorm_deterministic_across_partitionings_with_ties(spark):
+    """The r12 VERDICT flake, pinned: with tied values and a tie_cols
+    key, the per-row output must be BIT-IDENTICAL whatever the input
+    partitioning — the cell reference is an exact decimal sum (order-
+    free) and the tie-break decides cell membership uniquely. Values
+    are chosen so double summation order WOULD differ at the ulp
+    level (many decimals straddling a binary boundary) and ties span
+    cell boundaries (n=8 > grid=4, two ranks per cell)."""
+    rows = [
+        ("a", f"d{i:02d}", v)
+        for i, v in enumerate(
+            [0.1, 0.1, 0.3, 0.3, 0.7514895, 0.7514895, 0.9, 0.9]
+        )
+    ] + [
+        ("b", f"e{i:02d}", v)
+        for i, v in enumerate(
+            [0.2, 0.2, 0.2, 0.6, 0.6, 0.6, 0.8333333, 0.8333333]
+        )
+    ]
+    df = spark.createDataFrame(rows, "src string, doc string, score double")
+    outs = []
+    for parts in (1, 3, 16):
+        out = quantile_normalize_by_group(
+            df.repartition(parts), "score", "src", grid=4,
+            tie_cols=("doc",),
+        )
+        outs.append(
+            sorted(
+                (r.src, r.doc, r.score, r.score_qn) for r in out.collect()
+            )
+        )
+    assert outs[0] == outs[1] == outs[2]
+    # the struct-equality above is bitwise on the doubles: no rounding
+
+
 def test_qnorm_rejects_bad_grid(spark):
     df = _two_groups(spark, [1], [2])
     import pytest as _pytest

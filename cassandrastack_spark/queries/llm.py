@@ -1009,9 +1009,12 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "decontam_bloom_probe",
-    oracle="""
+# SHARED by decontam_bloom_probe and decontam_bloom_indexed (the
+# persisted+merged filter must answer IDENTICALLY to the one-shot
+# build — bit_or is associative, so the merged bitmap is bit-identical
+# and a lost batch item, geometry drift, or lossy persistence
+# hash-mismatches under this same SQL).
+_BLOOM_PROBE_ORACLE = """
         WITH grams AS (
             SELECT doc_id, array_to_string(l[i:i+4], ' ') AS g
             FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
@@ -1051,7 +1054,12 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM flags f LEFT JOIN eval_g e USING (g)
         GROUP BY f.doc_id
         ORDER BY f.doc_id
-    """,
+    """
+
+
+@register(
+    "decontam_bloom_probe",
+    oracle=_BLOOM_PROBE_ORACLE,
     doc="Benchmark decontamination through a Bloom membership filter "
         "(operators/sketch.py bloom_build / bloom_might_contain) - the "
         "100 TB twin of decontam_ngram_overlap. The eval split's "
@@ -4276,6 +4284,336 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bigrams",
             F.round("avg_logprob", 6).alias("avg_logprob"),
             F.round("ppl_proxy", 4).alias("ppl_proxy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# r13 registrants (staged + oracle-validated in tests/test_r13_oracle_parity
+# one round ahead, lifted verbatim; the quantile-norm gate registered only
+# after the r12 VERDICT's determinism fix)
+# ---------------------------------------------------------------------------
+
+_WINSORIZE_ORACLE = """
+    WITH m AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             (LENGTH(text) - (len(string_split(text, ' ')) - 1))
+                 / len(string_split(text, ' ')) AS awl,
+             len(list_filter(string_split(text, ' '),
+                             w -> w IN ('the', 'a', 'of', 'and')))
+                 / len(string_split(text, ' ')) AS sr
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             ROUND(1.0 / (1.0 + EXP(-(-2.0 + 0.8 * LN(1.0 + n_tokens)
+                                      - 0.15 * awl + 6.0 * sr))),
+                   6) AS score
+      FROM m),
+    sc AS (
+      SELECT d.doc_id, d.source, s.score
+      FROM s JOIN documents d USING (doc_id)),
+    r AS (
+      SELECT doc_id, source, score,
+             row_number() OVER (PARTITION BY source ORDER BY score) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM sc),
+    b AS (
+      SELECT *,
+             CAST(CEIL(0.05 * n) AS BIGINT) AS lo_r,
+             CAST(CEIL(0.95 * n) AS BIGINT) AS hi_r
+      FROM r),
+    v AS (
+      SELECT *,
+             MAX(CASE WHEN rn = lo_r THEN score END)
+                 OVER (PARTITION BY source) AS lo_v,
+             MAX(CASE WHEN rn = hi_r THEN score END)
+                 OVER (PARTITION BY source) AS hi_v
+      FROM b)
+    SELECT doc_id, source, score,
+           ROUND(LEAST(GREATEST(score, lo_v), hi_v), 6) AS score_w,
+           ROUND(CASE WHEN hi_v > lo_v
+                      THEN (LEAST(GREATEST(score, lo_v), hi_v) - lo_v)
+                           / (hi_v - lo_v)
+                      ELSE 0.5 END, 6) AS score_norm
+    FROM v ORDER BY doc_id
+"""
+
+
+@register(
+    "corpus_score_winsorize",
+    oracle=_WINSORIZE_ORACLE,
+    doc="Per-source rank-based winsorization + min-max normalization "
+        "of the quality-model score (functions/stats.py "
+        "winsorize_by_group over the registered "
+        "corpus_quality_model_score's scoring expression) — the "
+        "cross-source calibration pre-step: scores are only comparable "
+        "WITHIN a source, so each source's outliers are pulled to its "
+        "[p5, p95] ORDER-STATISTIC fences (rank ceil(q*n) — no "
+        "interpolated percentile, so both engines cut identically and "
+        "tie order cannot matter: tied rows carry equal values and "
+        "order statistics are permutation-invariant) and rescaled to "
+        "[0, 1] between them. At 100 TB: ONE shuffle on source, each "
+        "group sorts independently in its range partition, two window "
+        "passes, all whole-stage codegen — no global sort, no UDF, "
+        "nothing driver-side.",
+)
+def corpus_score_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandrastack_spark.functions.stats import winsorize_by_group
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.round(quality_score_linear("text"), 6).alias("score"),
+    )
+    out = winsorize_by_group(scored, "score", "source",
+                             lower=0.05, upper=0.95)
+    return out.select(
+        "doc_id",
+        "source",
+        "score",
+        F.round("score_w", 6).alias("score_w"),
+        F.round("score_norm", 6).alias("score_norm"),
+    ).orderBy("doc_id")
+
+
+_QUANTILE_NORM_ORACLE = """
+    WITH m AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             (LENGTH(text) - (len(string_split(text, ' ')) - 1))
+                 / len(string_split(text, ' ')) AS awl,
+             len(list_filter(string_split(text, ' '),
+                             w -> w IN ('the', 'a', 'of', 'and')))
+                 / len(string_split(text, ' ')) AS sr
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             ROUND(1.0 / (1.0 + EXP(-(-2.0 + 0.8 * LN(1.0 + n_tokens)
+                                      - 0.15 * awl + 6.0 * sr))),
+                   6) AS score
+      FROM m),
+    sc AS (
+      SELECT d.doc_id, d.source, s.score
+      FROM s JOIN documents d USING (doc_id)),
+    r AS (
+      SELECT doc_id, source, score,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY score, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM sc),
+    cells AS (
+      SELECT t.j, r.score
+      FROM r, unnest(generate_series(
+                 ((rn - 1) * 100) // n + 1, (rn * 100) // n)) AS t(j)),
+    ref AS (
+      SELECT j,
+             CAST(SUM(CAST(score AS DECIMAL(28,12))) AS DOUBLE)
+                 / COUNT(*) AS refv
+      FROM cells GROUP BY j),
+    mapped AS (
+      SELECT doc_id, source, score, (100 * rn + n - 1) // n AS j
+      FROM r)
+    SELECT doc_id, source, score, ROUND(refv, 6) AS score_qn
+    FROM mapped JOIN ref USING (j)
+    ORDER BY doc_id
+"""
+
+
+@register(
+    "corpus_score_quantile_norm",
+    oracle=_QUANTILE_NORM_ORACLE,
+    doc="Quantile normalization of the quality score across sources "
+        "(Bolstad et al. 2003; functions/stats.py "
+        "quantile_normalize_by_group): every doc maps onto the "
+        "cross-source AVERAGE distribution at its relative rank, so "
+        "'score >= x' means the same thing for every source before "
+        "mixing. Engine-proof by construction: rank/cell arithmetic "
+        "is INTEGER ((x+d-1) div d ceilings), the rank window "
+        "tie-breaks on doc_id (ties leave cell AVERAGES unchanged but "
+        "decide which doc lands in which cell — without the unique "
+        "key the per-doc mapping is engine-dependent), and the cell "
+        "reference is an exact DECIMAL(28,12) sum divided once by the "
+        "count (decimal addition is associative — a double AVG "
+        "differs across summation orders at the ulp and flipped the "
+        "6th decimal under ROUND; the r12 VERDICT reproduced it). At "
+        "100 TB: one shuffle on source, the reference table is "
+        "grid-sized (100 rows, broadcast join), no global sort.",
+)
+def corpus_score_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandrastack_spark.functions.stats import (
+        quantile_normalize_by_group,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.round(quality_score_linear("text"), 6).alias("score"),
+    )
+    out = quantile_normalize_by_group(
+        scored, "score", "source", grid=100, tie_cols=("doc_id",)
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        "score",
+        F.round("score_qn", 6).alias("score_qn"),
+    ).orderBy("doc_id")
+
+
+_MATRYOSHKA_ORACLE = """
+    WITH fullk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(
+                           q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                           c.vec_id
+                   ) AS rank
+            FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < 10)
+        WHERE rank <= 5),
+    halfk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(
+                           (q.embedding[1:16])::DOUBLE[],
+                           (c.embedding[1:16])::DOUBLE[]) DESC,
+                           c.vec_id
+                   ) AS rank
+            FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < 10)
+        WHERE rank <= 5)
+    SELECT f.query_id,
+           CAST(5 AS INT) AS k,
+           CAST(COUNT(h.neighbor_id) AS BIGINT) AS n_overlap,
+           COUNT(h.neighbor_id) / 5.0 AS recall_at_k
+    FROM fullk f
+    LEFT JOIN halfk h USING (query_id, neighbor_id)
+    GROUP BY f.query_id ORDER BY f.query_id
+"""
+
+
+@register(
+    "ann_matryoshka_recall",
+    oracle=_MATRYOSHKA_ORACLE,
+    doc="Matryoshka dimension-truncation audit (Kusupati et al. 2022): "
+        "exact top-k under the first 16 of 64 dims vs exact top-k "
+        "under the full vector, per-query overlap = recall@k — the "
+        "go/no-go measurement before storing or searching an embedding "
+        "column at a fraction of its width (4x cheaper scans, 4x more "
+        "vectors per broadcast). Both legs are llm/simsearch.py "
+        "cosine_topk (rank by similarity DESC with vec_id tie-break, "
+        "same as the green ann_cosine_topk gate); overlap counts are "
+        "SET membership, even more tie-robust than ranks. On these "
+        "synthetic random embeddings recall collapses toward k/N — "
+        "information is spread uniformly across dims, which is "
+        "exactly what the audit exists to catch (MRL-trained "
+        "embeddings would hold high recall). At 100 TB the query side "
+        "is a bounded broadcast and the corpus side one scan per leg; "
+        "the truncated leg reads 1/4 the bytes.",
+)
+def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandrastack_spark.llm.simsearch import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    trunc = emb.select(
+        "vec_id", F.expr("slice(embedding, 1, 16)").alias("embedding")
+    )
+    fullk = cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5).select(
+        "query_id", "neighbor_id"
+    )
+    halfk = cosine_topk(
+        trunc, trunc.filter(F.col("vec_id") < 10), k=5
+    ).select("query_id", F.col("neighbor_id").alias("h_neighbor"))
+    return (
+        fullk.join(
+            halfk,
+            (fullk["query_id"] == halfk["query_id"])
+            & (fullk["neighbor_id"] == halfk["h_neighbor"]),
+            "left",
+        )
+        .drop(halfk["query_id"])
+        .groupBy("query_id")
+        .agg(
+            F.lit(5).cast("int").alias("k"),
+            F.count("h_neighbor").cast("bigint").alias("n_overlap"),
+            (F.count("h_neighbor") / 5.0).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# decontam_bloom_indexed's persisted-filter artifact, amortized across
+# calls like _INDEX_CACHE's entries (an index is a persisted artifact;
+# rebuilding it per call would price the build, not the probe)
+_BLOOM_IDX_CACHE: dict[str, str] = {}
+
+
+@register(
+    "decontam_bloom_indexed",
+    oracle=_BLOOM_PROBE_ORACLE,
+    doc="decontam_bloom_probe served from a PERSISTED, INCREMENTALLY "
+        "EXTENDED filter — the production shape: benchmark suites "
+        "arrive in drops, so the eval gram set splits ~15/16 base + "
+        "~1/16 arriving batch (md5 nibble), each part builds its own "
+        "filter against ONE pinned geometry (m = 12 x total items — "
+        "the up-front sizing pass production runs once), "
+        "operators/sketch.py bloom_merge folds them (bit_or is "
+        "associative, so the merged bitmap is BIT-IDENTICAL to the "
+        "one-shot build), the artifact round-trips through parquet, "
+        "and the probe runs off the REREAD filter. Gated under the "
+        "SHARED _BLOOM_PROBE_ORACLE: a lost batch item, geometry "
+        "drift between the contributing builds, or lossy persistence "
+        "hash-mismatches. At 100 TB only the arriving batch is ever "
+        "re-hashed; the corpus probe is the same map-only scan + "
+        "doc-keyed groupBy as the raw twin.",
+)
+def decontam_bloom_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandrastack_spark.functions.text import word_ngrams
+    from cassandrastack_spark.operators.sketch import (
+        bloom_build,
+        bloom_merge,
+        bloom_might_contain,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select("doc_id", F.explode(word_ngrams("text", 5)).alias("g"))
+    eval_g = grams.filter(F.col("doc_id") % 10 == 0).select("g").distinct()
+    if sf_dir not in _BLOOM_IDX_CACHE:
+        import tempfile
+
+        # the up-front sizing pass: one bounded scalar to the driver,
+        # pinning the geometry every contributing build must share
+        m = max(12 * eval_g.count(), 1)
+        is_batch = F.substring(F.md5("g"), 1, 1) == "f"
+        base = bloom_build(eval_g.filter(~is_batch), "g", m_bits=m)
+        batch = bloom_build(eval_g.filter(is_batch), "g", m_bits=m)
+        path = tempfile.mkdtemp(prefix="cs_q_bloom_idx_")
+        bloom_merge(base, batch).write.mode("overwrite").parquet(path)
+        _BLOOM_IDX_CACHE[sf_dir] = path
+    bloom = spark.read.parquet(_BLOOM_IDX_CACHE[sf_dir])
+    probe = (
+        grams.filter(F.col("doc_id") % 10 != 0)
+        .select("doc_id", "g")
+        .distinct()
+    )
+    return (
+        bloom_might_contain(bloom, probe, "g", out_col="_hit")
+        .join(eval_g.withColumn("_ex", F.lit(1)), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(F.col("_hit").cast("int")).cast("bigint").alias("n_flagged"),
+            F.sum(F.when(F.col("_ex").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared"),
         )
         .orderBy("doc_id")
     )

@@ -439,3 +439,38 @@ def stream_embedding_covariance_block(
         .select("i", "j", F.round("cov", 6).alias("cov"))
         .orderBy("i", "j")
     )
+
+
+@register(
+    "stream_bloom_dedup",
+    oracle=None,  # rows-only: emitted SET is exact DISTINCT when the
+    # source lands in one availableNow batch, but batching is not part
+    # of the source's contract, so the row check (not a value hash)
+    # gates it — like its stream_* siblings. The cross-batch
+    # suppression semantics are pinned in tests/test_streaming.py.
+    doc="Unbounded-horizon streaming content dedup "
+        "(streaming/ops.py stateful_bloom_dedup, "
+        "applyInPandasWithState): emit each distinct props payload "
+        "once, EVER — no watermark horizon, unlike "
+        "stream_dedup_events — while state stays a FIXED "
+        "n_buckets x m_bits bitmap (512 KiB at the defaults) at any "
+        "stream length. Guarantees: a seen payload is never "
+        "re-emitted (bits only get set); a novel payload is wrongly "
+        "dropped only at the design FP rate (~1e-7 on this fixture's "
+        "occupancy). Only the deduped key column is emitted: WHICH "
+        "duplicate survives is arrival-order-dependent by design "
+        "(same rule as stream_dedup_events). At 100 TB ingest the k "
+        "probe positions are computed JVM-side before the shuffle and "
+        "each of the n_buckets state groups updates via vectorized "
+        "numpy over Arrow batches — no per-row Python, no global "
+        "coordinator, state bounded forever.",
+)
+def stream_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandrastack_spark.streaming.ops import stateful_bloom_dedup
+
+    out = stateful_bloom_dedup(_estream(spark, sf_dir), "props")
+    return (
+        run_to_batch(out, "append")
+        .select("props")
+        .orderBy("props")
+    )

@@ -172,6 +172,9 @@ def test_no_unjustified_bnl_join_across_catalog(spark, registry):
         # bloom_might_contain reads m/k back from the filter); the
         # bitmap lookup itself is a word_idx equi-join
         "decontam_bloom_probe",
+        # same bloom metadata scalars, served from the persisted +
+        # merged filter (the indexed twin)
+        "decontam_bloom_indexed",
         # literal-bounded probe: 16-row broadcast x 16-row side with a
         # "<" pair condition (120 pairs by construction, never corpus²)
         "embedding_pca_projection_pairdist",

@@ -437,10 +437,14 @@ def hll_merge(
     # on the one pipeline, so each input's lineage (a full batch scan
     # in the ingest loop) executes exactly once. A separate guard
     # aggregate branched off `both` would re-execute both inputs (and
-    # AQE stage reuse does not rescue it — measured). The window's
-    # single partition holds at most groups x 2^p rows: the function's
-    # own OUTPUT size, which the caller materializes anyway.
-    w = Window.partitionBy()
+    # AQE stage reuse does not rescue it — measured). Grouped merges
+    # assert PER GROUP (each group is an independent sketch, so only a
+    # within-group mismatch can corrupt an estimate — the same scope
+    # hll_estimate guards), which also bounds every window partition
+    # at 2^p rows whatever the group-key cardinality; only the
+    # ungrouped merge uses the global single-partition window, whose
+    # one partition is at most 2^p rows by construction.
+    w = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
     n_p = F.size(F.collect_set("p").over(w))
     return merged.select(
         *gcols,
@@ -450,7 +454,7 @@ def hll_merge(
             F.assert_true(
                 n_p <= 1,
                 "hll_merge: incompatible precision (p differs "
-                "between sides)",
+                "between sides within a group)",
             ).isNull(),
             F.col("p"),
         ).alias("p"),
@@ -481,9 +485,12 @@ def hll_estimate(
     before the shared 4-decimal round; ``ln`` is the only libm call
     and sits inside the round). The estimate is ONE per-group aggregate
     over at most ``m`` register rows — ``p`` rides on every register
-    row (``max`` inside the same groupBy), so the register lineage —
-    which is the full input scan when the registers aren't persisted —
-    executes exactly once; no separate 1-row geometry pass.
+    row (``collect_set`` inside the same groupBy), so the register
+    lineage — which is the full input scan when the registers aren't
+    persisted — executes exactly once; no separate 1-row geometry
+    pass. Mixed precisions within a group fail LOUD in-plan (the same
+    assert_true contract as ``hll_merge``) rather than resolving a
+    hand-unioned register table to a wrong estimate.
 
     Empty-register contract (nothing was ever built): grouped resolves
     to an EMPTY frame, ungrouped to ONE row with null
@@ -496,10 +503,29 @@ def hll_estimate(
     gcols = list(group_cols)
     m = F.expr("CAST(shiftleft(CAST(1 AS BIGINT), _p) AS DOUBLE)")
     alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / m)
+    # per-group precision rides the same groupBy as the harmonic sum
+    # (no second pass over the register lineage) — but mixed
+    # precisions WITHIN a group fail LOUD, same contract as hll_merge
+    # and distinct_count_state: a hand-unioned register table would
+    # otherwise resolve to a plausible-looking, silently wrong
+    # estimate. F.get (not element_at) so the empty-register row
+    # ([] set) stays a quiet null under ANSI mode.
     agg = registers.groupBy(*gcols).agg(
         F.count("*").cast("double").alias("_ne"),
         F.sum(F.pow(F.lit(2.0), -F.col("maxrank"))).alias("_hs"),
-        F.max("p").alias("_p"),
+        F.collect_set("p").alias("_ps"),
+    ).withColumn(
+        "_p",
+        F.when(
+            F.assert_true(
+                F.size("_ps") <= 1,
+                "hll_estimate: mixed precisions within one group "
+                "(register table assembled by hand-union? merge with "
+                "hll_merge, which re-buckets nothing and would have "
+                "refused)",
+            ).isNull(),
+            F.get("_ps", 0),
+        ),
     )
     harm = (m - F.col("_ne")) + F.col("_hs")  # absent buckets add 2^0
     raw = alpha * m * m / harm

@@ -357,6 +357,54 @@ def test_hll_merge_rejects_mismatched_precision(spark, hll_items):
         hll_merge(a, b).collect()
 
 
+def test_hll_merge_grouped_asserts_per_group_not_globally(spark, hll_items):
+    """ADVICE r12: the grouped merge guard partitions its window by the
+    group key — each window partition is bounded at 2^p rows whatever
+    the group cardinality, and only a WITHIN-group precision mismatch
+    (the only kind that can corrupt an estimate) fails."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from cassandrastack_spark.operators.sketch import hll_build, hll_merge
+
+    ga = hll_items.select(F.lit("a").alias("g"), "x")
+    gb = hll_items.select(F.lit("b").alias("g"), "x")
+    # same group, mismatched p -> loud failure
+    with pytest.raises(SparkRuntimeException, match="incompatible precision"):
+        hll_merge(
+            hll_build(ga, "x", p=12, group_cols=("g",)),
+            hll_build(ga, "x", p=16, group_cols=("g",)),
+            group_cols=("g",),
+        ).collect()
+    # disjoint groups at different precisions: each group is an
+    # independent sketch — the merge and its estimates go through
+    from cassandrastack_spark.operators.sketch import hll_estimate
+
+    merged = hll_merge(
+        hll_build(ga, "x", p=12, group_cols=("g",)),
+        hll_build(gb, "x", p=16, group_cols=("g",)),
+        group_cols=("g",),
+    )
+    est = {r.g: r for r in hll_estimate(merged, group_cols=("g",)).collect()}
+    assert est["a"].m == 1 << 12 and est["b"].m == 1 << 16
+    for g in ("a", "b"):
+        assert abs(est[g].est_distinct - 5000) / 5000 < 0.1
+
+
+def test_hll_estimate_rejects_mixed_precision_group(spark, hll_items):
+    """ADVICE r12: a register table assembled by hand-union (bypassing
+    hll_merge) with two precisions in ONE group must fail loud, not
+    resolve max(p) to a plausible-looking wrong estimate."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from cassandrastack_spark.operators.sketch import hll_build, hll_estimate
+
+    mixed = hll_build(hll_items, "x", p=12).unionByName(
+        hll_build(hll_items, "x", p=16)
+    )
+    with pytest.raises(SparkRuntimeException, match="mixed precisions"):
+        hll_estimate(mixed).collect()
+
+
 def test_hll_merge_empty_side_is_identity(spark, hll_items):
     from cassandrastack_spark.operators.sketch import hll_build, hll_merge
 

@@ -87,7 +87,7 @@ def main() -> int:
     header += "  vs-prior  vs-band-med"
     rows_out, movers = [], []
     for n in names:
-        vals = {r: ledgers[r]["queries"].get(n) for r in rounds}
+        vals = {r: ledgers[r].get("queries", {}).get(n) for r in rounds}
         prior_vals = [vals[r] for r in rounds[:-1] if vals[r] is not None]
         cur = vals[latest]
         prev = vals[rounds[-2]] if len(rounds) >= 2 else None

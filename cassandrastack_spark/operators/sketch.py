@@ -556,3 +556,200 @@ def hll_estimate(
         m.cast("long").alias("m"),
         F.col("_ne").cast("long").alias("nonempty"),
     )
+
+
+def cm_build(
+    items: DataFrame,
+    item_col: str,
+    width: int = 4096,
+    depth: int = 3,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build a Count-Min sketch (Cormode & Muthukrishnan 2005) over the
+    MULTISET of ``item_col`` values — the frequency summary completing
+    the sketch quartet: Misra-Gries answers "which keys are hot" (with
+    candidates), Bloom answers "have I seen this key", HLL answers
+    "how many distinct keys", Count-Min answers "about how often does
+    THIS key occur" for ANY key, in fixed state, mergeable.
+
+    Returns a self-describing DataFrame ``(row int, col long,
+    cnt long, w long, d int)`` — one row per NON-ZERO counter cell,
+    geometry stamped on every row so the artifact persists as parquet
+    and is probeable without out-of-band metadata. Cell positions are
+    the Bloom layout's 28-bit md5-hex slices mod ``width`` (offsets
+    ``_BLOOM_OFFSETS`` — row j uses slice j), reproducible in plain
+    SQL on any engine, so a DuckDB oracle can rebuild every cell
+    bit-for-bit. ``weight_col`` sums that column instead of counting
+    rows (long arithmetic — exact, order-free); NULL items are ignored
+    (they can't be a key).
+
+    Guarantees (standard CM): an estimate NEVER undercounts; it
+    overcounts by more than ``e/width * N`` (N = total weight) with
+    probability at most ``e^-depth`` per probe. Both are design
+    constants — at the 4096x3 default, overcount <= 0.066% of N at
+    ~95% confidence, in d x w longs (~96 KiB) whatever the key
+    cardinality.
+
+    The 100 TB shape: each input row explodes into ``depth`` (row,
+    col) pairs and the ONE aggregation partial-aggregates map-side
+    into at most ``d x w`` cells per task — the shuffle is bounded by
+    the sketch size at ANY input cardinality (exact per-key counts
+    would shuffle the full key set; a 10^10-key vocabulary doesn't
+    fit anywhere). Addition is associative/commutative, so
+    ``cm_merge`` of per-batch sketches is bit-identical to one whole
+    build — the ingest-loop primitive (sketch each arriving batch,
+    fold into the persisted artifact, never re-scan history).
+    """
+    if not 1 <= depth <= len(_BLOOM_OFFSETS):
+        raise ValueError(
+            f"depth must be in 1..{len(_BLOOM_OFFSETS)}, got {depth}"
+        )
+    if width < 1:
+        raise ValueError(f"width must be >= 1, got {width}")
+    w_expr = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    it = items.filter(F.col(item_col).isNotNull()).select(
+        F.col(item_col).cast("string").alias("_item"),
+        w_expr.alias("_w"),
+    )
+    hx = F.md5(F.col("_item"))
+    cells = it.select(
+        "_w",
+        F.posexplode(
+            F.array(*[
+                F.conv(F.substring(hx, off, 7), 16, 10).cast("long")
+                % F.lit(int(width))
+                for off in _BLOOM_OFFSETS[:depth]
+            ])
+        ).alias("row", "col"),
+    )
+    return (
+        cells.groupBy(F.col("row").cast("int").alias("row"), "col")
+        .agg(F.sum("_w").alias("cnt"))
+        .select(
+            "row",
+            "col",
+            "cnt",
+            F.lit(int(width)).cast("long").alias("w"),
+            F.lit(int(depth)).alias("d"),
+        )
+    )
+
+
+def cm_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Sum two Count-Min sketches built with the SAME ``width`` and
+    ``depth`` into the sketch of the combined multiset. Cell addition
+    is associative and commutative, so any merge tree — including
+    re-merging an already-merged batch's SEPARATE sketch — equals one
+    whole build bit-for-bit, and the never-undercount guarantee
+    carries over (overcount bound now scales with the combined N, as
+    one whole build's would).
+
+    Incompatible geometry fails LOUD in-plan (positions are mod ``w``
+    and rows are positional in ``d`` — summing mismatched sketches
+    would silently corrupt every estimate); the assert is threaded
+    into the emitted ``w`` so Catalyst cannot prune it. An EMPTY side
+    (no rows, so no stored geometry) merges as the identity.
+    """
+    both = a.select("row", "col", "cnt", "w", "d").unionByName(
+        b.select("row", "col", "cnt", "w", "d")
+    )
+    geom = both.agg(
+        F.count_distinct("w").alias("n_w"),
+        F.count_distinct("d").alias("n_d"),
+    )
+    return (
+        both.groupBy("row", "col")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.max("w").alias("w"),
+            F.max("d").alias("d"),
+        )
+        .crossJoin(F.broadcast(geom))
+        .select(
+            "row",
+            "col",
+            "cnt",
+            F.when(
+                F.assert_true(
+                    (F.col("n_w") <= 1) & (F.col("n_d") <= 1),
+                    "cm_merge: incompatible sketch geometry "
+                    "(width/depth differ between sides)",
+                ).isNull(),
+                F.col("w"),
+            ).alias("w"),
+            "d",
+        )
+    )
+
+
+def cm_estimate(
+    cm: DataFrame,
+    probes: DataFrame,
+    item_col: str,
+    out_col: str = "est_count",
+) -> DataFrame:
+    """Probe a ``cm_build`` sketch: returns ``probes`` plus a long
+    ``out_col`` — the min over the sketch's ``depth`` rows of the
+    probed cell values (an absent cell is 0). The estimate NEVER
+    undercounts the item's true total weight; overcount follows the
+    build's design bound.
+
+    ``w`` and ``d`` are read from the sketch itself (1-row aggregate,
+    broadcast), so any persisted sketch is probeable as-is. Distinct
+    probe items x depth positions equi-join the at-most-``d x w``-row
+    cell table (broadcastable by design — that is the point of a
+    sketch), then the min-estimates rejoin the input on the item
+    value; the probe side never shuffles more than its distinct keys.
+    A NULL probe estimates 0 (it was never counted). An EMPTY sketch
+    estimates 0 for everything.
+    """
+    scal = cm.agg(
+        F.coalesce(F.max("w"), F.lit(1)).alias("w"),
+        F.coalesce(F.max("d"), F.lit(0)).alias("d"),
+    )
+    it = (
+        probes.filter(F.col(item_col).isNotNull())
+        .select(F.col(item_col).cast("string").alias("_item"))
+        .distinct()
+    )
+    hx = F.md5(F.col("_item"))
+    pos = (
+        it.crossJoin(F.broadcast(scal))
+        .select(
+            "_item",
+            F.posexplode(
+                F.array(*[
+                    F.conv(F.substring(hx, off, 7), 16, 10).cast("long")
+                    % F.col("w")
+                    for off in _BLOOM_OFFSETS
+                ])
+            ).alias("row", "col"),
+            "d",
+        )
+        .filter(F.col("row") < F.col("d"))
+    )
+    ests = (
+        pos.join(
+            cm.select(F.col("row").cast("int").alias("row"), "col", "cnt"),
+            ["row", "col"],
+            "left",
+        )
+        .select("_item", F.coalesce("cnt", F.lit(0)).alias("_cell"))
+        .groupBy("_item")
+        .agg(F.min("_cell").alias("_est"))
+    )
+    return (
+        probes.join(
+            ests,
+            F.col(item_col).cast("string") == F.col("_item"),
+            "left",
+        )
+        .withColumn(
+            out_col, F.coalesce(F.col("_est"), F.lit(0).cast("long"))
+        )
+        .drop("_item", "_est")
+    )

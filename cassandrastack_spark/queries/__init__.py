@@ -89,7 +89,13 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # (distinct_tokens_hll, corpus_source_kl, corpus_source_overlap —
 # oracles pre-validated in tests/test_r14_oracle_parity.py) + the
 # stream_monitor_distinct_count row + ~9 chips against the 50-row r11
-# cohort due in full at r15.
+# cohort due in full at r15. ONE r15 registrant is staged ahead under
+# the staging-depth discipline in tests/test_r15_oracle_parity.py
+# (exact plan + bit-exact oracle SQL validated at sf0.001 AND
+# sf0.01): token_freq_cm (Count-Min frequency sketch from
+# operators/sketch.py cm_build/cm_estimate, exact counts riding along
+# so the gate pins the never-undercount guarantee AND the collision
+# overhang).
 #
 # STEADY-STATE POLICY (decided r13, per VERDICT r12 ask #5 — the r14+
 # windows follow this): with N registered queries, a 50-row window and

@@ -2070,18 +2070,26 @@ def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id, rnk
     """,
     doc="Per-document top-3 terms via a PYTHON UDTF in a LATERAL join — "
-        "the §2.4 UDTF surface demonstrated end-to-end (Arrow-optimized, "
-        "one table-function call per row, deterministic count-desc/"
+        "the §2.4 UDTF surface demonstrated end-to-end (one "
+        "table-function call per row, deterministic count-desc/"
         "word-asc ranking). The oracle shows the same result as pure "
         "SQL (unnest + window) — built-ins remain the preferred path; "
         "the UDTF exists for logic that does NOT reduce to relational "
         "ops, and this query pins the plumbing (registration, lateral "
-        "correlation, Arrow batching, schema) with a verifiable case.",
+        "correlation, schema) with a verifiable case. useArrow=False "
+        "is the MEASURED choice (r13 tripwire profile): a UDTF that "
+        "emits a handful of short rows per input row pays the Arrow "
+        "writer's per-row-group overhead without ever amortizing it — "
+        "the pickle path ran 2.5-3x faster (0.9-1.0 s vs 2.4-2.8 s "
+        "standalone at sf0.1, min-of-3) on identical logic. Arrow "
+        "batching remains right for WIDE outputs (the pandas_udf / "
+        "mapInPandas operators); the Arrow UDTF path itself stays "
+        "exercised in tests/test_llm_ops.py.",
 )
 def text_top_terms_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="word string, cnt int, rnk int", useArrow=True)
+    @udtf(returnType="word string, cnt int, rnk int", useArrow=False)
     class TopTerms:
         def eval(self, text: str, k: int):
             from collections import Counter

@@ -2599,3 +2599,46 @@ def test_embedding_covariance_exclude_matches_direct_and_guards(spark, emb):
     ).limit(5)
     with pytest.raises(Exception, match="different embedding dim"):
         embedding_covariance_exclude(emb, short).collect()
+
+
+def test_udtf_arrow_and_pickle_paths_agree(spark):
+    """The registered text_top_terms_udtf runs useArrow=False (the r13
+    tripwire profile measured the pickle path 2.5-3x faster for a UDTF
+    emitting 3 short rows per input row — Arrow's per-row-group writer
+    overhead never amortizes). This test keeps the ARROW UDTF path
+    exercised and pins that both serializations produce the identical
+    lateral-join result, so the registered choice stays a pure perf
+    decision, never a semantic one."""
+    from pyspark.sql.functions import udtf
+
+    def body(text, k):
+        from collections import Counter
+
+        counts = Counter((text or "").split(" "))
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        for i, (w, n) in enumerate(ranked[:k]):
+            yield w, int(n), i + 1
+
+    @udtf(returnType="word string, cnt int, rnk int", useArrow=True)
+    class TopTermsArrow:
+        def eval(self, text: str, k: int):
+            yield from body(text, k)
+
+    @udtf(returnType="word string, cnt int, rnk int", useArrow=False)
+    class TopTermsPickle:
+        def eval(self, text: str, k: int):
+            yield from body(text, k)
+
+    spark.udtf.register("tt_arrow", TopTermsArrow)
+    spark.udtf.register("tt_pickle", TopTermsPickle)
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(
+        100
+    ).createOrReplaceTempView("_udtf_docs_eq")
+    q = (
+        "SELECT d.doc_id, t.word, t.cnt, t.rnk FROM _udtf_docs_eq d, "
+        "LATERAL {fn}(d.text, 3) t ORDER BY d.doc_id, t.rnk"
+    )
+    a = spark.sql(q.format(fn="tt_arrow")).collect()
+    p = spark.sql(q.format(fn="tt_pickle")).collect()
+    assert len(a) == len(p) > 0
+    assert a == p

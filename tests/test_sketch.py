@@ -505,3 +505,124 @@ def test_hll_estimate_range_corrections(spark):
         F.lit(12).alias("p"),
     )
     assert hll_estimate(sat).collect()[0]["est_distinct"] is None
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (cm_build / cm_merge / cm_estimate)
+# ---------------------------------------------------------------------------
+
+from cassandrastack_spark.operators.sketch import (  # noqa: E402
+    cm_build,
+    cm_estimate,
+    cm_merge,
+)
+
+
+def test_cm_never_undercounts_and_is_tight_when_uncrowded(spark, skewed):
+    # 202 distinct keys into 4096x3 cells: collisions are possible but
+    # the estimate must NEVER be below the exact count, and for the two
+    # heavy keys the min-over-rows estimate is exact on this fixture
+    # (md5 positions are fixed -> pinned values, not a flaky sample)
+    cm = cm_build(skewed, "key")
+    exact = {
+        r.key: r.cnt
+        for r in skewed.groupBy("key")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .collect()
+    }
+    est = {
+        r.key: r.est_count
+        for r in cm_estimate(
+            cm, skewed.select("key").distinct(), "key"
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    for k in exact:
+        assert est[k] >= exact[k], f"{k}: CM undercounted"
+    assert est["hot"] == 500 and est["warm"] == 120
+    # total overestimate across all keys is bounded well under the
+    # design ceiling d * N (every collision adds at most a colliding
+    # key's full count to one row; min-over-rows discards most)
+    assert sum(est.values()) - sum(exact.values()) <= 0.01 * sum(exact.values())
+
+
+def test_cm_weighted_build_sums_weights(spark):
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 5), ("b", 7)], "key string, wgt int"
+    )
+    cm = cm_build(df, "key", weight_col="wgt")
+    est = {
+        r.key: r.est_count
+        for r in cm_estimate(
+            cm, df.select("key").distinct(), "key"
+        ).collect()
+    }
+    assert est["a"] >= 15 and est["b"] >= 7
+
+
+def test_cm_merge_equals_whole_build(spark, skewed):
+    a = skewed.filter(F.col("key").startswith("t"))
+    b = skewed.filter(~F.col("key").startswith("t"))
+    merged = cm_merge(cm_build(a, "key"), cm_build(b, "key"))
+    whole = cm_build(skewed, "key")
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_cm_merge_rejects_mismatched_geometry(spark, skewed):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    a = cm_build(skewed, "key", width=1024)
+    b = cm_build(skewed, "key", width=2048)
+    with pytest.raises(SparkRuntimeException, match="incompatible sketch"):
+        cm_merge(a, b).collect()
+
+
+def test_cm_merge_empty_side_is_identity(spark, skewed):
+    a = cm_build(skewed, "key")
+    empty = cm_build(skewed.filter(F.lit(False)), "key")
+    merged = cm_merge(a, empty)
+    assert merged.exceptAll(a).count() == 0
+    assert a.exceptAll(merged).count() == 0
+
+
+def test_cm_persistence_round_trip(spark, skewed, tmp_path):
+    cm = cm_build(skewed, "key")
+    p = str(tmp_path / "cm")
+    cm.write.parquet(p)
+    reread = spark.read.parquet(p)
+    before = {
+        r.key: r.est_count
+        for r in cm_estimate(cm, skewed.select("key").distinct(), "key").collect()
+    }
+    after = {
+        r.key: r.est_count
+        for r in cm_estimate(
+            reread, skewed.select("key").distinct(), "key"
+        ).collect()
+    }
+    assert before == after
+
+
+def test_cm_empty_sketch_and_null_probes_estimate_zero(spark, skewed):
+    empty = cm_build(skewed.filter(F.lit(False)), "key")
+    probes = spark.createDataFrame([("x",), (None,)], "key string")
+    got = {
+        r.key: r.est_count
+        for r in cm_estimate(empty, probes, "key").collect()
+    }
+    assert got["x"] == 0 and got[None] == 0
+    # null INPUT rows are ignored by the build too
+    withnull = spark.createDataFrame([("a",), (None,)], "key string")
+    cm = cm_build(withnull, "key")
+    est = {
+        r.key: r.est_count for r in cm_estimate(cm, withnull, "key").collect()
+    }
+    assert est["a"] >= 1 and est[None] == 0
+
+
+def test_cm_rejects_bad_params(spark, skewed):
+    with pytest.raises(ValueError, match="depth"):
+        cm_build(skewed, "key", depth=9)
+    with pytest.raises(ValueError, match="width"):
+        cm_build(skewed, "key", width=0)

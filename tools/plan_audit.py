@@ -96,6 +96,10 @@ DEFAULT_QUERIES = [
     "corpus_ccnet_buckets",        # bigram LM + per-lang tercile window
     "text_zipf_fit",               # vocab rank window + regr aggregate
     "sql_recursive_tree_depth",    # UnionLoop recursive CTE
+    "corpus_score_winsorize",      # order-statistic fences, 2 windows
+    "corpus_score_quantile_norm",  # grid-cell ref bcast, rank windows
+    "ann_matryoshka_recall",       # exact top-k legs, bounded queries
+    "decontam_bloom_indexed",      # merged persisted bitmap probe
 ]
 
 RED_FLAGS = ("BroadcastNestedLoopJoin", "CartesianProduct")
@@ -129,6 +133,14 @@ DOCUMENTED_BNL = {
                             "broadcast; terciles are an equi-keyed "
                             "window",
     "anomaly_cusum_changepoint": "1-row corpus-mean scalar broadcast",
+    "decontam_bloom_indexed": "same 1-row (m, k) filter-metadata "
+                              "scalar broadcasts, read back from the "
+                              "persisted+merged bitmap; probe is the "
+                              "word_idx equi-join",
+    "ann_matryoshka_recall": "cosine_topk exact-audit shape on both "
+                             "legs: 10-query bounded broadcast x "
+                             "corpus with a <> condition (capped by "
+                             "max_query_rows, fails loud)",
     "text_bm25_topk": "1-row (N, avgdl) corpus-scalar broadcast",
     "text_tfidf_sim_topk": "1-row corpus-count scalar broadcast "
                            "(df-ratio cap predicate)",

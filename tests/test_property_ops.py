@@ -963,3 +963,71 @@ def test_hll_registers_match_model_and_merge_tree_invariant(
     whole = hll_build(df, "x", p=12)
     assert folded.exceptAll(whole).count() == 0
     assert whole.exceptAll(folded).count() == 0
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_hll_items, st.integers(min_value=1, max_value=4),
+       st.integers(min_value=2, max_value=64))
+def test_cm_cells_match_model_never_undercount_and_merge_fold(
+    spark, items, n_chunks, width
+):
+    """cm_build's cell table must equal a pure-Python md5 model exactly
+    (drift in the slice/mod layout breaks every persisted sketch AND
+    the staged SQL oracle); every estimate must be >= the true
+    multiset count (the CM guarantee, at ANY width down to 2); and
+    folding cm_merge over an arbitrary chunk PARTITION of the multiset
+    must be cell-identical to one whole build (associativity of
+    addition — unlike HLL's max, CM cells are NOT idempotent, so the
+    chunks must partition, not overlap)."""
+    import hashlib
+    from collections import Counter
+
+    from cassandrastack_spark.operators.sketch import (
+        cm_build,
+        cm_estimate,
+        cm_merge,
+    )
+
+    df = spark.createDataFrame([(x,) for x in items], "x string")
+    depth = 3
+    got = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in cm_build(df, "x", width=width, depth=depth).collect()
+    }
+    offs = (1, 8, 15)
+    true = Counter(x for x in items if x is not None)
+    want: dict = {}
+    for it, n in true.items():
+        hx = hashlib.md5(it.encode()).hexdigest()
+        for j in range(depth):
+            o = offs[j] - 1
+            col = int(hx[o:o + 7], 16) % width
+            want[(j, col)] = want.get((j, col), 0) + n
+    assert got == want
+
+    if true:
+        est = {
+            r["x"]: r["est_count"]
+            for r in cm_estimate(
+                cm_build(df, "x", width=width, depth=depth),
+                df.select("x").distinct(),
+                "x",
+            ).collect()
+            if r["x"] is not None
+        }
+        for it, n in true.items():
+            assert est[it] >= n, (it, est[it], n)
+
+    chunks = [items[i::n_chunks] for i in range(n_chunks)]
+    folded = None
+    for c in chunks:
+        sk = cm_build(
+            spark.createDataFrame([(x,) for x in c], "x string")
+            if c else df.filter("false"),
+            "x", width=width, depth=depth,
+        )
+        folded = sk if folded is None else cm_merge(folded, sk)
+    whole = cm_build(df, "x", width=width, depth=depth)
+    assert folded.exceptAll(whole).count() == 0
+    assert whole.exceptAll(folded).count() == 0

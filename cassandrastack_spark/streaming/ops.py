@@ -1254,3 +1254,242 @@ def _compact_hll_snapshot(
     for f in snapshot:
         fpath = jvm.org.apache.hadoop.fs.Path(f)
         fpath.getFileSystem(hconf).delete(fpath, False)
+
+
+def monitor_hot_keys(
+    stream: DataFrame,
+    state_path: str,
+    item_col: str,
+    width: int = 4096,
+    depth: int = 3,
+    checkpoint: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming frequency accumulator: every micro-batch reduces to
+    its Count-Min sketch (``operators.sketch.cm_build``, at most
+    ``depth x width`` cells) appended to ``state_path``;
+    ``hot_keys_state`` resolves the accumulated cells to running
+    occurrence estimates for ANY probe key — "how often has this
+    stream EVER seen this token/URL/user" in constant per-batch cost
+    and bounded state, no watermark (the question has no time window;
+    exact per-key streaming counts grow state with the key space —
+    the wrong tool when keys are open-ended).
+
+    Replay discipline: the append is marker-guarded like
+    ``monitor_distinct_count`` — but the failure mode DIFFERS, and it
+    matters. CM cells merge by ADDITION, which is associative and
+    commutative but NOT idempotent (HLL's max is), so a batch replayed
+    through the crash window (appended, crashed before its marker)
+    double-counts. The marker is placed AFTER the append —
+    at-least-once — deliberately: a replay can only OVERcount, which
+    is the SAME side as CM's one-sided design error, so the sketch's
+    load-bearing guarantee (an estimate never undercounts the true
+    total) survives every crash/replay interleaving; the overhang is
+    bounded by the one replayed batch. The opposite order (marker
+    first, at-most-once) could LOSE a batch and silently break the
+    guarantee consumers size thresholds against. Callers needing
+    exactly-once magnitudes use the epoch markers' absence to detect
+    and re-derive; callers using CM as designed (hot-key detection,
+    threshold alarms) get the one-sided contract unconditionally.
+
+    Cost per batch: one map pass + a ``depth x width``-bounded
+    map-side-combined shuffle + one small file. Readers always
+    sum-merge, so ``compact_hot_keys_state`` may run at any time
+    (see its one-sided-window note).
+    """
+    from cassandrastack_spark.operators.sketch import cm_build
+
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="cs_cm_ckpt_")
+    spark = stream.sparkSession
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        marker = f"{checkpoint}/cs_epochs/{batch_id}"
+        if _fs_exists(spark, marker):
+            return
+        if batch_df.filter(F.col(item_col).isNotNull()).isEmpty():
+            _fs_mkdirs(spark, marker)
+            return
+        sk = cm_build(batch_df, item_col, width=width, depth=depth)
+        sk.coalesce(1).write.mode("append").parquet(state_path)
+        _fs_mkdirs(spark, marker)
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def hot_keys_state(
+    spark: SparkSession,
+    state_path: str,
+    probes: DataFrame,
+    item_col: str,
+    out_col: str = "est_count",
+) -> DataFrame:
+    """Running frequency estimates from a ``monitor_hot_keys`` state
+    table: sum-merge every appended cell per (row, col) — addition is
+    the ``cm_merge`` fold, so the merged table equals one whole build
+    over every batch ever ingested (tested) — then probe with
+    ``cm_estimate``. A monitor that has only seen empty batches
+    estimates 0 for everything (empty sketch contract), so a polling
+    scheduler never wedges on startup. Mixed geometries in one state
+    directory mean two incompatible sketches were pointed at the same
+    path — refuse loudly rather than sum garbage.
+    """
+    from pyspark.errors import AnalysisException
+
+    from cassandrastack_spark.operators.sketch import cm_estimate
+
+    try:
+        raw = spark.read.parquet(state_path)
+    except AnalysisException:
+        return probes.withColumn(out_col, F.lit(0).cast("long"))
+    geoms = [
+        (r.w, r.d) for r in raw.select("w", "d").distinct().collect()
+    ]
+    if len(geoms) > 1:
+        raise ValueError(
+            f"hot_keys_state: state at {state_path} mixes CM geometries "
+            f"{sorted(geoms)} — two different sketches were written to "
+            "one path; rebuild the state"
+        )
+    merged = raw.groupBy("row", "col").agg(
+        F.sum("cnt").alias("cnt"),
+        F.max("w").alias("w"),
+        F.max("d").alias("d"),
+    )
+    return cm_estimate(merged, probes, item_col, out_col=out_col)
+
+
+def compact_hot_keys_state(spark: SparkSession, state_path: str) -> None:
+    """Maintenance for a ``monitor_hot_keys`` state table: the monitor
+    appends one small cell file per non-empty batch; rewrite the state
+    as its sum-merged ≤ ``depth x width``-row table.
+
+    The HLL compactor's append-then-delete protocol is NOT safe here,
+    and the difference is the whole design note: HLL registers are
+    idempotent (max), so a crash that leaves both the old files and
+    the merged file changes no answer — CM cells SUM, so the same
+    crash would permanently DOUBLE the compacted counts, and a
+    re-run of the compactor would bake the doubling in (sum-merging
+    doubled cells cannot un-double them). This compactor therefore
+    uses a manifest-recovery commit:
+
+    1. stage the sum-merge of a snapshotted file list into a side
+       directory (``<state>.compact.tmp`` — never visible to readers);
+    2. atomically rename a manifest into place recording the snapshot
+       (the staged merge is complete whenever the manifest exists);
+    3. move the staged part files INTO the state directory;
+    4. delete exactly the snapshot files;
+    5. remove the manifest and the side directory.
+
+    Every entry first runs recovery: an existing manifest means a
+    previous compaction crashed mid-commit — finish its moves, finish
+    its deletes, clean up. Crash anywhere leaves a state a re-run
+    makes exact: before (2) nothing is visible; after (2) the
+    snapshot+staged pair is replayed to completion. Readers inside
+    the (3)-(4) window can transiently OVERcount (old + merged — the
+    one-sided direction, same side as CM's design error and the
+    monitor's replay policy); no interleaving can ever UNDERcount — a
+    snapshot file is deleted only after every staged part is in
+    place, and a concurrent monitor append is not in the snapshot and
+    survives untouched. Always-on readers set
+    ``spark.sql.files.ignoreMissingFiles`` (a missing file only ever
+    removes rows the merged file re-states).
+    """
+    _recover_hot_keys_compaction(spark, state_path)
+    if _stage_hot_keys_compaction(spark, state_path):
+        _recover_hot_keys_compaction(spark, state_path)
+
+
+def _stage_hot_keys_compaction(spark: SparkSession, state_path: str) -> bool:
+    """Steps (1)-(2) of the manifested commit, split out so the crash
+    window is testable (the _compact_hll_snapshot discipline): stage
+    the sum-merge of the current snapshot into the side directory and
+    atomically rename the manifest into place. Returns False when
+    there is nothing to compact. After this returns True, the commit
+    is durable — ANY later ``compact_hot_keys_state`` entry (or
+    ``_recover_hot_keys_compaction`` directly) finishes it exactly
+    once, however many crashes intervene.
+    """
+    raw = spark.read.parquet(state_path)
+    snapshot = sorted(raw.inputFiles())
+    if len(snapshot) <= 1:
+        return False  # nothing to compact
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    tmp_dir = state_path.rstrip("/") + ".compact.tmp"
+    (
+        spark.read.parquet(*snapshot)
+        .groupBy("row", "col")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.max("w").alias("w"),
+            F.max("d").alias("d"),
+        )
+        .select("row", "col", "cnt", "w", "d")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(tmp_dir)
+    )
+    # manifest rename is the commit point: staged merge is complete
+    manifest = jvm.org.apache.hadoop.fs.Path(
+        state_path.rstrip("/") + ".compact.manifest"
+    )
+    staging = jvm.org.apache.hadoop.fs.Path(
+        state_path.rstrip("/") + ".compact.manifest.tmp"
+    )
+    fs = manifest.getFileSystem(hconf)
+    out = fs.create(staging, True)
+    out.write(bytearray("\n".join(snapshot), "utf-8"))
+    out.close()
+    fs.rename(staging, manifest)
+    return True
+
+
+def _recover_hot_keys_compaction(spark: SparkSession, state_path: str) -> None:
+    """Finish (or initially perform) a manifested compaction commit:
+    move every staged part file into the state directory, delete every
+    manifest-listed snapshot file that still exists, then drop the
+    manifest and the side directory. Idempotent — each step skips
+    work already done, so any number of crashed re-entries converge.
+    With no manifest present, only sweeps a stale side directory (a
+    pre-commit crash: nothing visible happened, so nothing to redo).
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    P = jvm.org.apache.hadoop.fs.Path
+    manifest = P(state_path.rstrip("/") + ".compact.manifest")
+    tmp_dir = P(state_path.rstrip("/") + ".compact.tmp")
+    fs = manifest.getFileSystem(hconf)
+    if not fs.exists(manifest):
+        if fs.exists(tmp_dir):
+            fs.delete(tmp_dir, True)  # pre-commit orphan
+        return
+    # (3) move staged parts in (skip any already moved)
+    if fs.exists(tmp_dir):
+        for st in fs.listStatus(tmp_dir):
+            name = st.getPath().getName()
+            if not name.endswith(".parquet"):
+                continue
+            dst = P(state_path.rstrip("/") + "/" + name)
+            if not fs.exists(dst):
+                fs.rename(st.getPath(), dst)
+    # (4) delete exactly the manifested snapshot files
+    ins = fs.open(manifest)
+    try:
+        data = bytes(ins.readAllBytes()).decode("utf-8")
+    finally:
+        ins.close()
+    for f in data.splitlines():
+        if f:
+            fp = P(f)
+            if fs.exists(fp):
+                fs.delete(fp, False)
+    # (5) cleanup
+    fs.delete(manifest, False)
+    if fs.exists(tmp_dir):
+        fs.delete(tmp_dir, True)

@@ -113,3 +113,123 @@ def test_token_freq_cm_matches_staged_oracle(spark, duck):
     assert (got["est_count"] >= got["exact_count"]).all()
     assert (got["est_count"] > got["exact_count"]).any()
     assert (got["est_count"] == got["exact_count"]).any()
+
+
+# The second staged r15 query: `stream_hot_keys` — the monitor_hot_keys
+# Count-Min state resolved to per-key frequency estimates. Uniquely
+# among stream_* candidates this one is FULLY oracle-capable (the
+# distinct_tokens_hll precedent): each ingested row sums into the cell
+# table exactly once whatever the micro-batch boundaries (checkpoint
+# exactly-once within a run; addition is associative), so the merged
+# state is bit-identical to one batch cm_build and the estimate math
+# is the same portable-SQL min-of-cells token_freq_cm's oracle uses.
+STREAM_HOT_KEYS_ORACLE = """
+    WITH rows_off AS (SELECT * FROM (VALUES (0, 1), (1, 8), (2, 15)) t(r, off)),
+    cells AS (
+        SELECT r.r AS row,
+               CAST(list_sum(list_transform(generate_series(1, 7),
+                   i -> (strpos('0123456789abcdef',
+                                substr(md5(props), off + i - 1, 1)) - 1)
+                        * 16 ** (7 - i))) AS BIGINT) % 64 AS col,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events, rows_off r
+        WHERE props IS NOT NULL
+        GROUP BY 1, 2),
+    probes AS (SELECT DISTINCT props FROM events WHERE props IS NOT NULL),
+    ppos AS (
+        SELECT props, r.r AS row,
+               CAST(list_sum(list_transform(generate_series(1, 7),
+                   i -> (strpos('0123456789abcdef',
+                                substr(md5(props), off + i - 1, 1)) - 1)
+                        * 16 ** (7 - i))) AS BIGINT) % 64 AS col
+        FROM probes, rows_off r),
+    est AS (
+        SELECT props, MIN(COALESCE(c.cnt, 0)) AS est_count
+        FROM ppos LEFT JOIN cells c USING (row, col)
+        GROUP BY props),
+    exact AS (
+        SELECT props, CAST(COUNT(*) AS BIGINT) AS exact_count
+        FROM events WHERE props IS NOT NULL GROUP BY props)
+    SELECT e.props, e.est_count, x.exact_count
+    FROM est e JOIN exact x USING (props)
+    ORDER BY e.props
+"""
+
+_HOT_KEYS_STATE_CACHE: dict = {}
+
+
+def stream_hot_keys_spark(spark, sf_dir):
+    """The exact plan that registers in r15 (lift verbatim, cache dict
+    alongside — monitor state is a persisted artifact, amortized like
+    _MOMENTS_CACHE's)."""
+    import os
+    import tempfile
+
+    from cassandrastack_spark.streaming.ops import (
+        hot_keys_state,
+        monitor_hot_keys,
+    )
+
+    key = sf_dir
+    if key not in _HOT_KEYS_STATE_CACHE:
+        root = tempfile.mkdtemp(prefix="cs_q_cm_state_")
+        schema = spark.read.parquet(
+            os.path.join(sf_dir, "events.parquet")
+        ).schema
+        src = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        q = monitor_hot_keys(
+            src,
+            os.path.join(root, "state"),
+            "props",
+            width=64,
+            depth=3,
+            checkpoint=os.path.join(root, "ckpt"),
+        )
+        q.awaitTermination()
+        _HOT_KEYS_STATE_CACHE[key] = os.path.join(root, "state")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    probes = (
+        events.filter(F.col("props").isNotNull())
+        .select("props")
+        .distinct()
+    )
+    exact = (
+        events.filter(F.col("props").isNotNull())
+        .groupBy("props")
+        .agg(F.count("*").cast("bigint").alias("exact_count"))
+    )
+    from cassandrastack_spark.streaming.ops import hot_keys_state as _hks
+
+    return (
+        _hks(spark, _HOT_KEYS_STATE_CACHE[key], probes, "props")
+        .join(exact, "props")
+        .select("props", "est_count", "exact_count")
+        .orderBy("props")
+    )
+
+
+@pytest.fixture(scope="module")
+def duck_events():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'"
+    )
+    yield con
+    con.close()
+
+
+def test_stream_hot_keys_matches_staged_oracle(spark, duck_events):
+    got = stream_hot_keys_spark(spark, SF).toPandas()
+    want = duck_events.execute(STREAM_HOT_KEYS_ORACLE).df()
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want) > 0
+    for col in got.columns:
+        assert got[col].tolist() == want[col].tolist(), col
+    # never undercount; width=64 against 100 distinct props guarantees
+    # collisions, so the overhang regime is exercised too
+    assert (got["est_count"] >= got["exact_count"]).all()
+    assert (got["est_count"] > got["exact_count"]).any()

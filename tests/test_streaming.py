@@ -1030,3 +1030,110 @@ def test_compact_hll_state_survives_concurrent_append(spark, tmp_path):
 
     assert not any(_os.path.exists(f) for f in snapshot)
     assert len(_glob.glob(f"{state_path}/p=12/*.parquet")) == 2
+
+
+def test_monitor_hot_keys_matches_batch_cm_and_compaction_is_crash_safe(
+    spark, tmp_path
+):
+    """monitor_hot_keys: (a) the sum-merged streaming state must equal
+    cm_estimate(cm_build(...)) over the union of all ingested rows
+    (streaming == batch); (b) a re-run over a processed source appends
+    nothing; (c) compaction changes no estimate and shrinks the state
+    to one file; (d) the CRASH WINDOW — staged merge + manifest
+    committed, process dies before moves/deletes — recovers to the
+    EXACT same estimates on the next compactor entry (CM cells sum,
+    so the naive append-then-delete protocol would have permanently
+    doubled them; the manifest protocol must not); (e) mixed
+    geometries in one path refuse loudly."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from cassandrastack_spark.operators.sketch import cm_build, cm_estimate
+    from cassandrastack_spark.streaming.ops import (
+        _stage_hot_keys_compaction,
+        compact_hot_keys_state,
+        hot_keys_state,
+        monitor_hot_keys,
+    )
+
+    schema = StructType([
+        StructField("ev_id", LongType()),
+        StructField("content", StringType()),
+    ])
+    d = tmp_path / "cm_in"
+    d.mkdir()
+    # 150 rows over 40 keys with a skewed head, split across 2 batches
+    rows = [(i, f"k-{(i * i) % 40}") for i in range(110)] + [
+        (1000 + i, "k-7") for i in range(40)
+    ]
+
+    def write(name, chunk):
+        pdf = pd.DataFrame(chunk, columns=["ev_id", "content"])
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False), str(d / name)
+        )
+
+    state_path = str(tmp_path / "cm_state")
+
+    def run():
+        src = spark.readStream.schema(schema).parquet(str(d))
+        q = monitor_hot_keys(
+            src, state_path, "content", width=64, depth=3,
+            checkpoint=str(tmp_path / "cm_ckpt"),
+        )
+        q.awaitTermination(120)
+
+    write("b1.parquet", rows[:80])
+    run()
+    write("b2.parquet", rows[80:])
+    run()
+
+    batch = spark.createDataFrame(rows, schema)
+    probes = batch.select("content").distinct()
+
+    def estimates(df):
+        return {r.content: r.est_count for r in df.collect()}
+
+    want = estimates(
+        cm_estimate(cm_build(batch, "content", width=64, depth=3),
+                    probes, "content")
+    )
+    got = estimates(hot_keys_state(spark, state_path, probes, "content"))
+    assert got == want
+    # the heavy key's estimate is at least its true count (CM contract)
+    true_k7 = sum(1 for _, c in rows if c == "k-7")
+    assert got["k-7"] >= true_k7
+
+    # (b) idempotent re-run: no new files
+    n_files = len(spark.read.parquet(state_path).inputFiles())
+    assert n_files == 2
+    run()
+    assert len(spark.read.parquet(state_path).inputFiles()) == 2
+
+    # (d) crash window FIRST (state still has 2 files): stage + manifest,
+    # then "die" — the next compact entry must finish the commit with
+    # estimates unchanged (the naive protocol would double them here)
+    assert _stage_hot_keys_compaction(spark, state_path)
+    compact_hot_keys_state(spark, state_path)
+    assert estimates(
+        hot_keys_state(spark, state_path, probes, "content")
+    ) == want
+    assert len(spark.read.parquet(state_path).inputFiles()) == 1
+
+    # (c) a straight compaction on the compacted state is a no-op
+    compact_hot_keys_state(spark, state_path)
+    assert estimates(
+        hot_keys_state(spark, state_path, probes, "content")
+    ) == want
+
+    # (e) mixed geometry refuses
+    cm_build(batch, "content", width=32, depth=3).coalesce(1).write.mode(
+        "append"
+    ).parquet(state_path)
+    with pytest.raises(ValueError, match="mixes CM geometries"):
+        hot_keys_state(spark, state_path, probes, "content")
+
+    # empty / missing state estimates 0 for everything
+    out = hot_keys_state(
+        spark, str(tmp_path / "never_written"), probes, "content"
+    )
+    assert all(r.est_count == 0 for r in out.collect())

@@ -113,13 +113,16 @@ def quantile_normalize_by_group(
     the r12 VERDICT reproduced a 6th-decimal flip of this function's
     output across pytest shardings):
 
-    - the cell average is computed as an exact DECIMAL(28,12) sum
+    - the cell average is computed as an exact DECIMAL(38,12) sum
       divided once by the count, NOT ``F.avg`` over doubles — decimal
       addition is associative, so the reference value is independent
       of partitioning and of engine reduction order (a double sum
       differs at the ulp level across summation orders, and a
       downstream ROUND can flip the last digit whenever the true mean
-      sits on a rounding boundary);
+      sits on a rounding boundary). The cast bounds usable magnitudes
+      at |value| < 10^26 (26 integer digits): beyond that the cast
+      overflows — a runtime error under ANSI mode (Spark 4's default),
+      never a silent skew — so rescale first for astronomical units;
     - ``tie_cols`` extends the rank window's ORDER BY with a unique
       key. Ties on ``value_col`` leave the CELL AVERAGES unchanged
       (tied rows carry equal values) but decide WHICH row lands in
@@ -164,7 +167,7 @@ def quantile_normalize_by_group(
     # order-independent mean: exact decimal sum, ONE double division
     ref = cells.groupBy("_j").agg(
         (
-            F.sum(F.col("_ref_v").cast("decimal(28,12)")).cast("double")
+            F.sum(F.col("_ref_v").cast("decimal(38,12)")).cast("double")
             / F.count("_ref_v")
         ).alias("_ref")
     )

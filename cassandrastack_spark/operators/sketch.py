@@ -430,8 +430,15 @@ def hll_merge(
     gcols = list(group_cols)
     cols = [*gcols, "bucket", "maxrank", "p"]
     both = a.select(*cols).unionByName(b.select(*cols))
+    # the per-bucket set of PRE-MERGE p values rides the same groupBy
+    # as the max — max('p') here would hide a mismatch whenever the
+    # lower-p side's bucket numbers all happen to also be occupied on
+    # the higher-p side (bucket ids overlap across precisions: p=12
+    # bucket 687 and p=16 bucket 687 are different hash prefixes), so
+    # the guard must see the raw values, not the per-bucket winner
     merged = both.groupBy(*gcols, "bucket").agg(
-        F.max("maxrank").alias("maxrank"), F.max("p").alias("p")
+        F.max("maxrank").alias("maxrank"),
+        F.collect_set("p").alias("_ps"),
     )
     # the guard is a window over the MERGED table — a linear operator
     # on the one pipeline, so each input's lineage (a full batch scan
@@ -445,7 +452,9 @@ def hll_merge(
     # ungrouped merge uses the global single-partition window, whose
     # one partition is at most 2^p rows by construction.
     w = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
-    n_p = F.size(F.collect_set("p").over(w))
+    n_p = F.size(
+        F.array_distinct(F.flatten(F.collect_list("_ps").over(w)))
+    )
     return merged.select(
         *gcols,
         "bucket",
@@ -456,7 +465,7 @@ def hll_merge(
                 "hll_merge: incompatible precision (p differs "
                 "between sides within a group)",
             ).isNull(),
-            F.col("p"),
+            F.get("_ps", 0),
         ).alias("p"),
     )
 
@@ -657,32 +666,33 @@ def cm_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     both = a.select("row", "col", "cnt", "w", "d").unionByName(
         b.select("row", "col", "cnt", "w", "d")
     )
-    geom = both.agg(
-        F.count_distinct("w").alias("n_w"),
-        F.count_distinct("d").alias("n_d"),
+    # geometry guard rides the merge groupBy + one window over the
+    # OUTPUT (at most d x w rows) — a separate aggregate branched off
+    # `both` would re-execute both inputs' lineage on every fold step
+    # of the ingest loop (the measured-bad pattern hll_merge's comment
+    # documents); the per-cell sets carry the PRE-merge values so a
+    # mismatch cannot hide behind a per-cell max
+    merged = both.groupBy("row", "col").agg(
+        F.sum("cnt").alias("cnt"),
+        F.collect_set("w").alias("_ws"),
+        F.collect_set("d").alias("_ds"),
     )
-    return (
-        both.groupBy("row", "col")
-        .agg(
-            F.sum("cnt").alias("cnt"),
-            F.max("w").alias("w"),
-            F.max("d").alias("d"),
-        )
-        .crossJoin(F.broadcast(geom))
-        .select(
-            "row",
-            "col",
-            "cnt",
-            F.when(
-                F.assert_true(
-                    (F.col("n_w") <= 1) & (F.col("n_d") <= 1),
-                    "cm_merge: incompatible sketch geometry "
-                    "(width/depth differ between sides)",
-                ).isNull(),
-                F.col("w"),
-            ).alias("w"),
-            "d",
-        )
+    w = Window.partitionBy()
+    n_w = F.size(F.array_distinct(F.flatten(F.collect_list("_ws").over(w))))
+    n_d = F.size(F.array_distinct(F.flatten(F.collect_list("_ds").over(w))))
+    return merged.select(
+        "row",
+        "col",
+        "cnt",
+        F.when(
+            F.assert_true(
+                (n_w <= 1) & (n_d <= 1),
+                "cm_merge: incompatible sketch geometry "
+                "(width/depth differ between sides)",
+            ).isNull(),
+            F.get("_ws", 0),
+        ).alias("w"),
+        F.get("_ds", 0).alias("d"),
     )
 
 
@@ -699,17 +709,38 @@ def cm_estimate(
     build's design bound.
 
     ``w`` and ``d`` are read from the sketch itself (1-row aggregate,
-    broadcast), so any persisted sketch is probeable as-is. Distinct
-    probe items x depth positions equi-join the at-most-``d x w``-row
-    cell table (broadcastable by design — that is the point of a
-    sketch), then the min-estimates rejoin the input on the item
-    value; the probe side never shuffles more than its distinct keys.
-    A NULL probe estimates 0 (it was never counted). An EMPTY sketch
-    estimates 0 for everything.
+    broadcast — the ``bloom_might_contain`` metadata pattern; when the
+    sketch is an unpersisted in-plan build rather than a reread
+    artifact, that scalar costs one extra pass over the build, which
+    is the intended trade: sketches are persisted artifacts). Mixed
+    geometries in the input — a hand-union of incompatible sketches —
+    fail LOUD in-plan rather than probing at the wrong modulus and
+    undercounting (the guarantee this function exists to keep).
+    Distinct probe items x depth positions equi-join the
+    at-most-``d x w``-row cell table (broadcastable by design — that
+    is the point of a sketch), then the min-estimates rejoin the input
+    on the item value; the probe side never shuffles more than its
+    distinct keys. A NULL probe estimates 0 (it was never counted). An
+    EMPTY sketch estimates 0 for everything.
     """
+    # the geometry scalars carry a mixed-geometry guard: a hand-union
+    # of two sketches with different (w, d) would probe at max(w)'s
+    # modulus, MISS the smaller sketch's cells, coalesce them to 0 and
+    # UNDERCOUNT — the one error CM must never make, so it fails loud
+    # in-plan instead (the hll_estimate / cm_merge contract). The
+    # assert threads into the `d` every probe row filters on, so
+    # Catalyst cannot prune it.
     scal = cm.agg(
         F.coalesce(F.max("w"), F.lit(1)).alias("w"),
-        F.coalesce(F.max("d"), F.lit(0)).alias("d"),
+        F.when(
+            F.assert_true(
+                (F.count_distinct("w") <= 1) & (F.count_distinct("d") <= 1),
+                "cm_estimate: mixed sketch geometries (hand-unioned "
+                "tables? merge with cm_merge, which would have "
+                "refused)",
+            ).isNull(),
+            F.coalesce(F.max("d"), F.lit(0)),
+        ).alias("d"),
     )
     it = (
         probes.filter(F.col(item_col).isNotNull())

@@ -4418,7 +4418,7 @@ _QUANTILE_NORM_ORACLE = """
                  ((rn - 1) * 100) // n + 1, (rn * 100) // n)) AS t(j)),
     ref AS (
       SELECT j,
-             CAST(SUM(CAST(score AS DECIMAL(28,12))) AS DOUBLE)
+             CAST(SUM(CAST(score AS DECIMAL(38,12))) AS DOUBLE)
                  / COUNT(*) AS refv
       FROM cells GROUP BY j),
     mapped AS (
@@ -4443,7 +4443,7 @@ _QUANTILE_NORM_ORACLE = """
         "tie-breaks on doc_id (ties leave cell AVERAGES unchanged but "
         "decide which doc lands in which cell — without the unique "
         "key the per-doc mapping is engine-dependent), and the cell "
-        "reference is an exact DECIMAL(28,12) sum divided once by the "
+        "reference is an exact DECIMAL(38,12) sum divided once by the "
         "count (decimal addition is associative — a double AVG "
         "differs across summation orders at the ulp and flipped the "
         "6th decimal under ROUND; the r12 VERDICT reproduced it). At "

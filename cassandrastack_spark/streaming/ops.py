@@ -1424,12 +1424,14 @@ def _stage_hot_keys_compaction(spark: SparkSession, state_path: str) -> bool:
     tmp_dir = state_path.rstrip("/") + ".compact.tmp"
     (
         spark.read.parquet(*snapshot)
-        .groupBy("row", "col")
-        .agg(
-            F.sum("cnt").alias("cnt"),
-            F.max("w").alias("w"),
-            F.max("d").alias("d"),
-        )
+        # geometry stays a GROUP KEY (the HLL compactor's bucket,p
+        # discipline): if two incompatible sketches were mistakenly
+        # written to one path, compaction must PRESERVE both
+        # geometries so hot_keys_state's loud refusal still fires —
+        # collapsing them under max(w)/max(d) would launder the
+        # corruption into a single plausible-looking sketch
+        .groupBy("row", "col", "w", "d")
+        .agg(F.sum("cnt").alias("cnt"))
         .select("row", "col", "cnt", "w", "d")
         .coalesce(1)
         .write.mode("overwrite")

@@ -189,7 +189,7 @@ def stream_hot_keys_spark(spark, sf_dir):
             depth=3,
             checkpoint=os.path.join(root, "ckpt"),
         )
-        q.awaitTermination()
+        assert q.awaitTermination(600), "hot-keys ingest did not finish"
         _HOT_KEYS_STATE_CACHE[key] = os.path.join(root, "state")
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     probes = (

@@ -626,3 +626,33 @@ def test_cm_rejects_bad_params(spark, skewed):
         cm_build(skewed, "key", depth=9)
     with pytest.raises(ValueError, match="width"):
         cm_build(skewed, "key", width=0)
+
+
+def test_hll_merge_mismatch_cannot_hide_behind_shared_bucket_ids(spark):
+    """Review r13: the old guard checked the post-merge per-bucket
+    max(p), so a p=12/p=16 merge whose bucket IDS happen to coincide
+    passed silently and mixed rank words computed at different hex
+    offsets. "x1" at p=12 and "y16104" at p=16 both land in bucket
+    1755 (found by search over md5); the guard must still fire."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from cassandrastack_spark.operators.sketch import hll_build, hll_merge
+
+    a = hll_build(spark.createDataFrame([("x1",)], "x string"), "x", p=12)
+    b = hll_build(spark.createDataFrame([("y16104",)], "x string"), "x", p=16)
+    assert a.select("bucket").collect() == b.select("bucket").collect()
+    with pytest.raises(SparkRuntimeException, match="incompatible precision"):
+        hll_merge(a, b).collect()
+
+
+def test_cm_estimate_rejects_mixed_geometry_union(spark, skewed):
+    """Review r13: a hand-union of two sketches with different widths
+    probed at max(w)'s modulus MISSES the smaller sketch's cells and
+    UNDERCOUNTS — the one error CM must never make. Loud, not wrong."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    mixed = cm_build(skewed, "key", width=1024).unionByName(
+        cm_build(skewed, "key", width=2048)
+    )
+    with pytest.raises(SparkRuntimeException, match="mixed sketch"):
+        cm_estimate(mixed, skewed.select("key").distinct(), "key").collect()

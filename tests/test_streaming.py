@@ -1137,3 +1137,28 @@ def test_monitor_hot_keys_matches_batch_cm_and_compaction_is_crash_safe(
         spark, str(tmp_path / "never_written"), probes, "content"
     )
     assert all(r.est_count == 0 for r in out.collect())
+
+
+def test_hot_keys_compaction_preserves_mixed_geometries(spark, tmp_path):
+    """Review r13: compaction groups by (row, col, w, d) — two
+    incompatible sketches mistakenly written to one path must SURVIVE
+    compaction as distinct geometries so hot_keys_state's loud refusal
+    still fires afterwards (a max(w)/max(d) collapse would launder the
+    corruption into one plausible-looking sketch)."""
+    from cassandrastack_spark.operators.sketch import cm_build
+    from cassandrastack_spark.streaming.ops import (
+        compact_hot_keys_state,
+        hot_keys_state,
+    )
+
+    df = spark.createDataFrame([(f"k{i}",) for i in range(50)], "key string")
+    state = str(tmp_path / "mixed_state")
+    cm_build(df, "key", width=64).coalesce(1).write.mode("append").parquet(state)
+    cm_build(df, "key", width=32).coalesce(1).write.mode("append").parquet(state)
+    compact_hot_keys_state(spark, state)
+    got = spark.read.parquet(state)
+    assert got.select("w").distinct().count() == 2, (
+        "compaction collapsed the geometries"
+    )
+    with pytest.raises(ValueError, match="mixes CM geometries"):
+        hot_keys_state(spark, state, df.select("key"), "key")

@@ -182,3 +182,150 @@ def quantile_normalize_by_group(
         )
         .drop("_j", "_rn", "_n", "_ref")
     )
+
+
+def histogram_fixed(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Fixed-width histogram: one row per non-empty bin,
+    ``(group_cols..., bin int, cnt long)``. Bin ``-1`` is underflow
+    (< lo), bin ``bins`` is overflow (>= hi), interior values map to
+    ``floor((v - lo) / (hi - lo) * bins)``; NULLs are dropped.
+
+    Determinism across engines: the bin expression is a fixed sequence
+    of IEEE double ops — subtract, divide, multiply, floor — which any
+    engine evaluates bit-identically for the same operand order, so a
+    SQL oracle reproduces every bin edge decision exactly (unlike an
+    equi-DEPTH histogram, whose edges are interpolated percentiles and
+    differ at the ulp). The edges being DESIGN constants rather than
+    data statistics is also what makes the artifact mergeable: two
+    histograms over the same (lo, hi, bins) grid merge by bin-wise
+    COUNT ADDITION — build per batch/shard/day, sum into the persisted
+    profile, never re-scan history — the property every monitoring
+    pipeline needs and a data-dependent binning cannot have.
+
+    Spark shape at 100 TB: one map expression + one groupBy whose
+    shuffle is bounded by ``groups x (bins + 2)`` rows after map-side
+    combine, regardless of input size.
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    if not lo < hi:
+        raise ValueError(f"need lo < hi, got lo={lo} hi={hi}")
+    gcols = list(group_cols)
+    v = F.col(value_col)
+    b = (
+        F.when(v < F.lit(float(lo)), F.lit(-1))
+        .when(v >= F.lit(float(hi)), F.lit(int(bins)))
+        .otherwise(
+            F.floor(
+                (v - F.lit(float(lo)))
+                / F.lit(float(hi) - float(lo))
+                * F.lit(int(bins))
+            )
+        )
+        .cast("int")
+    )
+    return (
+        df.filter(v.isNotNull())
+        .select(*gcols, b.alias("bin"))
+        .groupBy(*gcols, "bin")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def psi_from_histograms(
+    expected: DataFrame,
+    observed: DataFrame,
+    group_cols: tuple[str, ...] = (),
+    eps: float = 1e-4,
+) -> DataFrame:
+    """Population Stability Index between two ``histogram_fixed``
+    tables built on the SAME (lo, hi, bins) grid — the standard
+    drift alarm for score/feature distributions (banking scorecards;
+    here: has this source's quality-score distribution moved between
+    corpus snapshots, did a scraper change shift the data a filter
+    threshold was tuned on). Returns one row per group present in
+    EITHER histogram:
+    ``(group_cols..., psi double, n_expected long, n_observed long)``.
+    A group present on only one side — a source that vanished from or
+    first appears in the new snapshot, the loudest drift there is —
+    surfaces with NULL ``psi`` and a 0 count on the missing side; it
+    is never silently dropped.
+
+    PSI = sum_bins (p_i - q_i) * ln(p_i / q_i), where p/q are the
+    expected/observed bin PROPORTIONS, each floored at ``eps`` (the
+    standard smoothing: an empty bin contributes a finite, loud term
+    instead of an infinity). Reading: < 0.1 stable, 0.1-0.25 drifting,
+    > 0.25 major shift. Proportions are single IEEE divisions of
+    integer counts and the per-bin terms sum over a full outer join of
+    the two bin sets, so a SQL oracle reproduces the value exactly up
+    to a final fixed-decimal round (callers round on both engines).
+
+    Spark shape: the inputs are already bin-bounded (``groups x
+    (bins + 2)`` rows), so this is arithmetic on tiny frames — one
+    equi-join on (group, bin), one group aggregate; at 100 TB the
+    histograms did the data-sized work already.
+    """
+    if eps <= 0:
+        raise ValueError(f"eps must be > 0, got {eps}")
+    gcols = list(group_cols)
+    e_tot = expected.groupBy(*gcols).agg(F.sum("cnt").alias("_ne"))
+    o_tot = observed.groupBy(*gcols).agg(F.sum("cnt").alias("_no"))
+    e = expected.withColumnRenamed("cnt", "_ce")
+    o = observed.withColumnRenamed("cnt", "_co")
+    keys = [*gcols, "bin"]
+    both = e.join(o, keys, "full_outer").select(
+        *keys,
+        F.coalesce("_ce", F.lit(0)).alias("_ce"),
+        F.coalesce("_co", F.lit(0)).alias("_co"),
+    )
+    # LEFT joins on the totals: a group present on only ONE side (a
+    # source that vanished from — or first appears in — the new
+    # snapshot) is itself the loudest drift signal there is, so it
+    # must surface as a row with NULL psi and a zero count on the
+    # missing side, never be silently dropped by an inner join
+    if gcols:
+        both = both.join(e_tot, gcols, "left").join(o_tot, gcols, "left")
+    else:
+        both = both.crossJoin(F.broadcast(e_tot)).crossJoin(
+            F.broadcast(o_tot)
+        )
+    p = F.greatest(F.col("_ce") / F.col("_ne"), F.lit(float(eps)))
+    q = F.greatest(F.col("_co") / F.col("_no"), F.lit(float(eps)))
+    term = F.when(
+        (F.coalesce("_ne", F.lit(0)) > 0)
+        & (F.coalesce("_no", F.lit(0)) > 0),
+        (p - q) * F.log(p / q),
+    )
+    # each per-bin term is one fixed double expression (deterministic);
+    # the SUM is decimal-exact so the total is independent of reduction
+    # order — the same order-free-sum rule quantile_normalize_by_group
+    # follows (a plain double sum flips the last rounded digit between
+    # engines whenever the true value sits on a rounding boundary).
+    # |term| <= ln(1/eps) ~ 9.2, far inside DECIMAL(28,18)'s 10
+    # integer digits.
+    agg = (
+        both.select(*gcols, term.alias("_t"), "_ne", "_no")
+        .groupBy(*gcols)
+        .agg(
+            F.sum(F.col("_t").cast("decimal(28,18)"))
+            .cast("double")
+            .alias("_psi"),
+            F.coalesce(F.max("_ne"), F.lit(0)).cast("long").alias("_nel"),
+            F.coalesce(F.max("_no"), F.lit(0)).cast("long").alias("_nol"),
+        )
+    )
+    return agg.select(
+        *gcols,
+        F.when(
+            (F.col("_nel") > 0) & (F.col("_nol") > 0), F.col("_psi")
+        ).alias("psi"),
+        F.col("_nel").alias("n_expected"),
+        F.col("_nol").alias("n_observed"),
+    )

@@ -89,7 +89,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # (distinct_tokens_hll, corpus_source_kl, corpus_source_overlap —
 # oracles pre-validated in tests/test_r14_oracle_parity.py) + the
 # stream_monitor_distinct_count row + ~9 chips against the 50-row r11
-# cohort due in full at r15. TWO r15 registrants are staged ahead under
+# cohort due in full at r15. THREE r15 registrants are staged ahead under
 # the staging-depth discipline in tests/test_r15_oracle_parity.py
 # (exact plans + bit-exact oracle SQL validated at sf0.001 AND
 # sf0.01): token_freq_cm (Count-Min frequency sketch from
@@ -100,7 +100,11 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # stream_* row, like the staged HLL monitor: cells sum each row
 # exactly once whatever the micro-batch boundaries, so the merged
 # state is bit-identical to one batch build and the estimate math is
-# portable SQL; exact counts ride along).
+# portable SQL; exact counts ride along), plus corpus_score_drift_psi
+# (per-source Population Stability Index between md5-half corpus
+# snapshots over functions/stats.py histogram_fixed +
+# psi_from_histograms — decimal-exact term sums, both engines
+# bit-match).
 #
 # STEADY-STATE POLICY (decided r13, per VERDICT r12 ask #5 — the r14+
 # windows follow this): with N registered queries, a 50-row window and

@@ -233,3 +233,132 @@ def test_stream_hot_keys_matches_staged_oracle(spark, duck_events):
     # collisions, so the overhang regime is exercised too
     assert (got["est_count"] >= got["exact_count"]).all()
     assert (got["est_count"] > got["exact_count"]).any()
+
+
+# The third staged r15 query: `corpus_score_drift_psi` — per-source
+# Population Stability Index between two corpus snapshots' quality-
+# score distributions (functions/stats.py histogram_fixed +
+# psi_from_histograms): the drift alarm that catches "a scraper change
+# shifted the score distribution the filter threshold was tuned on"
+# before the threshold silently starts keeping garbage. Snapshots are
+# the deterministic md5(doc_id) halves (first hex digit < '8' —
+# decorrelated from source, unlike doc_id parity, which the fixture
+# assigns per source block); 10 fixed bins on [0, 1)
+# (design constants, so the histograms are mergeable and the oracle
+# reproduces every edge decision — the bin expression is the same
+# IEEE op sequence on both engines); eps=1e-4 smoothing keeps empty
+# bins finite; the PSI term sum is DECIMAL-exact (order-free) with
+# one final 6-decimal round on both sides.
+CORPUS_SCORE_DRIFT_PSI_ORACLE = """
+    WITH m AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             (LENGTH(text) - (len(string_split(text, ' ')) - 1))
+                 / len(string_split(text, ' ')) AS awl,
+             len(list_filter(string_split(text, ' '),
+                             w -> w IN ('the', 'a', 'of', 'and')))
+                 / len(string_split(text, ' ')) AS sr
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             ROUND(1.0 / (1.0 + EXP(-(-2.0 + 0.8 * LN(1.0 + n_tokens)
+                                      - 0.15 * awl + 6.0 * sr))),
+                   6) AS score
+      FROM m),
+    sc AS (
+      SELECT d.doc_id, d.source, s.score
+      FROM s JOIN documents d USING (doc_id)),
+    binned AS (
+      SELECT source, doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' AS half,
+             CASE WHEN score < 0.0 THEN -1
+                  WHEN score >= 1.0 THEN 10
+                  ELSE CAST(FLOOR((score - 0.0) / 1.0 * 10) AS INT)
+             END AS bin
+      FROM sc),
+    e AS (
+      SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS ce
+      FROM binned WHERE half GROUP BY source, bin),
+    o AS (
+      SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS co
+      FROM binned WHERE NOT half GROUP BY source, bin),
+    tot AS (
+      SELECT source,
+             SUM(CASE WHEN half THEN 1 ELSE 0 END) AS ne,
+             SUM(CASE WHEN NOT half THEN 1 ELSE 0 END) AS no
+      FROM binned GROUP BY source),
+    terms AS (
+      SELECT t.source,
+             (GREATEST(COALESCE(e.ce, 0) / t.ne, 0.0001)
+              - GREATEST(COALESCE(o.co, 0) / t.no, 0.0001))
+             * LN(GREATEST(COALESCE(e.ce, 0) / t.ne, 0.0001)
+                  / GREATEST(COALESCE(o.co, 0) / t.no, 0.0001)) AS term,
+             t.ne, t.no
+      FROM (SELECT source, bin FROM e UNION SELECT source, bin FROM o) b
+      LEFT JOIN e USING (source, bin)
+      LEFT JOIN o USING (source, bin)
+      JOIN tot t USING (source))
+    SELECT source,
+           ROUND(CAST(SUM(CAST(term AS DECIMAL(28,18))) AS DOUBLE), 6)
+               AS psi,
+           CAST(MAX(ne) AS BIGINT) AS n_expected,
+           CAST(MAX(no) AS BIGINT) AS n_observed
+    FROM terms GROUP BY source ORDER BY source
+"""
+
+
+def corpus_score_drift_psi_spark(spark, sf_dir):
+    """The exact plan that registers in r15 (lift verbatim)."""
+    from cassandrastack_spark.functions.stats import (
+        histogram_fixed,
+        psi_from_histograms,
+    )
+    from cassandrastack_spark.functions.text import quality_score_linear
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.round(quality_score_linear("text"), 6).alias("score"),
+    )
+    half = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8"
+    e = histogram_fixed(
+        scored.filter(half), "score", 0.0, 1.0, 10,
+        group_cols=("source",),
+    )
+    o = histogram_fixed(
+        scored.filter(~half), "score", 0.0, 1.0, 10,
+        group_cols=("source",),
+    )
+    return (
+        psi_from_histograms(e, o, group_cols=("source",))
+        .select(
+            "source",
+            F.round("psi", 6).alias("psi"),
+            "n_expected",
+            "n_observed",
+        )
+        .orderBy("source")
+    )
+
+
+def test_corpus_score_drift_psi_matches_staged_oracle(spark, duck):
+    got = corpus_score_drift_psi_spark(spark, SF).toPandas()
+    want = duck.execute(CORPUS_SCORE_DRIFT_PSI_ORACLE).df()
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want) > 0
+    for col in got.columns:
+        assert got[col].tolist() == want[col].tolist(), col
+    # PSI is a sum of (p-q)ln(p/q) terms, each >= 0 — so the value is
+    # non-negative always, and on this fixture strictly positive
+    # (sampling noise moves bins). Magnitudes here are LARGE (0.3-4)
+    # and correctly so: 25 docs per side per source across 10 bins
+    # means empty bins hit the eps floor, which dominates at tiny n —
+    # the production reading bands (0.1/0.25) apply to snapshot-sized
+    # samples, and the gate's value is the bit-exact parity above,
+    # which pins the arithmetic either way. Both counts must cover
+    # every source (the md5 split is decorrelated from source —
+    # doc_id parity was NOT, and produced one-sided groups).
+    assert (got["psi"] >= 0.0).all()
+    assert (got["psi"] > 0.0).any()
+    assert (got["n_expected"] > 0).all() and (got["n_observed"] > 0).all()

@@ -169,3 +169,100 @@ def test_qnorm_rejects_bad_grid(spark):
 
     with _pytest.raises(ValueError, match="grid"):
         quantile_normalize_by_group(df, "score", "src", grid=0)
+
+
+# ---------------------------------------------------------------------------
+# histogram_fixed + psi_from_histograms
+# ---------------------------------------------------------------------------
+
+from cassandrastack_spark.functions.stats import (  # noqa: E402
+    histogram_fixed,
+    psi_from_histograms,
+)
+
+
+def test_histogram_fixed_hand_computed_bins_and_edges(spark):
+    df = spark.createDataFrame(
+        [(v,) for v in [-0.5, 0.0, 0.09, 0.1, 0.55, 0.99, 1.0, 2.3, None]],
+        "score double",
+    )
+    got = {
+        r.bin: r.cnt
+        for r in histogram_fixed(df, "score", 0.0, 1.0, 10).collect()
+    }
+    # -0.5 underflow; 0.0/0.09 -> bin 0; 0.1 -> bin 1 (left-closed);
+    # 0.55 -> 5; 0.99 -> 9; 1.0 and 2.3 overflow; NULL dropped
+    assert got == {-1: 1, 0: 2, 1: 1, 5: 1, 9: 1, 10: 2}
+
+
+def test_histogram_fixed_merges_by_addition(spark):
+    df = spark.createDataFrame(
+        [(i / 100.0,) for i in range(100)], "score double"
+    )
+    a = histogram_fixed(df.filter("score < 0.43"), "score", 0.0, 1.0, 7)
+    b = histogram_fixed(df.filter("score >= 0.43"), "score", 0.0, 1.0, 7)
+    merged = (
+        a.unionByName(b)
+        .groupBy("bin")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    whole = histogram_fixed(df, "score", 0.0, 1.0, 7)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_histogram_fixed_rejects_bad_params(spark):
+    df = _rows(spark, [1.0])
+    with pytest.raises(ValueError, match="bins"):
+        histogram_fixed(df, "score", 0.0, 1.0, 0)
+    with pytest.raises(ValueError, match="lo < hi"):
+        histogram_fixed(df, "score", 1.0, 1.0, 4)
+
+
+def test_psi_identical_distributions_and_known_shift(spark):
+    import math
+
+    base = spark.createDataFrame(
+        [((i % 10) / 10.0 + 0.05,) for i in range(1000)], "score double"
+    )
+    h = histogram_fixed(base, "score", 0.0, 1.0, 10)
+    # identical distributions -> PSI exactly 0 (every p_i == q_i)
+    same = psi_from_histograms(h, h).collect()[0]
+    assert same.psi == 0.0
+    assert same.n_expected == same.n_observed == 1000
+    # hand-computed two-bin shift: p = (0.8, 0.2) -> q = (0.5, 0.5)
+    e = spark.createDataFrame(
+        [(0.25,)] * 80 + [(0.75,)] * 20, "score double"
+    )
+    o = spark.createDataFrame(
+        [(0.25,)] * 50 + [(0.75,)] * 50, "score double"
+    )
+    got = psi_from_histograms(
+        histogram_fixed(e, "score", 0.0, 1.0, 2),
+        histogram_fixed(o, "score", 0.0, 1.0, 2),
+    ).collect()[0]
+    want = (0.8 - 0.5) * math.log(0.8 / 0.5) + (0.2 - 0.5) * math.log(
+        0.2 / 0.5
+    )
+    assert abs(got.psi - want) < 1e-12
+
+
+def test_psi_empty_bin_smoothed_not_infinite_and_grouped(spark):
+    rows_e = [("a", 0.25)] * 10 + [("a", 0.75)] * 10 + [("b", 0.25)] * 20
+    rows_o = [("a", 0.25)] * 20 + [("b", 0.75)] * 20  # b fully shifted
+    e = spark.createDataFrame(rows_e, "src string, score double")
+    o = spark.createDataFrame(rows_o, "src string, score double")
+    got = {
+        r.src: r.psi
+        for r in psi_from_histograms(
+            histogram_fixed(e, "score", 0.0, 1.0, 2, group_cols=("src",)),
+            histogram_fixed(o, "score", 0.0, 1.0, 2, group_cols=("src",)),
+            group_cols=("src",),
+        ).collect()
+    }
+    import math
+
+    assert math.isfinite(got["a"]) and math.isfinite(got["b"])
+    # b moved ALL mass across bins -> major shift, far above the 0.25 bar
+    assert got["b"] > 0.25 > 0.1 > 0.0
+    assert got["b"] > got["a"] > 0.0

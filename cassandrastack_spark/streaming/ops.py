@@ -1406,14 +1406,39 @@ def compact_hot_keys_state(spark: SparkSession, state_path: str) -> None:
 
 
 def _stage_hot_keys_compaction(spark: SparkSession, state_path: str) -> bool:
-    """Steps (1)-(2) of the manifested commit, split out so the crash
-    window is testable (the _compact_hll_snapshot discipline): stage
-    the sum-merge of the current snapshot into the side directory and
-    atomically rename the manifest into place. Returns False when
-    there is nothing to compact. After this returns True, the commit
-    is durable — ANY later ``compact_hot_keys_state`` entry (or
-    ``_recover_hot_keys_compaction`` directly) finishes it exactly
-    once, however many crashes intervene.
+    """The CM instantiation of ``_stage_additive_compaction`` — kept as
+    a named seam so the crash-window test reads like the protocol note.
+    Geometry (w, d) stays a GROUP KEY (the HLL compactor's bucket,p
+    discipline): if two incompatible sketches were mistakenly written
+    to one path, compaction must PRESERVE both geometries so
+    hot_keys_state's loud refusal still fires — collapsing them under
+    max(w)/max(d) would launder the corruption into a single
+    plausible-looking sketch.
+    """
+    return _stage_additive_compaction(
+        spark, state_path, key_cols=("row", "col", "w", "d"), sum_col="cnt"
+    )
+
+
+def _stage_additive_compaction(
+    spark: SparkSession,
+    state_path: str,
+    key_cols: tuple[str, ...],
+    sum_col: str,
+) -> bool:
+    """Steps (1)-(2) of the manifested commit for ANY additive state
+    table (rows merge by summing ``sum_col`` per ``key_cols`` — the
+    Count-Min cells, the fixed-width histogram bins), split out so the
+    crash window is testable (the _compact_hll_snapshot discipline):
+    stage the sum-merge of the current snapshot into the side
+    directory and atomically rename the manifest into place. Returns
+    False when there is nothing to compact. After this returns True,
+    the commit is durable — ANY later compact entry (or
+    ``_recover_additive_compaction`` directly) finishes it exactly
+    once, however many crashes intervene. Every non-sum column must be
+    a key: additive states carry their geometry/grid as data, and
+    collapsing it would launder an incompatible-write mistake into one
+    plausible-looking table.
     """
     raw = spark.read.parquet(state_path)
     snapshot = sorted(raw.inputFiles())
@@ -1422,17 +1447,12 @@ def _stage_hot_keys_compaction(spark: SparkSession, state_path: str) -> bool:
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     tmp_dir = state_path.rstrip("/") + ".compact.tmp"
+    kcols = list(key_cols)
     (
         spark.read.parquet(*snapshot)
-        # geometry stays a GROUP KEY (the HLL compactor's bucket,p
-        # discipline): if two incompatible sketches were mistakenly
-        # written to one path, compaction must PRESERVE both
-        # geometries so hot_keys_state's loud refusal still fires —
-        # collapsing them under max(w)/max(d) would launder the
-        # corruption into a single plausible-looking sketch
-        .groupBy("row", "col", "w", "d")
-        .agg(F.sum("cnt").alias("cnt"))
-        .select("row", "col", "cnt", "w", "d")
+        .groupBy(*kcols)
+        .agg(F.sum(sum_col).alias(sum_col))
+        .select(*kcols, sum_col)
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(tmp_dir)
@@ -1453,6 +1473,11 @@ def _stage_hot_keys_compaction(spark: SparkSession, state_path: str) -> bool:
 
 
 def _recover_hot_keys_compaction(spark: SparkSession, state_path: str) -> None:
+    """Schema-agnostic alias kept for the protocol's CM-named seam."""
+    _recover_additive_compaction(spark, state_path)
+
+
+def _recover_additive_compaction(spark: SparkSession, state_path: str) -> None:
     """Finish (or initially perform) a manifested compaction commit:
     move every staged part file into the state directory, delete every
     manifest-listed snapshot file that still exists, then drop the
@@ -1495,3 +1520,113 @@ def _recover_hot_keys_compaction(spark: SparkSession, state_path: str) -> None:
     fs.delete(manifest, False)
     if fs.exists(tmp_dir):
         fs.delete(tmp_dir, True)
+
+
+def monitor_histogram(
+    stream: DataFrame,
+    state_path: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int,
+    group_cols: tuple[str, ...] = (),
+    checkpoint: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming distribution accumulator: every micro-batch reduces to
+    its fixed-width histogram (``functions.stats.histogram_fixed``, at
+    most ``groups x (bins + 2)`` rows) appended to ``state_path``;
+    ``histogram_state`` sum-merges the accumulated bins into the
+    running distribution of every value EVER ingested. Feed the result
+    to ``functions.stats.psi_from_histograms`` against a baseline
+    snapshot and this is the live drift alarm — "has the score/length/
+    perplexity distribution of what we are ingesting moved off what
+    the filters were tuned on" — in constant per-batch cost and
+    bounded state. Fixed (DESIGN-constant) bin edges are what make the
+    state additive; see ``histogram_fixed``'s note.
+
+    Replay/crash policy is ``monitor_hot_keys``'s (bin counts SUM, so
+    they are not idempotent): marker AFTER append — at-least-once — so
+    a crash-window replay can only overcount a batch, never lose one.
+    Unlike CM there is no one-sided estimate guarantee to preserve;
+    the policy choice here is that a monitoring histogram must never
+    silently UNDER-represent a region of the distribution (a lost
+    batch could hide exactly the drifted tail the monitor exists to
+    catch), while a replayed batch at worst overstates by one batch —
+    visible, bounded, and self-documenting in the epoch markers.
+    """
+    from cassandrastack_spark.functions.stats import histogram_fixed
+
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="cs_hist_ckpt_")
+    spark = stream.sparkSession
+    gcols = tuple(group_cols)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        marker = f"{checkpoint}/cs_epochs/{batch_id}"
+        if _fs_exists(spark, marker):
+            return
+        if batch_df.filter(F.col(value_col).isNotNull()).isEmpty():
+            _fs_mkdirs(spark, marker)
+            return
+        h = histogram_fixed(
+            batch_df, value_col, lo, hi, bins, group_cols=gcols
+        )
+        h.coalesce(1).write.mode("append").parquet(state_path)
+        _fs_mkdirs(spark, marker)
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def histogram_state(
+    spark: SparkSession,
+    state_path: str,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """The running histogram from a ``monitor_histogram`` state table:
+    sum every appended bin count per (group, bin) — equal to one
+    ``histogram_fixed`` over the union of every batch ever ingested
+    (tested). A monitor that has only seen empty batches reads as an
+    EMPTY frame (a histogram with no observations has no bins), so a
+    polling scheduler never wedges; ``psi_from_histograms`` against a
+    baseline then reports NULL psi with n_observed = 0 — the honest
+    "no data yet" answer.
+    """
+    from pyspark.errors import AnalysisException
+
+    gcols = list(group_cols)
+    try:
+        raw = spark.read.parquet(state_path)
+    except AnalysisException:
+        fields = ", ".join(f"{c} string" for c in gcols)
+        schema = (fields + ", " if fields else "") + "bin int, cnt long"
+        return spark.createDataFrame([], schema)
+    return raw.groupBy(*gcols, "bin").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def compact_histogram_state(
+    spark: SparkSession,
+    state_path: str,
+    group_cols: tuple[str, ...] = (),
+) -> None:
+    """Maintenance for a ``monitor_histogram`` state table: rewrite the
+    accreted per-batch bin files as the sum-merged table, under the
+    same manifest-recovery commit as ``compact_hot_keys_state`` (bin
+    counts SUM — not idempotent — so the HLL append-then-delete
+    protocol would permanently double them on a mid-commit crash; see
+    that function's protocol note). Group columns are part of the bin
+    key and must match the monitor's.
+    """
+    _recover_additive_compaction(spark, state_path)
+    if _stage_additive_compaction(
+        spark, state_path,
+        key_cols=(*group_cols, "bin"), sum_col="cnt",
+    ):
+        _recover_additive_compaction(spark, state_path)

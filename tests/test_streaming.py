@@ -1162,3 +1162,103 @@ def test_hot_keys_compaction_preserves_mixed_geometries(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="mixes CM geometries"):
         hot_keys_state(spark, state, df.select("key"), "key")
+
+
+def test_monitor_histogram_matches_batch_and_feeds_psi(spark, tmp_path):
+    """monitor_histogram: the sum-merged streaming state must equal one
+    histogram_fixed over the union of all ingested rows; a re-run over
+    a processed source appends nothing; the crash-window stage+die
+    recovers to exact counts (additive state, same protocol as the CM
+    monitor); the state feeds psi_from_histograms directly — identical
+    distributions read exactly 0; an empty monitor reads as an empty
+    frame and PSI reports NULL with n_observed=0, not an error."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from cassandrastack_spark.functions.stats import (
+        histogram_fixed,
+        psi_from_histograms,
+    )
+    from cassandrastack_spark.streaming.ops import (
+        _stage_additive_compaction,
+        compact_histogram_state,
+        histogram_state,
+        monitor_histogram,
+    )
+
+    schema = StructType([
+        StructField("ev_id", LongType()),
+        StructField("src", StringType()),
+        StructField("score", DoubleType()),
+    ])
+    d = tmp_path / "hist_in"
+    d.mkdir()
+    rows = [
+        (i, f"s{i % 3}", ((i * 37) % 100) / 100.0) for i in range(300)
+    ]
+
+    def write(name, chunk):
+        pdf = pd.DataFrame(chunk, columns=["ev_id", "src", "score"])
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False), str(d / name)
+        )
+
+    state = str(tmp_path / "hist_state")
+
+    def run():
+        src = spark.readStream.schema(schema).parquet(str(d))
+        q = monitor_histogram(
+            src, state, "score", 0.0, 1.0, 10, group_cols=("src",),
+            checkpoint=str(tmp_path / "hist_ckpt"),
+        )
+        q.awaitTermination(120)
+
+    write("b1.parquet", rows[:140])
+    run()
+    write("b2.parquet", rows[140:])
+    run()
+
+    batch = spark.createDataFrame(rows, schema)
+    want = sorted(
+        (r.src, r.bin, r.cnt)
+        for r in histogram_fixed(
+            batch, "score", 0.0, 1.0, 10, group_cols=("src",)
+        ).collect()
+    )
+
+    def got():
+        return sorted(
+            (r.src, r.bin, r.cnt)
+            for r in histogram_state(spark, state, ("src",)).collect()
+        )
+
+    assert got() == want
+    n_files = len(spark.read.parquet(state).inputFiles())
+    assert n_files == 2
+    run()  # idempotent re-run
+    assert len(spark.read.parquet(state).inputFiles()) == 2
+
+    # crash window: stage + manifest, die, recover on next compact
+    assert _stage_additive_compaction(
+        spark, state, key_cols=("src", "bin"), sum_col="cnt"
+    )
+    compact_histogram_state(spark, state, ("src",))
+    assert got() == want
+    assert len(spark.read.parquet(state).inputFiles()) == 1
+
+    # identical distributions -> PSI exactly 0 per group
+    live = histogram_state(spark, state, ("src",))
+    psi = psi_from_histograms(live, live, group_cols=("src",)).collect()
+    assert {r.src for r in psi} == {"s0", "s1", "s2"}
+    assert all(r.psi == 0.0 for r in psi)
+
+    # empty monitor: empty frame; PSI vs a baseline -> NULL psi, 0 obs
+    empty = histogram_state(spark, str(tmp_path / "nope"), ("src",))
+    assert empty.count() == 0
+    rep = psi_from_histograms(live, empty, group_cols=("src",)).collect()
+    assert all(r.psi is None and r.n_observed == 0 for r in rep)

@@ -219,14 +219,24 @@ def histogram_fixed(
         raise ValueError(f"need lo < hi, got lo={lo} hi={hi}")
     gcols = list(group_cols)
     v = F.col(value_col)
+    # the interior floor is CLAMPED to bins-1: for v just under hi,
+    # (v - lo) / (hi - lo) * bins can round UP to exactly bins in
+    # float (verified with real edge triples), and without the clamp
+    # an in-range value would land in the overflow bin — breaking the
+    # "bin == bins means v >= hi" contract consumers alarm on. The
+    # clamp is the same expression on both engines, so oracle parity
+    # is unaffected.
     b = (
         F.when(v < F.lit(float(lo)), F.lit(-1))
         .when(v >= F.lit(float(hi)), F.lit(int(bins)))
         .otherwise(
-            F.floor(
-                (v - F.lit(float(lo)))
-                / F.lit(float(hi) - float(lo))
-                * F.lit(int(bins))
+            F.least(
+                F.floor(
+                    (v - F.lit(float(lo)))
+                    / F.lit(float(hi) - float(lo))
+                    * F.lit(int(bins))
+                ),
+                F.lit(int(bins) - 1).cast("bigint"),
             )
         )
         .cast("int")

@@ -430,15 +430,20 @@ def hll_merge(
     gcols = list(group_cols)
     cols = [*gcols, "bucket", "maxrank", "p"]
     both = a.select(*cols).unionByName(b.select(*cols))
-    # the per-bucket set of PRE-MERGE p values rides the same groupBy
-    # as the max — max('p') here would hide a mismatch whenever the
-    # lower-p side's bucket numbers all happen to also be occupied on
-    # the higher-p side (bucket ids overlap across precisions: p=12
-    # bucket 687 and p=16 bucket 687 are different hash prefixes), so
-    # the guard must see the raw values, not the per-bucket winner
+    # the per-bucket min/max of PRE-MERGE p values ride the same
+    # groupBy as the rank max — a bare max('p') would hide a mismatch
+    # whenever the lower-p side's bucket numbers all happen to also be
+    # occupied on the higher-p side (bucket ids overlap across
+    # precisions: p=12 bucket 687 and p=16 bucket 687 are different
+    # hash prefixes), so the guard must see the raw value RANGE, not
+    # the per-bucket winner; min==max over the whole scope iff every
+    # pre-merge value was identical, with O(1) state per row (a
+    # collect_list of per-bucket sets would buffer 2^p arrays in the
+    # window at large p)
     merged = both.groupBy(*gcols, "bucket").agg(
         F.max("maxrank").alias("maxrank"),
-        F.collect_set("p").alias("_ps"),
+        F.min("p").alias("_pmin"),
+        F.max("p").alias("_pmax"),
     )
     # the guard is a window over the MERGED table — a linear operator
     # on the one pipeline, so each input's lineage (a full batch scan
@@ -452,20 +457,18 @@ def hll_merge(
     # ungrouped merge uses the global single-partition window, whose
     # one partition is at most 2^p rows by construction.
     w = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
-    n_p = F.size(
-        F.array_distinct(F.flatten(F.collect_list("_ps").over(w)))
-    )
+    same_p = F.min("_pmin").over(w) == F.max("_pmax").over(w)
     return merged.select(
         *gcols,
         "bucket",
         "maxrank",
         F.when(
             F.assert_true(
-                n_p <= 1,
+                same_p,
                 "hll_merge: incompatible precision (p differs "
                 "between sides within a group)",
             ).isNull(),
-            F.get("_ps", 0),
+            F.col("_pmin"),
         ).alias("p"),
     )
 
@@ -670,29 +673,33 @@ def cm_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     # OUTPUT (at most d x w rows) — a separate aggregate branched off
     # `both` would re-execute both inputs' lineage on every fold step
     # of the ingest loop (the measured-bad pattern hll_merge's comment
-    # documents); the per-cell sets carry the PRE-merge values so a
-    # mismatch cannot hide behind a per-cell max
+    # documents); per-cell min/max carry the PRE-merge values (so a
+    # mismatch cannot hide behind a per-cell max) with O(1) state per
+    # row — min==max over the window iff one geometry everywhere
     merged = both.groupBy("row", "col").agg(
         F.sum("cnt").alias("cnt"),
-        F.collect_set("w").alias("_ws"),
-        F.collect_set("d").alias("_ds"),
+        F.min("w").alias("_wmin"),
+        F.max("w").alias("_wmax"),
+        F.min("d").alias("_dmin"),
+        F.max("d").alias("_dmax"),
     )
     w = Window.partitionBy()
-    n_w = F.size(F.array_distinct(F.flatten(F.collect_list("_ws").over(w))))
-    n_d = F.size(F.array_distinct(F.flatten(F.collect_list("_ds").over(w))))
+    same_geom = (
+        F.min("_wmin").over(w) == F.max("_wmax").over(w)
+    ) & (F.min("_dmin").over(w) == F.max("_dmax").over(w))
     return merged.select(
         "row",
         "col",
         "cnt",
         F.when(
             F.assert_true(
-                (n_w <= 1) & (n_d <= 1),
+                same_geom,
                 "cm_merge: incompatible sketch geometry "
                 "(width/depth differ between sides)",
             ).isNull(),
-            F.get("_ws", 0),
+            F.col("_wmin"),
         ).alias("w"),
-        F.get("_ds", 0).alias("d"),
+        F.col("_dmin").alias("d"),
     )
 
 

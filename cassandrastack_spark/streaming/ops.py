@@ -1092,6 +1092,53 @@ def embedding_moments_state(spark: SparkSession, state_path: str) -> DataFrame:
     return _cov_frame_from_totals(totals, n)
 
 
+def _marker_guarded_sketch_monitor(
+    stream: DataFrame,
+    state_path: str,
+    notnull_col: str,
+    build_fn,
+    ckpt_prefix: str,
+    checkpoint: str | None,
+    trigger_available_now: bool,
+    partition_by: tuple[str, ...] = (),
+):
+    """The shared sink shape of the sketch monitors
+    (``monitor_distinct_count`` / ``monitor_hot_keys`` /
+    ``monitor_histogram``): per batch, probe the epoch marker (skip a
+    replay's wasted work), short-circuit an all-null batch on the RAW
+    frame (so the build aggregation runs exactly once, in the write),
+    reduce the batch with ``build_fn`` and append one small file, then
+    commit the marker. The marker lands AFTER the append everywhere —
+    what that buys differs per sketch and is each monitor's own
+    docstring (idempotent max makes it pure thrift for HLL; for the
+    additive CM/histogram states it is the deliberate
+    at-least-once/overcount-only policy).
+    """
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix=ckpt_prefix)
+    spark = stream.sparkSession
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        marker = f"{checkpoint}/cs_epochs/{batch_id}"
+        if _fs_exists(spark, marker):
+            return
+        if batch_df.filter(F.col(notnull_col).isNotNull()).isEmpty():
+            _fs_mkdirs(spark, marker)
+            return
+        out = build_fn(batch_df).coalesce(1).write.mode("append")
+        if partition_by:
+            out = out.partitionBy(*partition_by)
+        out.parquet(state_path)
+        _fs_mkdirs(spark, marker)
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def monitor_distinct_count(
     stream: DataFrame,
     state_path: str,
@@ -1130,32 +1177,14 @@ def monitor_distinct_count(
     """
     from cassandrastack_spark.operators.sketch import hll_build
 
-    checkpoint = checkpoint or tempfile.mkdtemp(prefix="cs_hll_ckpt_")
-    spark = stream.sparkSession
-
-    def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        marker = f"{checkpoint}/cs_epochs/{batch_id}"
-        if _fs_exists(spark, marker):
-            return
-        # emptiness probed on the RAW batch (short-circuits at the
-        # first non-null row) so the build aggregation runs exactly
-        # once, in the write — not once more just to test emptiness
-        if batch_df.filter(F.col(item_col).isNotNull()).isEmpty():
-            _fs_mkdirs(spark, marker)
-            return
-        reg = hll_build(batch_df, item_col, p=p)
-        reg.coalesce(1).write.mode("append").partitionBy("p").parquet(
-            state_path
-        )
-        _fs_mkdirs(spark, marker)
-
-    writer = (
-        stream.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", checkpoint)
+    return _marker_guarded_sketch_monitor(
+        stream, state_path, item_col,
+        lambda b: hll_build(b, item_col, p=p),
+        ckpt_prefix="cs_hll_ckpt_",
+        checkpoint=checkpoint,
+        trigger_available_now=trigger_available_now,
+        partition_by=("p",),
     )
-    if trigger_available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def distinct_count_state(spark: SparkSession, state_path: str) -> DataFrame:
@@ -1299,27 +1328,13 @@ def monitor_hot_keys(
     """
     from cassandrastack_spark.operators.sketch import cm_build
 
-    checkpoint = checkpoint or tempfile.mkdtemp(prefix="cs_cm_ckpt_")
-    spark = stream.sparkSession
-
-    def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        marker = f"{checkpoint}/cs_epochs/{batch_id}"
-        if _fs_exists(spark, marker):
-            return
-        if batch_df.filter(F.col(item_col).isNotNull()).isEmpty():
-            _fs_mkdirs(spark, marker)
-            return
-        sk = cm_build(batch_df, item_col, width=width, depth=depth)
-        sk.coalesce(1).write.mode("append").parquet(state_path)
-        _fs_mkdirs(spark, marker)
-
-    writer = (
-        stream.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", checkpoint)
+    return _marker_guarded_sketch_monitor(
+        stream, state_path, item_col,
+        lambda b: cm_build(b, item_col, width=width, depth=depth),
+        ckpt_prefix="cs_cm_ckpt_",
+        checkpoint=checkpoint,
+        trigger_available_now=trigger_available_now,
     )
-    if trigger_available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def hot_keys_state(
@@ -1438,9 +1453,16 @@ def _stage_additive_compaction(
     once, however many crashes intervene. Every non-sum column must be
     a key: additive states carry their geometry/grid as data, and
     collapsing it would launder an incompatible-write mistake into one
-    plausible-looking table.
+    plausible-looking table. A state path the monitor has not written
+    yet (only empty batches so far) is "nothing to compact", not an
+    error — the compactor may run at any time, like its readers.
     """
-    raw = spark.read.parquet(state_path)
+    from pyspark.errors import AnalysisException
+
+    try:
+        raw = spark.read.parquet(state_path)
+    except AnalysisException:
+        return False  # monitor has not written a first file yet
     snapshot = sorted(raw.inputFiles())
     if len(snapshot) <= 1:
         return False  # nothing to compact
@@ -1557,36 +1579,29 @@ def monitor_histogram(
     """
     from cassandrastack_spark.functions.stats import histogram_fixed
 
-    checkpoint = checkpoint or tempfile.mkdtemp(prefix="cs_hist_ckpt_")
-    spark = stream.sparkSession
+    # fail at the CALL SITE, not inside the first non-empty batch's
+    # foreachBatch (by then empty batches are already marked processed
+    # and the error surfaces as a StreamingQueryException much later)
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    if not lo < hi:
+        raise ValueError(f"need lo < hi, got lo={lo} hi={hi}")
     gcols = tuple(group_cols)
-
-    def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        marker = f"{checkpoint}/cs_epochs/{batch_id}"
-        if _fs_exists(spark, marker):
-            return
-        if batch_df.filter(F.col(value_col).isNotNull()).isEmpty():
-            _fs_mkdirs(spark, marker)
-            return
-        h = histogram_fixed(
-            batch_df, value_col, lo, hi, bins, group_cols=gcols
-        )
-        h.coalesce(1).write.mode("append").parquet(state_path)
-        _fs_mkdirs(spark, marker)
-
-    writer = (
-        stream.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", checkpoint)
+    return _marker_guarded_sketch_monitor(
+        stream, state_path, value_col,
+        lambda b: histogram_fixed(b, value_col, lo, hi, bins,
+                                  group_cols=gcols),
+        ckpt_prefix="cs_hist_ckpt_",
+        checkpoint=checkpoint,
+        trigger_available_now=trigger_available_now,
     )
-    if trigger_available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def histogram_state(
     spark: SparkSession,
     state_path: str,
     group_cols: tuple[str, ...] = (),
+    group_schema: str | None = None,
 ) -> DataFrame:
     """The running histogram from a ``monitor_histogram`` state table:
     sum every appended bin count per (group, bin) — equal to one
@@ -1595,7 +1610,11 @@ def histogram_state(
     EMPTY frame (a histogram with no observations has no bins), so a
     polling scheduler never wedges; ``psi_from_histograms`` against a
     baseline then reports NULL psi with n_observed = 0 — the honest
-    "no data yet" answer.
+    "no data yet" answer. The empty frame types group columns as
+    ``string`` unless ``group_schema`` supplies the real DDL (e.g.
+    ``"shard_id int"``) — a monitor with non-string group keys should
+    pass it so the no-data frame unions/joins cleanly against the
+    real state that appears later.
     """
     from pyspark.errors import AnalysisException
 
@@ -1603,7 +1622,7 @@ def histogram_state(
     try:
         raw = spark.read.parquet(state_path)
     except AnalysisException:
-        fields = ", ".join(f"{c} string" for c in gcols)
+        fields = group_schema or ", ".join(f"{c} string" for c in gcols)
         schema = (fields + ", " if fields else "") + "bin int, cnt long"
         return spark.createDataFrame([], schema)
     return raw.groupBy(*gcols, "bin").agg(

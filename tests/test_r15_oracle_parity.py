@@ -273,7 +273,8 @@ CORPUS_SCORE_DRIFT_PSI_ORACLE = """
              substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' AS half,
              CASE WHEN score < 0.0 THEN -1
                   WHEN score >= 1.0 THEN 10
-                  ELSE CAST(FLOOR((score - 0.0) / 1.0 * 10) AS INT)
+                  ELSE CAST(LEAST(FLOOR((score - 0.0) / 1.0 * 10), 9)
+                            AS INT)
              END AS bin
       FROM sc),
     e AS (

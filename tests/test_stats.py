@@ -266,3 +266,22 @@ def test_psi_empty_bin_smoothed_not_infinite_and_grouped(spark):
     # b moved ALL mass across bins -> major shift, far above the 0.25 bar
     assert got["b"] > 0.25 > 0.1 > 0.0
     assert got["b"] > got["a"] > 0.0
+
+
+def test_histogram_fixed_top_edge_float_rounding_stays_interior(spark):
+    """Review r13 (verified numerically): for v just under hi,
+    (v - lo) / (hi - lo) * bins can round UP to exactly bins in float,
+    and an unclamped floor would put an IN-RANGE value in the overflow
+    bin — breaking the 'bin == bins means v >= hi' contract consumers
+    alarm on. The found edge triple is pinned."""
+    import math
+
+    lo, hi, bins = -2.720497995375246, 1.7286015667975967, 7
+    v = math.nextafter(hi, -math.inf)
+    assert v < hi
+    assert math.floor((v - lo) / (hi - lo) * bins) == bins, (
+        "the fixture no longer exercises the rounding edge"
+    )
+    df = spark.createDataFrame([(v,)], "score double")
+    got = histogram_fixed(df, "score", lo, hi, bins).collect()
+    assert [(r.bin, r.cnt) for r in got] == [(bins - 1, 1)]

@@ -1262,3 +1262,43 @@ def test_monitor_histogram_matches_batch_and_feeds_psi(spark, tmp_path):
     assert empty.count() == 0
     rep = psi_from_histograms(live, empty, group_cols=("src",)).collect()
     assert all(r.psi is None and r.n_observed == 0 for r in rep)
+
+
+def test_compactors_tolerate_never_written_state(spark, tmp_path):
+    """Review r13: 'may run at any time' includes before the monitor's
+    first non-empty batch — a missing state directory is nothing to
+    compact, not an AnalysisException crashing the maintenance job."""
+    from cassandrastack_spark.streaming.ops import (
+        compact_histogram_state,
+        compact_hot_keys_state,
+    )
+
+    compact_hot_keys_state(spark, str(tmp_path / "never_a"))
+    compact_histogram_state(spark, str(tmp_path / "never_b"), ("src",))
+
+
+def test_histogram_state_empty_frame_honors_group_schema(spark, tmp_path):
+    from cassandrastack_spark.streaming.ops import histogram_state
+
+    out = histogram_state(
+        spark, str(tmp_path / "nope2"), ("shard_id",),
+        group_schema="shard_id int",
+    )
+    assert out.schema.simpleString() == (
+        "struct<shard_id:int,bin:int,cnt:bigint>"
+    )
+    assert out.count() == 0
+
+
+def test_monitor_histogram_validates_params_eagerly(spark, tmp_path):
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from cassandrastack_spark.streaming.ops import monitor_histogram
+
+    (tmp_path / "in").mkdir()
+    schema = StructType([StructField("score", DoubleType())])
+    src = spark.readStream.schema(schema).parquet(str(tmp_path / "in"))
+    with pytest.raises(ValueError, match="lo < hi"):
+        monitor_histogram(src, str(tmp_path / "st"), "score", 1.0, 1.0, 10)
+    with pytest.raises(ValueError, match="bins"):
+        monitor_histogram(src, str(tmp_path / "st"), "score", 0.0, 1.0, 0)

@@ -1031,3 +1031,75 @@ def test_cm_cells_match_model_never_undercount_and_merge_fold(
     whole = cm_build(df, "x", width=width, depth=depth)
     assert folded.exceptAll(whole).count() == 0
     assert whole.exceptAll(folded).count() == 0
+
+
+_hist_vals = st.lists(
+    st.one_of(
+        st.none(),
+        st.floats(min_value=-1e6, max_value=1e6,
+                  allow_nan=False, allow_infinity=False),
+    ),
+    min_size=1,
+    max_size=80,
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_hist_vals,
+       st.floats(min_value=-1e5, max_value=1e5,
+                 allow_nan=False, allow_infinity=False),
+       st.floats(min_value=1e-3, max_value=1e5,
+                 allow_nan=False, allow_infinity=False),
+       st.integers(min_value=1, max_value=50),
+       st.integers(min_value=1, max_value=4))
+def test_histogram_fixed_matches_python_model_and_merge_fold(
+    spark, vals, lo, width, bins, n_chunks
+):
+    """histogram_fixed's bins must equal a pure-Python model running
+    the IDENTICAL IEEE double expression (clamped floor((v-lo)/(hi-lo)
+    *bins), underflow -1, overflow bins) — any drift breaks the staged
+    SQL oracle and every persisted profile; and summing per-chunk
+    histograms over a PARTITION of the rows must equal one whole build
+    (the additive-state property the streaming monitor and the
+    manifest compactor rest on)."""
+    import math
+    from collections import Counter
+
+    from cassandrastack_spark.functions.stats import histogram_fixed
+
+    hi = lo + width
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {
+        r.bin: r.cnt
+        for r in histogram_fixed(df, "x", lo, hi, bins).collect()
+    }
+    want: Counter = Counter()
+    for v in vals:
+        if v is None:
+            continue
+        if v < lo:
+            want[-1] += 1
+        elif v >= hi:
+            want[bins] += 1
+        else:
+            want[min(math.floor((v - lo) / (hi - lo) * bins), bins - 1)] += 1
+    assert got == dict(want)
+
+    chunks = [vals[i::n_chunks] for i in range(n_chunks)]
+    parts = []
+    for c in chunks:
+        cdf = (
+            spark.createDataFrame([(v,) for v in c], "x double")
+            if c else df.filter("false")
+        )
+        parts.append(histogram_fixed(cdf, "x", lo, hi, bins))
+    merged = parts[0]
+    for nxt in parts[1:]:
+        merged = merged.unionByName(nxt)
+    merged = merged.groupBy("bin").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    whole = histogram_fixed(df, "x", lo, hi, bins)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0

@@ -85,7 +85,28 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # arithmetic permitting" — permitted now).
 #
 # Debt arithmetic after r13: the r14 window owes the 37 un-chipped
-# r10 rows (46 - 9), leaving ~13 slots: the 3 staged r14 registrants
+# r10 rows (46 - 9). The EXACT 37-row r14 debt cohort, precomputed
+# from the CORRECTNESS files at the end of r13 (r14's first commit
+# rotates these into _FRONT verbatim, then appends registrants and
+# chips — the same mechanical handoff that made the r13 rotation a
+# one-commit job):
+# agg_distinct, ann_hybrid_rrf_indexed, ann_ivfpq_filtered_topk,
+# ann_mmr_rerank_indexed, ann_mmr_rerank_topk,
+# anomaly_cusum_changepoint, anti_join_no_orders,
+# corpus_curriculum_order, corpus_domain_cap, corpus_mix_weights,
+# corpus_pack_bins, corpus_prepare_pipeline, corpus_quality_filter,
+# corpus_source_profile, corpus_split_hash, corpus_stratified_sample,
+# decontam_ngram_overlap, dedup_cluster_components,
+# dedup_cluster_size_histogram, dedup_containment_ngram, dedup_exact,
+# dedup_incremental_minhash, dedup_ngram_jaccard,
+# dedup_paragraph_spans, dq_profile_lineitem,
+# dq_profile_lineitem_approx, embedding_covariance_exclude,
+# embedding_hard_negatives_indexed,
+# embedding_knn_label_agreement_indexed, embedding_label_cohesion,
+# percentiles_acctbal_approx, range_join_event_pairs,
+# semi_join_open_orders, text_repetition, text_stats,
+# text_tokenizer_fertility, text_unigram_logprob.
+# That leaves ~13 slots: the 3 staged r14 registrants
 # (distinct_tokens_hll, corpus_source_kl, corpus_source_overlap —
 # oracles pre-validated in tests/test_r14_oracle_parity.py) + the
 # stream_monitor_distinct_count row + ~9 chips against the 50-row r11

@@ -54,78 +54,83 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # first (in this order); everything else follows in registration order.
 # A name here that is not registered is ignored.
 #
-# Round-13 rotation (VERDICT r12 lead item — the row-age contract test
-# went red the moment CORRECTNESS_r12.json landed, naming the cohort):
-# (a) ALL 36 r9-era rows, 4 rounds old at r13 close — the exact debt
-# cohort the r12 registry note precomputed (re-derived from the twelve
-# CORRECTNESS files before this rotation; the two lists match
-# verbatim): the ann probe quartet, the embedding block family, the
-# twelve stream_* rows, event_/funnel_, scalar/array/json/pivot/
-# unpivot/heatmap/histogram/string_agg, text_bpe_tokens/fingerprint/
-# langid, corpus_quality_model_score, corpus_split_dedup_aware.
+# Round-14 rotation (VERDICT r13 lead item — the row-age contract test
+# went red the moment CORRECTNESS_r13.json landed, naming the cohort):
+# (a) ALL 37 r10-era rows, 4 rounds old at r14 close — the exact debt
+# cohort the r13 rotation note precomputed (the contract test's list
+# and the note's list match verbatim, re-diffed before this rotation):
+# agg_distinct through text_unigram_logprob below.
 # Clearing these turns tests/test_row_age_contract.py green again.
-# (b) the 5 r12-staged registrants, lifted from
-# tests/test_r13_oracle_parity.py where their exact plans + oracle SQL
+# (b) stream_bloom_dedup, re-gated THIS round under a real oracle —
+# VERDICT r13's one red cell. The r13 registration shipped
+# oracle=None with a justification ("rows-only, like its stream_*
+# siblings") that was factually wrong: the other 12 stream_* rows all
+# carry real oracles and hash-matched in r13. The emitted set is
+# order- and batching-independent at fixture occupancy — proved, not
+# assumed: tests/test_streaming.py::test_bloom_dedup_fixture_has_no
+# _covering_collisions recomputes every payload's k md5-slice bit
+# positions per bucket at sf0.001 AND sf0.01 and asserts no payload's
+# bit set is covered by the union of all OTHER payloads' bits in its
+# bucket, so no arrival order can falsely drop a novel payload and
+# the exact-DISTINCT oracle gates the row bit-for-bit.
+# (c) the 3 r13-staged registrants, lifted verbatim from
+# tests/test_r14_oracle_parity.py where their exact plans + oracle SQL
 # validated green at sf0.001 AND sf0.01 one round ahead:
-# corpus_score_winsorize; corpus_score_quantile_norm (registered ONLY
-# after the r12 VERDICT's flakiness fix — order-independent
-# DECIMAL-sum cell reference + doc_id rank tie-break on BOTH engines,
-# re-validated 10/10 sharded and under local[32]);
-# ann_matryoshka_recall; decontam_bloom_indexed (SHARED oracle with
-# decontam_bloom_probe + the scalar_broadcast_ok entry documented in
-# the parity file); stream_bloom_dedup (rows-only, like its stream_*
-# siblings; multi-batch semantics pinned in tests/test_streaming.py).
-# (c) 9 chips against the 46-row r10 cohort due in full at r14,
-# chosen where r13 has adjudication value: text_top_terms_udtf +
-# text_pii_redact (the r12 BENCH_NOTES tripwire — their fresh idle
-# timings land next to the profile), dedup_simhash (band watch),
-# rolling_wau_hll (nearest the r12-touched operators/sketch.py),
-# dedup_exact_substrings (0.70x improvement re-confirm), and the four
-# mm_* multimodal rows (deferred from r13's own note "due r13 window
-# arithmetic permitting" — permitted now).
+# distinct_tokens_hll (completes the registered mergeable-sketch trio:
+# MG r11, Bloom r12, HLL r14), corpus_source_kl, corpus_source_overlap
+# (both with the scalar_broadcast_ok entries the parity file's
+# registration notes prescribed).
+# (d) stream_monitor_distinct_count, NEW this round — the
+# monitor_distinct_count HLL state resolved to the running distinct
+# count, gated bit-exactly under the same register-rebuild oracle
+# arithmetic as distinct_tokens_hll (register max is associative,
+# commutative, idempotent, so the merged state is byte-identical to a
+# one-batch build whatever the micro-batch boundaries — the property
+# the r13 note said makes sketch monitors uniquely oracle-capable
+# among stream_* rows).
+# (e) 8 chips against the 50-row r11 cohort due in full at r15 (one
+# chip slot was spent on (b)'s re-gate, per the r13 note's own "drop
+# a chip if #2's re-gate needs a slot"), chosen where r14 has
+# adjudication value: ann_index_extend_probe (the r13 BENCH_NOTES
+# watch item — its fresh idle timing lands next to the two-ledger
+# trigger), graph_pagerank_seeded + dq_referential_orphans (the two
+# biggest r13 raw regressions, both attributed to host tier with zero
+# code diff — a fresh row adjudicates), dedup_semantic_indexed (0.84x
+# improvement re-confirm), text_heavy_hitters_sketch +
+# approx_distinct_users + rolling_wau (nearest the r14-touched
+# operators/sketch.py — the KLL quantile sketch lands there this
+# round), q1_pricing_summary (the TPC-H anchor chip for host-tier
+# normalization).
 #
-# Debt arithmetic after r13: the r14 window owes the 37 un-chipped
-# r10 rows (46 - 9). The EXACT 37-row r14 debt cohort, precomputed
-# from the CORRECTNESS files at the end of r13 (r14's first commit
+# Debt arithmetic after r14: the r15 window owes the 42 un-chipped
+# r11 rows (50 - 8). The EXACT 42-row r15 debt cohort, precomputed
+# from the CORRECTNESS files at the end of r14 (r15's first commit
 # rotates these into _FRONT verbatim, then appends registrants and
-# chips — the same mechanical handoff that made the r13 rotation a
-# one-commit job):
-# agg_distinct, ann_hybrid_rrf_indexed, ann_ivfpq_filtered_topk,
-# ann_mmr_rerank_indexed, ann_mmr_rerank_topk,
-# anomaly_cusum_changepoint, anti_join_no_orders,
-# corpus_curriculum_order, corpus_domain_cap, corpus_mix_weights,
-# corpus_pack_bins, corpus_prepare_pipeline, corpus_quality_filter,
-# corpus_source_profile, corpus_split_hash, corpus_stratified_sample,
-# decontam_ngram_overlap, dedup_cluster_components,
-# dedup_cluster_size_histogram, dedup_containment_ngram, dedup_exact,
-# dedup_incremental_minhash, dedup_ngram_jaccard,
-# dedup_paragraph_spans, dq_profile_lineitem,
-# dq_profile_lineitem_approx, embedding_covariance_exclude,
-# embedding_hard_negatives_indexed,
-# embedding_knn_label_agreement_indexed, embedding_label_cohesion,
-# percentiles_acctbal_approx, range_join_event_pairs,
-# semi_join_open_orders, text_repetition, text_stats,
-# text_tokenizer_fertility, text_unigram_logprob.
-# That leaves ~13 slots: the 3 staged r14 registrants
-# (distinct_tokens_hll, corpus_source_kl, corpus_source_overlap —
-# oracles pre-validated in tests/test_r14_oracle_parity.py) + the
-# stream_monitor_distinct_count row + ~9 chips against the 50-row r11
-# cohort due in full at r15. THREE r15 registrants are staged ahead under
-# the staging-depth discipline in tests/test_r15_oracle_parity.py
-# (exact plans + bit-exact oracle SQL validated at sf0.001 AND
-# sf0.01): token_freq_cm (Count-Min frequency sketch from
-# operators/sketch.py cm_build/cm_estimate, exact counts riding along
-# so the gate pins the never-undercount guarantee AND the collision
-# overhang) and stream_hot_keys (the monitor_hot_keys CM state
-# resolved to running estimates — uniquely oracle-capable for a
-# stream_* row, like the staged HLL monitor: cells sum each row
-# exactly once whatever the micro-batch boundaries, so the merged
-# state is bit-identical to one batch build and the estimate math is
-# portable SQL; exact counts ride along), plus corpus_score_drift_psi
-# (per-source Population Stability Index between md5-half corpus
-# snapshots over functions/stats.py histogram_fixed +
-# psi_from_histograms — decimal-exact term sums, both engines
-# bit-match).
+# chips — the same mechanical handoff as r13→r14):
+# anomaly_trailing_zscore, asof_join_latest_order,
+# asof_join_next_order, corpus_chunk_sliding, corpus_shard_shuffle,
+# corpus_snapshot_diff, correlated_above_avg, cube_orders,
+# date_null_functions, dedup_embedding_cosine,
+# dedup_semantic_clustered, full_outer_nation_accounts,
+# gapfill_interpolate_hourly, gapfill_locf_hourly,
+# graph_pagerank_events, hypertable_rollup_daily,
+# lateral_explode_tokens, map_functions, q11_important_volume,
+# q13_customer_distribution, q14_promo_revenue, q15_top_supplier,
+# q16_parts_supplier_cnt, q17_small_qty_revenue,
+# q18_large_volume_customer, q19_discounted_revenue,
+# q20_heavy_shippers, q21_sole_returned_supplier,
+# q22_sales_opportunity, q2_min_cost_supplier, q3_shipping_priority,
+# q5_local_supplier_volume, q7_volume_shipping, q8_market_share,
+# q9_product_profit, rollup_acctbal, stats_regression_lineitem,
+# text_word_entropy, topn_per_group, union_all_with_source,
+# window_dist_functions, window_range_frames.
+# That leaves 8 slots: the 3 staged r15 registrants (token_freq_cm,
+# stream_hot_keys, corpus_score_drift_psi — oracles pre-validated in
+# tests/test_r15_oracle_parity.py: CM cells sum each row exactly once
+# whatever the batch boundaries; PSI term sums are decimal-exact) +
+# ~5 chips against the 50-row r12 cohort due in full at r16. r16
+# registrants are staged ahead in tests/test_r16_oracle_parity.py
+# under the same discipline.
 #
 # STEADY-STATE POLICY (decided r13, per VERDICT r12 ask #5 — the r14+
 # windows follow this): with N registered queries, a 50-row window and
@@ -146,59 +151,61 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # zero registration cost until a slot frees). Staging depth is never
 # capped - only registration is.
 _FRONT: tuple[str, ...] = (
-    # -- (a) the 36 r9-era debt rows --
-    "ann_hybrid_rrf_topk",
-    "ann_ivf_topk",
-    "ann_pq_topk_prod",
-    "ann_quantized_topk",
-    "array_functions",
-    "corpus_quality_model_score",
-    "corpus_split_dedup_aware",
-    "embedding_correlation_block",
-    "embedding_covariance_block",
-    "embedding_covariance_drift",
-    "embedding_pca_projection_pairdist",
-    "event_interarrival",
-    "event_transitions",
-    "funnel_conversion",
-    "heatmap_dow_hour",
-    "histogram_order_totals",
-    "json_extract_props",
-    "pivot_status_by_segment",
-    "scalar_functions",
-    "stream_click_view_join",
-    "stream_dedup_events",
-    "stream_embedding_covariance_block",
-    "stream_session_append",
-    "stream_session_windows",
-    "stream_sliding_append",
-    "stream_sliding_counts",
-    "stream_stateful_totals",
-    "stream_static_enrich",
-    "stream_tumbling_append",
-    "stream_tumbling_hourly",
-    "stream_windowed_topk",
-    "string_agg_nations",
-    "text_bpe_tokens",
-    "text_fingerprint",
-    "text_langid",
-    "unpivot_revenue_measures",
-    # -- (b) the 5 r12-staged registrants --
-    "corpus_score_winsorize",
-    "corpus_score_quantile_norm",
-    "ann_matryoshka_recall",
-    "decontam_bloom_indexed",
+    # -- (a) the 37 r10-era debt rows --
+    "agg_distinct",
+    "ann_hybrid_rrf_indexed",
+    "ann_ivfpq_filtered_topk",
+    "ann_mmr_rerank_indexed",
+    "ann_mmr_rerank_topk",
+    "anomaly_cusum_changepoint",
+    "anti_join_no_orders",
+    "corpus_curriculum_order",
+    "corpus_domain_cap",
+    "corpus_mix_weights",
+    "corpus_pack_bins",
+    "corpus_prepare_pipeline",
+    "corpus_quality_filter",
+    "corpus_source_profile",
+    "corpus_split_hash",
+    "corpus_stratified_sample",
+    "decontam_ngram_overlap",
+    "dedup_cluster_components",
+    "dedup_cluster_size_histogram",
+    "dedup_containment_ngram",
+    "dedup_exact",
+    "dedup_incremental_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_paragraph_spans",
+    "dq_profile_lineitem",
+    "dq_profile_lineitem_approx",
+    "embedding_covariance_exclude",
+    "embedding_hard_negatives_indexed",
+    "embedding_knn_label_agreement_indexed",
+    "embedding_label_cohesion",
+    "percentiles_acctbal_approx",
+    "range_join_event_pairs",
+    "semi_join_open_orders",
+    "text_repetition",
+    "text_stats",
+    "text_tokenizer_fertility",
+    "text_unigram_logprob",
+    # -- (b) the r13 red cell, re-gated under a real oracle --
     "stream_bloom_dedup",
-    # -- (c) 9 chips against the r10 cohort (due in full at r14) --
-    "text_top_terms_udtf",
-    "text_pii_redact",
-    "dedup_simhash",
-    "rolling_wau_hll",
-    "dedup_exact_substrings",
-    "mm_binary_meta",
-    "mm_feature_extract",
-    "mm_frame_sample",
-    "mm_resize_images",
+    # -- (c) the 3 r13-staged registrants --
+    "distinct_tokens_hll",
+    "corpus_source_kl",
+    "corpus_source_overlap",
+    # -- (d) the new HLL-monitor stream row --
+    "stream_monitor_distinct_count",
+    # -- (e) 8 chips against the r11 cohort (due in full at r15) --
+    "ann_index_extend_probe",
+    "graph_pagerank_seeded",
+    "dq_referential_orphans",
+    "dedup_semantic_indexed",
+    "text_heavy_hitters_sketch",
+    "approx_distinct_users",
+    "rolling_wau",
+    "q1_pricing_summary",
 )
 
 

@@ -443,11 +443,25 @@ def stream_embedding_covariance_block(
 
 @register(
     "stream_bloom_dedup",
-    oracle=None,  # rows-only: emitted SET is exact DISTINCT when the
-    # source lands in one availableNow batch, but batching is not part
-    # of the source's contract, so the row check (not a value hash)
-    # gates it — like its stream_* siblings. The cross-batch
-    # suppression semantics are pinned in tests/test_streaming.py.
+    # Exact-DISTINCT oracle (r14; replaces the r13 oracle=None, whose
+    # "rows-only like its stream_* siblings" justification was wrong —
+    # the other 12 stream_* rows all carry real oracles). The emitted
+    # SET equals batch DISTINCT regardless of arrival order or
+    # micro-batch boundaries at this fixture's occupancy, and that is
+    # PROVED, not assumed: a novel payload can only be falsely dropped
+    # if every one of its k md5-slice bit positions was already set by
+    # OTHER payloads in its xxhash64 bucket, and
+    # tests/test_streaming.py::test_bloom_dedup_fixture_has_no_covering
+    # _collisions recomputes all positions at sf0.001 AND sf0.01 and
+    # asserts no such covering exists (expected covers at this
+    # occupancy: ~1e-7). Duplicate suppression never depends on order
+    # (a seen payload's own bits are always set), so the set is
+    # batching-independent and the hash gate is sound.
+    oracle="""
+        SELECT DISTINCT props AS props
+        FROM events
+        ORDER BY props
+    """,
     doc="Unbounded-horizon streaming content dedup "
         "(streaming/ops.py stateful_bloom_dedup, "
         "applyInPandasWithState): emit each distinct props payload "
@@ -473,4 +487,130 @@ def stream_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_to_batch(out, "append")
         .select("props")
         .orderBy("props")
+    )
+
+
+# monitor_distinct_count's persisted state table, amortized across
+# calls like _MOMENTS_CACHE's entries (monitor state is a persisted
+# artifact; rebuilding it per call would price the ingest, not the
+# resolution)
+_DCOUNT_STATE_CACHE: dict = {}
+
+
+@register(
+    "stream_monitor_distinct_count",
+    # Bit-exact oracle, same register-rebuild arithmetic as the batch
+    # distinct_tokens_hll row (queries/llm.py): the HLL register update
+    # is max — associative, commutative, IDEMPOTENT — so the max-merge
+    # of the per-batch state files is byte-identical to a one-batch
+    # build whatever the micro-batch boundaries (and whatever replays
+    # the marker guard let through), which is what makes this sketch
+    # monitor oracle-capable where arbitrary stateful stream rows are
+    # not. DuckDB rebuilds the same p=12 registers from the same md5
+    # slices and resolves them through the same estimator tree; the
+    # harmonic sum is IEEE-exact in any order (powers of two bounded
+    # by m), so both engines land on the identical double before the
+    # shared 4-decimal round. The exact COUNT(DISTINCT) rides along so
+    # the gate pins reproducibility AND fixture accuracy.
+    oracle="""
+        WITH h AS (
+            SELECT md5(CAST(user_id AS VARCHAR)) AS hx
+            FROM events WHERE user_id IS NOT NULL),
+        rv AS (
+            SELECT
+                CAST(list_sum(list_transform(generate_series(1, 3),
+                    i -> (strpos('0123456789abcdef', substr(hx, i, 1)) - 1)
+                         * 16 ** (3 - i))) AS INT) AS bucket,
+                CAST(list_sum(list_transform(generate_series(1, 7),
+                    i -> (strpos('0123456789abcdef', substr(hx, 3 + i, 1)) - 1)
+                         * 16 ** (7 - i))) AS BIGINT) AS v
+            FROM h),
+        reg AS (
+            SELECT bucket,
+                   MAX(CASE WHEN v = 0 THEN 29
+                            ELSE 29 - length(bin(v)) END) AS maxrank
+            FROM rv GROUP BY bucket),
+        est AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS ne,
+                   SUM(2.0 ** (-maxrank)) AS hs
+            FROM reg),
+        ex AS (
+            SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+            FROM events)
+        SELECT ROUND(CASE WHEN 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0
+                               * 4096.0 / ((4096.0 - ne) + hs)
+                               <= 2.5 * 4096.0
+                          AND 4096.0 - ne > 0
+                     THEN 4096.0 * LN(4096.0 / (4096.0 - ne))
+                     WHEN 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
+                          / ((4096.0 - ne) + hs) >= 1099511627776.0
+                     THEN NULL
+                     WHEN 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
+                          / ((4096.0 - ne) + hs) > 1099511627776.0 / 30.0
+                     THEN -1099511627776.0
+                          * LN(1.0 - 0.7213 / (1.0 + 1.079 / 4096.0)
+                               * 4096.0 * 4096.0 / ((4096.0 - ne) + hs)
+                               / 1099511627776.0)
+                     ELSE 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
+                          / ((4096.0 - ne) + hs) END, 4) AS est_distinct,
+               CAST(4096 AS BIGINT) AS m,
+               CAST(ne AS BIGINT) AS nonempty,
+               ex.exact_distinct
+        FROM est, ex
+    """,
+    doc="The streaming cardinality monitor end-to-end under a bit-exact "
+        "gate: events stream through monitor_distinct_count "
+        "(streaming/ops.py — per batch, one 2^p-bounded HLL register "
+        "file appended to the state table, marker-guarded), and "
+        "distinct_count_state max-merges the accumulated state back to "
+        "the running number of distinct users EVER seen — 'how many "
+        "unique users/URLs/documents has this stream ingested' in "
+        "constant per-batch cost and bounded state, no watermark (the "
+        "question has no time window; exact distinct-state grows with "
+        "stream cardinality and is the wrong tool at corpus scale). "
+        "Register max is idempotent, so at-least-once replay and any "
+        "micro-batch partitioning merge to the byte-identical state — "
+        "the property that makes this stream row hash-gateable. The "
+        "exact count_distinct rides along as the accuracy column.",
+)
+def stream_monitor_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandrastack_spark.streaming.ops import (
+        distinct_count_state,
+        monitor_distinct_count,
+    )
+
+    key = ("dcount", sf_dir)
+    if key not in _DCOUNT_STATE_CACHE:
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="cs_q_dcount_")
+        schema = (
+            spark.read.option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .schema
+        )
+        src = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        q = monitor_distinct_count(
+            src,
+            os.path.join(root, "state"),
+            "user_id",
+            p=12,
+            checkpoint=os.path.join(root, "ckpt"),
+        )
+        assert q.awaitTermination(600), "distinct-count ingest did not finish"
+        _DCOUNT_STATE_CACHE[key] = os.path.join(root, "state")
+    events = spark.read.option("pathGlobFilter", "events.parquet").parquet(
+        sf_dir
+    )
+    exact = events.agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    return (
+        distinct_count_state(spark, _DCOUNT_STATE_CACHE[key])
+        .crossJoin(F.broadcast(exact))
+        .select("est_distinct", "m", "nonempty", "exact_distinct")
     )

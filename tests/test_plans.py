@@ -186,6 +186,15 @@ def test_no_unjustified_bnl_join_across_catalog(spark, registry):
         # (bounded by the anchor side) building the per-query allowed
         # pair set the IVF+PQ probe pre-filters on
         "embedding_hard_negatives_indexed",
+        # broadcast 1-row corpus-token-total scalar onto the
+        # vocabulary-bounded (source, token) frame — the canonical
+        # scalar-subquery plan (r14 registrant; the registration note
+        # in tests/test_r14_oracle_parity.py prescribed this entry)
+        "corpus_source_kl",
+        # literal-bounded probe: the 20-row source list self-joined
+        # under "<" (190 pairs by construction, never corpus²) — the
+        # embedding_pca_projection_pairdist shape (r14 registrant)
+        "corpus_source_overlap",
     }
     skip = ("stream_", "mm_", "dedup_", "ann_", "text_")
     offenders = []

@@ -122,7 +122,14 @@ def quantile_normalize_by_group(
       sits on a rounding boundary). The cast bounds usable magnitudes
       at |value| < 10^26 (26 integer digits): beyond that the cast
       overflows — a runtime error under ANSI mode (Spark 4's default),
-      never a silent skew — so rescale first for astronomical units;
+      never a silent skew — so rescale first for astronomical units.
+      The SAME quantization bounds the other end (review r13): the
+      cast keeps only 12 fractional digits, so |value| < ~5e-13
+      collapses to 0 in the cell sum and small-magnitude data
+      (|value| ~ 1e-9) retains only a few significant digits in the
+      cell mean — silently, since tiny values never overflow. Rescale
+      tiny-magnitude inputs (e.g. multiply by a power of ten into the
+      ~1e-6..1e+6 band) first, exactly as for astronomical units;
     - ``tie_cols`` extends the rank window's ORDER BY with a unique
       key. Ties on ``value_col`` leave the CELL AVERAGES unchanged
       (tied rows carry equal values) but decide WHICH row lands in
@@ -195,7 +202,14 @@ def histogram_fixed(
     """Fixed-width histogram: one row per non-empty bin,
     ``(group_cols..., bin int, cnt long)``. Bin ``-1`` is underflow
     (< lo), bin ``bins`` is overflow (>= hi), interior values map to
-    ``floor((v - lo) / (hi - lo) * bins)``; NULLs are dropped.
+    ``floor((v - lo) / (hi - lo) * bins)``; NULLs and NaNs are dropped.
+    NaN must be filtered, not binned (review r13): it is non-null and
+    Spark's ordering treats NaN as greater than any double, so without
+    the filter ``v >= hi`` would shunt it into the overflow bin —
+    silently breaking the "bin == bins means v >= hi" contract the
+    overflow alarm consumers rely on. A NaN count is a data-quality
+    signal, not a tail observation; callers who need it should count
+    ``isnan`` separately.
 
     Determinism across engines: the bin expression is a fixed sequence
     of IEEE double ops — subtract, divide, multiply, floor — which any
@@ -242,7 +256,7 @@ def histogram_fixed(
         .cast("int")
     )
     return (
-        df.filter(v.isNotNull())
+        df.filter(v.isNotNull() & ~F.isnan(v))
         .select(*gcols, b.alias("bin"))
         .groupBy(*gcols, "bin")
         .agg(F.count("*").cast("long").alias("cnt"))

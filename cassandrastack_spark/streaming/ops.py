@@ -24,6 +24,7 @@ Design notes (100 TB / always-on):
 from __future__ import annotations
 
 import itertools
+import json
 import os
 import tempfile
 
@@ -1438,24 +1439,40 @@ def _stage_hot_keys_compaction(spark: SparkSession, state_path: str) -> bool:
 def _stage_additive_compaction(
     spark: SparkSession,
     state_path: str,
-    key_cols: tuple[str, ...],
     sum_col: str,
+    key_cols: tuple[str, ...] | None = None,
 ) -> bool:
     """Steps (1)-(2) of the manifested commit for ANY additive state
-    table (rows merge by summing ``sum_col`` per ``key_cols`` — the
-    Count-Min cells, the fixed-width histogram bins), split out so the
-    crash window is testable (the _compact_hll_snapshot discipline):
-    stage the sum-merge of the current snapshot into the side
-    directory and atomically rename the manifest into place. Returns
-    False when there is nothing to compact. After this returns True,
-    the commit is durable — ANY later compact entry (or
+    table (rows merge by summing ``sum_col`` per every other column —
+    the Count-Min cells, the fixed-width histogram bins), split out so
+    the crash window is testable (the _compact_hll_snapshot
+    discipline): stage the sum-merge of the current snapshot into the
+    side directory and atomically rename the manifest into place.
+    Returns False when there is nothing to compact. After this returns
+    True, the commit is durable — ANY later compact entry (or
     ``_recover_additive_compaction`` directly) finishes it exactly
-    once, however many crashes intervene. Every non-sum column must be
-    a key: additive states carry their geometry/grid as data, and
-    collapsing it would launder an incompatible-write mistake into one
-    plausible-looking table. A state path the monitor has not written
-    yet (only empty batches so far) is "nothing to compact", not an
-    error — the compactor may run at any time, like its readers.
+    once, however many crashes intervene.
+
+    The merge key is DERIVED from the state schema as every non-sum
+    column (review r13): additive states carry their geometry/grid/
+    group columns as data, and collapsing any of them would launder an
+    incompatible-write mistake — or a caller's wrong group_cols — into
+    one plausible-looking table, permanently summing counts across
+    groups. ``key_cols``, when supplied, is VALIDATED against the
+    derived set and a mismatch raises rather than merges. A state path
+    the monitor has not written yet (only empty batches so far) is
+    "nothing to compact", not an error — the compactor may run at any
+    time, like its readers.
+
+    The manifest records BOTH the snapshot file list and the staged
+    part names (JSON), so recovery can prove the merged data is in
+    place before deleting any snapshot file — the guard that makes a
+    concurrent compactor's pre-commit orphan sweep (which may race
+    away this instance's tmp dir between the stage write and the
+    manifest rename) an aborted commit instead of a permanent
+    undercount. Concurrent compactors therefore cannot lose data;
+    they can only waste each other's staging work — still schedule
+    one compactor per state path.
     """
     from pyspark.errors import AnalysisException
 
@@ -1466,10 +1483,24 @@ def _stage_additive_compaction(
     snapshot = sorted(raw.inputFiles())
     if len(snapshot) <= 1:
         return False  # nothing to compact
+    derived = tuple(c for c in raw.columns if c != sum_col)
+    if sum_col not in raw.columns:
+        raise ValueError(
+            f"additive compaction: sum column {sum_col!r} not in state "
+            f"schema {raw.columns} at {state_path}"
+        )
+    if key_cols is not None and set(key_cols) != set(derived):
+        raise ValueError(
+            "additive compaction: supplied key_cols "
+            f"{sorted(key_cols)} do not cover the state's non-sum "
+            f"columns {sorted(derived)} at {state_path} — merging on a "
+            "subset would permanently collapse counts across the "
+            "missing columns"
+        )
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     tmp_dir = state_path.rstrip("/") + ".compact.tmp"
-    kcols = list(key_cols)
+    kcols = list(derived)
     (
         spark.read.parquet(*snapshot)
         .groupBy(*kcols)
@@ -1479,18 +1510,31 @@ def _stage_additive_compaction(
         .write.mode("overwrite")
         .parquet(tmp_dir)
     )
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(tmp_dir).getFileSystem(hconf)
+    staged_names = sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(P(tmp_dir))
+        if st.getPath().getName().endswith(".parquet")
+    )
     # manifest rename is the commit point: staged merge is complete
-    manifest = jvm.org.apache.hadoop.fs.Path(
-        state_path.rstrip("/") + ".compact.manifest"
-    )
-    staging = jvm.org.apache.hadoop.fs.Path(
-        state_path.rstrip("/") + ".compact.manifest.tmp"
-    )
-    fs = manifest.getFileSystem(hconf)
+    manifest = P(state_path.rstrip("/") + ".compact.manifest")
+    staging = P(state_path.rstrip("/") + ".compact.manifest.tmp")
     out = fs.create(staging, True)
-    out.write(bytearray("\n".join(snapshot), "utf-8"))
+    out.write(bytearray(
+        json.dumps({"staged": staged_names, "snapshot": snapshot}), "utf-8"
+    ))
     out.close()
-    fs.rename(staging, manifest)
+    if not fs.rename(staging, manifest):
+        # another compactor committed first (its manifest occupies the
+        # path): our staging work is superseded, not lost — recovery
+        # will finish THEIR commit; ours aborts cleanly
+        fs.delete(staging, False)
+        raise RuntimeError(
+            f"additive compaction: manifest rename refused at "
+            f"{state_path} (concurrent compactor?) — commit aborted, "
+            "state untouched; re-run after the other compactor finishes"
+        )
     return True
 
 
@@ -1501,12 +1545,24 @@ def _recover_hot_keys_compaction(spark: SparkSession, state_path: str) -> None:
 
 def _recover_additive_compaction(spark: SparkSession, state_path: str) -> None:
     """Finish (or initially perform) a manifested compaction commit:
-    move every staged part file into the state directory, delete every
-    manifest-listed snapshot file that still exists, then drop the
-    manifest and the side directory. Idempotent — each step skips
-    work already done, so any number of crashed re-entries converge.
-    With no manifest present, only sweeps a stale side directory (a
-    pre-commit crash: nothing visible happened, so nothing to redo).
+    move every staged part file into the state directory, PROVE every
+    manifest-listed staged part is in place, only then delete the
+    manifest-listed snapshot files, then drop the manifest and the
+    side directory. Idempotent — each step skips work already done, so
+    any number of crashed re-entries converge. With no manifest
+    present, only sweeps a stale side directory (a pre-commit crash:
+    nothing visible happened, so nothing to redo).
+
+    The staged-parts proof is the concurrent-compactor guard (review
+    r13): instance B's pre-commit orphan sweep here can race away
+    instance A's tmp dir between A's stage write and A's manifest
+    rename. A's manifest then commits with its merged data gone —
+    under the old recovery (delete snapshot unconditionally) that was
+    a permanent, silent undercount. Now: any manifest-listed staged
+    part missing from BOTH the tmp dir and the state dir ABORTS the
+    commit — manifest and tmp dropped, every snapshot file kept, the
+    state stays merely uncompacted and a re-run compacts it. Deletion
+    of data is gated on proof the same data is re-stated.
     """
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
@@ -1518,6 +1574,13 @@ def _recover_additive_compaction(spark: SparkSession, state_path: str) -> None:
         if fs.exists(tmp_dir):
             fs.delete(tmp_dir, True)  # pre-commit orphan
         return
+    ins = fs.open(manifest)
+    try:
+        data = bytes(ins.readAllBytes()).decode("utf-8")
+    finally:
+        ins.close()
+    rec = json.loads(data)
+    staged, snapshot = rec["staged"], rec["snapshot"]
     # (3) move staged parts in (skip any already moved)
     if fs.exists(tmp_dir):
         for st in fs.listStatus(tmp_dir):
@@ -1527,13 +1590,26 @@ def _recover_additive_compaction(spark: SparkSession, state_path: str) -> None:
             dst = P(state_path.rstrip("/") + "/" + name)
             if not fs.exists(dst):
                 fs.rename(st.getPath(), dst)
+    # (3b) the deletion gate: every staged part must now be in the
+    # state dir, or the merged data was lost pre-commit — abort
+    missing = [
+        n for n in staged
+        if not fs.exists(P(state_path.rstrip("/") + "/" + n))
+    ]
+    if missing:
+        # back out any staged parts already moved in: with the
+        # snapshot kept, a surviving merged part would DOUBLE the
+        # counts it re-states (the abort must be all-or-nothing)
+        for n in staged:
+            dst = P(state_path.rstrip("/") + "/" + n)
+            if fs.exists(dst):
+                fs.delete(dst, False)
+        fs.delete(manifest, False)
+        if fs.exists(tmp_dir):
+            fs.delete(tmp_dir, True)
+        return  # snapshot kept: uncompacted but exact; re-run compacts
     # (4) delete exactly the manifested snapshot files
-    ins = fs.open(manifest)
-    try:
-        data = bytes(ins.readAllBytes()).decode("utf-8")
-    finally:
-        ins.close()
-    for f in data.splitlines():
+    for f in snapshot:
         if f:
             fp = P(f)
             if fs.exists(fp):
@@ -1640,12 +1716,17 @@ def compact_histogram_state(
     same manifest-recovery commit as ``compact_hot_keys_state`` (bin
     counts SUM — not idempotent — so the HLL append-then-delete
     protocol would permanently double them on a mid-commit crash; see
-    that function's protocol note). Group columns are part of the bin
-    key and must match the monitor's.
+    that function's protocol note). The merge key is DERIVED from the
+    state schema (every non-cnt column), so a caller's group_cols can
+    no longer silently collapse counts across groups (review r13: the
+    old code trusted them as the merge key — calling with the default
+    () on a grouped monitor's state was irreversible data loss guarded
+    only by a docstring sentence); when supplied, group_cols are
+    validated against the schema and a mismatch raises.
     """
     _recover_additive_compaction(spark, state_path)
     if _stage_additive_compaction(
-        spark, state_path,
-        key_cols=(*group_cols, "bin"), sum_col="cnt",
+        spark, state_path, sum_col="cnt",
+        key_cols=(*group_cols, "bin") if group_cols else None,
     ):
         _recover_additive_compaction(spark, state_path)

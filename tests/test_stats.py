@@ -183,7 +183,13 @@ from cassandrastack_spark.functions.stats import (  # noqa: E402
 
 def test_histogram_fixed_hand_computed_bins_and_edges(spark):
     df = spark.createDataFrame(
-        [(v,) for v in [-0.5, 0.0, 0.09, 0.1, 0.55, 0.99, 1.0, 2.3, None]],
+        [
+            (v,)
+            for v in [
+                -0.5, 0.0, 0.09, 0.1, 0.55, 0.99, 1.0, 2.3, None,
+                float("nan"),
+            ]
+        ],
         "score double",
     )
     got = {
@@ -191,7 +197,10 @@ def test_histogram_fixed_hand_computed_bins_and_edges(spark):
         for r in histogram_fixed(df, "score", 0.0, 1.0, 10).collect()
     }
     # -0.5 underflow; 0.0/0.09 -> bin 0; 0.1 -> bin 1 (left-closed);
-    # 0.55 -> 5; 0.99 -> 9; 1.0 and 2.3 overflow; NULL dropped
+    # 0.55 -> 5; 0.99 -> 9; 1.0 and 2.3 overflow; NULL dropped; NaN
+    # dropped too (review r13: Spark orders NaN > any double, so
+    # without the explicit filter it would silently land in overflow
+    # and break the "bin == bins means v >= hi" alarm contract)
     assert got == {-1: 1, 0: 2, 1: 1, 5: 1, 9: 1, 10: 2}
 
 

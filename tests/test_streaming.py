@@ -1302,3 +1302,223 @@ def test_monitor_histogram_validates_params_eagerly(spark, tmp_path):
         monitor_histogram(src, str(tmp_path / "st"), "score", 1.0, 1.0, 10)
     with pytest.raises(ValueError, match="bins"):
         monitor_histogram(src, str(tmp_path / "st"), "score", 0.0, 1.0, 0)
+
+
+def test_bloom_dedup_fixture_has_no_covering_collisions(spark):
+    """Soundness proof for stream_bloom_dedup's exact-DISTINCT oracle
+    (queries/streaming.py): the emitted set can differ from batch
+    DISTINCT only if some payload's k bit positions are all covered by
+    the union of OTHER payloads' bits within its bucket (then one
+    arrival order falsely drops it and another doesn't). Recompute
+    every distinct payload's bucket and positions with the OPERATOR'S
+    OWN expressions (xxhash64 % n_buckets; md5-slice positions — the
+    same columns stateful_bloom_dedup shuffles on) at both driver SFs
+    and assert no covering exists, making the oracle exact for every
+    batching and arrival order. Duplicate suppression never depends on
+    order (a seen payload's own bits are always set), so coverings are
+    the ONLY order-dependence.
+    """
+    from cassandrastack_spark.operators.sketch import _BLOOM_OFFSETS
+
+    n_buckets, m_bits, k = 64, 65536, 3
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        vals = (
+            spark.read.parquet(f"{sf}/events.parquet")
+            .select("props")
+            .filter(F.col("props").isNotNull())
+            .distinct()
+        )
+        hx = F.md5(F.col("props").cast("string"))
+        rows = vals.select(
+            F.pmod(
+                F.xxhash64(F.col("props").cast("string")), F.lit(n_buckets)
+            ).cast("int").alias("bucket"),
+            F.array(*[
+                F.conv(F.substring(hx, off, 7), 16, 10).cast("long") % m_bits
+                for off in _BLOOM_OFFSETS[:k]
+            ]).alias("pos"),
+        ).collect()
+        by_bucket: dict[int, list[set[int]]] = {}
+        for r in rows:
+            by_bucket.setdefault(r.bucket, []).append(set(r.pos))
+        assert sum(len(v) for v in by_bucket.values()) == len(rows)
+        for bucket, sets in by_bucket.items():
+            for i, bits in enumerate(sets):
+                others = set().union(
+                    *(s for j, s in enumerate(sets) if j != i)
+                ) if len(sets) > 1 else set()
+                assert not bits <= others, (
+                    f"{sf}: payload bits {sorted(bits)} in bucket "
+                    f"{bucket} are covered by other payloads — the "
+                    "exact-DISTINCT oracle would be order-dependent; "
+                    "re-gate stream_bloom_dedup rows-only or resize"
+                )
+
+
+def test_additive_compaction_aborts_when_staged_parts_lost(spark, tmp_path):
+    """Review r13 (concurrent compactors): instance B's pre-commit
+    orphan sweep can race away instance A's staged tmp dir between A's
+    stage write and manifest rename — A's manifest then commits with
+    its merged data gone. Recovery must treat that as an ABORT (keep
+    every snapshot file, drop manifest+tmp, answers exact, state
+    merely uncompacted), never delete snapshot files whose merged
+    restatement it cannot prove present. Also pins the abort's
+    all-or-nothing back-out: a staged part already moved into the
+    state dir is removed on abort (keeping it beside the snapshot
+    would double the counts it re-states).
+    """
+    import shutil
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from cassandrastack_spark.functions.stats import histogram_fixed
+    from cassandrastack_spark.streaming.ops import (
+        _stage_additive_compaction,
+        compact_histogram_state,
+        histogram_state,
+        monitor_histogram,
+    )
+
+    schema = StructType([
+        StructField("ev_id", LongType()),
+        StructField("src", StringType()),
+        StructField("score", DoubleType()),
+    ])
+    d = tmp_path / "hin"
+    d.mkdir()
+    rows = [(i, f"s{i % 2}", ((i * 13) % 50) / 50.0) for i in range(200)]
+
+    def write(name, chunk):
+        pdf = pd.DataFrame(chunk, columns=["ev_id", "src", "score"])
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False), str(d / name)
+        )
+
+    state = str(tmp_path / "hstate")
+
+    def run():
+        src = spark.readStream.schema(schema).parquet(str(d))
+        q = monitor_histogram(
+            src, state, "score", 0.0, 1.0, 8, group_cols=("src",),
+            checkpoint=str(tmp_path / "hckpt"),
+        )
+        q.awaitTermination(120)
+
+    write("b1.parquet", rows[:90])
+    run()
+    write("b2.parquet", rows[90:])
+    run()
+
+    batch = spark.createDataFrame(rows, schema)
+    want = sorted(
+        (r.src, r.bin, r.cnt)
+        for r in histogram_fixed(
+            batch, "score", 0.0, 1.0, 8, group_cols=("src",)
+        ).collect()
+    )
+
+    def got():
+        return sorted(
+            (r.src, r.bin, r.cnt)
+            for r in histogram_state(spark, state, ("src",)).collect()
+        )
+
+    assert got() == want
+    assert len(spark.read.parquet(state).inputFiles()) == 2
+
+    # stage + manifest commit, then lose the staged merge (the race)
+    assert _stage_additive_compaction(spark, state, sum_col="cnt")
+    shutil.rmtree(state + ".compact.tmp")
+    compact_histogram_state(spark, state, ("src",))
+    # aborted: snapshot intact, answers exact, manifest gone...
+    assert got() == want
+    assert not (tmp_path / "hstate.compact.manifest").exists()
+    # ...and a clean re-run compacts normally
+    compact_histogram_state(spark, state, ("src",))
+    assert got() == want
+    assert len(spark.read.parquet(state).inputFiles()) == 1
+
+    # abort back-out: stage again is impossible on 1 file; append a
+    # second file by re-running the monitor on a new batch, then stage,
+    # move ONE staged part in by hand, lose the rest — abort must
+    # remove the moved part too
+    write("b3.parquet", [(10_000 + i, "s0", 0.99) for i in range(10)])
+    run()
+    want3 = sorted(
+        (r.src, r.bin, r.cnt)
+        for r in histogram_fixed(
+            spark.createDataFrame(
+                rows + [(10_000 + i, "s0", 0.99) for i in range(10)], schema
+            ),
+            "score", 0.0, 1.0, 8, group_cols=("src",),
+        ).collect()
+    )
+    assert got() == want3
+    assert _stage_additive_compaction(spark, state, sum_col="cnt")
+    import json as _json
+    import os as _os
+
+    manifest_path = state + ".compact.manifest"
+    rec = _json.loads(open(manifest_path).read())
+    tmp = state + ".compact.tmp"
+    moved = rec["staged"][0]
+    _os.rename(_os.path.join(tmp, moved), _os.path.join(state, moved))
+    # fake a second staged part the sweep "lost" so the proof fails
+    rec["staged"].append("part-lost-by-race.parquet")
+    open(manifest_path, "w").write(_json.dumps(rec))
+    # drop Hadoop LocalFileSystem's checksum sidecar — the manifest was
+    # rewritten behind its back and a stale .crc would fail the read
+    crc = tmp_path / ".hstate.compact.manifest.crc"
+    if crc.exists():
+        crc.unlink()
+    shutil.rmtree(tmp)
+    compact_histogram_state(spark, state, ("src",))
+    assert got() == want3  # moved part backed out; snapshot intact
+
+
+def test_additive_compaction_derives_merge_key_from_schema(spark, tmp_path):
+    """Review r13: compact_histogram_state used to trust caller
+    group_cols as the merge key — the default () on a grouped
+    monitor's state silently collapsed counts across groups,
+    irreversibly. Now the key is derived from the state schema; a
+    supplied key set that doesn't cover the non-sum columns raises."""
+    from cassandrastack_spark.functions.stats import histogram_fixed
+    from cassandrastack_spark.streaming.ops import (
+        _stage_additive_compaction,
+        compact_histogram_state,
+        histogram_state,
+    )
+
+    rows = [(f"s{i % 3}", ((i * 7) % 20) / 20.0) for i in range(120)]
+    batch = spark.createDataFrame(rows, "src string, score double")
+    h = histogram_fixed(batch, "score", 0.0, 1.0, 5, group_cols=("src",))
+    state = str(tmp_path / "hs")
+    # two appended "batch" files, like the monitor writes
+    h.coalesce(1).write.mode("append").parquet(state)
+    h.coalesce(1).write.mode("append").parquet(state)
+    want = sorted(
+        (r.src, r.bin, 2 * r.cnt) for r in h.collect()
+    )
+    # the old bug: compacting a GROUPED state with the default () —
+    # must now preserve groups (key derived from schema), not collapse
+    compact_histogram_state(spark, state)
+    got = sorted(
+        (r.src, r.bin, r.cnt)
+        for r in histogram_state(spark, state, ("src",)).collect()
+    )
+    assert got == want
+    # a key set that misses a schema column refuses loudly
+    h.coalesce(1).write.mode("append").parquet(state)
+    with pytest.raises(ValueError, match="do not cover"):
+        _stage_additive_compaction(
+            spark, state, sum_col="cnt", key_cols=("bin",)
+        )
+    # and a wrong sum column refuses too
+    with pytest.raises(ValueError, match="not in state schema"):
+        _stage_additive_compaction(spark, state, sum_col="nope")

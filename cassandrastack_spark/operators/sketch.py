@@ -791,3 +791,147 @@ def cm_estimate(
         )
         .drop("_item", "_est")
     )
+
+
+def bottomk_sample_build(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    k: int = 1024,
+    group_cols: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """Build a deterministic bottom-k sample over ``value_col`` — the
+    mergeable QUANTILE summary completing the monitor toolbox: MG
+    answers "which keys are hot", Bloom "have I seen this key", HLL
+    "how many distinct keys", CM "about how often this key", and this
+    one "what does the VALUE DISTRIBUTION look like" (medians, p95s,
+    score spread) in bounded state. Spark's ``approx_percentile`` can't
+    fill that role for persisted monitors: its internal summary state
+    is neither persistable as data nor mergeable across separately
+    materialized batches — this sample is both.
+
+    The sample is the classic bottom-k / coordinated sample (Cohen &
+    Kaplan 2007; the mergeable-summaries family of Agarwal et al.
+    2012): keep the ``k`` rows whose ``md5(key_col)`` hashes are
+    SMALLEST per group. Because membership is a pure function of the
+    key hash — no RNG, no insertion order — the sample is
+    deterministic, identical across engines/partitionings/replays, and
+    min-k-MERGEABLE AND IDEMPOTENT: bottomk(A ∪ B) ==
+    bottomk(bottomk(A) ∪ bottomk(B)), and re-merging the same batch
+    changes nothing (duplicates dedup on the hash). That idempotence
+    is the HLL-register property, so the same at-least-once streaming
+    discipline (and the same append-then-delete compaction) applies —
+    see ``streaming/ops.py monitor_value_sample``. A uniform k-row
+    sample estimates any quantile with standard error ~sqrt(p(1-p)/k)
+    in rank space (~1.6% at k=1024, p=0.5).
+
+    Returns a self-describing frame ``(group_cols..., h string,
+    v double, k int)``. ``key_col`` must be row-unique (doc_id,
+    event_id): the hash ranks ROWS, and duplicate keys would make
+    "which row" ambiguous; ties on (h, v) are identical content, so
+    the deterministic (h, v) order never diverges. NULL keys or
+    values are dropped (a NULL contributes to no quantile).
+
+    Spark shape at 100 TB: one narrow (group, h, v) projection + one
+    per-group rank window — the same single-shuffle rank pass as
+    ``winsorize_by_group``; the PERSISTED artifact is k rows per
+    group forever, and incremental maintenance is merge-only (never
+    re-scan history). Built per batch in the streaming monitor, the
+    window sorts one micro-batch at a time.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    gcols = list(group_cols)
+    h = F.md5(F.col(key_col).cast("string"))
+    w = Window.partitionBy(*gcols).orderBy("h", "v")
+    return (
+        df.filter(F.col(key_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(
+            *gcols,
+            h.alias("h"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+        .withColumn("k", F.lit(int(k)))
+    )
+
+
+def bottomk_sample_merge(
+    a: DataFrame,
+    b: DataFrame,
+    group_cols: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """Merge two bottom-k samples built with the SAME ``k``: union,
+    dedup on (group, h, v) — which is what makes the merge IDEMPOTENT,
+    a replayed batch's rows collapse onto themselves — and re-take the
+    k smallest hashes per group. Equals ``bottomk_sample_build`` over
+    the concatenated inputs (min-k associativity), so per-batch /
+    per-shard / per-day samples fold into the exact whole-corpus
+    sample without ever re-scanning history. Mixed ``k`` within one
+    merge fails LOUD in-plan (the hll_merge contract): two samples
+    with different k are different sketches, and silently keeping
+    min(k) would quietly change the accuracy every consumer sized for.
+    """
+    gcols = list(group_cols)
+    u = a.unionByName(b)
+    guarded = u.withColumn(
+        "k",
+        F.when(
+            F.assert_true(
+                F.size(F.collect_set("k").over(Window.partitionBy(*gcols)))
+                <= 1,
+                "bottomk_sample_merge: mixed k within one group — these "
+                "are different sketches; rebuild one side",
+            ).isNull(),
+            F.col("k"),
+        ),
+    )
+    w = Window.partitionBy(*gcols).orderBy("h", "v")
+    return (
+        guarded.dropDuplicates([*gcols, "h", "v"])
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("k"))
+        .drop("_rn")
+    )
+
+
+def bottomk_sample_quantiles(
+    sample: DataFrame,
+    probs: tuple[float, ...] | list[float],
+    group_cols: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """Resolve a bottom-k sample to quantile estimates: one row per
+    (group, p) with ``q`` = the type-1 (order-statistic) sample
+    quantile — the value at rank ``max(1, ceil(p * n))`` of the
+    sample's values sorted ascending. No interpolation, deliberately:
+    the estimate is an ELEMENT of the sample, so both engines pick the
+    IDENTICAL double and the cross-engine oracle is bit-exact (an
+    interpolated quantile is arithmetic on two doubles and would be
+    too — but element selection also survives any future widening of
+    the value type unchanged). ``n`` is the sample size, so estimates
+    inherit the sample's rank error (~1.04 * sqrt(p(1-p)/k)); an empty
+    group simply emits no rows.
+    """
+    ps = sorted(set(float(p) for p in probs))
+    if not ps or not all(0.0 < p <= 1.0 for p in ps):
+        raise ValueError(f"probs must be in (0, 1], got {probs}")
+    gcols = list(group_cols)
+    w = Window.partitionBy(*gcols).orderBy("v", "h")
+    ranked = (
+        sample.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(Window.partitionBy(*gcols)))
+    )
+    pf = F.array(*[F.lit(p) for p in ps])
+    return (
+        ranked.select(
+            *gcols, "v", "_rn", "_n", F.explode(pf).alias("p")
+        )
+        .filter(
+            F.col("_rn")
+            == F.greatest(F.lit(1), F.ceil(F.col("p") * F.col("_n")))
+        )
+        .select(*gcols, "p", F.col("v").alias("q"))
+        .orderBy(*gcols, "p")
+    )

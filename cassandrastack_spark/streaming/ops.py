@@ -1730,3 +1730,149 @@ def compact_histogram_state(
         key_cols=(*group_cols, "bin") if group_cols else None,
     ):
         _recover_additive_compaction(spark, state_path)
+
+
+def monitor_value_sample(
+    stream: DataFrame,
+    state_path: str,
+    value_col: str,
+    key_col: str,
+    k: int = 1024,
+    group_cols: tuple[str, ...] = (),
+    checkpoint: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming quantile accumulator: every micro-batch reduces to its
+    deterministic bottom-k sample (``operators.sketch.
+    bottomk_sample_build``, at most ``k`` rows per group) appended to
+    ``state_path``; ``value_sample_state`` min-k-merges the
+    accumulated samples into THE sample of everything ever ingested,
+    and ``bottomk_sample_quantiles`` resolves it to running medians /
+    p95s / score spread — the live "what does the value distribution
+    look like" monitor in bounded state over an unbounded horizon,
+    the quantile sibling of ``monitor_distinct_count``.
+    ``approx_percentile`` cannot be this monitor: its summary state is
+    not persistable as data nor mergeable across separately
+    materialized batches; the bottom-k sample is both.
+
+    Replay discipline: marker-guarded like the HLL monitor, and like
+    HLL it needs less — sample membership is a pure function of
+    ``md5(key_col)``, so a batch appended twice merges to the
+    byte-identical sample (the dedup in the merge collapses it);
+    at-least-once delivery is semantically invisible. Same property,
+    same compactor protocol: ``compact_value_sample_state`` uses the
+    append-then-delete-snapshot commit (see
+    ``compact_distinct_count_state`` for why NOT an overwrite), safe
+    against a concurrently appending monitor because
+    bottomk(bottomk(A) ∪ B) == bottomk(A ∪ B).
+
+    Cost per batch: one narrow (group, h, v) projection + one
+    per-group rank window over THAT BATCH ONLY + a ≤ k-rows-per-group
+    file. ``k`` rides every row and partitions the state files, so a
+    mismatched re-point of the monitor fails loudly in the reader
+    rather than merging incompatible samples.
+    """
+    from cassandrastack_spark.operators.sketch import bottomk_sample_build
+
+    return _marker_guarded_sketch_monitor(
+        stream, state_path, key_col,
+        lambda b: bottomk_sample_build(
+            b, value_col, key_col, k=k, group_cols=group_cols
+        ),
+        ckpt_prefix="cs_bks_ckpt_",
+        checkpoint=checkpoint,
+        trigger_available_now=trigger_available_now,
+        partition_by=("k",),
+    )
+
+
+def value_sample_state(
+    spark: SparkSession,
+    state_path: str,
+    group_cols: tuple[str, ...] = (),
+    group_schema: str | None = None,
+) -> DataFrame:
+    """The running bottom-k sample from a ``monitor_value_sample``
+    state table: dedup the appended per-batch samples on
+    (group, h, v) — replays collapse for free — and re-take the k
+    smallest hashes per group; equals ``bottomk_sample_build`` over
+    the union of every batch ever ingested (tested). Feed the result
+    to ``bottomk_sample_quantiles``. A monitor that has only seen
+    empty batches reads as an EMPTY frame (a sample with no rows has
+    no quantiles), so a polling scheduler never wedges; mixed ``k``
+    in one state directory means two incompatible monitors were
+    pointed at the same path — refuse loudly rather than merge
+    samples sized for different accuracies. The empty frame types
+    group columns as ``string`` unless ``group_schema`` supplies the
+    real DDL (the ``histogram_state`` contract).
+    """
+    from pyspark.errors import AnalysisException
+
+    gcols = list(group_cols)
+    try:
+        raw = spark.read.parquet(state_path)
+    except AnalysisException:
+        gddl = group_schema or ", ".join(f"{g} string" for g in gcols)
+        ddl = (gddl + ", " if gcols else "") + "h string, v double, k int"
+        return spark.createDataFrame([], ddl)
+    ks = [r.k for r in raw.select("k").distinct().collect()]
+    if len(ks) > 1:
+        raise ValueError(
+            f"value_sample_state: state at {state_path} mixes sample "
+            f"sizes k={sorted(ks)} — two different monitors were "
+            "written to one path; rebuild the state"
+        )
+    w = Window.partitionBy(*gcols).orderBy("h", "v")
+    return (
+        raw.dropDuplicates([*gcols, "h", "v"])
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("k"))
+        .drop("_rn")
+    )
+
+
+def compact_value_sample_state(
+    spark: SparkSession,
+    state_path: str,
+    group_cols: tuple[str, ...] = (),
+) -> None:
+    """Maintenance for a ``monitor_value_sample`` state table: the
+    monitor appends ≤ k rows per group per non-empty batch; rewrite
+    the state as the merged ≤ k-rows-per-group sample. Same
+    append-then-delete-snapshot commit as
+    ``compact_distinct_count_state``, and safe for the same reason:
+    the merge is idempotent (hash-dedup) and min-k is associative, so
+    a concurrent append survives outside the snapshot, every read
+    interleaving min-k-merges to the same sample, and a crash between
+    append and delete leaves a correct, merely-uncompacted table.
+    (The additive manifest protocol is NOT needed here — that exists
+    for sum-merged states, where old + merged double-counts.)
+    """
+    from pyspark.errors import AnalysisException
+
+    gcols = list(group_cols)
+    try:
+        raw = spark.read.parquet(state_path)
+    except AnalysisException:
+        return
+    snapshot = sorted(raw.inputFiles())
+    if len(snapshot) <= 1:
+        return  # nothing to compact
+    w = Window.partitionBy(*gcols).orderBy("h", "v")
+    merged = (
+        spark.read.option("basePath", state_path).parquet(*snapshot)
+        .dropDuplicates([*gcols, "h", "v"])
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("k"))
+        .drop("_rn")
+        .select(*gcols, "h", "v", "k")
+        .localCheckpoint(eager=True)  # materialize BEFORE any delete
+    )
+    merged.coalesce(1).write.mode("append").partitionBy("k").parquet(
+        state_path
+    )
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for f in snapshot:
+        fpath = jvm.org.apache.hadoop.fs.Path(f)
+        fpath.getFileSystem(hconf).delete(fpath, False)

@@ -656,3 +656,146 @@ def test_cm_estimate_rejects_mixed_geometry_union(spark, skewed):
     )
     with pytest.raises(SparkRuntimeException, match="mixed sketch"):
         cm_estimate(mixed, skewed.select("key").distinct(), "key").collect()
+
+
+# ---------------------------------------------------------------------------
+# bottom-k sample (deterministic mergeable quantile summary)
+
+
+@pytest.fixture(scope="module")
+def bk_rows(spark):
+    # two groups, distinct value shapes: g0 uniform over 0..99, g1
+    # skewed quadratic — 2000 row-unique keys
+    rows = [(i, "g0", float((i * 37) % 100)) for i in range(1000)] + [
+        (1000 + i, "g1", float(((i * i) % 100))) for i in range(1000)
+    ]
+    return spark.createDataFrame(rows, "id long, g string, val double")
+
+
+def test_bottomk_sample_merge_equals_whole_build(spark, bk_rows):
+    from cassandrastack_spark.operators.sketch import (
+        bottomk_sample_build,
+        bottomk_sample_merge,
+    )
+
+    whole = bottomk_sample_build(bk_rows, "val", "id", k=128, group_cols=["g"])
+    a = bottomk_sample_build(
+        bk_rows.filter("id % 3 != 0"), "val", "id", k=128, group_cols=["g"]
+    )
+    b = bottomk_sample_build(
+        bk_rows.filter("id % 3 = 0"), "val", "id", k=128, group_cols=["g"]
+    )
+    merged = bottomk_sample_merge(a, b, group_cols=["g"])
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_bottomk_sample_merge_is_idempotent(spark, bk_rows):
+    # the replay property the streaming monitor's marker thrift rests
+    # on: a batch merged twice changes nothing
+    from cassandrastack_spark.operators.sketch import (
+        bottomk_sample_build,
+        bottomk_sample_merge,
+    )
+
+    a = bottomk_sample_build(bk_rows, "val", "id", k=64, group_cols=["g"])
+    again = bottomk_sample_merge(a, a, group_cols=["g"])
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, a.collect())
+    )
+
+
+def test_bottomk_sample_deterministic_across_partitionings(spark, bk_rows):
+    from cassandrastack_spark.operators.sketch import bottomk_sample_build
+
+    one = bottomk_sample_build(
+        bk_rows.repartition(1), "val", "id", k=128, group_cols=["g"]
+    )
+    many = bottomk_sample_build(
+        bk_rows.repartition(17, "val"), "val", "id", k=128, group_cols=["g"]
+    )
+    assert sorted(map(tuple, one.collect())) == sorted(
+        map(tuple, many.collect())
+    )
+
+
+def test_bottomk_sample_quantiles_within_rank_error(spark, bk_rows):
+    import math
+
+    from cassandrastack_spark.operators.sketch import (
+        bottomk_sample_build,
+        bottomk_sample_quantiles,
+    )
+
+    k = 256
+    s = bottomk_sample_build(bk_rows, "val", "id", k=k, group_cols=["g"])
+    got = {
+        (r.g, r.p): r.q
+        for r in bottomk_sample_quantiles(
+            s, (0.25, 0.5, 0.9), group_cols=["g"]
+        ).collect()
+    }
+    vals = {"g0": [], "g1": []}
+    for r in bk_rows.collect():
+        vals[r.g].append(r.val)
+    for g, vs in vals.items():
+        vs.sort()
+        n = len(vs)
+        for p in (0.25, 0.5, 0.9):
+            exact = vs[max(1, math.ceil(p * n)) - 1]
+            # rank-space error ~sqrt(p(1-p)/k); 4 sigma in value space
+            # via the local density of these ~uniform-ish fixtures
+            sigma_rank = math.sqrt(p * (1 - p) / k)
+            tol_idx = int(4 * sigma_rank * n) + 1
+            lo = vs[max(0, max(1, math.ceil(p * n)) - 1 - tol_idx)]
+            hi = vs[min(n - 1, max(1, math.ceil(p * n)) - 1 + tol_idx)]
+            assert lo <= got[(g, p)] <= hi, (g, p, got[(g, p)], exact)
+
+
+def test_bottomk_sample_small_input_is_exact(spark):
+    # n <= k: the "sample" is the whole data, quantiles are exact
+    from cassandrastack_spark.operators.sketch import (
+        bottomk_sample_build,
+        bottomk_sample_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([5, 1, 9, 3, 7])],
+        "id long, val double",
+    )
+    s = bottomk_sample_build(df, "val", "id", k=100)
+    assert s.count() == 5
+    got = {
+        r.p: r.q
+        for r in bottomk_sample_quantiles(s, (0.2, 0.5, 1.0)).collect()
+    }
+    assert got == {0.2: 1.0, 0.5: 5.0, 1.0: 9.0}
+
+
+def test_bottomk_sample_drops_nulls_and_validates(spark, bk_rows):
+    from cassandrastack_spark.operators.sketch import (
+        bottomk_sample_build,
+        bottomk_sample_merge,
+        bottomk_sample_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (None, 2.0), (3, None), (4, 4.0)],
+        "id long, val double",
+    )
+    s = bottomk_sample_build(df, "val", "id", k=10)
+    assert sorted(r.v for r in s.collect()) == [1.0, 4.0]
+    with pytest.raises(ValueError, match="k must be"):
+        bottomk_sample_build(df, "val", "id", k=0)
+    with pytest.raises(ValueError, match="probs"):
+        bottomk_sample_quantiles(s, (0.0,))
+    with pytest.raises(ValueError, match="probs"):
+        bottomk_sample_quantiles(s, ())
+    # mixed k within one merge refuses loudly, in-plan
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    a = bottomk_sample_build(bk_rows, "val", "id", k=32, group_cols=["g"])
+    b = bottomk_sample_build(bk_rows, "val", "id", k=64, group_cols=["g"])
+    with pytest.raises(SparkRuntimeException, match="mixed k"):
+        bottomk_sample_merge(a, b, group_cols=["g"]).collect()

@@ -1522,3 +1522,129 @@ def test_additive_compaction_derives_merge_key_from_schema(spark, tmp_path):
     # and a wrong sum column refuses too
     with pytest.raises(ValueError, match="not in state schema"):
         _stage_additive_compaction(spark, state, sum_col="nope")
+
+
+def test_monitor_value_sample_matches_batch_sample(spark, tmp_path):
+    """monitor_value_sample: the merged streaming state must equal
+    bottomk_sample_build over the union of all ingested rows
+    (streaming == batch); a re-run appends nothing; a manually
+    replayed sample file changes NOTHING — the hash-dedup merge is
+    idempotent; compaction shrinks files without moving any quantile;
+    mixed sample sizes in one path refuse loudly; a never-written
+    state reads as an empty frame."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from cassandrastack_spark.operators.sketch import (
+        bottomk_sample_build,
+        bottomk_sample_quantiles,
+    )
+    from cassandrastack_spark.streaming.ops import (
+        compact_value_sample_state,
+        monitor_value_sample,
+        value_sample_state,
+    )
+
+    schema = StructType([
+        StructField("ev_id", LongType()),
+        StructField("src", StringType()),
+        StructField("score", DoubleType()),
+    ])
+    d = tmp_path / "bks_in"
+    d.mkdir()
+    rows = [(i, f"s{i % 2}", float((i * 31) % 97)) for i in range(400)]
+
+    def write(name, chunk):
+        pdf = pd.DataFrame(chunk, columns=["ev_id", "src", "score"])
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False), str(d / name)
+        )
+
+    state = str(tmp_path / "bks_state")
+
+    def run():
+        src = spark.readStream.schema(schema).parquet(str(d))
+        q = monitor_value_sample(
+            src, state, "score", "ev_id", k=64, group_cols=("src",),
+            checkpoint=str(tmp_path / "bks_ckpt"),
+        )
+        q.awaitTermination(120)
+
+    write("b1.parquet", rows[:250])
+    run()
+    write("b2.parquet", rows[250:])
+    run()
+
+    batch = spark.createDataFrame(rows, schema)
+    want = sorted(
+        map(
+            tuple,
+            bottomk_sample_build(
+                batch, "score", "ev_id", k=64, group_cols=["src"]
+            ).collect(),
+        )
+    )
+
+    def got():
+        return sorted(
+            map(tuple, value_sample_state(spark, state, ("src",)).collect())
+        )
+
+    assert got() == want
+
+    # idempotent re-run: no new files
+    n_rows = spark.read.parquet(state).count()
+    run()
+    assert spark.read.parquet(state).count() == n_rows
+
+    # replayed state rows collapse (hash-dedup merge)
+    spark.read.parquet(state).limit(7).write.mode("append").partitionBy(
+        "k"
+    ).parquet(state)
+    assert got() == want
+
+    # compaction shrinks the file count without moving any quantile
+    q_before = sorted(
+        map(
+            tuple,
+            bottomk_sample_quantiles(
+                value_sample_state(spark, state, ("src",)),
+                (0.25, 0.5, 0.95),
+                group_cols=["src"],
+            ).collect(),
+        )
+    )
+    import glob as _glob
+
+    files_before = len(_glob.glob(f"{state}/k=64/*.parquet"))
+    compact_value_sample_state(spark, state, ("src",))
+    assert len(_glob.glob(f"{state}/k=64/*.parquet")) < files_before
+    assert got() == want
+    q_after = sorted(
+        map(
+            tuple,
+            bottomk_sample_quantiles(
+                value_sample_state(spark, state, ("src",)),
+                (0.25, 0.5, 0.95),
+                group_cols=["src"],
+            ).collect(),
+        )
+    )
+    assert q_after == q_before
+
+    # never-written state: empty frame with the contract schema
+    young = value_sample_state(spark, str(tmp_path / "bks_nowhere"), ("src",))
+    assert young.count() == 0
+    assert [f.name for f in young.schema.fields] == ["src", "h", "v", "k"]
+
+    # mixed k refuses loudly
+    bottomk_sample_build(
+        batch, "score", "ev_id", k=32, group_cols=["src"]
+    ).coalesce(1).write.mode("append").partitionBy("k").parquet(state)
+    with pytest.raises(ValueError, match="mixes sample sizes"):
+        value_sample_state(spark, state, ("src",))

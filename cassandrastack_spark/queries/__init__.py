@@ -136,7 +136,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # windows follow this): with N registered queries, a 50-row window and
 # the 4-round age limit, maintenance is ceil(N/4) rows per round, so
 # the novelty budget is 50 - ceil(N/4) new registrations per round
-# (~3-4 at N=187). We keep the registry intact rather than retiring
+# (~2-3 at N=191). We keep the registry intact rather than retiring
 # rows: every row maps to a distinct operator surface the judge's
 # coverage table cites, and raw/indexed twins are NOT redundant — the
 # indexed twin gates persistence/merge/staleness semantics its raw

@@ -100,6 +100,9 @@ DEFAULT_QUERIES = [
     "corpus_score_quantile_norm",  # grid-cell ref bcast, rank windows
     "ann_matryoshka_recall",       # exact top-k legs, bounded queries
     "decontam_bloom_indexed",      # merged persisted bitmap probe
+    "distinct_tokens_hll",         # m-bounded register partial_max
+    "corpus_source_kl",            # vocab-bounded counts, scalar bcast
+    "corpus_source_overlap",       # register max-merge pair unions
 ]
 
 RED_FLAGS = ("BroadcastNestedLoopJoin", "CartesianProduct")
@@ -219,6 +222,14 @@ DOCUMENTED_BNL = {
     "corpus_curriculum_order": "1-row token-quartile scalar broadcast "
                                "(the outliers_iqr shape); stage "
                                "assignment is a narrow map",
+    "corpus_source_kl": "1-row corpus-token-total scalar broadcast "
+                        "onto the vocabulary-bounded (source, token) "
+                        "frame (the canonical scalar-subquery plan)",
+    "corpus_source_overlap": "literal-bounded 20-row source list "
+                             "self-joined under '<' (190 pairs by "
+                             "construction — the pca_pairdist shape); "
+                             "register unions and the exact gate leg "
+                             "are equi-joins",
 }
 
 

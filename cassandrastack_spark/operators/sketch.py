@@ -829,8 +829,14 @@ def bottomk_sample_build(
     v double, k int)``. ``key_col`` must be row-unique (doc_id,
     event_id): the hash ranks ROWS, and duplicate keys would make
     "which row" ambiguous; ties on (h, v) are identical content, so
-    the deterministic (h, v) order never diverges. NULL keys or
-    values are dropped (a NULL contributes to no quantile).
+    the deterministic (h, v) order never diverges. NULL keys/values
+    AND NaN values are dropped — NaN must be filtered, not sampled
+    (the ``histogram_fixed`` rule): membership is hash-only, so one
+    NaN row whose hash lands in the bottom k would sit in the
+    persisted sample forever, and Spark's ordering puts NaN above
+    every double, poisoning every high quantile the monitor reports
+    from then on. A NaN count is a data-quality signal — count
+    ``isnan`` separately.
 
     Spark shape at 100 TB: one narrow (group, h, v) projection + one
     per-group rank window — the same single-shuffle rank pass as
@@ -843,18 +849,41 @@ def bottomk_sample_build(
         raise ValueError(f"k must be >= 1, got {k}")
     gcols = list(group_cols)
     h = F.md5(F.col(key_col).cast("string"))
-    w = Window.partitionBy(*gcols).orderBy("h", "v")
-    return (
-        df.filter(F.col(key_col).isNotNull() & F.col(value_col).isNotNull())
+    return bottomk_retake(
+        df.filter(
+            F.col(key_col).isNotNull()
+            & F.col(value_col).isNotNull()
+            & ~F.isnan(F.col(value_col).cast("double"))
+        )
         .select(
             *gcols,
             h.alias("h"),
             F.col(value_col).cast("double").alias("v"),
         )
+        .withColumn("k", F.lit(int(k))),
+        gcols,
+    )
+
+
+def bottomk_retake(
+    sample: DataFrame, group_cols: tuple[str, ...] | list[str] = ()
+) -> DataFrame:
+    """The one min-k reduction every bottom-k consumer shares: dedup on
+    (group, h, v) — which is what makes re-merging IDEMPOTENT, a
+    replayed batch's rows collapse onto themselves — and keep the
+    ``k`` smallest (h, v) per group, ``k`` read from the rows
+    themselves. Used by the builder (where the dedup is a no-op on
+    row-unique keys), the merge, the streaming state reader, and the
+    state compactor, so the retake semantics — and any future guard —
+    live in exactly one place.
+    """
+    gcols = list(group_cols)
+    w = Window.partitionBy(*gcols).orderBy("h", "v")
+    return (
+        sample.dropDuplicates([*gcols, "h", "v"])
         .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
+        .filter(F.col("_rn") <= F.col("k"))
         .drop("_rn")
-        .withColumn("k", F.lit(int(k)))
     )
 
 
@@ -888,13 +917,7 @@ def bottomk_sample_merge(
             F.col("k"),
         ),
     )
-    w = Window.partitionBy(*gcols).orderBy("h", "v")
-    return (
-        guarded.dropDuplicates([*gcols, "h", "v"])
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= F.col("k"))
-        .drop("_rn")
-    )
+    return bottomk_retake(guarded, gcols)
 
 
 def bottomk_sample_quantiles(

@@ -46,6 +46,36 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
     return deco
 
 
+def hll_estimator_sql(ne: str, hs: str) -> str:
+    """The portable-SQL HyperLogLog estimator CASE, shared by every
+    HLL-gated oracle (distinct_tokens_hll, corpus_source_overlap's
+    per-source and per-pair estimates, stream_monitor_distinct_count)
+    so the estimator arithmetic — which must stay in lockstep with
+    ``operators/sketch.py hll_estimate`` — lives in ONE place instead
+    of four hand-synchronized copies (review r14). ``ne``/``hs`` are
+    SQL expressions for the nonempty-bucket count (DOUBLE) and the
+    harmonic sum over register rows; p is fixed at 12 (m = 4096, hash
+    space 2^(p+28) = 1099511627776), matching every registered build.
+    The branch structure mirrors hll_estimate verbatim: linear
+    counting when raw <= 2.5m with empty buckets, NULL past the hash
+    space, the large-range collision correction above space/30, else
+    the raw alpha*m^2/harm estimate.
+    """
+    raw = (
+        f"0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0"
+        f" / ((4096.0 - {ne}) + {hs})"
+    )
+    space = "1099511627776.0"
+    return (
+        f"CASE WHEN {raw} <= 2.5 * 4096.0 AND 4096.0 - {ne} > 0"
+        f" THEN 4096.0 * LN(4096.0 / (4096.0 - {ne}))"
+        f" WHEN {raw} >= {space} THEN NULL"
+        f" WHEN {raw} > {space} / 30.0"
+        f" THEN -{space} * LN(1.0 - {raw} / {space})"
+        f" ELSE {raw} END"
+    )
+
+
 # Registry presentation order. The driver verifies the FIRST 50 entries
 # of the registry each round (confirmed in rounds 1-5 — treat the
 # 50-entry prefix window as the standing contract). Queries that have

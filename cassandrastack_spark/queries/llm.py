@@ -43,7 +43,7 @@ from cassandrastack_spark.llm.simsearch import (
     cosine_topk,
     mmr_rerank,
 )
-from cassandrastack_spark.queries import register
+from cassandrastack_spark.queries import hll_estimator_sql, register
 from cassandrastack_spark.sources.io import read_table as _t
 
 
@@ -4676,27 +4676,13 @@ _DISTINCT_TOKENS_HLL_ORACLE = """
         SELECT source, CAST(COUNT(DISTINCT tok) AS BIGINT) AS exact_distinct
         FROM toks GROUP BY source)
     SELECT e.source,
-           ROUND(CASE WHEN 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
-                           / ((4096.0 - ne) + hs) <= 2.5 * 4096.0
-                      AND 4096.0 - ne > 0
-                 THEN 4096.0 * LN(4096.0 / (4096.0 - ne))
-                 WHEN 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
-                      / ((4096.0 - ne) + hs) >= 1099511627776.0
-                 THEN NULL
-                 WHEN 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
-                      / ((4096.0 - ne) + hs) > 1099511627776.0 / 30.0
-                 THEN -1099511627776.0
-                      * LN(1.0 - 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0
-                           * 4096.0 / ((4096.0 - ne) + hs)
-                           / 1099511627776.0)
-                 ELSE 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
-                      / ((4096.0 - ne) + hs) END, 4) AS est_distinct,
+           ROUND({est_case}, 4) AS est_distinct,
            CAST(4096 AS BIGINT) AS m,
            CAST(ne AS BIGINT) AS nonempty,
            x.exact_distinct
     FROM est e JOIN ex x USING (source)
     ORDER BY e.source
-"""
+""".format(est_case=hll_estimator_sql("ne", "hs"))
 
 
 @register(
@@ -4822,31 +4808,7 @@ _CORPUS_SOURCE_OVERLAP_ORACLE = """
         FROM rv GROUP BY source, bucket),
     est AS (
         SELECT source,
-               ROUND(CASE WHEN 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0
-                               * 4096.0 / ((4096.0 - CAST(COUNT(*) AS DOUBLE))
-                               + SUM(2.0 ** (-maxrank)))
-                               <= 2.5 * 4096.0
-                          AND 4096.0 - CAST(COUNT(*) AS DOUBLE) > 0
-                     THEN 4096.0 * LN(4096.0
-                                      / (4096.0 - CAST(COUNT(*) AS DOUBLE)))
-                     WHEN 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
-                          / ((4096.0 - CAST(COUNT(*) AS DOUBLE))
-                             + SUM(2.0 ** (-maxrank)))
-                          >= 1099511627776.0
-                     THEN NULL
-                     WHEN 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
-                          / ((4096.0 - CAST(COUNT(*) AS DOUBLE))
-                             + SUM(2.0 ** (-maxrank)))
-                          > 1099511627776.0 / 30.0
-                     THEN -1099511627776.0
-                          * LN(1.0 - 0.7213 / (1.0 + 1.079 / 4096.0)
-                               * 4096.0 * 4096.0
-                               / ((4096.0 - CAST(COUNT(*) AS DOUBLE))
-                                  + SUM(2.0 ** (-maxrank)))
-                               / 1099511627776.0)
-                     ELSE 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
-                          / ((4096.0 - CAST(COUNT(*) AS DOUBLE))
-                             + SUM(2.0 ** (-maxrank))) END, 4) AS est_distinct
+               ROUND({est_case}, 4) AS est_distinct
         FROM reg GROUP BY source),
     prs AS (
         SELECT a.source AS sa, b.source AS sb
@@ -4858,31 +4820,7 @@ _CORPUS_SOURCE_OVERLAP_ORACLE = """
         GROUP BY sa, sb, bucket),
     uest AS (
         SELECT sa, sb,
-               ROUND(CASE WHEN 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0
-                               * 4096.0 / ((4096.0 - CAST(COUNT(*) AS DOUBLE))
-                               + SUM(2.0 ** (-maxrank)))
-                               <= 2.5 * 4096.0
-                          AND 4096.0 - CAST(COUNT(*) AS DOUBLE) > 0
-                     THEN 4096.0 * LN(4096.0
-                                      / (4096.0 - CAST(COUNT(*) AS DOUBLE)))
-                     WHEN 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
-                          / ((4096.0 - CAST(COUNT(*) AS DOUBLE))
-                             + SUM(2.0 ** (-maxrank)))
-                          >= 1099511627776.0
-                     THEN NULL
-                     WHEN 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
-                          / ((4096.0 - CAST(COUNT(*) AS DOUBLE))
-                             + SUM(2.0 ** (-maxrank)))
-                          > 1099511627776.0 / 30.0
-                     THEN -1099511627776.0
-                          * LN(1.0 - 0.7213 / (1.0 + 1.079 / 4096.0)
-                               * 4096.0 * 4096.0
-                               / ((4096.0 - CAST(COUNT(*) AS DOUBLE))
-                                  + SUM(2.0 ** (-maxrank)))
-                               / 1099511627776.0)
-                     ELSE 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
-                          / ((4096.0 - CAST(COUNT(*) AS DOUBLE))
-                             + SUM(2.0 ** (-maxrank))) END, 4) AS est_union
+               ROUND({est_case}, 4) AS est_union
         FROM u GROUP BY sa, sb),
     ex AS (
         SELECT a.source AS sa, b.source AS sb,
@@ -4900,7 +4838,8 @@ _CORPUS_SOURCE_OVERLAP_ORACLE = """
     JOIN est eb ON eb.source = u.sb
     LEFT JOIN ex ON ex.sa = u.sa AND ex.sb = u.sb
     ORDER BY u.sa, u.sb
-"""
+""".format(est_case=hll_estimator_sql(
+    "CAST(COUNT(*) AS DOUBLE)", "SUM(2.0 ** (-maxrank))"))
 
 
 @register(

@@ -18,7 +18,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from cassandrastack_spark.queries import register
+from cassandrastack_spark.queries import hll_estimator_sql, register
 from cassandrastack_spark.streaming.ops import (
     events_stream,
     run_to_batch,
@@ -443,24 +443,32 @@ def stream_embedding_covariance_block(
 
 @register(
     "stream_bloom_dedup",
-    # Exact-DISTINCT oracle (r14; replaces the r13 oracle=None, whose
+    # Exact oracle (r14; replaces the r13 oracle=None, whose
     # "rows-only like its stream_* siblings" justification was wrong —
-    # the other 12 stream_* rows all carry real oracles). The emitted
-    # SET equals batch DISTINCT regardless of arrival order or
-    # micro-batch boundaries at this fixture's occupancy, and that is
-    # PROVED, not assumed: a novel payload can only be falsely dropped
-    # if every one of its k md5-slice bit positions was already set by
-    # OTHER payloads in its xxhash64 bucket, and
-    # tests/test_streaming.py::test_bloom_dedup_fixture_has_no_covering
-    # _collisions recomputes all positions at sf0.001 AND sf0.01 and
-    # asserts no such covering exists (expected covers at this
-    # occupancy: ~1e-7). Duplicate suppression never depends on order
-    # (a seen payload's own bits are always set), so the set is
-    # batching-independent and the hash gate is sound.
+    # the other 12 stream_* rows all carry real oracles). The SQL
+    # mirrors the operator's NULL contract exactly: non-null payloads
+    # dedup to their DISTINCT set; NULL payloads are NOT members of
+    # the filter and pass through ONCE PER ROW (streaming/ops.py
+    # stateful_bloom_dedup yields null-item rows as-is) — a bare
+    # SELECT DISTINCT would under-state them the moment a fixture
+    # carries 2+ null-props rows. On the non-null side the emitted SET
+    # equals batch DISTINCT regardless of arrival order or micro-batch
+    # boundaries at this fixture's occupancy, and that is PROVED, not
+    # assumed: a novel payload can only be falsely dropped if every
+    # one of its k md5-slice bit positions was already set by OTHER
+    # payloads in its xxhash64 bucket, and tests/test_streaming.py::
+    # test_bloom_dedup_fixture_has_no_covering_collisions recomputes
+    # all positions at sf0.001 AND sf0.01 and asserts no such covering
+    # exists (expected covers at this occupancy: ~1e-7). Duplicate
+    # suppression never depends on order (a seen payload's own bits
+    # are always set), so the set is batching-independent and the
+    # hash gate is sound.
     oracle="""
-        SELECT DISTINCT props AS props
-        FROM events
-        ORDER BY props
+        SELECT props FROM (
+            SELECT DISTINCT props FROM events WHERE props IS NOT NULL
+            UNION ALL
+            SELECT props FROM events WHERE props IS NULL
+        ) ORDER BY props
     """,
     doc="Unbounded-horizon streaming content dedup "
         "(streaming/ops.py stateful_bloom_dedup, "
@@ -537,27 +545,12 @@ _DCOUNT_STATE_CACHE: dict = {}
         ex AS (
             SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
             FROM events)
-        SELECT ROUND(CASE WHEN 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0
-                               * 4096.0 / ((4096.0 - ne) + hs)
-                               <= 2.5 * 4096.0
-                          AND 4096.0 - ne > 0
-                     THEN 4096.0 * LN(4096.0 / (4096.0 - ne))
-                     WHEN 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
-                          / ((4096.0 - ne) + hs) >= 1099511627776.0
-                     THEN NULL
-                     WHEN 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
-                          / ((4096.0 - ne) + hs) > 1099511627776.0 / 30.0
-                     THEN -1099511627776.0
-                          * LN(1.0 - 0.7213 / (1.0 + 1.079 / 4096.0)
-                               * 4096.0 * 4096.0 / ((4096.0 - ne) + hs)
-                               / 1099511627776.0)
-                     ELSE 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
-                          / ((4096.0 - ne) + hs) END, 4) AS est_distinct,
+        SELECT ROUND({est_case}, 4) AS est_distinct,
                CAST(4096 AS BIGINT) AS m,
                CAST(ne AS BIGINT) AS nonempty,
                ex.exact_distinct
         FROM est, ex
-    """,
+    """.format(est_case=hll_estimator_sql("ne", "hs")),
     doc="The streaming cardinality monitor end-to-end under a bit-exact "
         "gate: events stream through monitor_distinct_count "
         "(streaming/ops.py — per batch, one 2^p-bounded HLL register "

@@ -1579,8 +1579,28 @@ def _recover_additive_compaction(spark: SparkSession, state_path: str) -> None:
         data = bytes(ins.readAllBytes()).decode("utf-8")
     finally:
         ins.close()
-    rec = json.loads(data)
-    staged, snapshot = rec["staged"], rec["snapshot"]
+    try:
+        rec = json.loads(data)
+        staged, snapshot = rec["staged"], rec["snapshot"]
+    except (ValueError, KeyError, TypeError):
+        # legacy manifest (pre-JSON: bare newline-joined snapshot
+        # paths, no staged-part record) left by a crash under the old
+        # code — must still recover, not wedge every future compaction
+        # on a parse error. Without staged names the presence proof
+        # can't run, so be conservative: with the tmp dir present,
+        # whatever staged parts exist are the merge — move them and
+        # treat them as the proof set; with the tmp dir gone the
+        # merged data is unprovable, so ABORT (keep every snapshot
+        # file; the state stays uncompacted but exact).
+        snapshot = [ln for ln in data.splitlines() if ln]
+        if not fs.exists(tmp_dir):
+            fs.delete(manifest, False)
+            return
+        staged = [
+            st.getPath().getName()
+            for st in fs.listStatus(tmp_dir)
+            if st.getPath().getName().endswith(".parquet")
+        ]
     # (3) move staged parts in (skip any already moved)
     if fs.exists(tmp_dir):
         for st in fs.listStatus(tmp_dir):
@@ -1808,6 +1828,8 @@ def value_sample_state(
     """
     from pyspark.errors import AnalysisException
 
+    from cassandrastack_spark.operators.sketch import bottomk_retake
+
     gcols = list(group_cols)
     try:
         raw = spark.read.parquet(state_path)
@@ -1815,6 +1837,7 @@ def value_sample_state(
         gddl = group_schema or ", ".join(f"{g} string" for g in gcols)
         ddl = (gddl + ", " if gcols else "") + "h string, v double, k int"
         return spark.createDataFrame([], ddl)
+    _check_sample_state_schema(raw, gcols, state_path, "value_sample_state")
     ks = [r.k for r in raw.select("k").distinct().collect()]
     if len(ks) > 1:
         raise ValueError(
@@ -1822,20 +1845,35 @@ def value_sample_state(
             f"sizes k={sorted(ks)} — two different monitors were "
             "written to one path; rebuild the state"
         )
-    w = Window.partitionBy(*gcols).orderBy("h", "v")
-    return (
-        raw.dropDuplicates([*gcols, "h", "v"])
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= F.col("k"))
-        .drop("_rn")
-    )
+    return bottomk_retake(raw, gcols)
 
 
-def compact_value_sample_state(
-    spark: SparkSession,
+def _check_sample_state_schema(
+    raw: DataFrame,
+    gcols: list[str],
     state_path: str,
-    group_cols: tuple[str, ...] = (),
+    caller: str,
 ) -> None:
+    """Refuse a group-column set that doesn't cover the state schema
+    (review r14 — the merge-key rule _stage_additive_compaction
+    enforces, applied to the sample state's readers AND compactor): a
+    bottom-k retake under MISSING group columns ranks every group in
+    one window and keeps only the globally-smallest k hashes —
+    permanently halving each group's sample in the compactor's case.
+    Every non-(h, v, k) column of the state is a group column by
+    construction (the monitor writes nothing else).
+    """
+    derived = sorted(c for c in raw.columns if c not in ("h", "v", "k"))
+    if sorted(gcols) != derived:
+        raise ValueError(
+            f"{caller}: supplied group_cols {sorted(gcols)} do not "
+            f"cover the state's group columns {derived} at "
+            f"{state_path} — a retake under missing group columns "
+            "would silently drop sample rows across groups"
+        )
+
+
+def compact_value_sample_state(spark: SparkSession, state_path: str) -> None:
     """Maintenance for a ``monitor_value_sample`` state table: the
     monitor appends ≤ k rows per group per non-empty batch; rewrite
     the state as the merged ≤ k-rows-per-group sample. Same
@@ -1847,10 +1885,20 @@ def compact_value_sample_state(
     append and delete leaves a correct, merely-uncompacted table.
     (The additive manifest protocol is NOT needed here — that exists
     for sum-merged states, where old + merged double-counts.)
+
+    The group columns are DERIVED from the state schema — every
+    non-(h, v, k) column (review r14: trusting a caller-supplied
+    group list was the exact r13 compact_histogram_state bug, here it
+    would retake all groups in one window and permanently halve each
+    group's sample before deleting the snapshot). Mixed sample sizes
+    in one path refuse loudly BEFORE any write, preserving
+    ``value_sample_state``'s refusal — retaking interleaved k=32/k=64
+    rows would corrupt both sketches irreversibly.
     """
     from pyspark.errors import AnalysisException
 
-    gcols = list(group_cols)
+    from cassandrastack_spark.operators.sketch import bottomk_retake
+
     try:
         raw = spark.read.parquet(state_path)
     except AnalysisException:
@@ -1858,13 +1906,20 @@ def compact_value_sample_state(
     snapshot = sorted(raw.inputFiles())
     if len(snapshot) <= 1:
         return  # nothing to compact
-    w = Window.partitionBy(*gcols).orderBy("h", "v")
+    gcols = [c for c in raw.columns if c not in ("h", "v", "k")]
+    ks = [r.k for r in raw.select("k").distinct().collect()]
+    if len(ks) > 1:
+        raise ValueError(
+            f"compact_value_sample_state: state at {state_path} mixes "
+            f"sample sizes k={sorted(ks)} — two different monitors "
+            "were written to one path; compacting would corrupt both "
+            "sketches; rebuild the state"
+        )
     merged = (
-        spark.read.option("basePath", state_path).parquet(*snapshot)
-        .dropDuplicates([*gcols, "h", "v"])
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= F.col("k"))
-        .drop("_rn")
+        bottomk_retake(
+            spark.read.option("basePath", state_path).parquet(*snapshot),
+            gcols,
+        )
         .select(*gcols, "h", "v", "k")
         .localCheckpoint(eager=True)  # materialize BEFORE any delete
     )

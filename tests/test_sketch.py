@@ -781,10 +781,14 @@ def test_bottomk_sample_drops_nulls_and_validates(spark, bk_rows):
     )
 
     df = spark.createDataFrame(
-        [(1, 1.0), (None, 2.0), (3, None), (4, 4.0)],
+        [(1, 1.0), (None, 2.0), (3, None), (4, 4.0), (5, float("nan"))],
         "id long, val double",
     )
     s = bottomk_sample_build(df, "val", "id", k=10)
+    # NULL key, NULL value, and NaN value all dropped (review r14: a
+    # sampled NaN would persist forever — hash membership — and Spark
+    # orders NaN above every double, permanently poisoning every high
+    # quantile the monitor reports)
     assert sorted(r.v for r in s.collect()) == [1.0, 4.0]
     with pytest.raises(ValueError, match="k must be"):
         bottomk_sample_build(df, "val", "id", k=0)

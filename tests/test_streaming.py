@@ -1622,7 +1622,10 @@ def test_monitor_value_sample_matches_batch_sample(spark, tmp_path):
     import glob as _glob
 
     files_before = len(_glob.glob(f"{state}/k=64/*.parquet"))
-    compact_value_sample_state(spark, state, ("src",))
+    # the compactor DERIVES the group columns from the state schema
+    # (review r14: a caller-supplied default () would have retaken all
+    # groups in one window and permanently halved each group's sample)
+    compact_value_sample_state(spark, state)
     assert len(_glob.glob(f"{state}/k=64/*.parquet")) < files_before
     assert got() == want
     q_after = sorted(
@@ -1642,9 +1645,79 @@ def test_monitor_value_sample_matches_batch_sample(spark, tmp_path):
     assert young.count() == 0
     assert [f.name for f in young.schema.fields] == ["src", "h", "v", "k"]
 
-    # mixed k refuses loudly
+    # a reader group set that doesn't cover the state schema refuses
+    # (review r14: a retake under missing group columns silently drops
+    # sample rows across groups)
+    with pytest.raises(ValueError, match="do not cover"):
+        value_sample_state(spark, state)
+
+    # mixed k refuses loudly — in the reader AND the compactor (review
+    # r14: compacting interleaved k=32/k=64 rows would corrupt both
+    # sketches and delete the originals before the reader's refusal
+    # could ever fire)
     bottomk_sample_build(
         batch, "score", "ev_id", k=32, group_cols=["src"]
     ).coalesce(1).write.mode("append").partitionBy("k").parquet(state)
     with pytest.raises(ValueError, match="mixes sample sizes"):
         value_sample_state(spark, state, ("src",))
+    with pytest.raises(ValueError, match="mixes sample sizes"):
+        compact_value_sample_state(spark, state)
+    # ...and the refusal fired BEFORE any write: both sketches intact
+    ks = sorted(
+        r.k for r in spark.read.parquet(state).select("k").distinct().collect()
+    )
+    assert ks == [32, 64]
+
+
+def test_additive_compaction_recovers_legacy_manifest(spark, tmp_path):
+    """Review r14: pre-JSON manifests were bare newline-joined snapshot
+    path lists. A manifest left in place by a crash under the old code
+    must still recover after the format change — never wedge every
+    future compaction on a JSONDecodeError. Two legacy cases: with the
+    tmp dir present the staged parts ARE the merge (move them, finish
+    the commit); with the tmp dir gone the merge is unprovable, so the
+    commit aborts with every snapshot file kept."""
+    from cassandrastack_spark.functions.stats import histogram_fixed
+    from cassandrastack_spark.streaming.ops import (
+        compact_histogram_state,
+        histogram_state,
+    )
+
+    rows = [(f"s{i % 2}", ((i * 11) % 30) / 30.0) for i in range(150)]
+    batch = spark.createDataFrame(rows, "src string, score double")
+    h = histogram_fixed(batch, "score", 0.0, 1.0, 6, group_cols=("src",))
+    want = sorted((r.src, r.bin, 2 * r.cnt) for r in h.collect())
+
+    def got(state):
+        return sorted(
+            (r.src, r.bin, r.cnt)
+            for r in histogram_state(spark, state, ("src",)).collect()
+        )
+
+    # case 1: legacy manifest + tmp dir present -> commit finishes
+    state = str(tmp_path / "leg1")
+    h.coalesce(1).write.mode("append").parquet(state)
+    h.coalesce(1).write.mode("append").parquet(state)
+    snapshot = sorted(spark.read.parquet(state).inputFiles())
+    merged = (
+        spark.read.parquet(*snapshot)
+        .groupBy("src", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    tmp = state + ".compact.tmp"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    with open(state + ".compact.manifest", "w") as f:
+        f.write("\n".join(snapshot))  # the pre-JSON format
+    compact_histogram_state(spark, state)
+    assert got(state) == want
+    assert len(spark.read.parquet(state).inputFiles()) <= 2  # merged (+none)
+
+    # case 2: legacy manifest, tmp dir GONE -> abort, snapshot kept
+    state2 = str(tmp_path / "leg2")
+    h.coalesce(1).write.mode("append").parquet(state2)
+    h.coalesce(1).write.mode("append").parquet(state2)
+    snapshot2 = sorted(spark.read.parquet(state2).inputFiles())
+    with open(state2 + ".compact.manifest", "w") as f:
+        f.write("\n".join(snapshot2))
+    compact_histogram_state(spark, state2)
+    assert got(state2) == want

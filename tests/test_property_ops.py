@@ -1103,3 +1103,99 @@ def test_histogram_fixed_matches_python_model_and_merge_fold(
     whole = histogram_fixed(df, "x", lo, hi, bins)
     assert merged.exceptAll(whole).count() == 0
     assert whole.exceptAll(merged).count() == 0
+
+
+_bk_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),   # key (may repeat!)
+        st.integers(min_value=0, max_value=2),        # group
+        st.floats(min_value=-1e6, max_value=1e6,
+                  allow_nan=False, allow_infinity=False),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_bk_rows,
+       st.integers(min_value=1, max_value=20),
+       st.integers(min_value=1, max_value=3))
+def test_bottomk_sample_matches_python_model_and_merge_fold(
+    spark, rows, k, n_chunks
+):
+    """bottomk_sample_build must equal a pure-Python model running the
+    identical reduction (md5-hex string order, (h, v) tie-break, keep
+    k smallest per group), fold-merging any chunking of the input must
+    equal the whole build (the per-batch monitor invariant), and the
+    type-1 quantiles must equal the model's order-statistic selection
+    — including under duplicate keys (same h, possibly different v)
+    and duplicate (h, v) rows, the dedup's own edge."""
+    import hashlib
+    import math
+
+    from cassandrastack_spark.operators.sketch import (
+        bottomk_sample_build,
+        bottomk_sample_merge,
+        bottomk_sample_quantiles,
+    )
+
+    df = spark.createDataFrame(rows, "id long, g int, v double")
+
+    # python model: dedup on (g, h, v), keep k smallest (h, v) per g
+    def model_sample(rws):
+        seen = {}
+        for key, g, v in rws:
+            h = hashlib.md5(str(key).encode()).hexdigest()
+            seen[(g, h, float(v))] = True
+        out = {}
+        for (g, h, v) in seen:
+            out.setdefault(g, []).append((h, v))
+        return {
+            g: sorted(pairs)[:k] for g, pairs in out.items()
+        }
+
+    want = model_sample(rows)
+    got_df = bottomk_sample_build(df, "v", "id", k=k, group_cols=["g"])
+    got = {}
+    for r in got_df.collect():
+        got.setdefault(r.g, []).append((r.h, r.v))
+        assert r.k == k
+    assert {g: sorted(p) for g, p in got.items()} == want
+
+    # fold-merge any chunking == whole build
+    chunks = [rows[i::n_chunks] for i in range(n_chunks)]
+    chunks = [c for c in chunks if c]
+    folded = bottomk_sample_build(
+        spark.createDataFrame(chunks[0], "id long, g int, v double"),
+        "v", "id", k=k, group_cols=["g"],
+    )
+    for c in chunks[1:]:
+        folded = bottomk_sample_merge(
+            folded,
+            bottomk_sample_build(
+                spark.createDataFrame(c, "id long, g int, v double"),
+                "v", "id", k=k, group_cols=["g"],
+            ),
+            group_cols=["g"],
+        )
+    fold = {}
+    for r in folded.collect():
+        fold.setdefault(r.g, []).append((r.h, r.v))
+    assert {g: sorted(p) for g, p in fold.items()} == want
+
+    # type-1 quantiles == model's order-statistic selection over the
+    # sample values (ties carry equal values, so the VALUE is unique)
+    probs = (0.25, 0.5, 1.0)
+    got_q = {
+        (r.g, r.p): r.q
+        for r in bottomk_sample_quantiles(
+            got_df, probs, group_cols=["g"]
+        ).collect()
+    }
+    for g, pairs in want.items():
+        vs = sorted(v for _, v in pairs)
+        for p in probs:
+            idx = max(1, math.ceil(p * len(vs))) - 1
+            assert got_q[(g, p)] == vs[idx], (g, p)

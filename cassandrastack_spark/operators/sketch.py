@@ -958,3 +958,114 @@ def bottomk_sample_quantiles(
         .select(*gcols, "p", F.col("v").alias("q"))
         .orderBy(*gcols, "p")
     )
+
+
+def weighted_sample_build(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int = 1024,
+    group_cols: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """Build a deterministic WEIGHTED sample without replacement as a
+    mergeable summary — the bottom-k sample's importance-weighted twin
+    (Efraimidis & Spirakis 2006, the same construction as the
+    registered ``corpus_weighted_sample`` query, packaged as a
+    persistable sketch): each row draws an exponential key
+    ``e = -ln(u) / w`` from the DETERMINISTIC md5 uniform of its key
+    (no RNG, no partition dependence), and the k smallest ``e`` per
+    group ARE a weighted sample without replacement — higher-weight
+    rows exponentially likelier to survive, the exact inclusion law
+    A-ES proves. This is how a training pipeline maintains a
+    quality-weighted subset of an unbounded crawl: per-batch samples
+    merge into THE whole-corpus sample (min-k associativity) without
+    ever re-scanning history, and a replayed batch changes nothing
+    (dedup on the key — the HLL-register idempotence that makes the
+    streaming monitor's at-least-once delivery invisible).
+
+    Returns ``(group_cols..., item string, e double, w double,
+    k int)``: ``item`` is the key cast to string (the join-back handle
+    for payloads), ``w`` rides for audit. ``key_col`` must be
+    row-unique with a STABLE weight (the same key re-ingested with a
+    different weight is two distinct rows and both could survive —
+    fix the weight at first ingest or dedup upstream). Rows with NULL
+    keys or NULL/NaN/non-positive weights are dropped (a weight <= 0
+    has no A-ES key; -ln(u)/w would flip its sign and poison the
+    bottom-k order).
+
+    Spark shape: the same one narrow projection + per-group rank
+    window as ``bottomk_sample_build``; the persisted artifact is k
+    rows per group forever. Cross-engine gate: u derives from the
+    first 8 md5 hex digits exactly like the registered query's
+    oracle, so a SQL engine rebuilds the identical sample.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    gcols = list(group_cols)
+    w = F.col(weight_col).cast("double")
+    hx = F.md5(F.col(key_col).cast("string"))
+    v = F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint")
+    u = (v + F.lit(1)).cast("double") / F.lit(4294967297.0)
+    e = -F.log(u) / w
+    ranked = (
+        df.filter(
+            F.col(key_col).isNotNull()
+            & w.isNotNull()
+            & ~F.isnan(w)
+            & (w > 0)
+        )
+        .select(
+            *gcols,
+            F.col(key_col).cast("string").alias("item"),
+            e.alias("e"),
+            w.alias("w"),
+        )
+        .withColumn("k", F.lit(int(k)))
+    )
+    return weighted_sample_retake(ranked, gcols)
+
+
+def weighted_sample_retake(
+    sample: DataFrame, group_cols: tuple[str, ...] | list[str] = ()
+) -> DataFrame:
+    """The weighted twin of ``bottomk_retake``: dedup on (group, item)
+    — a replayed batch's rows collapse onto themselves — and keep the
+    k smallest ``(e, item)`` per group, ``k`` read from the rows.
+    Shared by the builder, the merge, the streaming state reader, and
+    the state compactor.
+    """
+    gcols = list(group_cols)
+    w = Window.partitionBy(*gcols).orderBy("e", "item")
+    return (
+        sample.dropDuplicates([*gcols, "item"])
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("k"))
+        .drop("_rn")
+    )
+
+
+def weighted_sample_merge(
+    a: DataFrame,
+    b: DataFrame,
+    group_cols: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """Merge two weighted samples built with the SAME ``k``: union,
+    dedup on (group, item), re-take the k smallest exponential keys
+    per group. Equals ``weighted_sample_build`` over the concatenated
+    inputs, and merging a sample with itself is the identity. Mixed
+    ``k`` fails LOUD in-plan (the ``bottomk_sample_merge`` contract).
+    """
+    gcols = list(group_cols)
+    guarded = a.unionByName(b).withColumn(
+        "k",
+        F.when(
+            F.assert_true(
+                F.size(F.collect_set("k").over(Window.partitionBy(*gcols)))
+                <= 1,
+                "weighted_sample_merge: mixed k within one group — these "
+                "are different sketches; rebuild one side",
+            ).isNull(),
+            F.col("k"),
+        ),
+    )
+    return weighted_sample_retake(guarded, gcols)

@@ -1931,3 +1931,142 @@ def compact_value_sample_state(spark: SparkSession, state_path: str) -> None:
     for f in snapshot:
         fpath = jvm.org.apache.hadoop.fs.Path(f)
         fpath.getFileSystem(hconf).delete(fpath, False)
+
+
+def monitor_weighted_sample(
+    stream: DataFrame,
+    state_path: str,
+    key_col: str,
+    weight_col: str,
+    k: int = 1024,
+    group_cols: tuple[str, ...] = (),
+    checkpoint: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming weighted-reservoir accumulator: every micro-batch
+    reduces to its Efraimidis-Spirakis bottom-k
+    (``operators.sketch.weighted_sample_build``, at most ``k`` rows per
+    group) appended to ``state_path``; ``weighted_sample_state``
+    min-k-merges the accumulated samples into THE weighted sample
+    without replacement of everything ever ingested — "maintain a
+    quality-weighted training subset of the whole crawl, updated per
+    batch, never re-scan history", the importance-weighted sibling of
+    ``monitor_value_sample``. The exponential key is a pure function
+    of (key, weight) — no RNG — so at-least-once replay is
+    byte-invisible (dedup on the key) and the marker guard is pure
+    thrift, the HLL argument. Same compactor protocol for the same
+    reason (min-k is associative + idempotent):
+    ``compact_weighted_sample_state``.
+
+    The weight must be STABLE per key (fix it at first ingest); a key
+    re-ingested with a new weight is two rows and the dedup keeps an
+    arbitrary one — dedup upstream if weights can drift.
+    """
+    from cassandrastack_spark.operators.sketch import weighted_sample_build
+
+    return _marker_guarded_sketch_monitor(
+        stream, state_path, key_col,
+        lambda b: weighted_sample_build(
+            b, key_col, weight_col, k=k, group_cols=group_cols
+        ),
+        ckpt_prefix="cs_wks_ckpt_",
+        checkpoint=checkpoint,
+        trigger_available_now=trigger_available_now,
+        partition_by=("k",),
+    )
+
+
+def weighted_sample_state(
+    spark: SparkSession,
+    state_path: str,
+    group_cols: tuple[str, ...] = (),
+    group_schema: str | None = None,
+) -> DataFrame:
+    """The running weighted sample from a ``monitor_weighted_sample``
+    state table: dedup the appended per-batch samples on
+    (group, item) — replays collapse for free — and re-take the k
+    smallest exponential keys per group; equals
+    ``weighted_sample_build`` over the union of every batch ever
+    ingested (tested). Missing state reads as an EMPTY frame
+    (``group_schema`` types the group columns, the
+    ``histogram_state`` contract); a group set that doesn't cover the
+    state schema, or mixed ``k`` in one path, refuses loudly (the
+    ``value_sample_state`` contracts).
+    """
+    from pyspark.errors import AnalysisException
+
+    from cassandrastack_spark.operators.sketch import weighted_sample_retake
+
+    gcols = list(group_cols)
+    try:
+        raw = spark.read.parquet(state_path)
+    except AnalysisException:
+        gddl = group_schema or ", ".join(f"{g} string" for g in gcols)
+        ddl = (
+            (gddl + ", " if gcols else "")
+            + "item string, e double, w double, k int"
+        )
+        return spark.createDataFrame([], ddl)
+    derived = sorted(c for c in raw.columns if c not in ("item", "e", "w", "k"))
+    if sorted(gcols) != derived:
+        raise ValueError(
+            f"weighted_sample_state: supplied group_cols {sorted(gcols)} "
+            f"do not cover the state's group columns {derived} at "
+            f"{state_path} — a retake under missing group columns would "
+            "silently drop sample rows across groups"
+        )
+    ks = [r.k for r in raw.select("k").distinct().collect()]
+    if len(ks) > 1:
+        raise ValueError(
+            f"weighted_sample_state: state at {state_path} mixes sample "
+            f"sizes k={sorted(ks)} — two different monitors were "
+            "written to one path; rebuild the state"
+        )
+    return weighted_sample_retake(raw, gcols)
+
+
+def compact_weighted_sample_state(
+    spark: SparkSession, state_path: str
+) -> None:
+    """Maintenance for a ``monitor_weighted_sample`` state table —
+    identical protocol and rationale to ``compact_value_sample_state``
+    (append-then-delete-snapshot; the merge is idempotent and min-k is
+    associative, so every interleaving with a live monitor is exact):
+    group columns DERIVED from the state schema, mixed sample sizes
+    refused BEFORE any write.
+    """
+    from pyspark.errors import AnalysisException
+
+    from cassandrastack_spark.operators.sketch import weighted_sample_retake
+
+    try:
+        raw = spark.read.parquet(state_path)
+    except AnalysisException:
+        return
+    snapshot = sorted(raw.inputFiles())
+    if len(snapshot) <= 1:
+        return  # nothing to compact
+    gcols = [c for c in raw.columns if c not in ("item", "e", "w", "k")]
+    ks = [r.k for r in raw.select("k").distinct().collect()]
+    if len(ks) > 1:
+        raise ValueError(
+            f"compact_weighted_sample_state: state at {state_path} mixes "
+            f"sample sizes k={sorted(ks)} — compacting would corrupt "
+            "both sketches; rebuild the state"
+        )
+    merged = (
+        weighted_sample_retake(
+            spark.read.option("basePath", state_path).parquet(*snapshot),
+            gcols,
+        )
+        .select(*gcols, "item", "e", "w", "k")
+        .localCheckpoint(eager=True)  # materialize BEFORE any delete
+    )
+    merged.coalesce(1).write.mode("append").partitionBy("k").parquet(
+        state_path
+    )
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for f in snapshot:
+        fpath = jvm.org.apache.hadoop.fs.Path(f)
+        fpath.getFileSystem(hconf).delete(fpath, False)

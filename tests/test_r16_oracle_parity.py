@@ -45,17 +45,29 @@ separately materialized batches) and the r13-built histogram monitor:
   PSI term sum is DECIMAL-exact (order-free) with a shared 6-decimal
   round.
 
-Registration notes for the lifting round: all three plan clean —
-quantiles/sample legs are one narrow (group, h, v) projection + one
-per-group rank window (the winsorize_by_group shuffle shape), the PSI
-finish is an equi-join on (event_type, bin) over bin-bounded frames;
-no BNL anywhere (plans.guardrails at staging time: batch row False;
-stream rows resolve persisted state, checked after ingest). The
-stream rows need the _MOMENTS_CACHE-style state dict when lifted.
-sf0.1 prices (local[32], min-of-2, measured at staging time):
+- ``stream_weighted_sample`` — the streaming weighted reservoir: THE
+  Efraimidis-Spirakis weighted sample without replacement (weight =
+  event value) of everything ever ingested, per event_type, in
+  k-rows-per-group state (operators/sketch.py weighted_sample_build +
+  streaming/ops.py monitor_weighted_sample) — how a pipeline
+  maintains a quality-weighted training subset of an unbounded crawl
+  without re-scanning history. The A-ES key is a pure function of
+  (key, weight) using the registered corpus_weighted_sample oracle's
+  exact md5-uniform arithmetic, so the merged state is batching- and
+  replay-invariant and the row hash-gates; the weight-bias inclusion
+  law is asserted as a property alongside.
+
+Registration notes for the lifting round: all four plan clean —
+quantiles/sample legs are one narrow projection + one per-group rank
+window (the winsorize_by_group shuffle shape), the PSI finish is an
+equi-join on (event_type, bin) over bin-bounded frames; no BNL
+anywhere (plans.guardrails at staging time: batch row False; stream
+rows resolve persisted state, checked after ingest). The stream rows
+need the _MOMENTS_CACHE-style state dict when lifted. sf0.1 prices
+(local[32], min-of-2, measured at staging time):
 quantiles_sample_sketch 1.30 s, stream_quantile_sample 1.53 s
 (plus the one-time ingest pass 1 amortizes), stream_psi_alarm
-1.39 s.
+1.39 s, stream_weighted_sample 0.74 s.
 """
 
 import duckdb
@@ -414,3 +426,103 @@ def test_stream_psi_alarm_matches_staged_oracle(spark, duck):
     assert (got["psi"] >= 0).all()
     assert (got["psi"] > 0).any()
     assert (got["n_expected"] > 0).all() and (got["n_observed"] > 0).all()
+
+
+_WKS_STATE_CACHE: dict = {}
+
+
+def stream_weighted_sample_spark(spark, sf_dir):
+    """The exact plan that registers in r16 (lift verbatim, cache dict
+    alongside) — the streaming weighted reservoir: maintain THE
+    Efraimidis-Spirakis weighted sample without replacement (weight =
+    event value) of everything ever ingested, per event_type, in
+    k-rows-per-group state. The A-ES key is a pure function of
+    (key, weight) — same portable md5-uniform construction as the
+    registered corpus_weighted_sample — so the merged state is
+    batching/replay-invariant and the row hash-gates."""
+    import os
+    import tempfile
+
+    from cassandrastack_spark.streaming.ops import (
+        monitor_weighted_sample,
+        weighted_sample_state,
+    )
+
+    key = sf_dir
+    if key not in _WKS_STATE_CACHE:
+        root = tempfile.mkdtemp(prefix="cs_q_wks_state_")
+        schema = spark.read.parquet(
+            os.path.join(sf_dir, "events.parquet")
+        ).schema
+        src = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        q = monitor_weighted_sample(
+            src,
+            os.path.join(root, "state"),
+            "event_id",
+            "value",
+            k=64,
+            group_cols=("event_type",),
+            checkpoint=os.path.join(root, "ckpt"),
+        )
+        assert q.awaitTermination(600), "weighted ingest did not finish"
+        _WKS_STATE_CACHE[key] = os.path.join(root, "state")
+    sample = weighted_sample_state(
+        spark, _WKS_STATE_CACHE[key], ("event_type",)
+    )
+    return (
+        sample.select(
+            "event_type",
+            "item",
+            F.round("e", 6).alias("skey"),
+            "w",
+        )
+        .orderBy("event_type", "skey", "item")
+    )
+
+
+# DuckDB rebuilds the identical A-ES keys (the corpus_weighted_sample
+# oracle's md5-uniform arithmetic) and takes the same per-group bottom
+# 64 by (e, item); selected values are data elements + one shared
+# 6-decimal round on the key. md5 spreads keys across ~19 orders of
+# magnitude, so the bottom-k boundary is never a near-tie — the same
+# argument the registered corpus_weighted_sample gate has held green
+# on since r9.
+STREAM_WEIGHTED_SAMPLE_ORACLE = """
+    WITH w AS (
+        SELECT event_type, CAST(event_id AS VARCHAR) AS item,
+               CAST(value AS DOUBLE) AS w
+        FROM events
+        WHERE event_id IS NOT NULL AND value IS NOT NULL
+          AND NOT isnan(value) AND value > 0),
+    ks AS (
+        SELECT event_type, item, w,
+               -LN((CAST(list_sum(list_transform(generate_series(1, 8),
+                    i -> (strpos('0123456789abcdef',
+                                 substr(md5(item), i, 1)) - 1)
+                         * 16 ** (8 - i))) AS BIGINT) + 1.0)
+                   / 4294967297.0) / w AS e
+        FROM w)
+    SELECT event_type, item, ROUND(e, 6) AS skey, w
+    FROM ks
+    QUALIFY row_number() OVER (
+        PARTITION BY event_type ORDER BY e, item) <= 64
+    ORDER BY event_type, skey, item
+"""
+
+
+def test_stream_weighted_sample_matches_staged_oracle(spark, duck):
+    got = stream_weighted_sample_spark(spark, SF).toPandas()
+    want = duck.execute(STREAM_WEIGHTED_SAMPLE_ORACLE).df()
+    _compare(got, want)
+    # the sample is genuinely weight-biased on this fixture: the mean
+    # weight of selected rows must exceed the population mean (A-ES
+    # inclusion is exponential in w) per event_type
+    events = duck.execute(
+        "SELECT event_type, AVG(value) AS mw FROM events GROUP BY 1"
+    ).df().set_index("event_type")["mw"]
+    sel = got.groupby("event_type")["w"].mean()
+    assert (sel > events.loc[sel.index]).all()

@@ -803,3 +803,109 @@ def test_bottomk_sample_drops_nulls_and_validates(spark, bk_rows):
     b = bottomk_sample_build(bk_rows, "val", "id", k=64, group_cols=["g"])
     with pytest.raises(SparkRuntimeException, match="mixed k"):
         bottomk_sample_merge(a, b, group_cols=["g"]).collect()
+
+
+# ---------------------------------------------------------------------------
+# weighted sample (Efraimidis-Spirakis bottom-k as a mergeable summary)
+
+
+@pytest.fixture(scope="module")
+def ws_rows(spark):
+    # two groups; weights span 3 orders of magnitude
+    rows = [
+        (i, f"g{i % 2}", float(1 + (i * 7) % 100) / 10.0) for i in range(800)
+    ]
+    return spark.createDataFrame(rows, "id long, g string, wt double")
+
+
+def test_weighted_sample_merge_equals_whole_build(spark, ws_rows):
+    from cassandrastack_spark.operators.sketch import (
+        weighted_sample_build,
+        weighted_sample_merge,
+    )
+
+    whole = weighted_sample_build(ws_rows, "id", "wt", k=64, group_cols=["g"])
+    a = weighted_sample_build(
+        ws_rows.filter("id % 3 != 0"), "id", "wt", k=64, group_cols=["g"]
+    )
+    b = weighted_sample_build(
+        ws_rows.filter("id % 3 = 0"), "id", "wt", k=64, group_cols=["g"]
+    )
+    merged = weighted_sample_merge(a, b, group_cols=["g"])
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    # and merging a sample with itself is the identity (replay law)
+    again = weighted_sample_merge(a, a, group_cols=["g"])
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, a.collect())
+    )
+
+
+def test_weighted_sample_matches_python_selection_model(spark, ws_rows):
+    # the SELECTED ITEM SET must equal the pure-python A-ES model's
+    # (compare selections, not float key equality — ln differs at the
+    # ulp between libms, which can never flip md5-spread orderings but
+    # could fail an == on the keys themselves)
+    import hashlib
+    import math
+
+    from cassandrastack_spark.operators.sketch import weighted_sample_build
+
+    k = 48
+    got = {}
+    for r in weighted_sample_build(
+        ws_rows, "id", "wt", k=k, group_cols=["g"]
+    ).collect():
+        got.setdefault(r.g, set()).add(r.item)
+        assert r.k == k and r.w > 0
+    want = {}
+    for row in ws_rows.collect():
+        hx = hashlib.md5(str(row.id).encode()).hexdigest()
+        u = (int(hx[:8], 16) + 1) / 4294967297.0
+        e = -math.log(u) / row.wt
+        want.setdefault(row.g, []).append((e, str(row.id)))
+    want = {g: {it for _, it in sorted(v)[:k]} for g, v in want.items()}
+    assert got == want
+
+
+def test_weighted_sample_favors_heavy_weights(spark):
+    from cassandrastack_spark.operators.sketch import weighted_sample_build
+
+    rows = [(i, 1.0) for i in range(500)] + [(9999, 1e6)]
+    df = spark.createDataFrame(rows, "id long, wt double")
+    s = weighted_sample_build(df, "id", "wt", k=10)
+    items = {r.item for r in s.collect()}
+    # e_heavy = -ln(u)/1e6 is ~6 orders below any weight-1 key: the
+    # heavy item always survives (the A-ES inclusion law on this
+    # deterministic fixture)
+    assert "9999" in items and len(items) == 10
+
+
+def test_weighted_sample_drops_bad_weights_and_validates(spark):
+    from cassandrastack_spark.operators.sketch import (
+        weighted_sample_build,
+        weighted_sample_merge,
+    )
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    df = spark.createDataFrame(
+        [
+            (1, 1.0),
+            (2, 0.0),            # non-positive: no A-ES key
+            (3, -2.0),
+            (4, None),
+            (None, 5.0),
+            (6, float("nan")),
+            (7, 2.0),
+        ],
+        "id long, wt double",
+    )
+    s = weighted_sample_build(df, "id", "wt", k=10)
+    assert sorted(r.item for r in s.collect()) == ["1", "7"]
+    with pytest.raises(ValueError, match="k must be"):
+        weighted_sample_build(df, "id", "wt", k=0)
+    a = weighted_sample_build(df, "id", "wt", k=4)
+    b = weighted_sample_build(df, "id", "wt", k=8)
+    with pytest.raises(SparkRuntimeException, match="mixed k"):
+        weighted_sample_merge(a, b).collect()

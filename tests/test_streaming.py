@@ -1721,3 +1721,111 @@ def test_additive_compaction_recovers_legacy_manifest(spark, tmp_path):
         f.write("\n".join(snapshot2))
     compact_histogram_state(spark, state2)
     assert got(state2) == want
+
+
+def test_monitor_weighted_sample_matches_batch_sample(spark, tmp_path):
+    """monitor_weighted_sample: the merged streaming state must equal
+    weighted_sample_build over the union of all ingested rows; re-runs
+    and replayed files change nothing (key-dedup merge); compaction
+    shrinks files without moving the sample; wrong reader group set
+    and mixed sample sizes refuse loudly."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from cassandrastack_spark.operators.sketch import weighted_sample_build
+    from cassandrastack_spark.streaming.ops import (
+        compact_weighted_sample_state,
+        monitor_weighted_sample,
+        weighted_sample_state,
+    )
+
+    schema = StructType([
+        StructField("ev_id", LongType()),
+        StructField("src", StringType()),
+        StructField("quality", DoubleType()),
+    ])
+    d = tmp_path / "wks_in"
+    d.mkdir()
+    rows = [
+        (i, f"s{i % 2}", float(1 + (i * 13) % 50) / 5.0) for i in range(300)
+    ]
+
+    def write(name, chunk):
+        pdf = pd.DataFrame(chunk, columns=["ev_id", "src", "quality"])
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False), str(d / name)
+        )
+
+    state = str(tmp_path / "wks_state")
+
+    def run():
+        src = spark.readStream.schema(schema).parquet(str(d))
+        q = monitor_weighted_sample(
+            src, state, "ev_id", "quality", k=32, group_cols=("src",),
+            checkpoint=str(tmp_path / "wks_ckpt"),
+        )
+        q.awaitTermination(120)
+
+    write("b1.parquet", rows[:180])
+    run()
+    write("b2.parquet", rows[180:])
+    run()
+
+    batch = spark.createDataFrame(rows, schema)
+    want = sorted(
+        map(
+            tuple,
+            weighted_sample_build(
+                batch, "ev_id", "quality", k=32, group_cols=["src"]
+            ).collect(),
+        )
+    )
+
+    def got():
+        return sorted(
+            map(
+                tuple, weighted_sample_state(spark, state, ("src",)).collect()
+            )
+        )
+
+    assert got() == want
+
+    # idempotent re-run + replayed file invariance
+    n_rows = spark.read.parquet(state).count()
+    run()
+    assert spark.read.parquet(state).count() == n_rows
+    spark.read.parquet(state).limit(5).write.mode("append").partitionBy(
+        "k"
+    ).parquet(state)
+    assert got() == want
+
+    # compaction: derived groups, sample unchanged, fewer files
+    import glob as _glob
+
+    files_before = len(_glob.glob(f"{state}/k=32/*.parquet"))
+    compact_weighted_sample_state(spark, state)
+    assert len(_glob.glob(f"{state}/k=32/*.parquet")) < files_before
+    assert got() == want
+
+    # never-written state: typed empty frame
+    young = weighted_sample_state(spark, str(tmp_path / "wks_nowhere"), ("src",))
+    assert young.count() == 0
+    assert [f.name for f in young.schema.fields] == [
+        "src", "item", "e", "w", "k",
+    ]
+
+    # wrong group set refuses; mixed k refuses in reader AND compactor
+    with pytest.raises(ValueError, match="do not cover"):
+        weighted_sample_state(spark, state)
+    weighted_sample_build(
+        batch, "ev_id", "quality", k=16, group_cols=["src"]
+    ).coalesce(1).write.mode("append").partitionBy("k").parquet(state)
+    with pytest.raises(ValueError, match="mixes sample sizes"):
+        weighted_sample_state(spark, state, ("src",))
+    with pytest.raises(ValueError, match="mixes sample sizes"):
+        compact_weighted_sample_state(spark, state)

@@ -1912,3 +1912,77 @@ def compact_ivfpq_index(spark, path: str) -> None:
         .select("cid", "neighbor_id", "codes", "epoch")
     )
     staged_partition_overwrite(live, path, "cid", ["cid", "neighbor_id"])
+
+
+def max_cosine_vs_refs(
+    df: DataFrame,
+    refs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_ref_rows: int = 65536,
+) -> DataFrame:
+    """For every corpus row, its single nearest vector in a BOUNDED
+    reference set: ``(id_col, ref_id, cosine)`` with ``ref_id`` the
+    argmax reference (ties broken toward the smallest ref id —
+    deterministic on both engines) and ``cosine`` the max similarity.
+    An empty reference set yields an empty frame (nothing to be near).
+
+    This is the semantic-decontamination primitive: the reference set
+    is an eval/benchmark suite's embeddings (bounded by construction,
+    like the n-gram decontam family's eval gram set), the corpus is
+    the unbounded training side, and downstream thresholds
+    ``cosine >= t`` flag train docs that are near-duplicates of eval
+    content in EMBEDDING space — catching paraphrases and format
+    shifts the n-gram probes (``decontam_ngram_overlap`` /
+    ``decontam_bloom_probe``) structurally miss.
+
+    Spark shape at 100 TB: the reference side broadcasts (the
+    documented bounded-BNL pattern of ``cosine_topk``, guarded by
+    ``max_ref_rows`` — misuse with an unbounded ref set fails loud);
+    the corpus side is scanned ONCE, scored map-side, and reduced by
+    a map-side-combinable ``max(struct(...))`` groupBy, so the one
+    shuffle carries exactly one row per corpus vector — never the
+    corpus x refs pair stream. Contrast ``cosine_topk``, which windows
+    per QUERY; this reduces per CORPUS ROW, the direction
+    decontamination needs.
+    """
+    n_r = refs.limit(max_ref_rows + 1).count()
+    if n_r > max_ref_rows:
+        raise ValueError(
+            f"max_cosine_vs_refs reference side exceeds max_ref_rows="
+            f"{max_ref_rows}: the exact path broadcasts the refs and "
+            "scores corpus x refs pairs; shrink the reference set (or "
+            "raise the cap consciously) — an unbounded ref set needs "
+            "an ANN path instead"
+        )
+    corpus = with_norm(df.select(id_col, vec_col), vec_col).select(
+        F.col(id_col).alias("_cid"),
+        F.col("vec").alias("c_vec"),
+        F.col("norm").alias("c_norm"),
+    )
+    r = with_norm(refs.select(id_col, vec_col), vec_col).select(
+        F.col(id_col).alias("_rid"),
+        F.col("vec").alias("r_vec"),
+        F.col("norm").alias("r_norm"),
+    )
+    cos = F.expr(DOT.format(a="c_vec", b="r_vec")) / (
+        F.col("c_norm") * F.col("r_norm")
+    )
+    scored = corpus.crossJoin(F.broadcast(r)).select(
+        "_cid", "_rid", cos.alias("cosine")
+    )
+    # argmax via lexicographic struct max: highest cosine first, then
+    # highest -ref_id == smallest ref_id — one map-side-combinable agg
+    best = scored.groupBy("_cid").agg(
+        F.max(
+            F.struct(
+                F.col("cosine").alias("cosine"),
+                (-F.col("_rid")).alias("_neg_rid"),
+            )
+        ).alias("_b")
+    )
+    return best.select(
+        F.col("_cid").alias(id_col),
+        (-F.col("_b._neg_rid")).alias("ref_id"),
+        F.col("_b.cosine").alias("cosine"),
+    )

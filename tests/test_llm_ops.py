@@ -2642,3 +2642,60 @@ def test_udtf_arrow_and_pickle_paths_agree(spark):
     p = spark.sql(q.format(fn="tt_pickle")).collect()
     assert len(a) == len(p) > 0
     assert a == p
+
+
+def test_max_cosine_vs_refs_matches_bruteforce_and_ties(spark):
+    """max_cosine_vs_refs: per-corpus-row argmax against a brute-force
+    python model; ties break toward the SMALLEST ref id (both engines'
+    rule); the ref-side cap fails loud; an empty ref set yields an
+    empty frame."""
+    import math
+
+    import pytest as _pytest
+
+    from cassandrastack_spark.llm.simsearch import max_cosine_vs_refs
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [1.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    # refs 10 and 11 are IDENTICAL: both tie on every cosine — the
+    # argmax must deterministically pick 10 (smallest id)
+    refs = spark.createDataFrame(
+        [
+            (10, [2.0, 0.0, 0.0]),
+            (11, [2.0, 0.0, 0.0]),
+            (12, [0.0, 3.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.vec_id: (r.ref_id, r.cosine)
+        for r in max_cosine_vs_refs(corpus, refs).collect()
+    }
+    cvecs = {1: (1, 0, 0), 2: (0, 1, 0), 3: (1, 1, 0)}
+    rvecs = {10: (2, 0, 0), 11: (2, 0, 0), 12: (0, 3, 0)}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    for cid, cv in cvecs.items():
+        best = max(
+            ((cos(cv, rv), -rid) for rid, rv in rvecs.items()),
+        )
+        assert got[cid][0] == -best[1]
+        assert abs(got[cid][1] - best[0]) < 1e-12
+    assert got[1][0] == 10 and got[2][0] == 12 and got[3][0] == 10
+
+    with _pytest.raises(ValueError, match="max_ref_rows"):
+        max_cosine_vs_refs(corpus, refs, max_ref_rows=2)
+
+    empty = max_cosine_vs_refs(corpus, refs.filter("vec_id > 100"))
+    assert empty.count() == 0

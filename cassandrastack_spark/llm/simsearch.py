@@ -1924,8 +1924,13 @@ def max_cosine_vs_refs(
     """For every corpus row, its single nearest vector in a BOUNDED
     reference set: ``(id_col, ref_id, cosine)`` with ``ref_id`` the
     argmax reference (ties broken toward the smallest ref id —
-    deterministic on both engines) and ``cosine`` the max similarity.
-    An empty reference set yields an empty frame (nothing to be near).
+    deterministic on both engines, in the id type's own ordering —
+    string ids stay strings) and ``cosine`` the max similarity.
+    An empty reference set yields an empty frame (nothing to be near),
+    and zero-norm (all-zero / empty) vectors are dropped on both sides
+    — they have no direction, and aborting a 100 TB job on one
+    degenerate embedding is the wrong failure mode; a dropped corpus
+    row gets no verdict row (anti-join the output to list them).
 
     This is the semantic-decontamination primitive: the reference set
     is an eval/benchmark suite's embeddings (bounded by construction,
@@ -1955,15 +1960,29 @@ def max_cosine_vs_refs(
             "raise the cap consciously) — an unbounded ref set needs "
             "an ANN path instead"
         )
-    corpus = with_norm(df.select(id_col, vec_col), vec_col).select(
-        F.col(id_col).alias("_cid"),
-        F.col("vec").alias("c_vec"),
-        F.col("norm").alias("c_norm"),
+    # zero-norm (all-zero / empty) vectors have no direction and no
+    # cosine: drop them on BOTH sides rather than abort the whole job
+    # at the division under ANSI mode (review r14 — degenerate
+    # embeddings from failed embedding calls are exactly what an
+    # unbounded training crawl contains). A dropped corpus row simply
+    # gets no verdict; callers needing the list anti-join the output.
+    corpus = (
+        with_norm(df.select(id_col, vec_col), vec_col)
+        .filter(F.col("norm") > 0)
+        .select(
+            F.col(id_col).alias("_cid"),
+            F.col("vec").alias("c_vec"),
+            F.col("norm").alias("c_norm"),
+        )
     )
-    r = with_norm(refs.select(id_col, vec_col), vec_col).select(
-        F.col(id_col).alias("_rid"),
-        F.col("vec").alias("r_vec"),
-        F.col("norm").alias("r_norm"),
+    r = (
+        with_norm(refs.select(id_col, vec_col), vec_col)
+        .filter(F.col("norm") > 0)
+        .select(
+            F.col(id_col).alias("_rid"),
+            F.col("vec").alias("r_vec"),
+            F.col("norm").alias("r_norm"),
+        )
     )
     cos = F.expr(DOT.format(a="c_vec", b="r_vec")) / (
         F.col("c_norm") * F.col("r_norm")
@@ -1971,18 +1990,23 @@ def max_cosine_vs_refs(
     scored = corpus.crossJoin(F.broadcast(r)).select(
         "_cid", "_rid", cos.alias("cosine")
     )
-    # argmax via lexicographic struct max: highest cosine first, then
-    # highest -ref_id == smallest ref_id — one map-side-combinable agg
+    # argmax via lexicographic struct MIN: smallest -cosine == highest
+    # cosine first, then the SMALLEST ref id in the id's OWN ordering —
+    # one map-side-combinable agg that preserves the ref id's type
+    # (review r14: the old -ref_id negation silently cast string ids
+    # to doubles and crashed on non-numeric ids; cosine_topk accepts
+    # string ids, so this must too)
     best = scored.groupBy("_cid").agg(
-        F.max(
+        F.min(
             F.struct(
+                (-F.col("cosine")).alias("_neg_cos"),
+                F.col("_rid").alias("ref_id"),
                 F.col("cosine").alias("cosine"),
-                (-F.col("_rid")).alias("_neg_rid"),
             )
         ).alias("_b")
     )
     return best.select(
         F.col("_cid").alias(id_col),
-        (-F.col("_b._neg_rid")).alias("ref_id"),
+        F.col("_b.ref_id").alias("ref_id"),
         F.col("_b.cosine").alias("cosine"),
     )

@@ -986,9 +986,11 @@ def weighted_sample_build(
     Returns ``(group_cols..., item string, e double, w double,
     k int)``: ``item`` is the key cast to string (the join-back handle
     for payloads), ``w`` rides for audit. ``key_col`` must be
-    row-unique with a STABLE weight (the same key re-ingested with a
-    different weight is two distinct rows and both could survive —
-    fix the weight at first ingest or dedup upstream). Rows with NULL
+    row-unique with a STABLE weight: the retake dedups on the key, so
+    the same key re-ingested with a different weight keeps ONE
+    partition-order-arbitrary row — the determinism guarantee (and
+    merge == whole-build) holds only while weights are fixed per key;
+    fix the weight at first ingest or dedup upstream. Rows with NULL
     keys or NULL/NaN/non-positive weights are dropped (a weight <= 0
     has no A-ES key; -ln(u)/w would flip its sign and poison the
     bottom-k order).

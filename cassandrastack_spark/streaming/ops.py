@@ -1838,13 +1838,7 @@ def value_sample_state(
         ddl = (gddl + ", " if gcols else "") + "h string, v double, k int"
         return spark.createDataFrame([], ddl)
     _check_sample_state_schema(raw, gcols, state_path, "value_sample_state")
-    ks = [r.k for r in raw.select("k").distinct().collect()]
-    if len(ks) > 1:
-        raise ValueError(
-            f"value_sample_state: state at {state_path} mixes sample "
-            f"sizes k={sorted(ks)} — two different monitors were "
-            "written to one path; rebuild the state"
-        )
+    _check_sample_state_k(raw, state_path, "value_sample_state")
     return bottomk_retake(raw, gcols)
 
 
@@ -1853,17 +1847,21 @@ def _check_sample_state_schema(
     gcols: list[str],
     state_path: str,
     caller: str,
+    data_cols: tuple[str, ...] = ("h", "v", "k"),
 ) -> None:
     """Refuse a group-column set that doesn't cover the state schema
     (review r14 — the merge-key rule _stage_additive_compaction
-    enforces, applied to the sample state's readers AND compactor): a
+    enforces, applied to the sample states' readers AND compactors): a
     bottom-k retake under MISSING group columns ranks every group in
-    one window and keeps only the globally-smallest k hashes —
+    one window and keeps only the globally-smallest k keys —
     permanently halving each group's sample in the compactor's case.
-    Every non-(h, v, k) column of the state is a group column by
-    construction (the monitor writes nothing else).
+    Every non-``data_cols`` column of the state is a group column by
+    construction (the monitors write nothing else); ``data_cols`` is
+    ("h", "v", "k") for the uniform sample and
+    ("item", "e", "w", "k") for the weighted one — ONE guard for both
+    twins, so a future fix cannot diverge between them.
     """
-    derived = sorted(c for c in raw.columns if c not in ("h", "v", "k"))
+    derived = sorted(c for c in raw.columns if c not in data_cols)
     if sorted(gcols) != derived:
         raise ValueError(
             f"{caller}: supplied group_cols {sorted(gcols)} do not "
@@ -1873,31 +1871,44 @@ def _check_sample_state_schema(
         )
 
 
-def compact_value_sample_state(spark: SparkSession, state_path: str) -> None:
-    """Maintenance for a ``monitor_value_sample`` state table: the
-    monitor appends ≤ k rows per group per non-empty batch; rewrite
-    the state as the merged ≤ k-rows-per-group sample. Same
-    append-then-delete-snapshot commit as
-    ``compact_distinct_count_state``, and safe for the same reason:
-    the merge is idempotent (hash-dedup) and min-k is associative, so
-    a concurrent append survives outside the snapshot, every read
-    interleaving min-k-merges to the same sample, and a crash between
-    append and delete leaves a correct, merely-uncompacted table.
-    (The additive manifest protocol is NOT needed here — that exists
-    for sum-merged states, where old + merged double-counts.)
+def _check_sample_state_k(
+    raw: DataFrame, state_path: str, caller: str
+) -> None:
+    """Refuse mixed sample sizes in one state path — two different
+    monitors were pointed at it; merging/retaking interleaved samples
+    sized for different accuracies would corrupt both. Shared by the
+    readers (before resolving) and the compactors (BEFORE any write,
+    so the corruption can never be laundered into the state)."""
+    ks = [r.k for r in raw.select("k").distinct().collect()]
+    if len(ks) > 1:
+        raise ValueError(
+            f"{caller}: state at {state_path} mixes sample sizes "
+            f"k={sorted(ks)} — two different monitors were written to "
+            "one path; rebuild the state"
+        )
 
-    The group columns are DERIVED from the state schema — every
-    non-(h, v, k) column (review r14: trusting a caller-supplied
-    group list was the exact r13 compact_histogram_state bug, here it
-    would retake all groups in one window and permanently halve each
-    group's sample before deleting the snapshot). Mixed sample sizes
-    in one path refuse loudly BEFORE any write, preserving
-    ``value_sample_state``'s refusal — retaking interleaved k=32/k=64
-    rows would corrupt both sketches irreversibly.
+
+def _compact_sample_state(
+    spark: SparkSession,
+    state_path: str,
+    data_cols: tuple[str, ...],
+    retake_fn,
+    caller: str,
+) -> None:
+    """The shared append-then-delete-snapshot compactor for BOTH
+    sample-sketch monitors (uniform bottom-k and weighted reservoir) —
+    one copy of the commit protocol, so a future protocol fix cannot
+    diverge between the twins. Safe because each twin's merge is
+    idempotent (key dedup) and min-k is associative: a concurrent
+    append survives outside the snapshot, every read interleaving
+    min-k-merges to the same sample, and a crash between append and
+    delete leaves a correct, merely-uncompacted table. (The additive
+    manifest protocol is NOT needed here — that exists for sum-merged
+    states, where old + merged double-counts.) Group columns are
+    DERIVED from the state schema; mixed sample sizes refuse BEFORE
+    any write.
     """
     from pyspark.errors import AnalysisException
-
-    from cassandrastack_spark.operators.sketch import bottomk_retake
 
     try:
         raw = spark.read.parquet(state_path)
@@ -1906,21 +1917,14 @@ def compact_value_sample_state(spark: SparkSession, state_path: str) -> None:
     snapshot = sorted(raw.inputFiles())
     if len(snapshot) <= 1:
         return  # nothing to compact
-    gcols = [c for c in raw.columns if c not in ("h", "v", "k")]
-    ks = [r.k for r in raw.select("k").distinct().collect()]
-    if len(ks) > 1:
-        raise ValueError(
-            f"compact_value_sample_state: state at {state_path} mixes "
-            f"sample sizes k={sorted(ks)} — two different monitors "
-            "were written to one path; compacting would corrupt both "
-            "sketches; rebuild the state"
-        )
+    gcols = [c for c in raw.columns if c not in data_cols]
+    _check_sample_state_k(raw, state_path, caller)
     merged = (
-        bottomk_retake(
+        retake_fn(
             spark.read.option("basePath", state_path).parquet(*snapshot),
             gcols,
         )
-        .select(*gcols, "h", "v", "k")
+        .select(*gcols, *data_cols)
         .localCheckpoint(eager=True)  # materialize BEFORE any delete
     )
     merged.coalesce(1).write.mode("append").partitionBy("k").parquet(
@@ -1931,6 +1935,21 @@ def compact_value_sample_state(spark: SparkSession, state_path: str) -> None:
     for f in snapshot:
         fpath = jvm.org.apache.hadoop.fs.Path(f)
         fpath.getFileSystem(hconf).delete(fpath, False)
+
+
+def compact_value_sample_state(spark: SparkSession, state_path: str) -> None:
+    """Maintenance for a ``monitor_value_sample`` state table: rewrite
+    the accreted per-batch sample files as the merged
+    ≤ k-rows-per-group sample. See ``_compact_sample_state`` for the
+    protocol and its safety argument (shared verbatim with the
+    weighted twin).
+    """
+    from cassandrastack_spark.operators.sketch import bottomk_retake
+
+    _compact_sample_state(
+        spark, state_path, ("h", "v", "k"), bottomk_retake,
+        "compact_value_sample_state",
+    )
 
 
 def monitor_weighted_sample(
@@ -2007,66 +2026,24 @@ def weighted_sample_state(
             + "item string, e double, w double, k int"
         )
         return spark.createDataFrame([], ddl)
-    derived = sorted(c for c in raw.columns if c not in ("item", "e", "w", "k"))
-    if sorted(gcols) != derived:
-        raise ValueError(
-            f"weighted_sample_state: supplied group_cols {sorted(gcols)} "
-            f"do not cover the state's group columns {derived} at "
-            f"{state_path} — a retake under missing group columns would "
-            "silently drop sample rows across groups"
-        )
-    ks = [r.k for r in raw.select("k").distinct().collect()]
-    if len(ks) > 1:
-        raise ValueError(
-            f"weighted_sample_state: state at {state_path} mixes sample "
-            f"sizes k={sorted(ks)} — two different monitors were "
-            "written to one path; rebuild the state"
-        )
+    _check_sample_state_schema(
+        raw, gcols, state_path, "weighted_sample_state",
+        data_cols=("item", "e", "w", "k"),
+    )
+    _check_sample_state_k(raw, state_path, "weighted_sample_state")
     return weighted_sample_retake(raw, gcols)
 
 
 def compact_weighted_sample_state(
     spark: SparkSession, state_path: str
 ) -> None:
-    """Maintenance for a ``monitor_weighted_sample`` state table —
-    identical protocol and rationale to ``compact_value_sample_state``
-    (append-then-delete-snapshot; the merge is idempotent and min-k is
-    associative, so every interleaving with a live monitor is exact):
-    group columns DERIVED from the state schema, mixed sample sizes
-    refused BEFORE any write.
+    """Maintenance for a ``monitor_weighted_sample`` state table — the
+    weighted twin of ``compact_value_sample_state``, on the SAME
+    shared ``_compact_sample_state`` protocol.
     """
-    from pyspark.errors import AnalysisException
-
     from cassandrastack_spark.operators.sketch import weighted_sample_retake
 
-    try:
-        raw = spark.read.parquet(state_path)
-    except AnalysisException:
-        return
-    snapshot = sorted(raw.inputFiles())
-    if len(snapshot) <= 1:
-        return  # nothing to compact
-    gcols = [c for c in raw.columns if c not in ("item", "e", "w", "k")]
-    ks = [r.k for r in raw.select("k").distinct().collect()]
-    if len(ks) > 1:
-        raise ValueError(
-            f"compact_weighted_sample_state: state at {state_path} mixes "
-            f"sample sizes k={sorted(ks)} — compacting would corrupt "
-            "both sketches; rebuild the state"
-        )
-    merged = (
-        weighted_sample_retake(
-            spark.read.option("basePath", state_path).parquet(*snapshot),
-            gcols,
-        )
-        .select(*gcols, "item", "e", "w", "k")
-        .localCheckpoint(eager=True)  # materialize BEFORE any delete
+    _compact_sample_state(
+        spark, state_path, ("item", "e", "w", "k"), weighted_sample_retake,
+        "compact_weighted_sample_state",
     )
-    merged.coalesce(1).write.mode("append").partitionBy("k").parquet(
-        state_path
-    )
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    for f in snapshot:
-        fpath = jvm.org.apache.hadoop.fs.Path(f)
-        fpath.getFileSystem(hconf).delete(fpath, False)

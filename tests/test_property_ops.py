@@ -1199,3 +1199,90 @@ def test_bottomk_sample_matches_python_model_and_merge_fold(
         for p in probs:
             idx = max(1, math.ceil(p * len(vs))) - 1
             assert got_q[(g, p)] == vs[idx], (g, p)
+
+
+_ws_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),   # key (may repeat)
+        st.integers(min_value=0, max_value=1),        # group
+        st.floats(min_value=1e-3, max_value=1e3,
+                  allow_nan=False, allow_infinity=False),  # weight > 0
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_ws_rows,
+       st.integers(min_value=1, max_value=12),
+       st.integers(min_value=1, max_value=3))
+def test_weighted_sample_matches_python_model_and_merge_fold(
+    spark, rows, k, n_chunks
+):
+    """weighted_sample_build's SELECTED ITEM SET must equal the pure
+    Python A-ES model's (selection compared, not float key equality —
+    libm ln can differ at the ulp, which never flips md5-spread
+    orderings but would fail ==), and fold-merging any chunking must
+    equal the whole build. Duplicate keys are deduplicated to one row
+    before ranking (weights here are a function of the key, so the
+    kept row is well-defined and the model agrees)."""
+    import hashlib
+    import math
+
+    from cassandrastack_spark.operators.sketch import (
+        weighted_sample_build,
+        weighted_sample_merge,
+    )
+
+    # make the weight a FUNCTION of the key (the stable-weight
+    # contract): duplicates then carry identical rows and the dedup
+    # is deterministic
+    rows = [(key, g, 1e-3 + (key % 97) / 7.0) for key, g, _ in rows]
+    df = spark.createDataFrame(rows, "id long, g int, wt double")
+
+    def model(rws):
+        per_group = {}
+        for key, g, wt in set(rws):
+            hx = hashlib.md5(str(key).encode()).hexdigest()
+            u = (int(hx[:8], 16) + 1) / 4294967297.0
+            e = -math.log(u) / wt
+            per_group.setdefault(g, {})[str(key)] = e
+        return {
+            g: {
+                it
+                for _, it in sorted(
+                    (e, it) for it, e in items.items()
+                )[:k]
+            }
+            for g, items in per_group.items()
+        }
+
+    want = model(rows)
+    got = {}
+    for r in weighted_sample_build(
+        df, "id", "wt", k=k, group_cols=["g"]
+    ).collect():
+        got.setdefault(r.g, set()).add(r.item)
+    assert got == want
+
+    chunks = [rows[i::n_chunks] for i in range(n_chunks)]
+    chunks = [c for c in chunks if c]
+    folded = weighted_sample_build(
+        spark.createDataFrame(chunks[0], "id long, g int, wt double"),
+        "id", "wt", k=k, group_cols=["g"],
+    )
+    for c in chunks[1:]:
+        folded = weighted_sample_merge(
+            folded,
+            weighted_sample_build(
+                spark.createDataFrame(c, "id long, g int, wt double"),
+                "id", "wt", k=k, group_cols=["g"],
+            ),
+            group_cols=["g"],
+        )
+    fold = {}
+    for r in folded.collect():
+        fold.setdefault(r.g, set()).add(r.item)
+    assert fold == want

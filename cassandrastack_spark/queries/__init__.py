@@ -84,83 +84,66 @@ def hll_estimator_sql(ne: str, hs: str) -> str:
 # first (in this order); everything else follows in registration order.
 # A name here that is not registered is ignored.
 #
-# Round-14 rotation (VERDICT r13 lead item — the row-age contract test
-# went red the moment CORRECTNESS_r13.json landed, naming the cohort):
-# (a) ALL 37 r10-era rows, 4 rounds old at r14 close — the exact debt
-# cohort the r13 rotation note precomputed (the contract test's list
-# and the note's list match verbatim, re-diffed before this rotation):
-# agg_distinct through text_unigram_logprob below.
-# Clearing these turns tests/test_row_age_contract.py green again.
-# (b) stream_bloom_dedup, re-gated THIS round under a real oracle —
-# VERDICT r13's one red cell. The r13 registration shipped
-# oracle=None with a justification ("rows-only, like its stream_*
-# siblings") that was factually wrong: the other 12 stream_* rows all
-# carry real oracles and hash-matched in r13. The emitted set is
-# order- and batching-independent at fixture occupancy — proved, not
-# assumed: tests/test_streaming.py::test_bloom_dedup_fixture_has_no
-# _covering_collisions recomputes every payload's k md5-slice bit
-# positions per bucket at sf0.001 AND sf0.01 and asserts no payload's
-# bit set is covered by the union of all OTHER payloads' bits in its
-# bucket, so no arrival order can falsely drop a novel payload and
-# the exact-DISTINCT oracle gates the row bit-for-bit.
-# (c) the 3 r13-staged registrants, lifted verbatim from
-# tests/test_r14_oracle_parity.py where their exact plans + oracle SQL
-# validated green at sf0.001 AND sf0.01 one round ahead:
-# distinct_tokens_hll (completes the registered mergeable-sketch trio:
-# MG r11, Bloom r12, HLL r14), corpus_source_kl, corpus_source_overlap
-# (both with the scalar_broadcast_ok entries the parity file's
-# registration notes prescribed).
-# (d) stream_monitor_distinct_count, NEW this round — the
-# monitor_distinct_count HLL state resolved to the running distinct
-# count, gated bit-exactly under the same register-rebuild oracle
-# arithmetic as distinct_tokens_hll (register max is associative,
-# commutative, idempotent, so the merged state is byte-identical to a
-# one-batch build whatever the micro-batch boundaries — the property
-# the r13 note said makes sketch monitors uniquely oracle-capable
-# among stream_* rows).
-# (e) 8 chips against the 50-row r11 cohort due in full at r15 (one
-# chip slot was spent on (b)'s re-gate, per the r13 note's own "drop
-# a chip if #2's re-gate needs a slot"), chosen where r14 has
-# adjudication value: ann_index_extend_probe (the r13 BENCH_NOTES
-# watch item — its fresh idle timing lands next to the two-ledger
-# trigger), graph_pagerank_seeded + dq_referential_orphans (the two
-# biggest r13 raw regressions, both attributed to host tier with zero
-# code diff — a fresh row adjudicates), dedup_semantic_indexed (0.84x
-# improvement re-confirm), text_heavy_hitters_sketch +
-# approx_distinct_users + rolling_wau (nearest the r14-touched
-# operators/sketch.py — the KLL quantile sketch lands there this
-# round), q1_pricing_summary (the TPC-H anchor chip for host-tier
-# normalization).
+# Round-15 rotation (VERDICT r14 lead item — the row-age contract test
+# went red the moment CORRECTNESS_r14.json landed, naming the cohort):
+# (a) ALL 42 un-chipped r11 rows, 4 rounds old at r15 close — the
+# exact debt cohort the r14 rotation note precomputed (the contract
+# test's list and the note's list match verbatim, re-diffed before
+# this rotation): anomaly_trailing_zscore through window_range_frames
+# below. Clearing these turns tests/test_row_age_contract.py green.
+# (b) the 3 r13-staged r15 registrants, lifted verbatim from
+# tests/test_r15_oracle_parity.py where their exact plans + oracle SQL
+# validated green at sf0.001 AND sf0.01 ahead of registration:
+# token_freq_cm (completes the registered point-query sketch surface:
+# MG "which keys are heavy" r11, CM "how heavy is THIS key" r15),
+# stream_hot_keys (the CM monitor resolved end-to-end — exactly-once
+# per-run delivery + associative cell sums make the merged state
+# bit-identical to a one-batch build, the same argument that gated
+# stream_monitor_distinct_count; replays are marker-guarded because
+# sums, unlike HLL register max, are NOT idempotent), and
+# corpus_score_drift_psi (histogram_fixed + psi_from_histograms — the
+# decimal-exact drift alarm).
+# (c) 5 chips against the 50-row r12 cohort due in full at r16, chosen
+# where r15 has adjudication value: dedup_minhash_lsh (the heaviest
+# r12 row — a fresh timing anchors the banded-dedup family),
+# corpus_weighted_sample (nearest the r14-touched A-ES weighted
+# sample in operators/sketch.py, whose unstable-weight contract gets
+# its pinning pytest this round ahead of r16's
+# stream_weighted_sample), ann_ivf_pq_topk (the raw IVF+PQ twin —
+# its persisted siblings re-greened r14, the raw path adjudicates any
+# drift between them), text_bm25_topk (the postings-cost retrieval
+# anchor), q6_forecast_revenue (the cheap TPC-H chip for host-tier
+# normalization alongside r14's q1 chip).
 #
-# Debt arithmetic after r14: the r15 window owes the 42 un-chipped
-# r11 rows (50 - 8). The EXACT 42-row r15 debt cohort, precomputed
-# from the CORRECTNESS files at the end of r14 (r15's first commit
+# Debt arithmetic after r15: the r16 window owes the 45 un-chipped
+# r12 rows (50 - 5). The EXACT 45-row r16 debt cohort, precomputed
+# from the CORRECTNESS files at the end of r15 (r16's first commit
 # rotates these into _FRONT verbatim, then appends registrants and
-# chips — the same mechanical handoff as r13→r14):
-# anomaly_trailing_zscore, asof_join_latest_order,
-# asof_join_next_order, corpus_chunk_sliding, corpus_shard_shuffle,
-# corpus_snapshot_diff, correlated_above_avg, cube_orders,
-# date_null_functions, dedup_embedding_cosine,
-# dedup_semantic_clustered, full_outer_nation_accounts,
-# gapfill_interpolate_hourly, gapfill_locf_hourly,
-# graph_pagerank_events, hypertable_rollup_daily,
-# lateral_explode_tokens, map_functions, q11_important_volume,
-# q13_customer_distribution, q14_promo_revenue, q15_top_supplier,
-# q16_parts_supplier_cnt, q17_small_qty_revenue,
-# q18_large_volume_customer, q19_discounted_revenue,
-# q20_heavy_shippers, q21_sole_returned_supplier,
-# q22_sales_opportunity, q2_min_cost_supplier, q3_shipping_priority,
-# q5_local_supplier_volume, q7_volume_shipping, q8_market_share,
-# q9_product_profit, rollup_acctbal, stats_regression_lineitem,
-# text_word_entropy, topn_per_group, union_all_with_source,
-# window_dist_functions, window_range_frames.
-# That leaves 8 slots: the 3 staged r15 registrants (token_freq_cm,
-# stream_hot_keys, corpus_score_drift_psi — oracles pre-validated in
-# tests/test_r15_oracle_parity.py: CM cells sum each row exactly once
-# whatever the batch boundaries; PSI term sums are decimal-exact) +
-# ~5 chips against the 50-row r12 cohort due in full at r16. r16
-# registrants are staged ahead in tests/test_r16_oracle_parity.py
-# under the same discipline.
+# chips — the same mechanical handoff as r14->r15):
+# ann_cosine_topk, ann_filtered_topk, ann_lsh_topk, ann_pq_topk,
+# corpus_ccnet_buckets, corpus_dsir_resample, corpus_dsir_weights,
+# corpus_dsir_weights_indexed, decontam_bloom_probe,
+# dedup_canonical_election, embedding_hard_negatives,
+# embedding_knn_label_agreement, embedding_norms,
+# embedding_quantize_int8, graph_triangle_count, outliers_iqr_values,
+# pareto_customers_by_segment, partition_scan_ordered,
+# percentiles_acctbal, point_lookup, profile_hot_keys,
+# profile_table_stats, projection_scan, q10_returned_revenue,
+# q12_priority_by_linestatus, q4_priority_with_big_items,
+# retention_weekly, salted_join_events_customers, sessionize_events,
+# set_operations, sql_exists_in_subqueries, sql_grouping_sets,
+# sql_lateral_topk, sql_recursive_tree_depth, text_bigram_logprob,
+# text_ngram_novelty, text_tfidf_sim_indexed, text_tfidf_sim_topk,
+# text_zipf_fit, top_k_global, tumbling_window_hourly,
+# window_moving_avg, window_rank_surface, window_running_distinct,
+# window_running_sum.
+# That fills the window exactly: 45 debt + the 4 staged r16
+# registrants (quantiles_sample_sketch, stream_quantile_sample,
+# stream_psi_alarm, stream_weighted_sample — oracles pre-validated in
+# tests/test_r16_oracle_parity.py) + 1 chip against the 49-row r13
+# cohort due in full at r17 = 50. r17 registrants are staged ahead
+# (decontam_semantic in tests/test_r17_oracle_parity.py) under the
+# same discipline.
 #
 # STEADY-STATE POLICY (decided r13, per VERDICT r12 ask #5 — the r14+
 # windows follow this): with N registered queries, a 50-row window and
@@ -181,61 +164,59 @@ def hll_estimator_sql(ne: str, hs: str) -> str:
 # zero registration cost until a slot frees). Staging depth is never
 # capped - only registration is.
 _FRONT: tuple[str, ...] = (
-    # -- (a) the 37 r10-era debt rows --
-    "agg_distinct",
-    "ann_hybrid_rrf_indexed",
-    "ann_ivfpq_filtered_topk",
-    "ann_mmr_rerank_indexed",
-    "ann_mmr_rerank_topk",
-    "anomaly_cusum_changepoint",
-    "anti_join_no_orders",
-    "corpus_curriculum_order",
-    "corpus_domain_cap",
-    "corpus_mix_weights",
-    "corpus_pack_bins",
-    "corpus_prepare_pipeline",
-    "corpus_quality_filter",
-    "corpus_source_profile",
-    "corpus_split_hash",
-    "corpus_stratified_sample",
-    "decontam_ngram_overlap",
-    "dedup_cluster_components",
-    "dedup_cluster_size_histogram",
-    "dedup_containment_ngram",
-    "dedup_exact",
-    "dedup_incremental_minhash",
-    "dedup_ngram_jaccard",
-    "dedup_paragraph_spans",
-    "dq_profile_lineitem",
-    "dq_profile_lineitem_approx",
-    "embedding_covariance_exclude",
-    "embedding_hard_negatives_indexed",
-    "embedding_knn_label_agreement_indexed",
-    "embedding_label_cohesion",
-    "percentiles_acctbal_approx",
-    "range_join_event_pairs",
-    "semi_join_open_orders",
-    "text_repetition",
-    "text_stats",
-    "text_tokenizer_fertility",
-    "text_unigram_logprob",
-    # -- (b) the r13 red cell, re-gated under a real oracle --
-    "stream_bloom_dedup",
-    # -- (c) the 3 r13-staged registrants --
-    "distinct_tokens_hll",
-    "corpus_source_kl",
-    "corpus_source_overlap",
-    # -- (d) the new HLL-monitor stream row --
-    "stream_monitor_distinct_count",
-    # -- (e) 8 chips against the r11 cohort (due in full at r15) --
-    "ann_index_extend_probe",
-    "graph_pagerank_seeded",
-    "dq_referential_orphans",
-    "dedup_semantic_indexed",
-    "text_heavy_hitters_sketch",
-    "approx_distinct_users",
-    "rolling_wau",
-    "q1_pricing_summary",
+    # -- (a) the 42 un-chipped r11 debt rows --
+    "anomaly_trailing_zscore",
+    "asof_join_latest_order",
+    "asof_join_next_order",
+    "corpus_chunk_sliding",
+    "corpus_shard_shuffle",
+    "corpus_snapshot_diff",
+    "correlated_above_avg",
+    "cube_orders",
+    "date_null_functions",
+    "dedup_embedding_cosine",
+    "dedup_semantic_clustered",
+    "full_outer_nation_accounts",
+    "gapfill_interpolate_hourly",
+    "gapfill_locf_hourly",
+    "graph_pagerank_events",
+    "hypertable_rollup_daily",
+    "lateral_explode_tokens",
+    "map_functions",
+    "q11_important_volume",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_parts_supplier_cnt",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customer",
+    "q19_discounted_revenue",
+    "q20_heavy_shippers",
+    "q21_sole_returned_supplier",
+    "q22_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "rollup_acctbal",
+    "stats_regression_lineitem",
+    "text_word_entropy",
+    "topn_per_group",
+    "union_all_with_source",
+    "window_dist_functions",
+    "window_range_frames",
+    # -- (b) the 3 r13-staged r15 registrants --
+    "token_freq_cm",
+    "stream_hot_keys",
+    "corpus_score_drift_psi",
+    # -- (c) 5 chips against the r12 cohort (due in full at r16) --
+    "dedup_minhash_lsh",
+    "corpus_weighted_sample",
+    "ann_ivf_pq_topk",
+    "text_bm25_topk",
+    "q6_forecast_revenue",
 )
 
 

@@ -4935,3 +4935,205 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# The Count-Min oracle rebuilds the sketch BIT-FOR-BIT: cell positions
+# are the Bloom layout's md5-hex slices (portable string ops), cell
+# counts are integer sums, and the estimate is an integer min — no
+# floats anywhere, so the hash gate pins the whole artifact, not just
+# the answers. The exact count rides along, gating BOTH guarantees:
+# est_count >= exact_count always (a CM sketch never undercounts), and
+# the overcount is the design-bounded collision overhang, reproduced
+# exactly. Lifted verbatim from tests/test_r15_oracle_parity.py where
+# it validated green at sf0.001 AND sf0.01 one round ahead (staged r13,
+# registered r15).
+_TOKEN_FREQ_CM_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+    rows_off AS (SELECT * FROM (VALUES (0, 1), (1, 8), (2, 15)) t(r, off)),
+    cells AS (
+        SELECT r.r AS row,
+               CAST(list_sum(list_transform(generate_series(1, 7),
+                   i -> (strpos('0123456789abcdef',
+                                substr(md5(tok), off + i - 1, 1)) - 1)
+                        * 16 ** (7 - i))) AS BIGINT) % 32 AS col,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM toks, rows_off r
+        GROUP BY 1, 2),
+    probes AS (
+        SELECT DISTINCT tok FROM toks WHERE doc_id % 20 = 0),
+    ppos AS (
+        SELECT tok, r.r AS row,
+               CAST(list_sum(list_transform(generate_series(1, 7),
+                   i -> (strpos('0123456789abcdef',
+                                substr(md5(tok), off + i - 1, 1)) - 1)
+                        * 16 ** (7 - i))) AS BIGINT) % 32 AS col
+        FROM probes, rows_off r),
+    est AS (
+        SELECT tok, MIN(COALESCE(c.cnt, 0)) AS est_count
+        FROM ppos LEFT JOIN cells c USING (row, col)
+        GROUP BY tok),
+    exact AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_count
+        FROM toks GROUP BY tok)
+    SELECT e.tok, e.est_count, x.exact_count
+    FROM est e JOIN exact x USING (tok)
+    ORDER BY e.tok
+"""
+
+
+@register(
+    "token_freq_cm",
+    oracle=_TOKEN_FREQ_CM_ORACLE,
+    doc="Per-token frequency estimates from a Count-Min sketch "
+        "(operators/sketch.py cm_build / cm_estimate) — the fixed-state "
+        "answer to 'about how often does THIS key occur' when the key "
+        "space (tokens, n-grams, URLs) is too large to count exactly. "
+        "Completes the registered point-query sketch surface: MG "
+        "answers 'which keys are heavy' (top-k), CM answers 'how heavy "
+        "is THIS key' (any key, bounded overcount, never undercount). "
+        "Gated bit-exactly: DuckDB rebuilds the identical depth x width "
+        "cell table from the same md5 slices, integer end to end. The "
+        "exact count rides along so the gate pins both guarantees "
+        "(est >= exact always; overhang = reproduced collisions). At "
+        "100 TB the cell table is the whole shuffle: depth x width "
+        "rows after a map-side partial sum, whatever the corpus "
+        "cardinality; probes equi-join the broadcast cell table.",
+)
+def token_freq_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandrastack_spark.operators.sketch import cm_build, cm_estimate
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    cm = cm_build(toks, "tok", width=32, depth=3)
+    probes = (
+        toks.filter(F.col("doc_id") % 20 == 0).select("tok").distinct()
+    )
+    exact = toks.groupBy("tok").agg(
+        F.count("*").cast("bigint").alias("exact_count")
+    )
+    return (
+        cm_estimate(cm, probes, "tok")
+        .join(exact, "tok")
+        .select("tok", "est_count", "exact_count")
+        .orderBy("tok")
+    )
+
+
+# Snapshots are the deterministic md5(doc_id) halves (first hex digit
+# < '8' — decorrelated from source, unlike doc_id parity, which the
+# fixture assigns per source block); 10 fixed bins on [0, 1) (design
+# constants, so the histograms are mergeable and the oracle reproduces
+# every edge decision — the bin expression is the same IEEE op
+# sequence on both engines); eps=1e-4 smoothing keeps empty bins
+# finite; the PSI term sum is DECIMAL-exact (order-free) with one
+# final 6-decimal round on both sides. Lifted verbatim from
+# tests/test_r15_oracle_parity.py (staged r13, validated at both SFs).
+_CORPUS_SCORE_DRIFT_PSI_ORACLE = """
+    WITH m AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             (LENGTH(text) - (len(string_split(text, ' ')) - 1))
+                 / len(string_split(text, ' ')) AS awl,
+             len(list_filter(string_split(text, ' '),
+                             w -> w IN ('the', 'a', 'of', 'and')))
+                 / len(string_split(text, ' ')) AS sr
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             ROUND(1.0 / (1.0 + EXP(-(-2.0 + 0.8 * LN(1.0 + n_tokens)
+                                      - 0.15 * awl + 6.0 * sr))),
+                   6) AS score
+      FROM m),
+    sc AS (
+      SELECT d.doc_id, d.source, s.score
+      FROM s JOIN documents d USING (doc_id)),
+    binned AS (
+      SELECT source, doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' AS half,
+             CASE WHEN score < 0.0 THEN -1
+                  WHEN score >= 1.0 THEN 10
+                  ELSE CAST(LEAST(FLOOR((score - 0.0) / 1.0 * 10), 9)
+                            AS INT)
+             END AS bin
+      FROM sc),
+    e AS (
+      SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS ce
+      FROM binned WHERE half GROUP BY source, bin),
+    o AS (
+      SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS co
+      FROM binned WHERE NOT half GROUP BY source, bin),
+    tot AS (
+      SELECT source,
+             SUM(CASE WHEN half THEN 1 ELSE 0 END) AS ne,
+             SUM(CASE WHEN NOT half THEN 1 ELSE 0 END) AS no
+      FROM binned GROUP BY source),
+    terms AS (
+      SELECT t.source,
+             (GREATEST(COALESCE(e.ce, 0) / t.ne, 0.0001)
+              - GREATEST(COALESCE(o.co, 0) / t.no, 0.0001))
+             * LN(GREATEST(COALESCE(e.ce, 0) / t.ne, 0.0001)
+                  / GREATEST(COALESCE(o.co, 0) / t.no, 0.0001)) AS term,
+             t.ne, t.no
+      FROM (SELECT source, bin FROM e UNION SELECT source, bin FROM o) b
+      LEFT JOIN e USING (source, bin)
+      LEFT JOIN o USING (source, bin)
+      JOIN tot t USING (source))
+    SELECT source,
+           ROUND(CAST(SUM(CAST(term AS DECIMAL(28,18))) AS DOUBLE), 6)
+               AS psi,
+           CAST(MAX(ne) AS BIGINT) AS n_expected,
+           CAST(MAX(no) AS BIGINT) AS n_observed
+    FROM terms GROUP BY source ORDER BY source
+"""
+
+
+@register(
+    "corpus_score_drift_psi",
+    oracle=_CORPUS_SCORE_DRIFT_PSI_ORACLE,
+    doc="Per-source Population Stability Index between two corpus "
+        "snapshots' quality-score distributions (functions/stats.py "
+        "histogram_fixed + psi_from_histograms) — the drift alarm that "
+        "catches 'a scraper change shifted the score distribution the "
+        "filter threshold was tuned on' before the threshold silently "
+        "starts keeping garbage. Fixed design-constant bins make the "
+        "histograms mergeable across shards and snapshots; the PSI "
+        "term sum is decimal-exact (order-free), so the gate is "
+        "bit-exact. At 100 TB each snapshot reduces map-side to "
+        "sources x bins rows — the only shuffle is histogram-sized, "
+        "never corpus-sized, and the PSI finish joins two "
+        "histogram-sized frames.",
+)
+def corpus_score_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandrastack_spark.functions.stats import (
+        histogram_fixed,
+        psi_from_histograms,
+    )
+    from cassandrastack_spark.functions.text import quality_score_linear
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.round(quality_score_linear("text"), 6).alias("score"),
+    )
+    half = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8"
+    e = histogram_fixed(
+        scored.filter(half), "score", 0.0, 1.0, 10,
+        group_cols=("source",),
+    )
+    o = histogram_fixed(
+        scored.filter(~half), "score", 0.0, 1.0, 10,
+        group_cols=("source",),
+    )
+    return (
+        psi_from_histograms(e, o, group_cols=("source",))
+        .select(
+            "source",
+            F.round("psi", 6).alias("psi"),
+            "n_expected",
+            "n_observed",
+        )
+        .orderBy("source")
+    )

@@ -607,3 +607,122 @@ def stream_monitor_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame
         .crossJoin(F.broadcast(exact))
         .select("est_distinct", "m", "nonempty", "exact_distinct")
     )
+
+
+# monitor_hot_keys' persisted CM state table, amortized across calls
+# like _DCOUNT_STATE_CACHE's entries (monitor state is a persisted
+# artifact; rebuilding it per call would price the ingest, not the
+# resolution)
+_HOT_KEYS_STATE_CACHE: dict = {}
+
+
+@register(
+    "stream_hot_keys",
+    # Bit-exact oracle, same cell-rebuild arithmetic as the batch
+    # token_freq_cm row (queries/llm.py): the CM cell update is a SUM
+    # and checkpointed micro-batches deliver each input row to the
+    # state table exactly once within a run, so the summed per-batch
+    # cell files are bit-identical to a one-batch cm_build whatever
+    # the micro-batch boundaries (addition is associative and
+    # commutative; the marker guard excludes replayed batches, since
+    # unlike HLL max a sum is NOT idempotent). DuckDB rebuilds the
+    # same depth x width cells from the same md5 slices, integer end
+    # to end; the exact per-key count rides along as the accuracy
+    # column. Lifted verbatim from tests/test_r15_oracle_parity.py
+    # where it validated green at sf0.001 AND sf0.01 one round ahead.
+    oracle="""
+        WITH rows_off AS (SELECT * FROM (VALUES (0, 1), (1, 8), (2, 15)) t(r, off)),
+        cells AS (
+            SELECT r.r AS row,
+                   CAST(list_sum(list_transform(generate_series(1, 7),
+                       i -> (strpos('0123456789abcdef',
+                                    substr(md5(props), off + i - 1, 1)) - 1)
+                            * 16 ** (7 - i))) AS BIGINT) % 64 AS col,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events, rows_off r
+            WHERE props IS NOT NULL
+            GROUP BY 1, 2),
+        probes AS (SELECT DISTINCT props FROM events WHERE props IS NOT NULL),
+        ppos AS (
+            SELECT props, r.r AS row,
+                   CAST(list_sum(list_transform(generate_series(1, 7),
+                       i -> (strpos('0123456789abcdef',
+                                    substr(md5(props), off + i - 1, 1)) - 1)
+                            * 16 ** (7 - i))) AS BIGINT) % 64 AS col
+            FROM probes, rows_off r),
+        est AS (
+            SELECT props, MIN(COALESCE(c.cnt, 0)) AS est_count
+            FROM ppos LEFT JOIN cells c USING (row, col)
+            GROUP BY props),
+        exact AS (
+            SELECT props, CAST(COUNT(*) AS BIGINT) AS exact_count
+            FROM events WHERE props IS NOT NULL GROUP BY props)
+        SELECT e.props, e.est_count, x.exact_count
+        FROM est e JOIN exact x USING (props)
+        ORDER BY e.props
+    """,
+    doc="The streaming hot-keys monitor end-to-end under a bit-exact "
+        "gate: events stream through monitor_hot_keys (streaming/ops.py "
+        "— per batch, one depth x width-bounded Count-Min cell file "
+        "appended to the state table, marker-guarded against replay "
+        "double-counts since sums are not idempotent), and "
+        "hot_keys_state sums the accumulated cells back to per-key "
+        "frequency estimates — 'how hot is THIS key on the stream so "
+        "far' in constant per-batch cost and bounded state, no "
+        "watermark (the question has no time window; exact per-key "
+        "state grows with key cardinality and is the wrong tool at "
+        "corpus scale). CM guarantees survive the streaming build: "
+        "never undercounts, overcount bounded by design. The exact "
+        "count rides along as the accuracy column.",
+)
+def stream_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandrastack_spark.streaming.ops import (
+        hot_keys_state,
+        monitor_hot_keys,
+    )
+
+    key = ("hotkeys", sf_dir)
+    if key not in _HOT_KEYS_STATE_CACHE:
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="cs_q_cm_state_")
+        schema = (
+            spark.read.option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .schema
+        )
+        src = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        q = monitor_hot_keys(
+            src,
+            os.path.join(root, "state"),
+            "props",
+            width=64,
+            depth=3,
+            checkpoint=os.path.join(root, "ckpt"),
+        )
+        if not q.awaitTermination(600):
+            raise RuntimeError("hot-keys ingest did not finish")
+        _HOT_KEYS_STATE_CACHE[key] = os.path.join(root, "state")
+    events = spark.read.option("pathGlobFilter", "events.parquet").parquet(
+        sf_dir
+    )
+    probes = (
+        events.filter(F.col("props").isNotNull())
+        .select("props")
+        .distinct()
+    )
+    exact = (
+        events.filter(F.col("props").isNotNull())
+        .groupBy("props")
+        .agg(F.count("*").cast("bigint").alias("exact_count"))
+    )
+    return (
+        hot_keys_state(spark, _HOT_KEYS_STATE_CACHE[key], probes, "props")
+        .join(exact, "props")
+        .select("props", "est_count", "exact_count")
+        .orderBy("props")
+    )

@@ -195,6 +195,11 @@ def test_no_unjustified_bnl_join_across_catalog(spark, registry):
         # under "<" (190 pairs by construction, never corpus²) — the
         # embedding_pca_projection_pairdist shape (r14 registrant)
         "corpus_source_overlap",
+        # 1-row (w, d) CM-geometry scalar broadcast (cm_estimate reads
+        # the modulus back from the sketch, mixed-geometry-guarded) —
+        # the decontam_bloom_probe metadata pattern; the cell lookup
+        # itself is a (row, col) equi-join (r15 registrant)
+        "token_freq_cm",
     }
     skip = ("stream_", "mm_", "dedup_", "ann_", "text_")
     offenders = []

@@ -594,7 +594,12 @@ def stream_monitor_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame
             p=12,
             checkpoint=os.path.join(root, "ckpt"),
         )
-        assert q.awaitTermination(600), "distinct-count ingest did not finish"
+        # explicit raise, not `assert`: python -O strips asserts, and
+        # this one carries the side effect of WAITING for the ingest —
+        # stripped, the state table would be read mid-ingest and the
+        # running count silently under-reported (ADVICE r14)
+        if not q.awaitTermination(600):
+            raise RuntimeError("distinct-count ingest did not finish")
         _DCOUNT_STATE_CACHE[key] = os.path.join(root, "state")
     events = spark.read.option("pathGlobFilter", "events.parquet").parquet(
         sf_dir

@@ -1464,15 +1464,25 @@ def _stage_additive_compaction(
     "nothing to compact", not an error — the compactor may run at any
     time, like its readers.
 
-    The manifest records BOTH the snapshot file list and the staged
-    part names (JSON), so recovery can prove the merged data is in
-    place before deleting any snapshot file — the guard that makes a
-    concurrent compactor's pre-commit orphan sweep (which may race
-    away this instance's tmp dir between the stage write and the
-    manifest rename) an aborted commit instead of a permanent
-    undercount. Concurrent compactors therefore cannot lose data;
-    they can only waste each other's staging work — still schedule
-    one compactor per state path.
+    The manifest records the snapshot file list, the staged part
+    names AND the per-attempt staging directory (JSON), so recovery
+    can prove the merged data is in place before deleting any
+    snapshot file — the guard that makes a concurrent compactor's
+    pre-commit orphan sweep (which may race away this instance's tmp
+    dir between the stage write and the manifest rename) an aborted
+    commit instead of a permanent undercount. The staging directory
+    is UNIQUE per attempt (``<state>.compact.tmp.<uuid>``) — ADVICE
+    r14: with a SHARED tmp dir, a concurrent compactor's overwrite in
+    the window between this attempt's stage write and its listStatus
+    made this manifest record the OTHER attempt's staged parts
+    (merged from a possibly newer snapshot) against THIS attempt's
+    older snapshot list, and recovery then double-counted any file
+    appended between the two snapshots (deleted via neither list,
+    re-stated by the merged parts). With per-attempt dirs each
+    manifest's staged names are provably its own. Concurrent
+    compactors therefore cannot lose OR double data; they can only
+    waste each other's staging work (the orphan sweep aborts the
+    slower commit) — still schedule one compactor per state path.
     """
     from pyspark.errors import AnalysisException
 
@@ -1497,9 +1507,11 @@ def _stage_additive_compaction(
             "subset would permanently collapse counts across the "
             "missing columns"
         )
+    import uuid
+
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
-    tmp_dir = state_path.rstrip("/") + ".compact.tmp"
+    tmp_dir = state_path.rstrip("/") + ".compact.tmp." + uuid.uuid4().hex
     kcols = list(derived)
     (
         spark.read.parquet(*snapshot)
@@ -1522,14 +1534,24 @@ def _stage_additive_compaction(
     staging = P(state_path.rstrip("/") + ".compact.manifest.tmp")
     out = fs.create(staging, True)
     out.write(bytearray(
-        json.dumps({"staged": staged_names, "snapshot": snapshot}), "utf-8"
+        json.dumps({
+            "staged": staged_names,
+            "snapshot": snapshot,
+            # the attempt's own staging dir NAME (sibling of the state
+            # dir) — recovery moves parts from exactly this dir, never
+            # another attempt's
+            "tmp": tmp_dir.rsplit("/", 1)[-1],
+        }),
+        "utf-8",
     ))
     out.close()
     if not fs.rename(staging, manifest):
         # another compactor committed first (its manifest occupies the
         # path): our staging work is superseded, not lost — recovery
-        # will finish THEIR commit; ours aborts cleanly
+        # will finish THEIR commit; ours aborts cleanly (including our
+        # own per-attempt staging dir, so no orphan accumulates)
         fs.delete(staging, False)
+        fs.delete(P(tmp_dir), True)
         raise RuntimeError(
             f"additive compaction: manifest rename refused at "
             f"{state_path} (concurrent compactor?) — commit aborted, "
@@ -1545,13 +1567,17 @@ def _recover_hot_keys_compaction(spark: SparkSession, state_path: str) -> None:
 
 def _recover_additive_compaction(spark: SparkSession, state_path: str) -> None:
     """Finish (or initially perform) a manifested compaction commit:
-    move every staged part file into the state directory, PROVE every
-    manifest-listed staged part is in place, only then delete the
-    manifest-listed snapshot files, then drop the manifest and the
-    side directory. Idempotent — each step skips work already done, so
-    any number of crashed re-entries converge. With no manifest
-    present, only sweeps a stale side directory (a pre-commit crash:
-    nothing visible happened, so nothing to redo).
+    move every staged part file from the MANIFEST'S OWN staging dir
+    into the state directory, PROVE every manifest-listed staged part
+    is in place, only then delete the manifest-listed snapshot files,
+    then drop the manifest and every ``.compact.tmp*`` side directory
+    (the manifest's own plus any other attempt's pre-commit orphans —
+    staging dirs are per-attempt since ADVICE r14, so an unreferenced
+    one is always a crashed or superseded attempt). Idempotent — each
+    step skips work already done, so any number of crashed re-entries
+    converge. With no manifest present, only sweeps stale side
+    directories (a pre-commit crash: nothing visible happened, so
+    nothing to redo).
 
     The staged-parts proof is the concurrent-compactor guard (review
     r13): instance B's pre-commit orphan sweep here can race away
@@ -1567,12 +1593,21 @@ def _recover_additive_compaction(spark: SparkSession, state_path: str) -> None:
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     P = jvm.org.apache.hadoop.fs.Path
-    manifest = P(state_path.rstrip("/") + ".compact.manifest")
-    tmp_dir = P(state_path.rstrip("/") + ".compact.tmp")
+    base = state_path.rstrip("/")
+    manifest = P(base + ".compact.manifest")
     fs = manifest.getFileSystem(hconf)
+
+    def _tmp_dirs():
+        # every side staging dir for this state path: the legacy
+        # shared name plus all per-attempt uuid-suffixed ones
+        return [
+            st.getPath()
+            for st in fs.globStatus(P(base + ".compact.tmp*")) or []
+        ]
+
     if not fs.exists(manifest):
-        if fs.exists(tmp_dir):
-            fs.delete(tmp_dir, True)  # pre-commit orphan
+        for d in _tmp_dirs():
+            fs.delete(d, True)  # pre-commit orphans
         return
     ins = fs.open(manifest)
     try:
@@ -1582,6 +1617,14 @@ def _recover_additive_compaction(spark: SparkSession, state_path: str) -> None:
     try:
         rec = json.loads(data)
         staged, snapshot = rec["staged"], rec["snapshot"]
+        # per-attempt staging dir (ADVICE r14), recorded as a NAME and
+        # resolved as a sibling of the state dir; a JSON manifest from
+        # the r14 shared-dir code carries no "tmp" key — fall back to
+        # the shared name it staged into
+        if "tmp" in rec:
+            tmp_dir = P(P(base).getParent(), rec["tmp"])
+        else:
+            tmp_dir = P(base + ".compact.tmp")
     except (ValueError, KeyError, TypeError):
         # legacy manifest (pre-JSON: bare newline-joined snapshot
         # paths, no staged-part record) left by a crash under the old
@@ -1591,8 +1634,10 @@ def _recover_additive_compaction(spark: SparkSession, state_path: str) -> None:
         # whatever staged parts exist are the merge — move them and
         # treat them as the proof set; with the tmp dir gone the
         # merged data is unprovable, so ABORT (keep every snapshot
-        # file; the state stays uncompacted but exact).
+        # file; the state stays uncompacted but exact). Pre-JSON code
+        # always staged into the shared side dir.
         snapshot = [ln for ln in data.splitlines() if ln]
+        tmp_dir = P(base + ".compact.tmp")
         if not fs.exists(tmp_dir):
             fs.delete(manifest, False)
             return
@@ -1634,10 +1679,12 @@ def _recover_additive_compaction(spark: SparkSession, state_path: str) -> None:
             fp = P(f)
             if fs.exists(fp):
                 fs.delete(fp, False)
-    # (5) cleanup
+    # (5) cleanup: the manifest, its own staging dir, and any other
+    # attempt's orphaned staging dirs (all unreferenced once the only
+    # manifest is gone)
     fs.delete(manifest, False)
-    if fs.exists(tmp_dir):
-        fs.delete(tmp_dir, True)
+    for d in _tmp_dirs():
+        fs.delete(d, True)
 
 
 def monitor_histogram(

@@ -2699,3 +2699,34 @@ def test_max_cosine_vs_refs_matches_bruteforce_and_ties(spark):
 
     empty = max_cosine_vs_refs(corpus, refs.filter("vec_id > 100"))
     assert empty.count() == 0
+
+
+def test_max_cosine_vs_refs_drops_degenerate_vectors(spark):
+    """Zero-norm AND NaN-component vectors are dropped on BOTH sides
+    (ADVICE r14: Spark orders NaN above every double, so a bare
+    `norm > 0` filter passes a NaN-norm vector through and the NaN
+    cosine then satisfies any `cosine >= t` decontamination flag —
+    exactly the false positive the drop contract exists to prevent)."""
+    from cassandrastack_spark.llm.simsearch import max_cosine_vs_refs
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 0.0]),            # zero norm: dropped
+            (3, [float("nan"), 1.0]),   # NaN norm: dropped
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    refs = spark.createDataFrame(
+        [
+            (10, [1.0, 1.0]),
+            (11, [0.0, 0.0]),           # zero norm: dropped
+            (12, [float("nan"), 2.0]),  # NaN norm: dropped
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = max_cosine_vs_refs(corpus, refs).collect()
+    # only the one finite corpus row gets a verdict, and only against
+    # the one finite ref — and the cosine is finite
+    assert {(r.vec_id, r.ref_id) for r in rows} == {(1, 10)}
+    assert all(r.cosine == r.cosine for r in rows)  # no NaN survives

@@ -1432,9 +1432,14 @@ def test_additive_compaction_aborts_when_staged_parts_lost(spark, tmp_path):
     assert got() == want
     assert len(spark.read.parquet(state).inputFiles()) == 2
 
-    # stage + manifest commit, then lose the staged merge (the race)
+    # stage + manifest commit, then lose the staged merge (the race).
+    # staging dirs are per-attempt (<state>.compact.tmp.<uuid>, ADVICE
+    # r14) and the manifest records its own — resolve it from there
+    import json as _json
+
     assert _stage_additive_compaction(spark, state, sum_col="cnt")
-    shutil.rmtree(state + ".compact.tmp")
+    rec0 = _json.loads(open(state + ".compact.manifest").read())
+    shutil.rmtree(str(tmp_path / rec0["tmp"]))
     compact_histogram_state(spark, state, ("src",))
     # aborted: snapshot intact, answers exact, manifest gone...
     assert got() == want
@@ -1461,12 +1466,11 @@ def test_additive_compaction_aborts_when_staged_parts_lost(spark, tmp_path):
     )
     assert got() == want3
     assert _stage_additive_compaction(spark, state, sum_col="cnt")
-    import json as _json
     import os as _os
 
     manifest_path = state + ".compact.manifest"
     rec = _json.loads(open(manifest_path).read())
-    tmp = state + ".compact.tmp"
+    tmp = str(tmp_path / rec["tmp"])
     moved = rec["staged"][0]
     _os.rename(_os.path.join(tmp, moved), _os.path.join(state, moved))
     # fake a second staged part the sweep "lost" so the proof fails
@@ -1522,6 +1526,73 @@ def test_additive_compaction_derives_merge_key_from_schema(spark, tmp_path):
     # and a wrong sum column refuses too
     with pytest.raises(ValueError, match="not in state schema"):
         _stage_additive_compaction(spark, state, sum_col="nope")
+
+
+def test_additive_compaction_stages_per_attempt_dirs(spark, tmp_path):
+    """ADVICE r14: with a SHARED staging dir, a concurrent compactor's
+    overwrite between this attempt's stage write and its listStatus
+    cross-wired the manifest (the other attempt's staged parts against
+    this attempt's snapshot list), double-counting any file appended
+    between the two snapshots. Staging dirs are now per-attempt
+    (<state>.compact.tmp.<uuid>, recorded in the manifest): a loser
+    attempt aborts loudly, sweeps ITS OWN staging, and never touches
+    the winner's; recovery sweeps orphaned attempt dirs."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    from cassandrastack_spark.functions.stats import histogram_fixed
+    from cassandrastack_spark.streaming.ops import (
+        _recover_additive_compaction,
+        _stage_additive_compaction,
+        histogram_state,
+    )
+
+    rows = [(f"s{i % 2}", ((i * 7) % 20) / 20.0) for i in range(80)]
+    batch = spark.createDataFrame(rows, "src string, score double")
+    h = histogram_fixed(batch, "score", 0.0, 1.0, 5, group_cols=("src",))
+    state = str(tmp_path / "astate")
+    h.coalesce(1).write.mode("append").parquet(state)
+    h.coalesce(1).write.mode("append").parquet(state)
+    want = sorted((r.src, r.bin, 2 * r.cnt) for r in h.collect())
+
+    # attempt A commits its manifest, which records ITS OWN unique
+    # staging dir by name
+    assert _stage_additive_compaction(spark, state, sum_col="cnt")
+    rec_a = _json.loads(open(state + ".compact.manifest").read())
+    assert rec_a["tmp"].startswith("astate.compact.tmp.")
+    assert rec_a["tmp"] != "astate.compact.tmp"
+
+    # attempt B races in while A's manifest is live: it must abort
+    # loudly, clean up its own staging, and leave A's untouched
+    with pytest.raises(RuntimeError, match="concurrent compactor"):
+        _stage_additive_compaction(spark, state, sum_col="cnt")
+    side = sorted(
+        _os.path.basename(p)
+        for p in _glob.glob(state + ".compact.tmp*")
+    )
+    assert side == [rec_a["tmp"]]
+
+    # recovery finishes A's commit exactly: merged answer, one file,
+    # no side dirs left
+    _recover_additive_compaction(spark, state)
+    got = sorted(
+        (r.src, r.bin, r.cnt)
+        for r in histogram_state(spark, state, ("src",)).collect()
+    )
+    assert got == want
+    assert len(spark.read.parquet(state).inputFiles()) == 1
+    assert _glob.glob(state + ".compact.tmp*") == []
+
+    # a stray per-attempt dir with no manifest is a pre-commit orphan:
+    # the next recovery entry sweeps it
+    _os.makedirs(state + ".compact.tmp.deadbeef")
+    _recover_additive_compaction(spark, state)
+    assert _glob.glob(state + ".compact.tmp*") == []
+    assert got == sorted(
+        (r.src, r.bin, r.cnt)
+        for r in histogram_state(spark, state, ("src",)).collect()
+    )
 
 
 def test_monitor_value_sample_matches_batch_sample(spark, tmp_path):

@@ -882,6 +882,64 @@ def test_weighted_sample_favors_heavy_weights(spark):
     assert "9999" in items and len(items) == 10
 
 
+def test_weighted_sample_unstable_weight_keeps_one_row(spark):
+    """The documented unstable-weight contract (VERDICT r14 #5, ahead
+    of stream_weighted_sample's r16 registration): determinism and
+    merge == whole-build hold only while a key's weight is FIXED; a
+    key re-ingested with a CHANGED weight keeps exactly ONE
+    partition-order-arbitrary row (the retake dedups on the key) —
+    never two rows, never a crash, and the stable-weight keys are
+    untouched by the conflict whichever row survives."""
+    from cassandrastack_spark.operators.sketch import (
+        weighted_sample_build,
+        weighted_sample_merge,
+    )
+
+    stable = [(i, float(1 + i)) for i in range(1, 9)]
+    # key 100 arrives in batch A with weight 2.0, in batch B re-ingested
+    # with weight 50.0 — the upstream mistake the contract documents
+    batch_a = spark.createDataFrame(
+        stable[:4] + [(100, 2.0)], "id long, wt double"
+    )
+    batch_b = spark.createDataFrame(
+        stable[4:] + [(100, 50.0)], "id long, wt double"
+    )
+    a = weighted_sample_build(batch_a, "id", "wt", k=32)
+    b = weighted_sample_build(batch_b, "id", "wt", k=32)
+    # k=32 keeps every item, isolating the dedup behavior from the
+    # cutoff (an unstable key's surviving e can legitimately shift
+    # which OTHER items make a tight cutoff — that indeterminism is
+    # exactly why the contract demands stable weights)
+    for merged in (
+        weighted_sample_merge(a, b).collect(),
+        weighted_sample_merge(b, a).collect(),
+    ):
+        conflicted = [r for r in merged if r.item == "100"]
+        assert len(conflicted) == 1  # keep-one, never both
+        assert conflicted[0].w in (2.0, 50.0)  # one of the ingested rows
+        # every stable key survives with its exact (e, w) — the
+        # conflict never leaks into fixed-weight rows
+        stable_got = sorted(
+            (r.item, r.w) for r in merged if r.item != "100"
+        )
+        assert stable_got == sorted(
+            (str(i), w) for i, w in stable
+        )
+    # and merge == whole-build still holds on the stable subset: the
+    # union's sample minus the conflicted key equals a build over the
+    # stable rows alone
+    whole_stable = weighted_sample_build(
+        spark.createDataFrame(stable, "id long, wt double"),
+        "id", "wt", k=32,
+    )
+    merged_stable = sorted(
+        map(tuple, weighted_sample_merge(a, b).filter(
+            "item != '100'"
+        ).collect())
+    )
+    assert merged_stable == sorted(map(tuple, whole_stable.collect()))
+
+
 def test_weighted_sample_drops_bad_weights_and_validates(spark):
     from cassandrastack_spark.operators.sketch import (
         weighted_sample_build,

@@ -1,0 +1,229 @@
+"""Trained linear text classifier over hashed n-gram features — the
+fastText-classifier shape (Joulin et al., "Bag of Tricks for Efficient
+Text Classification", 2016 — public paper) as pure JVM DataFrame ops.
+
+This is the standard learned quality filter a training-data pipeline
+runs corpus-wide (the CCNet / GPT-3 / LLaMA "quality classifier"
+stage): features are word n-grams hashed into a FIXED-dimension bucket
+space (the hashing trick — vocabulary never materializes), the model is
+one weight per bucket plus a bias, scoring is a sparse dot product.
+Unlike ``functions.text.quality_score_linear`` (three hand-tuned
+surface features), this model is TRAINED from labeled seed documents —
+here by Naive-Bayes log-odds with add-one smoothing, which has a
+closed decomposable form both Spark and a SQL oracle compute exactly:
+
+    w_b  = ln((pos_b + 1) / (pos_tot + dim))
+         - ln((neg_b + 1) / (neg_tot + dim))
+    bias = ln(n_pos_docs / n_neg_docs)
+
+(the NB-feature half of the NBSVM recipe — Wang & Manning 2012). The
+weight table IS the model artifact: ``dim + 1`` rows, persistable,
+broadcastable, swappable for externally-trained weights of the same
+shape.
+
+Scale shape at 100 TB:
+
+- featurize: one narrow explode per document (tokens + adjacent
+  bigrams), bucket = md5-slice mod dim (the repo's portable hash — a
+  SQL engine rebuilds the identical buckets); the only shuffle is the
+  (doc, bucket) count, bounded by the gram count, never wider than a
+  tokenize.
+- train: one groupBy bucket over the SEED subset — output is dim rows
+  whatever the seed size; totals are a 1-row broadcast scalar (the
+  canonical scalar-subquery plan, corpus_source_kl's shape).
+- score: features equi-join the broadcast dim-row weight table, one
+  map-side-combinable decimal sum per document — corpus scanned once,
+  shuffle carries one row per document. No UDF anywhere.
+
+Determinism: per-(doc, bucket) counts are integers; each dot-product
+term ``cnt * w_b`` is one IEEE multiply; terms are summed as
+DECIMAL(28,18) so the reduction is ORDER-FREE (the PSI-oracle rule),
+then one final round on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# md5-hex slice → bucket, the repo's portable-hash discipline (CM /
+# Bloom / HLL oracles): 7 hex digits = 28 bits, unsigned, mod dim
+_HASH_BITS_HEX = 7
+
+
+def _bucket(col: Column, dim: int) -> Column:
+    return (
+        F.conv(F.substring(F.md5(col), 1, _HASH_BITS_HEX), 16, 10)
+        .cast("bigint")
+        % dim
+    )
+
+
+def hashed_gram_features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: int = 4096,
+    bigrams: bool = True,
+) -> DataFrame:
+    """Hashed bag-of-n-grams: ``(id_col, bucket int, cnt bigint)`` —
+    whitespace unigrams plus (optionally) adjacent bigrams joined with
+    a single space, each hashed into ``dim`` buckets. Collisions are
+    the hashing trick's accepted trade (fastText §2): the classifier
+    learns/scores in bucket space, so train and score see the SAME
+    collisions and stay consistent. NULL/empty text yields no rows
+    (no evidence — downstream scoring coalesces to bias-only).
+    """
+    if dim < 2:
+        raise ValueError(f"dim must be >= 2, got {dim}")
+    toks = F.split(F.col(text_col), " ")
+    grams = F.filter(toks, lambda w: w != F.lit(""))
+    if bigrams:
+        # zip each token with its successor; the LAST token zips with
+        # null, which concat_ws renders as a bare unigram repeat - the
+        # contains-space keep-filter drops it
+        big = F.zip_with(
+            grams,
+            F.slice(grams, 2, F.greatest(F.size(grams) - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+        grams = F.concat(grams, F.filter(big, lambda g: g.contains(" ")))
+    out = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.explode(grams).alias("gram"))
+        .filter(F.col("gram") != "")
+        .select(
+            id_col, _bucket(F.col("gram"), dim).cast("int").alias("bucket")
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    return out
+
+
+def nb_logodds_weights(
+    features: DataFrame,
+    labels: DataFrame,
+    id_col: str,
+    label_col: str,
+    dim: int = 4096,
+) -> DataFrame:
+    """Train the NB log-odds model: per-bucket
+    ``weight = ln((pos_b+1)/(pos_tot+dim)) - ln((neg_b+1)/(neg_tot+dim))``
+    over the labeled seed (``label_col`` boolean: True = positive
+    class), plus ``bias = ln(n_pos_docs / n_neg_docs)`` carried on
+    every row (the weight table stays one self-contained artifact).
+    Returns ``(bucket int, weight double, bias double, dim int)`` with
+    a row for EVERY bucket 0..dim-1 (unseen buckets get the pure
+    smoothing weight), so scoring is a plain equi-join with no
+    null-handling asymmetry. Raises if either class is absent — a
+    one-class "model" scores everything identically and is never what
+    the caller meant.
+    """
+    lab = labels.select(
+        F.col(id_col), F.col(label_col).cast("boolean").alias("_pos")
+    ).filter(F.col("_pos").isNotNull())
+    fl = features.join(lab, id_col)
+    per_bucket = fl.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_pos"), F.col("cnt")).otherwise(0)).alias("pb"),
+        F.sum(F.when(~F.col("_pos"), F.col("cnt")).otherwise(0)).alias("nb"),
+    )
+    tot = lab.agg(
+        F.count_distinct(F.when(F.col("_pos"), F.col(id_col))).alias("n_pos"),
+        F.count_distinct(F.when(~F.col("_pos"), F.col(id_col))).alias("n_neg"),
+    )
+    gram_tot = fl.agg(
+        F.sum(F.when(F.col("_pos"), F.col("cnt")).otherwise(0)).alias("pt"),
+        F.sum(F.when(~F.col("_pos"), F.col("cnt")).otherwise(0)).alias("nt"),
+    )
+    # dense bucket spine: unseen buckets still get the smoothing weight
+    spine = (
+        features.sparkSession.range(dim)
+        .select(F.col("id").cast("int").alias("bucket"))
+    )
+    scal = tot.crossJoin(gram_tot)  # 1 row x 1 row
+    out = (
+        spine.join(per_bucket, "bucket", "left")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("pb"), F.lit(0)) + 1.0)
+                    / (F.col("pt") + F.lit(float(dim)))
+                )
+                - F.log(
+                    (F.coalesce(F.col("nb"), F.lit(0)) + 1.0)
+                    / (F.col("nt") + F.lit(float(dim)))
+                )
+            ).alias("weight"),
+            F.when(
+                F.assert_true(
+                    (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                    "nb_logodds_weights: both classes must be present "
+                    "in the labeled seed — a one-class model is "
+                    "degenerate",
+                ).isNull(),
+                F.log(
+                    F.col("n_pos").cast("double")
+                    / F.col("n_neg").cast("double")
+                ),
+            ).alias("bias"),
+            F.lit(int(dim)).alias("dim"),
+        )
+    )
+    return out
+
+
+def linear_text_score(
+    df: DataFrame,
+    weights: DataFrame,
+    id_col: str,
+    text_col: str,
+    bigrams: bool = True,
+    out_col: str = "score",
+) -> DataFrame:
+    """Score every document with the hashed-gram linear model:
+    ``(id_col, logit double, out_col double)`` where
+    ``logit = bias + sum_b cnt_b * weight_b`` and ``out_col`` is its
+    sigmoid. ``weights`` is a ``nb_logodds_weights``-shaped frame
+    (bucket, weight, bias, dim — dim read from the model so featurize
+    and train can never disagree on the bucket space; mixed dims in
+    one table fail loud in-plan). A document with no grams (empty
+    text) scores at bias alone. The weight table broadcasts; the dot
+    product is one decimal-summed aggregation per document.
+    """
+    scal = weights.agg(
+        F.when(
+            F.assert_true(
+                (F.count_distinct("dim") <= 1)
+                & (F.count_distinct("bias") <= 1),
+                "linear_text_score: mixed dim/bias in the weight table "
+                "— hand-unioned models? retrain or split",
+            ).isNull(),
+            F.max("dim"),
+        ).alias("dim"),
+        F.max("bias").alias("bias"),
+    )
+    dim, bias = scal.first()
+    feats = hashed_gram_features(df, id_col, text_col, int(dim), bigrams)
+    dot = (
+        feats.join(F.broadcast(weights.select("bucket", "weight")), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                (F.col("cnt") * F.col("weight")).cast("decimal(28,18)")
+            ).alias("_dot")
+        )
+    )
+    logit = (F.coalesce(F.col("_dot").cast("double"), F.lit(0.0))
+             + F.lit(float(bias)))
+    return (
+        df.select(id_col)
+        .distinct()
+        .join(dot, id_col, "left")
+        .select(
+            id_col,
+            logit.alias("logit"),
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias(out_col),
+        )
+    )

@@ -1,0 +1,356 @@
+"""Blocking-based fuzzy key join / entity resolution.
+
+The tabular-side dedup the text-side MinHash family doesn't cover
+(VERDICT r14 #6a): match keys (names, addresses, product codes) whose
+strings are within a bounded edit distance, without ever scoring the
+|A| x |B| pair space. The reference delegates every matching concern
+to exact Cassandra primary keys (`/root/reference/server.py` reads rows
+only by exact key equality); this module is the north-star extension a
+training-data/warehouse pipeline needs when the keys themselves are
+dirty.
+
+Two complete blocking schemes, both the CANDIDATES-THEN-VERIFY shape
+every dedup family in this repo uses, selectable per data shape:
+
+- ``blocker="deletes"`` (default, tau <= 2): FastSS deletion
+  neighborhoods (Bocek, Hunt, Stiller, "Fast Similarity Search in
+  Large Dictionaries", Univ. of Zurich TR 2007 — the SymSpell scheme;
+  public). Each distinct string emits every variant reachable by
+  deleting up to tau characters; if ``edit(s, t) <= tau`` the optimal
+  alignment's common subsequence is reachable from BOTH sides by
+  <= tau deletions (a substitution deletes one char from each side,
+  an indel from one), so the variant sets intersect — candidates are
+  complete, verified exactly by ``levenshtein``. Block keys are
+  near-full-length strings, so two strings share a block only when
+  they are genuinely near-identical: NO systematic hot block on
+  low-entropy key families (serial numbers, "Customer#0000NNNNN")
+  where every string shares a long common prefix. Fan-out per string
+  is ~L at tau=1, ~L^2/2 at tau=2 — constant in corpus size.
+- ``blocker="passjoin"``: PassJoin segment blocking (Li, Deng, Feng,
+  "PassJoin: A Partition-based Method for Similarity Joins", PVLDB
+  5(3), 2011 — public paper), constant ~(2*tau+1)^2*(tau+1) probe
+  keys per string and no length-dependent fan-out — the right scheme
+  for LONG, high-entropy strings (addresses, titles) and larger tau.
+  Its known degeneracy is the mirror of FastSS's strength: a segment
+  shared corpus-wide (a common prefix exactly aligned with a segment
+  boundary) becomes one hot block with quadratic candidates.
+
+PassJoin mechanics:
+
+1. **Index side**: each distinct string of length L is split into
+   ``tau + 1`` contiguous segments (even partition: the first
+   ``(tau+1) - (L mod (tau+1))`` segments get ``L div (tau+1)`` chars,
+   the rest one more). Pigeonhole: ``tau`` edits touch at most ``tau``
+   segments, so when every segment is non-empty (``L >= tau + 1``) at
+   least one appears in the other string VERBATIM, shifted by at most
+   ``tau`` positions (the net insertions/deletions before it).
+   Blocking on segments is therefore COMPLETE — no true match can be
+   missed, which is what lets a DuckDB brute-force oracle gate the
+   result bit-for-bit. Strings SHORTER than ``tau + 1`` (where empty
+   segments void the pigeonhole) take a separate single-block path:
+   any partner is within length ``2 * tau``, so the short x short-ish
+   block is bounded by the count of near-empty strings — degenerate
+   keys, tiny in any real corpus.
+2. **Probe side**: each distinct string t of length M emits, for every
+   candidate index length ``L in [M - tau, M + tau]`` and segment slot
+   ``i``, the substrings of t with that slot's exact length at start
+   positions within the ``+-tau`` shift window — a CONSTANT number of
+   probe keys per string (< (2*tau+1)^2 * (tau+1); 18 at tau=1),
+   independent of corpus size.
+3. **Join & verify**: candidates equi-join on the (L, slot, substring)
+   key — a plain shuffled hash join, never a cartesian — then distinct
+   candidate STRING pairs are verified with the built-in JVM
+   ``levenshtein`` in its threshold form (whole-stage codegen, no
+   Python anywhere), and surviving string pairs expand back to key
+   pairs.
+
+Scale shape at 100 TB: the segment/probe explode is a narrow
+projection with constant fan-out; the only shuffles are the
+(L, slot, seg) equi-join and the pair distinct — both keyed by short
+substrings, spread naturally across slots and lengths. Verification
+cost is |candidates|, bounded by the blocking guarantee, never
+|A| x |B|. Duplicate strings collapse BEFORE blocking (fuzzy matching
+is string-level work; key expansion is a final equi-join), so a skewed
+value ("UNKNOWN" x 1M rows) costs ONE string in the candidate stage —
+the expansion join carries the skew, where AQE skew handling applies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _len_sql(i: int, tau: int, length: str) -> str:
+    """SQL for segment ``i``'s length under the even partition of a
+    string of length ``length`` (an SQL expression) into ``tau + 1``
+    segments. Shared verbatim by the index and probe sides so both
+    compute the identical layout JVM-side."""
+    k = tau + 1
+    return (
+        f"CASE WHEN {i} < ({k} - ({length} % {k})) "
+        f"THEN ({length} DIV {k}) ELSE ({length} DIV {k}) + 1 END"
+    )
+
+
+def _start_sql(i: int, tau: int, length: str) -> str:
+    """SQL for segment ``i``'s 0-based start (the prefix sum of
+    ``_len_sql`` over slots 0..i-1, in closed form)."""
+    k = tau + 1
+    return (
+        f"(LEAST({i}, {k} - ({length} % {k})) * ({length} DIV {k})"
+        f" + GREATEST({i} - ({k} - ({length} % {k})), 0)"
+        f" * (({length} DIV {k}) + 1))"
+    )
+
+
+def _index_blocks(strings: DataFrame, tau: int) -> DataFrame:
+    """(s, L, slot, seg): one row per non-empty segment of each
+    distinct indexed string (slot ``-1`` with the empty seg for the
+    short-string block, see module note)."""
+    k = tau + 1
+    segs = [
+        f"struct(CAST(length(s) AS BIGINT) AS L, {i} AS slot, "
+        f"substring(s, CAST({_start_sql(i, tau, 'length(s)')} AS INT) + 1, "
+        f"CAST({_len_sql(i, tau, 'length(s)')} AS INT)) AS seg)"
+        for i in range(k)
+    ]
+    long_side = (
+        strings.filter(F.length("s") >= k)
+        .select("s", F.explode(F.expr("array(" + ", ".join(segs) + ")")).alias("x"))
+        .select("s", "x.L", "x.slot", "x.seg")
+    )
+    short_side = strings.filter(F.length("s") < k).select(
+        "s",
+        F.lit(-1).cast("bigint").alias("L"),
+        F.lit(-1).alias("slot"),
+        F.lit("").alias("seg"),
+    )
+    return long_side.unionByName(short_side)
+
+
+def _probe_blocks(strings: DataFrame, tau: int) -> DataFrame:
+    """(t, L, slot, seg): every substring of each distinct probe string
+    that could equal an indexed string's segment — for each candidate
+    indexed length within ``+-tau``, each slot's exact length at starts
+    within the ``+-tau`` shift window — plus the short block when the
+    probe could partner a sub-``tau+1``-length string."""
+    k = tau + 1
+    probes = []
+    for dl in range(-tau, tau + 1):
+        length = f"(length(t) + {dl})"
+        for i in range(k):
+            ln = _len_sql(i, tau, length)
+            st = _start_sql(i, tau, length)
+            for shift in range(-tau, tau + 1):
+                pos = f"({st} + {shift})"
+                probes.append(
+                    f"IF({length} >= {k} AND {pos} >= 0 "
+                    f"AND {pos} + {ln} <= length(t), "
+                    f"struct(CAST({length} AS BIGINT) AS L, {i} AS slot, "
+                    f"substring(t, CAST({pos} AS INT) + 1, "
+                    f"CAST({ln} AS INT)) AS seg), NULL)"
+                )
+    arr = "array(" + ", ".join(probes) + ")"
+    long_side = (
+        strings.select(
+            "t",
+            F.explode(F.expr(f"filter({arr}, x -> x IS NOT NULL)")).alias("x"),
+        )
+        .select("t", "x.L", "x.slot", "x.seg")
+        .filter(F.length("seg") > 0)
+    )
+    # short partner block: an indexed string of length < k can only be
+    # within tau edits of a probe of length <= (k - 1) + tau = 2*tau
+    short_side = strings.filter(F.length("t") <= 2 * tau).select(
+        "t",
+        F.lit(-1).cast("bigint").alias("L"),
+        F.lit(-1).alias("slot"),
+        F.lit("").alias("seg"),
+    )
+    return long_side.unionByName(short_side).distinct()
+
+
+def _delete_variants_sql(col: str, tau: int) -> str:
+    """SQL expression: the array of all distinct strings reachable from
+    ``col`` by deleting up to ``tau`` characters (the string itself
+    included — zero deletions). Pure array expressions, whole-stage
+    codegen'd; fan-out ~L^tau per string."""
+    level = f"array({col})"
+    for _ in range(tau):
+        # one more deletion applied to every variant of the previous
+        # level (deleting at each position), keeping the shorter-only
+        # variants distinct
+        level = (
+            f"array_distinct(concat({level}, flatten(transform({level}, "
+            f"v -> transform(sequence(1, greatest(length(v), 1)), "
+            f"i -> concat(substring(v, 1, i - 1), "
+            f"substring(v, i + 1, length(v))))))))"
+        )
+    return level
+
+
+def _deletes_blocks(strings: DataFrame, col: str, out: str, tau: int) -> DataFrame:
+    """(out, variant): one row per <=tau-deletion variant of each
+    distinct string."""
+    return strings.select(
+        F.col(col).alias(out),
+        F.explode(
+            F.expr(_delete_variants_sql(col, tau))
+        ).alias("variant"),
+    ).distinct()
+
+
+def fuzzy_string_pairs(
+    a: DataFrame,
+    b: DataFrame | None,
+    str_col_a: str,
+    str_col_b: str | None = None,
+    max_dist: int = 1,
+    blocker: str = "deletes",
+) -> DataFrame:
+    """All DISTINCT string pairs within edit distance ``max_dist``:
+    ``(s_a, s_b, dist int)``. With ``b=None``, the self-join over
+    ``a``'s distinct strings with ``s_a < s_b`` (equal strings are
+    exact duplicates — the key-level wrappers handle those; the fuzzy
+    stage exists for the unequal ones). With a ``b`` side, equal
+    strings match at distance 0. NULL strings never match (an unknown
+    key is not evidence of identity).
+
+    Candidates come from the selected complete blocking scheme
+    (module note: ``"deletes"`` = FastSS deletion neighborhoods,
+    robust to shared prefixes, tau <= 2; ``"passjoin"`` = segment
+    blocking, length-independent fan-out for long diverse strings) —
+    both complete, so the result is EXACTLY the brute-force pair set;
+    verification is the built-in JVM ``levenshtein`` in its
+    early-exit threshold form.
+    """
+    if max_dist < 1:
+        raise ValueError(f"max_dist must be >= 1, got {max_dist}")
+    if blocker not in ("deletes", "passjoin"):
+        raise ValueError(f"unknown blocker {blocker!r}")
+    if blocker == "deletes" and max_dist > 2:
+        raise ValueError(
+            "blocker='deletes' generates ~L^tau variants per string — "
+            f"unreasonable at max_dist={max_dist}; use blocker='passjoin'"
+        )
+    tau = int(max_dist)
+    self_join = b is None
+    sa = (
+        a.select(F.col(str_col_a).cast("string").alias("s"))
+        .filter(F.col("s").isNotNull())
+        .distinct()
+    )
+    tb = (
+        sa.select(F.col("s").alias("t"))
+        if self_join
+        else (
+            b.select(F.col(str_col_b or str_col_a).cast("string").alias("t"))
+            .filter(F.col("t").isNotNull())
+            .distinct()
+        )
+    )
+    if blocker == "deletes":
+        cand = (
+            _deletes_blocks(sa, "s", "s", tau)
+            .join(_deletes_blocks(tb, "t", "t", tau), "variant")
+            .select("s", "t")
+            .distinct()
+        )
+    else:
+        cand = (
+            _index_blocks(sa, tau)
+            .join(_probe_blocks(tb, tau), ["L", "slot", "seg"])
+            .select("s", "t")
+            .distinct()
+        )
+    if self_join:
+        # both orientations of every true pair are generated (each
+        # string sits on both sides), so keeping one order loses nothing
+        cand = cand.filter(F.col("s") < F.col("t"))
+    return cand.filter(
+        F.levenshtein("s", "t", tau) >= 0  # threshold form: -1 = over
+    ).select(
+        F.col("s").alias("s_a"),
+        F.col("t").alias("s_b"),
+        F.levenshtein("s", "t").cast("int").alias("dist"),
+    )
+
+
+def fuzzy_key_join(
+    a: DataFrame,
+    b: DataFrame,
+    key_col_a: str,
+    str_col_a: str,
+    key_col_b: str,
+    str_col_b: str,
+    max_dist: int = 1,
+    blocker: str = "deletes",
+) -> DataFrame:
+    """Entity-resolution join: every (key_a, key_b) whose strings are
+    within ``max_dist`` edits — ``(key_a, key_b, s_a, s_b, dist)``,
+    exact-equal strings matching at distance 0. The string-level match
+    runs once over DISTINCT strings; keys expand back via two
+    equi-joins, so duplicate-heavy columns cost their distinct
+    cardinality in the candidate stage.
+    """
+    pairs = fuzzy_string_pairs(a, b, str_col_a, str_col_b, max_dist, blocker)
+    ka = a.select(
+        F.col(key_col_a).alias("key_a"),
+        F.col(str_col_a).cast("string").alias("s_a"),
+    )
+    kb = b.select(
+        F.col(key_col_b).alias("key_b"),
+        F.col(str_col_b).cast("string").alias("s_b"),
+    )
+    return (
+        pairs.join(ka, "s_a")
+        .join(kb, "s_b")
+        .select("key_a", "key_b", "s_a", "s_b", "dist")
+    )
+
+
+def fuzzy_self_pairs(
+    df: DataFrame,
+    key_col: str,
+    str_col: str,
+    max_dist: int = 1,
+    blocker: str = "deletes",
+) -> DataFrame:
+    """Within-table entity resolution: every unordered key pair whose
+    strings differ by 1..``max_dist`` edits, plus exact-duplicate key
+    pairs sharing one string at distance 0 — ``(key_a, key_b, dist)``
+    with ``key_a < key_b`` (keys must be orderable). The
+    dedup-candidate feed for a downstream ``dedup_components`` merge.
+    """
+    strings = fuzzy_string_pairs(
+        df, None, str_col, max_dist=max_dist, blocker=blocker
+    )
+    keyed = df.select(
+        F.col(key_col).alias("k"),
+        F.col(str_col).cast("string").alias("s"),
+    ).filter(F.col("s").isNotNull())
+    fz = (
+        strings.join(
+            keyed.select(F.col("k").alias("ka"), F.col("s").alias("s_a")),
+            "s_a",
+        )
+        .join(
+            keyed.select(F.col("k").alias("kb"), F.col("s").alias("s_b")),
+            "s_b",
+        )
+        .select(
+            F.least("ka", "kb").alias("key_a"),
+            F.greatest("ka", "kb").alias("key_b"),
+            "dist",
+        )
+    )
+    ex = (
+        keyed.alias("x")
+        .join(keyed.alias("y"), F.expr("x.s = y.s AND x.k < y.k"))
+        .select(
+            F.col("x.k").alias("key_a"),
+            F.col("y.k").alias("key_b"),
+            F.lit(0).cast("int").alias("dist"),
+        )
+    )
+    return fz.unionByName(ex).distinct()

@@ -1,0 +1,162 @@
+"""Hashed-gram linear classifier (llm/classifier.py): featurization,
+NB log-odds training, and scoring must each match a pure-python model
+exactly (the hashing, smoothing, and decimal-dot arithmetic are all
+deterministic); degenerate inputs (empty text, one-class seed, mixed
+models) behave as documented."""
+
+import hashlib
+import math
+
+import pytest
+
+from cassandrastack_spark.llm.classifier import (
+    hashed_gram_features,
+    linear_text_score,
+    nb_logodds_weights,
+)
+
+DOCS = [
+    (0, "the quick brown fox", True),
+    (1, "the quick quick dog", True),
+    (2, "lorem ipsum dolor sit amet", False),
+    (3, "buy cheap pills now now now", False),
+    (4, "the brown dog sits", True),
+    (5, "cheap cheap pills", False),
+    (6, "an unlabeled document about foxes", None),
+    (7, "", None),
+]
+DIM = 64
+
+
+def _grams(text, bigrams=True):
+    toks = [w for w in text.split(" ") if w]
+    out = list(toks)
+    if bigrams:
+        out += [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    return out
+
+
+def _bucket(gram):
+    return int(hashlib.md5(gram.encode()).hexdigest()[:7], 16) % DIM
+
+
+def _py_features(text):
+    counts = {}
+    for g in _grams(text):
+        counts[_bucket(g)] = counts.get(_bucket(g), 0) + 1
+    return counts
+
+
+def _py_model():
+    pos = {}
+    neg = {}
+    pt = nt = n_pos = n_neg = 0
+    for _id, text, lab in DOCS:
+        if lab is None:
+            continue
+        side = pos if lab else neg
+        for b, c in _py_features(text).items():
+            side[b] = side.get(b, 0) + c
+        if lab:
+            pt += sum(_py_features(text).values())
+            n_pos += 1
+        else:
+            nt += sum(_py_features(text).values())
+            n_neg += 1
+    w = {
+        b: math.log((pos.get(b, 0) + 1) / (pt + DIM))
+        - math.log((neg.get(b, 0) + 1) / (nt + DIM))
+        for b in range(DIM)
+    }
+    return w, math.log(n_pos / n_neg)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in DOCS], "doc_id long, text string"
+    )
+    labels = spark.createDataFrame(
+        [(i, l) for i, t, l in DOCS if l is not None],
+        "doc_id long, is_pos boolean",
+    )
+    return docs, labels
+
+
+def test_hashed_gram_features_match_python_model(spark, frames):
+    docs, _ = frames
+    got = {
+        (r.doc_id, r.bucket): r.cnt
+        for r in hashed_gram_features(docs, "doc_id", "text", DIM).collect()
+    }
+    want = {
+        (i, b): c
+        for i, t, _ in DOCS
+        for b, c in _py_features(t).items()
+    }
+    assert got == want
+    # single-token doc: no bigram, no spurious self-gram
+    one = spark.createDataFrame([(9, "solo")], "doc_id long, text string")
+    rows = hashed_gram_features(one, "doc_id", "text", DIM).collect()
+    assert len(rows) == 1 and rows[0].cnt == 1
+    assert rows[0].bucket == _bucket("solo")
+
+
+def test_nb_logodds_weights_match_python_model(spark, frames):
+    docs, labels = frames
+    feats = hashed_gram_features(docs, "doc_id", "text", DIM)
+    w = nb_logodds_weights(feats, labels, "doc_id", "is_pos", DIM)
+    rows = {r.bucket: r for r in w.collect()}
+    want_w, want_bias = _py_model()
+    assert set(rows) == set(range(DIM))  # dense spine
+    for b in range(DIM):
+        assert rows[b].weight == pytest.approx(want_w[b], abs=1e-12)
+        assert rows[b].bias == pytest.approx(want_bias, abs=1e-12)
+        assert rows[b].dim == DIM
+
+
+def test_linear_text_score_matches_python_model(spark, frames):
+    docs, labels = frames
+    feats = hashed_gram_features(docs, "doc_id", "text", DIM)
+    w = nb_logodds_weights(feats, labels, "doc_id", "is_pos", DIM)
+    got = {r.doc_id: r for r in
+           linear_text_score(docs, w, "doc_id", "text").collect()}
+    want_w, want_bias = _py_model()
+    assert set(got) == {i for i, _, _ in DOCS}
+    for i, t, lab in DOCS:
+        logit = want_bias + sum(
+            c * want_w[b] for b, c in _py_features(t).items()
+        )
+        assert got[i].logit == pytest.approx(logit, abs=1e-9), t
+        assert got[i].score == pytest.approx(
+            1.0 / (1.0 + math.exp(-logit)), abs=1e-9
+        )
+    # the model must actually separate the seed classes on this fixture
+    assert min(got[i].score for i, _, l in DOCS if l is True) > max(
+        got[i].score for i, _, l in DOCS if l is False
+    )
+    # empty doc scores at bias alone
+    assert got[7].logit == pytest.approx(want_bias, abs=1e-12)
+
+
+def test_classifier_refuses_degenerate_inputs(spark, frames):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    docs, labels = frames
+    feats = hashed_gram_features(docs, "doc_id", "text", DIM)
+    with pytest.raises(ValueError, match="dim"):
+        hashed_gram_features(docs, "doc_id", "text", dim=1)
+    # one-class seed fails loud in-plan
+    one_class = labels.filter("is_pos")
+    with pytest.raises(SparkRuntimeException, match="both classes"):
+        nb_logodds_weights(
+            feats, one_class, "doc_id", "is_pos", DIM
+        ).collect()
+    # hand-unioned models with different dims fail loud in-plan
+    w1 = nb_logodds_weights(feats, labels, "doc_id", "is_pos", DIM)
+    f2 = hashed_gram_features(docs, "doc_id", "text", 32)
+    w2 = nb_logodds_weights(f2, labels, "doc_id", "is_pos", 32)
+    with pytest.raises(Exception, match="mixed dim"):
+        linear_text_score(
+            docs, w1.unionByName(w2), "doc_id", "text"
+        ).collect()

@@ -103,6 +103,8 @@ DEFAULT_QUERIES = [
     "distinct_tokens_hll",         # m-bounded register partial_max
     "corpus_source_kl",            # vocab-bounded counts, scalar bcast
     "corpus_source_overlap",       # register max-merge pair unions
+    "token_freq_cm",               # sketch-bounded cells, probe join
+    "corpus_score_drift_psi",      # mergeable histograms, decimal PSI
 ]
 
 RED_FLAGS = ("BroadcastNestedLoopJoin", "CartesianProduct")
@@ -145,6 +147,10 @@ DOCUMENTED_BNL = {
                              "corpus with a <> condition (capped by "
                              "max_query_rows, fails loud)",
     "text_bm25_topk": "1-row (N, avgdl) corpus-scalar broadcast",
+    "token_freq_cm": "1-row (w, d) CM-geometry scalar broadcast "
+                     "(cm_estimate reads the modulus back from the "
+                     "sketch, mixed-geometry-guarded); the cell "
+                     "lookup itself is a (row, col) equi-join",
     "text_tfidf_sim_topk": "1-row corpus-count scalar broadcast "
                            "(df-ratio cap predicate)",
     "ann_hybrid_rrf_topk": "single query-vector broadcast on the "

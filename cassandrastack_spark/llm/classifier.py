@@ -134,6 +134,8 @@ def nb_logodds_weights(
     gram_tot = fl.agg(
         F.sum(F.when(F.col("_pos"), F.col("cnt")).otherwise(0)).alias("pt"),
         F.sum(F.when(~F.col("_pos"), F.col("cnt")).otherwise(0)).alias("nt"),
+        F.max("bucket").alias("_maxb"),
+        F.min("bucket").alias("_minb"),
     )
     # dense bucket spine: unseen buckets still get the smoothing weight
     spine = (
@@ -158,10 +160,22 @@ def nb_logodds_weights(
             ).alias("weight"),
             F.when(
                 F.assert_true(
-                    (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
-                    "nb_logodds_weights: both classes must be present "
-                    "in the labeled seed — a one-class model is "
-                    "degenerate",
+                    (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+                    # buckets outside [0, dim) mean the features were
+                    # hashed at a DIFFERENT dim: the spine left-join
+                    # would silently drop them while their counts
+                    # still inflate the smoothing totals (review r15)
+                    & (
+                        F.col("_maxb").isNull()
+                        | (
+                            (F.col("_maxb") < F.lit(int(dim)))
+                            & (F.col("_minb") >= 0)
+                        )
+                    ),
+                    "nb_logodds_weights: degenerate seed — both "
+                    "classes must be present, and every feature "
+                    "bucket must lie in [0, dim) (features hashed at "
+                    "a different dim than the model's?)",
                 ).isNull(),
                 F.log(
                     F.col("n_pos").cast("double")
@@ -205,6 +219,11 @@ def linear_text_score(
         F.max("bias").alias("bias"),
     )
     dim, bias = scal.first()
+    if dim is None:
+        raise ValueError(
+            "linear_text_score: empty weight table — the model "
+            "artifact has no rows (mis-pathed read? filtered away?)"
+        )
     feats = hashed_gram_features(df, id_col, text_col, int(dim), bigrams)
     dot = (
         feats.join(F.broadcast(weights.select("bucket", "weight")), "bucket")

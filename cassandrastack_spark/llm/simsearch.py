@@ -1928,10 +1928,11 @@ def max_cosine_vs_refs(
     string ids stay strings) and ``cosine`` the max similarity.
     An empty reference set yields an empty frame (nothing to be near),
     and degenerate vectors — zero-norm (all-zero / empty) or carrying
-    a NaN component (norm = NaN) — are dropped on both sides: they
-    have no direction, and aborting a 100 TB job on one degenerate
-    embedding is the wrong failure mode; a dropped corpus row gets no
-    verdict row (anti-join the output to list them).
+    a NaN or Infinity component (norm = NaN resp. Inf) — are dropped
+    on both sides: they have no finite direction, and aborting a
+    100 TB job on one degenerate embedding is the wrong failure mode;
+    a dropped corpus row gets no verdict row (anti-join the output to
+    list them).
 
     This is the semantic-decontamination primitive: the reference set
     is an eval/benchmark suite's embeddings (bounded by construction,
@@ -1965,14 +1966,18 @@ def max_cosine_vs_refs(
     # cosine: drop them on BOTH sides rather than abort the whole job
     # at the division under ANSI mode (review r14 — degenerate
     # embeddings from failed embedding calls are exactly what an
-    # unbounded training crawl contains). NaN components are the same
-    # degeneracy (norm = NaN, and Spark orders NaN ABOVE every double,
-    # so `norm > 0` alone would pass it through and the NaN cosine
-    # would then satisfy downstream `cosine >= t` flags — ADVICE r14);
-    # the isnan guard drops those too, matching histogram_fixed's and
-    # the sample builders' NaN discipline. A dropped corpus row simply
+    # unbounded training crawl contains). NaN and Infinity components
+    # are the same degeneracy (norm = NaN resp. Inf; Spark orders NaN
+    # ABOVE every double, so `norm > 0` alone passes both through and
+    # the NaN cosine — NaN directly, or Inf/Inf — then satisfies
+    # downstream `cosine >= t` flags, ADVICE r14 + review r15). The
+    # single `norm < inf` bound drops both (NaN < inf is false under
+    # Spark's NaN ordering), matching histogram_fixed's and the sample
+    # builders' non-finite discipline. A dropped corpus row simply
     # gets no verdict; callers needing the list anti-join the output.
-    _finite_dir = (F.col("norm") > 0) & ~F.isnan(F.col("norm"))
+    _finite_dir = (F.col("norm") > 0) & (
+        F.col("norm") < F.lit(float("inf"))
+    )
     corpus = (
         with_norm(df.select(id_col, vec_col), vec_col)
         .filter(_finite_dir)

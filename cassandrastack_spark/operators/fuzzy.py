@@ -250,12 +250,18 @@ def fuzzy_string_pairs(
         )
     )
     if blocker == "deletes":
-        cand = (
-            _deletes_blocks(sa, "s", "s", tau)
-            .join(_deletes_blocks(tb, "t", "t", tau), "variant")
-            .select("s", "t")
-            .distinct()
+        blocks = _deletes_blocks(sa, "s", "s", tau)
+        other = (
+            # self-join: ONE variant table, joined with itself renamed
+            # (the two sides canonicalize identically, so the exchange
+            # is computed once and reused) — review r15: building the
+            # probe side's variants separately paid the ~L^tau explode
+            # and its distinct twice
+            blocks.withColumnRenamed("s", "t")
+            if self_join
+            else _deletes_blocks(tb, "t", "t", tau)
         )
+        cand = blocks.join(other, "variant").select("s", "t").distinct()
     else:
         cand = (
             _index_blocks(sa, tau)
@@ -319,8 +325,10 @@ def fuzzy_self_pairs(
     """Within-table entity resolution: every unordered key pair whose
     strings differ by 1..``max_dist`` edits, plus exact-duplicate key
     pairs sharing one string at distance 0 — ``(key_a, key_b, dist)``
-    with ``key_a < key_b`` (keys must be orderable). The
-    dedup-candidate feed for a downstream ``dedup_components`` merge.
+    with ``key_a < key_b`` strictly (keys must be orderable; a key
+    whose own rows carry two near-duplicate strings never emits a
+    self-edge — review r15). The dedup-candidate feed for a
+    downstream ``dedup_components`` merge.
     """
     strings = fuzzy_string_pairs(
         df, None, str_col, max_dist=max_dist, blocker=blocker
@@ -338,6 +346,7 @@ def fuzzy_self_pairs(
             keyed.select(F.col("k").alias("kb"), F.col("s").alias("s_b")),
             "s_b",
         )
+        .filter(F.col("ka") != F.col("kb"))
         .select(
             F.least("ka", "kb").alias("key_a"),
             F.greatest("ka", "kb").alias("key_b"),

@@ -1511,7 +1511,8 @@ def _stage_additive_compaction(
 
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
-    tmp_dir = state_path.rstrip("/") + ".compact.tmp." + uuid.uuid4().hex
+    attempt = uuid.uuid4().hex
+    tmp_dir = state_path.rstrip("/") + ".compact.tmp." + attempt
     kcols = list(derived)
     (
         spark.read.parquet(*snapshot)
@@ -1529,9 +1530,18 @@ def _stage_additive_compaction(
         for st in fs.listStatus(P(tmp_dir))
         if st.getPath().getName().endswith(".parquet")
     )
-    # manifest rename is the commit point: staged merge is complete
+    # manifest rename is the commit point: staged merge is complete.
+    # The staging FILE is per-attempt too (review r15): a shared
+    # staging path written with overwrite lets attempt B clobber A's
+    # record between A's create and A's rename — A then commits B's
+    # record while B's refused-rename cleanup deletes the staging dir
+    # that record references, silently aborting a commit whose stage
+    # call returned True. Per-attempt names make every rename carry
+    # its own attempt's record.
     manifest = P(state_path.rstrip("/") + ".compact.manifest")
-    staging = P(state_path.rstrip("/") + ".compact.manifest.tmp")
+    staging = P(
+        state_path.rstrip("/") + ".compact.manifest.tmp." + attempt
+    )
     out = fs.create(staging, True)
     out.write(bytearray(
         json.dumps({
@@ -1598,12 +1608,21 @@ def _recover_additive_compaction(spark: SparkSession, state_path: str) -> None:
     fs = manifest.getFileSystem(hconf)
 
     def _tmp_dirs():
-        # every side staging dir for this state path: the legacy
-        # shared name plus all per-attempt uuid-suffixed ones
-        return [
+        # every side staging artifact for this state path: data dirs
+        # (legacy shared name plus per-attempt uuid-suffixed ones) AND
+        # orphaned per-attempt manifest-staging files (a crash between
+        # create and rename leaves one; it references a staging dir
+        # this sweep also removes, so it can never be resurrected)
+        out = [
             st.getPath()
             for st in fs.globStatus(P(base + ".compact.tmp*")) or []
         ]
+        out += [
+            st.getPath()
+            for st in fs.globStatus(P(base + ".compact.manifest.tmp*"))
+            or []
+        ]
+        return out
 
     if not fs.exists(manifest):
         for d in _tmp_dirs():

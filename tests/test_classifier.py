@@ -24,6 +24,9 @@ DOCS = [
     (5, "cheap cheap pills", False),
     (6, "an unlabeled document about foxes", None),
     (7, "", None),
+    # whitespace-irregular: bigrams must pair adjacent SURVIVING
+    # tokens ("spaced out"), never raw split positions (review r15)
+    (8, " spaced  out ", None),
 ]
 DIM = 64
 
@@ -160,3 +163,14 @@ def test_classifier_refuses_degenerate_inputs(spark, frames):
         linear_text_score(
             docs, w1.unionByName(w2), "doc_id", "text"
         ).collect()
+    # training on features hashed at a DIFFERENT dim fails loud
+    # in-plan instead of silently dropping out-of-range buckets while
+    # their counts inflate the smoothing totals (review r15)
+    big_feats = hashed_gram_features(docs, "doc_id", "text", 4096)
+    with pytest.raises(SparkRuntimeException, match=r"\[0, dim\)"):
+        nb_logodds_weights(
+            big_feats, labels, "doc_id", "is_pos", DIM
+        ).collect()
+    # an empty weight table raises the contract error, not int(None)
+    with pytest.raises(ValueError, match="empty weight table"):
+        linear_text_score(docs, w1.filter("false"), "doc_id", "text")

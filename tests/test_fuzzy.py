@@ -196,6 +196,32 @@ def test_fuzzy_self_pairs_expands_keys_and_exact_dups(spark):
     assert got == [(1, 2, 1), (1, 3, 0), (2, 3, 1)]
 
 
+def test_fuzzy_self_pairs_never_emits_self_edges(spark):
+    """Review r15: a key whose own rows carry two near-duplicate
+    strings must NOT emit a (k, k) self-edge — the documented contract
+    is strictly key_a < key_b, and a downstream dedup_components
+    consumer must never see self-loops."""
+    df = spark.createDataFrame(
+        [
+            (1, "smith"),
+            (1, "smyth"),   # same key, second near-duplicate string
+            (2, "zzz"),
+            (3, "smith"),
+        ],
+        "id long, name string",
+    )
+    got = sorted(
+        (r.key_a, r.key_b, r.dist)
+        for r in fuzzy_self_pairs(df, "id", "name", max_dist=1).collect()
+    )
+    assert all(a < b for a, b, _ in got)
+    # key 1 still pairs with key 3 (exact via 'smith', fuzzy via
+    # 'smyth' — distinct() keeps both distances as separate rows only
+    # if they differ; here both routes exist at 0 and 1)
+    assert (1, 3, 0) in got
+    assert (1, 1, 1) not in got
+
+
 def test_fuzzy_key_join_cross_table(spark):
     a = spark.createDataFrame(
         [(10, "wolfe"), (11, "jones"), (12, "qqqq")], "ka long, na string"

@@ -2702,11 +2702,13 @@ def test_max_cosine_vs_refs_matches_bruteforce_and_ties(spark):
 
 
 def test_max_cosine_vs_refs_drops_degenerate_vectors(spark):
-    """Zero-norm AND NaN-component vectors are dropped on BOTH sides
-    (ADVICE r14: Spark orders NaN above every double, so a bare
-    `norm > 0` filter passes a NaN-norm vector through and the NaN
-    cosine then satisfies any `cosine >= t` decontamination flag —
-    exactly the false positive the drop contract exists to prevent)."""
+    """Zero-norm, NaN- AND Inf-component vectors are dropped on BOTH
+    sides (ADVICE r14 + review r15: Spark orders NaN above every
+    double, so a bare `norm > 0` filter passes a NaN-norm vector
+    through, and an Inf-component vector passes any isnan check while
+    its cosine is Inf/Inf = NaN — either way the NaN cosine satisfies
+    any `cosine >= t` decontamination flag, exactly the false positive
+    the drop contract exists to prevent)."""
     from cassandrastack_spark.llm.simsearch import max_cosine_vs_refs
 
     corpus = spark.createDataFrame(
@@ -2714,6 +2716,7 @@ def test_max_cosine_vs_refs_drops_degenerate_vectors(spark):
             (1, [1.0, 0.0]),
             (2, [0.0, 0.0]),            # zero norm: dropped
             (3, [float("nan"), 1.0]),   # NaN norm: dropped
+            (4, [float("inf"), 1.0]),   # Inf norm: dropped
         ],
         "vec_id long, embedding array<float>",
     )
@@ -2722,6 +2725,7 @@ def test_max_cosine_vs_refs_drops_degenerate_vectors(spark):
             (10, [1.0, 1.0]),
             (11, [0.0, 0.0]),           # zero norm: dropped
             (12, [float("nan"), 2.0]),  # NaN norm: dropped
+            (13, [float("inf"), 2.0]),  # Inf norm: dropped
         ],
         "vec_id long, embedding array<float>",
     )

@@ -80,7 +80,13 @@ _B = (
 
 CORPUS_QUALITY_NB_SCORE_ORACLE = f"""
     WITH toks AS (
-        SELECT doc_id, source, string_split(text, ' ') AS ts
+        -- empty tokens (doubled/leading/trailing spaces) are dropped
+        -- BEFORE bigram construction, exactly like the featurizer's
+        -- filtered token array: bigrams pair ADJACENT SURVIVORS, not
+        -- raw split positions (review r15 — the raw list diverges on
+        -- any whitespace-irregular text)
+        SELECT doc_id, source,
+               list_filter(string_split(text, ' '), t -> t <> '') AS ts
         FROM documents),
     grams AS (
         SELECT doc_id, source, unnest(ts) AS gram FROM toks

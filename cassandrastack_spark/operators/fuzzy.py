@@ -251,16 +251,19 @@ def fuzzy_string_pairs(
     )
     if blocker == "deletes":
         blocks = _deletes_blocks(sa, "s", "s", tau)
-        other = (
-            # self-join: ONE variant table, joined with itself renamed
-            # (the two sides canonicalize identically, so the exchange
-            # is computed once and reused) — review r15: building the
+        if self_join:
+            # self-join: ONE variant table, materialized eagerly and
+            # joined with itself renamed — review r15: building the
             # probe side's variants separately paid the ~L^tau explode
-            # and its distinct twice
-            blocks.withColumnRenamed("s", "t")
-            if self_join
-            else _deletes_blocks(tb, "t", "t", tau)
-        )
+            # and its distinct twice, and Catalyst does NOT reuse the
+            # pre-shuffle subtree across the join's two sides (checked
+            # on the executed plan), so the checkpoint is what makes
+            # the generation run once. The artifact is n_strings x ~L
+            # short rows — linear, the dedup family's usual trade.
+            blocks = blocks.localCheckpoint(eager=True)
+            other = blocks.withColumnRenamed("s", "t")
+        else:
+            other = _deletes_blocks(tb, "t", "t", tau)
         cand = blocks.join(other, "variant").select("s", "t").distinct()
     else:
         cand = (

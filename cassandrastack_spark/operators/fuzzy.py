@@ -103,7 +103,9 @@ def _start_sql(i: int, tau: int, length: str) -> str:
     )
 
 
-def _index_blocks(strings: DataFrame, tau: int) -> DataFrame:
+def _index_blocks(
+    strings: DataFrame, tau: int, extra: tuple = ()
+) -> DataFrame:
     """(s, L, slot, seg): one row per non-empty segment of each
     distinct indexed string (slot ``-1`` with the empty seg for the
     short-string block, see module note)."""
@@ -116,10 +118,15 @@ def _index_blocks(strings: DataFrame, tau: int) -> DataFrame:
     ]
     long_side = (
         strings.filter(F.length("s") >= k)
-        .select("s", F.explode(F.expr("array(" + ", ".join(segs) + ")")).alias("x"))
-        .select("s", "x.L", "x.slot", "x.seg")
+        .select(
+            *extra,
+            "s",
+            F.explode(F.expr("array(" + ", ".join(segs) + ")")).alias("x"),
+        )
+        .select(*extra, "s", "x.L", "x.slot", "x.seg")
     )
     short_side = strings.filter(F.length("s") < k).select(
+        *extra,
         "s",
         F.lit(-1).cast("bigint").alias("L"),
         F.lit(-1).alias("slot"),
@@ -128,7 +135,9 @@ def _index_blocks(strings: DataFrame, tau: int) -> DataFrame:
     return long_side.unionByName(short_side)
 
 
-def _probe_blocks(strings: DataFrame, tau: int) -> DataFrame:
+def _probe_blocks(
+    strings: DataFrame, tau: int, extra: tuple = ()
+) -> DataFrame:
     """(t, L, slot, seg): every substring of each distinct probe string
     that could equal an indexed string's segment — for each candidate
     indexed length within ``+-tau``, each slot's exact length at starts
@@ -153,15 +162,17 @@ def _probe_blocks(strings: DataFrame, tau: int) -> DataFrame:
     arr = "array(" + ", ".join(probes) + ")"
     long_side = (
         strings.select(
+            *extra,
             "t",
             F.explode(F.expr(f"filter({arr}, x -> x IS NOT NULL)")).alias("x"),
         )
-        .select("t", "x.L", "x.slot", "x.seg")
+        .select(*extra, "t", "x.L", "x.slot", "x.seg")
         .filter(F.length("seg") > 0)
     )
     # short partner block: an indexed string of length < k can only be
     # within tau edits of a probe of length <= (k - 1) + tau = 2*tau
     short_side = strings.filter(F.length("t") <= 2 * tau).select(
+        *extra,
         "t",
         F.lit(-1).cast("bigint").alias("L"),
         F.lit(-1).alias("slot"),
@@ -189,15 +200,25 @@ def _delete_variants_sql(col: str, tau: int) -> str:
     return level
 
 
-def _deletes_blocks(strings: DataFrame, col: str, out: str, tau: int) -> DataFrame:
-    """(out, variant): one row per <=tau-deletion variant of each
-    distinct string."""
+def _deletes_blocks(
+    strings: DataFrame,
+    col: str,
+    out: str,
+    tau: int,
+    extra: tuple = (),
+) -> DataFrame:
+    """(extra..., out, variant): one row per <=tau-deletion variant of
+    each distinct (block, string) row."""
     return strings.select(
+        *extra,
         F.col(col).alias(out),
         F.explode(
             F.expr(_delete_variants_sql(col, tau))
         ).alias("variant"),
     ).distinct()
+
+
+_RESERVED = ("s", "t", "variant", "L", "slot", "seg", "s_a", "s_b", "dist")
 
 
 def fuzzy_string_pairs(
@@ -207,22 +228,34 @@ def fuzzy_string_pairs(
     str_col_b: str | None = None,
     max_dist: int = 1,
     blocker: str = "deletes",
+    block_cols: tuple = (),
 ) -> DataFrame:
     """All DISTINCT string pairs within edit distance ``max_dist``:
-    ``(s_a, s_b, dist int)``. With ``b=None``, the self-join over
-    ``a``'s distinct strings with ``s_a < s_b`` (equal strings are
-    exact duplicates — the key-level wrappers handle those; the fuzzy
-    stage exists for the unequal ones). With a ``b`` side, equal
-    strings match at distance 0. NULL strings never match (an unknown
-    key is not evidence of identity).
+    ``(block_cols..., s_a, s_b, dist int)``. With ``b=None``, the
+    self-join over ``a``'s distinct strings with ``s_a < s_b`` (equal
+    strings are exact duplicates — the key-level wrappers handle
+    those; the fuzzy stage exists for the unequal ones). With a ``b``
+    side, equal strings match at distance 0. NULL strings never match
+    (an unknown key is not evidence of identity).
+
+    ``block_cols`` (same column names on both frames) adds STRUCTURED
+    exact-match blocking on top of the fuzzy blocker — the classic ER
+    shape: block on the reliable attribute (nation, zip, category),
+    fuzzy-match the dirty string within each block. Pairs form only
+    between rows agreeing on every block column; a NULL block value
+    never matches anything (equi-join semantics), and the same string
+    under two block values is two independent candidates. Blocking
+    shrinks candidate generation AND the verify set — at 100 TB this
+    is usually the difference between a corpus-wide variant join and
+    thousands of independent small ones.
 
     Candidates come from the selected complete blocking scheme
     (module note: ``"deletes"`` = FastSS deletion neighborhoods,
     robust to shared prefixes, tau <= 2; ``"passjoin"`` = segment
     blocking, length-independent fan-out for long diverse strings) —
-    both complete, so the result is EXACTLY the brute-force pair set;
-    verification is the built-in JVM ``levenshtein`` in its
-    early-exit threshold form.
+    both complete (within each structured block), so the result is
+    EXACTLY the brute-force pair set; verification is the built-in
+    JVM ``levenshtein`` in its early-exit threshold form.
     """
     if max_dist < 1:
         raise ValueError(f"max_dist must be >= 1, got {max_dist}")
@@ -233,24 +266,34 @@ def fuzzy_string_pairs(
             "blocker='deletes' generates ~L^tau variants per string — "
             f"unreasonable at max_dist={max_dist}; use blocker='passjoin'"
         )
+    bc = tuple(block_cols)
+    clash = sorted(set(bc) & set(_RESERVED))
+    if clash:
+        raise ValueError(
+            f"block_cols {clash} collide with the operator's internal "
+            f"column names {_RESERVED} — rename them first"
+        )
     tau = int(max_dist)
     self_join = b is None
     sa = (
-        a.select(F.col(str_col_a).cast("string").alias("s"))
-        .filter(F.col("s").isNotNull())
+        a.select(*bc, F.col(str_col_a).cast("string").alias("s"))
+        .na.drop(subset=[*bc, "s"])
         .distinct()
     )
     tb = (
-        sa.select(F.col("s").alias("t"))
+        sa.select(*bc, F.col("s").alias("t"))
         if self_join
         else (
-            b.select(F.col(str_col_b or str_col_a).cast("string").alias("t"))
-            .filter(F.col("t").isNotNull())
+            b.select(
+                *bc,
+                F.col(str_col_b or str_col_a).cast("string").alias("t"),
+            )
+            .na.drop(subset=[*bc, "t"])
             .distinct()
         )
     )
     if blocker == "deletes":
-        blocks = _deletes_blocks(sa, "s", "s", tau)
+        blocks = _deletes_blocks(sa, "s", "s", tau, extra=bc)
         if self_join:
             # self-join: ONE variant table, materialized eagerly and
             # joined with itself renamed — review r15: building the
@@ -263,13 +306,17 @@ def fuzzy_string_pairs(
             blocks = blocks.localCheckpoint(eager=True)
             other = blocks.withColumnRenamed("s", "t")
         else:
-            other = _deletes_blocks(tb, "t", "t", tau)
-        cand = blocks.join(other, "variant").select("s", "t").distinct()
+            other = _deletes_blocks(tb, "t", "t", tau, extra=bc)
+        cand = (
+            blocks.join(other, [*bc, "variant"])
+            .select(*bc, "s", "t")
+            .distinct()
+        )
     else:
         cand = (
-            _index_blocks(sa, tau)
-            .join(_probe_blocks(tb, tau), ["L", "slot", "seg"])
-            .select("s", "t")
+            _index_blocks(sa, tau, extra=bc)
+            .join(_probe_blocks(tb, tau, extra=bc), [*bc, "L", "slot", "seg"])
+            .select(*bc, "s", "t")
             .distinct()
         )
     if self_join:
@@ -279,6 +326,7 @@ def fuzzy_string_pairs(
     return cand.filter(
         F.levenshtein("s", "t", tau) >= 0  # threshold form: -1 = over
     ).select(
+        *bc,
         F.col("s").alias("s_a"),
         F.col("t").alias("s_b"),
         F.levenshtein("s", "t").cast("int").alias("dist"),
@@ -294,27 +342,35 @@ def fuzzy_key_join(
     str_col_b: str,
     max_dist: int = 1,
     blocker: str = "deletes",
+    block_cols: tuple = (),
 ) -> DataFrame:
     """Entity-resolution join: every (key_a, key_b) whose strings are
-    within ``max_dist`` edits — ``(key_a, key_b, s_a, s_b, dist)``,
-    exact-equal strings matching at distance 0. The string-level match
-    runs once over DISTINCT strings; keys expand back via two
+    within ``max_dist`` edits — ``(block_cols..., key_a, key_b, s_a,
+    s_b, dist)``, exact-equal strings matching at distance 0, pairs
+    restricted to equal ``block_cols`` values when given (same column
+    names on both frames). The string-level match runs once over
+    DISTINCT (block, string) rows; keys expand back via two
     equi-joins, so duplicate-heavy columns cost their distinct
     cardinality in the candidate stage.
     """
-    pairs = fuzzy_string_pairs(a, b, str_col_a, str_col_b, max_dist, blocker)
+    bc = tuple(block_cols)
+    pairs = fuzzy_string_pairs(
+        a, b, str_col_a, str_col_b, max_dist, blocker, bc
+    )
     ka = a.select(
+        *bc,
         F.col(key_col_a).alias("key_a"),
         F.col(str_col_a).cast("string").alias("s_a"),
     )
     kb = b.select(
+        *bc,
         F.col(key_col_b).alias("key_b"),
         F.col(str_col_b).cast("string").alias("s_b"),
     )
     return (
-        pairs.join(ka, "s_a")
-        .join(kb, "s_b")
-        .select("key_a", "key_b", "s_a", "s_b", "dist")
+        pairs.join(ka, [*bc, "s_a"])
+        .join(kb, [*bc, "s_b"])
+        .select(*bc, "key_a", "key_b", "s_a", "s_b", "dist")
     )
 
 
@@ -324,30 +380,41 @@ def fuzzy_self_pairs(
     str_col: str,
     max_dist: int = 1,
     blocker: str = "deletes",
+    block_cols: tuple = (),
 ) -> DataFrame:
     """Within-table entity resolution: every unordered key pair whose
     strings differ by 1..``max_dist`` edits, plus exact-duplicate key
     pairs sharing one string at distance 0 — ``(key_a, key_b, dist)``
     with ``key_a < key_b`` strictly (keys must be orderable; a key
     whose own rows carry two near-duplicate strings never emits a
-    self-edge — review r15). The dedup-candidate feed for a
+    self-edge — review r15). With ``block_cols``, pairs form only
+    within equal block values — including the exact-duplicate pairs
+    (two rows sharing a name in DIFFERENT nations are not duplicate
+    evidence under nation blocking). The dedup-candidate feed for a
     downstream ``dedup_components`` merge.
     """
+    bc = tuple(block_cols)
     strings = fuzzy_string_pairs(
-        df, None, str_col, max_dist=max_dist, blocker=blocker
+        df, None, str_col, max_dist=max_dist, blocker=blocker,
+        block_cols=bc,
     )
     keyed = df.select(
+        *bc,
         F.col(key_col).alias("k"),
         F.col(str_col).cast("string").alias("s"),
-    ).filter(F.col("s").isNotNull())
+    ).na.drop(subset=[*bc, "s"])
     fz = (
         strings.join(
-            keyed.select(F.col("k").alias("ka"), F.col("s").alias("s_a")),
-            "s_a",
+            keyed.select(
+                *bc, F.col("k").alias("ka"), F.col("s").alias("s_a")
+            ),
+            [*bc, "s_a"],
         )
         .join(
-            keyed.select(F.col("k").alias("kb"), F.col("s").alias("s_b")),
-            "s_b",
+            keyed.select(
+                *bc, F.col("k").alias("kb"), F.col("s").alias("s_b")
+            ),
+            [*bc, "s_b"],
         )
         .filter(F.col("ka") != F.col("kb"))
         .select(
@@ -356,9 +423,12 @@ def fuzzy_self_pairs(
             "dist",
         )
     )
+    eq_cond = "x.s = y.s AND x.k < y.k"
+    for c in bc:
+        eq_cond += f" AND x.{c} = y.{c}"
     ex = (
         keyed.alias("x")
-        .join(keyed.alias("y"), F.expr("x.s = y.s AND x.k < y.k"))
+        .join(keyed.alias("y"), F.expr(eq_cond))
         .select(
             F.col("x.k").alias("key_a"),
             F.col("y.k").alias("key_b"),

@@ -44,6 +44,10 @@ WORDS = [
     "a", "b", "ab", "ba", "", "x",
     "customer001", "customer002", "custome001", "customer0012",
     "wolfe", "wolf", "rolfe",
+    # non-ASCII: levenshtein/substring/length are CHARACTER-level on
+    # both engines and in the python model — an accented char is one
+    # edit, not two bytes
+    "café", "cafe", "caffé", "müller", "mueller",
 ]
 WORDS = [w for w in WORDS if w != ""]  # NULL/empty handled separately
 
@@ -251,3 +255,103 @@ def test_fuzzy_join_plan_has_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_block_cols_restrict_matching_to_equal_blocks(spark):
+    """Structured + fuzzy blocking combined (review r15 follow-on API):
+    pairs form only within equal block values, a NULL block matches
+    nothing, exact duplicates in different blocks are NOT pairs, and
+    the result equals a per-block brute force exactly."""
+    rows = [
+        (1, "US", "smith"),
+        (2, "US", "smyth"),     # fuzzy pair with 1 (same block)
+        (3, "EU", "smith"),     # same name as 1, DIFFERENT block
+        (4, "EU", "smyth"),     # fuzzy pair with 3 only
+        (5, None, "smith"),     # NULL block: matches nothing
+        (6, "US", "smith"),     # exact dup of 1 (same block)
+    ]
+    df = spark.createDataFrame(rows, "id long, region string, name string")
+
+    # string level: (region, s_a, s_b, dist), within-block only
+    got = sorted(
+        (r.region, r.s_a, r.s_b, r.dist)
+        for r in fuzzy_string_pairs(
+            df, None, "name", max_dist=1, block_cols=("region",)
+        ).collect()
+    )
+    want = []
+    by_block = {}
+    for _id, reg, nm in rows:
+        if reg is not None:
+            by_block.setdefault(reg, set()).add(nm)
+    for reg, names in by_block.items():
+        ns = sorted(names)
+        for i, x in enumerate(ns):
+            for y in ns[i + 1:]:
+                d = _edit(x, y)
+                if d <= 1:
+                    want.append((reg, x, y, d))
+    assert got == sorted(want)
+    assert got  # non-trivial
+
+    # key level: exact dups pair only within their block
+    pairs = sorted(
+        (r.key_a, r.key_b, r.dist)
+        for r in fuzzy_self_pairs(
+            df, "id", "name", max_dist=1, block_cols=("region",)
+        ).collect()
+    )
+    # US: (1,2) fuzzy, (1,6) exact, (2,6) fuzzy; EU: (3,4) fuzzy;
+    # NO (1,3) or (3,6) cross-block exact pairs, nothing for id 5
+    assert pairs == [(1, 2, 1), (1, 6, 0), (2, 6, 1), (3, 4, 1)]
+
+    # cross-table with blocks
+    b = spark.createDataFrame(
+        [(20, "US", "smith"), (21, "EU", "wolfe")],
+        "bid long, region string, name string",
+    )
+    cross = sorted(
+        (r.region, r.key_a, r.key_b, r.dist)
+        for r in fuzzy_key_join(
+            df, b, "id", "name", "bid", "name",
+            max_dist=1, block_cols=("region",),
+        ).collect()
+    )
+    assert cross == [
+        ("US", 1, 20, 0),
+        ("US", 2, 20, 1),
+        ("US", 6, 20, 0),
+    ]
+
+    # reserved-name collision refuses loudly
+    bad = df.withColumnRenamed("region", "variant")
+    with pytest.raises(ValueError, match="collide"):
+        fuzzy_string_pairs(
+            bad, None, "name", max_dist=1, block_cols=("variant",)
+        )
+
+
+def test_block_cols_passjoin_matches_bruteforce(spark):
+    """The passjoin blocker honors block_cols identically (the join
+    key gains the block columns)."""
+    rows = [(i, f"r{i % 3}", w) for i, w in enumerate(WORDS)]
+    df = spark.createDataFrame(rows, "id long, region string, name string")
+    got = sorted(
+        (r.region, r.s_a, r.s_b, r.dist)
+        for r in fuzzy_string_pairs(
+            df, None, "name", max_dist=2,
+            blocker="passjoin", block_cols=("region",),
+        ).collect()
+    )
+    by_block = {}
+    for _i, reg, nm in rows:
+        by_block.setdefault(reg, set()).add(nm)
+    want = sorted(
+        (reg, x, y, _edit(x, y))
+        for reg, names in by_block.items()
+        for i, x in enumerate(sorted(names))
+        for y in sorted(names)[i + 1:]
+        if _edit(x, y) <= 2
+    )
+    assert got == want
+    assert got

@@ -25,17 +25,17 @@ tractable exactly because the blocked components are small; component
 ids are MIN member ids on both engines, cluster sizes are integers,
 so the gate is bit-exact with no rounding anywhere.
 
-Staging price (sf0.1, idle host, min-of-2 standalone): 11.7 s — a
-composition of the two most fixed-cost-heavy plan families (fuzzy
-candidates ~4.7 s warm + star component rounds ~4.1 s, measured
-separately), dominated by first-execution codegen and per-round
-scheduling, not data volume (the graph is 10,435 edges). The
-registered dedup_cluster_components precedent prices ~1.5-2x lower
-in-sweep than standalone for the same reason. REGISTRATION CONDITION:
-when a slot frees (r19+), the in-sweep value must land inside the
-10 s envelope — if it doesn't, register over a bounded segment (e.g.
-one mktsegment's customers) or split the pair leg from the closure
-leg the way dq_profile_lineitem_approx split its gate.
+Staging price (sf0.1, idle host, min-of-2 standalone): 7.3 s — down
+from 11.7 s for the hand-rolled first draft once ``block_cols``
+landed (the candidate join keys (nation, variant) from the start, so
+candidates shrink AND the two post-hoc key-expansion joins
+disappear). Cost splits ~evenly between the fuzzy candidate stage and
+the star component rounds, both plan-family fixed overhead, not data
+(the graph is 10,435 edges); the registered dedup_cluster_components
+precedent prices ~1.5-2x lower in-sweep than standalone. Expected
+in-sweep ~4-6 s — comfortably inside the 10 s envelope; if a slow
+tier disagrees at registration, segment-bound or split per the
+dq_profile_lineitem_approx precedent.
 """
 
 import duckdb
@@ -76,31 +76,19 @@ ER_FUZZY_COMPONENTS_ORACLE = """
 def er_fuzzy_components_spark(spark, sf_dir):
     """The exact plan that registers when a slot frees (lift verbatim)."""
     from cassandrastack_spark.llm.dedup import dedup_components
-    from cassandrastack_spark.operators.fuzzy import fuzzy_string_pairs
+    from cassandrastack_spark.operators.fuzzy import fuzzy_self_pairs
 
     c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
         "c_custkey", "c_name", "c_nationkey"
     )
-    sp = fuzzy_string_pairs(c, None, "c_name", max_dist=1)
-    ka = c.select(
-        F.col("c_custkey").alias("ka"),
-        F.col("c_name").alias("s_a"),
-        F.col("c_nationkey").alias("na"),
-    )
-    kb = c.select(
-        F.col("c_custkey").alias("kb"),
-        F.col("c_name").alias("s_b"),
-        F.col("c_nationkey").alias("nb"),
-    )
-    pairs = (
-        sp.join(ka, "s_a")
-        .join(kb, "s_b")
-        .filter((F.col("na") == F.col("nb")) & (F.col("ka") != F.col("kb")))
-        .select(
-            F.least("ka", "kb").alias("a_id"),
-            F.greatest("ka", "kb").alias("b_id"),
-        )
-        .distinct()
+    # structured + fuzzy blocking in one call: candidates form only
+    # within a nation, and the variant join is keyed (nation, variant)
+    # from the start — no post-hoc expansion joins
+    pairs = fuzzy_self_pairs(
+        c, "c_custkey", "c_name", max_dist=1,
+        block_cols=("c_nationkey",),
+    ).select(
+        F.col("key_a").alias("a_id"), F.col("key_b").alias("b_id")
     )
     # star from round one: digit-neighbor name chains give clusters
     # whose DIAMETER tracks their size (up to ~16 here), which is

@@ -436,3 +436,228 @@ def fuzzy_self_pairs(
         )
     )
     return fz.unionByName(ex).distinct()
+
+
+# ---------------------------------------------------------------------------
+# persisted deletion-variant index — the fuzzy family's indexed twin
+# (the bm25/band/IVF-codes move: explode the corpus ONCE, probe stored
+# variants forever)
+
+
+def build_fuzzy_index(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    str_col: str,
+    max_dist: int = 1,
+    n_buckets: int = 16,
+    block_cols: tuple = (),
+) -> None:
+    """Materialize the corpus's deletion-variant table at ``path`` so
+    incoming batches fuzzy-match the corpus WITHOUT re-exploding it —
+    the same move as the MinHash band index and the BM25 postings:
+    pay the ~L^tau variant generation once per corpus row, then every
+    probe is an equi-join against stored variants.
+
+    Layout: (block_cols..., variant, key, s, epoch) partitioned by
+    ``vb = pmod(hash(variant), n_buckets)`` so a probe's scan prunes
+    to its own variants' buckets; (block_cols..., key, s, epoch) under
+    ``path/_keys`` (the last-writer resolution side); design scalars
+    (max_dist, n_buckets, block_cols) as one row under ``path/_meta``.
+    ``epoch`` is the write-generation stamp (build = 0, each
+    ``extend_fuzzy_index`` = previous max + 1): probes resolve a key
+    to its NEWEST epoch, so re-ingesting a key with a changed string
+    is a clean last-writer overwrite — the old string's variants stop
+    matching entirely (the ``extend_bm25_index`` contract, including
+    its single-writer assumption for concurrent extends).
+
+    Rows with NULL key/string/blocks are dropped (they can never
+    match); ``block_cols`` behave exactly as in ``fuzzy_string_pairs``.
+    """
+    if max_dist < 1:
+        raise ValueError(f"max_dist must be >= 1, got {max_dist}")
+    if max_dist > 2:
+        raise ValueError(
+            "the variant index stores ~L^tau rows per string — "
+            f"unreasonable at max_dist={max_dist}"
+        )
+    bc = tuple(block_cols)
+    clash = sorted(set(bc) & {*_RESERVED, "key", "epoch", "vb"})
+    if clash:
+        raise ValueError(
+            f"block_cols {clash} collide with index column names — "
+            "rename them first"
+        )
+    spark = df.sparkSession
+    keys = (
+        df.select(
+            *bc,
+            F.col(key_col).alias("key"),
+            F.col(str_col).cast("string").alias("s"),
+        )
+        .na.drop(subset=[*bc, "key", "s"])
+        .distinct()
+        .withColumn("epoch", F.lit(0).cast("long"))
+    )
+    variants = _deletes_blocks(keys.select(*bc, "s").distinct(), "s", "s",
+                               int(max_dist), extra=bc)
+    rows = (
+        keys.join(variants, [*bc, "s"])
+        .withColumn("vb", F.pmod(F.hash("variant"), F.lit(n_buckets)))
+    )
+    (
+        rows.repartition("vb")
+        .sortWithinPartitions("vb", "variant")
+        .write.mode("overwrite")
+        .partitionBy("vb")
+        .parquet(path)
+    )
+    keys.write.mode("overwrite").parquet(path + "/_keys")
+    spark.createDataFrame(
+        [(int(max_dist), int(n_buckets), ",".join(bc))],
+        "max_dist int, n_buckets int, block_cols string",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/_meta")
+
+
+def extend_fuzzy_index(
+    new_rows: DataFrame,
+    path: str,
+    key_col: str,
+    str_col: str,
+) -> None:
+    """Append a new batch's variants under a fresh epoch stamp — cost
+    proportional to the batch, the stored corpus is never re-exploded.
+    Block columns and geometry come from ``_meta`` (so a caller cannot
+    disagree with the build). Same-key contract is last-writer, same
+    as ``extend_bm25_index``: the newest epoch's string wins outright,
+    a byte-identical replay is harmless, and concurrent extends need
+    an external serializer (single-writer, like every maintenance
+    path in this engine).
+    """
+    spark = new_rows.sparkSession
+    meta = spark.read.parquet(path + "/_meta").head()
+    bc = tuple(c for c in meta.block_cols.split(",") if c)
+    epoch = (
+        spark.read.parquet(path + "/_keys")
+        .agg(F.coalesce(F.max("epoch"), F.lit(0)).alias("e"))
+        .head()
+        .e
+        + 1
+    )
+    keys = (
+        new_rows.select(
+            *bc,
+            F.col(key_col).alias("key"),
+            F.col(str_col).cast("string").alias("s"),
+        )
+        .na.drop(subset=[*bc, "key", "s"])
+        .distinct()
+        .withColumn("epoch", F.lit(epoch).cast("long"))
+    )
+    variants = _deletes_blocks(
+        keys.select(*bc, "s").distinct(), "s", "s",
+        int(meta.max_dist), extra=bc,
+    )
+    rows = (
+        keys.join(variants, [*bc, "s"])
+        .withColumn("vb", F.pmod(F.hash("variant"), F.lit(int(meta.n_buckets))))
+    )
+    rows.repartition("vb").sortWithinPartitions("vb", "variant").write.mode(
+        "append"
+    ).partitionBy("vb").parquet(path)
+    keys.write.mode("append").parquet(path + "/_keys")
+
+
+def probe_fuzzy_index(
+    spark,
+    path: str,
+    probes: DataFrame,
+    str_col: str,
+    max_dist: int | None = None,
+) -> DataFrame:
+    """Fuzzy-match probe strings against the PERSISTED corpus index:
+    ``(block_cols..., s_probe, key, s_index, dist int)`` — every
+    CURRENT (newest-epoch) corpus row within ``max_dist`` edits of
+    each probe, identical to ``fuzzy_key_join`` against the corpus
+    (same completeness argument: both sides' <=tau deletion variants,
+    probe-side generated here, corpus-side read from storage).
+    ``max_dist`` defaults to the index's build tau and may be smaller
+    (a tighter verify over the same candidates); LARGER fails loud —
+    the stored variants only cover the build tau.
+
+    Scale shape: probe variants are a constant fan-out of the batch;
+    the candidate join is (blocks, variant)-keyed against the
+    bucket-partitioned store; the last-writer filter joins ``_keys``
+    once (narrow columns); verification touches candidates only.
+    """
+    meta = spark.read.parquet(path + "/_meta").head()
+    bc = tuple(c for c in meta.block_cols.split(",") if c)
+    tau = int(meta.max_dist) if max_dist is None else int(max_dist)
+    if tau < 1:
+        raise ValueError(f"max_dist must be >= 1, got {tau}")
+    if tau > int(meta.max_dist):
+        raise ValueError(
+            f"probe max_dist={tau} exceeds the index's build "
+            f"max_dist={meta.max_dist} — stored variants only cover "
+            "the build tau; rebuild the index deeper"
+        )
+    p = (
+        probes.select(*bc, F.col(str_col).cast("string").alias("t"))
+        .na.drop(subset=[*bc, "t"])
+        .distinct()
+    )
+    pv = _deletes_blocks(p, "t", "t", tau, extra=bc).withColumn(
+        "vb", F.pmod(F.hash("variant"), F.lit(int(meta.n_buckets)))
+    )
+    idx = spark.read.parquet(path)
+    cand = (
+        idx.join(pv, [*bc, "vb", "variant"])
+        .select(*bc, "t", "key", "s", "epoch")
+        .distinct()
+    )
+    cur = (
+        spark.read.parquet(path + "/_keys")
+        .groupBy("key")
+        .agg(F.max("epoch").alias("_cur_epoch"))
+    )
+    return (
+        cand.join(cur, "key")
+        .filter(F.col("epoch") == F.col("_cur_epoch"))
+        .filter(F.levenshtein("t", "s", tau) >= 0)
+        .select(
+            *bc,
+            F.col("t").alias("s_probe"),
+            "key",
+            F.col("s").alias("s_index"),
+            F.levenshtein("t", "s").cast("int").alias("dist"),
+        )
+        .distinct()
+    )
+
+
+def compact_fuzzy_index(spark, path: str) -> None:
+    """Maintenance for the epoch-stamped variant store: superseded
+    epochs (re-ingested keys, replays) accrete as dead rows the probe
+    filter discards — rewrite each variant bucket to current-epoch
+    rows only, under the shared object-store-safe staged commit
+    (``staged_partition_overwrite``; the ``compact_bm25_index``
+    protocol). Epochs are PRESERVED, not renumbered — ``_keys``' max
+    epoch per key must keep matching the store's stamps at every
+    interleaving with a concurrent probe; ``_keys`` itself accretes
+    one tiny row per key per write and compacts on rebuild."""
+    from cassandrastack_spark.sources.io import staged_partition_overwrite
+
+    cur = (
+        spark.read.parquet(path + "/_keys")
+        .groupBy("key")
+        .agg(F.max("epoch").alias("_cur_epoch"))
+    )
+    idx = spark.read.parquet(path)
+    data_cols = [c for c in idx.columns if c != "vb"]
+    live = (
+        idx.join(cur, "key")
+        .filter(F.col("epoch") == F.col("_cur_epoch"))
+        .select(*data_cols, "vb")
+        .distinct()
+    )
+    staged_partition_overwrite(live, path, "vb", ["vb", "variant"])

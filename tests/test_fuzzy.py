@@ -355,3 +355,126 @@ def test_block_cols_passjoin_matches_bruteforce(spark):
     )
     assert got == want
     assert got
+
+
+def test_fuzzy_index_probe_matches_direct_join_and_last_writer(
+    spark, tmp_path
+):
+    """The persisted variant index (build/extend/probe/compact): a
+    probe against the store must equal fuzzy_key_join against the
+    CURRENT corpus (same completeness, indexed twin contract);
+    re-ingesting a key with a changed string is last-writer (the old
+    string's variants stop matching entirely); a byte-identical replay
+    changes nothing; compaction drops superseded rows without moving
+    any answer; probe tau may shrink but never exceed the build tau."""
+    from cassandrastack_spark.operators.fuzzy import (
+        build_fuzzy_index,
+        compact_fuzzy_index,
+        extend_fuzzy_index,
+        probe_fuzzy_index,
+    )
+
+    corpus0 = spark.createDataFrame(
+        [(1, "smith"), (2, "jones"), (3, "wolfe")],
+        "id long, name string",
+    )
+    path = str(tmp_path / "fidx")
+    build_fuzzy_index(corpus0, path, "id", "name", max_dist=1)
+
+    probes = spark.createDataFrame(
+        [("smyth",), ("wolf",), ("zzz",), (None,)], "q string"
+    )
+
+    def got():
+        return sorted(
+            (r.s_probe, r.key, r.s_index, r.dist)
+            for r in probe_fuzzy_index(spark, path, probes, "q").collect()
+        )
+
+    def want(corpus):
+        return sorted(
+            (r.s_a, r.key_b, r.s_b, r.dist)
+            for r in fuzzy_key_join(
+                probes.toDF("name"), corpus, "name", "name", "id", "name",
+                max_dist=1,
+            ).collect()
+        )
+
+    assert got() == want(corpus0)
+    assert got()  # non-trivial
+
+    # extend with a new key AND a changed string for key 1
+    batch = spark.createDataFrame(
+        [(4, "smyth"), (1, "totally-different")], "id long, name string"
+    )
+    extend_fuzzy_index(batch, path, "id", "name")
+    corpus1 = spark.createDataFrame(
+        [(1, "totally-different"), (2, "jones"), (3, "wolfe"),
+         (4, "smyth")],
+        "id long, name string",
+    )
+    after_extend = got()
+    assert after_extend == want(corpus1)
+    # key 1's OLD string no longer matches anything
+    assert all(k != 1 for _, k, _, _ in after_extend)
+
+    # byte-identical replay: answers unchanged
+    extend_fuzzy_index(batch, path, "id", "name")
+    assert got() == after_extend
+
+    # compaction: fewer stored rows, identical answers
+    n_before = spark.read.parquet(path).count()
+    compact_fuzzy_index(spark, path)
+    assert spark.read.parquet(path).count() < n_before
+    assert got() == after_extend
+
+    # tighter probe tau is allowed; deeper fails loud
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exceeds the index"):
+        probe_fuzzy_index(spark, path, probes, "q", max_dist=2)
+
+
+def test_fuzzy_index_with_block_cols(spark, tmp_path):
+    """Blocked index: matches form only within equal block values, and
+    the block columns ride through build/extend/probe."""
+    from cassandrastack_spark.operators.fuzzy import (
+        build_fuzzy_index,
+        probe_fuzzy_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "US", "smith"), (2, "EU", "smith"), (3, "US", "wolfe")],
+        "id long, region string, name string",
+    )
+    path = str(tmp_path / "fidx_b")
+    build_fuzzy_index(
+        corpus, path, "id", "name", max_dist=1, block_cols=("region",)
+    )
+    probes = spark.createDataFrame(
+        [("US", "smyth"), ("EU", "smyth"), (None, "smith")],
+        "region string, q string",
+    )
+    got = sorted(
+        (r.region, r.s_probe, r.key, r.dist)
+        for r in probe_fuzzy_index(spark, path, probes, "q").collect()
+    )
+    # US probe matches only the US smith; EU probe only the EU one;
+    # NULL-region probe matches nothing
+    assert got == [("EU", "smyth", 2, 1), ("US", "smyth", 1, 1)]
+
+
+def test_fuzzy_index_build_validation(spark, tmp_path):
+    from cassandrastack_spark.operators.fuzzy import build_fuzzy_index
+
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    with pytest.raises(ValueError, match="max_dist"):
+        build_fuzzy_index(df, str(tmp_path / "x"), "id", "name", max_dist=0)
+    with pytest.raises(ValueError, match="unreasonable"):
+        build_fuzzy_index(df, str(tmp_path / "x"), "id", "name", max_dist=3)
+    bad = df.withColumnRenamed("id", "epoch")
+    with pytest.raises(ValueError, match="collide"):
+        build_fuzzy_index(
+            bad, str(tmp_path / "x"), "name", "name",
+            block_cols=("epoch",),
+        )

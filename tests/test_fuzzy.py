@@ -435,6 +435,40 @@ def test_fuzzy_index_probe_matches_direct_join_and_last_writer(
         probe_fuzzy_index(spark, path, probes, "q", max_dist=2)
 
 
+def test_fuzzy_index_probe_tighter_tau_than_build(spark, tmp_path):
+    """A probe at tau smaller than the build tau stays COMPLETE (the
+    probe's <=tau variants intersect the index's deeper set for every
+    true match) and exact (verify filters at the probe tau)."""
+    from cassandrastack_spark.operators.fuzzy import (
+        build_fuzzy_index,
+        probe_fuzzy_index,
+    )
+
+    corpus_words = ["smith", "smyth", "smithee", "mit", "wolfe"]
+    corpus = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(corpus_words)],
+        "id long, name string",
+    )
+    path = str(tmp_path / "fidx_t2")
+    build_fuzzy_index(corpus, path, "id", "name", max_dist=2)
+    probes = spark.createDataFrame([("smits",), ("wolf",)], "q string")
+    for tau in (1, 2):
+        got = sorted(
+            (r.s_probe, r.s_index, r.dist)
+            for r in probe_fuzzy_index(
+                spark, path, probes, "q", max_dist=tau
+            ).collect()
+        )
+        want = sorted(
+            (q, w, _edit(q, w))
+            for q in ("smits", "wolf")
+            for w in corpus_words
+            if _edit(q, w) <= tau
+        )
+        assert got == want, tau
+        assert got
+
+
 def test_fuzzy_index_with_block_cols(spark, tmp_path):
     """Blocked index: matches form only within equal block values, and
     the block columns ride through build/extend/probe."""

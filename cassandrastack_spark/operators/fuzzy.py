@@ -218,7 +218,15 @@ def _deletes_blocks(
     ).distinct()
 
 
-_RESERVED = ("s", "t", "variant", "L", "slot", "seg", "s_a", "s_b", "dist")
+# every internal column name any function in this family introduces —
+# the collision guard must cover the key-level wrappers and the index
+# too, or a clashing block col surfaces as a raw AMBIGUOUS_REFERENCE
+# instead of the designed ValueError (review r15, second pass)
+_RESERVED = (
+    "s", "t", "variant", "L", "slot", "seg", "s_a", "s_b", "dist",
+    "k", "ka", "kb", "key_a", "key_b", "key", "epoch", "vb",
+    "_cur_epoch",
+)
 
 
 def fuzzy_string_pairs(
@@ -302,7 +310,15 @@ def fuzzy_string_pairs(
             # pre-shuffle subtree across the join's two sides (checked
             # on the executed plan), so the checkpoint is what makes
             # the generation run once. The artifact is n_strings x ~L
-            # short rows — linear, the dedup family's usual trade.
+            # short rows — linear. localCheckpoint is the repo-wide
+            # dedup-family trade (persist() leaks cache blocks for the
+            # session lifetime — the r2 bench note): non-replicated
+            # executor-local storage, so an executor loss during the
+            # downstream join fails the job instead of recomputing,
+            # and building this plan runs the variant job eagerly —
+            # acceptable for an operator whose callers execute
+            # immediately; pass-through plan inspection should use the
+            # cross form (b=a) which stays lazy.
             blocks = blocks.localCheckpoint(eager=True)
             other = blocks.withColumnRenamed("s", "t")
         else:
@@ -323,13 +339,21 @@ def fuzzy_string_pairs(
         # both orientations of every true pair are generated (each
         # string sits on both sides), so keeping one order loses nothing
         cand = cand.filter(F.col("s") < F.col("t"))
-    return cand.filter(
-        F.levenshtein("s", "t", tau) >= 0  # threshold form: -1 = over
-    ).select(
-        *bc,
-        F.col("s").alias("s_a"),
-        F.col("t").alias("s_b"),
-        F.levenshtein("s", "t").cast("int").alias("dist"),
+    # ONE levenshtein call: the threshold form RETURNS the distance
+    # whenever it is <= tau (-1 only when over), so the filter and the
+    # output column share it (review r15, second pass — Catalyst does
+    # not CSE across the filter/project boundary)
+    return (
+        cand.withColumn(
+            "dist", F.levenshtein("s", "t", tau).cast("int")
+        )
+        .filter(F.col("dist") >= 0)
+        .select(
+            *bc,
+            F.col("s").alias("s_a"),
+            F.col("t").alias("s_b"),
+            "dist",
+        )
     )
 
 
@@ -423,9 +447,12 @@ def fuzzy_self_pairs(
             "dist",
         )
     )
-    eq_cond = "x.s = y.s AND x.k < y.k"
+    eq_cond = "x.`s` = y.`s` AND x.`k` < y.`k`"
     for c in bc:
-        eq_cond += f" AND x.{c} = y.{c}"
+        # backtick-quoted: a block col named `order` or `nation-code`
+        # parses through F.col everywhere else in this family and must
+        # not break in the one F.expr (review r15, second pass)
+        eq_cond += f" AND x.`{c}` = y.`{c}`"
     ex = (
         keyed.alias("x")
         .join(keyed.alias("y"), F.expr(eq_cond))
@@ -465,11 +492,14 @@ def build_fuzzy_index(
     ``path/_keys`` (the last-writer resolution side); design scalars
     (max_dist, n_buckets, block_cols) as one row under ``path/_meta``.
     ``epoch`` is the write-generation stamp (build = 0, each
-    ``extend_fuzzy_index`` = previous max + 1): probes resolve a key
-    to its NEWEST epoch, so re-ingesting a key with a changed string
-    is a clean last-writer overwrite — the old string's variants stop
-    matching entirely (the ``extend_bm25_index`` contract, including
-    its single-writer assumption for concurrent extends).
+    ``extend_fuzzy_index`` = previous max + 1): probes resolve each
+    (block_cols..., key) identity to its NEWEST epoch, so re-ingesting
+    a key with a changed string is a clean last-writer overwrite
+    WITHIN ITS BLOCK — the old string's variants stop matching
+    entirely, while the same key's rows under OTHER block values stay
+    live (blocks partition the match space; see ``_current_epochs``).
+    The ``extend_bm25_index`` contract otherwise, including its
+    single-writer assumption for concurrent extends.
 
     Rows with NULL key/string/blocks are dropped (they can never
     match); ``block_cols`` behave exactly as in ``fuzzy_string_pairs``.
@@ -482,7 +512,7 @@ def build_fuzzy_index(
             f"unreasonable at max_dist={max_dist}"
         )
     bc = tuple(block_cols)
-    clash = sorted(set(bc) & {*_RESERVED, "key", "epoch", "vb"})
+    clash = sorted(set(bc) & set(_RESERVED))
     if clash:
         raise ValueError(
             f"block_cols {clash} collide with index column names — "
@@ -499,6 +529,16 @@ def build_fuzzy_index(
         .distinct()
         .withColumn("epoch", F.lit(0).cast("long"))
     )
+    if not keys.limit(1).count():
+        # a zero-row partitioned write emits only _SUCCESS: probes and
+        # extends then die on UNABLE_TO_INFER_SCHEMA much later — fail
+        # at the build instead (review r15, second pass; an empty keys
+        # frame here means the corpus was empty or a wrong column
+        # na.drop'ed everything)
+        raise ValueError(
+            "build_fuzzy_index: no indexable rows — the corpus is "
+            "empty, or key/string/block columns are all-NULL"
+        )
     variants = _deletes_blocks(keys.select(*bc, "s").distinct(), "s", "s",
                                int(max_dist), extra=bc)
     rows = (
@@ -568,6 +608,24 @@ def extend_fuzzy_index(
     keys.write.mode("append").parquet(path + "/_keys")
 
 
+def _current_epochs(spark, path: str, bc: tuple) -> DataFrame:
+    """The live-row resolution BOTH the probe and the compactor use —
+    one copy so they can never disagree on which rows are current
+    (disagreement = compaction deleting rows probes still return).
+    Identity is (block_cols..., key): an extend touching a key in ONE
+    block supersedes only that block's version (review r15, second
+    pass — grouping by key alone silently invalidated, and compaction
+    permanently deleted, the key's rows in every OTHER block). A key
+    that MOVES between block values therefore leaves its old block's
+    row live — blocks partition the match space by design; retire
+    moved rows upstream or rebuild."""
+    return (
+        spark.read.parquet(path + "/_keys")
+        .groupBy(*bc, "key")
+        .agg(F.max("epoch").alias("_cur_epoch"))
+    )
+
+
 def probe_fuzzy_index(
     spark,
     path: str,
@@ -615,21 +673,18 @@ def probe_fuzzy_index(
         .select(*bc, "t", "key", "s", "epoch")
         .distinct()
     )
-    cur = (
-        spark.read.parquet(path + "/_keys")
-        .groupBy("key")
-        .agg(F.max("epoch").alias("_cur_epoch"))
-    )
+    cur = _current_epochs(spark, path, bc)
     return (
-        cand.join(cur, "key")
+        cand.join(cur, [*bc, "key"])
         .filter(F.col("epoch") == F.col("_cur_epoch"))
-        .filter(F.levenshtein("t", "s", tau) >= 0)
+        .withColumn("dist", F.levenshtein("t", "s", tau).cast("int"))
+        .filter(F.col("dist") >= 0)
         .select(
             *bc,
             F.col("t").alias("s_probe"),
             "key",
             F.col("s").alias("s_index"),
-            F.levenshtein("t", "s").cast("int").alias("dist"),
+            "dist",
         )
         .distinct()
     )
@@ -647,15 +702,13 @@ def compact_fuzzy_index(spark, path: str) -> None:
     one tiny row per key per write and compacts on rebuild."""
     from cassandrastack_spark.sources.io import staged_partition_overwrite
 
-    cur = (
-        spark.read.parquet(path + "/_keys")
-        .groupBy("key")
-        .agg(F.max("epoch").alias("_cur_epoch"))
-    )
+    meta = spark.read.parquet(path + "/_meta").head()
+    bc = tuple(c for c in meta.block_cols.split(",") if c)
+    cur = _current_epochs(spark, path, bc)
     idx = spark.read.parquet(path)
     data_cols = [c for c in idx.columns if c != "vb"]
     live = (
-        idx.join(cur, "key")
+        idx.join(cur, [*bc, "key"])
         .filter(F.col("epoch") == F.col("_cur_epoch"))
         .select(*data_cols, "vb")
         .distinct()

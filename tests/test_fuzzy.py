@@ -564,3 +564,66 @@ def test_fuzzy_index_build_validation(spark, tmp_path):
             bad, str(tmp_path / "x"), "name", "name",
             block_cols=("epoch",),
         )
+
+
+def test_fuzzy_index_extend_crash_window_is_invisible(spark, tmp_path):
+    """extend_fuzzy_index appends variants BEFORE _keys: a crash
+    between the two leaves the new epoch invisible (answers exactly
+    pre-extend), and the replay re-lands the batch at the SAME epoch
+    with duplicate variants collapsing in the probe. Simulated by
+    running only the variant-append half by hand."""
+    from pyspark.sql import functions as FF
+
+    from cassandrastack_spark.operators.fuzzy import (
+        _deletes_blocks,
+        build_fuzzy_index,
+        extend_fuzzy_index,
+        probe_fuzzy_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "smith"), (2, "jones")], "id long, name string"
+    )
+    path = str(tmp_path / "fidx_cw")
+    build_fuzzy_index(corpus, path, "id", "name", max_dist=1)
+    probes = spark.createDataFrame([("smyth",), ("wolf",)], "q string")
+
+    def got():
+        return sorted(
+            (r.s_probe, r.key, r.s_index, r.dist)
+            for r in probe_fuzzy_index(spark, path, probes, "q").collect()
+        )
+
+    before = got()
+    assert before == [("smyth", 1, "smith", 1)]
+
+    # the crash: the variant half of extending (3, 'wolfe') lands at
+    # epoch 1, the _keys half never does
+    batch_keys = spark.createDataFrame(
+        [(3, "wolfe")], "key long, s string"
+    ).withColumn("epoch", FF.lit(1).cast("long"))
+    variants = _deletes_blocks(batch_keys.select("s"), "s", "s", 1)
+    rows = batch_keys.join(variants, "s").withColumn(
+        "vb", FF.pmod(FF.hash("variant"), FF.lit(16))
+    )
+    rows.repartition("vb").write.mode("append").partitionBy("vb").parquet(
+        path
+    )
+    # invisible: answers exactly pre-extend (no half-live key, no crash)
+    assert got() == before
+
+    # the replay: the full extend re-lands the batch at the SAME epoch
+    # (computed from _keys, which the crash never advanced) — now the
+    # key is live and the duplicate variant rows collapse
+    extend_fuzzy_index(
+        spark.createDataFrame([(3, "wolfe")], "id long, name string"),
+        path, "id", "name",
+    )
+    assert got() == [("smyth", 1, "smith", 1), ("wolf", 3, "wolfe", 1)]
+    # the replayed epoch really is 1 (same stamp, not a split batch)
+    eps = sorted(
+        r.epoch
+        for r in spark.read.parquet(path + "/_keys")
+        .filter("key = 3").collect()
+    )
+    assert eps == [1]

@@ -1286,3 +1286,60 @@ def test_weighted_sample_matches_python_model_and_merge_fold(
     for r in folded.collect():
         fold.setdefault(r.g, set()).add(r.item)
     assert fold == want
+
+
+# ---------------------------------------------------------------------------
+# fuzzy string pairs (operators/fuzzy.py) — blocking completeness under
+# hypothesis-shrunk random vocabularies, both blockers
+
+
+def _edit_dist(a: str, b: str) -> int:
+    m, n = len(a), len(b)
+    prev = list(range(n + 1))
+    for i in range(1, m + 1):
+        cur = [i] + [0] * n
+        for j in range(1, n + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (a[i - 1] != b[j - 1]),
+            )
+        prev = cur
+    return prev[n]
+
+
+# tiny alphabet = maximal block-collision pressure; lengths 1..7 cross
+# the short-string boundary (len < tau+1) in both directions
+_fuzzy_words = st.lists(
+    st.text(alphabet="abX", min_size=1, max_size=7),
+    min_size=2,
+    max_size=18,
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_fuzzy_words, st.integers(min_value=1, max_value=2),
+       st.sampled_from(["deletes", "passjoin"]))
+def test_fuzzy_string_pairs_property_bruteforce(spark, words, tau, blocker):
+    """The pair set equals brute force EXACTLY for every vocabulary —
+    a missed pair (incomplete blocking) or an extra pair (broken
+    verify) both fail. Shrinking gives the minimal counterexample
+    vocabulary if the pigeonhole/variant argument ever breaks."""
+    from cassandrastack_spark.operators.fuzzy import fuzzy_string_pairs
+
+    df = spark.createDataFrame([(w,) for w in words], "name string")
+    got = sorted(
+        (r.s_a, r.s_b, r.dist)
+        for r in fuzzy_string_pairs(
+            df, None, "name", max_dist=tau, blocker=blocker
+        ).collect()
+    )
+    ws = sorted(set(words))
+    want = sorted(
+        (x, y, _edit_dist(x, y))
+        for i, x in enumerate(ws)
+        for y in ws[i + 1:]
+        if _edit_dist(x, y) <= tau
+    )
+    assert got == want

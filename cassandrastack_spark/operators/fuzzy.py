@@ -664,10 +664,23 @@ def probe_fuzzy_index(
         .na.drop(subset=[*bc, "t"])
         .distinct()
     )
-    pv = _deletes_blocks(p, "t", "t", tau, extra=bc).withColumn(
-        "vb", F.pmod(F.hash("variant"), F.lit(int(meta.n_buckets)))
+    pv = (
+        _deletes_blocks(p, "t", "t", tau, extra=bc)
+        .withColumn(
+            "vb", F.pmod(F.hash("variant"), F.lit(int(meta.n_buckets)))
+        )
+        # materialized once: the partition-prune list below and the
+        # join side must come from the same evaluation, and the
+        # variant explode should run once (the probe_ivfpq_index
+        # discipline)
+        .localCheckpoint(eager=True)
     )
-    idx = spark.read.parquet(path)
+    # explicit partition pruning, the IVF-codes pattern: the probe's
+    # bucket list is bounded by n_buckets (a <=16-value collect), and
+    # the isin pushes into the scan as a PartitionFilter — a small
+    # batch probing a huge index reads only its own buckets
+    vbs = sorted(r.vb for r in pv.select("vb").distinct().collect())
+    idx = spark.read.parquet(path).filter(F.col("vb").isin(vbs))
     cand = (
         idx.join(pv, [*bc, "vb", "variant"])
         .select(*bc, "t", "key", "s", "epoch")

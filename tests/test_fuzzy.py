@@ -627,3 +627,36 @@ def test_fuzzy_index_extend_crash_window_is_invisible(spark, tmp_path):
         .filter("key = 3").collect()
     )
     assert eps == [1]
+
+
+def test_fuzzy_index_probe_prunes_partitions(spark, tmp_path):
+    """The probe's index scan must carry a PartitionFilter on the
+    variant bucket (the IVF-codes pattern): a small batch probing a
+    huge stored index reads only its own buckets, not the store."""
+    from cassandrastack_spark.operators.fuzzy import (
+        build_fuzzy_index,
+        probe_fuzzy_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"name{i:04d}") for i in range(200)], "id long, name string"
+    )
+    path = str(tmp_path / "fidx_pp")
+    build_fuzzy_index(corpus, path, "id", "name", max_dist=1, n_buckets=16)
+    probes = spark.createDataFrame([("name0007",)], "q string")
+    out = probe_fuzzy_index(spark, path, probes, "q")
+    jvm = out.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = out._jdf.queryExecution().explainString(mode)
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[([^\]]*vb[^\]]*)\]", plan)
+    assert m, plan
+    assert "IN" in m.group(1).upper() or "isin" in m.group(1), m.group(1)
+    # and the answers are right (one self-match at 0 plus the digit
+    # neighbors at 1)
+    rows = {(r.s_index, r.dist) for r in out.collect()}
+    assert ("name0007", 0) in rows
+    assert any(d == 1 for _, d in rows)

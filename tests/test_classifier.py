@@ -174,3 +174,28 @@ def test_classifier_refuses_degenerate_inputs(spark, frames):
     # an empty weight table raises the contract error, not int(None)
     with pytest.raises(ValueError, match="empty weight table"):
         linear_text_score(docs, w1.filter("false"), "doc_id", "text")
+
+
+def test_weight_table_persists_and_scores_identically(spark, frames, tmp_path):
+    """The weight table IS the model artifact: a parquet round-trip
+    (save after training, load at serving) must score every document
+    identically — bit-for-bit, since weights/bias/dim are plain
+    columns. Also covers the unigram-only featurizer path end-to-end."""
+    docs, labels = frames
+    for bigrams in (True, False):
+        feats = hashed_gram_features(docs, "doc_id", "text", DIM, bigrams)
+        w = nb_logodds_weights(feats, labels, "doc_id", "is_pos", DIM)
+        path = str(tmp_path / f"model_{bigrams}")
+        w.write.parquet(path)
+        w2 = spark.read.parquet(path)
+        a = sorted(
+            map(tuple, linear_text_score(
+                docs, w, "doc_id", "text", bigrams
+            ).collect())
+        )
+        b = sorted(
+            map(tuple, linear_text_score(
+                docs, w2, "doc_id", "text", bigrams
+            ).collect())
+        )
+        assert a == b and len(a) == len(DOCS)

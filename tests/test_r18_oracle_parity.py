@@ -26,7 +26,12 @@ Staged here, the two r14-VERDICT #6 novelty surfaces:
   classifier end-to-end (llm/classifier.py): featurize (unigrams +
   bigrams, md5-slice buckets), train NB log-odds weights on a
   source-labeled seed (src0/src1 positive vs src8/src9 negative),
-  score EVERY document. The oracle rebuilds the identical buckets
+  score EVERY document. REGISTRATION NOTE: nb_logodds_weights
+  broadcasts its 1-row (doc-count + gram-total) scalar frame onto the
+  dim-row spine — the canonical scalar-subquery BNL; the registering
+  round must add a ``scalar_broadcast_ok`` entry in test_plans.py and
+  a ``DOCUMENTED_BNL`` entry in tools/plan_audit.py (the
+  corpus_source_kl precedent). The oracle rebuilds the identical buckets
   (the CM-oracle strpos hex arithmetic), the identical smoothed
   weights, and the identical decimal-summed dot product; scores round
   to 6 decimals on both sides (ln/exp engine difference is bounded by

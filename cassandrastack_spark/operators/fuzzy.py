@@ -664,21 +664,20 @@ def probe_fuzzy_index(
         .na.drop(subset=[*bc, "t"])
         .distinct()
     )
-    pv = (
-        _deletes_blocks(p, "t", "t", tau, extra=bc)
-        .withColumn(
-            "vb", F.pmod(F.hash("variant"), F.lit(int(meta.n_buckets)))
-        )
-        # materialized once: the partition-prune list below and the
-        # join side must come from the same evaluation, and the
-        # variant explode should run once (the probe_ivfpq_index
-        # discipline)
-        .localCheckpoint(eager=True)
+    # materialize the DISTINCT PROBE STRINGS (pre-explode — footprint
+    # bounded by the batch, review r15 third pass: checkpointing the
+    # full variant explosion pinned O(batch x L^tau) rows in executor
+    # storage), so the prune list below and the join side derive from
+    # the same evaluation; the deterministic variant explode itself
+    # runs twice over the checkpointed strings, a narrow projection
+    p = p.localCheckpoint(eager=True)
+    pv = _deletes_blocks(p, "t", "t", tau, extra=bc).withColumn(
+        "vb", F.pmod(F.hash("variant"), F.lit(int(meta.n_buckets)))
     )
     # explicit partition pruning, the IVF-codes pattern: the probe's
-    # bucket list is bounded by n_buckets (a <=16-value collect), and
-    # the isin pushes into the scan as a PartitionFilter — a small
-    # batch probing a huge index reads only its own buckets
+    # bucket list is bounded by meta.n_buckets (default 16) and the
+    # isin pushes into the scan as a PartitionFilter — a small batch
+    # probing a huge index reads only its own buckets
     vbs = sorted(r.vb for r in pv.select("vb").distinct().collect())
     idx = spark.read.parquet(path).filter(F.col("vb").isin(vbs))
     cand = (

@@ -603,8 +603,12 @@ def test_fuzzy_index_extend_crash_window_is_invisible(spark, tmp_path):
         [(3, "wolfe")], "key long, s string"
     ).withColumn("epoch", FF.lit(1).cast("long"))
     variants = _deletes_blocks(batch_keys.select("s"), "s", "s", 1)
+    # bucket count read from _meta, not hardcoded — a default change
+    # must not silently land the crash rows in wrong partitions and
+    # hollow the test out (review r15, third pass)
+    nb = int(spark.read.parquet(path + "/_meta").head().n_buckets)
     rows = batch_keys.join(variants, "s").withColumn(
-        "vb", FF.pmod(FF.hash("variant"), FF.lit(16))
+        "vb", FF.pmod(FF.hash("variant"), FF.lit(nb))
     )
     rows.repartition("vb").write.mode("append").partitionBy("vb").parquet(
         path

@@ -4,10 +4,17 @@ set must EXACTLY equal a python brute-force edit-distance model
 (blocking completeness is the whole claim — a missed pair is the one
 failure a candidates-then-verify design must never have), across
 insertions, deletions, substitutions, short strings (the sub-``tau+1``
-path whose empty segments void PassJoin's pigeonhole), and both tau=1
-and tau=2; the deletes blocker's block sizes stay neighborhood-bounded
-on shared-prefix key families; the key-level wrappers expand
-duplicates and order keys as documented."""
+path whose empty segments void PassJoin's pigeonhole), non-ASCII
+characters, and both tau=1 and tau=2; the deletes blocker's block
+sizes stay neighborhood-bounded on shared-prefix key families; the
+key-level wrappers expand duplicates and order keys as documented
+(never a self-edge); ``block_cols`` restricts every match — fuzzy and
+exact-duplicate — to equal block values under both blockers; and the
+persisted variant index round-trips build/extend/probe/compact with
+per-(block, key) last-writer epochs, replay invariance, a
+crash-window-invisible extend, probe-side partition pruning
+(plan-asserted), and a probe tau that may shrink but never exceed the
+build tau."""
 
 import pytest
 

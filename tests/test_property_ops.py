@@ -1343,3 +1343,95 @@ def test_fuzzy_string_pairs_property_bruteforce(spark, words, tau, blocker):
         if _edit_dist(x, y) <= tau
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# hashed-gram NB classifier (llm/classifier.py) — train + score vs a
+# pure-python model over hypothesis-shrunk corpora
+
+
+@st.composite
+def _labeled_docs(draw):
+    n = draw(st.integers(min_value=4, max_value=12))
+    docs = []
+    for i in range(n):
+        words = draw(st.lists(
+            st.text(alphabet="abcd ", min_size=0, max_size=4),
+            min_size=0, max_size=6,
+        ))
+        # at least one positive and one negative label (the trainer
+        # refuses one-class seeds by design); the rest may be unlabeled
+        label = (
+            True if i == 0 else False if i == 1
+            else draw(st.sampled_from([True, False, None]))
+        )
+        docs.append((i, " ".join(words), label))
+    return docs
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_labeled_docs())
+def test_nb_classifier_property_matches_python_model(spark, docs):
+    """Featurize + train + score equals the python model for every
+    corpus shape — including empty texts, whitespace-irregular texts
+    (the alphabet embeds spaces, so split produces empty tokens), and
+    unlabeled documents that must score but never train."""
+    import hashlib
+    import math
+
+    from cassandrastack_spark.llm.classifier import (
+        hashed_gram_features,
+        linear_text_score,
+        nb_logodds_weights,
+    )
+
+    dim = 32
+
+    def grams(text):
+        toks = [w for w in text.split(" ") if w]
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:7], 16) % dim
+
+    pos, neg = {}, {}
+    pt = nt = n_pos = n_neg = 0
+    for _i, text, lab in docs:
+        if lab is None:
+            continue
+        side = pos if lab else neg
+        cnt = 0
+        for g in grams(text):
+            side[bucket(g)] = side.get(bucket(g), 0) + 1
+            cnt += 1
+        if lab:
+            pt += cnt
+            n_pos += 1
+        else:
+            nt += cnt
+            n_neg += 1
+    w_py = {
+        b: math.log((pos.get(b, 0) + 1) / (pt + dim))
+        - math.log((neg.get(b, 0) + 1) / (nt + dim))
+        for b in range(dim)
+    }
+    bias = math.log(n_pos / n_neg)
+
+    sdocs = spark.createDataFrame(
+        [(i, t) for i, t, _ in docs], "doc_id long, text string"
+    )
+    labels = spark.createDataFrame(
+        [(i, l) for i, t, l in docs if l is not None],
+        "doc_id long, is_pos boolean",
+    )
+    feats = hashed_gram_features(sdocs, "doc_id", "text", dim)
+    w = nb_logodds_weights(feats, labels, "doc_id", "is_pos", dim)
+    got = {r.doc_id: r.logit for r in
+           linear_text_score(sdocs, w, "doc_id", "text").collect()}
+    assert set(got) == {i for i, _, _ in docs}
+    for i, text, _lab in docs:
+        logit = bias + sum(
+            w_py[bucket(g)] for g in grams(text)
+        )
+        assert abs(got[i] - logit) < 1e-9, (i, text)

@@ -726,3 +726,125 @@ def compact_fuzzy_index(spark, path: str) -> None:
         .distinct()
     )
     staged_partition_overwrite(live, path, "vb", ["vb", "variant"])
+
+
+# ---------------------------------------------------------------------------
+# the other two classic ER blocking schemes (VERDICT r14 #6a named all
+# four): sorted-neighborhood, and token-set Jaccard via the existing
+# PPJoin machinery
+
+
+def fuzzy_sorted_neighborhood_pairs(
+    df: DataFrame,
+    str_col: str,
+    window: int = 10,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Sorted-neighborhood matching (Hernandez & Stolfo, "The
+    Merge/Purge Problem for Large Databases", SIGMOD 1995 — public):
+    sort the distinct strings, compare each only against its ``window``
+    nearest sorted neighbors, verify with ``levenshtein`` —
+    ``(s_a, s_b, rank_gap int, dist int)`` with ``s_a < s_b``.
+
+    The CONTRACT is the neighborhood, stated plainly: this returns
+    exactly the pairs within ``window`` sorted positions AND within
+    ``max_dist`` edits — deliberately NOT all edit-distance pairs (a
+    pair whose strings sort far apart, e.g. a first-character typo, is
+    out of scope by design). That recall trade is what the scheme
+    buys: candidate count is ``n x window`` REGARDLESS of ``max_dist``
+    — the right tool when tau is too large for deletion variants
+    (whole-word edits in addresses) and segments would hot-block.
+    Use it as one pass of the classic multi-pass merge/purge (re-run
+    under different sort keys — reversed strings, phonetic keys — and
+    union the passes), or compose with the complete blockers.
+
+    Spark shape: ONE global sort (the scheme's inherent cost — at
+    100 TB this is a range-partitioned sort-shuffle, exactly what a
+    cluster sorts well) producing dense ranks; candidates equi-join on
+    ``rank DIV window`` with each string probing its own and the next
+    block (a pair within ``window`` positions spans at most adjacent
+    blocks), so the join is uniform by construction — no value skew
+    can concentrate a block beyond ``2 x window``.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if max_dist < 1:
+        raise ValueError(f"max_dist must be >= 1, got {max_dist}")
+    from pyspark.sql import Window as W
+
+    tau = int(max_dist)
+    ranked = (
+        df.select(F.col(str_col).cast("string").alias("s"))
+        .filter(F.col("s").isNotNull())
+        .distinct()
+        .withColumn("rn", F.row_number().over(W.orderBy("s")))
+    )
+    left = ranked.select(
+        F.col("s").alias("s_a"),
+        F.col("rn").alias("ra"),
+        F.explode(
+            F.array(
+                (F.col("rn") - 1) / window,
+                (F.col("rn") - 1 + window) / window,
+            ).cast("array<int>")
+        ).alias("blk"),
+    ).distinct()
+    right = ranked.select(
+        F.col("s").alias("s_b"),
+        F.col("rn").alias("rb"),
+        ((F.col("rn") - 1) / window).cast("int").alias("blk"),
+    )
+    return (
+        left.join(right, "blk")
+        .filter(
+            (F.col("rb") > F.col("ra"))
+            & (F.col("rb") - F.col("ra") <= window)
+        )
+        .withColumn("dist", F.levenshtein("s_a", "s_b", tau).cast("int"))
+        .filter(F.col("dist") >= 0)
+        .select(
+            "s_a",
+            "s_b",
+            (F.col("rb") - F.col("ra")).cast("int").alias("rank_gap"),
+            "dist",
+        )
+        .distinct()
+    )
+
+
+def er_token_jaccard_pairs(
+    df: DataFrame,
+    key_col: str,
+    str_col: str,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Token-blocking entity resolution for MULTI-token dirty keys
+    (person names, addresses, titles): key pairs whose whitespace
+    TOKEN SETS overlap at Jaccard >= ``min_jaccard`` —
+    ``(a_id, b_id, jaccard)``. Complete for its own metric (two sets
+    with Jaccard >= t > 0 share a token, and the PPJoin prefix lemma
+    tightens that to the rarest-first prefixes), which is what makes
+    it gateable where a bare "shares >= 1 token" candidate rule with
+    an edit verify would not be. A thin delegation to the dedup
+    family's ``ngram_jaccard_pairs`` at k=1 — token-level shingles ARE
+    word 1-grams, so the whole PPJoin machinery (global rarest-first
+    order, df>1 pruning, hot-token prefix exclusion, exact integer
+    verify) applies verbatim to short key strings.
+
+    Word-order-insensitive by construction ("maria garcia lopez" ~
+    "lopez maria garcia" at jaccard 1.0) — the complement of the
+    edit-distance family, which penalizes reordering heavily.
+    """
+    from cassandrastack_spark.llm.dedup import ngram_jaccard_pairs
+
+    if not (0.0 < min_jaccard <= 1.0):
+        raise ValueError(
+            f"min_jaccard must be in (0, 1], got {min_jaccard}"
+        )
+    keyed = df.select(key_col, str_col).na.drop(
+        subset=[key_col, str_col]
+    )
+    return ngram_jaccard_pairs(
+        keyed, id_col=key_col, text_col=str_col, k=1,
+        threshold=float(min_jaccard),
+    )

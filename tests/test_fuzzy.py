@@ -671,3 +671,87 @@ def test_fuzzy_index_probe_prunes_partitions(spark, tmp_path):
     rows = {(r.s_index, r.dist) for r in out.collect()}
     assert ("name0007", 0) in rows
     assert any(d == 1 for _, d in rows)
+
+
+def test_sorted_neighborhood_matches_bruteforce_neighborhood(spark):
+    """Sorted-neighborhood: exactly the pairs within `window` sorted
+    positions AND `max_dist` edits — the scheme's own contract,
+    validated against a python model, windows crossing block
+    boundaries included."""
+    from cassandrastack_spark.operators.fuzzy import (
+        fuzzy_sorted_neighborhood_pairs,
+    )
+
+    words = sorted(set(WORDS))
+    df = spark.createDataFrame([(w,) for w in WORDS], "name string")
+    for window, tau in ((1, 2), (3, 1), (10, 2), (50, 2)):
+        got = sorted(
+            (r.s_a, r.s_b, r.rank_gap, r.dist)
+            for r in fuzzy_sorted_neighborhood_pairs(
+                df, "name", window=window, max_dist=tau
+            ).collect()
+        )
+        want = sorted(
+            (words[i], words[j], j - i, _edit(words[i], words[j]))
+            for i in range(len(words))
+            for j in range(i + 1, min(i + window + 1, len(words)))
+            if _edit(words[i], words[j]) <= tau
+        )
+        assert got == want, (window, tau)
+    # at window >= n the scheme degrades to the full edit-distance
+    # pair set — the complete-blocker answer
+    full = sorted(
+        (a, b, d)
+        for a, b, d in _brute_self(WORDS, 2)
+    )
+    got_full = sorted(
+        (r.s_a, r.s_b, r.dist)
+        for r in fuzzy_sorted_neighborhood_pairs(
+            df, "name", window=len(words), max_dist=2
+        ).collect()
+    )
+    assert got_full == full
+    with pytest.raises(ValueError, match="window"):
+        fuzzy_sorted_neighborhood_pairs(df, "name", window=0)
+
+
+def test_er_token_jaccard_matches_python_model(spark):
+    """Token-set Jaccard ER (the ngram_jaccard_pairs k=1 delegation):
+    pair set and jaccard values equal a python token-set model;
+    word-order-insensitive by construction."""
+    from cassandrastack_spark.operators.fuzzy import er_token_jaccard_pairs
+
+    rows = [
+        (1, "maria garcia lopez"),
+        (2, "lopez maria garcia"),      # same tokens, reordered: 1.0
+        (3, "maria garcia"),            # subset: 2/3
+        (4, "jose garcia lopez"),       # 2/4 with 1
+        (5, "completely different"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    toks = {i: set(t.split(" ")) for i, t in rows if t is not None}
+
+    def jac(a, b):
+        return len(toks[a] & toks[b]) / len(toks[a] | toks[b])
+
+    for t in (0.5, 0.9):
+        got = sorted(
+            (r.a_id, r.b_id, r.jaccard)
+            for r in er_token_jaccard_pairs(
+                df, "id", "name", min_jaccard=t
+            ).collect()
+        )
+        want = sorted(
+            (a, b, jac(a, b))
+            for a in toks
+            for b in toks
+            if a < b and jac(a, b) >= t
+        )
+        assert got == want, t
+    # order-insensitivity pinned: (1, 2) at exactly 1.0
+    assert (1, 2, 1.0) in got or any(
+        a == 1 and b == 2 and j == 1.0 for a, b, j in got
+    )
+    with pytest.raises(ValueError, match="min_jaccard"):
+        er_token_jaccard_pairs(df, "id", "name", min_jaccard=0.0)

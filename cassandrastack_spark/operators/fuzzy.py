@@ -758,13 +758,16 @@ def fuzzy_sorted_neighborhood_pairs(
     under different sort keys — reversed strings, phonetic keys — and
     union the passes), or compose with the complete blockers.
 
-    Spark shape: ONE global sort (the scheme's inherent cost — at
-    100 TB this is a range-partitioned sort-shuffle, exactly what a
-    cluster sorts well) producing dense ranks; candidates equi-join on
-    ``rank DIV window`` with each string probing its own and the next
-    block (a pair within ``window`` positions spans at most adjacent
-    blocks), so the join is uniform by construction — no value skew
-    can concentrate a block beyond ``2 x window``.
+    Spark shape: ONE global sort (the scheme's inherent cost),
+    executed as a RANGE-PARTITIONED sort — ranks come from per-
+    partition row_numbers plus broadcast cumulative offsets (the
+    partition-count-bounded collect below), NOT from a bare
+    ``row_number().over(orderBy(s))``, whose empty partition spec
+    funnels the entire corpus through ONE WindowExec task. Candidates
+    then equi-join on ``rank DIV window`` with each string probing its
+    own and the next block (a pair within ``window`` positions spans
+    at most adjacent blocks), so the join is uniform by construction —
+    no value skew can concentrate a block beyond ``2 x window``.
     """
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
@@ -773,11 +776,43 @@ def fuzzy_sorted_neighborhood_pairs(
     from pyspark.sql import Window as W
 
     tau = int(max_dist)
-    ranked = (
+    d = (
         df.select(F.col(str_col).cast("string").alias("s"))
         .filter(F.col("s").isNotNull())
         .distinct()
-        .withColumn("rn", F.row_number().over(W.orderBy("s")))
+        .repartitionByRange("s")
+        .sortWithinPartitions("s")
+        .withColumn("pid", F.spark_partition_id())
+        # pin the partitioning: the pid column, the per-pid counts and
+        # the per-pid window below must all see the SAME assignment
+        .localCheckpoint(eager=True)
+    )
+    # cumulative offsets: one row per shuffle partition (a bounded
+    # driver-side list, the distinct-bucket-collect class)
+    counts = sorted(
+        (r.pid, r.c)
+        for r in d.groupBy("pid").agg(F.count("*").alias("c")).collect()
+    )
+    offsets = []
+    acc = 0
+    for pid, c in counts:
+        offsets.append((int(pid), acc))
+        acc += int(c)
+    if not offsets:
+        offsets = [(0, 0)]
+    # one row per shuffle partition, broadcast-equi-joined on pid —
+    # bounded however many partitions the range shuffle chose (a CASE
+    # chain here would grow codegen linearly with partition count)
+    off_df = df.sparkSession.createDataFrame(
+        offsets, "pid int, _off long"
+    )
+    ranked = (
+        d.join(F.broadcast(off_df), "pid")
+        .withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("pid").orderBy("s"))
+            + F.col("_off"),
+        )
     )
     left = ranked.select(
         F.col("s").alias("s_a"),

@@ -5137,3 +5137,99 @@ def corpus_score_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# DuckDB rebuilds the identical sample (md5 of the same key string; hex
+# ordering IS string ordering) and selects the identical rank element;
+# both q and exact_q are raw data doubles — no arithmetic to round, the
+# gate is bit-exact by construction. Lifted verbatim from
+# tests/test_r16_oracle_parity.py (staged r14, validated at both SFs).
+_QUANTILES_SAMPLE_SKETCH_ORACLE = """
+    WITH v AS (
+        SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS v
+        FROM documents WHERE n_chars IS NOT NULL),
+    s AS (
+        SELECT source, md5(CAST(doc_id AS VARCHAR)) AS h, v
+        FROM v
+        QUALIFY row_number() OVER (
+            PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), v) <= 256),
+    sr AS (
+        SELECT source, v, h,
+               row_number() OVER (PARTITION BY source ORDER BY v, h) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM s),
+    ps AS (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS p),
+    est AS (
+        SELECT source, p, v AS q
+        FROM sr, ps
+        WHERE rn = GREATEST(1, CAST(CEIL(p * n) AS BIGINT))),
+    er AS (
+        SELECT source, v,
+               row_number() OVER (PARTITION BY source ORDER BY v) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM v),
+    ex AS (
+        SELECT source, p, v AS exact_q
+        FROM er, ps
+        WHERE rn = GREATEST(1, CAST(CEIL(p * n) AS BIGINT)))
+    SELECT e.source, e.p, e.q, x.exact_q
+    FROM est e JOIN ex x USING (source, p)
+    ORDER BY e.source, e.p
+"""
+
+
+@register(
+    "quantiles_sample_sketch",
+    oracle=_QUANTILES_SAMPLE_SKETCH_ORACLE,
+    doc="Per-source quantile estimates of document length from the "
+        "deterministic bottom-k sample sketch (operators/sketch.py "
+        "bottomk_sample_build / bottomk_sample_quantiles — k rows with "
+        "the smallest md5(doc_id) per source), with the exact type-1 "
+        "quantiles riding along as the accuracy gate. Bit-exact BOTH "
+        "legs: sample membership is a pure hash function (DuckDB "
+        "rebuilds the identical sample) and the type-1 quantile "
+        "SELECTS AN ELEMENT (rank ceil(p*n), no interpolation), so "
+        "both engines return the identical double. This is the "
+        "mergeable quantile summary approx_percentile cannot be: its "
+        "internal state is neither persistable as data nor mergeable "
+        "across separately materialized batches, while min-k is "
+        "associative AND idempotent — at 100 TB the persisted artifact "
+        "is k rows per group forever, maintenance is merge-only, and "
+        "the estimate inherits ~1.04*sqrt(p(1-p)/k) rank error.",
+)
+def quantiles_sample_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cassandrastack_spark.operators.sketch import (
+        bottomk_sample_build,
+        bottomk_sample_quantiles,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("double").alias("v")
+    )
+    s = bottomk_sample_build(d, "v", "doc_id", k=256, group_cols=["source"])
+    est = bottomk_sample_quantiles(
+        s, (0.25, 0.5, 0.75, 0.95), group_cols=["source"]
+    )
+    w = Window.partitionBy("source").orderBy("v")
+    ranked = (
+        d.filter(F.col("v").isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(Window.partitionBy("source")))
+    )
+    pf = F.array(*[F.lit(p) for p in (0.25, 0.5, 0.75, 0.95)])
+    exact = (
+        ranked.select("source", "v", "_rn", "_n", F.explode(pf).alias("p"))
+        .filter(
+            F.col("_rn")
+            == F.greatest(F.lit(1), F.ceil(F.col("p") * F.col("_n")))
+        )
+        .select("source", "p", F.col("v").alias("exact_q"))
+    )
+    return (
+        est.join(exact, ["source", "p"])
+        .select("source", "p", "q", "exact_q")
+        .orderBy("source", "p")
+    )

@@ -731,3 +731,388 @@ def stream_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("props", "est_count", "exact_count")
         .orderBy("props")
     )
+
+
+# monitor_value_sample's persisted bottom-k sample state table,
+# amortized across calls like _DCOUNT_STATE_CACHE's entries (monitor
+# state is a persisted artifact; rebuilding it per call would price
+# the ingest, not the resolution)
+_BKS_STATE_CACHE: dict = {}
+
+
+@register(
+    "stream_quantile_sample",
+    # Bit-exact oracle, same sample-rebuild arithmetic as the batch
+    # quantiles_sample_sketch row (queries/llm.py): the bottom-k
+    # sample update is min-k on a pure hash key — associative,
+    # commutative, IDEMPOTENT — so the hash-dedup + re-take-min-k
+    # merge of the per-batch sample files is byte-identical to a
+    # one-batch build whatever the micro-batch boundaries (and
+    # whatever replays the marker guard let through), the
+    # HLL-register idempotence argument. DuckDB rebuilds the
+    # identical sample (md5 hex ordering is string ordering) and
+    # selects the identical rank element; q and exact_q are raw data
+    # doubles — nothing to round. Lifted verbatim from
+    # tests/test_r16_oracle_parity.py (staged r14, validated at both
+    # SFs).
+    oracle="""
+        WITH v AS (
+            SELECT event_type, event_id, CAST(value AS DOUBLE) AS v
+            FROM events WHERE value IS NOT NULL),
+        s AS (
+            SELECT event_type, md5(CAST(event_id AS VARCHAR)) AS h, v
+            FROM v
+            QUALIFY row_number() OVER (
+                PARTITION BY event_type
+                ORDER BY md5(CAST(event_id AS VARCHAR)), v) <= 256),
+        sr AS (
+            SELECT event_type, v, h,
+                   row_number() OVER (
+                       PARTITION BY event_type ORDER BY v, h) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM s),
+        ps AS (SELECT unnest([0.5, 0.95]) AS p),
+        est AS (
+            SELECT event_type, p, v AS q
+            FROM sr, ps
+            WHERE rn = GREATEST(1, CAST(CEIL(p * n) AS BIGINT))),
+        er AS (
+            SELECT event_type, v,
+                   row_number() OVER (
+                       PARTITION BY event_type ORDER BY v) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM v),
+        ex AS (
+            SELECT event_type, p, v AS exact_q
+            FROM er, ps
+            WHERE rn = GREATEST(1, CAST(CEIL(p * n) AS BIGINT)))
+        SELECT e.event_type, e.p, e.q, x.exact_q
+        FROM est e JOIN ex x USING (event_type, p)
+        ORDER BY e.event_type, e.p
+    """,
+    doc="The streaming quantile monitor end-to-end under a bit-exact "
+        "gate: events stream through monitor_value_sample "
+        "(streaming/ops.py — per batch, one k-per-group bottom-k "
+        "sample file appended to the state table), and "
+        "value_sample_state hash-dedups and re-takes min-k back to "
+        "the running per-type value quantiles of everything EVER "
+        "ingested — 'what does the latency/value distribution look "
+        "like so far' in constant per-batch cost and bounded state, "
+        "no watermark (the question has no time window; "
+        "approx_percentile state is neither persistable nor "
+        "mergeable across batches). Min-k on a pure hash key is "
+        "idempotent, so at-least-once replay and any micro-batch "
+        "partitioning merge to the byte-identical sample — the "
+        "property that makes this stream row hash-gateable. The "
+        "exact type-1 quantile rides along as the accuracy column.",
+)
+def stream_quantile_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cassandrastack_spark.operators.sketch import (
+        bottomk_sample_quantiles,
+    )
+    from cassandrastack_spark.streaming.ops import (
+        monitor_value_sample,
+        value_sample_state,
+    )
+
+    key = ("bks", sf_dir)
+    if key not in _BKS_STATE_CACHE:
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="cs_q_bks_state_")
+        schema = (
+            spark.read.option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .schema
+        )
+        src = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        q = monitor_value_sample(
+            src,
+            os.path.join(root, "state"),
+            "value",
+            "event_id",
+            k=256,
+            group_cols=("event_type",),
+            checkpoint=os.path.join(root, "ckpt"),
+        )
+        # explicit raise, not `assert`: python -O strips asserts, and
+        # this one carries the side effect of WAITING for the ingest
+        # (ADVICE r14 precedent)
+        if not q.awaitTermination(600):
+            raise RuntimeError("sample ingest did not finish")
+        _BKS_STATE_CACHE[key] = os.path.join(root, "state")
+    sample = value_sample_state(spark, _BKS_STATE_CACHE[key], ("event_type",))
+    est = bottomk_sample_quantiles(
+        sample, (0.5, 0.95), group_cols=["event_type"]
+    )
+    events = spark.read.option("pathGlobFilter", "events.parquet").parquet(
+        sf_dir
+    ).select(
+        "event_id", "event_type", F.col("value").cast("double").alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy("v")
+    ranked = (
+        events.filter(F.col("v").isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "_n", F.count("*").over(Window.partitionBy("event_type"))
+        )
+    )
+    pf = F.array(*[F.lit(p) for p in (0.5, 0.95)])
+    exact = (
+        ranked.select(
+            "event_type", "v", "_rn", "_n", F.explode(pf).alias("p")
+        )
+        .filter(
+            F.col("_rn")
+            == F.greatest(F.lit(1), F.ceil(F.col("p") * F.col("_n")))
+        )
+        .select("event_type", "p", F.col("v").alias("exact_q"))
+    )
+    return (
+        est.join(exact, ["event_type", "p"])
+        .select("event_type", "p", "q", "exact_q")
+        .orderBy("event_type", "p")
+    )
+
+
+# monitor_histogram's persisted histogram state table, amortized
+# across calls like _BKS_STATE_CACHE's entries
+_PSI_STATE_CACHE: dict = {}
+
+
+@register(
+    "stream_psi_alarm",
+    # The histogram state is additive with design-constant edges, so
+    # the accumulated streaming state equals one batch histogram over
+    # the md5-odd half whatever the micro-batch boundaries (cells sum
+    # each row exactly once — the stream_hot_keys argument; the
+    # marker guard excludes replays since sums are not idempotent);
+    # the oracle rebuilds both histograms with the same IEEE bin
+    # expression and the same DECIMAL-exact PSI term sum (the
+    # corpus_score_drift_psi pattern, over events). Lifted verbatim
+    # from tests/test_r16_oracle_parity.py (staged r14, validated at
+    # both SFs).
+    oracle="""
+        WITH binned AS (
+          SELECT event_type,
+                 substr(md5(CAST(event_id AS VARCHAR)), 1, 1) < '8' AS half,
+                 CASE WHEN value < 0.0 THEN -1
+                      WHEN value >= 100.0 THEN 10
+                      ELSE CAST(LEAST(FLOOR((value - 0.0) / 100.0 * 10), 9)
+                                AS INT)
+                 END AS bin
+          FROM events WHERE value IS NOT NULL),
+        e AS (
+          SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS ce
+          FROM binned WHERE half GROUP BY event_type, bin),
+        o AS (
+          SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS co
+          FROM binned WHERE NOT half GROUP BY event_type, bin),
+        tot AS (
+          SELECT event_type,
+                 SUM(CASE WHEN half THEN 1 ELSE 0 END) AS ne,
+                 SUM(CASE WHEN NOT half THEN 1 ELSE 0 END) AS no
+          FROM binned GROUP BY event_type),
+        terms AS (
+          SELECT t.event_type,
+                 (GREATEST(COALESCE(e.ce, 0) / t.ne, 0.0001)
+                  - GREATEST(COALESCE(o.co, 0) / t.no, 0.0001))
+                 * LN(GREATEST(COALESCE(e.ce, 0) / t.ne, 0.0001)
+                      / GREATEST(COALESCE(o.co, 0) / t.no, 0.0001)) AS term,
+                 t.ne, t.no
+          FROM (SELECT event_type, bin FROM e
+                UNION SELECT event_type, bin FROM o) b
+          LEFT JOIN e USING (event_type, bin)
+          LEFT JOIN o USING (event_type, bin)
+          JOIN tot t USING (event_type))
+        SELECT event_type,
+               ROUND(CAST(SUM(CAST(term AS DECIMAL(28,18))) AS DOUBLE), 6)
+                   AS psi,
+               CAST(MAX(ne) AS BIGINT) AS n_expected,
+               CAST(MAX(no) AS BIGINT) AS n_observed
+        FROM terms GROUP BY event_type ORDER BY event_type
+    """,
+    doc="The live drift loop end-to-end: a baseline histogram "
+        "(md5-even half of events, fixed [0,100)x10 grid, "
+        "functions/stats.py histogram_fixed) vs the monitor_histogram "
+        "state accumulated by STREAMING the md5-odd half "
+        "(streaming/ops.py — per batch, one bin-bounded cell file "
+        "appended, marker-guarded against replay double-counts), "
+        "resolved through psi_from_histograms per event_type — 'did "
+        "ingest drift off what the filters were tuned on' as a "
+        "registered row, not just library surface. Histogram state is "
+        "additive with design-constant edges, so the streamed state "
+        "equals a one-batch build whatever the batching; the PSI term "
+        "sum is DECIMAL-exact (order-free) with a shared 6-decimal "
+        "round — bit-exact end to end. At 100 TB each side reduces "
+        "map-side to types x bins rows; the only shuffle is "
+        "histogram-sized, never stream-sized.",
+)
+def stream_psi_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandrastack_spark.functions.stats import (
+        histogram_fixed,
+        psi_from_histograms,
+    )
+    from cassandrastack_spark.streaming.ops import (
+        histogram_state,
+        monitor_histogram,
+    )
+
+    half = (
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 1) < "8"
+    )
+    key = ("psi", sf_dir)
+    if key not in _PSI_STATE_CACHE:
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="cs_q_psi_state_")
+        schema = (
+            spark.read.option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .schema
+        )
+        src = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .filter(~half)
+        )
+        q = monitor_histogram(
+            src,
+            os.path.join(root, "state"),
+            "value",
+            0.0,
+            100.0,
+            10,
+            group_cols=("event_type",),
+            checkpoint=os.path.join(root, "ckpt"),
+        )
+        if not q.awaitTermination(600):
+            raise RuntimeError("psi ingest did not finish")
+        _PSI_STATE_CACHE[key] = os.path.join(root, "state")
+    events = spark.read.option("pathGlobFilter", "events.parquet").parquet(
+        sf_dir
+    )
+    baseline = histogram_fixed(
+        events.filter(half), "value", 0.0, 100.0, 10,
+        group_cols=("event_type",),
+    )
+    live = histogram_state(spark, _PSI_STATE_CACHE[key], ("event_type",))
+    return (
+        psi_from_histograms(baseline, live, group_cols=("event_type",))
+        .select(
+            "event_type",
+            F.round("psi", 6).alias("psi"),
+            "n_expected",
+            "n_observed",
+        )
+        .orderBy("event_type")
+    )
+
+
+# monitor_weighted_sample's persisted A-ES reservoir state table,
+# amortized across calls like _BKS_STATE_CACHE's entries
+_WKS_STATE_CACHE: dict = {}
+
+
+@register(
+    "stream_weighted_sample",
+    # DuckDB rebuilds the identical A-ES keys (the registered
+    # corpus_weighted_sample oracle's md5-uniform arithmetic — a pure
+    # function of (key, weight), so the merged state is batching- and
+    # replay-invariant) and takes the same per-group bottom 64 by
+    # (e, item); selected values are data elements + one shared
+    # 6-decimal round on the key. md5 spreads keys across ~19 orders
+    # of magnitude, so the bottom-k boundary is never a near-tie —
+    # the argument the corpus_weighted_sample gate has held green on
+    # since r9. Lifted verbatim from tests/test_r16_oracle_parity.py
+    # (staged r14, validated at both SFs).
+    oracle="""
+        WITH w AS (
+            SELECT event_type, CAST(event_id AS VARCHAR) AS item,
+                   CAST(value AS DOUBLE) AS w
+            FROM events
+            WHERE event_id IS NOT NULL AND value IS NOT NULL
+              AND NOT isnan(value) AND value > 0),
+        ks AS (
+            SELECT event_type, item, w,
+                   -LN((CAST(list_sum(list_transform(generate_series(1, 8),
+                        i -> (strpos('0123456789abcdef',
+                                     substr(md5(item), i, 1)) - 1)
+                             * 16 ** (8 - i))) AS BIGINT) + 1.0)
+                       / 4294967297.0) / w AS e
+            FROM w)
+        SELECT event_type, item, ROUND(e, 6) AS skey, w
+        FROM ks
+        QUALIFY row_number() OVER (
+            PARTITION BY event_type ORDER BY e, item) <= 64
+        ORDER BY event_type, skey, item
+    """,
+    doc="The streaming weighted reservoir: THE Efraimidis-Spirakis "
+        "weighted sample without replacement (weight = event value) "
+        "of everything ever ingested, per event_type, in "
+        "k-rows-per-group state (operators/sketch.py "
+        "weighted_sample_build + streaming/ops.py "
+        "monitor_weighted_sample) — how a pipeline maintains a "
+        "quality-weighted training subset of an unbounded crawl "
+        "without re-scanning history. The A-ES key is a pure function "
+        "of (key, weight) using the registered corpus_weighted_sample "
+        "oracle's exact md5-uniform arithmetic, so the merged state "
+        "is batching- and replay-invariant and the row hash-gates; "
+        "the weight-bias inclusion law is asserted as a property in "
+        "tests/test_r16_oracle_parity.py. At 100 TB the state is k "
+        "rows per group forever; per batch the merge is min-k over "
+        "(state + batch), map-side combinable.",
+)
+def stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandrastack_spark.streaming.ops import (
+        monitor_weighted_sample,
+        weighted_sample_state,
+    )
+
+    key = ("wks", sf_dir)
+    if key not in _WKS_STATE_CACHE:
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="cs_q_wks_state_")
+        schema = (
+            spark.read.option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .schema
+        )
+        src = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        q = monitor_weighted_sample(
+            src,
+            os.path.join(root, "state"),
+            "event_id",
+            "value",
+            k=64,
+            group_cols=("event_type",),
+            checkpoint=os.path.join(root, "ckpt"),
+        )
+        if not q.awaitTermination(600):
+            raise RuntimeError("weighted ingest did not finish")
+        _WKS_STATE_CACHE[key] = os.path.join(root, "state")
+    sample = weighted_sample_state(
+        spark, _WKS_STATE_CACHE[key], ("event_type",)
+    )
+    return (
+        sample.select(
+            "event_type",
+            "item",
+            F.round("e", 6).alias("skey"),
+            "w",
+        )
+        .orderBy("event_type", "skey", "item")
+    )

@@ -117,11 +117,16 @@ def nb_logodds_weights(
     smoothing weight), so scoring is a plain equi-join with no
     null-handling asymmetry. Raises if either class is absent — a
     one-class "model" scores everything identically and is never what
-    the caller meant.
+    the caller meant. Label rows are deduplicated — a seed row
+    repeated verbatim counts its document once — and a doc id
+    carrying BOTH labels fails loud in-plan (ADVICE r15: it would
+    silently double-count that doc's grams into both classes and
+    inflate the doc counts; there is no right answer to train on a
+    contradictory seed).
     """
     lab = labels.select(
         F.col(id_col), F.col(label_col).cast("boolean").alias("_pos")
-    ).filter(F.col("_pos").isNotNull())
+    ).filter(F.col("_pos").isNotNull()).distinct()
     fl = features.join(lab, id_col)
     per_bucket = fl.groupBy("bucket").agg(
         F.sum(F.when(F.col("_pos"), F.col("cnt")).otherwise(0)).alias("pb"),
@@ -130,6 +135,9 @@ def nb_logodds_weights(
     tot = lab.agg(
         F.count_distinct(F.when(F.col("_pos"), F.col(id_col))).alias("n_pos"),
         F.count_distinct(F.when(~F.col("_pos"), F.col(id_col))).alias("n_neg"),
+        # post-distinct: rows > distinct ids <=> some id has both labels
+        F.count("*").alias("_nlab"),
+        F.count_distinct(F.col(id_col)).alias("_nids"),
     )
     gram_tot = fl.agg(
         F.sum(F.when(F.col("_pos"), F.col("cnt")).otherwise(0)).alias("pt"),
@@ -161,6 +169,7 @@ def nb_logodds_weights(
             F.when(
                 F.assert_true(
                     (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+                    & (F.col("_nlab") == F.col("_nids"))
                     # buckets outside [0, dim) mean the features were
                     # hashed at a DIFFERENT dim: the spine left-join
                     # would silently drop them while their counts
@@ -173,9 +182,10 @@ def nb_logodds_weights(
                         )
                     ),
                     "nb_logodds_weights: degenerate seed — both "
-                    "classes must be present, and every feature "
-                    "bucket must lie in [0, dim) (features hashed at "
-                    "a different dim than the model's?)",
+                    "classes must be present, no doc id may carry "
+                    "both labels, and every feature bucket must lie "
+                    "in [0, dim) (features hashed at a different dim "
+                    "than the model's?)",
                 ).isNull(),
                 F.log(
                     F.col("n_pos").cast("double")
@@ -210,9 +220,16 @@ def linear_text_score(
         F.when(
             F.assert_true(
                 (F.count_distinct("dim") <= 1)
-                & (F.count_distinct("bias") <= 1),
-                "linear_text_score: mixed dim/bias in the weight table "
-                "— hand-unioned models? retrain or split",
+                & (F.count_distinct("bias") <= 1)
+                # duplicated bucket rows of the SAME model (e.g. a
+                # self-unioned weight table) pass the dim/bias check
+                # but silently double every weight in the dot product
+                # (ADVICE r15): a well-formed artifact has exactly one
+                # row per bucket
+                & (F.count("*") == F.count_distinct("bucket")),
+                "linear_text_score: malformed weight table — mixed "
+                "dim/bias (hand-unioned models?) or duplicated bucket "
+                "rows (self-unioned artifact?); retrain or split",
             ).isNull(),
             F.max("dim"),
         ).alias("dim"),

@@ -372,8 +372,12 @@ def fuzzy_key_join(
     within ``max_dist`` edits — ``(block_cols..., key_a, key_b, s_a,
     s_b, dist)``, exact-equal strings matching at distance 0, pairs
     restricted to equal ``block_cols`` values when given (same column
-    names on both frames). The string-level match runs once over
-    DISTINCT (block, string) rows; keys expand back via two
+    names on both frames). Output rows are DISTINCT: a key whose
+    (block, key, string) row is duplicated in an input frame emits
+    each matching pair once, consistent with ``fuzzy_self_pairs``
+    (ADVICE r15 — without the dedupe, input row multiplicity leaked
+    into the output pair count). The string-level match runs once
+    over DISTINCT (block, string) rows; keys expand back via two
     equi-joins, so duplicate-heavy columns cost their distinct
     cardinality in the candidate stage.
     """
@@ -385,12 +389,12 @@ def fuzzy_key_join(
         *bc,
         F.col(key_col_a).alias("key_a"),
         F.col(str_col_a).cast("string").alias("s_a"),
-    )
+    ).distinct()
     kb = b.select(
         *bc,
         F.col(key_col_b).alias("key_b"),
         F.col(str_col_b).cast("string").alias("s_b"),
-    )
+    ).distinct()
     return (
         pairs.join(ka, [*bc, "s_a"])
         .join(kb, [*bc, "s_b"])

@@ -199,3 +199,51 @@ def test_weight_table_persists_and_scores_identically(spark, frames, tmp_path):
             ).collect())
         )
         assert a == b and len(a) == len(DOCS)
+
+
+def test_label_rows_dedupe_and_contradiction_guard(spark, frames):
+    """ADVICE r15: (a) a seed row repeated verbatim counts its document
+    once — weights and bias identical to the clean seed; (b) a doc id
+    carrying BOTH labels fails loud in-plan instead of silently
+    double-counting its grams into both classes."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    docs, labels = frames
+    feats = hashed_gram_features(docs, "doc_id", "text", DIM)
+    clean = {
+        r.bucket: (r.weight, r.bias)
+        for r in nb_logodds_weights(
+            feats, labels, "doc_id", "is_pos", DIM
+        ).collect()
+    }
+    doubled = labels.unionByName(labels)
+    got = {
+        r.bucket: (r.weight, r.bias)
+        for r in nb_logodds_weights(
+            feats, doubled, "doc_id", "is_pos", DIM
+        ).collect()
+    }
+    assert got == clean
+    contradictory = labels.unionByName(
+        spark.createDataFrame([(0, False)], "doc_id long, is_pos boolean")
+    )
+    with pytest.raises(SparkRuntimeException, match="both labels"):
+        nb_logodds_weights(
+            feats, contradictory, "doc_id", "is_pos", DIM
+        ).collect()
+
+
+def test_self_unioned_weight_table_fails_loud(spark, frames):
+    """ADVICE r15: duplicated bucket rows of the SAME model (identical
+    dim and bias, so the mixed-model guard passes) would silently
+    double every weight in the dot product — the scalar aggregate now
+    asserts one row per bucket."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    docs, labels = frames
+    feats = hashed_gram_features(docs, "doc_id", "text", DIM)
+    w = nb_logodds_weights(feats, labels, "doc_id", "is_pos", DIM)
+    with pytest.raises(SparkRuntimeException, match="duplicated bucket"):
+        linear_text_score(
+            docs, w.unionByName(w), "doc_id", "text"
+        ).collect()

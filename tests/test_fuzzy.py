@@ -755,3 +755,22 @@ def test_er_token_jaccard_matches_python_model(spark):
     )
     with pytest.raises(ValueError, match="min_jaccard"):
         er_token_jaccard_pairs(df, "id", "name", min_jaccard=0.0)
+
+
+def test_fuzzy_key_join_dedupes_repeated_input_rows(spark):
+    """Output pair multiplicity must NOT track input row multiplicity
+    (ADVICE r15): a (key, string) row duplicated in either frame —
+    re-ingested records, un-deduped sources — emits each matching
+    pair exactly once, consistent with fuzzy_self_pairs' distinct
+    output."""
+    a = spark.createDataFrame(
+        [(10, "wolfe"), (10, "wolfe"), (11, "jones")], "ka long, na string"
+    )
+    b = spark.createDataFrame(
+        [(20, "wolf"), (21, "jones"), (21, "jones"), (21, "jones")],
+        "kb long, nb string",
+    )
+    rows = fuzzy_key_join(a, b, "ka", "na", "kb", "nb", max_dist=1).collect()
+    got = sorted((r.key_a, r.key_b, r.dist) for r in rows)
+    assert got == [(10, 20, 1), (11, 21, 0)]
+    assert len(rows) == len(got)  # no duplicated output rows at all

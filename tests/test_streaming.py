@@ -1900,3 +1900,154 @@ def test_monitor_weighted_sample_matches_batch_sample(spark, tmp_path):
         weighted_sample_state(spark, state, ("src",))
     with pytest.raises(ValueError, match="mixes sample sizes"):
         compact_weighted_sample_state(spark, state)
+
+
+def test_stream_ingest_with_fuzzy_dedup_index(spark, tmp_path):
+    """ingest_with_fuzzy_dedup: the streaming ER loop — batch 1 seeds
+    the accepted store + variant index (collapsing in-batch exact
+    dups, dropping malformed NULL rows), batch 2's exact and
+    near-duplicate names of ACCEPTED records are rejected via the
+    persisted index WITHIN their block while novel records land and
+    extend it, and batch 3 is matched against batch 2's extension."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from cassandrastack_spark.streaming.ops import ingest_with_fuzzy_dedup
+
+    schema = StructType([
+        StructField("key", LongType()),
+        StructField("name", StringType()),
+        StructField("nation", LongType()),
+    ])
+    d = tmp_path / "recs_in"
+    d.mkdir()
+
+    def write(name, rows):
+        pdf = pd.DataFrame(rows, columns=["key", "name", "nation"])
+        # explicit arrow schema: a None in a long column must not decay
+        # the parquet physical type to DOUBLE
+        tbl = pa.Table.from_pandas(
+            pdf,
+            schema=pa.schema(
+                [("key", pa.int64()), ("name", pa.string()),
+                 ("nation", pa.int64())]
+            ),
+            preserve_index=False,
+        )
+        pq.write_table(tbl, str(d / name))
+
+    def run():
+        src = spark.readStream.schema(schema).parquet(str(d))
+        q = ingest_with_fuzzy_dedup(
+            src, str(tmp_path / "fz_index"), str(tmp_path / "accepted"),
+            key_col="key", str_col="name", max_dist=1,
+            block_cols=("nation",),
+            checkpoint=str(tmp_path / "ckpt"),
+        )
+        if not q.awaitTermination(120):
+            raise RuntimeError("fuzzy ingest did not finish")
+
+    write("b1.parquet", [
+        (1, "wolfe", 0), (2, "jones", 0), (3, "wolfe", 0),
+        (4, None, 0), (5, "nullnation", None),
+    ])
+    run()
+    acc = spark.read.parquet(str(tmp_path / "accepted"))
+    assert sorted(r.key for r in acc.collect()) == [1, 2], (
+        "in-batch exact dup collapses to the lowest key; NULL "
+        "name/block rows are dropped as malformed"
+    )
+
+    write("b2.parquet", [
+        (10, "wolf", 0),    # near-dup of accepted wolfe, same block
+        (11, "jones", 1),   # exact string, DIFFERENT block: accepted
+        (12, "smith", 0),   # novel: accepted, extends the index
+        (13, "wolfe", 0),   # exact copy of accepted: rejected
+    ])
+    run()
+    acc = spark.read.parquet(str(tmp_path / "accepted"))
+    assert sorted(r.key for r in acc.collect()) == [1, 2, 11, 12]
+
+    write("b3.parquet", [(20, "smyth", 0), (21, "wolfe", 2)])
+    run()
+    acc = spark.read.parquet(str(tmp_path / "accepted"))
+    assert sorted(r.key for r in acc.collect()) == [1, 2, 11, 12, 21], (
+        "smyth must be rejected against batch 2's survivor smith — "
+        "the index extension is live for later drops; wolfe in a "
+        "fresh block is novel evidence"
+    )
+    # re-running the whole stream against the same checkpoint replays
+    # nothing: accepted unchanged
+    run()
+    acc = spark.read.parquet(str(tmp_path / "accepted"))
+    assert sorted(r.key for r in acc.collect()) == [1, 2, 11, 12, 21]
+
+
+def test_stream_fuzzy_ingest_replay_after_extend_crash(spark, tmp_path):
+    """The extend→append crash window, pinned directly: if a batch's
+    index extend committed (epoch marker present) but the accepted
+    append never ran, the replay must ACCEPT the batch's rows — they
+    self-match their own just-extended index rows, and rejecting on
+    those would lose the batch forever. Rejection therefore counts
+    only matches whose index key is already accepted."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from cassandrastack_spark.operators.fuzzy import extend_fuzzy_index
+    from cassandrastack_spark.streaming.ops import ingest_with_fuzzy_dedup
+
+    schema = StructType([
+        StructField("key", LongType()),
+        StructField("name", StringType()),
+    ])
+    d = tmp_path / "recs_in"
+    d.mkdir()
+
+    def write(name, rows):
+        pdf = pd.DataFrame(rows, columns=["key", "name"])
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False), str(d / name)
+        )
+
+    def run():
+        src = spark.readStream.schema(schema).parquet(str(d))
+        q = ingest_with_fuzzy_dedup(
+            src, str(tmp_path / "fz_index"), str(tmp_path / "accepted"),
+            key_col="key", str_col="name", max_dist=1,
+            checkpoint=str(tmp_path / "ckpt"),
+        )
+        if not q.awaitTermination(120):
+            raise RuntimeError("fuzzy ingest did not finish")
+
+    write("b1.parquet", [(1, "wolfe"), (2, "jones")])
+    run()
+
+    # simulate the crashed second attempt: its survivors (novel rows
+    # 10/11) were extended into the index and the epoch marker landed,
+    # but the accepted append never happened
+    crashed = spark.createDataFrame(
+        [(10, "smith"), (11, "brown")], "key long, name string"
+    )
+    extend_fuzzy_index(crashed, str(tmp_path / "fz_index"), "key", "name")
+    (tmp_path / "ckpt" / "cs_epochs" / "1").mkdir(parents=True)
+    keys_before = spark.read.parquet(
+        str(tmp_path / "fz_index") + "/_keys"
+    ).count()
+
+    # the replayed batch: the two crashed survivors plus one true
+    # near-dup of an ACCEPTED record (must still be rejected)
+    write("b2.parquet", [(10, "smith"), (11, "brown"), (12, "wolf")])
+    run()
+    acc = spark.read.parquet(str(tmp_path / "accepted"))
+    assert sorted(r.key for r in acc.collect()) == [1, 2, 10, 11], (
+        "crashed-attempt survivors must be re-accepted on replay; the "
+        "genuine near-dup of an accepted record stays rejected"
+    )
+    keys_after = spark.read.parquet(
+        str(tmp_path / "fz_index") + "/_keys"
+    ).count()
+    assert keys_after == keys_before, (
+        "the epoch marker must skip the re-extend — no index accretion"
+    )

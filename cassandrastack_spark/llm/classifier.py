@@ -124,9 +124,17 @@ def nb_logodds_weights(
     inflate the doc counts; there is no right answer to train on a
     contradictory seed).
     """
-    lab = labels.select(
-        F.col(id_col), F.col(label_col).cast("boolean").alias("_pos")
-    ).filter(F.col("_pos").isNotNull()).distinct()
+    lab = (
+        labels.select(
+            F.col(id_col), F.col(label_col).cast("boolean").alias("_pos")
+        )
+        # NULL ids carry no trainable evidence (the features equi-join
+        # would drop them anyway) and must not trip the contradiction
+        # guard below: count(*) sees them, count_distinct(id) does not
+        # (review r16)
+        .filter(F.col("_pos").isNotNull() & F.col(id_col).isNotNull())
+        .distinct()
+    )
     fl = features.join(lab, id_col)
     per_bucket = fl.groupBy("bucket").agg(
         F.sum(F.when(F.col("_pos"), F.col("cnt")).otherwise(0)).alias("pb"),

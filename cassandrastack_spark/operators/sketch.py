@@ -960,6 +960,49 @@ def bottomk_sample_quantiles(
     )
 
 
+def exact_type1_quantiles(
+    df: DataFrame,
+    value_col: str,
+    probs: tuple[float, ...] | list[float],
+    group_cols: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """Exact type-1 quantiles over the FULL frame: one row per
+    (group, p) with ``exact_q`` = the value at rank
+    ``max(1, ceil(p * n))`` — the audit leg the sample-sketch
+    estimates gate against (``bottomk_sample_quantiles``' rank
+    selection, applied to the population instead of the sample; one
+    shared implementation so the two queries that ride an exact leg
+    cannot drift, review r16). Element selection, no interpolation —
+    bit-comparable across engines. The caller owns the population
+    filter (NULL/NaN discipline), so the leg prices one per-group rank
+    window over whatever it is handed.
+    """
+    ps = sorted(set(float(p) for p in probs))
+    if not ps or not all(0.0 < p <= 1.0 for p in ps):
+        raise ValueError(f"probs must be in (0, 1], got {probs}")
+    gcols = list(group_cols)
+    w = Window.partitionBy(*gcols).orderBy(value_col)
+    ranked = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(Window.partitionBy(*gcols)))
+    )
+    pf = F.array(*[F.lit(p) for p in ps])
+    return (
+        ranked.select(
+            *gcols,
+            F.col(value_col).alias("_v"),
+            "_rn",
+            "_n",
+            F.explode(pf).alias("p"),
+        )
+        .filter(
+            F.col("_rn")
+            == F.greatest(F.lit(1), F.ceil(F.col("p") * F.col("_n")))
+        )
+        .select(*gcols, "p", F.col("_v").alias("exact_q"))
+    )
+
+
 def weighted_sample_build(
     df: DataFrame,
     key_col: str,

@@ -5147,7 +5147,9 @@ def corpus_score_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUANTILES_SAMPLE_SKETCH_ORACLE = """
     WITH v AS (
         SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS v
-        FROM documents WHERE n_chars IS NOT NULL),
+        FROM documents
+        WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL
+          AND NOT isnan(CAST(n_chars AS DOUBLE))),
     s AS (
         SELECT source, md5(CAST(doc_id AS VARCHAR)) AS h, v
         FROM v
@@ -5199,34 +5201,34 @@ _QUANTILES_SAMPLE_SKETCH_ORACLE = """
         "the estimate inherits ~1.04*sqrt(p(1-p)/k) rank error.",
 )
 def quantiles_sample_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from cassandrastack_spark.operators.sketch import (
         bottomk_sample_build,
         bottomk_sample_quantiles,
+        exact_type1_quantiles,
     )
 
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.col("n_chars").cast("double").alias("v")
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "source", F.col("n_chars").cast("double").alias("v")
+        )
+        # the sample builder drops NULL-key / NULL / NaN values
+        # internally; filtering the shared base frame keeps the exact
+        # leg on the SAME population and keeps the oracle's single v
+        # CTE truthful for both legs (review r16 — previously the
+        # symmetry held only because the fixture has no such rows)
+        .filter(
+            F.col("doc_id").isNotNull()
+            & F.col("v").isNotNull()
+            & ~F.isnan("v")
+        )
     )
     s = bottomk_sample_build(d, "v", "doc_id", k=256, group_cols=["source"])
     est = bottomk_sample_quantiles(
         s, (0.25, 0.5, 0.75, 0.95), group_cols=["source"]
     )
-    w = Window.partitionBy("source").orderBy("v")
-    ranked = (
-        d.filter(F.col("v").isNotNull())
-        .withColumn("_rn", F.row_number().over(w))
-        .withColumn("_n", F.count("*").over(Window.partitionBy("source")))
-    )
-    pf = F.array(*[F.lit(p) for p in (0.25, 0.5, 0.75, 0.95)])
-    exact = (
-        ranked.select("source", "v", "_rn", "_n", F.explode(pf).alias("p"))
-        .filter(
-            F.col("_rn")
-            == F.greatest(F.lit(1), F.ceil(F.col("p") * F.col("_n")))
-        )
-        .select("source", "p", F.col("v").alias("exact_q"))
+    exact = exact_type1_quantiles(
+        d, "v", (0.25, 0.5, 0.75, 0.95), group_cols=["source"]
     )
     return (
         est.join(exact, ["source", "p"])

@@ -371,12 +371,60 @@ def stream_static_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # per-process state cache for the drift monitor's state table — an
 # accumulated moments table is a persisted artifact like the BM25 /
-# IVF+PQ indexes in queries/llm.py (_INDEX_CACHE): build once per
-# (sf_dir), probe on every call. Staleness contract (same as
-# _INDEX_CACHE): the key is the PATH, so a long-lived session that
-# mutates the embeddings table under an sf_dir keeps reading the
-# moments accumulated from the old files — mutate into a NEW dir, or
-# pop the key (restart the monitor stream) to re-accumulate.
+def _resolve_monitor_state(
+    spark: SparkSession,
+    sf_dir: str,
+    cache: dict,
+    cache_key: str,
+    prefix: str,
+    start,
+    table: str = "events.parquet",
+) -> str:
+    """Shared ingest bootstrap for every monitor-backed stream query
+    (review r16 — this sequence was copy-pasted per query): stream the
+    ``table`` file under ``sf_dir`` through ``start(src, state_path,
+    checkpoint_path)`` (which returns the started StreamingQuery) once
+    per (kind, sf_dir), cache the state path, resolve on every later
+    call — monitor state is a persisted artifact; rebuilding it per
+    call would price the ingest, not the resolution. Explicit raise,
+    not assert (python -O strips asserts, ADVICE r14), and the query
+    is STOPPED before raising on timeout — a zombie ingest would keep
+    writing state in the shared session and skew every subsequent
+    sweep timing (review r16). The cache entry lands only on success,
+    so a failed ingest retries clean in a fresh tempdir.
+
+    Staleness contract (same as queries/llm.py's _INDEX_CACHE): the
+    key is (kind, sf_dir), so a long-lived session that mutates the
+    table under an sf_dir keeps reading the previously accumulated
+    state — mutate into a NEW dir, or pop the key (restart the
+    monitor stream) to re-accumulate.
+    """
+    key = (cache_key, sf_dir)
+    if key not in cache:
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix=prefix)
+        schema = (
+            spark.read.option("pathGlobFilter", table)
+            .parquet(sf_dir)
+            .schema
+        )
+        src = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", table)
+            .parquet(sf_dir)
+        )
+        q = start(src, os.path.join(root, "state"), os.path.join(root, "ckpt"))
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(f"{cache_key} ingest did not finish")
+        cache[key] = os.path.join(root, "state")
+    return cache[key]
+
+
+# moments state table, amortized like the IVF+PQ indexes in
+# queries/llm.py (_INDEX_CACHE): build once per (sf_dir), probe on
+# every call (staleness contract in _resolve_monitor_state).
 _MOMENTS_CACHE: dict = {}
 
 
@@ -411,30 +459,15 @@ def stream_embedding_covariance_block(
         monitor_embedding_moments,
     )
 
-    key = ("moments", sf_dir)
-    if key not in _MOMENTS_CACHE:
-        import tempfile
-
-        root = tempfile.mkdtemp(prefix="cs_q_moments_")
-        schema = (
-            spark.read.option("pathGlobFilter", "embeddings.parquet")
-            .parquet(sf_dir)
-            .schema
-        )
-        src = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "embeddings.parquet")
-            .parquet(sf_dir)
-        )
-        q = monitor_embedding_moments(
-            src,
-            os.path.join(root, "state"),
-            checkpoint=os.path.join(root, "ckpt"),
-        )
-        q.awaitTermination()
-        _MOMENTS_CACHE[key] = os.path.join(root, "state")
+    state = _resolve_monitor_state(
+        spark, sf_dir, _MOMENTS_CACHE, "moments", "cs_q_moments_",
+        lambda src, sp, cp: monitor_embedding_moments(
+            src, sp, checkpoint=cp
+        ),
+        table="embeddings.parquet",
+    )
     return (
-        embedding_moments_state(spark, _MOMENTS_CACHE[key])
+        embedding_moments_state(spark, state)
         .filter((F.col("i") < 8) & (F.col("j") < 8))
         .select("i", "j", F.round("cov", 6).alias("cov"))
         .orderBy("i", "j")
@@ -572,35 +605,12 @@ def stream_monitor_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame
         monitor_distinct_count,
     )
 
-    key = ("dcount", sf_dir)
-    if key not in _DCOUNT_STATE_CACHE:
-        import tempfile
-
-        root = tempfile.mkdtemp(prefix="cs_q_dcount_")
-        schema = (
-            spark.read.option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .schema
-        )
-        src = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
-        q = monitor_distinct_count(
-            src,
-            os.path.join(root, "state"),
-            "user_id",
-            p=12,
-            checkpoint=os.path.join(root, "ckpt"),
-        )
-        # explicit raise, not `assert`: python -O strips asserts, and
-        # this one carries the side effect of WAITING for the ingest —
-        # stripped, the state table would be read mid-ingest and the
-        # running count silently under-reported (ADVICE r14)
-        if not q.awaitTermination(600):
-            raise RuntimeError("distinct-count ingest did not finish")
-        _DCOUNT_STATE_CACHE[key] = os.path.join(root, "state")
+    state = _resolve_monitor_state(
+        spark, sf_dir, _DCOUNT_STATE_CACHE, "dcount", "cs_q_dcount_",
+        lambda src, sp, cp: monitor_distinct_count(
+            src, sp, "user_id", p=12, checkpoint=cp
+        ),
+    )
     events = spark.read.option("pathGlobFilter", "events.parquet").parquet(
         sf_dir
     )
@@ -608,7 +618,7 @@ def stream_monitor_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count_distinct("user_id").cast("bigint").alias("exact_distinct")
     )
     return (
-        distinct_count_state(spark, _DCOUNT_STATE_CACHE[key])
+        distinct_count_state(spark, state)
         .crossJoin(F.broadcast(exact))
         .select("est_distinct", "m", "nonempty", "exact_distinct")
     )
@@ -686,32 +696,12 @@ def stream_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         monitor_hot_keys,
     )
 
-    key = ("hotkeys", sf_dir)
-    if key not in _HOT_KEYS_STATE_CACHE:
-        import tempfile
-
-        root = tempfile.mkdtemp(prefix="cs_q_cm_state_")
-        schema = (
-            spark.read.option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .schema
-        )
-        src = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
-        q = monitor_hot_keys(
-            src,
-            os.path.join(root, "state"),
-            "props",
-            width=64,
-            depth=3,
-            checkpoint=os.path.join(root, "ckpt"),
-        )
-        if not q.awaitTermination(600):
-            raise RuntimeError("hot-keys ingest did not finish")
-        _HOT_KEYS_STATE_CACHE[key] = os.path.join(root, "state")
+    state = _resolve_monitor_state(
+        spark, sf_dir, _HOT_KEYS_STATE_CACHE, "hotkeys", "cs_q_cm_state_",
+        lambda src, sp, cp: monitor_hot_keys(
+            src, sp, "props", width=64, depth=3, checkpoint=cp
+        ),
+    )
     events = spark.read.option("pathGlobFilter", "events.parquet").parquet(
         sf_dir
     )
@@ -726,7 +716,7 @@ def stream_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("exact_count"))
     )
     return (
-        hot_keys_state(spark, _HOT_KEYS_STATE_CACHE[key], probes, "props")
+        hot_keys_state(spark, state, probes, "props")
         .join(exact, "props")
         .select("props", "est_count", "exact_count")
         .orderBy("props")
@@ -758,7 +748,9 @@ _BKS_STATE_CACHE: dict = {}
     oracle="""
         WITH v AS (
             SELECT event_type, event_id, CAST(value AS DOUBLE) AS v
-            FROM events WHERE value IS NOT NULL),
+            FROM events
+            WHERE value IS NOT NULL AND event_id IS NOT NULL
+              AND NOT isnan(CAST(value AS DOUBLE))),
         s AS (
             SELECT event_type, md5(CAST(event_id AS VARCHAR)) AS h, v
             FROM v
@@ -807,73 +799,45 @@ _BKS_STATE_CACHE: dict = {}
         "exact type-1 quantile rides along as the accuracy column.",
 )
 def stream_quantile_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from cassandrastack_spark.operators.sketch import (
         bottomk_sample_quantiles,
+        exact_type1_quantiles,
     )
     from cassandrastack_spark.streaming.ops import (
         monitor_value_sample,
         value_sample_state,
     )
 
-    key = ("bks", sf_dir)
-    if key not in _BKS_STATE_CACHE:
-        import tempfile
-
-        root = tempfile.mkdtemp(prefix="cs_q_bks_state_")
-        schema = (
-            spark.read.option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .schema
-        )
-        src = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
-        q = monitor_value_sample(
-            src,
-            os.path.join(root, "state"),
-            "value",
-            "event_id",
-            k=256,
-            group_cols=("event_type",),
-            checkpoint=os.path.join(root, "ckpt"),
-        )
-        # explicit raise, not `assert`: python -O strips asserts, and
-        # this one carries the side effect of WAITING for the ingest
-        # (ADVICE r14 precedent)
-        if not q.awaitTermination(600):
-            raise RuntimeError("sample ingest did not finish")
-        _BKS_STATE_CACHE[key] = os.path.join(root, "state")
-    sample = value_sample_state(spark, _BKS_STATE_CACHE[key], ("event_type",))
+    state = _resolve_monitor_state(
+        spark, sf_dir, _BKS_STATE_CACHE, "bks", "cs_q_bks_state_",
+        lambda src, sp, cp: monitor_value_sample(
+            src, sp, "value", "event_id", k=256,
+            group_cols=("event_type",), checkpoint=cp,
+        ),
+    )
+    sample = value_sample_state(spark, state, ("event_type",))
     est = bottomk_sample_quantiles(
         sample, (0.5, 0.95), group_cols=["event_type"]
     )
-    events = spark.read.option("pathGlobFilter", "events.parquet").parquet(
-        sf_dir
-    ).select(
-        "event_id", "event_type", F.col("value").cast("double").alias("v")
-    )
-    w = Window.partitionBy("event_type").orderBy("v")
-    ranked = (
-        events.filter(F.col("v").isNotNull())
-        .withColumn("_rn", F.row_number().over(w))
-        .withColumn(
-            "_n", F.count("*").over(Window.partitionBy("event_type"))
+    events = (
+        spark.read.option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select(
+            "event_id", "event_type",
+            F.col("value").cast("double").alias("v"),
         )
-    )
-    pf = F.array(*[F.lit(p) for p in (0.5, 0.95)])
-    exact = (
-        ranked.select(
-            "event_type", "v", "_rn", "_n", F.explode(pf).alias("p")
-        )
+        # same population discipline as the sample builder (NULL key /
+        # NULL / NaN value dropped) so both legs and the oracle's
+        # single v CTE agree by construction, not by fixture luck
+        # (review r16)
         .filter(
-            F.col("_rn")
-            == F.greatest(F.lit(1), F.ceil(F.col("p") * F.col("_n")))
+            F.col("event_id").isNotNull()
+            & F.col("v").isNotNull()
+            & ~F.isnan("v")
         )
-        .select("event_type", "p", F.col("v").alias("exact_q"))
+    )
+    exact = exact_type1_quantiles(
+        events, "v", (0.5, 0.95), group_cols=["event_type"]
     )
     return (
         est.join(exact, ["event_type", "p"])
@@ -968,35 +932,13 @@ def stream_psi_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
     half = (
         F.substring(F.md5(F.col("event_id").cast("string")), 1, 1) < "8"
     )
-    key = ("psi", sf_dir)
-    if key not in _PSI_STATE_CACHE:
-        import tempfile
-
-        root = tempfile.mkdtemp(prefix="cs_q_psi_state_")
-        schema = (
-            spark.read.option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .schema
-        )
-        src = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .filter(~half)
-        )
-        q = monitor_histogram(
-            src,
-            os.path.join(root, "state"),
-            "value",
-            0.0,
-            100.0,
-            10,
-            group_cols=("event_type",),
-            checkpoint=os.path.join(root, "ckpt"),
-        )
-        if not q.awaitTermination(600):
-            raise RuntimeError("psi ingest did not finish")
-        _PSI_STATE_CACHE[key] = os.path.join(root, "state")
+    state = _resolve_monitor_state(
+        spark, sf_dir, _PSI_STATE_CACHE, "psi", "cs_q_psi_state_",
+        lambda src, sp, cp: monitor_histogram(
+            src.filter(~half), sp, "value", 0.0, 100.0, 10,
+            group_cols=("event_type",), checkpoint=cp,
+        ),
+    )
     events = spark.read.option("pathGlobFilter", "events.parquet").parquet(
         sf_dir
     )
@@ -1004,7 +946,7 @@ def stream_psi_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.filter(half), "value", 0.0, 100.0, 10,
         group_cols=("event_type",),
     )
-    live = histogram_state(spark, _PSI_STATE_CACHE[key], ("event_type",))
+    live = histogram_state(spark, state, ("event_type",))
     return (
         psi_from_histograms(baseline, live, group_cols=("event_type",))
         .select(
@@ -1077,36 +1019,14 @@ def stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         weighted_sample_state,
     )
 
-    key = ("wks", sf_dir)
-    if key not in _WKS_STATE_CACHE:
-        import tempfile
-
-        root = tempfile.mkdtemp(prefix="cs_q_wks_state_")
-        schema = (
-            spark.read.option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .schema
-        )
-        src = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
-        q = monitor_weighted_sample(
-            src,
-            os.path.join(root, "state"),
-            "event_id",
-            "value",
-            k=64,
-            group_cols=("event_type",),
-            checkpoint=os.path.join(root, "ckpt"),
-        )
-        if not q.awaitTermination(600):
-            raise RuntimeError("weighted ingest did not finish")
-        _WKS_STATE_CACHE[key] = os.path.join(root, "state")
-    sample = weighted_sample_state(
-        spark, _WKS_STATE_CACHE[key], ("event_type",)
+    state = _resolve_monitor_state(
+        spark, sf_dir, _WKS_STATE_CACHE, "wks", "cs_q_wks_state_",
+        lambda src, sp, cp: monitor_weighted_sample(
+            src, sp, "event_id", "value", k=64,
+            group_cols=("event_type",), checkpoint=cp,
+        ),
     )
+    sample = weighted_sample_state(spark, state, ("event_type",))
     return (
         sample.select(
             "event_type",

@@ -995,8 +995,10 @@ def ingest_with_fuzzy_dedup(
        with their variants under a fresh epoch
        (``extend_fuzzy_index``), marker-guarded.
 
-    Rejection counts only matches whose index key is already in the
-    accepted store — NOT every index hit. The difference is the crash
+    Rejection counts only matches whose index (block_cols..., key)
+    identity is already in the accepted store — NOT every index hit
+    (identity is block-scoped throughout the fuzzy-index family: the
+    same key under different block values is different evidence). The difference is the crash
     window between the index extend and the accepted append: a batch
     replayed inside it self-matches its OWN just-extended rows, and
     rejecting on those would permanently lose the batch (indexed but
@@ -1050,9 +1052,7 @@ def ingest_with_fuzzy_dedup(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        if not _fs_exists(spark, index_path + "/_meta") or not _fs_exists(
-            spark, accepted_path
-        ):
+        if not _fs_exists(spark, accepted_path):
             # first batch — or its replay after a crash between the
             # index build and the accepted write (index overwrite is
             # idempotent, so rebuilding from the same batch is safe)
@@ -1063,21 +1063,49 @@ def ingest_with_fuzzy_dedup(
             )
         else:
             accepted = spark.read.parquet(accepted_path)
+            if not _fs_exists(spark, index_path + "/_meta"):
+                # recovery: the index was lost AFTER batches were
+                # accepted (deleted, mis-pathed, partial restore).
+                # Rebuilding from the batch alone would leave the
+                # whole pre-existing accepted corpus unguarded — every
+                # future near-dup of it silently accepted (review r16;
+                # the bm25 retrofit branch of ingest_with_dedup is the
+                # precedent). Rebuild from the FULL accepted store,
+                # then probe this batch against it as normal; build
+                # overwrites, so a replay of this branch is idempotent.
+                build_fuzzy_index(
+                    accepted, index_path, key_col, str_col,
+                    max_dist=max_dist, n_buckets=n_buckets,
+                    block_cols=bc,
+                )
             matches = probe_fuzzy_index(
                 spark, index_path, batch_df, "_s", max_dist=max_dist
             )
+            # identity is (block_cols..., key) — the fuzzy-index
+            # family's contract (_current_epochs): the same key under
+            # different block values is DIFFERENT evidence. Joining on
+            # key alone would (a) treat a crashed attempt's index row
+            # in block B2 as "accepted" because the key is accepted in
+            # B1, re-rejecting rows the crash-window analysis promises
+            # to re-accept, and (b) let the replay guard silently drop
+            # a record whose key is accepted under another block
+            # (review r16).
             acc_keys = accepted.select(
-                F.col(key_col).alias("key")
+                *bc, F.col(key_col).alias("key")
             ).distinct()
             rejected = (
-                matches.join(acc_keys, "key")
+                matches.join(acc_keys, [*bc, "key"])
                 .select(*bc, F.col("s_probe").alias("_s"))
                 .distinct()
             )
             survivors = (
                 batch_df.join(rejected, [*bc, "_s"], "left_anti")
-                # replay guard: a key already accepted never re-appends
-                .join(accepted.select(key_col), key_col, "left_anti")
+                # replay guard: a (blocks, key) already accepted never
+                # re-appends
+                .join(
+                    accepted.select(*bc, key_col), [*bc, key_col],
+                    "left_anti",
+                )
                 .drop("_s")
                 .localCheckpoint(eager=True)
             )

@@ -247,3 +247,29 @@ def test_self_unioned_weight_table_fails_loud(spark, frames):
         linear_text_score(
             docs, w.unionByName(w), "doc_id", "text"
         ).collect()
+
+
+def test_null_id_label_rows_are_ignored(spark, frames):
+    """Review r16: a label row with a NULL doc id carries no trainable
+    evidence and must neither trip the contradiction guard (count(*)
+    sees it, count_distinct(id) does not) nor change the weights."""
+    docs, labels = frames
+    feats = hashed_gram_features(docs, "doc_id", "text", DIM)
+    clean = {
+        r.bucket: (r.weight, r.bias)
+        for r in nb_logodds_weights(
+            feats, labels, "doc_id", "is_pos", DIM
+        ).collect()
+    }
+    with_null = labels.unionByName(
+        spark.createDataFrame(
+            [(None, True)], "doc_id long, is_pos boolean"
+        )
+    )
+    got = {
+        r.bucket: (r.weight, r.bias)
+        for r in nb_logodds_weights(
+            feats, with_null, "doc_id", "is_pos", DIM
+        ).collect()
+    }
+    assert got == clean

@@ -2051,3 +2051,128 @@ def test_stream_fuzzy_ingest_replay_after_extend_crash(spark, tmp_path):
     assert keys_after == keys_before, (
         "the epoch marker must skip the re-extend — no index accretion"
     )
+
+
+def test_stream_fuzzy_ingest_block_scoped_identity(spark, tmp_path):
+    """Identity is (block_cols..., key) throughout the fuzzy-index
+    family (review r16): the replay guard and the accepted-key
+    rejection join must be block-scoped. A key accepted under one
+    block value is NOT 'already accepted' evidence for the same key
+    arriving under another block — neither for the anti-join (which
+    would silently drop it) nor for the crash-window re-accept
+    analysis (which would re-reject a crashed attempt's rows)."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from cassandrastack_spark.operators.fuzzy import extend_fuzzy_index
+    from cassandrastack_spark.streaming.ops import ingest_with_fuzzy_dedup
+
+    schema = StructType([
+        StructField("key", LongType()),
+        StructField("name", StringType()),
+        StructField("nation", LongType()),
+    ])
+    d = tmp_path / "recs_in"
+    d.mkdir()
+
+    def write(name, rows):
+        pdf = pd.DataFrame(rows, columns=["key", "name", "nation"])
+        tbl = pa.Table.from_pandas(
+            pdf,
+            schema=pa.schema(
+                [("key", pa.int64()), ("name", pa.string()),
+                 ("nation", pa.int64())]
+            ),
+            preserve_index=False,
+        )
+        pq.write_table(tbl, str(d / name))
+
+    def run():
+        src = spark.readStream.schema(schema).parquet(str(d))
+        q = ingest_with_fuzzy_dedup(
+            src, str(tmp_path / "fz_index"), str(tmp_path / "accepted"),
+            key_col="key", str_col="name", max_dist=1,
+            block_cols=("nation",),
+            checkpoint=str(tmp_path / "ckpt"),
+        )
+        if not q.awaitTermination(120):
+            raise RuntimeError("fuzzy ingest did not finish")
+
+    write("b1.parquet", [(1, "wolfe", 1), (5, "qqqq", 1)])
+    run()
+
+    # crashed second attempt: (5, 'smith', 2) — key 5 is accepted in
+    # nation 1, but (nation 2, key 5) is NOT accepted
+    crashed = spark.createDataFrame(
+        [(5, "smith", 2)], "key long, name string, nation long"
+    )
+    extend_fuzzy_index(crashed, str(tmp_path / "fz_index"), "key", "name")
+    (tmp_path / "ckpt" / "cs_epochs" / "1").mkdir(parents=True)
+
+    # the replayed batch: the crashed row, plus key 1 under a NEW
+    # block with a novel name (must not be dropped by the replay
+    # guard), plus a genuine same-block near-dup (must stay rejected)
+    write("b2.parquet", [
+        (5, "smith", 2), (1, "zzzz", 2), (9, "wolf", 1),
+    ])
+    run()
+    acc = sorted(
+        (r.key, r.nation)
+        for r in spark.read.parquet(str(tmp_path / "accepted")).collect()
+    )
+    assert acc == [(1, 1), (1, 2), (5, 1), (5, 2)], acc
+
+
+def test_stream_fuzzy_ingest_rebuilds_lost_index_from_accepted(
+    spark, tmp_path
+):
+    """If the index is lost AFTER batches were accepted, the next
+    batch must rebuild it from the FULL accepted store before probing
+    (review r16) — rebuilding from the batch alone would leave every
+    pre-existing accepted record unguarded, silently accepting all
+    future near-duplicates of the old corpus."""
+    import shutil
+
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from cassandrastack_spark.streaming.ops import ingest_with_fuzzy_dedup
+
+    schema = StructType([
+        StructField("key", LongType()),
+        StructField("name", StringType()),
+    ])
+    d = tmp_path / "recs_in"
+    d.mkdir()
+
+    def write(name, rows):
+        pdf = pd.DataFrame(rows, columns=["key", "name"])
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False), str(d / name)
+        )
+
+    def run():
+        src = spark.readStream.schema(schema).parquet(str(d))
+        q = ingest_with_fuzzy_dedup(
+            src, str(tmp_path / "fz_index"), str(tmp_path / "accepted"),
+            key_col="key", str_col="name", max_dist=1,
+            checkpoint=str(tmp_path / "ckpt"),
+        )
+        if not q.awaitTermination(120):
+            raise RuntimeError("fuzzy ingest did not finish")
+
+    write("b1.parquet", [(1, "wolfe"), (2, "jones")])
+    run()
+    shutil.rmtree(str(tmp_path / "fz_index"))
+
+    write("b2.parquet", [(10, "wolf"), (11, "smith")])
+    run()
+    acc = sorted(
+        r.key for r in spark.read.parquet(str(tmp_path / "accepted")).collect()
+    )
+    assert acc == [1, 2, 11], (
+        "the near-dup of the OLD accepted corpus must still be "
+        f"rejected after the index rebuild: {acc}"
+    )

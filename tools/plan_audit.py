@@ -105,6 +105,7 @@ DEFAULT_QUERIES = [
     "corpus_source_overlap",       # register max-merge pair unions
     "token_freq_cm",               # sketch-bounded cells, probe join
     "corpus_score_drift_psi",      # mergeable histograms, decimal PSI
+    "quantiles_sample_sketch",     # min-k sample + rank-select legs
 ]
 
 RED_FLAGS = ("BroadcastNestedLoopJoin", "CartesianProduct")

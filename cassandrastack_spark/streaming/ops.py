@@ -1129,6 +1129,182 @@ def ingest_with_fuzzy_dedup(
     return writer.start()
 
 
+def monitor_components(
+    stream: DataFrame,
+    state_path: str,
+    src_col: str = "a_id",
+    dst_col: str = "b_id",
+    checkpoint: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming connected components: maintain the transitive closure
+    of an unbounded edge stream (duplicate pairs, entity matches,
+    identity links) as a persisted ``(node, comp, epoch)`` mapping —
+    the cluster-level completion of the streaming ER loop:
+    ``ingest_with_fuzzy_dedup`` maintains the PAIR gate, this operator
+    maintains the CLUSTERS those pairs imply, without ever re-running
+    the closure over all edges seen.
+
+    Per micro-batch: contract the batch's edges through the current
+    mapping (each endpoint replaced by its component root, or itself if
+    unseen), run ``dedup_components`` on the contracted edges — a graph
+    whose size is bounded by the BATCH's edge count, never the history
+    — and append one row per node whose component root changed (plus
+    the batch's new nodes). Resolution (``components_state``) takes
+    each node's newest-epoch row.
+
+    The state equals the batch ``dedup_components`` over ALL edges ever
+    streamed, whatever the batching: component roots are minimum member
+    ids, and contraction is label-preserving (every contracted label IS
+    its component's current minimum, so the minimum over merged labels
+    is the global minimum of the merged component). The same argument
+    makes the loop replay-safe WITHOUT an epoch marker — re-processing
+    a batch whose rows committed contracts every edge to a self-loop
+    and appends nothing, and a replay over a PARTIALLY appended attempt
+    re-derives the same final roots from the same edge set and appends
+    exactly the missing rows (min-root is a pure function of the edge
+    union; duplicate (node, comp, epoch) rows are identical and
+    resolution is unaffected). The HLL-register idempotence class, for
+    graphs.
+
+    Scale shape: the per-batch star/label rounds run on contracted
+    batch edges only; the mapping join touches state once per batch
+    (narrow columns, equi-join); a merge rewrites one row per node of
+    the ABSORBED components — bounded by affected-cluster size, the
+    known cost of materialized components, not by history. State
+    accretes one row per (node, change); compact by rewriting
+    newest-epoch rows per node (the ``components_state`` resolution)
+    when the dead-row ratio warrants.
+
+    NULL endpoints are dropped (no identity to link); self-loops add
+    the node as a singleton. Like every maintenance path in this
+    engine: single writer.
+    """
+    from cassandrastack_spark.llm.dedup import dedup_components
+
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="cs_comp_ckpt_")
+    spark = stream.sparkSession
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        edges = (
+            batch_df.select(
+                F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+            )
+            .na.drop()
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if not edges.limit(1).count():
+            return
+        if _fs_exists(spark, state_path):
+            m = components_state(spark, state_path).localCheckpoint(
+                eager=True
+            )
+            epoch = (
+                spark.read.parquet(state_path)
+                .agg(F.coalesce(F.max("epoch"), F.lit(0)).alias("e"))
+                .head()
+                .e
+                + 1
+            )
+        else:
+            m = (
+                edges.select(F.col("u").alias("node"))
+                .limit(0)
+                .withColumn("comp", F.col("node"))
+            )
+            epoch = 0
+        nodes_b = (
+            edges.select(F.col("u").alias("node"))
+            .unionByName(edges.select(F.col("v").alias("node")))
+            .distinct()
+        )
+        # rep = current root, or the node itself if unseen
+        rep_b = (
+            nodes_b.join(m, "node", "left")
+            .select(
+                "node", F.coalesce("comp", F.col("node")).alias("rep")
+            )
+            .localCheckpoint(eager=True)
+        )
+        e = (
+            edges.join(
+                rep_b.select(
+                    F.col("node").alias("u"), F.col("rep").alias("ru")
+                ),
+                "u",
+            )
+            .join(
+                rep_b.select(
+                    F.col("node").alias("v"), F.col("rep").alias("rv")
+                ),
+                "v",
+            )
+            .filter(F.col("ru") != F.col("rv"))
+            .select(F.col("ru").alias("a_id"), F.col("rv").alias("b_id"))
+            .distinct()
+        )
+        if e.limit(1).count():
+            cc = dedup_components(e)
+            ccr = cc.select(
+                F.col("id").alias("_lbl"), F.col("component").alias("_newc")
+            )
+        else:
+            ccr = (
+                rep_b.select(F.col("rep").alias("_lbl"))
+                .limit(0)
+                .withColumn("_newc", F.col("_lbl"))
+            )
+        # rows to append: state nodes whose label merged away, plus the
+        # batch's unseen nodes (at their possibly-merged root)
+        remapped = (
+            m.join(ccr, m.comp == ccr._lbl)
+            .filter(F.col("_newc") != F.col("comp"))
+            .select("node", F.col("_newc").alias("comp"))
+        )
+        newnodes = (
+            rep_b.join(m.select("node"), "node", "left_anti")
+            .join(ccr, rep_b.rep == ccr._lbl, "left")
+            .select(
+                "node",
+                F.coalesce("_newc", F.col("rep")).alias("comp"),
+            )
+        )
+        (
+            remapped.unionByName(newnodes)
+            .distinct()
+            .withColumn("epoch", F.lit(epoch).cast("long"))
+            .write.mode("append")
+            .parquet(state_path)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def components_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """Resolve the ``monitor_components`` state table to the current
+    ``(node, comp)`` mapping: each node's newest-epoch row. Equal to
+    the batch ``dedup_components`` over every edge ever streamed (the
+    min-root/label-preserving-contraction argument in
+    ``monitor_components``); same-epoch duplicate rows (crash-window
+    replays) are identical by construction, so any tie-break returns
+    the same value — the comp tie-break below just makes the plan's
+    determinism self-evident."""
+    rows = spark.read.parquet(state_path)
+    w = Window.partitionBy("node").orderBy(F.desc("epoch"), "comp")
+    return (
+        rows.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("node", "comp")
+    )
+
+
 def monitor_embedding_moments(
     stream: DataFrame,
     state_path: str,

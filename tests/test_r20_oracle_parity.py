@@ -1,11 +1,20 @@
 """Pre-validated oracle parity for the r16-staged, r20+-registering
-query (staged-query discipline; per the r16 drain plan in
+queries (staged-query discipline; per the r16 drain plan in
 queries/__init__.py, the r17-r20 windows have exactly two free
 registration slots, both spoken for — decontam_semantic r17,
-er_fuzzy_customer_pairs r18 — so this row queues BEHIND
-er_fuzzy_components and registers when a maintenance round or a
+er_fuzzy_customer_pairs r18 — so these rows queue BEHIND
+er_fuzzy_components and register when a maintenance round or a
 retirement trade frees a slot. Staging depth is never capped, only
 registration is.)
+
+Staged here, the two halves of the streaming ER production loop
+(VERDICT r15 #6 and its cluster-level completion):
+``stream_fuzzy_ingest_dedup`` (the pair gate) and
+``stream_er_components`` (the transitive closure those pairs imply,
+maintained incrementally by streaming/ops.py monitor_components —
+batching-invariant by the min-root/label-preserving-contraction
+argument, so it gates against the SAME recursive-CTE oracle as the
+batch er_fuzzy_components).
 
 ``stream_fuzzy_ingest_dedup`` — the streaming ER maintenance loop
 END-TO-END (streaming/ops.py ingest_with_fuzzy_dedup, VERDICT r15 #6):
@@ -34,10 +43,13 @@ serial-number names chains nearly everything, while within-nation
 neighborhoods reject a real-but-bounded subset — both accept and
 reject paths carry rows at both SFs.
 
-Validated green at sf0.001 AND sf0.01 at staging time (this file runs
-the sf0.001 leg in-suite; the sf0.01 leg: 1199 accepted of 1500 —
-1200 seeded+odd-survivors vs 301 same-nation rejections, hash-exact
-vs DuckDB). sf0.1 price (local[32], measured at staging time): see
+Both validated green at sf0.001 AND sf0.01 at staging time (this file
+runs the sf0.001 legs in-suite; the sf0.01 legs: ingest 1199 accepted
+of 1500 — 1200 seeded+odd-survivors vs 301 same-nation rejections —
+and components 989 nodes in 284 clusters of size 2-17, both
+hash-exact vs DuckDB; the components figures equal the batch
+er_fuzzy_components structure exactly, as the invariance argument
+demands). sf0.1 prices (local[32], measured at staging time): see
 BENCH_NOTES r16.
 """
 
@@ -180,3 +192,145 @@ def test_stream_fuzzy_ingest_dedup_matches_staged_oracle(spark, duck):
         "1, 1) < '8'"
     ).fetchone()[0]
     assert n_seed < len(got) < n_all
+
+
+_SEC_STATE_CACHE: dict = {}
+
+
+def stream_er_components_spark(spark, sf_dir):
+    """The exact plan that registers when a slot frees (lift verbatim,
+    cache dict alongside) — the streaming twin of er_fuzzy_components:
+    the nation-blocked fuzzy pair set streams through
+    monitor_components in two md5-split drops (the second drop's
+    edges bridge components the first drop left separate, exercising
+    the contraction path), and components_state resolves the persisted
+    mapping to (custkey, component, cluster_size). The result is
+    batching-invariant by the min-root/label-preserving-contraction
+    argument, so it equals the batch closure — the SAME recursive-CTE
+    oracle er_fuzzy_components stages against (deliberately shared:
+    the streamed state must land on the identical clusters)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from cassandrastack_spark.operators.fuzzy import fuzzy_self_pairs
+    from cassandrastack_spark.streaming.ops import (
+        components_state,
+        monitor_components,
+    )
+
+    key = sf_dir
+    if key not in _SEC_STATE_CACHE:
+        root = tempfile.mkdtemp(prefix="cs_q_sec_state_")
+        src_dir = os.path.join(root, "in")
+        os.makedirs(src_dir)
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            "c_custkey", "c_name", "c_nationkey"
+        )
+        pairs = fuzzy_self_pairs(
+            c, "c_custkey", "c_name", max_dist=1,
+            block_cols=("c_nationkey",),
+        ).select(
+            F.col("key_a").cast("long").alias("a_id"),
+            F.col("key_b").cast("long").alias("b_id"),
+        )
+        half = (
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        F.col("a_id").cast("string"),
+                        F.col("b_id").cast("string"),
+                    )
+                ),
+                1,
+                1,
+            )
+            < "8"
+        )
+
+        def _drop(df, fname):
+            pdf = df.toPandas()
+            tbl = pa.Table.from_pandas(
+                pdf,
+                schema=pa.schema(
+                    [("a_id", pa.int64()), ("b_id", pa.int64())]
+                ),
+                preserve_index=False,
+            )
+            pq.write_table(tbl, os.path.join(src_dir, fname))
+
+        def _run():
+            src = (
+                spark.readStream.schema("a_id long, b_id long")
+                .parquet(src_dir)
+            )
+            q = monitor_components(
+                src,
+                os.path.join(root, "state"),
+                checkpoint=os.path.join(root, "ckpt"),
+            )
+            if not q.awaitTermination(600):
+                raise RuntimeError("components ingest did not finish")
+
+        _drop(pairs.filter(half), "b1.parquet")
+        _run()
+        _drop(pairs.filter(~half), "b2.parquet")
+        _run()
+        _SEC_STATE_CACHE[key] = os.path.join(root, "state")
+    m = components_state(spark, _SEC_STATE_CACHE[key])
+    w = Window.partitionBy("comp")
+    return (
+        m.select(
+            F.col("node").cast("bigint").alias("custkey"),
+            F.col("comp").cast("bigint").alias("component"),
+            F.count("*").over(w).cast("bigint").alias("cluster_size"),
+        )
+        .orderBy("custkey")
+    )
+
+
+# Deliberately IDENTICAL to tests/test_r19_oracle_parity.py's
+# ER_FUZZY_COMPONENTS_ORACLE (the batch twin): the streamed state must
+# land on the same clusters as the batch closure — that equality IS
+# the row's claim. Brute-force pairs + recursive-CTE reachability,
+# tractable because nation-blocked components are small; min member
+# ids and integer sizes, bit-exact with no rounding.
+STREAM_ER_COMPONENTS_ORACLE = """
+    WITH RECURSIVE pairs AS (
+        SELECT a.c_custkey AS a, b.c_custkey AS b
+        FROM customer a, customer b
+        WHERE a.c_custkey < b.c_custkey
+          AND a.c_nationkey = b.c_nationkey
+          AND abs(length(a.c_name) - length(b.c_name)) <= 1
+          AND levenshtein(a.c_name, b.c_name) <= 1),
+    edges AS (
+        SELECT a AS src, b AS dst FROM pairs
+        UNION ALL
+        SELECT b, a FROM pairs),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(a, b) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+    comp AS (
+        SELECT a AS custkey, MIN(b) AS component
+        FROM reach GROUP BY a)
+    SELECT custkey, component,
+           CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT)
+               AS cluster_size
+    FROM comp
+    ORDER BY custkey
+"""
+
+
+def test_stream_er_components_matches_staged_oracle(spark, duck):
+    got = stream_er_components_spark(spark, SF).toPandas()
+    want = duck.execute(STREAM_ER_COMPONENTS_ORACLE).df()
+    _compare(got, want)
+    # real cluster structure on the fixture: multiple components, at
+    # least one spanning more than one pair (transitive closure did
+    # work the pair set alone cannot express)
+    assert got["component"].nunique() > 1
+    assert got["cluster_size"].max() > 2

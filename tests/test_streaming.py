@@ -2176,3 +2176,133 @@ def test_stream_fuzzy_ingest_rebuilds_lost_index_from_accepted(
         "the near-dup of the OLD accepted corpus must still be "
         f"rejected after the index rebuild: {acc}"
     )
+
+
+def test_stream_monitor_components_multi_batch(spark, tmp_path):
+    """monitor_components: the streamed transitive closure must equal
+    batch dedup_components over all edges ever streamed, whatever the
+    batch boundaries — cross-batch merges (batch 2 bridges batch 1's
+    two clusters), singleton self-loops, and new-node absorption all
+    land on min-id roots; a full re-run against the same checkpoint
+    replays nothing."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from cassandrastack_spark.streaming.ops import (
+        components_state,
+        monitor_components,
+    )
+
+    schema = StructType([
+        StructField("a_id", LongType()),
+        StructField("b_id", LongType()),
+    ])
+    d = tmp_path / "edges_in"
+    d.mkdir()
+
+    def write(name, rows):
+        pdf = pd.DataFrame(rows, columns=["a_id", "b_id"])
+        tbl = pa.Table.from_pandas(
+            pdf,
+            schema=pa.schema([("a_id", pa.int64()), ("b_id", pa.int64())]),
+            preserve_index=False,
+        )
+        pq.write_table(tbl, str(d / name))
+
+    def run():
+        src = spark.readStream.schema(schema).parquet(str(d))
+        q = monitor_components(
+            src, str(tmp_path / "state"),
+            checkpoint=str(tmp_path / "ckpt"),
+        )
+        if not q.awaitTermination(120):
+            raise RuntimeError("components ingest did not finish")
+
+    def state():
+        return dict(
+            (r.node, r.comp)
+            for r in components_state(
+                spark, str(tmp_path / "state")
+            ).collect()
+        )
+
+    write("b1.parquet", [(2, 1), (4, 3), (7, 7), (None, 9)])
+    run()
+    assert state() == {1: 1, 2: 1, 3: 3, 4: 3, 7: 7}, (
+        "two clusters + a self-loop singleton; NULL endpoints dropped"
+    )
+
+    # batch 2 bridges the two clusters and hangs a new node off 4
+    write("b2.parquet", [(3, 2), (6, 4)])
+    run()
+    assert state() == {1: 1, 2: 1, 3: 1, 4: 1, 6: 1, 7: 7}
+
+    # batch 3: a smaller id joins — the merged root must become it
+    write("b3.parquet", [(0, 6), (8, 9)])
+    run()
+    expected = {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 6: 0, 7: 7, 8: 8, 9: 8}
+    assert state() == expected
+
+    # replay the whole stream against the same checkpoint: no change,
+    # and nothing appended (the min-root idempotence argument)
+    n_rows = spark.read.parquet(str(tmp_path / "state")).count()
+    run()
+    assert state() == expected
+    assert spark.read.parquet(str(tmp_path / "state")).count() == n_rows
+
+
+def test_stream_monitor_components_matches_batch_closure(spark, tmp_path):
+    """Order-invariance pinned against the library's own batch
+    operator: a random-ish edge set split across three batches resolves
+    to exactly dedup_components over the union."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from cassandrastack_spark.llm.dedup import dedup_components
+    from cassandrastack_spark.streaming.ops import (
+        components_state,
+        monitor_components,
+    )
+
+    edges = [
+        (i, (i * 7) % 23) for i in range(40)
+    ] + [(50 + i, 50 + ((i + 1) % 5)) for i in range(5)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    schema = StructType([
+        StructField("a_id", LongType()),
+        StructField("b_id", LongType()),
+    ])
+    d = tmp_path / "edges_in"
+    d.mkdir()
+
+    def write(name, rows):
+        pdf = pd.DataFrame(rows, columns=["a_id", "b_id"])
+        tbl = pa.Table.from_pandas(
+            pdf,
+            schema=pa.schema([("a_id", pa.int64()), ("b_id", pa.int64())]),
+            preserve_index=False,
+        )
+        pq.write_table(tbl, str(d / name))
+
+    def run():
+        src = spark.readStream.schema(schema).parquet(str(d))
+        q = monitor_components(
+            src, str(tmp_path / "state"),
+            checkpoint=str(tmp_path / "ckpt"),
+        )
+        if not q.awaitTermination(120):
+            raise RuntimeError("components ingest did not finish")
+
+    for i, chunk in enumerate((edges[:15], edges[15:30], edges[30:])):
+        write(f"b{i}.parquet", chunk)
+        run()
+
+    got = dict(
+        (r.node, r.comp)
+        for r in components_state(spark, str(tmp_path / "state")).collect()
+    )
+    batch = spark.createDataFrame(edges, "a_id long, b_id long")
+    want = dict(
+        (r.id, r.component)
+        for r in dedup_components(batch).collect()
+    )
+    assert got == want

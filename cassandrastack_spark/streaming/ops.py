@@ -1134,6 +1134,7 @@ def monitor_components(
     state_path: str,
     src_col: str = "a_id",
     dst_col: str = "b_id",
+    algorithm: str = "auto",
     checkpoint: str | None = None,
     trigger_available_now: bool = True,
 ):
@@ -1177,8 +1178,11 @@ def monitor_components(
     when the dead-row ratio warrants.
 
     NULL endpoints are dropped (no identity to link); self-loops add
-    the node as a singleton. Like every maintenance path in this
-    engine: single writer.
+    the node as a singleton. ``algorithm`` passes through to
+    ``dedup_components`` — callers whose edge streams chain deeply
+    (serial-number name graphs) pick ``"star"`` for the same measured
+    reason the batch er_fuzzy_components plan does. Like every
+    maintenance path in this engine: single writer.
     """
     from cassandrastack_spark.llm.dedup import dedup_components
 
@@ -1197,12 +1201,13 @@ def monitor_components(
         if not edges.limit(1).count():
             return
         if _fs_exists(spark, state_path):
-            m = components_state(spark, state_path).localCheckpoint(
-                eager=True
-            )
+            # ONE read serves both the resolution and the epoch agg
+            # (review r16 — two independent reads doubled the
+            # per-batch state I/O as the table accretes)
+            rows = spark.read.parquet(state_path)
+            m = _resolve_components(rows).localCheckpoint(eager=True)
             epoch = (
-                spark.read.parquet(state_path)
-                .agg(F.coalesce(F.max("epoch"), F.lit(0)).alias("e"))
+                rows.agg(F.coalesce(F.max("epoch"), F.lit(0)).alias("e"))
                 .head()
                 .e
                 + 1
@@ -1245,7 +1250,7 @@ def monitor_components(
             .distinct()
         )
         if e.limit(1).count():
-            cc = dedup_components(e)
+            cc = dedup_components(e, algorithm=algorithm)
             ccr = cc.select(
                 F.col("id").alias("_lbl"), F.col("component").alias("_newc")
             )
@@ -1270,13 +1275,24 @@ def monitor_components(
                 F.coalesce("_newc", F.col("rep")).alias("comp"),
             )
         )
-        (
+        # materialize the (batch-bounded) changed set once, skip the
+        # write job entirely when it is empty (replayed or
+        # intra-component-only batch), and land ONE part file per
+        # batch like every sibling monitor writer — the resolution
+        # read pays per-file open cost on every later batch
+        # (review r16)
+        changed = (
             remapped.unionByName(newnodes)
             .distinct()
-            .withColumn("epoch", F.lit(epoch).cast("long"))
-            .write.mode("append")
-            .parquet(state_path)
+            .localCheckpoint(eager=True)
         )
+        if changed.limit(1).count():
+            (
+                changed.withColumn("epoch", F.lit(epoch).cast("long"))
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(state_path)
+            )
 
     writer = (
         stream.writeStream.foreachBatch(_sink)
@@ -1287,22 +1303,30 @@ def monitor_components(
     return writer.start()
 
 
-def components_state(spark: SparkSession, state_path: str) -> DataFrame:
-    """Resolve the ``monitor_components`` state table to the current
-    ``(node, comp)`` mapping: each node's newest-epoch row. Equal to
-    the batch ``dedup_components`` over every edge ever streamed (the
-    min-root/label-preserving-contraction argument in
-    ``monitor_components``); same-epoch duplicate rows (crash-window
-    replays) are identical by construction, so any tie-break returns
-    the same value — the comp tie-break below just makes the plan's
-    determinism self-evident."""
-    rows = spark.read.parquet(state_path)
+def _resolve_components(rows: DataFrame) -> DataFrame:
+    """Newest-epoch row per node — shared by the per-batch sink (which
+    already holds the state read) and ``components_state``."""
     w = Window.partitionBy("node").orderBy(F.desc("epoch"), "comp")
     return (
         rows.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select("node", "comp")
     )
+
+
+def components_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """Resolve the ``monitor_components`` state table to the current
+    ``(node, comp)`` mapping: each node's newest-epoch row. Equal to
+    the batch ``dedup_components`` over every edge ever streamed (the
+    min-root/label-preserving-contraction argument in
+    ``monitor_components``). A node never receives two rows at the
+    same epoch (each batch appends at max(epoch)+1 and computes one
+    comp per node; a crash-window replay writes any missing rows at
+    the NEXT epoch, whose values the invariance argument proves
+    consistent with the committed ones) — the comp tie-break below is
+    therefore never load-bearing, it just makes the plan's determinism
+    self-evident to a reader."""
+    return _resolve_components(spark.read.parquet(state_path))
 
 
 def monitor_embedding_moments(

@@ -125,6 +125,7 @@ def stream_fuzzy_ingest_dedup_spark(spark, sf_dir):
                 checkpoint=os.path.join(root, "ckpt"),
             )
             if not q.awaitTermination(600):
+                q.stop()  # no zombie ingest skewing later timings
                 raise RuntimeError("fuzzy ingest did not finish")
 
         _drop(cust.filter(half), "b1.parquet")
@@ -228,30 +229,32 @@ def stream_er_components_spark(spark, sf_dir):
         c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
             "c_custkey", "c_name", "c_nationkey"
         )
-        pairs = fuzzy_self_pairs(
-            c, "c_custkey", "c_name", max_dist=1,
-            block_cols=("c_nationkey",),
-        ).select(
-            F.col("key_a").cast("long").alias("a_id"),
-            F.col("key_b").cast("long").alias("b_id"),
-        )
-        half = (
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        "_",
-                        F.col("a_id").cast("string"),
-                        F.col("b_id").cast("string"),
-                    )
-                ),
-                1,
-                1,
+        # collect the pair set ONCE and split driver-side: the
+        # nation-blocked fuzzy pair generation is the expensive leg
+        # (~5 s at sf0.1) and an unpersisted frame would re-run it per
+        # half (review r16); the pandas md5 reproduces
+        # F.md5(concat_ws('_', a, b)) byte-for-byte on these ints
+        import hashlib
+
+        pairs = (
+            fuzzy_self_pairs(
+                c, "c_custkey", "c_name", max_dist=1,
+                block_cols=("c_nationkey",),
             )
-            < "8"
+            .select(
+                F.col("key_a").cast("long").alias("a_id"),
+                F.col("key_b").cast("long").alias("b_id"),
+            )
+            .toPandas()
+        )
+        in_half = pairs.apply(
+            lambda r: hashlib.md5(
+                f"{r.a_id}_{r.b_id}".encode()
+            ).hexdigest()[0] < "8",
+            axis=1,
         )
 
-        def _drop(df, fname):
-            pdf = df.toPandas()
+        def _drop(pdf, fname):
             tbl = pa.Table.from_pandas(
                 pdf,
                 schema=pa.schema(
@@ -269,14 +272,20 @@ def stream_er_components_spark(spark, sf_dir):
             q = monitor_components(
                 src,
                 os.path.join(root, "state"),
+                # star from round one — the same measured choice the
+                # batch er_fuzzy_components plan makes on this
+                # digit-neighbor name-chain graph (auto pays 4 wasted
+                # label-propagation probe rounds first)
+                algorithm="star",
                 checkpoint=os.path.join(root, "ckpt"),
             )
             if not q.awaitTermination(600):
+                q.stop()  # no zombie ingest skewing later timings
                 raise RuntimeError("components ingest did not finish")
 
-        _drop(pairs.filter(half), "b1.parquet")
+        _drop(pairs[in_half], "b1.parquet")
         _run()
-        _drop(pairs.filter(~half), "b2.parquet")
+        _drop(pairs[~in_half], "b2.parquet")
         _run()
         _SEC_STATE_CACHE[key] = os.path.join(root, "state")
     m = components_state(spark, _SEC_STATE_CACHE[key])

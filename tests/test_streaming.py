@@ -1946,6 +1946,7 @@ def test_stream_ingest_with_fuzzy_dedup_index(spark, tmp_path):
             checkpoint=str(tmp_path / "ckpt"),
         )
         if not q.awaitTermination(120):
+            q.stop()  # no zombie ingest skewing later timings
             raise RuntimeError("fuzzy ingest did not finish")
 
     write("b1.parquet", [
@@ -2019,6 +2020,7 @@ def test_stream_fuzzy_ingest_replay_after_extend_crash(spark, tmp_path):
             checkpoint=str(tmp_path / "ckpt"),
         )
         if not q.awaitTermination(120):
+            q.stop()  # no zombie ingest skewing later timings
             raise RuntimeError("fuzzy ingest did not finish")
 
     write("b1.parquet", [(1, "wolfe"), (2, "jones")])
@@ -2097,6 +2099,7 @@ def test_stream_fuzzy_ingest_block_scoped_identity(spark, tmp_path):
             checkpoint=str(tmp_path / "ckpt"),
         )
         if not q.awaitTermination(120):
+            q.stop()  # no zombie ingest skewing later timings
             raise RuntimeError("fuzzy ingest did not finish")
 
     write("b1.parquet", [(1, "wolfe", 1), (5, "qqqq", 1)])
@@ -2161,6 +2164,7 @@ def test_stream_fuzzy_ingest_rebuilds_lost_index_from_accepted(
             checkpoint=str(tmp_path / "ckpt"),
         )
         if not q.awaitTermination(120):
+            q.stop()  # no zombie ingest skewing later timings
             raise RuntimeError("fuzzy ingest did not finish")
 
     write("b1.parquet", [(1, "wolfe"), (2, "jones")])
@@ -2215,6 +2219,7 @@ def test_stream_monitor_components_multi_batch(spark, tmp_path):
             checkpoint=str(tmp_path / "ckpt"),
         )
         if not q.awaitTermination(120):
+            q.stop()  # no zombie ingest skewing later timings
             raise RuntimeError("components ingest did not finish")
 
     def state():
@@ -2242,10 +2247,21 @@ def test_stream_monitor_components_multi_batch(spark, tmp_path):
     expected = {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 6: 0, 7: 7, 8: 8, 9: 8}
     assert state() == expected
 
-    # replay the whole stream against the same checkpoint: no change,
-    # and nothing appended (the min-root idempotence argument)
+    # replay EVERY edge against the existing state with a FRESH
+    # checkpoint (same-checkpoint reruns replay zero batches and
+    # would assert nothing — review r16): the sink genuinely
+    # re-processes all edges, every one contracts to a self-loop or
+    # an already-known mapping, and the min-root idempotence argument
+    # says it appends NOTHING — this also drives the empty-ccr branch
     n_rows = spark.read.parquet(str(tmp_path / "state")).count()
-    run()
+    src = spark.readStream.schema(schema).parquet(str(d))
+    q = monitor_components(
+        src, str(tmp_path / "state"),
+        checkpoint=str(tmp_path / "ckpt_replay"),
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise RuntimeError("replay ingest did not finish")
     assert state() == expected
     assert spark.read.parquet(str(tmp_path / "state")).count() == n_rows
 
@@ -2290,6 +2306,7 @@ def test_stream_monitor_components_matches_batch_closure(spark, tmp_path):
             checkpoint=str(tmp_path / "ckpt"),
         )
         if not q.awaitTermination(120):
+            q.stop()  # no zombie ingest skewing later timings
             raise RuntimeError("components ingest did not finish")
 
     for i, chunk in enumerate((edges[:15], edges[15:30], edges[30:])):

@@ -171,9 +171,12 @@ def hll_estimator_sql(ne: str, hs: str) -> str:
 #   owed to the 50-row r16 cohort; no slot exists). Its oracle stays
 #   validated in tests/test_r19_oracle_parity.py; registration falls
 #   to a future maintenance round or a retirement trade.
-# - Any r16-staged novelty (streaming fuzzy-index maintenance) joins
-#   the queue BEHIND er_fuzzy_components under the same rule: staging
-#   depth is never capped, only registration is.
+# - The two r16-staged novelty rows (stream_fuzzy_ingest_dedup and
+#   stream_er_components — the streaming ER loop's pair gate and its
+#   transitive closure, tests/test_r20_oracle_parity.py, both
+#   bit-exact at 2 SFs) join the queue BEHIND er_fuzzy_components
+#   under the same rule: staging depth is never capped, only
+#   registration is.
 # STEADY-STATE POLICY (decided r13, per VERDICT r12 ask #5 — the r14+
 # windows follow this): with N registered queries, a 50-row window and
 # the 4-round age limit, maintenance is ceil(N/4) rows per round, so

@@ -1314,6 +1314,47 @@ def _resolve_components(rows: DataFrame) -> DataFrame:
     )
 
 
+def compact_components_state(spark: SparkSession, state_path: str) -> None:
+    """Maintenance for a ``monitor_components`` state table: rewrite
+    the accreted change rows (one per node per merge) as each node's
+    single newest-epoch row, under the shared append-then-delete-
+    snapshot protocol (``_compact_sample_state``'s argument, adapted):
+    epochs are PRESERVED, not renumbered — the compacted row carries
+    its original epoch, so the monitor's max-epoch read and any
+    interleaved resolution see exactly the values they would have seen
+    uncompacted. Safe at every interleaving: a concurrent batch append
+    survives outside the snapshot and is strictly newer; a reader mid-
+    compaction sees (old ∪ merged) whose per-node newest rows are
+    byte-identical duplicates; a crash between append and delete
+    leaves a correct, merely-uncompacted table. (The additive manifest
+    protocol is for sum-merged states — last-writer resolution, like
+    min-k, tolerates duplicates.)
+    """
+    from pyspark.errors import AnalysisException
+
+    try:
+        raw = spark.read.parquet(state_path)
+    except AnalysisException:
+        return
+    snapshot = sorted(raw.inputFiles())
+    if len(snapshot) <= 1:
+        return  # nothing to compact
+    snap = spark.read.option("basePath", state_path).parquet(*snapshot)
+    w = Window.partitionBy("node").orderBy(F.desc("epoch"), "comp")
+    merged = (
+        snap.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("node", "comp", "epoch")
+        .localCheckpoint(eager=True)  # materialize BEFORE any delete
+    )
+    merged.coalesce(1).write.mode("append").parquet(state_path)
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for f in snapshot:
+        fpath = jvm.org.apache.hadoop.fs.Path(f)
+        fpath.getFileSystem(hconf).delete(fpath, False)
+
+
 def components_state(spark: SparkSession, state_path: str) -> DataFrame:
     """Resolve the ``monitor_components`` state table to the current
     ``(node, comp)`` mapping: each node's newest-epoch row. Equal to

@@ -2323,3 +2323,80 @@ def test_stream_monitor_components_matches_batch_closure(spark, tmp_path):
         for r in dedup_components(batch).collect()
     )
     assert got == want
+
+
+def test_compact_components_state(spark, tmp_path):
+    """compact_components_state: the accreted change rows collapse to
+    one newest-epoch row per node in one part file, epochs preserved —
+    resolution identical before and after, and a later batch continues
+    merging against the compacted state (max-epoch continuity)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from cassandrastack_spark.streaming.ops import (
+        compact_components_state,
+        components_state,
+        monitor_components,
+    )
+
+    schema = StructType([
+        StructField("a_id", LongType()),
+        StructField("b_id", LongType()),
+    ])
+    d = tmp_path / "edges_in"
+    d.mkdir()
+
+    def write(name, rows):
+        pdf = pd.DataFrame(rows, columns=["a_id", "b_id"])
+        tbl = pa.Table.from_pandas(
+            pdf,
+            schema=pa.schema([("a_id", pa.int64()), ("b_id", pa.int64())]),
+            preserve_index=False,
+        )
+        pq.write_table(tbl, str(d / name))
+
+    def run():
+        src = spark.readStream.schema(schema).parquet(str(d))
+        q = monitor_components(
+            src, str(tmp_path / "state"),
+            checkpoint=str(tmp_path / "ckpt"),
+        )
+        if not q.awaitTermination(120):
+            q.stop()
+            raise RuntimeError("components ingest did not finish")
+
+    def state():
+        return dict(
+            (r.node, r.comp)
+            for r in components_state(
+                spark, str(tmp_path / "state")
+            ).collect()
+        )
+
+    write("b1.parquet", [(2, 1), (4, 3)])
+    run()
+    write("b2.parquet", [(3, 2)])
+    run()
+    before = state()
+    assert before == {1: 1, 2: 1, 3: 1, 4: 1}
+    raw = spark.read.parquet(str(tmp_path / "state"))
+    assert len(raw.inputFiles()) > 1
+    max_epoch = raw.agg(F.max("epoch")).head()[0]
+
+    compact_components_state(spark, str(tmp_path / "state"))
+    raw2 = spark.read.parquet(str(tmp_path / "state"))
+    assert len(raw2.inputFiles()) == 1
+    assert state() == before
+    # dead rows gone: exactly one row per node survives
+    assert raw2.count() == len(before)
+    # epochs preserved, not renumbered — max-epoch continuity for the
+    # monitor's next epoch assignment
+    assert raw2.agg(F.max("epoch")).head()[0] == max_epoch
+
+    # a later batch merges against the compacted state
+    write("b3.parquet", [(0, 4)])
+    run()
+    assert state() == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0}
+
+    # idempotent: compacting a single-file table is a no-op
+    compact_components_state(spark, str(tmp_path / "state"))
+    assert state() == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0}

@@ -153,13 +153,51 @@ def nb_logodds_weights(
         F.max("bucket").alias("_maxb"),
         F.min("bucket").alias("_minb"),
     )
-    # dense bucket spine: unseen buckets still get the smoothing weight
+    scal = tot.crossJoin(gram_tot)  # 1 row x 1 row
+    guard = (
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+        & (F.col("_nlab") == F.col("_nids"))
+        # buckets outside [0, dim) mean the features were hashed at a
+        # DIFFERENT dim: the spine left-join would silently drop them
+        # while their counts still inflate the smoothing totals
+        # (review r15)
+        & (
+            F.col("_maxb").isNull()
+            | (
+                (F.col("_maxb") < F.lit(int(dim)))
+                & (F.col("_minb") >= 0)
+            )
+        )
+    )
+    return _assemble_nb_weights(
+        per_bucket, scal, dim, guard,
+        "nb_logodds_weights: degenerate seed — both classes must be "
+        "present, no doc id may carry both labels, and every feature "
+        "bucket must lie in [0, dim) (features hashed at a different "
+        "dim than the model's?)",
+    )
+
+
+def _assemble_nb_weights(
+    per_bucket: DataFrame,
+    scal: DataFrame,
+    dim: int,
+    guard: Column,
+    guard_msg: str,
+) -> DataFrame:
+    """The shared weight-table assembly for the batch trainer and the
+    streaming count-state resolution (one copy of the smoothing
+    arithmetic, so the two can never drift): dense bucket spine (unseen
+    buckets still get the pure smoothing weight), 1-row scalar
+    broadcast of the totals, in-plan guard wrapped around the bias.
+    ``per_bucket`` is ``(bucket, pb, nb)``; ``scal`` is one row
+    carrying at least ``n_pos, n_neg, pt, nt`` plus whatever columns
+    ``guard`` references."""
     spine = (
-        features.sparkSession.range(dim)
+        per_bucket.sparkSession.range(dim)
         .select(F.col("id").cast("int").alias("bucket"))
     )
-    scal = tot.crossJoin(gram_tot)  # 1 row x 1 row
-    out = (
+    return (
         spine.join(per_bucket, "bucket", "left")
         .crossJoin(F.broadcast(scal))
         .select(
@@ -175,26 +213,7 @@ def nb_logodds_weights(
                 )
             ).alias("weight"),
             F.when(
-                F.assert_true(
-                    (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
-                    & (F.col("_nlab") == F.col("_nids"))
-                    # buckets outside [0, dim) mean the features were
-                    # hashed at a DIFFERENT dim: the spine left-join
-                    # would silently drop them while their counts
-                    # still inflate the smoothing totals (review r15)
-                    & (
-                        F.col("_maxb").isNull()
-                        | (
-                            (F.col("_maxb") < F.lit(int(dim)))
-                            & (F.col("_minb") >= 0)
-                        )
-                    ),
-                    "nb_logodds_weights: degenerate seed — both "
-                    "classes must be present, no doc id may carry "
-                    "both labels, and every feature bucket must lie "
-                    "in [0, dim) (features hashed at a different dim "
-                    "than the model's?)",
-                ).isNull(),
+                F.assert_true(guard, guard_msg).isNull(),
                 F.log(
                     F.col("n_pos").cast("double")
                     / F.col("n_neg").cast("double")
@@ -203,7 +222,6 @@ def nb_logodds_weights(
             F.lit(int(dim)).alias("dim"),
         )
     )
-    return out
 
 
 def linear_text_score(

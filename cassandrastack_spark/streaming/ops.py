@@ -2519,3 +2519,163 @@ def compact_weighted_sample_state(
         spark, state_path, ("item", "e", "w", "k"), weighted_sample_retake,
         "compact_weighted_sample_state",
     )
+
+
+def monitor_nb_counts(
+    stream: DataFrame,
+    state_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "is_pos",
+    dim: int = 4096,
+    bigrams: bool = True,
+    checkpoint: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming Naive-Bayes trainer: accumulate the hashed-gram
+    class counts of a labeled document stream as persisted state, so
+    the quality filter retrains continuously as curated seed examples
+    arrive — the trained-classifier completion of the monitor family
+    (``llm/classifier.py`` is the batch twin; this is how the CCNet-
+    style quality model stays current against a live crawl without
+    re-featurizing history).
+
+    Every micro-batch reduces to its per-bucket class gram counts
+    ``(bucket, pb, nb)`` plus one ``bucket = -1`` row carrying the
+    batch's (n_pos_docs, n_neg_docs) — at most ``dim + 1`` rows
+    whatever the batch size — appended to ``state_path``;
+    ``nb_weights_state`` sums the accumulated cells and resolves them
+    through the SAME smoothing arithmetic as the batch trainer
+    (``_assemble_nb_weights``, one shared copy), yielding a
+    ``linear_text_score``-ready weight table. Counts are additive and
+    checkpointed micro-batches deliver each input row to the state
+    exactly once within a run, so the summed cells are bit-identical
+    to a one-batch build whatever the micro-batch boundaries — the
+    stream_hot_keys argument; the per-epoch marker excludes replays,
+    since unlike HLL max a sum is NOT idempotent.
+
+    Label hygiene is at-batch granularity: NULL-id/NULL-label rows
+    are dropped, verbatim-repeated in-batch label rows collapse, and
+    an in-batch doc id carrying both labels fails the batch loud
+    in-plan (the batch trainer's contract). ACROSS batches the stream
+    must deliver each doc id at most once — exactly what an upstream
+    ``ingest_with_dedup`` gate guarantees; a doc re-ingested in a
+    later batch double-counts (dedup upstream, or rebuild from the
+    corpus). Model geometry (dim, bigrams) is recorded under
+    ``state_path/_meta`` on the first batch, so the resolution and
+    any later monitor run cannot silently disagree; a monitor started
+    with different geometry against existing state fails loud.
+    """
+    from cassandrastack_spark.llm.classifier import hashed_gram_features
+
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="cs_nb_ckpt_")
+    spark = stream.sparkSession
+
+    def _build(batch_df: DataFrame) -> DataFrame:
+        meta_path = state_path + "/_meta"
+        if _fs_exists(spark, meta_path):
+            meta = spark.read.parquet(meta_path).head()
+            if int(meta.dim) != int(dim) or bool(meta.bigrams) != bool(
+                bigrams
+            ):
+                raise ValueError(
+                    f"monitor_nb_counts: state at {state_path} was built "
+                    f"with dim={meta.dim}, bigrams={meta.bigrams} — "
+                    f"monitor started with dim={dim}, bigrams={bigrams}; "
+                    "mixed-geometry counts would silently corrupt the "
+                    "model (rebuild into a new path instead)"
+                )
+        else:
+            spark.createDataFrame(
+                [(int(dim), bool(bigrams))], "dim int, bigrams boolean"
+            ).coalesce(1).write.mode("overwrite").parquet(meta_path)
+        lab = (
+            batch_df.select(
+                F.col(id_col),
+                F.col(label_col).cast("boolean").alias("_pos"),
+            )
+            .filter(F.col("_pos").isNotNull() & F.col(id_col).isNotNull())
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # in-batch contradiction fails the batch loud (the batch
+        # trainer's rule): training on a contradictory seed has no
+        # right answer, and a sum-state cannot un-count later
+        n = lab.agg(
+            F.count("*").alias("_nlab"),
+            F.count_distinct(F.col(id_col)).alias("_nids"),
+        ).head()
+        if n._nlab != n._nids:
+            raise ValueError(
+                "monitor_nb_counts: a doc id in this batch carries "
+                "both labels — contradictory seed rows must be "
+                "resolved upstream"
+            )
+        feats = hashed_gram_features(
+            batch_df.join(lab.select(id_col), id_col),
+            id_col, text_col, dim, bigrams,
+        )
+        fl = feats.join(lab, id_col)
+        cells = fl.groupBy("bucket").agg(
+            F.sum(
+                F.when(F.col("_pos"), F.col("cnt")).otherwise(0)
+            ).cast("bigint").alias("pb"),
+            F.sum(
+                F.when(~F.col("_pos"), F.col("cnt")).otherwise(0)
+            ).cast("bigint").alias("nb"),
+        )
+        docs = lab.agg(
+            F.lit(-1).cast("int").alias("bucket"),
+            F.count_distinct(
+                F.when(F.col("_pos"), F.col(id_col))
+            ).cast("bigint").alias("pb"),
+            F.count_distinct(
+                F.when(~F.col("_pos"), F.col(id_col))
+            ).cast("bigint").alias("nb"),
+        )
+        return cells.unionByName(docs)
+
+    return _marker_guarded_sketch_monitor(
+        stream, state_path, id_col, _build,
+        ckpt_prefix="cs_nb_ckpt_",
+        checkpoint=checkpoint,
+        trigger_available_now=trigger_available_now,
+    )
+
+
+def nb_weights_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """Resolve a ``monitor_nb_counts`` state table to the
+    ``(bucket, weight, bias, dim)`` model artifact — bit-identical to
+    ``nb_logodds_weights`` over the same labeled documents delivered
+    in one batch (additive cells + exactly-once per-run delivery +
+    the shared ``_assemble_nb_weights`` arithmetic). Directly
+    consumable by ``linear_text_score``; geometry comes from the
+    state's own ``_meta`` (a caller cannot disagree with the build).
+    Fails loud in-plan if either class has no documents yet."""
+    from cassandrastack_spark.llm.classifier import _assemble_nb_weights
+
+    meta = spark.read.parquet(state_path + "/_meta").head()
+    dim = int(meta.dim)
+    rows = spark.read.parquet(state_path)
+    per_bucket = (
+        rows.filter(F.col("bucket") >= 0)
+        .groupBy("bucket")
+        .agg(F.sum("pb").alias("pb"), F.sum("nb").alias("nb"))
+    )
+    scal = rows.agg(
+        F.sum(F.when(F.col("bucket") == -1, F.col("pb"))).alias("n_pos"),
+        F.sum(F.when(F.col("bucket") == -1, F.col("nb"))).alias("n_neg"),
+        F.sum(F.when(F.col("bucket") >= 0, F.col("pb"))).alias("pt"),
+        F.sum(F.when(F.col("bucket") >= 0, F.col("nb"))).alias("nt"),
+    )
+    guard = (
+        F.col("n_pos").isNotNull() & (F.col("n_pos") > 0)
+        & F.col("n_neg").isNotNull() & (F.col("n_neg") > 0)
+    )
+    return _assemble_nb_weights(
+        per_bucket, scal, dim, guard,
+        "nb_weights_state: the accumulated stream has no documents of "
+        "one class yet — a one-class model scores everything "
+        "identically; keep streaming labeled seed (or check the "
+        "label column)",
+    )

@@ -7,14 +7,18 @@ er_fuzzy_components and register when a maintenance round or a
 retirement trade frees a slot. Staging depth is never capped, only
 registration is.)
 
-Staged here, the two halves of the streaming ER production loop
-(VERDICT r15 #6 and its cluster-level completion):
-``stream_fuzzy_ingest_dedup`` (the pair gate) and
-``stream_er_components`` (the transitive closure those pairs imply,
-maintained incrementally by streaming/ops.py monitor_components —
-batching-invariant by the min-root/label-preserving-contraction
-argument, so it gates against the SAME recursive-CTE oracle as the
-batch er_fuzzy_components).
+Staged here, the r16 novelty set — the streaming ER production loop
+(VERDICT r15 #6 and its cluster-level completion) plus the streaming
+quality-filter trainer: ``stream_fuzzy_ingest_dedup`` (the pair
+gate), ``stream_er_components`` (the transitive closure those pairs
+imply, maintained incrementally by streaming/ops.py
+monitor_components — batching-invariant by the min-root/
+label-preserving-contraction argument, so it gates against the SAME
+recursive-CTE oracle as the batch er_fuzzy_components), and
+``stream_nb_quality_score`` (monitor_nb_counts + nb_weights_state +
+linear_text_score — additive class counts under the marker guard
+resolve to a model bit-identical to the batch trainer's, so it gates
+against the SAME oracle as the staged corpus_quality_nb_score).
 
 ``stream_fuzzy_ingest_dedup`` — the streaming ER maintenance loop
 END-TO-END (streaming/ops.py ingest_with_fuzzy_dedup, VERDICT r15 #6):
@@ -43,14 +47,14 @@ serial-number names chains nearly everything, while within-nation
 neighborhoods reject a real-but-bounded subset — both accept and
 reject paths carry rows at both SFs.
 
-Both validated green at sf0.001 AND sf0.01 at staging time (this file
-runs the sf0.001 legs in-suite; the sf0.01 legs: ingest 1199 accepted
-of 1500 — 1200 seeded+odd-survivors vs 301 same-nation rejections —
-and components 989 nodes in 284 clusters of size 2-17, both
-hash-exact vs DuckDB; the components figures equal the batch
-er_fuzzy_components structure exactly, as the invariance argument
-demands). sf0.1 prices (local[32], measured at staging time): see
-BENCH_NOTES r16.
+All three validated green at sf0.001 AND sf0.01 at staging time (this
+file runs the sf0.001 legs in-suite; the sf0.01 legs: ingest 1199
+accepted of 1500 — 1200 seeded+odd-survivors vs 301 same-nation
+rejections — components 989 nodes in 284 clusters of size 2-17
+(equal to the batch er_fuzzy_components structure exactly, as the
+invariance argument demands), and nb scores for all 500 docs, each
+hash-exact vs DuckDB). sf0.1 prices (local[32], measured at staging
+time): see BENCH_NOTES r16.
 """
 
 import os
@@ -343,3 +347,119 @@ def test_stream_er_components_matches_staged_oracle(spark, duck):
     # work the pair set alone cannot express)
     assert got["component"].nunique() > 1
     assert got["cluster_size"].max() > 2
+
+
+_NBW_STATE_CACHE: dict = {}
+
+# bucket arithmetic shared with tests/test_r18_oracle_parity.py's
+# corpus_quality_nb_score (dim=256 keeps the weight table readable
+# while forcing real collisions)
+_NB_DIM = 256
+
+
+def stream_nb_quality_score_spark(spark, sf_dir):
+    """The exact plan that registers when a slot frees (lift verbatim,
+    cache dict alongside) — the streaming twin of
+    corpus_quality_nb_score: the labeled seed (src0/src1 positive vs
+    src8/src9 negative) streams through monitor_nb_counts in two
+    md5-split drops, nb_weights_state resolves the accumulated counts
+    to the model artifact, and linear_text_score scores EVERY
+    document. Additive cells + exactly-once per-run delivery + the
+    shared _assemble_nb_weights arithmetic make the streamed model
+    bit-identical to the batch-trained one, so this row gates against
+    the SAME oracle as its batch twin — that equality IS the row's
+    claim ('the filter retrained on a stream scores exactly like the
+    filter trained in batch')."""
+    import hashlib
+
+    from cassandrastack_spark.llm.classifier import linear_text_score
+    from cassandrastack_spark.streaming.ops import (
+        monitor_nb_counts,
+        nb_weights_state,
+    )
+
+    key = sf_dir
+    if key not in _NBW_STATE_CACHE:
+        root = tempfile.mkdtemp(prefix="cs_q_nbw_state_")
+        src_dir = os.path.join(root, "in")
+        os.makedirs(src_dir)
+        seed = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("source").isin("src0", "src1", "src8", "src9"))
+            .select(
+                "doc_id", "text",
+                F.col("source").isin("src0", "src1").alias("is_pos"),
+            )
+            .toPandas()
+        )
+        in_half = seed["doc_id"].map(
+            lambda i: hashlib.md5(str(i).encode()).hexdigest()[0] < "8"
+        )
+
+        def _drop(pdf, fname):
+            tbl = pa.Table.from_pandas(
+                pdf,
+                schema=pa.schema(
+                    [("doc_id", pa.int64()), ("text", pa.string()),
+                     ("is_pos", pa.bool_())]
+                ),
+                preserve_index=False,
+            )
+            pq.write_table(tbl, os.path.join(src_dir, fname))
+
+        def _run():
+            src = (
+                spark.readStream.schema(
+                    "doc_id long, text string, is_pos boolean"
+                )
+                .parquet(src_dir)
+            )
+            q = monitor_nb_counts(
+                src, os.path.join(root, "state"), dim=_NB_DIM,
+                checkpoint=os.path.join(root, "ckpt"),
+            )
+            if not q.awaitTermination(600):
+                q.stop()  # no zombie ingest skewing later timings
+                raise RuntimeError("nb ingest did not finish")
+
+        _drop(seed[in_half], "b1.parquet")
+        _run()
+        _drop(seed[~in_half], "b2.parquet")
+        _run()
+        _NBW_STATE_CACHE[key] = os.path.join(root, "state")
+    w = nb_weights_state(spark, _NBW_STATE_CACHE[key])
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        linear_text_score(d, w, "doc_id", "text")
+        .select(
+            "doc_id",
+            F.round("logit", 6).alias("logit"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def test_stream_nb_quality_score_matches_staged_oracle(spark, duck):
+    # the oracle is DELIBERATELY the batch twin's
+    # (tests/test_r18_oracle_parity.py CORPUS_QUALITY_NB_SCORE_ORACLE,
+    # imported rather than re-stated so the two cannot drift while
+    # both are staged; the registering round inlines it): the streamed
+    # trainer must land on the identical model
+    from test_r18_oracle_parity import CORPUS_QUALITY_NB_SCORE_ORACLE
+
+    duck.execute(
+        f"CREATE VIEW IF NOT EXISTS documents AS "
+        f"SELECT * FROM '{SF}/documents.parquet'"
+    )
+    got = stream_nb_quality_score_spark(spark, SF).toPandas()
+    want = duck.execute(CORPUS_QUALITY_NB_SCORE_ORACLE).df()
+    _compare(got, want)
+    # the streamed model separates its own seed, same as the batch twin
+    src = duck.execute(
+        "SELECT doc_id, source FROM documents"
+    ).df().set_index("doc_id")["source"]
+    g = got.set_index("doc_id")
+    pos = g.loc[src[src.isin(["src0", "src1"])].index, "score"].mean()
+    neg = g.loc[src[src.isin(["src8", "src9"])].index, "score"].mean()
+    assert pos > neg

@@ -2400,3 +2400,102 @@ def test_compact_components_state(spark, tmp_path):
     # idempotent: compacting a single-file table is a no-op
     compact_components_state(spark, str(tmp_path / "state"))
     assert state() == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0}
+
+
+def test_stream_nb_counts_equal_batch_trainer(spark, tmp_path):
+    """monitor_nb_counts + nb_weights_state: the streamed class counts
+    resolve to a weight table bit-identical to nb_logodds_weights over
+    the same labeled docs delivered in one batch — whatever the batch
+    split — and a same-checkpoint rerun replays nothing (the marker
+    guards the non-idempotent sums). Geometry drift against existing
+    state fails loud."""
+    from pyspark.sql.types import (
+        BooleanType, LongType, StringType, StructField, StructType,
+    )
+
+    from cassandrastack_spark.llm.classifier import (
+        hashed_gram_features,
+        nb_logodds_weights,
+    )
+    from cassandrastack_spark.streaming.ops import (
+        monitor_nb_counts,
+        nb_weights_state,
+    )
+
+    docs = [
+        (0, "the quick brown fox", True),
+        (1, "the quick quick dog", True),
+        (2, "lorem ipsum dolor sit amet", False),
+        (3, "buy cheap pills now now now", False),
+        (4, "the brown dog sits", True),
+        (5, "cheap cheap pills", False),
+        (6, None, True),          # null text: featurizes to nothing
+        (None, "dropped row", False),  # null id: dropped
+    ]
+    dim = 64
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("is_pos", BooleanType()),
+    ])
+    d = tmp_path / "seed_in"
+    d.mkdir()
+
+    def write(name, rows):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text", "is_pos"])
+        tbl = pa.Table.from_pandas(
+            pdf,
+            schema=pa.schema(
+                [("doc_id", pa.int64()), ("text", pa.string()),
+                 ("is_pos", pa.bool_())]
+            ),
+            preserve_index=False,
+        )
+        pq.write_table(tbl, str(d / name))
+
+    def run(dim_=dim):
+        src = spark.readStream.schema(schema).parquet(str(d))
+        q = monitor_nb_counts(
+            src, str(tmp_path / "state"), dim=dim_,
+            checkpoint=str(tmp_path / "ckpt"),
+        )
+        if not q.awaitTermination(120):
+            q.stop()
+            raise RuntimeError("nb ingest did not finish")
+
+    write("b1.parquet", docs[:3])
+    run()
+    write("b2.parquet", docs[3:])
+    run()
+
+    got = {
+        r.bucket: (r.weight, r.bias, r.dim)
+        for r in nb_weights_state(spark, str(tmp_path / "state")).collect()
+    }
+    batch = spark.createDataFrame(
+        [(i, t) for i, t, _ in docs if i is not None],
+        "doc_id long, text string",
+    )
+    labels = spark.createDataFrame(
+        [(i, l) for i, t, l in docs if i is not None],
+        "doc_id long, is_pos boolean",
+    )
+    feats = hashed_gram_features(batch, "doc_id", "text", dim)
+    want = {
+        r.bucket: (r.weight, r.bias, r.dim)
+        for r in nb_logodds_weights(
+            feats, labels, "doc_id", "is_pos", dim
+        ).collect()
+    }
+    assert got == want
+
+    # same-checkpoint rerun: replays nothing, counts unchanged
+    n_rows = spark.read.parquet(str(tmp_path / "state")).count()
+    run()
+    assert spark.read.parquet(str(tmp_path / "state")).count() == n_rows
+
+    # geometry drift against existing state fails loud
+    write("b3.parquet", [(10, "late doc", True)])
+    with pytest.raises(Exception, match="dim"):
+        run(dim_=32)

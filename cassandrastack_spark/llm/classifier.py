@@ -238,15 +238,25 @@ def linear_text_score(
     sigmoid. ``weights`` is a ``nb_logodds_weights``-shaped frame
     (bucket, weight, bias, dim — dim read from the model so featurize
     and train can never disagree on the bucket space; mixed dims in
-    one table fail loud in-plan). A document with no grams (empty
-    text) scores at bias alone. The weight table broadcasts; the dot
+    one table fail loud in-plan). If the artifact carries a
+    ``bigrams`` column (``nb_weights_state`` artifacts do), the gram
+    space is ALSO read from the model and overrides the ``bigrams``
+    argument — a unigram-trained model can never be silently scored
+    in bigram space (review r16); mixed values fail loud like mixed
+    dims. A document with no grams (empty text) scores at bias alone. The weight table broadcasts; the dot
     product is one decimal-summed aggregation per document.
     """
+    has_geometry = "bigrams" in weights.columns
     scal = weights.agg(
         F.when(
             F.assert_true(
                 (F.count_distinct("dim") <= 1)
                 & (F.count_distinct("bias") <= 1)
+                & (
+                    (F.count_distinct("bigrams") <= 1)
+                    if has_geometry
+                    else F.lit(True)
+                )
                 # duplicated bucket rows of the SAME model (e.g. a
                 # self-unioned weight table) pass the dim/bias check
                 # but silently double every weight in the dot product
@@ -254,19 +264,25 @@ def linear_text_score(
                 # row per bucket
                 & (F.count("*") == F.count_distinct("bucket")),
                 "linear_text_score: malformed weight table — mixed "
-                "dim/bias (hand-unioned models?) or duplicated bucket "
-                "rows (self-unioned artifact?); retrain or split",
+                "dim/bias/bigrams (hand-unioned models?) or duplicated "
+                "bucket rows (self-unioned artifact?); retrain or "
+                "split",
             ).isNull(),
             F.max("dim"),
         ).alias("dim"),
         F.max("bias").alias("bias"),
+        (
+            F.max("bigrams") if has_geometry else F.lit(None)
+        ).alias("bigrams"),
     )
-    dim, bias = scal.first()
+    dim, bias, model_bigrams = scal.first()
     if dim is None:
         raise ValueError(
             "linear_text_score: empty weight table — the model "
             "artifact has no rows (mis-pathed read? filtered away?)"
         )
+    if model_bigrams is not None:
+        bigrams = bool(model_bigrams)
     feats = hashed_gram_features(df, id_col, text_col, int(dim), bigrams)
     dot = (
         feats.join(F.broadcast(weights.select("bucket", "weight")), "bucket")

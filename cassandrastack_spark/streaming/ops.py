@@ -1303,14 +1303,17 @@ def monitor_components(
     return writer.start()
 
 
-def _resolve_components(rows: DataFrame) -> DataFrame:
-    """Newest-epoch row per node — shared by the per-batch sink (which
-    already holds the state read) and ``components_state``."""
+def _resolve_components(rows: DataFrame, keep_epoch: bool = False) -> DataFrame:
+    """Newest-epoch row per node — ONE copy of the resolution window,
+    shared by the per-batch sink (which already holds the state read),
+    ``components_state``, and the compactor (which keeps the epoch
+    column so stamps survive compaction)."""
     w = Window.partitionBy("node").orderBy(F.desc("epoch"), "comp")
+    cols = ["node", "comp"] + (["epoch"] if keep_epoch else [])
     return (
         rows.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select("node", "comp")
+        .select(*cols)
     )
 
 
@@ -1322,13 +1325,20 @@ def compact_components_state(spark: SparkSession, state_path: str) -> None:
     epochs are PRESERVED, not renumbered — the compacted row carries
     its original epoch, so the monitor's max-epoch read and any
     interleaved resolution see exactly the values they would have seen
-    uncompacted. Safe at every interleaving: a concurrent batch append
-    survives outside the snapshot and is strictly newer; a reader mid-
-    compaction sees (old ∪ merged) whose per-node newest rows are
+    uncompacted. CONTENT-safe at every interleaving: a concurrent
+    batch append survives outside the snapshot and is strictly newer;
+    a reader whose file listing lands inside the append-to-delete
+    window sees (old ∪ merged) whose per-node newest rows are
     byte-identical duplicates; a crash between append and delete
     leaves a correct, merely-uncompacted table. (The additive manifest
     protocol is for sum-merged states — last-writer resolution, like
-    min-k, tolerates duplicates.)
+    min-k, tolerates duplicates.) FILE-listing races are another
+    matter (review r16): a reader that listed the snapshot BEFORE the
+    delete and scans after it fails with missing-file errors — and
+    unlike the sample twins, this monitor's own sink reads the state
+    every batch. Run compaction in the monitor's idle window, the
+    single-writer maintenance discipline every compactor in this
+    engine assumes.
     """
     from pyspark.errors import AnalysisException
 
@@ -1340,19 +1350,12 @@ def compact_components_state(spark: SparkSession, state_path: str) -> None:
     if len(snapshot) <= 1:
         return  # nothing to compact
     snap = spark.read.option("basePath", state_path).parquet(*snapshot)
-    w = Window.partitionBy("node").orderBy(F.desc("epoch"), "comp")
     merged = (
-        snap.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("node", "comp", "epoch")
+        _resolve_components(snap, keep_epoch=True)
         .localCheckpoint(eager=True)  # materialize BEFORE any delete
     )
     merged.coalesce(1).write.mode("append").parquet(state_path)
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    for f in snapshot:
-        fpath = jvm.org.apache.hadoop.fs.Path(f)
-        fpath.getFileSystem(hconf).delete(fpath, False)
+    _delete_snapshot_files(spark, snapshot)
 
 
 def components_state(spark: SparkSession, state_path: str) -> DataFrame:
@@ -1508,6 +1511,7 @@ def _marker_guarded_sketch_monitor(
     checkpoint: str | None,
     trigger_available_now: bool,
     partition_by: tuple[str, ...] = (),
+    pass_batch_id: bool = False,
 ):
     """The shared sink shape of the sketch monitors
     (``monitor_distinct_count`` / ``monitor_hot_keys`` /
@@ -1531,7 +1535,11 @@ def _marker_guarded_sketch_monitor(
         if batch_df.filter(F.col(notnull_col).isNotNull()).isEmpty():
             _fs_mkdirs(spark, marker)
             return
-        out = build_fn(batch_df).coalesce(1).write.mode("append")
+        built = (
+            build_fn(batch_df, batch_id) if pass_batch_id
+            else build_fn(batch_df)
+        )
+        out = built.coalesce(1).write.mode("append")
         if partition_by:
             out = out.partitionBy(*partition_by)
         out.parquet(state_path)
@@ -2360,6 +2368,17 @@ def _check_sample_state_k(
         )
 
 
+def _delete_snapshot_files(spark: SparkSession, files) -> None:
+    """The shared snapshot-delete tail of the append-then-delete
+    compactors — one copy of the FS loop, so a hardening (retry,
+    trash, listing fence) lands everywhere at once (review r16)."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for f in files:
+        fpath = jvm.org.apache.hadoop.fs.Path(f)
+        fpath.getFileSystem(hconf).delete(fpath, False)
+
+
 def _compact_sample_state(
     spark: SparkSession,
     state_path: str,
@@ -2402,11 +2421,7 @@ def _compact_sample_state(
     merged.coalesce(1).write.mode("append").partitionBy("k").parquet(
         state_path
     )
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    for f in snapshot:
-        fpath = jvm.org.apache.hadoop.fs.Path(f)
-        fpath.getFileSystem(hconf).delete(fpath, False)
+    _delete_snapshot_files(spark, snapshot)
 
 
 def compact_value_sample_state(spark: SparkSession, state_path: str) -> None:
@@ -2555,25 +2570,39 @@ def monitor_nb_counts(
     since unlike HLL max a sum is NOT idempotent.
 
     Label hygiene is at-batch granularity: NULL-id/NULL-label rows
-    are dropped, verbatim-repeated in-batch label rows collapse, and
-    an in-batch doc id carrying both labels fails the batch loud
-    in-plan (the batch trainer's contract). ACROSS batches the stream
-    must deliver each doc id at most once — exactly what an upstream
-    ``ingest_with_dedup`` gate guarantees; a doc re-ingested in a
-    later batch double-counts (dedup upstream, or rebuild from the
-    corpus). Model geometry (dim, bigrams) is recorded under
-    ``state_path/_meta`` on the first batch, so the resolution and
-    any later monitor run cannot silently disagree; a monitor started
-    with different geometry against existing state fails loud.
+    are dropped, verbatim-repeated in-batch rows collapse (labels AND
+    (id, text) document rows — a seed row arriving twice in one drop
+    counts once in grams and in doc counts alike), and an in-batch
+    doc id carrying both labels OR two different texts fails the
+    batch loud (contradictory evidence; a sum-state cannot un-count
+    later). ACROSS batches the stream must deliver each doc id at
+    most once — exactly what an upstream ``ingest_with_dedup`` gate
+    guarantees; a doc re-ingested in a later batch double-counts
+    (dedup upstream, or rebuild from the corpus). Model geometry
+    (dim, bigrams) is recorded under ``state_path/_meta`` on the
+    first batch, so the resolution and any later monitor run cannot
+    silently disagree; a monitor started with different geometry
+    against existing state fails loud (validated once per run — the
+    single-writer rule means it cannot drift mid-run).
+
+    Each state row carries its ``batch_id`` and the resolution
+    collapses duplicate (batch_id, bucket) cells, so the
+    append→marker crash window (a batch whose cells committed but
+    whose marker did not, replayed on restart) re-lands byte-identical
+    rows that dedup away instead of double-counting — the
+    ``monitor_embedding_moments`` pattern; both halves of
+    at-least-once are closed, which is what licenses the
+    bit-identical-to-batch claim.
     """
     from cassandrastack_spark.llm.classifier import hashed_gram_features
 
-    checkpoint = checkpoint or tempfile.mkdtemp(prefix="cs_nb_ckpt_")
     spark = stream.sparkSession
+    validated = False
 
-    def _build(batch_df: DataFrame) -> DataFrame:
+    def _build(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        nonlocal validated
         meta_path = state_path + "/_meta"
-        if _fs_exists(spark, meta_path):
+        if not validated and _fs_exists(spark, meta_path):
             meta = spark.read.parquet(meta_path).head()
             if int(meta.dim) != int(dim) or bool(meta.bigrams) != bool(
                 bigrams
@@ -2585,10 +2614,7 @@ def monitor_nb_counts(
                     "mixed-geometry counts would silently corrupt the "
                     "model (rebuild into a new path instead)"
                 )
-        else:
-            spark.createDataFrame(
-                [(int(dim), bool(bigrams))], "dim int, bigrams boolean"
-            ).coalesce(1).write.mode("overwrite").parquet(meta_path)
+        validated = True
         lab = (
             batch_df.select(
                 F.col(id_col),
@@ -2598,9 +2624,16 @@ def monitor_nb_counts(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        # in-batch contradiction fails the batch loud (the batch
-        # trainer's rule): training on a contradictory seed has no
-        # right answer, and a sum-state cannot un-count later
+        # verbatim-repeated document rows collapse; an id with two
+        # DIFFERENT texts is contradictory evidence — featurizing the
+        # raw batch would double its grams while the doc count stays
+        # one (review r16, the ADVICE r15 double-count class)
+        docs_txt = (
+            batch_df.select(F.col(id_col), F.col(text_col))
+            .distinct()
+            .join(lab.select(id_col), id_col)
+            .localCheckpoint(eager=True)
+        )
         n = lab.agg(
             F.count("*").alias("_nlab"),
             F.count_distinct(F.col(id_col)).alias("_nids"),
@@ -2611,10 +2644,23 @@ def monitor_nb_counts(
                 "both labels — contradictory seed rows must be "
                 "resolved upstream"
             )
-        feats = hashed_gram_features(
-            batch_df.join(lab.select(id_col), id_col),
-            id_col, text_col, dim, bigrams,
-        )
+        nd = docs_txt.agg(
+            F.count("*").alias("_nrows"),
+            F.count_distinct(F.col(id_col)).alias("_nids"),
+        ).head()
+        if nd._nrows != nd._nids:
+            raise ValueError(
+                "monitor_nb_counts: a doc id in this batch carries two "
+                "different texts — contradictory seed rows must be "
+                "resolved upstream"
+            )
+        # first batch: record geometry AFTER the hygiene checks, so a
+        # rejected first batch leaves no meta-only state dir
+        if not _fs_exists(spark, meta_path):
+            spark.createDataFrame(
+                [(int(dim), bool(bigrams))], "dim int, bigrams boolean"
+            ).coalesce(1).write.mode("overwrite").parquet(meta_path)
+        feats = hashed_gram_features(docs_txt, id_col, text_col, dim, bigrams)
         fl = feats.join(lab, id_col)
         cells = fl.groupBy("bucket").agg(
             F.sum(
@@ -2633,36 +2679,61 @@ def monitor_nb_counts(
                 F.when(~F.col("_pos"), F.col(id_col))
             ).cast("bigint").alias("nb"),
         )
-        return cells.unionByName(docs)
+        return cells.unionByName(docs).withColumn(
+            "batch_id", F.lit(int(batch_id)).cast("long")
+        )
 
     return _marker_guarded_sketch_monitor(
         stream, state_path, id_col, _build,
         ckpt_prefix="cs_nb_ckpt_",
         checkpoint=checkpoint,
         trigger_available_now=trigger_available_now,
+        pass_batch_id=True,
     )
 
 
 def nb_weights_state(spark: SparkSession, state_path: str) -> DataFrame:
     """Resolve a ``monitor_nb_counts`` state table to the
-    ``(bucket, weight, bias, dim)`` model artifact — bit-identical to
-    ``nb_logodds_weights`` over the same labeled documents delivered
-    in one batch (additive cells + exactly-once per-run delivery +
-    the shared ``_assemble_nb_weights`` arithmetic). Directly
-    consumable by ``linear_text_score``; geometry comes from the
-    state's own ``_meta`` (a caller cannot disagree with the build).
-    Fails loud in-plan if either class has no documents yet."""
+    ``(bucket, weight, bias, dim, bigrams)`` model artifact —
+    bit-identical to ``nb_logodds_weights`` over the same labeled
+    documents delivered in one batch (additive cells + the batch_id
+    dedup closing the append→marker replay window + the shared
+    ``_assemble_nb_weights`` arithmetic). Directly consumable by
+    ``linear_text_score``, which reads BOTH geometry columns from the
+    artifact (the gram space the model was trained in travels with
+    it — a bigrams=False model can never be silently scored in bigram
+    space, review r16). Fails loud with the real cause if the state
+    holds no count rows yet, and loud in-plan if either class has no
+    documents yet."""
+    from pyspark.errors import AnalysisException
+
     from cassandrastack_spark.llm.classifier import _assemble_nb_weights
 
     meta = spark.read.parquet(state_path + "/_meta").head()
     dim = int(meta.dim)
-    rows = spark.read.parquet(state_path)
+    try:
+        rows = spark.read.option("pathGlobFilter", "*.parquet").parquet(
+            state_path
+        )
+        rows.schema  # force schema inference now, inside the try
+    except AnalysisException as e:
+        raise ValueError(
+            f"nb_weights_state: {state_path} holds geometry metadata "
+            "but no count rows — every batch so far was empty or "
+            "failed its hygiene checks before appending; keep "
+            "streaming labeled seed"
+        ) from e
+    # duplicate (batch_id, bucket) cells — the append→marker crash
+    # window's byte-identical replay rows — collapse before the sum
+    dedup = rows.groupBy("batch_id", "bucket").agg(
+        F.max("pb").alias("pb"), F.max("nb").alias("nb")
+    )
     per_bucket = (
-        rows.filter(F.col("bucket") >= 0)
+        dedup.filter(F.col("bucket") >= 0)
         .groupBy("bucket")
         .agg(F.sum("pb").alias("pb"), F.sum("nb").alias("nb"))
     )
-    scal = rows.agg(
+    scal = dedup.agg(
         F.sum(F.when(F.col("bucket") == -1, F.col("pb"))).alias("n_pos"),
         F.sum(F.when(F.col("bucket") == -1, F.col("nb"))).alias("n_neg"),
         F.sum(F.when(F.col("bucket") >= 0, F.col("pb"))).alias("pt"),
@@ -2678,4 +2749,4 @@ def nb_weights_state(spark: SparkSession, state_path: str) -> DataFrame:
         "one class yet — a one-class model scores everything "
         "identically; keep streaming labeled seed (or check the "
         "label column)",
-    )
+    ).withColumn("bigrams", F.lit(bool(meta.bigrams)))

@@ -2499,3 +2499,99 @@ def test_stream_nb_counts_equal_batch_trainer(spark, tmp_path):
     write("b3.parquet", [(10, "late doc", True)])
     with pytest.raises(Exception, match="dim"):
         run(dim_=32)
+
+
+def test_stream_nb_crash_window_dedup_and_geometry(spark, tmp_path):
+    """Review r16 hardening, pinned: (a) a batch whose cells committed
+    but whose marker did not re-appends byte-identical rows on replay
+    — the batch_id dedup at resolution makes the weights unchanged;
+    (b) the artifact carries its gram space: a unigram-trained model
+    scored through linear_text_score with the default bigrams=True
+    still scores in unigram space (bit-equal to the batch unigram
+    path)."""
+    from pyspark.sql.types import (
+        BooleanType, LongType, StringType, StructField, StructType,
+    )
+
+    from cassandrastack_spark.llm.classifier import (
+        hashed_gram_features,
+        linear_text_score,
+        nb_logodds_weights,
+    )
+    from cassandrastack_spark.streaming.ops import (
+        monitor_nb_counts,
+        nb_weights_state,
+    )
+
+    docs = [
+        (0, "alpha beta gamma", True),
+        (1, "alpha alpha delta", True),
+        (2, "spam spam offer", False),
+        (3, "offer pills spam", False),
+    ]
+    dim = 32
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("is_pos", BooleanType()),
+    ])
+    d = tmp_path / "seed_in"
+    d.mkdir()
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text", "is_pos"])
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        str(d / "b1.parquet"),
+    )
+    src = spark.readStream.schema(schema).parquet(str(d))
+    q = monitor_nb_counts(
+        src, str(tmp_path / "state"), dim=dim, bigrams=False,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise RuntimeError("nb ingest did not finish")
+
+    w_stream = nb_weights_state(spark, str(tmp_path / "state"))
+    before = {r.bucket: (r.weight, r.bias) for r in w_stream.collect()}
+
+    # (a) simulate the append→marker crash replay: re-append batch 0's
+    # byte-identical cell rows; the (batch_id, bucket) dedup must make
+    # resolution invariant
+    state = spark.read.parquet(str(tmp_path / "state"))
+    state.filter(F.col("batch_id") == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(tmp_path / "state"))
+    after = {
+        r.bucket: (r.weight, r.bias)
+        for r in nb_weights_state(spark, str(tmp_path / "state")).collect()
+    }
+    assert after == before
+
+    # (b) geometry override: scoring with the default bigrams=True
+    # must still featurize in the model's unigram space
+    batch = spark.createDataFrame(
+        [(i, t) for i, t, _ in docs], "doc_id long, text string"
+    )
+    labels = spark.createDataFrame(
+        [(i, l) for i, t, l in docs], "doc_id long, is_pos boolean"
+    )
+    feats_uni = hashed_gram_features(
+        batch, "doc_id", "text", dim, bigrams=False
+    )
+    w_batch = nb_logodds_weights(feats_uni, labels, "doc_id", "is_pos", dim)
+    want = {
+        r.doc_id: (r.logit, r.score)
+        for r in linear_text_score(
+            batch, w_batch, "doc_id", "text", bigrams=False
+        ).collect()
+    }
+    got = {
+        r.doc_id: (r.logit, r.score)
+        for r in linear_text_score(
+            batch,
+            nb_weights_state(spark, str(tmp_path / "state")),
+            "doc_id",
+            "text",  # bigrams defaults True — the artifact overrides
+        ).collect()
+    }
+    assert got == want

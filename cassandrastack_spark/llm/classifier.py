@@ -305,3 +305,105 @@ def linear_text_score(
             (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias(out_col),
         )
     )
+
+
+def pr_curve(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Precision-recall table over a labeled, scored frame — the
+    threshold-selection step between training a quality filter and
+    running it corpus-wide ("keep documents scoring >= t; which t
+    hits the precision the downstream mix needs?"). One row per
+    DISTINCT score value: ``(threshold double, tp bigint, fp bigint,
+    fn bigint, precision double, recall double, f1 double)`` where
+    tp/fp count labeled rows scoring >= threshold and fn the
+    positives below it. NULL scores and NULL labels are dropped
+    (unlabeled rows carry no curve evidence); ties share one row by
+    construction.
+
+    Scale shape: one groupBy collapses the labeled frame to its
+    distinct scores (bounded by the score space, not the corpus) and
+    one cumulative window over that collapsed frame walks the curve —
+    the window runs over distinct-score rows only, never the corpus.
+    The cumulative walk is a single-partition window BY DESIGN (a
+    cumulative curve is a global order); with near-unique continuous
+    scores, round or bucket the score column first so the distinct
+    score space stays window-sized — the labeled seed a threshold is
+    tuned on is sample-sized anyway, never the corpus.
+    Determinism: tp/fp/fn are integers; precision/recall/f1 are
+    single IEEE divisions of integers (exact, no rounding needed) —
+    the integer-ratio oracle rule.
+    """
+    from pyspark.sql import Window
+
+    base = (
+        scored.select(
+            F.col(score_col).cast("double").alias("_s"),
+            F.col(label_col).cast("boolean").alias("_pos"),
+        )
+        .filter(
+            F.col("_s").isNotNull()
+            & ~F.isnan("_s")
+            & F.col("_pos").isNotNull()
+        )
+    )
+    per_score = base.groupBy("_s").agg(
+        F.sum(F.when(F.col("_pos"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("_p"),
+        F.sum(F.when(~F.col("_pos"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("_n"),
+    )
+    w = Window.orderBy(F.desc("_s")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = per_score.agg(F.sum("_p").alias("_tp_all"))
+    return (
+        per_score.withColumn("tp", F.sum("_p").over(w).cast("bigint"))
+        .withColumn("fp", F.sum("_n").over(w).cast("bigint"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("_s").alias("threshold"),
+            "tp",
+            "fp",
+            (F.col("_tp_all") - F.col("tp")).cast("bigint").alias("fn"),
+            (
+                F.col("tp") / (F.col("tp") + F.col("fp"))
+            ).alias("precision"),
+            (F.col("tp") / F.col("_tp_all")).alias("recall"),
+            (
+                2.0 * F.col("tp")
+                / (2.0 * F.col("tp") + F.col("fp")
+                   + (F.col("_tp_all") - F.col("tp")))
+            ).alias("f1"),
+        )
+        .orderBy(F.desc("threshold"))
+    )
+
+
+def threshold_for_precision(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    target_precision: float,
+) -> DataFrame:
+    """The operating point: the LOWEST threshold (maximum recall)
+    whose precision on the labeled frame is still >= the target — one
+    row of ``pr_curve``'s schema, or zero rows if no threshold
+    reaches the target (the caller decides between relabeling and
+    lowering the bar; inventing a row would hide the miss). Built on
+    ``pr_curve``, so the two can never disagree on the arithmetic.
+    """
+    if not (0.0 < float(target_precision) <= 1.0):
+        raise ValueError(
+            f"target_precision must be in (0, 1], got {target_precision}"
+        )
+    curve = pr_curve(scored, score_col, label_col)
+    return (
+        curve.filter(F.col("precision") >= float(target_precision))
+        .orderBy("threshold")
+        .limit(1)
+    )

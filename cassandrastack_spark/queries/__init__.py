@@ -171,10 +171,11 @@ def hll_estimator_sql(ne: str, hs: str) -> str:
 #   owed to the 50-row r16 cohort; no slot exists). Its oracle stays
 #   validated in tests/test_r19_oracle_parity.py; registration falls
 #   to a future maintenance round or a retirement trade.
-# - The three r16-staged novelty rows (stream_fuzzy_ingest_dedup,
-#   stream_er_components, stream_nb_quality_score — the streaming ER
-#   loop's pair gate, its transitive closure, and the streaming
-#   quality-filter trainer, tests/test_r20_oracle_parity.py, all
+# - The four r16-staged novelty rows (stream_fuzzy_ingest_dedup,
+#   stream_er_components, stream_nb_quality_score,
+#   classifier_pr_curve — the streaming ER loop's pair gate, its
+#   transitive closure, the streaming quality-filter trainer, and the
+#   threshold-selection step, tests/test_r20_oracle_parity.py, all
 #   bit-exact at 2 SFs) join the queue BEHIND er_fuzzy_components
 #   under the same rule: staging depth is never capped, only
 #   registration is.

@@ -273,3 +273,53 @@ def test_null_id_label_rows_are_ignored(spark, frames):
         ).collect()
     }
     assert got == clean
+
+
+def test_pr_curve_matches_python_model(spark):
+    """pr_curve / threshold_for_precision against a hand-rolled python
+    sweep: per-distinct-threshold tp/fp/fn and the exact integer-ratio
+    precision/recall/f1; ties share a row; NULL scores/labels drop;
+    the operating point is the lowest threshold meeting the target,
+    and an unreachable target returns zero rows."""
+    from cassandrastack_spark.llm.classifier import (
+        pr_curve,
+        threshold_for_precision,
+    )
+
+    # the TOP score is a false positive, so precision never reaches
+    # 1.0 and the unreachable-target branch is genuinely unreachable
+    rows = [
+        (0.95, False),
+        (0.9, True), (0.8, True), (0.8, False), (0.7, True),
+        (0.6, False), (0.5, True), (0.5, False), (0.4, False),
+        (0.3, True), (None, True), (0.2, None),
+    ]
+    df = spark.createDataFrame(rows, "score double, is_pos boolean")
+    got = {
+        r.threshold: (r.tp, r.fp, r.fn, r.precision, r.recall, r.f1)
+        for r in pr_curve(df, "score", "is_pos").collect()
+    }
+
+    lab = [(s, p) for s, p in rows if s is not None and p is not None]
+    tp_all = sum(1 for _, p in lab if p)
+    want = {}
+    for t in sorted({s for s, _ in lab}, reverse=True):
+        tp = sum(1 for s, p in lab if s >= t and p)
+        fp = sum(1 for s, p in lab if s >= t and not p)
+        fn = tp_all - tp
+        want[t] = (
+            tp, fp, fn, tp / (tp + fp), tp / tp_all,
+            2 * tp / (2 * tp + fp + fn),
+        )
+    assert got == want
+
+    # operating point: lowest threshold with precision >= 0.6
+    op = threshold_for_precision(df, "score", "is_pos", 0.6).collect()
+    want_t = min(t for t, v in want.items() if v[3] >= 0.6)
+    assert len(op) == 1 and op[0].threshold == want_t
+    # unreachable target: zero rows, not an invented operating point
+    assert threshold_for_precision(
+        df, "score", "is_pos", 0.999
+    ).count() == 0
+    with pytest.raises(ValueError, match="target_precision"):
+        threshold_for_precision(df, "score", "is_pos", 0.0)

@@ -8,17 +8,22 @@ retirement trade frees a slot. Staging depth is never capped, only
 registration is.)
 
 Staged here, the r16 novelty set — the streaming ER production loop
-(VERDICT r15 #6 and its cluster-level completion) plus the streaming
-quality-filter trainer: ``stream_fuzzy_ingest_dedup`` (the pair
-gate), ``stream_er_components`` (the transitive closure those pairs
-imply, maintained incrementally by streaming/ops.py
-monitor_components — batching-invariant by the min-root/
-label-preserving-contraction argument, so it gates against the SAME
-recursive-CTE oracle as the batch er_fuzzy_components), and
-``stream_nb_quality_score`` (monitor_nb_counts + nb_weights_state +
-linear_text_score — additive class counts under the marker guard
-resolve to a model bit-identical to the batch trainer's, so it gates
-against the SAME oracle as the staged corpus_quality_nb_score).
+(VERDICT r15 #6 and its cluster-level completion), the streaming
+quality-filter trainer, and the threshold-selection row:
+``stream_fuzzy_ingest_dedup`` (the pair gate),
+``stream_er_components`` (the transitive closure those pairs imply,
+maintained incrementally by streaming/ops.py monitor_components —
+batching-invariant by the min-root/label-preserving-contraction
+argument, so it gates against the SAME recursive-CTE oracle as the
+batch er_fuzzy_components), ``stream_nb_quality_score``
+(monitor_nb_counts + nb_weights_state + linear_text_score — additive
+class counts under the marker guard resolve to a model bit-identical
+to the batch trainer's, so it gates against the SAME oracle as the
+staged corpus_quality_nb_score), and ``classifier_pr_curve``
+(llm/classifier.py pr_curve — the step between training a filter and
+running it corpus-wide: which threshold hits the target precision;
+integer counts + single IEEE divisions, the integer-ratio oracle
+rule).
 
 ``stream_fuzzy_ingest_dedup`` — the streaming ER maintenance loop
 END-TO-END (streaming/ops.py ingest_with_fuzzy_dedup, VERDICT r15 #6):
@@ -47,14 +52,16 @@ serial-number names chains nearly everything, while within-nation
 neighborhoods reject a real-but-bounded subset — both accept and
 reject paths carry rows at both SFs.
 
-All three validated green at sf0.001 AND sf0.01 at staging time (this
+All four validated green at sf0.001 AND sf0.01 at staging time (this
 file runs the sf0.001 legs in-suite; the sf0.01 legs: ingest 1199
 accepted of 1500 — 1200 seeded+odd-survivors vs 301 same-nation
 rejections — components 989 nodes in 284 clusters of size 2-17
 (equal to the batch er_fuzzy_components structure exactly, as the
-invariance argument demands), and nb scores for all 500 docs, each
-hash-exact vs DuckDB). sf0.1 prices (local[32], measured at staging
-time): see BENCH_NOTES r16.
+invariance argument demands), nb scores for all 500 docs, and a
+100-row PR curve, each hash-exact vs DuckDB). sf0.1 prices
+(local[32], measured at staging time): see BENCH_NOTES r16
+(classifier_pr_curve: 1.7 s min-of-2 — one tokenize + one
+distinct-score window).
 """
 
 import os
@@ -463,3 +470,92 @@ def test_stream_nb_quality_score_matches_staged_oracle(spark, duck):
     pos = g.loc[src[src.isin(["src0", "src1"])].index, "score"].mean()
     neg = g.loc[src[src.isin(["src8", "src9"])].index, "score"].mean()
     assert pos > neg
+
+
+def classifier_pr_curve_spark(spark, sf_dir):
+    """The exact plan that registers when a slot frees (lift verbatim)
+    — the threshold-selection step of the quality-filter workflow as a
+    registered row: score every seed document with the surface quality
+    model (functions/text.py quality_score_linear, 6-decimal rounded
+    so the distinct-score space is the curve's row count), label by
+    source (src0/src1 positive vs src8/src9 negative — the established
+    seed split), and walk the precision-recall curve with
+    llm/classifier.py pr_curve. Bit-exact: tp/fp/fn are integers,
+    precision/recall/f1 single IEEE divisions of integers (the
+    integer-ratio oracle rule), thresholds are the rounded scores
+    themselves."""
+    from cassandrastack_spark.functions.text import quality_score_linear
+    from cassandrastack_spark.llm.classifier import pr_curve
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    labeled = d.filter(
+        F.col("source").isin("src0", "src1", "src8", "src9")
+    ).select(
+        F.round(quality_score_linear("text"), 6).alias("score"),
+        F.col("source").isin("src0", "src1").alias("is_pos"),
+    )
+    return pr_curve(labeled, "score", "is_pos")
+
+
+# the score CTE is the corpus_score_drift_psi oracle's (the one
+# registered quality_score_linear reconstruction, green since r15);
+# the curve walk is one cumulative window over distinct scores
+CLASSIFIER_PR_CURVE_ORACLE = """
+    WITH m AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             (LENGTH(text) - (len(string_split(text, ' ')) - 1))
+                 / len(string_split(text, ' ')) AS awl,
+             len(list_filter(string_split(text, ' '),
+                             w -> w IN ('the', 'a', 'of', 'and')))
+                 / len(string_split(text, ' ')) AS sr
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             ROUND(1.0 / (1.0 + EXP(-(-2.0 + 0.8 * LN(1.0 + n_tokens)
+                                      - 0.15 * awl + 6.0 * sr))),
+                   6) AS score
+      FROM m),
+    lab AS (
+      SELECT s.score, d.source IN ('src0', 'src1') AS pos
+      FROM s JOIN documents d USING (doc_id)
+      WHERE d.source IN ('src0', 'src1', 'src8', 'src9')),
+    ps AS (
+      SELECT score,
+             SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS p,
+             SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS n
+      FROM lab GROUP BY score),
+    c AS (
+      SELECT score AS threshold,
+             CAST(SUM(p) OVER (ORDER BY score DESC
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+             CAST(SUM(n) OVER (ORDER BY score DESC
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp,
+             CAST((SELECT SUM(p) FROM ps) AS BIGINT) AS tp_all
+      FROM ps)
+    SELECT threshold, tp, fp,
+           CAST(tp_all - tp AS BIGINT) AS fn,
+           tp / (tp + fp) AS "precision",
+           tp / tp_all AS recall,
+           2.0 * tp / (2.0 * tp + fp + (tp_all - tp)) AS f1
+    FROM c ORDER BY threshold DESC
+"""
+
+
+def test_classifier_pr_curve_matches_staged_oracle(spark, duck):
+    duck.execute(
+        f"CREATE VIEW IF NOT EXISTS documents AS "
+        f"SELECT * FROM '{SF}/documents.parquet'"
+    )
+    got = classifier_pr_curve_spark(spark, SF).toPandas()
+    want = duck.execute(CLASSIFIER_PR_CURVE_ORACLE).df()
+    _compare(got, want)
+    # a real curve: monotone tp, precision spans a genuine range, and
+    # the seed is separable enough that some threshold beats the base
+    # rate while full recall is reached at the bottom
+    assert got["tp"].is_monotonic_increasing
+    assert got["recall"].iloc[-1] == 1.0
+    base_rate = got["tp"].iloc[-1] / (
+        got["tp"].iloc[-1] + got["fp"].iloc[-1]
+    )
+    assert got["precision"].max() > base_rate

@@ -321,7 +321,9 @@ def pr_curve(
     tp/fp count labeled rows scoring >= threshold and fn the
     positives below it. NULL scores and NULL labels are dropped
     (unlabeled rows carry no curve evidence); ties share one row by
-    construction.
+    construction; a frame with no positive rows yields recall = NULL
+    (0/0 — undefined, not a crash) with precision 0 everywhere, so
+    ``threshold_for_precision`` correctly returns zero rows on it.
 
     Scale shape: one groupBy collapses the labeled frame to its
     distinct scores (bounded by the score space, not the corpus) and
@@ -360,11 +362,17 @@ def pr_curve(
     w = Window.orderBy(F.desc("_s")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    tot = per_score.agg(F.sum("_p").alias("_tp_all"))
+    # frame-wide positive total rides the SAME single-partition window
+    # (review r16 — a second aggregation branch + broadcast cross join
+    # re-evaluated the per-score subplan for a value the window frame
+    # already holds)
+    w_all = Window.orderBy(F.desc("_s")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     return (
         per_score.withColumn("tp", F.sum("_p").over(w).cast("bigint"))
         .withColumn("fp", F.sum("_n").over(w).cast("bigint"))
-        .crossJoin(F.broadcast(tot))
+        .withColumn("_tp_all", F.sum("_p").over(w_all).cast("bigint"))
         .select(
             F.col("_s").alias("threshold"),
             "tp",
@@ -373,7 +381,11 @@ def pr_curve(
             (
                 F.col("tp") / (F.col("tp") + F.col("fp"))
             ).alias("precision"),
-            (F.col("tp") / F.col("_tp_all")).alias("recall"),
+            # try_divide: a labeled frame with NO positive rows has
+            # recall undefined (0/0) — NULL, not an ANSI-mode
+            # DIVIDE_BY_ZERO crash (review r16, reproduced); precision
+            # and f1 denominators are provably >= 1 per row
+            F.try_divide(F.col("tp"), F.col("_tp_all")).alias("recall"),
             (
                 2.0 * F.col("tp")
                 / (2.0 * F.col("tp") + F.col("fp")

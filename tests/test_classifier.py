@@ -323,3 +323,23 @@ def test_pr_curve_matches_python_model(spark):
     ).count() == 0
     with pytest.raises(ValueError, match="target_precision"):
         threshold_for_precision(df, "score", "is_pos", 0.0)
+
+
+def test_pr_curve_no_positives_yields_null_recall_not_crash(spark):
+    """Review r16 (reproduced): ANSI mode turns recall's 0/0 into a
+    DIVIDE_BY_ZERO crash on an all-negative labeled frame; recall is
+    now NULL there, precision is 0 everywhere, and
+    threshold_for_precision returns zero rows as documented."""
+    from cassandrastack_spark.llm.classifier import (
+        pr_curve,
+        threshold_for_precision,
+    )
+
+    df = spark.createDataFrame(
+        [(0.9, False), (0.5, False)], "score double, is_pos boolean"
+    )
+    rows = pr_curve(df, "score", "is_pos").collect()
+    assert [r.threshold for r in rows] == [0.9, 0.5]
+    assert all(r.tp == 0 and r.recall is None for r in rows)
+    assert all(r.precision == 0.0 for r in rows)
+    assert threshold_for_precision(df, "score", "is_pos", 0.5).count() == 0

@@ -920,6 +920,44 @@ def bottomk_sample_merge(
     return bottomk_retake(guarded, gcols)
 
 
+def _validated_probs(probs) -> list:
+    ps = sorted(set(float(p) for p in probs))
+    if not ps or not all(0.0 < p <= 1.0 for p in ps):
+        raise ValueError(f"probs must be in (0, 1], got {probs}")
+    return ps
+
+
+def _type1_rank_select(
+    ranked: DataFrame,
+    gcols: list,
+    ps: list,
+    value_col: str,
+    out_name: str,
+) -> DataFrame:
+    """The ONE copy of the type-1 rank-selection rule — value at rank
+    ``max(1, ceil(p * n))`` — shared by the sample-quantile resolution
+    and the exact audit leg (review r16: the rule was duplicated, and
+    it is exactly the arithmetic two registered oracles mirror; a
+    drift between the copies would silently diverge the accuracy
+    gates). ``ranked`` carries ``_rn`` (1-based rank within group)
+    and ``_n`` (group size)."""
+    pf = F.array(*[F.lit(p) for p in ps])
+    return (
+        ranked.select(
+            *gcols,
+            F.col(value_col).alias("_v"),
+            "_rn",
+            "_n",
+            F.explode(pf).alias("p"),
+        )
+        .filter(
+            F.col("_rn")
+            == F.greatest(F.lit(1), F.ceil(F.col("p") * F.col("_n")))
+        )
+        .select(*gcols, "p", F.col("_v").alias(out_name))
+    )
+
+
 def bottomk_sample_quantiles(
     sample: DataFrame,
     probs: tuple[float, ...] | list[float],
@@ -937,26 +975,15 @@ def bottomk_sample_quantiles(
     inherit the sample's rank error (~1.04 * sqrt(p(1-p)/k)); an empty
     group simply emits no rows.
     """
-    ps = sorted(set(float(p) for p in probs))
-    if not ps or not all(0.0 < p <= 1.0 for p in ps):
-        raise ValueError(f"probs must be in (0, 1], got {probs}")
+    ps = _validated_probs(probs)
     gcols = list(group_cols)
     w = Window.partitionBy(*gcols).orderBy("v", "h")
     ranked = (
         sample.withColumn("_rn", F.row_number().over(w))
         .withColumn("_n", F.count("*").over(Window.partitionBy(*gcols)))
     )
-    pf = F.array(*[F.lit(p) for p in ps])
-    return (
-        ranked.select(
-            *gcols, "v", "_rn", "_n", F.explode(pf).alias("p")
-        )
-        .filter(
-            F.col("_rn")
-            == F.greatest(F.lit(1), F.ceil(F.col("p") * F.col("_n")))
-        )
-        .select(*gcols, "p", F.col("v").alias("q"))
-        .orderBy(*gcols, "p")
+    return _type1_rank_select(ranked, gcols, ps, "v", "q").orderBy(
+        *gcols, "p"
     )
 
 
@@ -977,30 +1004,14 @@ def exact_type1_quantiles(
     filter (NULL/NaN discipline), so the leg prices one per-group rank
     window over whatever it is handed.
     """
-    ps = sorted(set(float(p) for p in probs))
-    if not ps or not all(0.0 < p <= 1.0 for p in ps):
-        raise ValueError(f"probs must be in (0, 1], got {probs}")
+    ps = _validated_probs(probs)
     gcols = list(group_cols)
     w = Window.partitionBy(*gcols).orderBy(value_col)
     ranked = (
         df.withColumn("_rn", F.row_number().over(w))
         .withColumn("_n", F.count("*").over(Window.partitionBy(*gcols)))
     )
-    pf = F.array(*[F.lit(p) for p in ps])
-    return (
-        ranked.select(
-            *gcols,
-            F.col(value_col).alias("_v"),
-            "_rn",
-            "_n",
-            F.explode(pf).alias("p"),
-        )
-        .filter(
-            F.col("_rn")
-            == F.greatest(F.lit(1), F.ceil(F.col("p") * F.col("_n")))
-        )
-        .select(*gcols, "p", F.col("_v").alias("exact_q"))
-    )
+    return _type1_rank_select(ranked, gcols, ps, value_col, "exact_q")
 
 
 def weighted_sample_build(

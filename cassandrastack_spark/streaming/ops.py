@@ -619,6 +619,29 @@ def _fs_mkdirs(spark, p: str) -> None:
     fs.mkdirs(hp)
 
 
+def _read_parquet_if_committed(spark, path: str):
+    """Distinguish "store committed" from "directory created by a
+    crashed first write" (review r16): DataFrameWriter creates the
+    target directory BEFORE any file commits, so a crash during the
+    very first append leaves an existing-but-unreadable path — a bare
+    existence probe then routes the replay into a read that fails
+    with a schema-inference error on every restart, wedging the
+    stream until manual cleanup. Returns the DataFrame when ``path``
+    holds readable parquet data, else None (missing OR uncommitted —
+    both mean "no committed state yet", and the first-write branches
+    are idempotent under that reading)."""
+    if not _fs_exists(spark, path):
+        return None
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force schema inference inside the guard
+        return df
+    except AnalysisException:
+        return None
+
+
 def ingest_with_dedup(
     stream: DataFrame,
     index_path: str,
@@ -1052,17 +1075,19 @@ def ingest_with_fuzzy_dedup(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        if not _fs_exists(spark, accepted_path):
+        accepted = _read_parquet_if_committed(spark, accepted_path)
+        if accepted is None:
             # first batch — or its replay after a crash between the
-            # index build and the accepted write (index overwrite is
-            # idempotent, so rebuilding from the same batch is safe)
+            # index build and the accepted write, INCLUDING a crash
+            # mid-first-append that left the directory created but
+            # uncommitted (review r16; index overwrite is idempotent,
+            # so rebuilding from the same batch is safe)
             survivors = batch_df.drop("_s")
             build_fuzzy_index(
                 survivors, index_path, key_col, str_col,
                 max_dist=max_dist, n_buckets=n_buckets, block_cols=bc,
             )
         else:
-            accepted = spark.read.parquet(accepted_path)
             if not _fs_exists(spark, index_path + "/_meta"):
                 # recovery: the index was lost AFTER batches were
                 # accepted (deleted, mis-pathed, partial restore).
@@ -1200,11 +1225,15 @@ def monitor_components(
         )
         if not edges.limit(1).count():
             return
-        if _fs_exists(spark, state_path):
+        # readability probe, not existence: a crash during the very
+        # first state append leaves the directory created but
+        # uncommitted, which must route back to the fresh-state
+        # branch, not a wedging read (review r16)
+        rows = _read_parquet_if_committed(spark, state_path)
+        if rows is not None:
             # ONE read serves both the resolution and the epoch agg
             # (review r16 — two independent reads doubled the
             # per-batch state I/O as the table accretes)
-            rows = spark.read.parquet(state_path)
             m = _resolve_components(rows).localCheckpoint(eager=True)
             epoch = (
                 rows.agg(F.coalesce(F.max("epoch"), F.lit(0)).alias("e"))
@@ -2585,18 +2614,29 @@ def monitor_nb_counts(
     against existing state fails loud (validated once per run — the
     single-writer rule means it cannot drift mid-run).
 
-    Each state row carries its ``batch_id`` and the resolution
-    collapses duplicate (batch_id, bucket) cells, so the
+    Each state row carries its ``(ckpt, batch_id)`` — the checkpoint
+    scope plus the batch id, because batch ids are only unique PER
+    CHECKPOINT (review r16: a later monitor run over a NEW seed drop
+    with a fresh checkpoint restarts batch ids at 0, and a
+    batch-id-only dedup would silently max-merge two different
+    batches' cells instead of summing them) — and the resolution
+    collapses duplicate (ckpt, batch_id, bucket) cells, so the
     append→marker crash window (a batch whose cells committed but
-    whose marker did not, replayed on restart) re-lands byte-identical
-    rows that dedup away instead of double-counting — the
-    ``monitor_embedding_moments`` pattern; both halves of
-    at-least-once are closed, which is what licenses the
-    bit-identical-to-batch claim.
+    whose marker did not, replayed on restart under the SAME
+    checkpoint) re-lands byte-identical rows that dedup away instead
+    of double-counting — the ``monitor_embedding_moments`` pattern;
+    both halves of at-least-once are closed, which is what licenses
+    the bit-identical-to-batch claim.
     """
+    import hashlib
+
     from cassandrastack_spark.llm.classifier import hashed_gram_features
 
     spark = stream.sparkSession
+    # resolved HERE (not in the shared helper) because the state rows
+    # must carry the checkpoint scope
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="cs_nb_ckpt_")
+    run_scope = hashlib.md5(checkpoint.encode()).hexdigest()[:16]
     validated = False
 
     def _build(batch_df: DataFrame, batch_id: int) -> DataFrame:
@@ -2679,8 +2719,10 @@ def monitor_nb_counts(
                 F.when(~F.col("_pos"), F.col(id_col))
             ).cast("bigint").alias("nb"),
         )
-        return cells.unionByName(docs).withColumn(
-            "batch_id", F.lit(int(batch_id)).cast("long")
+        return (
+            cells.unionByName(docs)
+            .withColumn("ckpt", F.lit(run_scope))
+            .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
         )
 
     return _marker_guarded_sketch_monitor(
@@ -2702,9 +2744,12 @@ def nb_weights_state(spark: SparkSession, state_path: str) -> DataFrame:
     ``linear_text_score``, which reads BOTH geometry columns from the
     artifact (the gram space the model was trained in travels with
     it — a bigrams=False model can never be silently scored in bigram
-    space, review r16). Fails loud with the real cause if the state
-    holds no count rows yet, and loud in-plan if either class has no
-    documents yet."""
+    space, review r16). The crash-window dedup is scoped to
+    (ckpt, batch_id, bucket): batch ids restart per checkpoint, so
+    cells from DIFFERENT monitor runs sum while a replayed batch's
+    byte-identical cells collapse. Fails loud with the real cause if
+    the state holds no count rows yet, and loud in-plan if either
+    class has no documents yet."""
     from pyspark.errors import AnalysisException
 
     from cassandrastack_spark.llm.classifier import _assemble_nb_weights
@@ -2723,9 +2768,11 @@ def nb_weights_state(spark: SparkSession, state_path: str) -> DataFrame:
             "failed its hygiene checks before appending; keep "
             "streaming labeled seed"
         ) from e
-    # duplicate (batch_id, bucket) cells — the append→marker crash
-    # window's byte-identical replay rows — collapse before the sum
-    dedup = rows.groupBy("batch_id", "bucket").agg(
+    # duplicate (ckpt, batch_id, bucket) cells — the append→marker
+    # crash window's byte-identical replay rows — collapse before the
+    # sum; ckpt is in the key because batch ids restart per
+    # checkpoint (review r16)
+    dedup = rows.groupBy("ckpt", "batch_id", "bucket").agg(
         F.max("pb").alias("pb"), F.max("nb").alias("nb")
     )
     per_bucket = (

@@ -2595,3 +2595,118 @@ def test_stream_nb_crash_window_dedup_and_geometry(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_stream_nb_counts_sum_across_separate_runs(spark, tmp_path):
+    """Review r16 (final pass): batch ids are only unique per
+    checkpoint — a later monitor run over a NEW seed drop with a
+    fresh checkpoint restarts them at 0, and a batch-id-only dedup
+    would silently max-merge the two runs' cells. The (ckpt,
+    batch_id) scope makes separate runs SUM while the crash-window
+    dedup still collapses byte-identical replays."""
+    from pyspark.sql.types import (
+        BooleanType, LongType, StringType, StructField, StructType,
+    )
+
+    from cassandrastack_spark.llm.classifier import (
+        hashed_gram_features,
+        nb_logodds_weights,
+    )
+    from cassandrastack_spark.streaming.ops import (
+        monitor_nb_counts,
+        nb_weights_state,
+    )
+
+    docs_a = [(0, "alpha beta", True), (1, "spam offer", False)]
+    docs_b = [(2, "alpha gamma", True), (3, "spam pills", False)]
+    dim = 32
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("is_pos", BooleanType()),
+    ])
+
+    def run(docs, src_name, ckpt_name):
+        d = tmp_path / src_name
+        d.mkdir()
+        pdf = pd.DataFrame(docs, columns=["doc_id", "text", "is_pos"])
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            str(d / "b.parquet"),
+        )
+        src = spark.readStream.schema(schema).parquet(str(d))
+        q = monitor_nb_counts(
+            src, str(tmp_path / "state"), dim=dim,
+            checkpoint=str(tmp_path / ckpt_name),
+        )
+        if not q.awaitTermination(120):
+            q.stop()
+            raise RuntimeError("nb ingest did not finish")
+
+    # two SEPARATE runs, each with its own checkpoint: both get
+    # batch_id 0
+    run(docs_a, "in_a", "ckpt_a")
+    run(docs_b, "in_b", "ckpt_b")
+
+    got = {
+        r.bucket: (r.weight, r.bias)
+        for r in nb_weights_state(spark, str(tmp_path / "state")).collect()
+    }
+    union = docs_a + docs_b
+    batch = spark.createDataFrame(
+        [(i, t) for i, t, _ in union], "doc_id long, text string"
+    )
+    labels = spark.createDataFrame(
+        [(i, l) for i, t, l in union], "doc_id long, is_pos boolean"
+    )
+    feats = hashed_gram_features(batch, "doc_id", "text", dim)
+    want = {
+        r.bucket: (r.weight, r.bias)
+        for r in nb_logodds_weights(
+            feats, labels, "doc_id", "is_pos", dim
+        ).collect()
+    }
+    assert got == want
+
+
+def test_stream_fuzzy_ingest_recovers_uncommitted_accepted_dir(
+    spark, tmp_path
+):
+    """Review r16 (final pass): a crash during the very FIRST accepted
+    append leaves the directory created but with no committed data —
+    the replay must take the first-batch branch (readability probe,
+    not existence) instead of wedging on a schema-inference error
+    forever."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from cassandrastack_spark.streaming.ops import ingest_with_fuzzy_dedup
+
+    schema = StructType([
+        StructField("key", LongType()),
+        StructField("name", StringType()),
+    ])
+    d = tmp_path / "recs_in"
+    d.mkdir()
+    pdf = pd.DataFrame([(1, "wolfe"), (2, "jones")], columns=["key", "name"])
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        str(d / "b1.parquet"),
+    )
+    # simulate the crashed first append: directory exists, nothing
+    # committed (only writer scaffolding)
+    (tmp_path / "accepted").mkdir()
+    (tmp_path / "accepted" / "_temporary").mkdir()
+
+    src = spark.readStream.schema(schema).parquet(str(d))
+    q = ingest_with_fuzzy_dedup(
+        src, str(tmp_path / "fz_index"), str(tmp_path / "accepted"),
+        key_col="key", str_col="name", max_dist=1,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise RuntimeError("fuzzy ingest did not finish")
+    acc = sorted(
+        r.key for r in spark.read.parquet(str(tmp_path / "accepted")).collect()
+    )
+    assert acc == [1, 2]

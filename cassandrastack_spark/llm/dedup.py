@@ -227,27 +227,34 @@ def ngram_jaccard_pairs(
         )
         .select("a_id", "b_id")
     )
-    # first-pass verification on the hashed arrays: an upper bound on
+    # verification: first on the hashed arrays — an upper bound on
     # jaccard (collisions inflate shared), so filtering on it loses no
-    # qualifying pair; survivors are few and re-checked exactly.
-    a_hx = sh.select(F.col("id").alias("a_id"), F.col("hx").alias("a_h"))
-    b_hx = sh.select(F.col("id").alias("b_id"), F.col("hx").alias("b_h"))
-    rough = (
-        cand.join(a_hx, "a_id")
-        .join(b_hx, "b_id")
+    # qualifying pair — then exactly on the string arrays. Both sides'
+    # (hx, shingles) ride ONE join pair: the split form (hash join pair
+    # + string join pair) shuffled the same sh bytes through FOUR joins
+    # (the string joins attach the full table regardless of which rough
+    # rows survive); merged, it is two joins for identical bytes, and
+    # the exact re-check still only runs on hash-check survivors (the
+    # UB filter precedes it in the same stage).
+    a_side = sh.select(
+        F.col("id").alias("a_id"),
+        F.col("hx").alias("a_h"),
+        F.col("shingles").alias("a_s"),
+    )
+    b_side = sh.select(
+        F.col("id").alias("b_id"),
+        F.col("hx").alias("b_h"),
+        F.col("shingles").alias("b_s"),
+    )
+    return (
+        cand.join(a_side, "a_id")
+        .join(b_side, "b_id")
         .withColumn("shared_ub", F.size(F.array_intersect("a_h", "b_h")))
         .filter(
             F.col("shared_ub")
             / (F.size("a_h") + F.size("b_h") - F.col("shared_ub"))
             >= threshold
         )
-        .select("a_id", "b_id")
-    )
-    a_sh = sh.select(F.col("id").alias("a_id"), F.col("shingles").alias("a_s"))
-    b_sh = sh.select(F.col("id").alias("b_id"), F.col("shingles").alias("b_s"))
-    return (
-        rough.join(a_sh, "a_id")
-        .join(b_sh, "b_id")
         .withColumn("shared", F.size(F.array_intersect("a_s", "b_s")))
         .withColumn(
             "jaccard",
@@ -570,30 +577,53 @@ def dedup_components(
         .union(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
         .localCheckpoint(eager=True)
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("comp", F.col("id"))
-        .localCheckpoint(eager=True)
-    )
+    id_type = edges.schema["src"].dataType
+    labels = None
     for rnd in range(max_iter):
-        prop = edges.join(labels, edges.src == labels.id).select(
-            F.col("dst").alias("id"), "comp"
-        )
+        if labels is None:
+            # round 1 needs no label join: label(u) == u, so the
+            # propagated row for edge (src, dst) is just (dst, src),
+            # and the identity rows need no pre-distinct (the groupBy
+            # collapses duplicates; min is unaffected). One shuffle,
+            # zero joins, no initial-labels checkpoint job.
+            own = edges.select(
+                F.col("src").alias("id"),
+                F.col("src").alias("comp"),
+                F.col("src").alias("own"),
+            )
+            prop = edges.select(
+                F.col("dst").alias("id"),
+                F.col("src").alias("comp"),
+                F.lit(None).cast(id_type).alias("own"),
+            )
+        else:
+            own = labels.select(
+                "id", "comp", F.col("comp").alias("own")
+            )
+            prop = edges.join(labels, edges.src == labels.id).select(
+                F.col("dst").alias("id"),
+                "comp",
+                F.lit(None).cast(id_type).alias("own"),
+            )
+        # `own` rides through the aggregate (each id has exactly one
+        # non-null own row, its previous label), so convergence is read
+        # off the checkpointed frame with a plain filter-scan — no
+        # join-per-round, no second shuffle for the changed check.
         new_labels = (
-            labels.union(prop)
+            own.union(prop)
             .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
+            .agg(
+                F.min("comp").alias("comp"),
+                F.first("own", ignorenulls=True).alias("own"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
+            new_labels.filter(F.col("comp") != F.col("own"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        labels = new_labels.select("id", "comp")
         if changed == 0:
             break
         if algorithm == "auto" and rnd + 1 >= switch_after:

@@ -79,25 +79,34 @@ def _prepare(
     src_col: str,
     dst_col: str,
     weight_col: str | None,
-) -> tuple[DataFrame, DataFrame, int, DataFrame]:
+) -> tuple[DataFrame, DataFrame, int]:
     """Shared iteration setup for ``pagerank`` AND
     ``pagerank_round_plan`` (one definition, so the audited round can
     never drift from what the real loop executes): checkpoint the
-    round-invariant ``frac``/``nodes`` frames, count the node
-    universe, and derive the has-out-edges set the dangling aggregate
-    anti-joins against."""
+    round-invariant ``frac``/``nodes`` frames and count the node
+    universe. ``nodes`` carries a ``has_out`` flag (does the node have
+    positive-weight out-edges), resolved ONCE here — the flag rides the
+    rank frame through every round, so the per-round dangling aggregate
+    is a filter over the frame it already reads instead of an anti-join
+    against the has-out set (round-invariant work hoisted out of the
+    loop: one join per round removed)."""
     frac, nodes = _normalize(edges, src_col, dst_col, weight_col)
     frac = frac.localCheckpoint(eager=True)
-    nodes = nodes.localCheckpoint(eager=True)
-    n = nodes.count()
     has_out = frac.select(F.col("src").alias("node")).distinct()
-    return frac, nodes, n, has_out
+    nodes = (
+        nodes.join(has_out.withColumn("_ho", F.lit(True)), "node", "left")
+        .select(
+            "node", F.coalesce(F.col("_ho"), F.lit(False)).alias("has_out")
+        )
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    return frac, nodes, n
 
 
 def _round(
     nodes: DataFrame,
     frac: DataFrame,
-    has_out: DataFrame,
     ranks: DataFrame,
     n: int,
     damping: float,
@@ -105,25 +114,27 @@ def _round(
     """One power-iteration update: ranks -> next ranks.
 
     Shuffles only (node, mass) pairs; the 1-row dangling aggregate is
-    a bounded scalar broadcast (the documented BNL pattern)."""
+    a bounded scalar broadcast (the documented BNL pattern). The
+    dangling sum filters on the ``has_out`` flag the rank frame
+    carries (resolved once in ``_prepare``) — no per-round anti-join."""
     # mass arriving over edges this round
     contrib = (
         frac.join(
-            ranks.withColumnRenamed("node", "src"), "src"
+            ranks.select(F.col("node").alias("src"), "rank"), "src"
         )
         .groupBy(F.col("dst").alias("node"))
         .agg(F.sum(F.col("rank") * F.col("frac")).alias("in_mass"))
     )
     # dangling nodes' mass redistributes uniformly (keeps sum = 1)
-    dangling_row = (
-        ranks.join(has_out, "node", "left_anti")
-        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling"))
+    dangling_row = ranks.filter(~F.col("has_out")).agg(
+        F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling")
     )
     return (
         nodes.join(contrib, "node", "left")
         .crossJoin(F.broadcast(dangling_row))
         .select(
             "node",
+            "has_out",
             (
                 F.lit((1.0 - damping) / n)
                 + damping
@@ -139,7 +150,6 @@ def _round(
 def _round_personalized(
     nodes_r: DataFrame,
     frac: DataFrame,
-    has_out: DataFrame,
     ranks: DataFrame,
     damping: float,
 ) -> DataFrame:
@@ -152,20 +162,20 @@ def _round_personalized(
     oracle) stays bit-for-bit unchanged."""
     contrib = (
         frac.join(
-            ranks.withColumnRenamed("node", "src"), "src"
+            ranks.select(F.col("node").alias("src"), "rank"), "src"
         )
         .groupBy(F.col("dst").alias("node"))
         .agg(F.sum(F.col("rank") * F.col("frac")).alias("in_mass"))
     )
-    dangling_row = (
-        ranks.join(has_out, "node", "left_anti")
-        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling"))
+    dangling_row = ranks.filter(~F.col("has_out")).agg(
+        F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling")
     )
     return (
         nodes_r.join(contrib, "node", "left")
         .crossJoin(F.broadcast(dangling_row))
         .select(
             "node",
+            "has_out",
             (
                 F.lit(1.0 - damping) * F.col("r")
                 + damping
@@ -200,13 +210,11 @@ def pagerank_round_plan(
     instead of the round itself. Used by ``tools/plan_audit.py`` and
     the plan tests; not a compute API.
     """
-    frac, nodes, n, has_out = _prepare(
-        edges, src_col, dst_col, weight_col
-    )
+    frac, nodes, n = _prepare(edges, src_col, dst_col, weight_col)
     if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
+        return nodes.select("node").withColumn("rank", F.lit(0.0))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    return _round(nodes, frac, has_out, ranks, n, damping)
+    return _round(nodes, frac, ranks, n, damping)
 
 
 def pagerank(
@@ -268,11 +276,9 @@ def pagerank(
         )
     if tol is not None and tol <= 0.0:
         raise ValueError(f"tol must be positive when set, got {tol}")
-    frac, nodes, n, has_out = _prepare(
-        edges, src_col, dst_col, weight_col
-    )
+    frac, nodes, n = _prepare(edges, src_col, dst_col, weight_col)
     if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
+        return nodes.select("node").withColumn("rank", F.lit(0.0))
     if reset is not None:
         w_reset = reset.select(
             F.col(reset_node_col).alias("node"),
@@ -288,7 +294,9 @@ def pagerank(
         nodes_r = (
             nodes.join(w_agg, "node", "left")
             .select(
-                "node", F.coalesce(F.col("w_r"), F.lit(0.0)).alias("w_r")
+                "node",
+                "has_out",
+                F.coalesce(F.col("w_r"), F.lit(0.0)).alias("w_r"),
             )
         )
         # one validation job for both checks: negative/null weights in
@@ -320,20 +328,18 @@ def pagerank(
                 "of the graph"
             )
         nodes_r = nodes_r.select(
-            "node", (F.col("w_r") / F.lit(total)).alias("r")
+            "node", "has_out", (F.col("w_r") / F.lit(total)).alias("r")
         ).localCheckpoint(eager=True)
-        ranks = nodes_r.select("node", F.col("r").alias("rank"))
+        ranks = nodes_r.select("node", "has_out", F.col("r").alias("rank"))
     else:
         nodes_r = None
         ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for it in range(iters):
         prev = ranks
         if nodes_r is not None:
-            ranks = _round_personalized(
-                nodes_r, frac, has_out, ranks, damping
-            )
+            ranks = _round_personalized(nodes_r, frac, ranks, damping)
         else:
-            ranks = _round(nodes, frac, has_out, ranks, n, damping)
+            ranks = _round(nodes, frac, ranks, n, damping)
         # per-round checkpointing is the scale-correct default: ranks
         # is read TWICE per round (contributions + dangling), so an
         # un-checkpointed tail re-executes 2^depth times — at real

@@ -43,6 +43,13 @@ def get_spark(app_name: str = "cassandrastack-spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelismFirst stays at its default (true): an r16 A/B of
+        # size-based coalescing (parallelismFirst=false, 64m advisory)
+        # regressed the 14-query probe set 79s -> 131s — the dedup/ANN
+        # verification stages are CPU-bound per shuffled byte (array
+        # intersections, cosine math on KB-scale exchanges), and
+        # size-based coalescing serialized them onto 1 task. See
+        # OPTIMIZATION_r16.md "measured negatives".
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -45,6 +45,7 @@ from cassandrastack_spark.llm.simsearch import (
 )
 from cassandrastack_spark.queries import hll_estimator_sql, register
 from cassandrastack_spark.sources.io import read_table as _t
+from cassandrastack_spark.sources.io import widen_for_compute as _widen
 
 
 # ---------------------------------------------------------------------------
@@ -997,14 +998,21 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandrastack_spark.functions.text import word_ngrams
 
-    d = _t(spark, sf_dir, "documents")
-    grams = d.select("doc_id", F.explode(word_ngrams("text", 5)).alias("g"))
+    # widened scan (the local file is below one split; no-op at scale)
+    # + per-doc-distinct grams in the map stage: joined against the
+    # DISTINCT eval set, (doc_id, g) rows are unique by construction,
+    # so the distinct-aggregate expand collapses to a plain count
+    d = _widen(_t(spark, sf_dir, "documents"))
+    grams = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_ngrams("text", 5))).alias("g"),
+    )
     eval_g = grams.filter(F.col("doc_id") % 10 == 0).select("g").distinct()
     return (
         grams.filter(F.col("doc_id") % 10 != 0)
         .join(F.broadcast(eval_g), "g")
         .groupBy("doc_id")
-        .agg(F.countDistinct("g").alias("n_shared"))
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
         .orderBy("doc_id")
     )
 
@@ -1088,15 +1096,19 @@ def decontam_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         bloom_might_contain,
     )
 
-    d = _t(spark, sf_dir, "documents")
-    grams = d.select("doc_id", F.explode(word_ngrams("text", 5)).alias("g"))
+    # widen: the documents file is below one scan split locally, which
+    # would serialize the 5-gram explode onto one task (no-op at scale);
+    # array_distinct BEFORE the explode makes gram rows per-doc-distinct
+    # in the map stage — the former (doc_id, g).distinct() shuffled
+    # every exploded gram string just to deduplicate within doc_id
+    d = _widen(_t(spark, sf_dir, "documents"))
+    grams = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_ngrams("text", 5))).alias("g"),
+    )
     eval_g = grams.filter(F.col("doc_id") % 10 == 0).select("g").distinct()
     bloom = bloom_build(eval_g, "g", bits_per_item=12, k=3)
-    probe = (
-        grams.filter(F.col("doc_id") % 10 != 0)
-        .select("doc_id", "g")
-        .distinct()
-    )
+    probe = grams.filter(F.col("doc_id") % 10 != 0).select("doc_id", "g")
     return (
         bloom_might_contain(bloom, probe, "g", out_col="_hit")
         .join(eval_g.withColumn("_ex", F.lit(1)), "g", "left")
@@ -3527,7 +3539,10 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("q_vec"),
         F.col("label").alias("q_label"),
     )
-    c = emb.select(
+    # widen the corpus side: the local embeddings file is below one
+    # scan split, and the broadcast join + cosine folds run IN the scan
+    # stage — unwidened, corpus x anchors scoring ran on one task
+    c = _widen(emb).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").cast("array<double>").alias("c_vec"),
         F.col("label").alias("c_label"),
@@ -3665,7 +3680,10 @@ def embedding_knn_label_agreement(
         F.col("embedding").cast("array<double>").alias("q_vec"),
         F.col("label").alias("own_label"),
     )
-    b = emb.select(
+    # widened for the same single-split reason as embedding_hard_
+    # negatives: corpus x 64 anchors cosine folds otherwise run on the
+    # scan's one task
+    b = _widen(emb).select(
         F.col("vec_id").alias("b_id"),
         F.col("embedding").cast("array<double>").alias("c_vec"),
         F.col("label").alias("nb_label"),
@@ -4598,8 +4616,14 @@ def decontam_bloom_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         bloom_might_contain,
     )
 
-    d = _t(spark, sf_dir, "documents")
-    grams = d.select("doc_id", F.explode(word_ngrams("text", 5)).alias("g"))
+    # same shuffle-removal as decontam_bloom_probe: widened scan,
+    # per-doc-distinct grams in the map stage (the probe side needs no
+    # (doc_id, g) distinct shuffle afterwards)
+    d = _widen(_t(spark, sf_dir, "documents"))
+    grams = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_ngrams("text", 5))).alias("g"),
+    )
     eval_g = grams.filter(F.col("doc_id") % 10 == 0).select("g").distinct()
     if sf_dir not in _BLOOM_IDX_CACHE:
         import tempfile
@@ -4614,11 +4638,7 @@ def decontam_bloom_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         bloom_merge(base, batch).write.mode("overwrite").parquet(path)
         _BLOOM_IDX_CACHE[sf_dir] = path
     bloom = spark.read.parquet(_BLOOM_IDX_CACHE[sf_dir])
-    probe = (
-        grams.filter(F.col("doc_id") % 10 != 0)
-        .select("doc_id", "g")
-        .distinct()
-    )
+    probe = grams.filter(F.col("doc_id") % 10 != 0).select("doc_id", "g")
     return (
         bloom_might_contain(bloom, probe, "g", out_col="_hit")
         .join(eval_g.withColumn("_ex", F.lit(1)), "g", "left")
@@ -4869,9 +4889,14 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the pairwise union below is hll_merge's grouped form, inlined
     # because each pair carries (source_a, source_b) group keys
-    d = _t(spark, sf_dir, "documents")
+    # widened scan (single split locally, no-op at scale); per-doc
+    # array_distinct shrinks the global (source, g) distinct's shuffle
+    d = _widen(_t(spark, sf_dir, "documents"))
     grams = (
-        d.select("source", F.explode(word_ngrams("text", 3)).alias("g"))
+        d.select(
+            "source",
+            F.explode(F.array_distinct(word_ngrams("text", 3))).alias("g"),
+        )
         .distinct()
     )
     reg = hll_build(grams, "g", p=12, group_cols=["source"])
@@ -4879,21 +4904,20 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "est_distinct"
     )
     srcs = reg.select("source").distinct()
-    pairs = (
-        srcs.select(F.col("source").alias("source_a"))
-        .join(
-            F.broadcast(srcs.select(F.col("source").alias("source_b"))),
-            F.col("source_a") < F.col("source_b"),
-        )
-    )
+    # each pair's union register = every reg row of either member: pair
+    # each reg row with every OTHER source (one bounded broadcast cross
+    # of the tiny source list) and orient with least/greatest — same
+    # multiset the former pairs-frame + two equi-joins + union built,
+    # minus two joins and a union
     u = (
-        pairs.join(
-            reg.withColumnRenamed("source", "source_a"), "source_a"
-        ).select("source_a", "source_b", "bucket", "maxrank", "p")
-        .unionByName(
-            pairs.join(
-                reg.withColumnRenamed("source", "source_b"), "source_b"
-            ).select("source_a", "source_b", "bucket", "maxrank", "p")
+        reg.crossJoin(
+            F.broadcast(srcs.select(F.col("source").alias("other")))
+        )
+        .filter(F.col("other") != F.col("source"))
+        .select(
+            F.least("source", "other").alias("source_a"),
+            F.greatest("source", "other").alias("source_b"),
+            "bucket", "maxrank", "p",
         )
     )
     union_reg = u.groupBy("source_a", "source_b", "bucket").agg(
@@ -4902,15 +4926,27 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     union_est = hll_estimate(
         union_reg, group_cols=["source_a", "source_b"]
     ).select("source_a", "source_b", F.col("est_distinct").alias("est_union"))
+    # exact overlap: ONE groupBy(g) with a bounded collect_set (the
+    # source dimension is low-cardinality by construction) and in-row
+    # pair expansion, instead of the former gram self-join — which
+    # shuffled every (source, gram) row twice by gram and then again by
+    # pair. Per-gram pair counts are identical: sort_array gives the
+    # same a < b orientation (binary string order on both engines), and
+    # each unordered source pair sharing the gram contributes exactly 1.
     exact = (
-        grams.withColumnRenamed("source", "source_a")
-        .join(
-            grams.select(
-                F.col("source").alias("source_b"), F.col("g").alias("g2")
-            ),
-            F.col("g") == F.col("g2"),
+        grams.groupBy("g")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (a, i) -> "
+                    "transform(slice(ss, i + 2, size(ss)), "
+                    "b -> struct(a AS source_a, b AS source_b))))"
+                )
+            ).alias("p")
         )
-        .filter(F.col("source_a") < F.col("source_b"))
+        .select("p.source_a", "p.source_b")
         .groupBy("source_a", "source_b")
         .agg(F.count("*").cast("bigint").alias("exact_overlap"))
     )

@@ -79,6 +79,19 @@ def widen_for_compute(df: DataFrame) -> DataFrame:
     except Exception:  # non-file-backed plans: assume narrow, widen
         est_partitions = 0
     if est_partitions < target:
+        # HASH repartition on the whole row, not round-robin: a keyless
+        # repartition(n) locally sorts every input row first
+        # (spark.sql.execution.sortBeforeRepartition, required so task
+        # retries reproduce the same row placement — SPARK-23207); a
+        # deterministic hash of the row needs no such sort and is
+        # equally retry-safe. Distinct rows spread near-uniformly;
+        # duplicate rows co-locating is harmless for the per-row
+        # compute this exists to parallelize. Map-typed columns are not
+        # hashable (UNHASHABLE_TYPE) — skip them; a frame of ONLY maps
+        # falls back to round-robin.
+        hashable = [c for c, t in df.dtypes if "map<" not in t]
+        if hashable:
+            return df.repartition(target, F.xxhash64(*hashable))
         return df.repartition(target)
     return df
 

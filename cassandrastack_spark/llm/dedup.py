@@ -338,8 +338,9 @@ def minhash_lsh_pairs(
         ).alias("bs"),
     ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     # Candidate pairs are tiny (band collisions only) but expensive to
-    # derive — persist so the three consumers below share one computation
-    # instead of re-running the whole signature pipeline each.
+    # derive — materialize so the banding pipeline runs once (the
+    # self-join reads the banded table through two aliases, and the
+    # verification tail joins cand twice).
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), on=["band", "sig"])
@@ -348,31 +349,25 @@ def minhash_lsh_pairs(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # exact verification on the candidate set only: restrict the cached
-    # shingle sets to candidate docs FIRST, explode just those (a few
-    # hundred rows, not the whole corpus), count shared shingles. Set
-    # sizes come free from size(shingles). No forced broadcast hints —
-    # AQE sees the post-filter sizes at runtime and picks broadcasts.
-    cand_docs = cand.select(F.col("a_id").alias("id")).union(
-        cand.select(F.col("b_id").alias("id"))
-    ).distinct()
-    sh_c = sh.join(cand_docs, "id")
-    inv_c = sh_c.select("id", F.explode("shingles").alias("shingle"))
-    sizes = sh_c.select("id", F.size("shingles").alias("n_sh"))
-    shared = (
-        cand.join(inv_c.select(F.col("id").alias("a_id"), "shingle"), "a_id")
-        .join(inv_c.select(F.col("id").alias("b_id"), "shingle"), ["b_id", "shingle"])
-        .groupBy("a_id", "b_id")
-        .agg(F.count("*").alias("shared"))
-    )
-    a_sz = sizes.select(F.col("id").alias("a_id"), F.col("n_sh").alias("a_n"))
-    b_sz = sizes.select(F.col("id").alias("b_id"), F.col("n_sh").alias("b_n"))
+    # exact verification: attach each side's cached shingle array with
+    # ONE join pair and intersect in-row — the same tail shape as
+    # ngram_jaccard_pairs. The former inverted-index count (semi-join
+    # to candidate docs, explode, two joins on the shingle STRING, a
+    # pair groupBy, then two size joins — six shuffling ops) moved the
+    # same shingle bytes row-per-shingle instead of row-per-doc; shared
+    # counts and sizes are identical (shingle arrays are distinct per
+    # doc by construction). No forced broadcast hints — AQE sees the
+    # candidate-side size at runtime and picks broadcasts.
+    a_side = sh.select(F.col("id").alias("a_id"), F.col("shingles").alias("a_s"))
+    b_side = sh.select(F.col("id").alias("b_id"), F.col("shingles").alias("b_s"))
     return (
-        shared.join(a_sz, "a_id")
-        .join(b_sz, "b_id")
+        cand.join(a_side, "a_id")
+        .join(b_side, "b_id")
+        .withColumn("shared", F.size(F.array_intersect("a_s", "b_s")))
         .withColumn(
             "jaccard",
-            F.col("shared") / (F.col("a_n") + F.col("b_n") - F.col("shared")),
+            F.col("shared")
+            / (F.size("a_s") + F.size("b_s") - F.col("shared")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")

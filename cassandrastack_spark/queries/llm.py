@@ -1965,14 +1965,24 @@ def corpus_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "no shuffle carries a skewed key to a single reducer.",
 )
 def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cassandrastack_spark.llm.dedup import exploded_shingles
+    from cassandrastack_spark.llm.dedup import shingle_sets
 
-    sh = exploded_shingles(
+    # ONE materialized shingle pass feeds both branches (shared lineage
+    # is not shared execution — un-checkpointed, each branch re-ran the
+    # tokenize+shingle stage), and n_shingles reads the pre-explode
+    # array size — a narrow map — instead of shuffling every exploded
+    # (id, hash) row through a groupBy(id) just to count it.
+    sets = shingle_sets(
         _t(spark, sf_dir, "documents"), "doc_id", "text", k=3
-    ).select("id", F.xxhash64("shingle").alias("h"))
-    per_doc = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    ).localCheckpoint(eager=True)
+    per_doc = sets.select(
+        "id", F.size("shingles").cast("bigint").alias("n_shingles")
+    )
     # first-occurrence election, then per-winner count: each distinct
     # hash contributes exactly one row to exactly one doc's n_novel
+    sh = sets.select(
+        "id", F.explode(F.expr("transform(shingles, s -> xxhash64(s))")).alias("h")
+    )
     novel = (
         sh.groupBy("h")
         .agg(F.min("id").alias("first_id"))

@@ -32,12 +32,27 @@ from pyspark.sql.types import LongType, StructType
 _NANOS_TABLES = {"events"}
 
 
+# Per-session PLAN memo for read_table: building a parquet reader costs
+# ~80-100 ms of driver work (file listing + footer/schema read) and the
+# bench constructs each base table hundreds of times per sweep. The memo
+# holds the LOGICAL PLAN only — no rows, no results; every action still
+# computes from the parquet files. Keyed by the session's applicationId
+# so a stopped/recreated session (tests) never serves a dead plan; the
+# testdata directories are immutable within a process (the driver
+# regenerates them only between rounds, i.e. between processes).
+_READ_TABLE_PLANS: dict[tuple, DataFrame] = {}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Canonical testdata reader: parquet + per-table normalization."""
     if name in _NANOS_TABLES:
         # Runtime-settable; must be on whatever session calls us (a host
         # harness builds its own SparkSession without our factory confs).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    hit = _READ_TABLE_PLANS.get(key)
+    if hit is not None:
+        return hit
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name in _NANOS_TABLES:
         ts_type = df.schema["ts"].dataType
@@ -55,6 +70,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # container default for external sessions), so the cast is
             # wall-clock identical to DuckDB's naive read.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    _READ_TABLE_PLANS[key] = df
     return df
 
 

@@ -291,24 +291,35 @@ def cosine_pairs_above(
         assigned = (
             v.withColumn("sims", F.expr(sims))
             .withColumn(
-                "cid",
-                F.explode(
-                    F.expr(
-                        "slice(array_sort(transform(sims, (s, i) -> "
-                        f"struct(-s AS negs, i AS i))), 1, {cluster_assign})"
-                    )
+                "cids",
+                F.expr(
+                    "transform(slice(array_sort(transform(sims, (s, i) -> "
+                    f"struct(-s AS negs, i AS i))), 1, {cluster_assign}), "
+                    "p -> cast(p.i AS int))"
                 ),
             )
-            .select("id", F.col("cid.i").cast("int").alias("cid"))
+            .withColumn("cid", F.explode("cids"))
+            .select("id", "cid", "cids")
         )
+        # A multi-assigned pair meets once per SHARED list; keeping only
+        # the row where the join cid is the smallest shared cid dedupes
+        # in-stage (each side carries its tiny cid array), instead of
+        # shuffling every candidate pair again for a distinct() — with
+        # cluster_assign lists per id the arrays are a few ints, while
+        # the removed exchange carries the full candidate pair set.
         cand = (
             assigned.alias("x")
             .join(assigned.alias("y"), "cid")
-            .filter(F.col("x.id") < F.col("y.id"))
+            .filter(
+                (F.col("x.id") < F.col("y.id"))
+                & (
+                    F.col("cid")
+                    == F.array_min(F.array_intersect("x.cids", "y.cids"))
+                )
+            )
             .select(
                 F.col("x.id").alias("l_id"), F.col("y.id").alias("r_id")
             )
-            .distinct()
         )
     elif method == "exact":
         return _triangle_block_pairs(v, threshold, blocks)

@@ -219,7 +219,14 @@ def _cosine_topk_from_vecs(
     """Shared similarity tail: sparse-vector cosine top-k over a
     (doc_id, w, weight, norm) frame. Probe side filtered out of the
     same frame (bounded by probe_ids) and broadcast; one term
-    equi-join, no all-pairs stage."""
+    equi-join, no all-pairs stage.
+
+    The weights frame has TWO consumers (the broadcast probe side and
+    the corpus side of the term join); the upstream postings aggregate
+    is slot-cached, but the df-stats join and the norm groupBy after it
+    re-ran once per consumer — materialize the finished vectors so the
+    weighting pipeline executes once."""
+    vecs = vecs.localCheckpoint(eager=True)
     probes = vecs.filter(F.col("doc_id").isin(list(probe_ids))).select(
         F.col("doc_id").alias("query_doc"),
         "w",

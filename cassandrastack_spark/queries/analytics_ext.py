@@ -749,7 +749,10 @@ def profile_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         "share one schema.",
 )
 def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
+    # widen: orders scans as one split locally, which would serialize
+    # the 4x Expand of the multi-count_distinct pass onto one task
+    # (no-op on a real cluster's already-wide scans)
+    o = _widen(_t(spark, sf_dir, "orders"))
     cols = [("o_custkey", False), ("o_orderstatus", False), ("o_totalprice", True)]
     aggs = []
     for c, numeric in cols:

@@ -1106,7 +1106,17 @@ def decontam_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(word_ngrams("text", 5))).alias("g"),
     )
-    eval_g = grams.filter(F.col("doc_id") % 10 == 0).select("g").distinct()
+    # eval_g has THREE consumers (bloom_build reads it twice — the
+    # m-sizing aggregate and the position explode — plus the exact _ex
+    # join below); un-materialized, each re-runs the gram explode and
+    # the distinct exchange. The distinct gram set itself is small
+    # (12 bits/item is the point), so checkpoint it once.
+    eval_g = (
+        grams.filter(F.col("doc_id") % 10 == 0)
+        .select("g")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     bloom = bloom_build(eval_g, "g", bits_per_item=12, k=3)
     probe = grams.filter(F.col("doc_id") % 10 != 0).select("doc_id", "g")
     return (

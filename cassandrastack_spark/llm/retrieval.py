@@ -222,11 +222,15 @@ def _cosine_topk_from_vecs(
     equi-join, no all-pairs stage.
 
     The weights frame has TWO consumers (the broadcast probe side and
-    the corpus side of the term join); the upstream postings aggregate
-    is slot-cached, but the df-stats join and the norm groupBy after it
-    re-ran once per consumer — materialize the finished vectors so the
-    weighting pipeline executes once."""
-    vecs = vecs.localCheckpoint(eager=True)
+    the corpus side of the term join); the heavy part underneath (the
+    postings aggregate) is slot-cached, so each consumer re-runs only
+    the df-stats join and norm groupBy over cached postings. An eager
+    localCheckpoint here was measured ~1 s faster standalone but
+    accumulates checkpoint blocks across repeated library calls until
+    GC (the r16 slot-leak gate, tests/test_llm_ops.py::
+    test_slot_persist_bounds_cached_generations, correctly rejects
+    it), and the vectors are max_df_ratio-dependent so they cannot
+    ride the ratio-independent tfidf slot — left un-materialized."""
     probes = vecs.filter(F.col("doc_id").isin(list(probe_ids))).select(
         F.col("doc_id").alias("query_doc"),
         "w",

@@ -751,9 +751,13 @@ def profile_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # widen: orders scans as one split locally, which would serialize
     # the 4x Expand of the multi-count_distinct pass onto one task
-    # (no-op on a real cluster's already-wide scans)
-    o = _widen(_t(spark, sf_dir, "orders"))
+    # (no-op on a real cluster's already-wide scans). Project to the
+    # profiled columns FIRST — the whole-row-hash repartition would
+    # otherwise defeat column pruning at the scan.
     cols = [("o_custkey", False), ("o_orderstatus", False), ("o_totalprice", True)]
+    o = _widen(
+        _t(spark, sf_dir, "orders").select(*[c for c, _ in cols])
+    )
     aggs = []
     for c, numeric in cols:
         mn, mx = F.min(c), F.max(c)

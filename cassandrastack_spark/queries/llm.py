@@ -1002,7 +1002,10 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # + per-doc-distinct grams in the map stage: joined against the
     # DISTINCT eval set, (doc_id, g) rows are unique by construction,
     # so the distinct-aggregate expand collapses to a plain count
-    d = _widen(_t(spark, sf_dir, "documents"))
+    # project BEFORE widening: the whole-row-hash repartition would
+    # otherwise defeat column pruning at the scan (ReadSchema carried
+    # every documents column)
+    d = _widen(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     grams = d.select(
         "doc_id",
         F.explode(F.array_distinct(word_ngrams("text", 5))).alias("g"),
@@ -1101,7 +1104,10 @@ def decontam_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # array_distinct BEFORE the explode makes gram rows per-doc-distinct
     # in the map stage — the former (doc_id, g).distinct() shuffled
     # every exploded gram string just to deduplicate within doc_id
-    d = _widen(_t(spark, sf_dir, "documents"))
+    # project BEFORE widening: the whole-row-hash repartition would
+    # otherwise defeat column pruning at the scan (ReadSchema carried
+    # every documents column)
+    d = _widen(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     grams = d.select(
         "doc_id",
         F.explode(F.array_distinct(word_ngrams("text", 5))).alias("g"),
@@ -4639,7 +4645,10 @@ def decontam_bloom_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same shuffle-removal as decontam_bloom_probe: widened scan,
     # per-doc-distinct grams in the map stage (the probe side needs no
     # (doc_id, g) distinct shuffle afterwards)
-    d = _widen(_t(spark, sf_dir, "documents"))
+    # project BEFORE widening: the whole-row-hash repartition would
+    # otherwise defeat column pruning at the scan (ReadSchema carried
+    # every documents column)
+    d = _widen(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     grams = d.select(
         "doc_id",
         F.explode(F.array_distinct(word_ngrams("text", 5))).alias("g"),
@@ -4911,7 +4920,10 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # because each pair carries (source_a, source_b) group keys
     # widened scan (single split locally, no-op at scale); per-doc
     # array_distinct shrinks the global (source, g) distinct's shuffle
-    d = _widen(_t(spark, sf_dir, "documents"))
+    # project BEFORE widening: the whole-row-hash repartition would
+    # otherwise defeat column pruning at the scan (ReadSchema carried
+    # every documents column)
+    d = _widen(_t(spark, sf_dir, "documents").select("source", "text"))
     grams = (
         d.select(
             "source",

@@ -100,6 +100,7 @@ DEFAULT_QUERIES = [
     "corpus_score_quantile_norm",  # grid-cell ref bcast, rank windows
     "ann_matryoshka_recall",       # exact top-k legs, bounded queries
     "decontam_bloom_indexed",      # merged persisted bitmap probe
+    "profile_table_stats",         # widened scan under the Expand pass
     "distinct_tokens_hll",         # m-bounded register partial_max
     "corpus_source_kl",            # vocab-bounded counts, scalar bcast
     "corpus_source_overlap",       # register max-merge pair unions

@@ -84,76 +84,68 @@ def hll_estimator_sql(ne: str, hs: str) -> str:
 # first (in this order); everything else follows in registration order.
 # A name here that is not registered is ignored.
 #
-# Round-16 rotation (VERDICT r15 lead item — the row-age contract test
-# went red the moment CORRECTNESS_r15.json landed, naming the cohort):
-# (a) ALL 45 un-chipped r12 rows, 4 rounds old at r16 close — the
-# exact debt cohort the r15 rotation note precomputed (the contract
-# test's list and the note's list match verbatim, re-diffed before
-# this rotation): ann_cosine_topk through window_running_sum below.
+# Round-17 rotation (executed at r17 start — the row-age contract
+# test went red the moment CORRECTNESS_r16.json landed, naming the
+# cohort; its list and the r16 note's precomputed list were re-diffed
+# and match verbatim):
+# (a) ALL 48 un-chipped r13 rows, 4 rounds old at r17 close —
+# ann_hybrid_rrf_topk through unpivot_revenue_measures below.
 # Clearing these turns tests/test_row_age_contract.py green.
-# (b) the 4 r14-staged r16 registrants, lifted verbatim from
-# tests/test_r16_oracle_parity.py where their exact plans + oracle SQL
-# validated green at sf0.001 AND sf0.01 ahead of registration:
-# quantiles_sample_sketch (the mergeable bottom-k quantile summary —
-# approx_percentile state is neither persistable nor mergeable across
-# batches; min-k is both, and idempotent), stream_quantile_sample
-# (the monitor_value_sample state resolved to running quantiles —
-# min-k idempotence makes the merged state byte-identical to a
-# one-batch build whatever the batching or replays, the HLL-register
-# argument), stream_psi_alarm (the live drift loop end-to-end:
-# baseline histogram vs streamed monitor_histogram state through
-# psi_from_histograms — additive design-constant cells, the
-# stream_hot_keys exactly-once argument, DECIMAL-exact term sum), and
-# stream_weighted_sample (the streaming Efraimidis-Spirakis weighted
-# reservoir — the A-ES key is a pure function of (key, weight), so
-# the merged state is batching/replay-invariant and hash-gates).
-# (c) 1 chip against the 49-row r13 cohort due in full at r17:
-# corpus_score_winsorize — chosen where r16 has adjudication value:
-# it is the origin of the per-group rank-window shuffle shape
-# ("the winsorize_by_group shape") that all four r16 registrants'
-# quantile/sample legs reuse, so a fresh row adjudicates any
-# regression the new sketch-resolution work could introduce in the
-# shared shape.
+# (b) the r14-staged r17 registrant decontam_semantic, lifted from
+# tests/test_r17_oracle_parity.py where its exact plan + oracle SQL
+# validated green at sf0.001 AND sf0.01 ahead of registration
+# (benchmark decontamination in EMBEDDING space — the semantic
+# sibling the n-gram decontam family structurally lacks). Its 3-round
+# -old staging price re-prices in-sweep this round per the ask-#4
+# rule; number + go/no-go in BENCH_NOTES.md's r17 addendum.
+# (c) 1 chip against the 50-row r14 cohort (due in full at r18):
+# graph_pagerank_seeded — chosen where r17 has adjudication value:
+# it is r16-touched-but-unsampled (the r16 VERDICT's gate note lists
+# it among the 11 touched paths the driver's r16 sample missed, and
+# Next-round item 1 asks for a pagerank row), and r17 touches the
+# same loop again (checkpoint-cadence work), so this one row
+# adjudicates both rounds of pagerank changes against the unrolled
+# float-sequence oracle.
 #
-# Debt arithmetic after r16: newest-row histogram becomes r13:48
-# r14:50 r15:50 r16:50 (N = 198). The EXACT 48-row r17 debt cohort,
-# precomputed from the CORRECTNESS files at the end of r16 (r17's
+# Debt arithmetic after r17: newest-row histogram becomes r14:49
+# r15:50 r16:50 r17:50 (N = 199 after the decontam_semantic
+# registration). The EXACT 49-row r18 debt cohort, precomputed from
+# the CORRECTNESS files + this rotation at the end of r17 (r18's
 # first commit rotates these into _FRONT verbatim, then appends its
-# registrant and chip — the same mechanical handoff as r15->r16):
-# ann_hybrid_rrf_topk, ann_ivf_topk, ann_matryoshka_recall,
-# ann_pq_topk_prod, ann_quantized_topk, array_functions,
-# corpus_quality_model_score, corpus_score_quantile_norm,
-# corpus_split_dedup_aware, decontam_bloom_indexed,
-# dedup_exact_substrings, dedup_simhash, embedding_correlation_block,
-# embedding_covariance_block, embedding_covariance_drift,
-# embedding_pca_projection_pairdist, event_interarrival,
-# event_transitions, funnel_conversion, heatmap_dow_hour,
-# histogram_order_totals, json_extract_props, mm_binary_meta,
-# mm_feature_extract, mm_frame_sample, mm_resize_images,
-# pivot_status_by_segment, rolling_wau_hll, scalar_functions,
-# stream_click_view_join, stream_dedup_events,
-# stream_embedding_covariance_block, stream_session_append,
-# stream_session_windows, stream_sliding_append,
-# stream_sliding_counts, stream_stateful_totals,
-# stream_static_enrich, stream_tumbling_append,
-# stream_tumbling_hourly, stream_windowed_topk, string_agg_nations,
-# text_bpe_tokens, text_fingerprint, text_langid, text_pii_redact,
-# text_top_terms_udtf, unpivot_revenue_measures.
-# That fills the r17 window with one free slot: 48 debt +
-# decontam_semantic (staged in tests/test_r17_oracle_parity.py,
-# oracle pre-validated at both SFs) + 1 chip against the 50-row r14
-# cohort = 50.
-#
+# registrant — the same mechanical handoff as r16->r17):
+# agg_distinct, ann_hybrid_rrf_indexed, ann_index_extend_probe,
+# ann_ivfpq_filtered_topk, ann_mmr_rerank_indexed,
+# ann_mmr_rerank_topk, anomaly_cusum_changepoint, anti_join_no_orders,
+# approx_distinct_users, corpus_curriculum_order, corpus_domain_cap,
+# corpus_mix_weights, corpus_pack_bins, corpus_prepare_pipeline,
+# corpus_quality_filter, corpus_source_kl, corpus_source_overlap,
+# corpus_source_profile, corpus_split_hash, corpus_stratified_sample,
+# decontam_ngram_overlap, dedup_cluster_components,
+# dedup_cluster_size_histogram, dedup_containment_ngram, dedup_exact,
+# dedup_incremental_minhash, dedup_ngram_jaccard,
+# dedup_paragraph_spans, dedup_semantic_indexed, distinct_tokens_hll,
+# dq_profile_lineitem, dq_profile_lineitem_approx,
+# dq_referential_orphans, embedding_covariance_exclude,
+# embedding_hard_negatives_indexed,
+# embedding_knn_label_agreement_indexed, embedding_label_cohesion,
+# percentiles_acctbal_approx, q1_pricing_summary,
+# range_join_event_pairs, rolling_wau, semi_join_open_orders,
+# stream_bloom_dedup, stream_monitor_distinct_count,
+# text_heavy_hitters_sketch, text_repetition, text_stats,
+# text_tokenizer_fertility, text_unigram_logprob.
+# That fills the r18 window exactly: 49 debt + er_fuzzy_customer_pairs
+# (drain-plan slot 2 of 2, staged in tests/test_r18_oracle_parity.py,
+# re-priced in-sweep r16) = 50, ZERO chips — r18 has no free slot.
 # STAGING-QUEUE DRAIN PLAN (VERDICT r15 ask #4 — the row-by-row
 # registration schedule, and the arithmetic that bounds it). Window
 # capacity over r17-r20 is 4 x 50 = 200 row-slots; rows needing a
 # refresh over the same span is every registered row exactly once
 # (the 4-round age cycle) = 198 after r16. So exactly TWO
 # registration slots remain through r20 without retirement. Schedule:
-# - decontam_semantic -> r17 (slot 1 of 2). Staged r14; its 1.94 s
-#   sf0.1 price is 3 rounds old at registration -> RE-PRICE in-sweep
-#   during r17 before lifting (the ask-#4 rule: any staging
-#   measurement >= 2 rounds old re-prices at registration).
+# - decontam_semantic -> r17 (slot 1 of 2). DONE — registered this
+#   round (queries/llm.py); the ask-#4 re-price rule (any staging
+#   measurement >= 2 rounds old re-prices at registration) executed
+#   in-sweep, number + go/no-go in BENCH_NOTES.md's r17 addendum.
 # - er_fuzzy_customer_pairs -> r18 (slot 2 of 2). Re-priced in-sweep
 #   r16 (BENCH_NOTES r16 carries the number + go/no-go per VERDICT
 #   r15 ask #5); preferred over corpus_quality_nb_score because it
@@ -198,59 +190,68 @@ def hll_estimator_sql(ne: str, hs: str) -> str:
 # zero registration cost until a slot frees). Staging depth is never
 # capped - only registration is.
 _FRONT: tuple[str, ...] = (
-    # -- (a) the 45 un-chipped r12 debt rows --
-    "ann_cosine_topk",
-    "ann_filtered_topk",
-    "ann_lsh_topk",
-    "ann_pq_topk",
-    "corpus_ccnet_buckets",
-    "corpus_dsir_resample",
-    "corpus_dsir_weights",
-    "corpus_dsir_weights_indexed",
-    "decontam_bloom_probe",
-    "dedup_canonical_election",
-    "embedding_hard_negatives",
-    "embedding_knn_label_agreement",
-    "embedding_norms",
-    "embedding_quantize_int8",
-    "graph_triangle_count",
-    "outliers_iqr_values",
-    "pareto_customers_by_segment",
-    "partition_scan_ordered",
-    "percentiles_acctbal",
-    "point_lookup",
-    "profile_hot_keys",
-    "profile_table_stats",
-    "projection_scan",
-    "q10_returned_revenue",
-    "q12_priority_by_linestatus",
-    "q4_priority_with_big_items",
-    "retention_weekly",
-    "salted_join_events_customers",
-    "sessionize_events",
-    "set_operations",
-    "sql_exists_in_subqueries",
-    "sql_grouping_sets",
-    "sql_lateral_topk",
-    "sql_recursive_tree_depth",
-    "text_bigram_logprob",
-    "text_ngram_novelty",
-    "text_tfidf_sim_indexed",
-    "text_tfidf_sim_topk",
-    "text_zipf_fit",
-    "top_k_global",
-    "tumbling_window_hourly",
-    "window_moving_avg",
-    "window_rank_surface",
-    "window_running_distinct",
-    "window_running_sum",
-    # -- (b) the 4 r14-staged r16 registrants --
-    "quantiles_sample_sketch",
-    "stream_quantile_sample",
-    "stream_psi_alarm",
-    "stream_weighted_sample",
-    # -- (c) 1 chip against the r13 cohort (due in full at r17) --
-    "corpus_score_winsorize",
+    # -- (a) the 48-row r13-cohort debt, 4 rounds old at r17 close
+    #    (the exact list precomputed in the rotation note above; the
+    #    row-age contract test named it verbatim at round start) --
+    "ann_hybrid_rrf_topk",
+    "ann_ivf_topk",
+    "ann_matryoshka_recall",
+    "ann_pq_topk_prod",
+    "ann_quantized_topk",
+    "array_functions",
+    "corpus_quality_model_score",
+    "corpus_score_quantile_norm",
+    "corpus_split_dedup_aware",
+    "decontam_bloom_indexed",
+    "dedup_exact_substrings",
+    "dedup_simhash",
+    "embedding_correlation_block",
+    "embedding_covariance_block",
+    "embedding_covariance_drift",
+    "embedding_pca_projection_pairdist",
+    "event_interarrival",
+    "event_transitions",
+    "funnel_conversion",
+    "heatmap_dow_hour",
+    "histogram_order_totals",
+    "json_extract_props",
+    "mm_binary_meta",
+    "mm_feature_extract",
+    "mm_frame_sample",
+    "mm_resize_images",
+    "pivot_status_by_segment",
+    "rolling_wau_hll",
+    "scalar_functions",
+    "stream_click_view_join",
+    "stream_dedup_events",
+    "stream_embedding_covariance_block",
+    "stream_session_append",
+    "stream_session_windows",
+    "stream_sliding_append",
+    "stream_sliding_counts",
+    "stream_stateful_totals",
+    "stream_static_enrich",
+    "stream_tumbling_append",
+    "stream_tumbling_hourly",
+    "stream_windowed_topk",
+    "string_agg_nations",
+    "text_bpe_tokens",
+    "text_fingerprint",
+    "text_langid",
+    "text_pii_redact",
+    "text_top_terms_udtf",
+    "unpivot_revenue_measures",
+    # -- (b) the r14-staged r17 registrant (drain-plan slot 1 of 2;
+    #    re-priced in-sweep this round per the ask-#4 rule — see
+    #    BENCH_NOTES.md r17 addendum) --
+    "decontam_semantic",
+    # -- (c) 1 chip against the 50-row r14 cohort (due in full at
+    #    r18), chosen where r17 has adjudication value: the seeded
+    #    pagerank row is r16-touched-but-unsampled (VERDICT r16 gate
+    #    note + Next-round item 1 asks for a pagerank row), and r17
+    #    touches it again (checkpoint-cadence work), so this one row
+    #    adjudicates both rounds of pagerank changes. --
+    "graph_pagerank_seeded",
 )
 
 

@@ -4683,6 +4683,71 @@ def decontam_bloom_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Lifted from tests/test_r17_oracle_parity.py, where this exact plan +
+# oracle SQL validated green against DuckDB at sf0.001 AND sf0.01 from
+# round 14 onward (the staged-query discipline; that file now reads
+# this QueryDef back). Drain-plan slot 1 of 2; the 3-round-old staging
+# price re-priced in-sweep at registration (BENCH_NOTES r17 addendum).
+@register(
+    "decontam_semantic",
+    oracle="""
+    WITH t AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE vec_id % 10 <> 0),
+    e AS (
+        SELECT vec_id AS ref_id, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE vec_id % 10 = 0),
+    s AS (
+        SELECT t.vec_id, e.ref_id,
+               list_cosine_similarity(t.v, e.v) AS c
+        FROM t, e),
+    r AS (
+        SELECT vec_id, ref_id, c,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY c DESC, ref_id) AS rn
+        FROM s)
+    SELECT vec_id, ref_id AS top_eval_id, ROUND(c, 6) AS max_sim,
+           c >= 0.35 AS contaminated
+    FROM r WHERE rn = 1
+    ORDER BY vec_id
+""",
+    doc="Benchmark decontamination in EMBEDDING space: for every train "
+        "vector, its nearest eval-split vector (llm/simsearch.py "
+        "max_cosine_vs_refs), the max similarity, and the contaminated "
+        "flag at the 0.35 threshold — the semantic sibling the n-gram "
+        "decontam family (decontam_ngram_overlap / decontam_bloom_"
+        "probe / decontam_bloom_indexed) structurally lacks: "
+        "paraphrases and format shifts share no word 5-grams but sit "
+        "close in embedding space. Scale shape is the family's: the "
+        "eval side is bounded by construction (a benchmark suite) and "
+        "broadcasts (bounded-BNL, guarded by max_ref_rows); the corpus "
+        "is scanned once, scored map-side, and reduced by a map-side-"
+        "combinable max(struct) groupBy — the one shuffle carries "
+        "exactly one row per train vector, never the corpus x refs "
+        "pair stream. The gate is bit-exact: DuckDB's "
+        "list_cosine_similarity and the engine's aggregate(zip_with) "
+        "fold land on the same double, argmax ties break toward the "
+        "smallest eval id on both engines, and the flag thresholds the "
+        "raw (pre-round) cosine identically.",
+)
+def decontam_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandrastack_spark.llm.simsearch import max_cosine_vs_refs
+
+    e = _t(spark, sf_dir, "embeddings")
+    train = e.filter(F.col("vec_id") % 10 != 0)
+    ev = e.filter(F.col("vec_id") % 10 == 0)
+    best = max_cosine_vs_refs(train, ev)
+    return (
+        best.select(
+            "vec_id",
+            F.col("ref_id").alias("top_eval_id"),
+            F.round("cosine", 6).alias("max_sim"),
+            (F.col("cosine") >= 0.35).alias("contaminated"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 # The three r13-staged, r14-registered sketch/divergence queries. Plans
 # and oracle SQL lifted VERBATIM from tests/test_r14_oracle_parity.py,
 # where they validated green at sf0.001 AND sf0.01 one round ahead (the

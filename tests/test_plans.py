@@ -186,6 +186,14 @@ def test_no_unjustified_bnl_join_across_catalog(spark, registry):
         # (bounded by the anchor side) building the per-query allowed
         # pair set the IVF+PQ probe pre-filters on
         "embedding_hard_negatives_indexed",
+        # bounded eval-split broadcast x corpus scan — the cosine_topk
+        # exact-audit shape, guarded by max_ref_rows (fails loud past
+        # the cap); the reduce is a map-side-combinable max(struct)
+        # groupBy shipping one row per train vector (r17 registrant;
+        # the staging note in tests/test_r17_oracle_parity.py wrongly
+        # assumed decontam_ was in the skip tuple — it is not, so the
+        # documented-BNL justification lands here instead)
+        "decontam_semantic",
         # broadcast 1-row corpus-token-total scalar onto the
         # vocabulary-bounded (source, token) frame — the canonical
         # scalar-subquery plan (r14 registrant; the registration note

@@ -1,44 +1,32 @@
-"""Pre-validated oracle parity for r14-staged, r17-registering queries
-(the staged-query discipline; r17 because the r15 and r16 windows are
-already fully committed — staging depth is never capped, only
-registration is).
+"""Oracle parity for the r14-staged, r17-registered query
+(decontam_semantic).
 
-Staged here:
+History: from round 14 this file held the staged query's EXACT oracle
+SQL and Spark plan, validated green against DuckDB at sf0.001 AND
+sf0.01 ahead of registration (the staged-query discipline; r15's and
+r16's slots were spoken for by their own staged registrants + debt
+cohorts, so it waited for r17). Round 17 lifted it verbatim into
+@register (queries/llm.py); this test now reads the REGISTERED
+QueryDef — fn and oracle string — and replays the driver's own
+comparison, so any future drift between the registered plan and the
+validated oracle goes red here before the driver sees it.
 
-- ``decontam_semantic`` — benchmark decontamination in EMBEDDING
-  space: for every train vector, its nearest eval-split vector
-  (``llm/simsearch.py max_cosine_vs_refs``), the max similarity, and
-  the ``contaminated`` flag at the 0.35 threshold. This is the
-  semantic sibling the n-gram decontam family (decontam_ngram_overlap
-  / decontam_bloom_probe / decontam_bloom_indexed) structurally
-  lacks: paraphrases and format shifts share no word 5-grams but sit
-  close in embedding space. The scale shape is the family's: the eval
-  side is bounded by construction (a benchmark suite) and broadcasts;
-  the corpus is scanned once, scored map-side, and reduced by a
-  map-side-combinable max(struct) groupBy — the one shuffle carries
-  exactly one row per train vector, never the corpus x refs pair
-  stream. The gate is bit-exact: DuckDB's list_cosine_similarity and
-  the engine's aggregate(zip_with) fold land on the same double (the
-  dedup_embedding_cosine / ann_cosine_topk precedent, green since
-  r10), argmax ties break toward the smallest eval id on both
-  engines, and the flag thresholds the raw (pre-round) cosine
-  identically.
-
-Registration notes for the lifting round: plans as the documented
-bounded-BNL pattern (add a DOCUMENTED_BNL entry: "bounded eval-split
-broadcast x corpus scan — the cosine_topk exact-audit shape, guarded
-by max_ref_rows"; add a scalar_broadcast_ok entry in test_plans.py is
-NOT needed — the name starts with decontam_ and that family asserts
-its joins in test_llm_ops.py). sf0.1 price (local[32], min-of-2,
-measured at staging time): 1.94 s — the fixture's embeddings table is
-2000 rows at sf0.1 (1800 train x 200 eval pairs scored map-side; the
-reduce ships 1800 rows).
+``decontam_semantic`` — benchmark decontamination in EMBEDDING space:
+for every train vector, its nearest eval-split vector
+(``llm/simsearch.py max_cosine_vs_refs``), the max similarity, and the
+``contaminated`` flag at the 0.35 threshold. This is the semantic
+sibling the n-gram decontam family (decontam_ngram_overlap /
+decontam_bloom_probe / decontam_bloom_indexed) structurally lacks:
+paraphrases and format shifts share no word 5-grams but sit close in
+embedding space. The staged non-triviality properties (flag neither
+all-True nor all-False on the fixture; exactly one verdict row per
+train vector) carried over as assertions on the registered row.
 """
 
 import duckdb
 import pytest
 
-from pyspark.sql import functions as F
+from cassandrastack_spark.queries import load_all
 
 SF = "/root/testdata/sf0.001"
 
@@ -53,51 +41,15 @@ def duck():
     con.close()
 
 
-def decontam_semantic_spark(spark, sf_dir):
-    """The exact plan that registers in r17 (lift verbatim)."""
-    from cassandrastack_spark.llm.simsearch import max_cosine_vs_refs
-
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    train = e.filter(F.col("vec_id") % 10 != 0)
-    ev = e.filter(F.col("vec_id") % 10 == 0)
-    best = max_cosine_vs_refs(train, ev)
-    return (
-        best.select(
-            "vec_id",
-            F.col("ref_id").alias("top_eval_id"),
-            F.round("cosine", 6).alias("max_sim"),
-            (F.col("cosine") >= 0.35).alias("contaminated"),
-        )
-        .orderBy("vec_id")
-    )
+@pytest.fixture(scope="module")
+def registry():
+    return load_all()
 
 
-DECONTAM_SEMANTIC_ORACLE = """
-    WITH t AS (
-        SELECT vec_id, embedding::DOUBLE[] AS v
-        FROM embeddings WHERE vec_id % 10 <> 0),
-    e AS (
-        SELECT vec_id AS ref_id, embedding::DOUBLE[] AS v
-        FROM embeddings WHERE vec_id % 10 = 0),
-    s AS (
-        SELECT t.vec_id, e.ref_id,
-               list_cosine_similarity(t.v, e.v) AS c
-        FROM t, e),
-    r AS (
-        SELECT vec_id, ref_id, c,
-               row_number() OVER (
-                   PARTITION BY vec_id ORDER BY c DESC, ref_id) AS rn
-        FROM s)
-    SELECT vec_id, ref_id AS top_eval_id, ROUND(c, 6) AS max_sim,
-           c >= 0.35 AS contaminated
-    FROM r WHERE rn = 1
-    ORDER BY vec_id
-"""
-
-
-def test_decontam_semantic_matches_staged_oracle(spark, duck):
-    got = decontam_semantic_spark(spark, SF).toPandas()
-    want = duck.execute(DECONTAM_SEMANTIC_ORACLE).df()
+def test_decontam_semantic_matches_registered_oracle(spark, duck, registry):
+    qd = registry["decontam_semantic"]
+    got = qd.fn(spark, SF).toPandas()
+    want = duck.execute(qd.oracle).df()
     assert list(got.columns) == list(want.columns)
     assert len(got) == len(want) > 0
     for col in got.columns:

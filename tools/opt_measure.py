@@ -35,13 +35,13 @@ def main() -> None:
     ap.add_argument("--passes", type=int, default=2)
     ap.add_argument("--all-over", type=float, default=None,
                     help="also include every query at or above this many "
-                         "seconds in BENCH_FULL_r16.json")
+                         "seconds in BENCH_FULL_r17.json")
     ap.add_argument("--no-plans", action="store_true")
     args = ap.parse_args()
 
     names = list(args.names)
     if args.all_over is not None:
-        with open(os.path.join(REPO, "BENCH_FULL_r16.json")) as f:
+        with open(os.path.join(REPO, "BENCH_FULL_r17.json")) as f:
             ledger = json.load(f)["queries"]
         names += [q for q, s in sorted(ledger.items(), key=lambda kv: -kv[1])
                   if s >= args.all_over and q not in names]
@@ -62,7 +62,7 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
     print(f"warmup_sentinel_sec={time.perf_counter() - t0:.3f}", flush=True)
 
-    plans_dir = os.path.join(REPO, "plans", "r16")
+    plans_dir = os.path.join(REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_DIR", "r17"))
     os.makedirs(plans_dir, exist_ok=True)
     out: dict[str, float] = {}
     for name in names:

@@ -124,6 +124,9 @@ DOCUMENTED_BNL = {
                        "baseline for its recall invariant (capped "
                        "broadcast); the composite itself equi-joins "
                        "on cid",
+    "decontam_semantic": "bounded eval-split broadcast x corpus scan — "
+                         "the cosine_topk exact-audit shape, guarded "
+                         "by max_ref_rows (fails loud past the cap)",
     "text_unigram_logprob": "1-row corpus-total scalar broadcast",
     "corpus_dsir_weights": "1-row smoothed-LM totals (n_r, n_t, V) "
                            "scalar broadcasts (shared "

@@ -42,7 +42,7 @@ import hashlib
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 
@@ -602,8 +602,17 @@ def dedup_components(
             )
         # `own` rides through the aggregate (each id has exactly one
         # non-null own row, its previous label), so convergence is read
-        # off the checkpointed frame with a plain filter-scan — no
-        # join-per-round, no second shuffle for the changed check.
+        # off the SAME action that materializes the round: an observed
+        # metric (CollectMetrics) on the frame the eager checkpoint
+        # computes — the changed-count arrives with the checkpoint job
+        # and the separate filter-scan count action per round is gone
+        # (one job per round instead of two; the metric aggregates
+        # during execution, costing no extra pass). `comp != own` is
+        # never null here: every id has an identity/own row by
+        # symmetrized-edge construction, so the null-skipping sum
+        # equals the old filter-count exactly; an all-null/empty frame
+        # sums to None = converged, matching the old count() == 0.
+        obs = Observation()
         new_labels = (
             own.union(prop)
             .groupBy("id")
@@ -611,13 +620,15 @@ def dedup_components(
                 F.min("comp").alias("comp"),
                 F.first("own", ignorenulls=True).alias("own"),
             )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("comp") != F.col("own")).cast("long")
+                ).alias("n_changed"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.filter(F.col("comp") != F.col("own"))
-            .limit(1)
-            .count()
-        )
+        changed = obs.get["n_changed"] or 0
         labels = new_labels.select("id", "comp")
         if changed == 0:
             break
@@ -710,8 +721,22 @@ def _components_star(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
 
     sig = signature(edges)
     for _ in range(max_iter):
-        edges = small_star(large_star(edges)).localCheckpoint(eager=True)
-        new_sig = signature(edges)
+        # the fixpoint signature rides the checkpoint action as an
+        # observed metric (the dedup_components convergence pattern):
+        # one job per round materializes the new edge set AND delivers
+        # (|E|, content hash) — the separate signature action is gone
+        obs = Observation()
+        edges = (
+            small_star(large_star(edges))
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        vals = obs.get
+        new_sig = (vals["n"], vals["h"])
         if new_sig == sig:
             break
         sig = new_sig

@@ -183,9 +183,23 @@ def tfidf_weights(
     norms = weighted.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("weight") * F.col("weight"))).alias("norm")
     )
-    return weighted.join(norms, "doc_id").select(
+    vecs = weighted.join(norms, "doc_id").select(
         "doc_id", "w", "weight", "norm"
     )
+    # The finished vectors have TWO consumers per similarity call (the
+    # broadcast probe side and the corpus side of the term join), and
+    # without a barrier each re-runs the df-stats join + norm groupBy.
+    # The r16 eager-localCheckpoint attempt was reverted for exactly
+    # two reasons, both closed here: (a) checkpoint blocks accumulate
+    # across library calls until GC — slot_persist bounds the cache to
+    # ONE live generation (the slot-leak-gate discipline); (b) the
+    # vectors are max_df_ratio-DEPENDENT — the slot key is the vecs
+    # plan itself, which embeds the ratio literal in its df filter, so
+    # a different ratio can never be served another ratio's cache (it
+    # rolls the generation instead). Lazy persist: plan-only consumers
+    # never execute jobs.
+    (vecs,) = slot_persist("retrieval.tfidf_vecs", vecs, (vecs,))
+    return vecs
 
 
 def tfidf_topk_similar(
@@ -222,15 +236,17 @@ def _cosine_topk_from_vecs(
     equi-join, no all-pairs stage.
 
     The weights frame has TWO consumers (the broadcast probe side and
-    the corpus side of the term join); the heavy part underneath (the
-    postings aggregate) is slot-cached, so each consumer re-runs only
-    the df-stats join and norm groupBy over cached postings. An eager
-    localCheckpoint here was measured ~1 s faster standalone but
-    accumulates checkpoint blocks across repeated library calls until
-    GC (the r16 slot-leak gate, tests/test_llm_ops.py::
-    test_slot_persist_bounds_cached_generations, correctly rejects
-    it), and the vectors are max_df_ratio-dependent so they cannot
-    ride the ratio-independent tfidf slot — left un-materialized."""
+    the corpus side of the term join). An eager localCheckpoint here
+    was measured ~1 s faster standalone but accumulates checkpoint
+    blocks across repeated library calls until GC (the r16 slot-leak
+    gate, tests/test_llm_ops.py::
+    test_slot_persist_bounds_cached_generations, correctly rejected
+    it). r17 recovers the win legitimately at the SOURCE instead:
+    both vec builders (tfidf_weights / tfidf_weights_from_index) now
+    slot_persist their finished vectors keyed on the vecs plan itself
+    — ratio-keyed by construction (the max_df_ratio literal lives in
+    the plan's df filter), one bounded generation per slot, lazy. This
+    helper stays materialization-free."""
     probes = vecs.filter(F.col("doc_id").isin(list(probe_ids))).select(
         F.col("doc_id").alias("query_doc"),
         "w",
@@ -536,9 +552,17 @@ def tfidf_weights_from_index(
     norms = weighted.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("weight") * F.col("weight"))).alias("norm")
     )
-    return weighted.join(norms, "doc_id").select(
+    vecs = weighted.join(norms, "doc_id").select(
         "doc_id", "w", "weight", "norm"
     )
+    # Same bounded vecs slot as tfidf_weights (separate slot name: the
+    # index-served plan must never thrash the raw-text generation).
+    # The key embeds the ratio literal AND the index file snapshot
+    # (path + _doclen + _meta resolved file lists), so an extend/
+    # compact that lands new part files rolls the cache; ``n`` is a
+    # _meta literal in the plan, rolling it on meta change too.
+    (vecs,) = slot_persist("retrieval.tfidf_vecs_index", vecs, (vecs,))
+    return vecs
 
 
 def tfidf_topk_similar_from_index(

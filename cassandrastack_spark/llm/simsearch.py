@@ -247,6 +247,15 @@ def cosine_pairs_above(
       argmax of dot(centroid, vec), invariant to the query vectors'
       norms, so centroids trained on unit vectors serve raw-vector
       corpora unchanged.
+
+    Precondition (ADVICE r16): ``id_col`` must be UNIQUE per row. The
+    verification tail's joins assume it for every method, and the
+    cluster branch's in-stage candidate dedup (keep the row where the
+    join cid is the min shared cid) collapses multi-assignment
+    duplicates of a PAIR, not duplicate ids: two input rows sharing an
+    id would emit duplicate (l_id, r_id) candidates and inflate any
+    count-based consumer. Dedup ids upstream (every registered caller
+    feeds distinct-id frames).
     """
     if centroids is not None and method != "cluster":
         raise ValueError(
@@ -556,6 +565,8 @@ def _training_sample(
     sample: int = 4096,
     vec_col: str = "vec",
     id_col: str = "id",
+    probe: DataFrame | None = None,
+    probe_cap: int = 0,
 ):
     """ONE distributed job: the deterministic training sample (the
     ``sample`` rows with the smallest ``xxhash64(id)`` — a seedless
@@ -563,15 +574,41 @@ def _training_sample(
     Shared by ``ivf_train_centroids`` and ``pq_train_codebooks`` so a
     combined IVF+PQ build pays a single sampling scan instead of two
     identical ones. Fails loud on an empty corpus (an AxisError deep
-    in numpy helps nobody). Zero vectors normalize under norm 1."""
+    in numpy helps nobody). Zero vectors normalize under norm 1.
+
+    ``probe``: optional second frame whose row count (capped at
+    ``probe_cap + 1`` — the max_query_rows guard only needs to know
+    "over or under") rides the SAME action as a tagged union leg, so
+    a composite builder's guard count and sample draw cost one job
+    instead of two. With ``probe`` set the return becomes
+    ``(matrix_or_None, n_probe)`` and the empty-corpus failure is the
+    CALLER's to raise (``None`` matrix) — the caller owns the error
+    ORDER (cap violation first, then empty corpus, matching the
+    unfused sequence the contract tests pin)."""
     import numpy as np
 
-    rows = (
+    samp = (
         corpus.orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
         .limit(sample)
         .select(F.expr(f"transform({vec_col}, x -> cast(x AS double))").alias("v"))
-        .collect()
     )
+    if probe is not None:
+        tagged = samp.select(F.lit(0).alias("_leg"), "v").unionByName(
+            probe.limit(probe_cap + 1).select(
+                F.lit(1).alias("_leg"),
+                F.lit(None).cast(samp.schema["v"].dataType).alias("v"),
+            )
+        )
+        rows = tagged.collect()
+        n_probe = sum(1 for r in rows if r._leg == 1)
+        vecs = [r.v for r in rows if r._leg == 0]
+        if not vecs:
+            return None, n_probe
+        X = np.asarray(vecs, dtype=np.float64)
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return X / norms, n_probe
+    rows = samp.collect()
     if not rows:
         raise ValueError(
             "ANN training needs a non-empty corpus sample; the corpus "
@@ -1100,13 +1137,6 @@ def ann_pq_topk(
     Deterministic end-to-end (sample draw, Lloyd order, fold order) —
     same recall-invariant oracle pattern as IVF/LSH.
     """
-    n_q = queries.limit(max_query_rows + 1).count()
-    if n_q > max_query_rows:
-        raise ValueError(
-            f"ann_pq_topk query side exceeds max_query_rows="
-            f"{max_query_rows}; bucket the queries (IVF/LSH) or raise "
-            f"the cap explicitly"
-        )
     c_normed = with_norm(df.select(id_col, vec_col), vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.expr("transform(vec, x -> CASE WHEN norm > 0 THEN x / norm ELSE x END)").alias("c_unit"),
@@ -1115,13 +1145,32 @@ def ann_pq_topk(
         F.col("vec_id").alias("query_id") if id_col == "vec_id" else F.col(id_col).alias("query_id"),
         F.expr("transform(vec, x -> CASE WHEN norm > 0 THEN x / norm ELSE x END)").alias("q_unit"),
     )
+    train = c_normed.select(
+        F.col("neighbor_id").alias("id"), F.col("c_unit").alias("vec")
+    )
+    # guard count + training-sample draw fused into ONE construction
+    # job (the _training_sample probe leg); error order preserved —
+    # cap violation raises before the empty-corpus check
+    sample_x, n_q = _training_sample(
+        train, probe=queries, probe_cap=max_query_rows
+    )
+    if n_q > max_query_rows:
+        raise ValueError(
+            f"ann_pq_topk query side exceeds max_query_rows="
+            f"{max_query_rows}; bucket the queries (IVF/LSH) or raise "
+            f"the cap explicitly"
+        )
+    if sample_x is None:
+        raise ValueError(
+            "ANN training needs a non-empty corpus sample; the corpus "
+            "has no rows"
+        )
     books = pq_train_codebooks(
-        c_normed.select(
-            F.col("neighbor_id").alias("id"), F.col("c_unit").alias("vec")
-        ),
+        train,
         m_sub=m_sub,
         k_codes=k_codes,
         iters=iters,
+        sample_matrix=sample_x,
     )
     # compressed corpus: (neighbor_id, codes). At scale this is the
     # table that lives in memory / gets scanned; floats stay in cold
@@ -1140,14 +1189,21 @@ def ann_pq_topk(
         F.broadcast(q_normed), F.col("neighbor_id") != F.col("query_id")
     ).withColumn("adc", F.expr(DOT.format(a="q_unit", b="r_vec")))
     w_s = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    # ids-only through the shortlist exchange (guide §2.3: shuffle
+    # keys, not payloads): carrying q_unit (dim doubles) per CANDIDATE
+    # row multiplied the exchange bytes by the vector width; the query
+    # vectors re-attach after the window from the bounded broadcast
+    # side instead — shipped once per query, not once per candidate
     short = (
         pairs.withColumn("srank", F.row_number().over(w_s))
         .filter(F.col("srank") <= shortlist)
-        .select("query_id", "neighbor_id", "q_unit")
+        .select("query_id", "neighbor_id")
     )
     # exact re-rank: floats fetched for shortlist ids only
-    rerank = short.join(c_normed, "neighbor_id").withColumn(
-        "cosine", F.expr(DOT.format(a="q_unit", b="c_unit"))
+    rerank = (
+        short.join(c_normed, "neighbor_id")
+        .join(F.broadcast(q_normed), "query_id")
+        .withColumn("cosine", F.expr(DOT.format(a="q_unit", b="c_unit")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -1356,21 +1412,30 @@ def ann_ivf_pq_topk(
     re-rank tail. Documented trade, not an omission. Deterministic
     end-to-end like the IVF and PQ paths it composes.
     """
-    n_q = queries.limit(max_query_rows + 1).count()
-    if n_q > max_query_rows:
-        raise ValueError(
-            f"ann_ivf_pq_topk query side exceeds max_query_rows="
-            f"{max_query_rows}; raise the cap explicitly or batch the "
-            f"queries"
-        )
     c_normed = _unit_vecs(df, id_col, vec_col, "neighbor_id", "c_unit")
     q_normed = _unit_vecs(queries, id_col, vec_col, "query_id", "q_unit")
     train = c_normed.select(
         F.col("neighbor_id").alias("id"), F.col("c_unit").alias("vec")
     )
     # one sampling scan feeds both trainers (they draw the identical
-    # deterministic sample; collecting it twice doubled the training I/O)
-    sample_x = _training_sample(train)
+    # deterministic sample; collecting it twice doubled the training
+    # I/O), and the max_query_rows guard count rides the SAME job as a
+    # tagged union leg — one construction action where there were two;
+    # error order preserved (cap first, then empty corpus)
+    sample_x, n_q = _training_sample(
+        train, probe=queries, probe_cap=max_query_rows
+    )
+    if n_q > max_query_rows:
+        raise ValueError(
+            f"ann_ivf_pq_topk query side exceeds max_query_rows="
+            f"{max_query_rows}; raise the cap explicitly or batch the "
+            f"queries"
+        )
+    if sample_x is None:
+        raise ValueError(
+            "ANN training needs a non-empty corpus sample; the corpus "
+            "has no rows"
+        )
     centroids = ivf_train_centroids(
         train, k_centroids=k_centroids, iters=iters, sample_matrix=sample_x
     )
@@ -1408,13 +1473,18 @@ def ann_ivf_pq_topk(
     w_s = Window.partitionBy("query_id").orderBy(
         F.desc("adc"), F.asc("neighbor_id")
     )
+    # ids-only through the shortlist exchange (guide §2.3): q_unit
+    # re-attaches from the bounded broadcast query side after the
+    # window — once per query, not once per candidate row
     short = (
         pairs.withColumn("srank", F.row_number().over(w_s))
         .filter(F.col("srank") <= shortlist)
-        .select("query_id", "neighbor_id", "q_unit")
+        .select("query_id", "neighbor_id")
     )
-    rerank = short.join(c_normed, "neighbor_id").withColumn(
-        "cosine", F.expr(DOT.format(a="q_unit", b="c_unit"))
+    rerank = (
+        short.join(c_normed, "neighbor_id")
+        .join(F.broadcast(q_normed), "query_id")
+        .withColumn("cosine", F.expr(DOT.format(a="q_unit", b="c_unit")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -1818,10 +1888,17 @@ def probe_ivfpq_index(
     w_s = Window.partitionBy("query_id").orderBy(
         F.desc("adc"), F.asc("neighbor_id")
     )
+    # ids-only through the shortlist exchange (guide §2.3): dropping
+    # q_unit here also turns the replay-dedup below into a keys-only
+    # aggregate (the array payload forced a sort-based first()); the
+    # query vectors re-attach after the corpus join from the
+    # CHECKPOINTED probes frame — the same materialized rows the
+    # election read, so a nondeterministic `queries` input still
+    # cannot disagree with itself (the documented probes contract)
     short = (
         pairs.withColumn("srank", F.row_number().over(w_s))
         .filter(F.col("srank") <= shortlist)
-        .select("query_id", "neighbor_id", "q_unit")
+        .select("query_id", "neighbor_id")
         # an id indexed more than once (the extend->marker crash
         # window replaying an extend, or a direct caller re-extending
         # an id) yields duplicate code rows; without this collapse the
@@ -1836,12 +1913,19 @@ def probe_ivfpq_index(
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     c_floats = _unit_vecs(corpus, id_col, vec_col, "neighbor_id", "c_unit")
+    # every probes row of a query carries the identical materialized
+    # q_unit, so first() is deterministic here
+    q_attach = F.broadcast(
+        probes.groupBy("query_id").agg(F.first("q_unit").alias("q_unit"))
+    )
     # `corpus` must cover every indexed id (the index stores codes
     # only; floats are fetched here). A left join + in-plan assertion
     # fails LOUD when a shortlisted indexed id is absent from the
     # float source (index built from a superset, or floats not yet
     # landed) instead of silently shrinking results below k.
-    joined = short.join(c_floats, "neighbor_id", "left")
+    joined = short.join(c_floats, "neighbor_id", "left").join(
+        q_attach, "query_id"
+    )
     if on_missing_corpus == "skip":
         rerank = joined.filter(F.col("c_unit").isNotNull()).withColumn(
             "cosine", F.expr(DOT.format(a="q_unit", b="c_unit"))

@@ -1116,7 +1116,12 @@ def decontam_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # m-sizing aggregate and the position explode — plus the exact _ex
     # join below); un-materialized, each re-runs the gram explode and
     # the distinct exchange. The distinct gram set itself is small
-    # (12 bits/item is the point), so checkpoint it once.
+    # (12 bits/item is the point), so checkpoint it once. Note the
+    # eager checkpoint runs a job at query-CONSTRUCTION time and its
+    # blocks are unreplicated — an executor loss recomputes nothing
+    # (localCheckpoint is not fault-tolerant) and fails the query;
+    # acceptable for a bounded eval-suite set, per-call scoped
+    # (ADVICE r16).
     eval_g = (
         grams.filter(F.col("doc_id") % 10 == 0)
         .select("g")
@@ -1987,10 +1992,17 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is not shared execution — un-checkpointed, each branch re-ran the
     # tokenize+shingle stage), and n_shingles reads the pre-explode
     # array size — a narrow map — instead of shuffling every exploded
-    # (id, hash) row through a groupBy(id) just to count it.
-    sets = shingle_sets(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", k=3
-    ).localCheckpoint(eager=True)
+    # (id, hash) row through a groupBy(id) just to count it. The
+    # materialization is SIZE-GATED (VERDICT r16 what's-wrong #3):
+    # eagerly checkpointing every document's shingle arrays pins
+    # unreplicated executor storage and dies on executor loss at
+    # corpus scale — above the gate the n_shingles branch (a narrow
+    # size() projection) just recomputes its tokenize pass instead.
+    from cassandrastack_spark.sources.io import checkpoint_if_small
+
+    sets = checkpoint_if_small(
+        shingle_sets(_t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+    )
     per_doc = sets.select(
         "id", F.size("shingles").cast("bigint").alias("n_shingles")
     )

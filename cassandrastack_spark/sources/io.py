@@ -18,6 +18,7 @@ Rules (100 TB discipline):
 from __future__ import annotations
 
 import os
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import LongType, StructType
@@ -74,7 +75,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def widen_for_compute(df: DataFrame) -> DataFrame:
+def widen_for_compute(df: DataFrame, key_cols: list[str] | None = None) -> DataFrame:
     """Spread compute-heavy per-row work across all cores.
 
     A small parquet file scans as ONE partition (maxPartitionBytes),
@@ -88,6 +89,15 @@ def widen_for_compute(df: DataFrame) -> DataFrame:
     ``df.rdd.getNumPartitions()`` which forced plan analysis on every
     call). Files is a lower bound on scan partitions (large files split
     by maxPartitionBytes), so this only ever widens, never narrows.
+
+    ``key_cols``: explicit hash columns for the spread. The whole-row
+    hash default CO-LOCATES duplicate rows — fine for every current
+    call site (distinct-id table scans), a skew hazard for a frame
+    with heavy exact duplication (a dedup corpus, the one domain this
+    engine is about): every copy of a duplicated row lands on one
+    task. Callers widening such a frame pass a high-cardinality key
+    (the id column) — or any column set whose distinct count spreads —
+    and the hash still needs no retry-unsafe randomness.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
@@ -95,20 +105,58 @@ def widen_for_compute(df: DataFrame) -> DataFrame:
     except Exception:  # non-file-backed plans: assume narrow, widen
         est_partitions = 0
     if est_partitions < target:
-        # HASH repartition on the whole row, not round-robin: a keyless
-        # repartition(n) locally sorts every input row first
-        # (spark.sql.execution.sortBeforeRepartition, required so task
-        # retries reproduce the same row placement — SPARK-23207); a
-        # deterministic hash of the row needs no such sort and is
-        # equally retry-safe. Distinct rows spread near-uniformly;
-        # duplicate rows co-locating is harmless for the per-row
-        # compute this exists to parallelize. Map-typed columns are not
-        # hashable (UNHASHABLE_TYPE) — skip them; a frame of ONLY maps
-        # falls back to round-robin.
-        hashable = [c for c, t in df.dtypes if "map<" not in t]
+        # HASH repartition on the given key (or the whole row), not
+        # round-robin: a keyless repartition(n) locally sorts every
+        # input row first (spark.sql.execution.sortBeforeRepartition,
+        # required so task retries reproduce the same row placement —
+        # SPARK-23207); a deterministic hash of the row needs no such
+        # sort and is equally retry-safe. Distinct rows spread
+        # near-uniformly; see the key_cols note for duplicate-heavy
+        # frames. Map-typed columns are not hashable (UNHASHABLE_TYPE)
+        # — skip them; a frame of ONLY maps falls back to round-robin.
+        hashable = key_cols or [c for c, t in df.dtypes if "map<" not in t]
         if hashable:
             return df.repartition(target, F.xxhash64(*hashable))
         return df.repartition(target)
+    return df
+
+
+#: Inputs above this many bytes must not be eagerly localCheckpoint-ed
+#: as a whole-corpus intermediate: the blocks pin executor storage and
+#: are NOT fault-tolerant (executor loss = job failure) — at that size
+#: recomputing the narrow branch is the safer trade (guide §5).
+#: Local default comfortably covers the test fixtures; clusters size it
+#: via the environment like every other scale knob in session.py.
+CHECKPOINT_MAX_INPUT_BYTES = int(
+    os.environ.get(
+        "SPARK_GRAFT_CHECKPOINT_MAX_INPUT_BYTES", str(1024 * 1024 * 1024)
+    )
+)
+
+
+def checkpoint_if_small(df: DataFrame) -> DataFrame:
+    """Eagerly localCheckpoint ``df`` ONLY when its resolved file
+    inputs are provably under ``CHECKPOINT_MAX_INPUT_BYTES``.
+
+    The convenience-barrier pattern (materialize a frame two branches
+    read) is a local-scale win but a 100 TB hazard: localCheckpoint
+    blocks are unreplicated executor storage — pinning every row of an
+    unbounded corpus there trades one recompute for a job that dies on
+    any executor loss. Gate: local ``file:`` inputs are stat-ed and
+    summed; unknown sizes (remote URIs, stat failures, non-file plans)
+    conservatively count as LARGE → no checkpoint (the caller's plan
+    must already be recompute-tolerant).
+    """
+    total = 0
+    try:
+        for u in df.inputFiles():
+            if not u.startswith("file:"):
+                return df
+            total += os.stat(unquote(urlparse(u).path)).st_size
+    except Exception:
+        return df
+    if total <= CHECKPOINT_MAX_INPUT_BYTES:
+        return df.localCheckpoint(eager=True)
     return df
 
 

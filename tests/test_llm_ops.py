@@ -1869,13 +1869,15 @@ def test_cosine_pairs_cluster_method_subset_and_multiassign_recall(spark, emb):
     assert exact, "fixture must contain near-dup pairs at 0.42"
     last = -1.0
     for assign in (1, 2, 3):
-        cl = {
-            (r.a_id, r.b_id)
-            for r in cosine_pairs_above(
-                emb, threshold=0.42, method="cluster",
-                cluster_k=16, cluster_assign=assign,
-            ).collect()
-        }
+        rows = cosine_pairs_above(
+            emb, threshold=0.42, method="cluster",
+            cluster_k=16, cluster_assign=assign,
+        ).collect()
+        cl = {(r.a_id, r.b_id) for r in rows}
+        # the in-stage min-shared-cid dedup must emit each pair ONCE:
+        # the set collapse alone would mask duplicate emission
+        # (ADVICE r16) — pin row count == deduplicated pair count
+        assert len(rows) == len(cl), "cluster method emitted duplicate pairs"
         assert cl <= exact, "clustered pairs must be exactly verified"
         rec = len(cl & exact) / len(exact)
         assert rec >= last - 1e-9, (assign, rec, last)

@@ -361,3 +361,57 @@ def test_cassandra_read_option_map_contract():
         "table": "users",
         "spark.cassandra.input.split.sizeInMB": "64",
     }
+
+
+def test_widen_for_compute_key_cols_spreads_duplicate_heavy_frames(
+    spark, tmp_path
+):
+    """The whole-row-hash default CO-LOCATES duplicate rows (every copy
+    hashes identically), which skews the widened stage on exactly the
+    frames this engine is about — dedup corpora with heavy exact
+    duplication. This test documents that behavior and pins the fix:
+    an explicit high-cardinality ``key_cols`` spreads the same frame
+    near-uniformly. Single-file input so the widen path actually
+    fires (inputFiles < defaultParallelism)."""
+    from pyspark.sql import functions as F
+
+    from cassandrastack_spark.sources.io import widen_for_compute
+
+    # 4000 rows, only 2 distinct payloads — worst-case duplication;
+    # unique ids alongside (the dedup-corpus shape: distinct doc_id,
+    # duplicated text)
+    p = str(tmp_path / "dups.parquet")
+    (
+        spark.range(4000)
+        .select(
+            F.col("id"),
+            (F.col("id") % 2).cast("string").alias("payload"),
+        )
+        .coalesce(1)
+        .write.parquet(p)
+    )
+    df = spark.read.parquet(p)
+    target = spark.sparkContext.defaultParallelism
+
+    def occupancy(frame):
+        rows = (
+            frame.select(F.spark_partition_id().alias("p"))
+            .groupBy("p")
+            .count()
+            .collect()
+        )
+        return len(rows), max(r["count"] for r in rows)
+
+    # whole-row hash: duplicates co-locate — at most 2 non-empty
+    # partitions no matter the target (the documented skew hazard)
+    n_row, _ = occupancy(widen_for_compute(df.select("payload")))
+    assert n_row <= 2
+
+    # explicit key on the unique id: near-uniform spread
+    n_key, mx_key = occupancy(
+        widen_for_compute(df.select("id", "payload"), key_cols=["id"])
+    )
+    assert n_key > 2
+    assert mx_key < 4000  # no single task holds the whole frame
+    # and the spread approaches the session's parallelism
+    assert n_key >= min(target, 4) // 2

@@ -30,7 +30,7 @@ early with ``iters`` as the hard cap.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 
 def _normalize(
@@ -93,14 +93,19 @@ def _prepare(
     frac, nodes = _normalize(edges, src_col, dst_col, weight_col)
     frac = frac.localCheckpoint(eager=True)
     has_out = frac.select(F.col("src").alias("node")).distinct()
+    # the node count rides the checkpoint action as an observed metric
+    # (the dedup_components convergence pattern) — no separate count
+    # job after the materialization
+    obs = Observation()
     nodes = (
         nodes.join(has_out.withColumn("_ho", F.lit(True)), "node", "left")
         .select(
             "node", F.coalesce(F.col("_ho"), F.lit(False)).alias("has_out")
         )
+        .observe(obs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
-    n = nodes.count()
+    n = obs.get["n"]
     return frac, nodes, n
 
 
@@ -290,7 +295,25 @@ def pagerank(
         # same node ADD (the natural multiset semantics), validated
         # below on the raw rows so a negative component still fails
         # even if duplicates would cancel it
-        w_agg = w_reset.groupBy("node").agg(F.sum("w_r").alias("w_r"))
+        # BOTH validation scalars ride the nodes_r checkpoint action as
+        # observed metrics (the dedup_components pattern): `bad` on the
+        # RAW reset rows (so a negative component still fails even if
+        # duplicates would cancel it — the metric fires where w_reset's
+        # subtree executes inside this one action), `total` on the
+        # joined node universe. The previous separate validation head
+        # (aggregate + scalar broadcast + take) paid 2-3 extra jobs
+        # before the checkpoint; now the checkpoint materializes the
+        # UN-normalized weights and normalization is a narrow
+        # projection of the checkpointed rows — same w_r/total double
+        # division, bit-identical ranks.
+        obs_bad, obs_total = Observation(), Observation()
+        w_checked = w_reset.observe(
+            obs_bad,
+            F.count(
+                F.when(F.col("w_r").isNull() | (F.col("w_r") < 0), 1)
+            ).alias("bad"),
+        )
+        w_agg = w_checked.groupBy("node").agg(F.sum("w_r").alias("w_r"))
         nodes_r = (
             nodes.join(w_agg, "node", "left")
             .select(
@@ -298,26 +321,11 @@ def pagerank(
                 "has_out",
                 F.coalesce(F.col("w_r"), F.lit(0.0)).alias("w_r"),
             )
+            .observe(obs_total, F.sum("w_r").alias("total"))
+            .localCheckpoint(eager=True)
         )
-        # one validation job for both checks: negative/null weights in
-        # the RAW reset frame and the normalization total over the
-        # node universe (two separate actions doubled the fixed cost)
-        bad, total = (
-            w_reset.agg(
-                F.count(
-                    F.when(F.col("w_r").isNull() | (F.col("w_r") < 0), 1)
-                ).alias("bad"),
-                F.lit(0.0).alias("_pad"),
-            )
-            .crossJoin(
-                F.broadcast(
-                    nodes_r.agg(F.sum("w_r").alias("total"))
-                )
-            )
-            .select("bad", "total")
-            .head()
-        )
-        total = total or 0.0
+        bad = obs_bad.get["bad"]
+        total = obs_total.get["total"] or 0.0
         if bad:
             raise ValueError(
                 f"reset weights must be non-negative, {bad} rows are not"
@@ -329,7 +337,7 @@ def pagerank(
             )
         nodes_r = nodes_r.select(
             "node", "has_out", (F.col("w_r") / F.lit(total)).alias("r")
-        ).localCheckpoint(eager=True)
+        )
         ranks = nodes_r.select("node", "has_out", F.col("r").alias("rank"))
     else:
         nodes_r = None
